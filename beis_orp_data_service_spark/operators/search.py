@@ -1,0 +1,153 @@
+"""Search query surface — the reference's TQL query builder as Spark plans.
+
+The reference builds one TQL string per search request
+(lambdas/typedb_search_query/search_functions.py:9-65), executes it
+against TypeDB, and post-processes in pandas across three sequential
+round-trips. Here the same accepted parameters
+(lambdas/typedb_search_query/handler.py:16-18) become a single Catalyst
+plan: predicate build → filter → sort → paginate → join enrichments →
+project. Catalyst's column pruning gives us the reference's
+late-materialization optimization (search_functions.py:90-125) for free,
+and predicate pushdown moves every filter into the Parquet scan.
+
+Operator map (SURVEY.md §2.5):
+  Q1 point lookup        search_functions.py:14-19   → col == lit
+  Q2 equality filter     search_functions.py:35-36   → col == v
+  Q3 AND list filter     search_functions.py:39-41   → conjunction of array_contains
+  Q4 OR regex filter     search_functions.py:44-47   → isin
+  Q5 date range          search_functions.py:50-57   → >= / <=
+  Q6 substring           search_functions.py:59-61   → lower(col).contains
+  Q7 not-archive         search_functions.py:16,26,64→ col != 'archive'
+  Q8 limit guard         search_functions.py:64      → limit
+  Q9 sort                search_functions.py:98,121  → orderBy
+  Q10 pagination         search_functions.py:122     → row_number window
+  Q11 two-phase fetch    search_functions.py:90-125  → single plan (pruning)
+  Q15 left-join merge    search_functions.py:128-131 → left join + coalesce
+  Q18 projection         search_functions.py:4-6     → select
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SEARCH_MATCH_LIMIT = 10_000  # search_functions.py:64
+DEFAULT_PAGE_SIZE = 10  # handler.py:20
+
+
+@dataclass
+class SearchParams:
+    """Accepted search parameters (handler.py:16-18)."""
+
+    id: str | None = None
+    keyword: Sequence[str] = field(default_factory=list)
+    title: str | None = None
+    date_start: str | None = None
+    date_end: str | None = None
+    regulator_id: Sequence[str] = field(default_factory=list)
+    status: Sequence[str] = field(default_factory=list)
+    document_type: Sequence[str] = field(default_factory=list)
+    regulatory_topic: str | None = None
+    page: int = 1
+    page_size: int = DEFAULT_PAGE_SIZE
+    order: str = "desc"  # sort on date_published
+
+
+def not_archived(status_col: str = "status") -> Column:
+    """Q7 — applied to every query (search_functions.py:16,26,64)."""
+    return F.col(status_col) != F.lit("archive")
+
+
+def build_predicate(p: SearchParams) -> Column:
+    """Convert search params into one Column predicate (Q1-Q7).
+
+    The TQL string builder's semantics, declaratively: Catalyst pushes the
+    whole conjunction into the Parquet scan.
+    """
+    pred = not_archived()
+    if p.id is not None:  # Q1
+        pred = pred & (F.col("document_uid") == F.lit(p.id))
+    if p.regulatory_topic is not None:  # Q2
+        pred = pred & F.array_contains("regulatory_topic", p.regulatory_topic)
+    for kw in p.keyword:  # Q3 — every keyword must be owned
+        pred = pred & F.array_contains("subject_keywords", kw.lower())
+    if p.regulator_id:  # Q4
+        pred = pred & F.col("regulator_id").isin(list(p.regulator_id))
+    if p.status:  # Q4
+        pred = pred & F.col("status").isin(list(p.status))
+    if p.document_type:  # Q4
+        pred = pred & F.col("document_type").isin(list(p.document_type))
+    if p.date_start is not None:  # Q5 (either side open)
+        pred = pred & (F.col("date_published") >= F.lit(p.date_start))
+    if p.date_end is not None:
+        pred = pred & (F.col("date_published") <= F.lit(p.date_end))
+    if p.title is not None:  # Q6
+        pred = pred & F.lower(F.col("title")).contains(p.title.lower())
+    return pred
+
+
+def sort_page(
+    df: DataFrame,
+    order_col: str,
+    ascending: bool,
+    page: int,
+    page_size: int,
+    tiebreak: str,
+) -> DataFrame:
+    """Q9 + Q10 — deterministic sort + offset pagination.
+
+    A unique tiebreak column makes pagination stable — the reference
+    relies on pandas' stable sort (search_functions.py:121-122).
+
+    Scale shape: ``orderBy(...).limit(offset+size)`` compiles to
+    TakeOrderedAndProject — a distributed per-partition top-K followed by
+    a driver-side merge of K rows per partition — so no global sort and
+    no single-partition shuffle ever happens. The row_number window that
+    drops the offset then runs over at most offset+size rows.
+    """
+    cols = (
+        [F.col(order_col).asc(), F.col(tiebreak).asc()]
+        if ascending
+        else [F.col(order_col).desc(), F.col(tiebreak).desc()]
+    )
+    lo = (page - 1) * page_size
+    top = df.orderBy(*cols).limit(lo + page_size)
+    w = Window.orderBy(*cols)
+    return (
+        top.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > lo)
+        .drop("_rn")
+    )
+
+
+def search(
+    documents: DataFrame,
+    params: SearchParams,
+    legislation_edges: DataFrame | None = None,
+    return_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """The full search entry point — one Catalyst plan instead of the
+    reference's three sequential TypeDB round-trips (search_functions.py:88-144).
+
+    Phase structure of the reference (ids+dates → page → full attrs →
+    legislative origins) collapses into filter → limit-guard → sort+page →
+    left join → project; Catalyst prunes the unused columns from phase 1
+    automatically.
+    """
+    filtered = documents.filter(build_predicate(params)).limit(SEARCH_MATCH_LIMIT)
+    paged = sort_page(
+        filtered,
+        order_col="date_published",
+        ascending=(params.order == "asc"),
+        page=params.page,
+        page_size=params.page_size,
+        tiebreak="document_uid",
+    )
+    if legislation_edges is not None:  # Q15 — docs ⟕ legislative origins
+        paged = paged.join(F.broadcast(legislation_edges), "document_uid", "left")
+    if return_cols:
+        paged = paged.select(*return_cols)  # Q18
+    return paged

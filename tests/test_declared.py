@@ -1,0 +1,46 @@
+"""Every declared query runs at sf0.001 and matches its DuckDB oracle.
+
+This is a fast local twin of the driver's sf0.01 correctness gate.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from beis_orp_data_service_spark import declared
+from beis_orp_data_service_spark.catalog import TABLES, table_path
+from scripts.check_oracle import compare
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = table_path(SF_SMOKE, t)
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(declared.REGISTRY))
+def test_declared_query_matches_oracle(spark, duck, name):
+    qd = declared.REGISTRY[name]
+    spark_pdf = qd.fn(spark, SF_SMOKE).toPandas()
+    if qd.sql is None:
+        assert len(spark_pdf) >= 0
+        return
+    duck_pdf = duck.sql(qd.sql).df()
+    problems = compare(name, spark_pdf, duck_pdf)
+    assert not problems, problems
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"doc_id", "source", "n_chars", "n_docs_in_source"}

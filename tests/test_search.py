@@ -1,0 +1,106 @@
+"""Search-surface tests on a domain-shaped documents fixture.
+
+Mirrors SURVEY.md §5.5: each query_builder branch (Q1-Q19), pagination
+stability, and the empty-result path.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from beis_orp_data_service_spark.operators.search import (
+    SearchParams,
+    build_predicate,
+    search,
+    sort_page,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # (uid, regulator, type, topics, keywords, status, title, date_published)
+        ("d1", "hse", "GD", ["env", "env/water"], ["fish", "water"], "published", "Water quality", _ts("2021-01-05")),
+        ("d2", "hse", "HS", ["env"], ["fish"], "published", "Fishing rules", _ts("2021-03-05")),
+        ("d3", "ea", "GD", ["air"], ["smoke"], "archive", "Old air rules", _ts("2020-01-01")),
+        ("d4", "ea", "MSI", ["air", "air/quality"], ["smoke", "air"], "published", "Air quality", _ts("2021-02-01")),
+        ("d5", "defra", "GD", ["env/water"], ["water"], "published", "Rivers", _ts("2021-02-01")),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "document_uid string, regulator_id string, document_type string, "
+        "regulatory_topic array<string>, subject_keywords array<string>, "
+        "status string, title string, date_published timestamp",
+    )
+
+
+def run(docs, **kw):
+    return {
+        r.document_uid
+        for r in docs.filter(build_predicate(SearchParams(**kw))).collect()
+    }
+
+
+def test_not_archived_default(docs):
+    assert run(docs) == {"d1", "d2", "d4", "d5"}
+
+
+def test_point_lookup(docs):
+    assert run(docs, id="d1") == {"d1"}
+    assert run(docs, id="d3") == set()  # archived excluded even by id
+
+
+def test_keyword_and_semantics(docs):
+    assert run(docs, keyword=["fish"]) == {"d1", "d2"}
+    assert run(docs, keyword=["fish", "water"]) == {"d1"}
+
+
+def test_or_in_filters(docs):
+    assert run(docs, regulator_id=["hse", "defra"]) == {"d1", "d2", "d5"}
+    assert run(docs, document_type=["GD"]) == {"d1", "d5"}
+
+
+def test_topic_equality(docs):
+    assert run(docs, regulatory_topic="env/water") == {"d1", "d5"}
+
+
+def test_date_range_open_sides(docs):
+    assert run(docs, date_start="2021-02-01") == {"d2", "d4", "d5"}
+    assert run(docs, date_end="2021-01-31") == {"d1"}
+    assert run(docs, date_start="2021-01-06", date_end="2021-02-15") == {"d4", "d5"}
+
+
+def test_title_substring_case_insensitive(docs):
+    assert run(docs, title="QUALITY") == {"d1", "d4"}
+
+
+def test_empty_result_path(docs):
+    assert run(docs, keyword=["nonexistent"]) == set()
+
+
+def test_sort_page_stable_and_disjoint(docs):
+    base = docs.filter(build_predicate(SearchParams()))
+    p1 = sort_page(base, "date_published", False, 1, 2, "document_uid")
+    p2 = sort_page(base, "date_published", False, 2, 2, "document_uid")
+    ids1 = [r.document_uid for r in p1.collect()]
+    ids2 = [r.document_uid for r in p2.collect()]
+    assert ids1 == ["d2", "d5"]  # 2021-03-05, then 2021-02-01 tie → uid desc
+    assert ids2 == ["d4", "d1"]
+    assert not set(ids1) & set(ids2)
+
+
+def test_search_end_to_end_with_left_join(spark, docs):
+    legs = spark.createDataFrame(
+        [("d1", "ukpga/2000/1")], "document_uid string, leg_href string"
+    )
+    out = search(docs, SearchParams(page_size=10), legislation_edges=legs,
+                 return_cols=["document_uid", "leg_href"])
+    got = {r.document_uid: r.leg_href for r in out.collect()}
+    assert got == {"d1": "ukpga/2000/1", "d2": None, "d4": None, "d5": None}
