@@ -26,6 +26,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from beis_orp_data_service_spark.catalog import load_table
+from beis_orp_data_service_spark.functions import text as X
+from beis_orp_data_service_spark.operators import dimension as dim_ops
+from beis_orp_data_service_spark.operators import enrichment as enr
 from beis_orp_data_service_spark.operators import search as search_ops
 
 
@@ -399,10 +402,7 @@ def q_deepest(spark, sf_dir):
         F.concat_ws("/", "source", "lang"),
         F.concat_ws("/", "source", "lang", (F.col("n_chars") % 10).cast("string")),
     )
-    deepest = F.array_max(
-        F.transform(topics, lambda x: F.struct(F.size(F.split(x, "/")).alias("d"), x.alias("v")))
-    )["v"]
-    return docs.select("doc_id", deepest.alias("deepest_topic"))
+    return docs.select("doc_id", enr.deepest_topic(topics).alias("deepest_topic"))
 
 
 @declared(
@@ -432,6 +432,474 @@ def q_delete(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     delete_set = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
     return docs.join(delete_set, "doc_id", "left_anti").select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# L1-L5 — dimension-table maintenance (legislation_table_update pipeline)
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "l_derive",
+    """
+    SELECT p_partkey, CAST(split_part(p_brand, '#', 2) AS BIGINT) AS brand_no
+    FROM part
+    """,
+)
+def l_derive(spark, sf_dir):
+    # L1 — derive column by positional split (legislation_table_update.py:68)
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        dim_ops.derive_split_field("p_brand", "#", 1).cast("bigint").alias("brand_no"),
+    )
+
+
+@declared(
+    "l_array",
+    """
+    SELECT c_custkey,
+           array_to_string(
+             list_filter(
+               [c_name,
+                CASE WHEN c_acctbal > 5000 THEN c_mktsegment END,
+                CASE WHEN c_nationkey < 10 THEN 'n' || CAST(c_nationkey AS VARCHAR) END],
+               x -> x IS NOT NULL),
+             '|') AS candidates
+    FROM customer
+    """,
+)
+def l_array(spark, sf_dir):
+    # L2 — array-of-non-null build (legislation_table_update.py:69-73)
+    cust = _t(spark, sf_dir, "customer")
+    arr = dim_ops.non_null_array(
+        F.col("c_name"),
+        F.when(F.col("c_acctbal") > 5000, F.col("c_mktsegment")),
+        F.when(
+            F.col("c_nationkey") < 10,
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string")),
+        ),
+    )
+    return cust.select("c_custkey", F.concat_ws("|", arr).alias("candidates"))
+
+
+@declared(
+    "l_join",
+    """
+    SELECT n.n_name, r.r_name
+    FROM nation n LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
+    """,
+)
+def l_join(spark, sf_dir):
+    # L3 — broadcast left join onto a small dimension (legislation_table_update.py:75-78)
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return dim_ops.left_join_dim(
+        nation, region, nation.n_regionkey == region.r_regionkey
+    ).select("n_name", "r_name")
+
+
+@declared(
+    "l_explode",
+    """
+    WITH e AS (
+      SELECT unnest(string_split(p_name, ' ')) AS word, p_partkey, p_brand
+      FROM part
+    ), m AS (
+      SELECT word, min(p_partkey) AS p_partkey FROM e GROUP BY word
+    )
+    SELECT e.word, e.p_partkey, e.p_brand
+    FROM e JOIN m USING (word, p_partkey)
+    """,
+)
+def l_explode(spark, sf_dir):
+    # L4 — explode + deterministic dedupe (legislation_table_update.py:80-81)
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", F.split("p_name", " ").alias("words")
+    )
+    return dim_ops.explode_dedupe(
+        part, "words", out_col="word", keep_min_of="p_partkey"
+    ).select("word", "p_partkey", "p_brand")
+
+
+@declared(
+    "l_preprocess",
+    """
+    WITH f AS (
+      SELECT md5(source || '|' || lang) AS group_key, doc_id, source, n_chars
+      FROM documents WHERE text IS NOT NULL AND n_chars >= 150
+    ), m AS (
+      SELECT group_key, min(doc_id) AS doc_id FROM f GROUP BY group_key
+    )
+    SELECT f.group_key, f.doc_id, f.source, f.n_chars
+    FROM f JOIN m USING (group_key, doc_id)
+    """,
+)
+def l_preprocess(spark, sf_dir):
+    # L5 — bulk-migration preprocess: filter non-null, dedupe by derived
+    # key keeping first (bulk_migration/data_preprocess.py:107-117)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") >= 150)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            "text",
+            F.md5(F.concat_ws("|", "source", "lang")).alias("group_key"),
+        )
+    )
+    return dim_ops.preprocess(
+        docs, not_null_col="text", dedupe_key="group_key", order_col="doc_id"
+    ).select("group_key", "doc_id", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# E5/E7/E8/E9 — extraction/conversion scalar ops
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "clean_text",
+    r"""
+    SELECT doc_id,
+           md5(lower(trim(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '[\n\r\t]', ' ', 'g'),
+                   '\.{2,}', '.', 'g'),
+                 ' a ', ' ', 'g'),
+               '  +', ' ', 'g')
+           ))) AS clean_hash,
+           length(lower(trim(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '[\n\r\t]', ' ', 'g'),
+                   '\.{2,}', '.', 'g'),
+                 ' a ', ' ', 'g'),
+               '  +', ' ', 'g')
+           ))) AS clean_len
+    FROM documents
+    """,
+)
+def clean_text(spark, sf_dir):
+    # E5 — the clean_text normalization chain (pdf_to_orpml.py:20-57),
+    # pure regexp_replace built-ins: stays in whole-stage codegen.
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = X.clean_text("text")
+    return docs.select(
+        "doc_id",
+        F.md5(cleaned).alias("clean_hash"),
+        F.length(cleaned).cast("bigint").alias("clean_len"),
+    )
+
+
+@declared(
+    "date_norm",
+    """
+    SELECT event_id, date_trunc('day', ts) AS day,
+           CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day
+    FROM events
+    """,
+)
+def date_norm(spark, sf_dir):
+    # E7 — date normalization to day grain + components (pdf PDF-date and
+    # ISO/UTC formatting, pdf_to_orpml.py:98-106)
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.date_trunc("day", "ts").alias("day"),
+        F.hour("ts").cast("bigint").alias("hour_of_day"),
+    )
+
+
+@declared(
+    "flatten_remap",
+    "SELECT event_id, ts AS event_time, event_type AS kind FROM events",
+)
+def flatten_remap(spark, sf_dir):
+    # E8 — nested-struct flatten + key remap (extract_graph_elems.py:20-30):
+    # pack into a struct, then select struct.* with renames.
+    events = _t(spark, sf_dir, "events")
+    nested = events.select(
+        "event_id", F.struct(F.col("ts"), F.col("event_type")).alias("meta")
+    )
+    return nested.select(
+        "event_id",
+        F.col("meta.ts").alias("event_time"),
+        F.col("meta.event_type").alias("kind"),
+    )
+
+
+@declared(
+    "hash_id",
+    """
+    SELECT doc_id,
+           substr(sha256(lower(regexp_replace(
+             source || lang || CAST(doc_id AS VARCHAR),
+             '[^a-zA-Z0-9]', '', 'g'))), 1, 32) AS node_id
+    FROM documents
+    """,
+)
+def hash_id(spark, sf_dir):
+    # E9 — deterministic id hash over key fields (functions.py:5-8)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.hash_id("source", "lang", "doc_id").alias("node_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-series — enrichment operators (relational halves)
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "title_rules",
+    """
+    SELECT doc_id,
+           CASE WHEN len(string_split(trim(text), ' ')) > 40 THEN 'generate'
+                WHEN n_chars < 150 THEN 'keep-short'
+                ELSE 'score' END AS title_rule
+    FROM documents
+    """,
+)
+def title_rules(spark, sf_dir):
+    # N1 — title-selection heuristic thresholds (title_generation.py:49-94)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", enr.title_rule("text", "n_chars").alias("title_rule")
+    )
+
+
+@declared(
+    "title_window_max",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+    ), w AS (
+      SELECT doc_id, t, t[1:5] AS title, least(len(t) - 4, 1000) AS nw
+      FROM toks WHERE len(t) >= 10
+    ), s AS (
+      SELECT doc_id,
+             [CAST(len(list_filter(t[i:i+4], x -> list_contains(title, x))) AS INTEGER)
+              for i in range(1, nw + 1)] AS scores
+      FROM w
+    )
+    SELECT doc_id,
+           list_max(scores) AS best_score,
+           CAST(list_position(scores, list_max(scores)) AS BIGINT) AS best_window_idx
+    FROM s
+    """,
+)
+def title_window_max(spark, sf_dir):
+    # N3 — metadata-title-in-text window scoring (get_title.py:10-87)
+    docs = _t(spark, sf_dir, "documents")
+    return enr.title_window_max(docs, text_col="text", id_col="doc_id")
+
+
+@declared(
+    "kw_dedupe_max",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS keyword
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, keyword, count(*) AS score FROM words GROUP BY 1, 2
+    ), ranked AS (
+      SELECT doc_id, keyword, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, keyword)
+               AS rank
+      FROM scored
+    )
+    SELECT doc_id, keyword, score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def kw_dedupe_max(spark, sf_dir):
+    # N6 — keyword dedupe-max + deterministic top-k (keyword_extraction.py:95-101)
+    docs = _t(spark, sf_dir, "documents")
+    return enr.keyword_dedupe_max(docs, id_col="doc_id", text_col="text", top_k=10)
+
+
+@declared(
+    "date_nearest",
+    """
+    WITH d AS (
+      SELECT user_id, ts,
+             abs(epoch_us(ts) // 1000000
+                 - epoch_us(TIMESTAMP '2024-01-15') // 1000000) AS dd
+      FROM events
+    ), r AS (
+      SELECT user_id, ts, dd,
+             row_number() OVER (PARTITION BY user_id ORDER BY dd, ts) AS rn
+      FROM d
+    )
+    SELECT user_id,
+           CASE WHEN dd <= 5 * 86400 THEN ts
+                ELSE TIMESTAMP '2024-01-15' END AS chosen_date
+    FROM r WHERE rn = 1
+    """,
+)
+def date_nearest(spark, sf_dir):
+    # N9 — date closest to metadata date within ±margin, else keep the
+    # metadata date (date_generation.py:77-100; margin scaled to the
+    # events table's 1-month span)
+    events = _t(spark, sf_dir, "events")
+    return enr.nearest_date(
+        events, key_col="user_id", date_col="ts",
+        reference_date="2024-01-15", margin_days=5,
+    )
+
+
+@declared(
+    "year_span",
+    r"""
+    SELECT doc_id, unnest(regexp_extract_all(
+      source || '/' || CAST(1990 + doc_id % 30 AS VARCHAR) || '/doc',
+      '\b((?:19|20)\d{2})\b', 1)) AS year
+    FROM documents
+    """,
+)
+def year_span(spark, sf_dir):
+    # N10 — 4-digit year-span detection over a URI-like string
+    # (legislative_origin_extraction.py:45-53)
+    docs = _t(spark, sf_dir, "documents")
+    uri = F.concat_ws(
+        "/", "source", (F.lit(1990) + F.col("doc_id") % 30).cast("string"), F.lit("doc")
+    )
+    return docs.select("doc_id", F.explode(X.year_spans(uri)).alias("year"))
+
+
+@declared(
+    "lo_candidates",
+    """
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey IN (
+      SELECT l_partkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01')
+    """,
+)
+def lo_candidates(spark, sf_dir):
+    # N11 — candidate pruning semi-join (legislative_origin_extraction.py:56-83)
+    part = _t(spark, sf_dir, "part")
+    keys = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .select(F.col("l_partkey").alias("p_partkey"))
+    )
+    return enr.candidate_prune(part, keys, "p_partkey").select("p_partkey", "p_name")
+
+
+_NEEDLES = ["spark", "window", "vector", "customer", "merge"]
+
+
+@declared(
+    "lo_match",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+    ), sent AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS sent_idx,
+             array_to_string(t[(i*8+1):(i*8+8)], ' ') AS sentence
+      FROM toks, unnest(range(CAST(ceil(len(t) / 8.0) AS BIGINT))) AS u(i)
+    ), needles AS (
+      SELECT unnest(['spark', 'window', 'vector', 'customer', 'merge']) AS needle
+    ), m AS (
+      SELECT s.doc_id, s.sent_idx, n.needle
+      FROM sent s JOIN needles n
+        ON contains(' ' || s.sentence || ' ', ' ' || n.needle || ' ')
+    ), first AS (
+      SELECT doc_id, min(sent_idx) AS first_idx FROM m GROUP BY doc_id
+    )
+    SELECT m.doc_id, m.sent_idx, m.needle
+    FROM m JOIN first ON m.doc_id = first.doc_id AND m.sent_idx = first.first_idx
+    """,
+)
+def lo_match(spark, sf_dir):
+    # N12 — phrase match with first-sentence early stop, set-wise
+    # (legislative_origin_extraction.py:86-127)
+    docs = _t(spark, sf_dir, "documents")
+    needles = spark.createDataFrame([(n,) for n in _NEEDLES], "needle string")
+    return enr.phrase_match_first_sentence(
+        docs, id_col="doc_id", text_col="text", needles=needles
+    )
+
+
+_RULEBOOK = [("spark", 3, "SPARK"), ("vector", 2, "VEC"), ("merge", 1, "MRG")]
+
+
+@declared(
+    "dti_rank",
+    """
+    WITH rules AS (
+      SELECT * FROM (VALUES ('spark', CAST(3 AS BIGINT), 'SPARK'),
+                            ('vector', CAST(2 AS BIGINT), 'VEC'),
+                            ('merge', CAST(1 AS BIGINT), 'MRG'))
+        AS t(phrase, priority, label)
+    )
+    SELECT d.doc_id,
+           max(r.priority) AS dti_priority,
+           arg_max(r.label, r.priority) AS document_type
+    FROM documents d JOIN rules r
+      ON contains(' ' || d.text || ' ', ' ' || r.phrase || ' ')
+    GROUP BY d.doc_id
+    """,
+)
+def dti_rank(spark, sf_dir):
+    # N14 — rule-based document-type identification: priority-rank
+    # resolution (rule_based_dti.py:12-67)
+    docs = _t(spark, sf_dir, "documents")
+    rulebook = spark.createDataFrame(
+        _RULEBOOK, "phrase string, priority bigint, label string"
+    )
+    return enr.dti_rank(docs, id_col="doc_id", text_col="text", rulebook=rulebook)
+
+
+@declared(
+    "topic_paths",
+    """
+    SELECT doc_id, unnest([
+      source,
+      source || '/' || lang,
+      source || '/' || lang || '/' || CAST(n_chars % 10 AS VARCHAR)
+    ]) AS topic
+    FROM documents
+    """,
+)
+def topic_paths(spark, sf_dir):
+    # N15 — topic-path prefix expansion (notebook cell 4 get_topic_path)
+    docs = _t(spark, sf_dir, "documents")
+    path = F.concat_ws("/", "source", "lang", (F.col("n_chars") % 10).cast("string"))
+    return docs.select(
+        "doc_id", F.explode(enr.topic_path_prefixes(path)).alias("topic")
+    )
+
+
+@declared(
+    "reg_id",
+    """
+    SELECT doc_id,
+           CASE WHEN contains(source || '/' || CAST(doc_id AS VARCHAR), 'src1')
+                THEN 'special'
+                ELSE string_split(source || '/' || CAST(doc_id AS VARCHAR), '/')[1]
+           END AS regulator_id
+    FROM documents
+    """,
+)
+def reg_id(spark, sf_dir):
+    # N16 — regulator-id derivation (notebook cell 4 get_reg_id)
+    docs = _t(spark, sf_dir, "documents")
+    uri = F.concat_ws("/", "source", F.col("doc_id").cast("string"))
+    return docs.select(
+        "doc_id", enr.regulator_id(uri, "src1", "special").alias("regulator_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,74 @@
+"""Property tests for text ops (SURVEY §5.3): clean_text idempotence,
+hash_id determinism/case-insensitivity, year_span extraction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beis_orp_data_service_spark.functions.text import (
+    clean_text,
+    hash_id,
+    sentence_chunks,
+    scan_window,
+    year_spans,
+)
+
+
+@pytest.fixture(scope="module")
+def strings(spark):
+    rows = [
+        ("s1", "Hello   World\n\nnew  line\t tab"),
+        ("s2", "dots......  and   more....dots"),
+        ("s3", "a standalone a letter a here"),
+        ("s4", "already clean text"),
+        ("s5", "The Act of 1998 and the 2006 Regulations, not 1066 or 21000"),
+        ("s6", ""),
+    ]
+    return spark.createDataFrame(rows, "id string, s string")
+
+
+def test_clean_text_idempotent(strings):
+    once = strings.select("id", clean_text("s").alias("c1"))
+    twice = once.select("id", clean_text("c1").alias("c2"), "c1")
+    bad = twice.filter(F.col("c1") != F.col("c2")).count()
+    assert bad == 0
+
+
+def test_clean_text_normalizes(strings):
+    got = {r.id: r.c for r in strings.select("id", clean_text("s").alias("c")).collect()}
+    assert got["s1"] == "hello world new line tab"
+    assert got["s2"] == "dots. and more.dots"
+    assert got["s4"] == "already clean text"
+
+
+def test_hash_id_deterministic_and_case_insensitive(spark):
+    df = spark.createDataFrame(
+        [("Fish-Agency", "GD"), ("fishagency", "gd"), ("other", "GD")],
+        "a string, b string",
+    )
+    out = [r.h for r in df.select(hash_id("a", "b").alias("h")).collect()]
+    assert out[0] == out[1]  # alnum-strip + lowercase → same key
+    assert out[0] != out[2]
+    assert len(out[0]) == 32 and all(c in "0123456789abcdef" for c in out[0])
+
+
+def test_year_spans(strings):
+    got = {
+        r.id: r.y
+        for r in strings.select("id", year_spans("s").alias("y")).collect()
+    }
+    assert sorted(got["s5"]) == ["1998", "2006"]  # 1066/21000 rejected
+    assert got["s1"] == []
+
+
+def test_sentence_chunks_cover_all_tokens(spark):
+    df = spark.createDataFrame([("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11",)], "s string")
+    chunks = df.select(sentence_chunks("s", width=4).alias("c")).first().c
+    assert chunks == ["w1 w2 w3 w4", "w5 w6 w7 w8", "w9 w10 w11"]
+
+
+def test_scan_window_min_and_fraction(spark):
+    df = spark.createDataFrame([("x" * 10_000,), ("y" * 50_000,)], "s string")
+    out = df.select(F.length(scan_window("s", 2000, 0.1)).alias("n")).collect()
+    assert [r.n for r in out] == [2000, 5000]  # max(2000, 10%·len)
