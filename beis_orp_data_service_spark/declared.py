@@ -27,9 +27,11 @@ from pyspark.sql import functions as F
 
 from beis_orp_data_service_spark.catalog import load_table
 from beis_orp_data_service_spark.functions import text as X
+from beis_orp_data_service_spark.operators import dedup as dd
 from beis_orp_data_service_spark.operators import dimension as dim_ops
 from beis_orp_data_service_spark.operators import enrichment as enr
 from beis_orp_data_service_spark.operators import search as search_ops
+from beis_orp_data_service_spark.operators import similarity as sim
 
 
 @dataclass
@@ -695,9 +697,10 @@ def title_rules(spark, sf_dir):
     """,
 )
 def title_window_max(spark, sf_dir):
-    # N3 — metadata-title-in-text window scoring (get_title.py:10-87)
+    # N3 — metadata-title-in-text window scoring (get_title.py:10-87);
+    # numpy sliding-sum hot path, equal to the expression form
     docs = _t(spark, sf_dir, "documents")
-    return enr.title_window_max(docs, text_col="text", id_col="doc_id")
+    return enr.title_window_max_np(docs, text_col="text", id_col="doc_id")
 
 
 @declared(
@@ -900,6 +903,464 @@ def reg_id(spark, sf_dir):
     return docs.select(
         "doc_id", enr.regulator_id(uri, "src1", "special").alias("regulator_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# D1-D7 — dedup / similarity family + training-data dedup suite
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of the arithmetic MinHash pipeline, generated from the SAME
+# permutation constants and rolled-hash construction as
+# operators/dedup.py so both engines compute the identical signature.
+
+
+def _duck_rolled_hash(k: int = dd.SHINGLE_K) -> str:
+    h = "coalesce(codes[i], CAST(0 AS BIGINT))"
+    for j in range(1, k):
+        nxt = f"coalesce(codes[i+{j}], CAST(0 AS BIGINT))"
+        h = f"(({h})*31 + {nxt}) % {dd.MERSENNE_P}"
+    return h
+
+
+_DUCK_SHINGLE_HASHES = (
+    "list_distinct([" + _duck_rolled_hash() + " for i in "
+    f"range(1, greatest(len(codes) - {dd.SHINGLE_K - 1}, 1) + 1)])"
+)
+
+
+def _duck_minhash_cols() -> str:
+    return ",\n".join(
+        f"CAST(list_min([({a}*x + {b}) % {dd.MERSENNE_P} for x in hs]) AS BIGINT) AS mh{j}"
+        for j, (a, b) in enumerate(dd.PERMS)
+    )
+
+
+_DUCK_SIG_CTE = f"""
+    WITH codes_t AS (
+      SELECT doc_id,
+             [CAST(ascii(text[i:i]) AS BIGINT)
+              for i in range(1, length(text) + 1)] AS codes
+      FROM documents
+    ), h AS (
+      SELECT doc_id, {_DUCK_SHINGLE_HASHES} AS hs FROM codes_t
+    ), sig AS (
+      SELECT doc_id, {_duck_minhash_cols()} FROM h
+    )
+"""
+
+_MH_COLS = [f"mh{j}" for j in range(len(dd.PERMS))]
+
+
+@declared(
+    "minhash_sig",
+    _DUCK_SIG_CTE
+    + """
+    SELECT doc_id,
+           concat_ws('_', """
+    + ", ".join(f"CAST({c} AS VARCHAR)" for c in _MH_COLS)
+    + """) AS sig_text
+    FROM sig
+    """,
+)
+def minhash_sig(spark, sf_dir):
+    # D1 — k=5 char shingles → N-perm MinHash signature, '_'-serialized
+    # (check_duplicate/utils.py:22-40, check_duplicate.py:266)
+    docs = _t(spark, sf_dir, "documents")
+    return dd.minhash_signature_np(docs, "doc_id", "text").select("doc_id", "sig_text")
+
+
+@declared(
+    "lsh_bands",
+    _DUCK_SIG_CTE
+    + """
+    , keyed AS (
+      SELECT doc_id, unnest([
+        CAST(0 AS VARCHAR) || '_' || CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)
+          || '_' || CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR),
+        CAST(1 AS VARCHAR) || '_' || CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)
+          || '_' || CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR)
+      ]) AS band_key FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM keyed a JOIN keyed b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def lsh_bands(spark, sf_dir):
+    # D2 — LSH banding: docs sharing a band of contiguous signature
+    # values are duplicate candidates (check_duplicate.py:89-125)
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signature_np(docs, "doc_id", "text")
+    return dd.lsh_band_pairs(sigs, "doc_id", band_width=4)
+
+
+@declared(
+    "cos_sim",
+    _DUCK_SIG_CTE
+    + """
+    , qsig AS (
+      SELECT doc_id, ["""
+    + ", ".join(f"{c} % 100" for c in _MH_COLS)
+    + """] AS q FROM sig
+    ), pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.q AS qa, b.q AS qb
+      FROM qsig a JOIN qsig b ON a.doc_id < b.doc_id
+      WHERE a.doc_id % 20 = 0 AND b.doc_id % 20 = 0
+    ), scored AS (
+      SELECT a_id, b_id,
+        list_sum([qa[i] * qb[i] for i in range(1, len(qa) + 1)]) AS dot,
+        list_sum([qa[i] * qa[i] for i in range(1, len(qa) + 1)]) AS na,
+        list_sum([qb[i] * qb[i] for i in range(1, len(qb) + 1)]) AS nb
+      FROM pairs
+    )
+    SELECT a_id, b_id,
+           CAST(CASE WHEN dot > 0 AND na > 0 AND nb > 0
+                     THEN (dot * dot * 1000) // (na * nb)
+                     ELSE 0 END AS BIGINT) AS sim2_milli
+    FROM scored
+    """,
+)
+def cos_sim(spark, sf_dir):
+    # D3 — signature cosine (check_duplicate.py:128-151), integer-exact
+    # quantized form; sampled sub-square so the declared check stays small.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    sigs = dd.minhash_signature(docs, "doc_id", "text").select(
+        F.col("doc_id"), F.col("sig")
+    )
+    a = sigs.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("sb"))
+    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    cols = dd.quantized_cosine_cols("sa", "sb")
+    return pairs.select("a_id", "b_id", cols["sim2_milli"].alias("sim2_milli"))
+
+
+@declared(
+    "dedup_exact",
+    """
+    WITH hashed AS (
+      SELECT doc_id, md5(text) AS content_hash FROM documents
+    ), groups AS (
+      SELECT content_hash, count(*) AS group_size, min(doc_id) AS canonical_id
+      FROM hashed GROUP BY content_hash
+    )
+    SELECT h.doc_id, h.content_hash, g.group_size, g.canonical_id,
+           h.doc_id = g.canonical_id AS is_canonical
+    FROM hashed h JOIN groups g USING (content_hash)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    # Training-data op — exact dedup via content-hash groupBy
+    docs = _t(spark, sf_dir, "documents")
+    return dd.exact_dup_groups(docs, "doc_id", "text")
+
+
+@declared(
+    "ngram_jaccard",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [array_to_string(t[i:i+2], ' ')
+                for i in range(1, greatest(len(t) - 2, 1) + 1)])) AS gram
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.a_id, s.b_id, s.shared,
+           CAST((s.shared * 1000) // (sa.n_grams + sb.n_grams - s.shared) AS BIGINT)
+             AS jaccard_milli
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.a_id
+    JOIN sizes sb ON sb.doc_id = s.b_id
+    WHERE (s.shared * 1000) // (sa.n_grams + sb.n_grams - s.shared) >= 60
+    """,
+)
+def ngram_jaccard(spark, sf_dir):
+    # Training-data op — word 3-gram Jaccard near-dup pairs, integer-exact
+    docs = _t(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, min_jaccard_milli=60
+    )
+
+
+@declared(
+    "simhash",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_transform(
+               list_distinct(string_split(trim(text), ' ')),
+               s -> list_reduce(
+                      list_prepend(CAST(0 AS BIGINT),
+                                   [CAST(ascii(s[i:i]) AS BIGINT)
+                                    for i in range(1, length(s)+1)]),
+                      (acc, x) -> (acc*31 + x) % 65536)) AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_sum([
+             CASE WHEN list_sum([CASE WHEN (h // CAST(pow(2, b) AS BIGINT)) % 2 = 1
+                                      THEN 1 ELSE -1 END
+                                 for h in hs]) > 0
+                  THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END
+             for b in range(0, 16)]) AS BIGINT) AS simhash16
+    FROM w
+    """,
+)
+def simhash(spark, sf_dir):
+    # Training-data op — 16-bit SimHash fingerprint, pure arithmetic
+    # (explode + codegen table form; see dedup.simhash16 for the
+    # column-expression twin)
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash16_table(docs, "doc_id", "text")
+
+
+@declared(
+    "dup_classify",
+    """
+    WITH h AS (
+      SELECT doc_id, md5(text) AS content_hash,
+             string_split(trim(text), ' ') AS t
+      FROM documents WHERE doc_id < 100
+    ), g AS (
+      SELECT doc_id, content_hash,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS grams
+      FROM h
+    ), pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.content_hash AS hash_a, b.content_hash AS hash_b,
+             CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS shared,
+             CAST(len(a.grams) AS BIGINT) AS na, CAST(len(b.grams) AS BIGINT) AS nb
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id,
+           CASE WHEN hash_a = hash_b THEN 'duplicate'
+                WHEN (shared * 1000) // (na + nb - shared) >= 150 THEN 'version'
+                ELSE 'new' END AS classification
+    FROM pairs
+    """,
+)
+def dup_classify(spark, sf_dir):
+    # D4 — three-way duplicate/version/new classification
+    # (check_duplicate.py:154-211): metadata-equal → duplicate;
+    # similar-text → version; else new. Jaccard-milli ≥150 stands in for
+    # the 0.95 signature-cosine cutoff at this corpus size.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, 3)),
+        )
+    )
+    g = docs.select(
+        "doc_id", F.md5("text").alias("content_hash"), grams.alias("grams")
+    )
+    a = g.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("content_hash").alias("hash_a"),
+        F.col("grams").alias("grams_a"),
+    )
+    b = g.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("content_hash").alias("hash_b"),
+        F.col("grams").alias("grams_b"),
+    )
+    pairs = a.join(b, F.col("a_id") < F.col("b_id")).select(
+        "a_id",
+        "b_id",
+        "hash_a",
+        "hash_b",
+        F.size(F.array_intersect("grams_a", "grams_b")).cast("bigint").alias("shared"),
+        F.size("grams_a").cast("bigint").alias("na"),
+        F.size("grams_b").cast("bigint").alias("nb"),
+    )
+    jac_milli = (F.col("shared") * 1000).cast("bigint") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    )
+    classification = (
+        F.when(F.col("hash_a") == F.col("hash_b"), F.lit("duplicate"))
+        .when(jac_milli.cast("bigint") >= 150, F.lit("version"))
+        .otherwise(F.lit("new"))
+    )
+    return pairs.select("a_id", "b_id", classification.alias("classification"))
+
+
+@declared(
+    "scd_version",
+    """
+    WITH v AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+               AS version,
+             count(*) OVER (PARTITION BY o_custkey) AS _n
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, version,
+           CASE WHEN version = _n THEN 'published' ELSE 'archive' END AS status
+    FROM v
+    """,
+)
+def scd_version(spark, sf_dir):
+    # D5 — SCD-2 versioning: version numbers in arrival order, exactly
+    # one live row per key (record_handler.py:39-80,53-66)
+    orders = _t(spark, sf_dir, "orders")
+    return dd.scd_versions(
+        orders, key_col="o_custkey", order_col="o_orderdate", tiebreak_col="o_orderkey"
+    ).select("o_orderkey", "o_custkey", "version", "status")
+
+
+@declared(
+    "anti_insert",
+    """
+    SELECT DISTINCT user_id, CAST(floor(value) AS BIGINT) AS value_bucket
+    FROM events e
+    WHERE ts >= TIMESTAMP '2024-01-25'
+      AND NOT EXISTS (
+        SELECT 1 FROM events x
+        WHERE x.ts < TIMESTAMP '2024-01-25'
+          AND x.user_id = e.user_id
+          AND CAST(floor(x.value) AS BIGINT) = CAST(floor(e.value) AS BIGINT))
+    """,
+)
+def anti_insert(spark, sf_dir):
+    # D6 — exists-check insert: links not already in the store
+    # (record_handler.py:130-147). Link key = (user, value bucket).
+    events = _t(spark, sf_dir, "events")
+    key = F.floor("value").cast("bigint").alias("value_bucket")
+    incoming = (
+        events.filter(F.col("ts") >= F.lit("2024-01-25"))
+        .select("user_id", key)
+        .distinct()
+    )
+    existing = (
+        events.filter(F.col("ts") < F.lit("2024-01-25"))
+        .select("user_id", key)
+        .distinct()
+    )
+    return dd.anti_insert(incoming, existing, ["user_id", "value_bucket"])
+
+
+@declared(
+    "latest_rel",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def latest_rel(spark, sf_dir):
+    # D7 — latest-relation pick per key (tdb_query_helpers.py:76-81)
+    orders = _t(spark, sf_dir, "orders")
+    return dd.latest_per_key(
+        orders, key_col="o_custkey", order_col="o_orderdate", tiebreak_col="o_orderkey"
+    ).select("o_custkey", "o_orderkey", "o_orderdate")
+
+
+def _minhash_lsh_pairs(spark, sf_dir):
+    # D1-D3 at 100 TB scale: MLlib MinHashLSH approxSimilarityJoin
+    # (256-perm path; rows-only check — MLlib hashing isn't ANSI-SQL).
+    # Sampled 1-in-10: this synthetic corpus is mutually similar (shared
+    # small vocabulary), so the candidate set grows ~quadratically — the
+    # declared check demonstrates the operator, not the corpus.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return dd.minhash_lsh_pairs_mllib(docs, "doc_id", "text").select(
+        "a_id", "b_id", F.round("jaccard_distance", 4).alias("jaccard_distance")
+    )
+
+
+REGISTRY["minhash_lsh_pairs"] = QueryDef(_minhash_lsh_pairs, None)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings (ANN)
+# ---------------------------------------------------------------------------
+
+_ANN_DUCK_DOT = (
+    "list_sum([CAST(round(CAST(q.embedding[i] AS DOUBLE) * 1000) AS BIGINT)"
+    " * CAST(round(CAST(t.embedding[i] AS DOUBLE) * 1000) AS BIGINT)"
+    " for i in range(1, len(q.embedding) + 1)])"
+)
+
+
+@declared(
+    "ann_topk",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+             CAST({_ANN_DUCK_DOT} AS BIGINT) AS score
+      FROM embeddings t, q WHERE t.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS BIGINT)
+               AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_topk(spark, sf_dir):
+    # Training-data op — brute-force cosine top-k (quantized-int scores)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.cosine_topk(emb, queries, k=5, quantized=True)
+
+
+def _ann_ivf(spark, sf_dir):
+    # Scale path: sign-LSH bucketed ANN — same output shape as ann_topk,
+    # recall measured against it in tests (rows-only check).
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.ivf_topk(emb, queries, k=5, bits=4)
+
+
+REGISTRY["ann_ivf_topk"] = QueryDef(_ann_ivf, None)
+
+
+@declared(
+    "emb_dup_pairs",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             [CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT) for x in embedding] AS q,
+             CAST(list_sum([CASE WHEN embedding[b + 1] >= 0
+                                 THEN CAST(pow(2, 3 - b) AS BIGINT) ELSE 0 END
+                            for b in range(0, 4)]) AS BIGINT) AS bucket
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.q AS qa, b.q AS qb
+      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), scored AS (
+      SELECT a_id, b_id,
+             list_sum([qa[i] * qb[i] for i in range(1, len(qa) + 1)]) AS dot,
+             list_sum([qa[i] * qa[i] for i in range(1, len(qa) + 1)]) AS na,
+             list_sum([qb[i] * qb[i] for i in range(1, len(qb) + 1)]) AS nb
+      FROM pairs
+    )
+    SELECT a_id, b_id,
+           CAST(CASE WHEN dot > 0 AND na > 0 AND nb > 0
+                     THEN (dot * dot * 1000) // (na * nb) ELSE 0 END AS BIGINT)
+             AS sim2_milli
+    FROM scored
+    WHERE CASE WHEN dot > 0 AND na > 0 AND nb > 0
+               THEN (dot * dot * 1000) // (na * nb) ELSE 0 END >= 250
+    """,
+)
+def emb_dup_pairs(spark, sf_dir):
+    # Training-data op — embedding-cosine near-dup pairs (sim² ≥ 0.25),
+    # sign-LSH bucketed, per-bucket numpy Gram-matrix kernel
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.embedding_dup_pairs(emb, sim2_milli_threshold=250, bits=4)
 
 
 # ---------------------------------------------------------------------------

@@ -9,6 +9,8 @@ module holds everything that needs no Python in the hot path.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -73,6 +75,52 @@ def title_window_max(
         F.col(id_col),
         best_score.alias("best_score"),
         best_idx.cast("bigint").alias("best_window_idx"),
+    )
+
+
+def title_window_max_np(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_len: int = 5,
+    max_candidates: int = 1000,
+) -> DataFrame:
+    """N3 hot path — same semantics as ``title_window_max`` but the
+    window scoring is a numpy sliding-sum inside an Arrow-batched
+    pandas UDF: membership via np.isin, window scores via cumsum
+    difference, first-argmax tiebreak via np.argmax. Identical integer
+    results (tests assert equality with the expression form)."""
+    from pyspark.sql import types as T
+
+    out_type = T.StructType(
+        [
+            T.StructField("best_score", T.IntegerType()),
+            T.StructField("best_window_idx", T.LongType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def _score(texts: pd.Series) -> pd.DataFrame:
+        scores, idxs = [], []
+        for t in texts:
+            toks = np.array((t or "").strip().split())
+            title = toks[:window_len]
+            member = np.isin(toks, title).astype(np.int64)
+            c = np.concatenate([[0], np.cumsum(member)])
+            win = c[window_len:] - c[:-window_len]  # sliding sums
+            n = min(len(win), max_candidates)
+            win = win[:n]
+            best = int(win.max())
+            scores.append(best)
+            idxs.append(int(win.argmax()) + 1)  # first max, 1-based
+        return pd.DataFrame({"best_score": scores, "best_window_idx": idxs})
+
+    t = tokens(text_col)
+    return (
+        df.filter(F.size(t) >= window_len * 2)
+        .select(F.col(id_col), _score(F.col(text_col)).alias("r"))
+        .select(id_col, F.col("r.best_score").alias("best_score"),
+                F.col("r.best_window_idx").alias("best_window_idx"))
     )
 
 

@@ -1,0 +1,122 @@
+"""Dedup-family semantics tests (SURVEY §5.3-5.4): MinHash monotonicity,
+LSH candidate recall, three-way classification thresholds, SCD-2
+invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beis_orp_data_service_spark.operators import dedup as dd
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the fence and the birds sing in the morning light over the hills"
+)
+NEAR = BASE.replace("morning", "evening")  # one-word change
+FAR = (
+    "completely different content about regulatory frameworks and spark "
+    "query engines processing large document collections at scale daily"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(1, BASE), (2, BASE), (3, NEAR), (4, FAR)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_minhash_identical_docs_identical_sigs(spark, corpus):
+    sigs = {r.doc_id: r.sig_text for r in dd.minhash_signature(corpus, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]  # same text → same signature
+    assert sigs[1] != sigs[4]
+    assert len(sigs[1].split("_")) == len(dd.PERMS)
+
+
+def test_minhash_similarity_monotone(spark, corpus):
+    sigs = {r.doc_id: r.sig for r in dd.minhash_signature(corpus, "doc_id", "text").collect()}
+
+    def agree(a, b):
+        return sum(1 for x, y in zip(a, b) if x == y)
+
+    # near-dup shares more minhash positions than a far pair
+    assert agree(sigs[1], sigs[3]) > agree(sigs[1], sigs[4])
+
+
+def test_minhash_np_equals_sql(spark, corpus):
+    # the Arrow-vectorized path must be bit-identical to the pure-SQL
+    # expression form (same int64 arithmetic)
+    sql_sigs = {r.doc_id: r.sig_text for r in dd.minhash_signature(corpus, "doc_id", "text").collect()}
+    np_sigs = {r.doc_id: r.sig_text for r in dd.minhash_signature_np(corpus, "doc_id", "text").collect()}
+    assert sql_sigs == np_sigs
+
+
+def test_lsh_bands_find_near_dups(spark, corpus):
+    sigs = dd.minhash_signature(corpus, "doc_id", "text")
+    pairs = {(r.a_id, r.b_id) for r in dd.lsh_band_pairs(sigs, "doc_id").collect()}
+    assert (1, 2) in pairs  # identical docs always collide
+
+
+def test_exact_dup_groups(spark, corpus):
+    out = {r.doc_id: r for r in dd.exact_dup_groups(corpus, "doc_id", "text").collect()}
+    assert out[1].group_size == 2 and out[2].group_size == 2
+    assert out[1].canonical_id == 1 and out[2].canonical_id == 1
+    assert out[1].is_canonical and not out[2].is_canonical
+    assert out[3].group_size == 1
+
+
+def test_ngram_jaccard_ordering(spark, corpus):
+    pairs = {
+        (r.a_id, r.b_id): r.jaccard_milli
+        for r in dd.ngram_jaccard_pairs(corpus, "doc_id", "text", n=3).collect()
+    }
+    assert pairs[(1, 2)] == 1000  # identical
+    assert pairs.get((1, 4), 0) < pairs[(1, 3)] < 1000  # near between far and exact
+
+
+def test_simhash_near_dup_close(spark, corpus):
+    out = {r.doc_id: r.sh for r in corpus.select("doc_id", dd.simhash16("text").alias("sh")).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert out[1] == out[2]
+    assert hamming(out[1], out[3]) <= hamming(out[1], out[4])
+
+
+def test_scd_invariants(spark):
+    rows = [(k, d, i) for k in ["a", "b", "c"] for i, d in enumerate(["2021-01-01", "2021-02-01", "2021-03-01"][: (ord(k) - 96)])]
+    df = spark.createDataFrame(rows, "node_id string, dt string, seq bigint")
+    out = dd.scd_versions(df, "node_id", "dt", "seq")
+    pdf = out.toPandas()
+    # exactly one live version per key (record_handler.py:53-66)
+    live = pdf[pdf.status == "published"].groupby("node_id").size()
+    assert (live == 1).all()
+    # versions strictly increasing from 1, latest is live
+    for key, grp in pdf.groupby("node_id"):
+        vs = sorted(grp.version)
+        assert vs == list(range(1, len(grp) + 1))
+        assert grp.loc[grp.version.idxmax()].status == "published"
+
+
+def test_latest_per_key_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("k", "2021-01-01", 1), ("k", "2021-01-01", 2)],
+        "key string, dt string, id bigint",
+    )
+    out = dd.latest_per_key(df, "key", "dt", "id").collect()
+    assert len(out) == 1 and out[0].id == 2  # max tiebreak wins
+
+
+def test_mllib_lsh_recall_against_ngram_truth(spark, corpus):
+    # the scale path must find what the exact path finds (identical +
+    # near dup pairs at jaccard >= 0.4 → distance <= 0.6)
+    got = {
+        (r.a_id, r.b_id)
+        for r in dd.minhash_lsh_pairs_mllib(
+            corpus, "doc_id", "text", jaccard_distance_threshold=0.6
+        ).collect()
+    }
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert (1, 4) not in got

@@ -1,0 +1,84 @@
+"""ANN similarity-search tests: brute-force correctness, IVF recall,
+quantized-score exactness."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from beis_orp_data_service_spark.catalog import load_table
+from beis_orp_data_service_spark.operators import similarity as sim
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings")
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    import numpy as np
+
+    pdf = emb.toPandas()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in pdf.itertuples()}
+    q = 3
+    quant = {k: np.round(v * 1000).astype(np.int64) for k, v in vecs.items()}
+    expected = sorted(
+        ((int(quant[q] @ quant[n]), n) for n in vecs if n != q),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+
+    queries = emb.filter(F.col("vec_id") == q)
+    got = (
+        sim.cosine_topk(emb, queries, k=5, quantized=True)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [(r.score, r.neighbor_id) for r in got] == expected
+
+
+def test_ivf_subset_of_bucket_and_reasonable_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = sim.cosine_topk(emb, queries, k=5, quantized=True).collect()
+    ivf = sim.ivf_topk(emb, queries, k=5, bits=4).collect()
+    brute_sets = {}
+    for r in brute:
+        brute_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = tot = 0
+    for r in ivf:
+        tot += 1
+        if r.neighbor_id in brute_sets.get(r.query_id, set()):
+            hits += 1
+    assert tot > 0
+    # sign-LSH over correlated embeddings: same-bucket neighbors should
+    # recover a meaningful share of the true top-k
+    assert hits / tot > 0.3, f"IVF recall vs brute force too low: {hits}/{tot}"
+
+
+def test_sign_bucket_range(spark, emb):
+    out = emb.select(sim.sign_bucket("embedding", 4).alias("b")).distinct().collect()
+    assert all(0 <= r.b < 16 for r in out)
+
+
+def test_embedding_dup_pairs_symmetric_threshold(spark, emb):
+    pairs = sim.embedding_dup_pairs(emb, sim2_milli_threshold=0, bits=4)
+    row = pairs.orderBy(F.desc("sim2_milli")).first()
+    if row is not None:
+        assert row.a_id < row.b_id
+        assert 0 <= row.sim2_milli <= 1000
+
+
+def test_embedding_dup_pairs_numpy_equals_sql(spark, emb):
+    # the per-bucket Gram-matrix kernel must produce the exact pair set
+    # and scores of the pure-expression form
+    got_np = {
+        (r.a_id, r.b_id): r.sim2_milli
+        for r in sim.embedding_dup_pairs(emb, sim2_milli_threshold=0, bits=4).collect()
+    }
+    got_sql = {
+        (r.a_id, r.b_id): r.sim2_milli
+        for r in sim.embedding_dup_pairs_sql(emb, sim2_milli_threshold=0, bits=4).collect()
+    }
+    assert got_np == got_sql

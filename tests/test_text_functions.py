@@ -68,6 +68,18 @@ def test_sentence_chunks_cover_all_tokens(spark):
     assert chunks == ["w1 w2 w3 w4", "w5 w6 w7 w8", "w9 w10 w11"]
 
 
+def test_title_window_max_np_equals_expr(spark):
+    from beis_orp_data_service_spark.catalog import load_table
+    from beis_orp_data_service_spark.operators import enrichment as enr
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = {r.doc_id: (r.best_score, r.best_window_idx)
+         for r in enr.title_window_max(docs, "text", "doc_id").collect()}
+    b = {r.doc_id: (r.best_score, r.best_window_idx)
+         for r in enr.title_window_max_np(docs, "text", "doc_id").collect()}
+    assert a == b
+
+
 def test_scan_window_min_and_fraction(spark):
     df = spark.createDataFrame([("x" * 10_000,), ("y" * 50_000,)], "s string")
     out = df.select(F.length(scan_window("s", 2000, 0.1)).alias("n")).collect()
