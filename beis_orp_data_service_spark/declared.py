@@ -30,8 +30,12 @@ from beis_orp_data_service_spark.functions import text as X
 from beis_orp_data_service_spark.operators import dedup as dd
 from beis_orp_data_service_spark.operators import dimension as dim_ops
 from beis_orp_data_service_spark.operators import enrichment as enr
+from beis_orp_data_service_spark.operators import models
+from beis_orp_data_service_spark.operators import multimodal as mm
 from beis_orp_data_service_spark.operators import search as search_ops
 from beis_orp_data_service_spark.operators import similarity as sim
+from beis_orp_data_service_spark.operators import textstats as ts_ops
+from beis_orp_data_service_spark.sources import readers
 
 
 @dataclass
@@ -1361,6 +1365,234 @@ def emb_dup_pairs(spark, sf_dir):
     # sign-LSH bucketed, per-bucket numpy Gram-matrix kernel
     emb = _t(spark, sf_dir, "embeddings")
     return sim.embedding_dup_pairs(emb, sim2_milli_threshold=250, bits=4)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data ops) + model-fake enrichments + multimodal
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "token_count",
+    """
+    SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def token_count(spark, sf_dir):
+    # whitespace token counting (BPE-ish regex variant in functions/text)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", ts_ops.token_count("text").alias("n_tokens"))
+
+
+@declared(
+    "token_stats_by_lang",
+    """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def token_stats_by_lang(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ts_ops.token_count("text")).alias("total_tokens"),
+    )
+
+
+@declared(
+    "lang_id",
+    """
+    WITH c AS (
+      SELECT doc_id, ' ' || text || ' ' AS padded,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, n_tokens,
+        (length(padded) - length(replace(padded, ' the ', ''))) // 5
+        + (length(padded) - length(replace(padded, ' a ', ''))) // 3
+        + (length(padded) - length(replace(padded, ' of ', ''))) // 4
+        + (length(padded) - length(replace(padded, ' and ', ''))) // 5 AS n_hits
+      FROM c
+    )
+    SELECT doc_id,
+           CASE WHEN (n_hits * 1000) // n_tokens >= 20 THEN 'en' ELSE 'other' END
+             AS predicted_lang
+    FROM hits
+    """,
+)
+def lang_id(spark, sf_dir):
+    # language-ID n-gram/stopword heuristic (relational twin of the
+    # langdetect UDF, N8)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", ts_ops.lang_id_heuristic("text").alias("predicted_lang")
+    )
+
+
+@declared(
+    "quality_score",
+    """
+    SELECT doc_id,
+      (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1000) // length(text)
+        AS alpha_milli,
+      ((length(text) - length(replace(text, ' ', ''))) * 1000) // length(text)
+        AS space_milli,
+      ((length(replace(text, ' ', ''))) * 1000)
+        // len(string_split(trim(text), ' ')) AS avg_token_chars_milli,
+      length(text) < 100 AS is_too_short
+    FROM documents
+    """,
+)
+def quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    q = ts_ops.quality_scores("text")
+    return docs.select(
+        "doc_id",
+        q["alpha_milli"].alias("alpha_milli"),
+        q["space_milli"].alias("space_milli"),
+        q["avg_token_chars_milli"].alias("avg_token_chars_milli"),
+        q["is_too_short"].alias("is_too_short"),
+    )
+
+
+@declared(
+    "fingerprint",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               [CAST(ascii(text[i:i]) AS BIGINT) for i in range(1, length(text)+1)]),
+             (acc, x) -> (acc*31 + x) % {ts_ops.FP_PRIME}) AS fp
+    FROM documents
+    """,
+)
+def fingerprint(spark, sf_dir):
+    # order-sensitive rolling document fingerprint
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", ts_ops.fingerprint("text").alias("fp"))
+
+
+@declared(
+    "title_generate",
+    """
+    SELECT doc_id,
+           array_to_string(
+             [upper(w[1:1]) || w[2:] for w in string_split(trim(text), ' ')[1:5]],
+             ' ') AS title
+    FROM documents
+    """,
+)
+def title_generate(spark, sf_dir):
+    # N2 — title generation via the iterator pandas-UDF harness with the
+    # deterministic fake model (first 5 tokens, capitalized); the oracle
+    # states the fake's contract in SQL
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", models.title_generate("text").alias("title"))
+
+
+@declared(
+    "summarize_clip",
+    """
+    SELECT doc_id,
+           CASE WHEN length(text) <= 600 THEN length(text)
+                ELSE 600 - strpos(reverse(text[1:600]), ' ')
+           END AS summary_len,
+           md5(CASE WHEN length(text) <= 600 THEN text
+                    ELSE text[1:600 - strpos(reverse(text[1:600]), ' ')]
+               END) AS summary_hash
+    FROM documents
+    """,
+)
+def summarize_clip(spark, sf_dir):
+    # N7 — summariser clip (smart_shortener, 500-600 char sentence/word
+    # boundary; this corpus has no sentence periods, so the word-boundary
+    # branch is the oracle contract)
+    docs = _t(spark, sf_dir, "documents")
+    s = models.summarize("text")
+    return docs.select(
+        "doc_id",
+        F.length(s).cast("bigint").alias("summary_len"),
+        F.md5(s).alias("summary_hash"),
+    )
+
+
+def _title_postprocess(spark, sf_dir):
+    # N4 — title postprocess rules (token de-dup keep-first, trailing
+    # stopword trim; UDF-only per SURVEY §2.3 — golden tests pin rules)
+    docs = _t(spark, sf_dir, "documents")
+    pseudo_title = F.concat_ws(
+        " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 12)
+    )
+    titled = docs.select("doc_id", pseudo_title.alias("title_raw"))
+    return titled.select(
+        "doc_id", models.postprocess_title_udf("title_raw").alias("title")
+    )
+
+
+REGISTRY["title_postprocess"] = QueryDef(_title_postprocess, None)
+
+
+@declared(
+    "mm_decode",
+    """
+    SELECT doc_id AS media_id, 'image' AS media_type,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(64 + length(text) % 1920 AS BIGINT) AS width,
+           CAST(64 + (length(text) * 7) % 1080 AS BIGINT) AS height,
+           substr(sha256(text), 1, 16) AS checksum
+    FROM documents
+    """,
+)
+def mm_decode(spark, sf_dir):
+    # multimodal decode plumbing: binary column → typed metadata via
+    # mapInPandas (decode kernel stubbed deterministically — text bytes
+    # stand in for an encoded image; ASCII corpus ⇒ n_bytes == n_chars)
+    docs = _t(spark, sf_dir, "documents")
+    return mm.decode_media(mm.documents_as_media(docs))
+
+
+@declared(
+    "orpml_serialize",
+    """
+    SELECT doc_id,
+           md5('<orpml xmlns="http://www.beis.gov.uk/namespaces/orpml"><metadata>'
+            || '<dublinCore><identifier>' || CAST(doc_id AS VARCHAR)
+            || '</identifier><title>'
+            || replace(replace(replace(source, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+            || '</title></dublinCore><dcat><publisher>' || lang
+            || '</publisher></dcat><orp><datePublished></datePublished></orp>'
+            || '</metadata><documentContent><html><body>'
+            || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+            || '</body></html></documentContent></orpml>') AS orpml_hash
+    FROM documents
+    """,
+)
+def orpml_serialize(spark, sf_dir):
+    # S9/E6 — ORPML envelope serialization as a pure concat projection
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.col("doc_id").cast("string").alias("document_uid"),
+        F.col("source").alias("title"),
+        F.col("lang").alias("regulator_id"),
+        F.lit(None).cast("timestamp").alias("date_published"),
+        F.col("text"),
+    )
+    xml = readers.orpml_serialize()
+    return docs.select("doc_id", F.md5(xml).alias("orpml_hash"))
+
+
+def _scan_listing(spark, sf_dir):
+    # S1/S3 — distributed binary scan + listing with derived formats
+    # (rows-only: file-system source). Scans the sf dir's parquet objects
+    # themselves as opaque binaries.
+    return readers.scan_listing(spark, f"{sf_dir}/*.parquet").select(
+        "basename", "length", "document_format"
+    )
+
+
+REGISTRY["scan_listing"] = QueryDef(_scan_listing, None)
 
 
 # ---------------------------------------------------------------------------

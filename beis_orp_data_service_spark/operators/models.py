@@ -1,0 +1,202 @@
+"""Model-backed enrichment UDFs — the reference's HuggingFace lambdas as
+Arrow-batched pandas UDFs with deterministic fakes (SURVEY §7 Phase 4).
+
+Reference operators reproduced:
+- N2 title generation: T5 ``summarize:`` prompt, num_beams=10
+  (lambdas/title_generation/title_generation.py:27-46)
+- N4 title postprocess: token de-dup, trailing-stopword trim
+  (title_generation/postprocess_functions.py:6-141)
+- N5 keyword extraction: KeyBERT top-15 → dedupe → top-10
+  (lambdas/keyword_extraction/keyword_extraction.py:60-126)
+- N7 summarisation: BART + smart_shortener 500-600 char sentence clip
+  (lambdas/summarisation/summarisation.py:23-61, utils.py:4-31)
+- N8 language detection: langdetect (summarisation.py:34-41)
+
+Design: every operator is an **iterator-style scalar pandas UDF** — the
+model loads once per executor task stream (the Spark analog of the
+reference's warm-start module-scope model caching,
+title_generation.py:18-24), batches arrive as Arrow, and the UDF yields
+batches back. Real HF models are optional (gated behind import-try —
+this container has none); the default "model" is a deterministic fake
+with the same I/O contract, so tests pin exact outputs and the driver's
+oracle can check the SQL-expressible fakes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in")
+SUMMARY_MAX = 600  # summariser clip window (utils.py:18-31)
+SUMMARY_MIN = 500
+
+
+def _load_title_model():
+    """Load the real seq2seq title model if available, else the fake.
+
+    The reference loads 'fabiochiu/t5-small-medium-title-generation'
+    (title_generation/local_download.py); this container has no
+    transformers/torch, so the deterministic fake is the default path.
+    """
+    try:  # pragma: no cover - not installed in this environment
+        from transformers import pipeline  # noqa: F401
+
+        raise NotImplementedError(
+            "real model path intentionally stubbed: wire a pipeline('summarization', "
+            "model='fabiochiu/t5-small-medium-title-generation') here when weights "
+            "are available"
+        )
+    except ImportError:
+        return lambda texts: [fake_title(t) for t in texts]
+
+
+def fake_title(text: str, n_tokens: int = 5) -> str:
+    """Deterministic title fake: first sentence-ish tokens, title-cased —
+    mirrors the reference's 'first sentence of the generation' rule
+    (title_generation.py:44-46)."""
+    toks = (text or "").strip().split()[:n_tokens]
+    return " ".join(w.capitalize() for w in toks)
+
+
+def title_generate(text_col: str) -> Column:
+    """N2 — title generation as an iterator pandas UDF (model loads once
+    per executor, Arrow batches in/out)."""
+
+    @F.pandas_udf(T.StringType())
+    def _gen(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model = _load_title_model()  # once per task stream
+        for texts in batches:
+            yield pd.Series(model(texts.fillna("").tolist()))
+
+    return _gen(F.col(text_col))
+
+
+def postprocess_title(title: str) -> str:
+    """N4 — title postprocess rules (postprocess_functions.py:6-141):
+    de-dup non-stopword tokens keeping first occurrence, trim trailing
+    stopwords, strip unbalanced trailing '(' fragments."""
+    toks = (title or "").split()
+    seen: set[str] = set()
+    out: list[str] = []
+    for t in toks:
+        key = t.lower()
+        if key in STOPWORDS:
+            out.append(t)
+            continue
+        if key not in seen:
+            seen.add(key)
+            out.append(t)
+    while out and out[-1].lower() in STOPWORDS:
+        out.pop()
+    cleaned = " ".join(out)
+    if "(" in cleaned and ")" not in cleaned:
+        cleaned = cleaned[: cleaned.index("(")].rstrip()
+    return cleaned
+
+
+def postprocess_title_udf(title_col: str) -> Column:
+    @F.pandas_udf(T.StringType())
+    def _pp(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for titles in batches:
+            yield titles.fillna("").map(postprocess_title)
+
+    return _pp(F.col(title_col))
+
+
+def smart_clip(text: str, lo: int = SUMMARY_MIN, hi: int = SUMMARY_MAX) -> str:
+    """N7's smart_shortener/postprocessor (summarisation/utils.py:4-31):
+    clip to ≤ hi chars at a sentence boundary if one lands in [lo, hi],
+    else at the last word boundary before hi."""
+    t = text or ""
+    if len(t) <= hi:
+        return t
+    window = t[:hi]
+    dot = window.rfind(".")
+    if dot + 1 >= lo:
+        return window[: dot + 1]
+    space = window.rfind(" ")
+    return window[:space] if space > 0 else window
+
+
+def summarize(text_col: str) -> Column:
+    """N7 — summarisation fake: the reference's BART output is replaced
+    by the deterministic clip of the source text; the clipping logic
+    itself (the SQL-checkable half) is the real reference algorithm."""
+
+    @F.pandas_udf(T.StringType())
+    def _sum(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batches:
+            yield texts.fillna("").map(smart_clip)
+
+    return _sum(F.col(text_col))
+
+
+def fake_keywords(text: str, top_k: int = 10) -> list[str]:
+    """N5 fake — frequency-ranked non-stopword tokens (KeyBERT scores
+    replaced by term frequency; dedupe-max + top-k semantics kept,
+    keyword_extraction.py:95-101)."""
+    freq: dict[str, int] = {}
+    for w in (text or "").lower().split():
+        if w in STOPWORDS or len(w) < 3:
+            continue
+        freq[w] = freq.get(w, 0) + 1
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [w for w, _ in ranked[:top_k]]
+
+
+def extract_keywords(text_col: str, top_k: int = 10) -> Column:
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _kw(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batches:
+            yield texts.fillna("").map(lambda t: fake_keywords(t, top_k))
+
+    return _kw(F.col(text_col))
+
+
+def detect_language(text_col: str) -> Column:
+    """N8 — langdetect fake: English stopword-ratio heuristic (the
+    relational twin lives in textstats.lang_id_heuristic; this UDF form
+    exists so the pipeline shape matches the reference's per-doc model
+    call, and to swap in real langdetect when installed)."""
+    try:  # pragma: no cover
+        import langdetect  # noqa: F401
+
+        use_real = True
+    except ImportError:
+        use_real = False
+
+    @F.pandas_udf(T.StringType())
+    def _lang(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        if use_real:  # pragma: no cover
+            import langdetect
+
+            for texts in batches:
+                yield texts.fillna("").map(lambda t: langdetect.detect(t) if t else "und")
+        else:
+            for texts in batches:
+                hits = texts.fillna("").map(
+                    lambda t: sum(1 for w in t.lower().split() if w in STOPWORDS)
+                )
+                n = texts.fillna("").map(lambda t: max(len(t.split()), 1))
+                yield (hits * 1000 / n >= 20).map(lambda b: "en" if b else "other")
+
+    return _lang(F.col(text_col))
+
+
+def enrich_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The full model-enrichment chain in one plan — the engine's version
+    of the reference's Step Function enrich sequence (SURVEY §3.1):
+    title → postprocess → keywords → summary → language, each a column."""
+    return (
+        df.withColumn("title_raw", title_generate(text_col))
+        .withColumn("title", postprocess_title_udf("title_raw"))
+        .withColumn("subject_keywords", extract_keywords(text_col))
+        .withColumn("summary", summarize(text_col))
+        .withColumn("language", detect_language(text_col))
+        .drop("title_raw")
+    )

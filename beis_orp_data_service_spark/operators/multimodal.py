@@ -1,0 +1,100 @@
+"""Multimodal columns — image/audio/video as opaque binary columns with
+typed metadata, processed via mapInPandas (engine extension for
+training-data pipelines; the reference's binary handling is the S1
+document-bytes scan, pdf_to_orpml.py:60-74).
+
+The decode kernels are STUBS: PIL/ffmpeg are not in this container, so
+``decode_image``/``sample_frames`` raise NotImplementedError when asked
+for real decoding and default to a deterministic fake derived from the
+bytes. Everything Spark-side — schemas, Arrow batch iteration,
+partition-preserving mapInPandas plumbing, metadata join shape — is
+real and tested; swapping the fake for PIL is a one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+DECODED_SCHEMA = (
+    "media_id bigint, media_type string, n_bytes bigint, "
+    "width bigint, height bigint, checksum string"
+)
+
+
+def _have_pil() -> bool:
+    try:  # pragma: no cover - not installed here
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image(content: bytes) -> tuple[int, int]:
+    """Real decode is stubbed (no PIL in this container). The
+    deterministic fake derives (width, height) from the byte length so
+    downstream logic (resize, bucketing, dedup-by-dims) is exercised
+    with stable, oracle-checkable values."""
+    if _have_pil():  # pragma: no cover
+        raise NotImplementedError(
+            "wire PIL.Image.open(io.BytesIO(content)).size here when PIL is available"
+        )
+    n = len(content or b"")
+    return (64 + n % 1920, 64 + (n * 7) % 1080)
+
+
+def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: binary in → typed metadata out. Each Arrow
+    batch is processed columnar-side; no per-row Python in the caller."""
+    for pdf in batches:
+        dims = pdf["content"].map(lambda b: decode_image(bytes(b or b"")))
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": pdf["content"].map(lambda b: len(b or b"")).astype("int64"),
+                "width": dims.map(lambda d: d[0]).astype("int64"),
+                "height": dims.map(lambda d: d[1]).astype("int64"),
+                "checksum": pdf["content"].map(
+                    lambda b: hashlib.sha256(bytes(b or b"")).hexdigest()[:16]
+                ),
+            }
+        )
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Decode/feature-extract over a media DataFrame.
+
+    Scale shape: mapInPandas preserves partitioning (no shuffle); the
+    binary column never leaves the executor; output is a narrow typed
+    table that joins back on media_id. At 100 TB the input should be
+    partitioned by size-bucketed media_id so Arrow batches stay within
+    executor memory (spark.sql.files.maxPartitionBytes governs the scan
+    side)."""
+    return df.mapInPandas(decode_media_batch, DECODED_SCHEMA)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter for the driver's documents table: text bytes stand in for
+    an encoded image payload (deterministic, no external data)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "utf-8").alias("content"),
+        F.create_map(F.lit("src"), F.col("source")).alias("meta"),
+    )

@@ -1,0 +1,85 @@
+"""Text-analysis operators for large-scale training-data pipelines —
+language-ID heuristics, quality scoring, token counting, document
+fingerprinting (engine extension beyond the reference surface;
+complements the model-backed langdetect N8 in operators/models.py).
+
+Every operator is integer/string-exact Catalyst expressions — no UDFs —
+so they run inside whole-stage codegen and are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+FP_PRIME = 1_000_000_007  # fingerprint modulus: keeps acc*31+255 in int64
+
+
+def token_count(text_col: Column | str) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.split(F.trim(c), r"\s+")).cast("bigint")
+
+
+def occurrence_count(text_col: Column | str, needle: str) -> Column:
+    """Occurrences of ``needle`` via length difference — pure string
+    arithmetic, identical in any engine."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return (
+        (F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("bigint")
+
+
+def lang_id_heuristic(
+    text_col: Column | str,
+    stopwords: tuple[str, ...] = (" the ", " a ", " of ", " and "),
+    threshold_milli: int = 20,
+) -> Column:
+    """n-gram/stopword language-ID heuristic: predict 'en' when English
+    function words make up > threshold per-mille of tokens.
+
+    Scaled-integer ratio: (hits·1000) DIV n_tokens — exact in int64.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    padded = F.concat(F.lit(" "), c, F.lit(" "))
+    hits = None
+    for w in stopwords:
+        h = occurrence_count(padded, w)
+        hits = h if hits is None else hits + h
+    ratio_milli = ((hits * 1000) / token_count(c)).cast("bigint")
+    return F.when(ratio_milli >= threshold_milli, F.lit("en")).otherwise(F.lit("other"))
+
+
+def quality_scores(text_col: Column | str) -> dict[str, Column]:
+    """Quality-signal battery (length / punctuation / alpha ratios),
+    scaled-integer per-mille so every engine agrees exactly:
+      alpha_milli     — alphabetic chars ÷ length
+      space_milli     — whitespace ÷ length
+      avg_token_chars_milli — 1000·(non-space chars) ÷ tokens
+      is_too_short    — length < 100 chars
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    length = F.length(c)
+    n_alpha = F.length(F.regexp_replace(c, "[^a-zA-Z]", ""))
+    n_space = F.length(c) - F.length(F.replace(c, F.lit(" "), F.lit("")))
+    toks = token_count(c)
+    return {
+        "alpha_milli": ((n_alpha * 1000) / length).cast("bigint"),
+        "space_milli": ((n_space * 1000) / length).cast("bigint"),
+        "avg_token_chars_milli": (((length - n_space) * 1000) / toks).cast("bigint"),
+        "is_too_short": length < 100,
+    }
+
+
+def fingerprint(text_col: Column | str) -> Column:
+    """Rolling polynomial fingerprint of the whole document:
+    fold (acc·31 + ascii(ch)) mod 1e9+7. Order-sensitive (unlike a
+    bag-of-words hash) → detects reordering; arithmetic-exact in any
+    engine. For content-defined chunk fingerprints at scale, apply to
+    ``substring`` windows."""
+    col = text_col if isinstance(text_col, str) else None
+    assert col is not None, "fingerprint requires a column name (SQL expr)"
+    return F.expr(
+        f"aggregate(sequence(1, length({col})), CAST(0 AS BIGINT),"
+        f" (acc, i) -> (acc*31 + ascii(substr({col}, i, 1))) % {FP_PRIME})"
+    )

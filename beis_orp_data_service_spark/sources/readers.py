@@ -1,0 +1,113 @@
+"""Sources & sinks (SURVEY §2.1).
+
+- S1/S3 binary scan + listing: the reference's per-document S3 fetch
+  (pdf_to_orpml.py:60-74) and bucket listing with extension-derived
+  format (glue_bulk_enrichment.ipynb cell 5) become ONE distributed
+  ``binaryFile`` scan — path, length, bytes, and a derived format
+  column; no per-object API calls.
+- S4/S5 parquet & CSV scans with explicit schemas (no inference in
+  production paths).
+- S9/E6 ORPML sink: the interchange XML envelope
+  (pdf_to_orpml.py:142-216) as a Catalyst string expression —
+  serialization is a projection, not a UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def scan_binary(spark: SparkSession, path_glob: str) -> DataFrame:
+    """S1 — distributed binary scan: one row per object with
+    (path, basename, length, content). At scale, tune
+    spark.sql.files.maxPartitionBytes; small files coalesce
+    automatically."""
+    df = spark.read.format("binaryFile").load(path_glob)
+    return df.select(
+        F.col("path"),
+        F.element_at(F.split("path", "/"), -1).alias("basename"),
+        F.col("length"),
+        F.col("content"),
+    )
+
+
+def derive_format(basename_col: Column | str) -> Column:
+    """S3 — extension → document_format (notebook cell 5
+    `raw_uri.split('.')[-1]` + doc_format_map, cell 3)."""
+    c = F.col(basename_col) if isinstance(basename_col, str) else basename_col
+    ext = F.lower(F.element_at(F.split(c, r"\."), -1))
+    return (
+        F.when(ext == "pdf", "PDF")
+        .when(ext.isin("docx", "doc"), "DOCX")
+        .when(ext.isin("odt", "odf", "odp"), "ODF")
+        .when(ext.isin("html", "htm"), "HTML")
+        .when(ext == "orpml", "ORPML")
+        .otherwise(F.upper(ext))
+    )
+
+
+def scan_listing(spark: SparkSession, path_glob: str) -> DataFrame:
+    """S3 — object listing with derived format (no content read:
+    Catalyst prunes the content column away if unused)."""
+    return scan_binary(spark, path_glob).select(
+        "path", "basename", "length", derive_format("basename").alias("document_format")
+    )
+
+
+def scan_csv(spark: SparkSession, path: str, schema: T.StructType | str) -> DataFrame:
+    """S5 — CSV with explicit schema (legislation_table_update.py:76-77;
+    inferSchema is a two-pass scan, never in production)."""
+    return spark.read.csv(path, header=True, schema=schema)
+
+
+def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S4 — columnar scan; pushdown/pruning come free."""
+    return spark.read.parquet(path)
+
+
+def _xml_escape(c: Column) -> Column:
+    for raw, esc in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        c = F.replace(c, F.lit(raw), F.lit(esc))
+    return c
+
+
+def orpml_serialize(
+    uid_col: str = "document_uid",
+    title_col: str = "title",
+    regulator_col: str = "regulator_id",
+    date_col: str = "date_published",
+    body_col: str = "text",
+) -> Column:
+    """S9/E6 — serialize a document row to the ORPML envelope
+    (header namespaces dublinCore/dcat/orp + html body,
+    pdf_to_orpml.py:145-162, finalise_orpml.py:47-94) as a pure concat
+    projection — the sink stays JVM-side."""
+    return F.concat(
+        F.lit('<orpml xmlns="http://www.beis.gov.uk/namespaces/orpml"><metadata>'),
+        F.lit("<dublinCore><identifier>"),
+        _xml_escape(F.col(uid_col).cast("string")),
+        F.lit("</identifier><title>"),
+        _xml_escape(F.coalesce(F.col(title_col).cast("string"), F.lit(""))),
+        F.lit("</title></dublinCore><dcat><publisher>"),
+        _xml_escape(F.coalesce(F.col(regulator_col).cast("string"), F.lit(""))),
+        F.lit("</publisher></dcat><orp><datePublished>"),
+        F.coalesce(F.date_format(date_col, "yyyy-MM-dd'T'HH:mm:ss"), F.lit("")),
+        F.lit("</datePublished></orp></metadata><documentContent><html><body>"),
+        _xml_escape(F.coalesce(F.col(body_col).cast("string"), F.lit(""))),
+        F.lit("</body></html></documentContent></orpml>"),
+    )
+
+
+def orpml_parse(xml_col: Column | str) -> dict[str, Column]:
+    """E6 parse-back (finalise_orpml.py:47-70): header fields via
+    regexp_extract — enough for round-trip tests; a full XML parser
+    would be a mapInPandas kernel."""
+    c = F.col(xml_col) if isinstance(xml_col, str) else xml_col
+    return {
+        "document_uid": F.regexp_extract(c, "<identifier>(.*?)</identifier>", 1),
+        "title": F.regexp_extract(c, "<title>(.*?)</title>", 1),
+        "regulator_id": F.regexp_extract(c, "<publisher>(.*?)</publisher>", 1),
+        "body": F.regexp_extract(c, "<body>(.*?)</body>", 1),
+    }

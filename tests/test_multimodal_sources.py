@@ -1,0 +1,67 @@
+"""Multimodal plumbing + sources: mapInPandas decode schema/batching,
+binary scan, format derivation, ORPML round-trip."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from beis_orp_data_service_spark.catalog import load_table
+from beis_orp_data_service_spark.operators import multimodal as mm
+from beis_orp_data_service_spark.sources import readers
+from tests.conftest import SF_SMOKE
+
+
+def test_decode_media_schema_and_values(spark):
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"hello world"), {"k": "v"})],
+        mm.MEDIA_SCHEMA,
+    )
+    row = mm.decode_media(df).first()
+    assert row.n_bytes == 11
+    assert row.width == 64 + 11 % 1920 and row.height == 64 + 77 % 1080
+    assert row.checksum == hashlib.sha256(b"hello world").hexdigest()[:16]
+
+
+def test_decode_media_over_documents(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    out = mm.decode_media(mm.documents_as_media(docs))
+    assert out.count() == 20
+    assert set(out.columns) == {"media_id", "media_type", "n_bytes", "width", "height", "checksum"}
+
+
+def test_scan_binary_and_listing(spark):
+    listed = readers.scan_listing(spark, f"{SF_SMOKE}/*.parquet")
+    rows = listed.collect()
+    assert len(rows) == 10
+    assert all(r.document_format == "PARQUET" for r in rows)
+    assert all(r.length > 0 for r in rows)
+    # content column pruned when unused: the listing plan reads no bytes
+    assert "content" not in listed.columns
+
+
+def test_derive_format_map(spark):
+    df = spark.createDataFrame(
+        [("a.pdf",), ("b.DOCX",), ("c.odt",), ("d.html",), ("e.orpml",), ("f.csv",)],
+        "basename string",
+    )
+    got = [r.f for r in df.select(readers.derive_format("basename").alias("f")).collect()]
+    assert got == ["PDF", "DOCX", "ODF", "HTML", "ORPML", "CSV"]
+
+
+def test_orpml_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("u1", "Title & <stuff>", "hse", None, "body text")],
+        "document_uid string, title string, regulator_id string, "
+        "date_published timestamp, text string",
+    )
+    xml_df = df.select(readers.orpml_serialize().alias("xml"))
+    xml = xml_df.first().xml
+    assert "<title>Title &amp; &lt;stuff&gt;</title>" in xml
+    parsed = xml_df.select(
+        *[v.alias(k) for k, v in readers.orpml_parse("xml").items()]
+    ).first()
+    assert parsed.document_uid == "u1"
+    assert parsed.regulator_id == "hse"
+    assert parsed.body == "body text"
