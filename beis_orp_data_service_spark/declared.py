@@ -36,6 +36,7 @@ from beis_orp_data_service_spark.operators import search as search_ops
 from beis_orp_data_service_spark.operators import similarity as sim
 from beis_orp_data_service_spark.operators import textstats as ts_ops
 from beis_orp_data_service_spark.sources import readers
+from beis_orp_data_service_spark.streaming import pipeline as st_ops
 
 
 @dataclass
@@ -1593,6 +1594,74 @@ def _scan_listing(spark, sf_dir):
 
 
 REGISTRY["scan_listing"] = QueryDef(_scan_listing, None)
+
+
+# ---------------------------------------------------------------------------
+# Streaming (batch-equivalent semantics; live-stream tests in tests/)
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "stream_tumbling_agg",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_agg(spark, sf_dir):
+    # tumbling event-time window agg (engine extension; F.window) —
+    # identical plan shape in readStream mode with a watermark
+    events = _t(spark, sf_dir, "events")
+    return st_ops.tumbling_counts(events, "1 hour")
+
+
+@declared(
+    "stream_sliding_agg",
+    """
+    SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
+                          - s * 1000000) AS window_start,
+           count(*) AS n_events
+    FROM events, unnest([0, 1800]) AS u(s)
+    GROUP BY 1
+    """,
+)
+def stream_sliding_agg(spark, sf_dir):
+    # sliding windows (1h window / 30m slide): every event lands in two
+    # panes; the oracle states the pane-start arithmetic explicitly
+    events = _t(spark, sf_dir, "events")
+    return st_ops.sliding_counts(events, "1 hour", "30 minutes")
+
+
+@declared(
+    "sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) // 1000000
+                       - lag(epoch_us(ts) // 1000000)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 3600
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             CAST(sum(new_session)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+               AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def sessionize(spark, sf_dir):
+    # session windows via lag-gap-cumsum (streaming twin: session_window)
+    events = _t(spark, sf_dir, "events")
+    return st_ops.sessionize(events, "user_id", gap_minutes=60)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,180 @@
+"""Structured Streaming pipeline — the reference's SQS→graph-upsert
+stream re-expressed (SURVEY §2.7, §7 Phase 5).
+
+Reference semantics: the stream consumer (misc/stream_update_process/
+main.py:96-105) polls messages at-least-once, unordered, one
+transaction per message, applying SCD-2 versioned upserts
+(record_handler.py:39-80). No watermarks or event-time windows exist in
+the reference; tumbling/sliding/session windows below are documented
+engine extensions over the driver's ``events`` table.
+
+Engine mapping:
+- SQS source            → any streaming source (file/kafka); tests replay
+                          the events parquet through readStream
+- per-message upsert    → ``foreachBatch`` + idempotent SCD merge
+                          (micro-batch = the transaction boundary)
+- at-least-once dedupe  → message-id dropDuplicates inside the merge
+                          (redelivery-safe, record_handler's exists-check)
+- 0.995 merge / version+1 / archive rules → operators/dedup.scd_versions
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from beis_orp_data_service_spark.operators.dedup import scd_versions
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, dir_path: str) -> DataFrame:
+    """File-source stream over json micro-batch files (the SQS stand-in:
+    each file = a batch of queue messages)."""
+    return spark.readStream.schema(EVENTS_STREAM_SCHEMA).json(dir_path)
+
+
+def scd_merge_batch(
+    store: DataFrame | None,
+    batch: DataFrame,
+    key_col: str,
+    order_col: str,
+    id_col: str,
+) -> DataFrame:
+    """One SCD-2 merge step — the foreachBatch body.
+
+    Idempotent under redelivery: the union is deduped on the message id
+    before versions are recomputed, so replaying a micro-batch yields
+    the identical store (the reference's exists-check insert,
+    record_handler.py:130-147). Emulates Delta MERGE with
+    union+window; swap in `MERGE INTO` on Delta/Iceberg deployments.
+    """
+    merged = batch if store is None else store.select(batch.columns).unionByName(batch)
+    deduped = merged.dropDuplicates([id_col])
+    return scd_versions(deduped, key_col=key_col, order_col=order_col, tiebreak_col=id_col)
+
+
+class ParquetScdSink:
+    """foreachBatch sink maintaining a versioned store in parquet.
+
+    Micro-batch = transaction (the reference commits per SQS message
+    batch, tdb_query_helpers.py:158-183). Overwrite-swap keeps the store
+    readable between batches; on a real deployment this is a Delta MERGE
+    with concurrent-writer isolation instead.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, key_col: str, order_col: str, id_col: str):
+        self.spark = spark
+        self.path = path
+        self.key_col = key_col
+        self.order_col = order_col
+        self.id_col = id_col
+
+    def _read_store(self) -> DataFrame | None:
+        if not os.path.exists(self.path):
+            return None
+        return self.spark.read.parquet(self.path)
+
+    def __call__(self, batch: DataFrame, epoch_id: int) -> None:
+        store = self._read_store()
+        out = scd_merge_batch(store, batch, self.key_col, self.order_col, self.id_col)
+        # materialize before overwrite (store is also the input)
+        pdf = out.toPandas()
+        self.spark.createDataFrame(pdf, out.schema).write.mode("overwrite").parquet(self.path)
+
+
+def run_scd_upsert_stream(
+    spark: SparkSession,
+    source_dir: str,
+    store_path: str,
+    key_col: str = "user_id",
+    order_col: str = "ts",
+    id_col: str = "event_id",
+):
+    """Wire source → foreachBatch SCD sink; caller drives with
+    processAllAvailable() (tests) or a trigger (production)."""
+    stream = stream_events(spark, source_dir)
+    sink = ParquetScdSink(spark, store_path, key_col, order_col, id_col)
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", store_path + "_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (engine extensions; reference has none — SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str | None = None
+) -> DataFrame:
+    """Tumbling event-time windows; pass ``watermark`` in streaming mode
+    to bound state and admit late data up to the delay."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, window: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding windows — each event contributes to window/slide panes."""
+    return (
+        events.groupBy(F.window("ts", window, slide))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+
+
+def sessionize(
+    events: DataFrame, key_col: str = "user_id", gap_minutes: int = 60
+) -> DataFrame:
+    """Session windows via lag-gap-cumsum — the batch-expressible form
+    (Streaming uses F.session_window; this shape is engine-agnostic and
+    oracle-checkable). Returns one row per session with bounds and size."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy("ts", "event_id")
+    gapped = events.withColumn(
+        "_new",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            > gap_minutes * 60,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0)),
+    ).withColumn("session_id", F.sum("_new").over(w).cast("bigint"))
+    return (
+        gapped.groupBy(key_col, "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -1,0 +1,97 @@
+"""Structured Streaming tests: live readStream → memory sink equivalence
+with batch plans; foreachBatch SCD upsert invariants incl. at-least-once
+redelivery idempotency (SURVEY §7 Phase 5)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from beis_orp_data_service_spark.catalog import load_table
+from beis_orp_data_service_spark.streaming import pipeline as st
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def events_json_dir(spark, tmp_path):
+    """Replay the driver's events table as two json micro-batch files
+    (the SQS message-batch stand-in)."""
+    events = load_table(spark, SF_SMOKE, "events").orderBy("event_id").limit(200)
+    rows = [r.asDict() for r in events.collect()]
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    for i, chunk in enumerate([rows[:100], rows[100:]]):
+        with open(d / f"batch{i}.json", "w") as f:
+            for r in chunk:
+                r = dict(r)
+                r["ts"] = r["ts"].isoformat()
+                f.write(json.dumps(r) + "\n")
+    return str(d)
+
+
+def test_stream_tumbling_equals_batch(spark, events_json_dir, tmp_path):
+    stream = st.stream_events(spark, events_json_dir)
+    agg = st.tumbling_counts(stream, "1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_out")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    batch_events = (
+        load_table(spark, SF_SMOKE, "events").orderBy("event_id").limit(200)
+    )
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in st.tumbling_counts(batch_events, "1 hour").collect()
+    }
+    assert got == want
+
+
+def test_scd_upsert_stream_invariants(spark, events_json_dir, tmp_path):
+    store = str(tmp_path / "store")
+    q = st.run_scd_upsert_stream(spark, events_json_dir, store)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(store).toPandas()
+    assert len(out) == 200  # every message applied exactly once
+    live = out[out.status == "published"].groupby("user_id").size()
+    assert (live == 1).all()  # one live version per key
+    for _, grp in out.groupby("user_id"):
+        assert sorted(grp.version) == list(range(1, len(grp) + 1))
+
+
+def test_scd_upsert_redelivery_idempotent(spark, events_json_dir, tmp_path):
+    # at-least-once: replay the SAME source into an existing store —
+    # the merge must not create duplicate versions
+    store = str(tmp_path / "store2")
+    for chk in ("a", "b"):
+        stream = st.stream_events(spark, events_json_dir)
+        sink = st.ParquetScdSink(spark, store, "user_id", "ts", "event_id")
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / f"chk_{chk}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    out = spark.read.parquet(store).toPandas()
+    assert len(out) == 200
+    assert (out.groupby("user_id").version.max() == out.groupby("user_id").size()).all()
