@@ -19,6 +19,7 @@ Determinism rules applied to BOTH sides:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -30,6 +31,7 @@ from beis_orp_data_service_spark.functions import text as X
 from beis_orp_data_service_spark.operators import dedup as dd
 from beis_orp_data_service_spark.operators import dimension as dim_ops
 from beis_orp_data_service_spark.operators import enrichment as enr
+from beis_orp_data_service_spark.operators import converters as conv
 from beis_orp_data_service_spark.operators import models
 from beis_orp_data_service_spark.operators import multimodal as mm
 from beis_orp_data_service_spark.operators import search as search_ops
@@ -1594,6 +1596,180 @@ def _scan_listing(spark, sf_dir):
 
 
 REGISTRY["scan_listing"] = QueryDef(_scan_listing, None)
+
+
+# ---------------------------------------------------------------------------
+# N13, Q16, E1-E4, S4/S5 — remaining SURVEY §2 coverage
+# ---------------------------------------------------------------------------
+
+_LEG_DIM = [
+    ("spark", "Primary", 1990),
+    ("window", "Secondary", 1994),
+    ("vector", "Primary", 2001),
+    ("customer", "Secondary", 2007),
+    ("merge", "Primary", 2013),
+]
+
+
+@declared(
+    "lo_join",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+    ), sent AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS sent_idx,
+             array_to_string(t[(i*8+1):(i*8+8)], ' ') AS sentence
+      FROM toks, unnest(range(CAST(ceil(len(t) / 8.0) AS BIGINT))) AS u(i)
+    ), needles AS (
+      SELECT unnest(['spark', 'window', 'vector', 'customer', 'merge']) AS needle
+    ), m AS (
+      SELECT s.doc_id, s.sent_idx, n.needle
+      FROM sent s JOIN needles n
+        ON contains(' ' || s.sentence || ' ', ' ' || n.needle || ' ')
+    ), first AS (
+      SELECT doc_id, min(sent_idx) AS first_idx FROM m GROUP BY doc_id
+    ), matched AS (
+      SELECT DISTINCT m.doc_id, m.needle
+      FROM m JOIN first ON m.doc_id = first.doc_id AND m.sent_idx = first.first_idx
+    ), dim AS (
+      SELECT * FROM (VALUES ('spark', 'Primary', CAST(1990 AS BIGINT)),
+                            ('window', 'Secondary', CAST(1994 AS BIGINT)),
+                            ('vector', 'Primary', CAST(2001 AS BIGINT)),
+                            ('customer', 'Secondary', CAST(2007 AS BIGINT)),
+                            ('merge', 'Primary', CAST(2013 AS BIGINT)))
+        AS t(needle, leg_type, leg_year)
+    )
+    SELECT matched.doc_id, matched.needle, dim.leg_type, dim.leg_year
+    FROM matched JOIN dim USING (needle)
+    """,
+)
+def lo_join(spark, sf_dir):
+    # N13 — legislative-origin metadata join + dedupe
+    # (legislative_origin_extraction.py:130-151,196-199): matched titles
+    # inner-join the legislation dimension, duplicates dropped
+    docs = _t(spark, sf_dir, "documents")
+    needles = spark.createDataFrame([(n,) for n in _NEEDLES], "needle string")
+    matched = enr.phrase_match_first_sentence(
+        docs, id_col="doc_id", text_col="text", needles=needles
+    ).select("doc_id", "needle").distinct()
+    dim = spark.createDataFrame(
+        _LEG_DIM, "needle string, leg_type string, leg_year bigint"
+    )
+    return matched.join(F.broadcast(dim), "needle").select(
+        "doc_id", "needle", "leg_type", "leg_year"
+    )
+
+
+@declared(
+    "q_lemma",
+    """
+    SELECT DISTINCT doc_id, keyword, regexp_replace(keyword, 's$', '') AS lemma
+    FROM (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS keyword
+      FROM documents WHERE doc_id < 50
+    )
+    """,
+)
+def q_lemma(spark, sf_dir):
+    # Q16 — keyword lemma map (helpers.py:13-27): the engine's
+    # deterministic suffix lemmatizer over the query/result keyword
+    # surface (spaCy lemmas swap in via the models.py harness)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("keyword")
+    )
+    return toks.select(
+        "doc_id", "keyword", F.regexp_replace("keyword", "s$", "").alias("lemma")
+    ).distinct()
+
+
+@declared(
+    "convert_dispatch",
+    """
+    SELECT doc_id AS media_id,
+           ['PDF', 'DOCX', 'ODF', 'HTML'][CAST(doc_id % 4 AS INTEGER) + 1]
+             AS document_format,
+           text,
+           CAST(1 + length(text) // 2000 AS BIGINT) AS n_pages
+    FROM documents
+    """,
+)
+def convert_dispatch(spark, sf_dir):
+    # E1-E4 — format-dispatching converter over binary payloads via
+    # mapInPandas (parsers stubbed deterministically: decode-as-text;
+    # the oracle states the fake's contract — real parsers change only
+    # the kernel, not the plan)
+    docs = _t(spark, sf_dir, "documents")
+    fmts = F.array(F.lit("PDF"), F.lit("DOCX"), F.lit("ODF"), F.lit("HTML"))
+    binaries = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(fmts, (F.col("doc_id") % 4 + 1).cast("int")).alias(
+            "document_format"
+        ),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    return conv.convert_documents(binaries).select(
+        "media_id", "document_format", "text", "n_pages"
+    )
+
+
+@declared(
+    "convert_stats",
+    """
+    SELECT ['PDF', 'DOCX', 'ODF', 'HTML'][CAST(doc_id % 4 AS INTEGER) + 1]
+             AS document_format,
+           count(*) AS n_docs,
+           CAST(0 AS BIGINT) AS n_failures,
+           CAST(sum(1 + length(text) // 2000) AS BIGINT) AS total_pages
+    FROM documents GROUP BY 1
+    """,
+)
+def convert_stats(spark, sf_dir):
+    # per-row failure tolerance accounting (notebook cell 4 try/except →
+    # metric, SURVEY §4)
+    out = convert_dispatch(spark, sf_dir)
+    # re-attach parse_error (selected away above) by recomputing the chain
+    docs = _t(spark, sf_dir, "documents")
+    fmts = F.array(F.lit("PDF"), F.lit("DOCX"), F.lit("ODF"), F.lit("HTML"))
+    binaries = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(fmts, (F.col("doc_id") % 4 + 1).cast("int")).alias(
+            "document_format"
+        ),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    return conv.conversion_stats(conv.convert_documents(binaries))
+
+
+_CSV_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "resources", "leg_division.csv"
+)
+
+
+@declared(
+    "scan_csv",
+    f"""
+    SELECT legDivision, legType, divAbbv
+    FROM read_csv('{_CSV_PATH}', header=true, all_varchar=true)
+    """,
+)
+def scan_csv(spark, sf_dir):
+    # S5 — CSV dimension scan with explicit schema (the reference's
+    # leg-division lookup, legislation_table_update.py:76-77)
+    return readers.scan_csv(
+        spark, _CSV_PATH, "legDivision string, legType string, divAbbv string"
+    ).select("legDivision", "legType", "divAbbv")
+
+
+@declared(
+    "scan_parquet",
+    "SELECT r_regionkey, r_name FROM region",
+)
+def scan_parquet(spark, sf_dir):
+    # S4 — columnar scan through the engine's reader facade
+    return readers.scan_parquet(
+        spark, os.path.join(sf_dir, "region.parquet")
+    ).select("r_regionkey", "r_name")
 
 
 # ---------------------------------------------------------------------------

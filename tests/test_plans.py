@@ -1,0 +1,77 @@
+"""Plan contracts (SURVEY §4): the physical plans the engine promises.
+
+These assert Catalyst properties the 100 TB design depends on —
+predicate pushdown into the parquet scan, column pruning, broadcast
+joins for dimensions, distributed top-K for pagination. A refactor that
+silently loses one of these still passes value-equality tests; this
+file is what catches it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from beis_orp_data_service_spark import declared
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(name: str, spark) -> str:
+    df = declared.REGISTRY[name].fn(spark, SF_SMOKE)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_range_filter_pushed_to_scan(spark):
+    plan = plan_of("q_range", spark)
+    assert "PushedFilters" in plan
+    assert "o_orderdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_point_lookup_pushed(spark):
+    plan = plan_of("q_point", spark)
+    pushed = plan.split("PushedFilters")[1][:120]
+    assert "EqualTo(doc_id,42)" in pushed.replace(" ", "")
+
+
+def test_column_pruning_on_narrow_projection(spark):
+    # q_eq projects (doc_id, n_chars): the scan must not read `text`
+    plan = plan_of("q_eq", spark)
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "text" not in read_schema
+    assert "doc_id" in read_schema and "n_chars" in read_schema
+
+
+def test_traverse_broadcasts_dimension(spark):
+    plan = plan_of("q_traverse", spark)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sort_page_is_distributed_topk(spark):
+    # pagination must compile to TakeOrderedAndProject, not a global sort
+    plan = plan_of("q_sort_page", spark)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_minhash_partial_aggregation(spark):
+    # explode → groupBy must do map-side partial min before the shuffle
+    from beis_orp_data_service_spark.catalog import load_table
+    from beis_orp_data_service_spark.operators.dedup import minhash_signature
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = minhash_signature(docs, "doc_id", "text")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_anti_insert_uses_anti_join(spark):
+    plan = plan_of("anti_insert", spark)
+    assert "LeftAnti" in plan
+
+
+def test_semi_join_for_candidate_prune(spark):
+    plan = plan_of("lo_candidates", spark)
+    assert "LeftSemi" in plan
