@@ -32,7 +32,9 @@ from beis_orp_data_service_spark.operators import dedup as dd
 from beis_orp_data_service_spark.operators import dimension as dim_ops
 from beis_orp_data_service_spark.operators import enrichment as enr
 from beis_orp_data_service_spark.operators import converters as conv
+from beis_orp_data_service_spark.operators import graph as graph_ops
 from beis_orp_data_service_spark.operators import models
+from beis_orp_data_service_spark.operators import skew as skew_ops
 from beis_orp_data_service_spark.operators import multimodal as mm
 from beis_orp_data_service_spark.operators import search as search_ops
 from beis_orp_data_service_spark.operators import similarity as sim
@@ -572,24 +574,24 @@ def l_preprocess(spark, sf_dir):
     "clean_text",
     r"""
     SELECT doc_id,
-           md5(lower(trim(
+           md5(trim(
              regexp_replace(
                regexp_replace(
                  regexp_replace(
-                   regexp_replace(text, '[\n\r\t]', ' ', 'g'),
+                   regexp_replace(lower(text), '[\n\r\t]', ' ', 'g'),
                    '\.{2,}', '.', 'g'),
-                 ' a ', ' ', 'g'),
+                 ' (a )+', ' ', 'g'),
                '  +', ' ', 'g')
-           ))) AS clean_hash,
-           length(lower(trim(
+           )) AS clean_hash,
+           length(trim(
              regexp_replace(
                regexp_replace(
                  regexp_replace(
-                   regexp_replace(text, '[\n\r\t]', ' ', 'g'),
+                   regexp_replace(lower(text), '[\n\r\t]', ' ', 'g'),
                    '\.{2,}', '.', 'g'),
-                 ' a ', ' ', 'g'),
+                 ' (a )+', ' ', 'g'),
                '  +', ' ', 'g')
-           ))) AS clean_len
+           )) AS clean_len
     FROM documents
     """,
 )
@@ -1770,6 +1772,87 @@ def scan_parquet(spark, sf_dir):
     return readers.scan_parquet(
         spark, os.path.join(sf_dir, "region.parquet")
     ).select("r_regionkey", "r_name")
+
+
+# ---------------------------------------------------------------------------
+# Graph EAV + skew-resistant shapes
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q_eav_pivot",
+    """
+    SELECT doc_id, lang, source, CAST(n_chars AS VARCHAR) AS n_chars,
+           array_to_string(list_sort([
+             source,
+             source || '/' || lang,
+             source || '/' || lang || '/' || CAST(n_chars % 10 AS VARCHAR)
+           ]), '|') AS topic
+    FROM documents
+    """,
+)
+def q_eav_pivot(spark, sf_dir):
+    # Q12 — EAV pivot (helpers.py:50-71): wide → (entity, attr, value)
+    # rows → wide again; singletons unwrap, multi-valued attrs collapse
+    # to a sorted serialized list
+    docs = _t(spark, sf_dir, "documents")
+    scalars = graph_ops.unpivot_eav(docs, "doc_id", ["lang", "source", "n_chars"])
+    path = F.concat_ws("/", "source", "lang", (F.col("n_chars") % 10).cast("string"))
+    topics = docs.select(
+        "doc_id",
+        F.lit("topic").alias("attr"),
+        F.explode(enr.topic_path_prefixes(path)).alias("value"),
+    )
+    eav = scalars.unionByName(topics)
+    return graph_ops.eav_pivot(
+        eav, "doc_id", scalar_attrs=["lang", "source", "n_chars"], list_attrs=["topic"]
+    )
+
+
+@declared(
+    "skew_agg",
+    """
+    SELECT user_id, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def skew_agg(spark, sf_dir):
+    # two-phase salted aggregation — result-identical to a direct
+    # groupBy (the oracle IS the direct form); hot keys spread over 8
+    # reducers in phase 1
+    events = _t(spark, sf_dir, "events").withColumn("v", _dec("value"))
+    out = skew_ops.salted_aggregate(
+        events,
+        ["user_id"],
+        {"n_events": ("count", "v"), "total_value": ("sum", "v")},
+        salt_col=F.col("event_id"),
+        n_salts=8,
+    )
+    return out.select(
+        "user_id", "n_events", F.col("total_value").cast("double").alias("total_value")
+    )
+
+
+@declared(
+    "skew_join",
+    """
+    SELECT p.p_partkey, p.p_name, count(*) AS n_li
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey, p.p_name
+    """,
+)
+def skew_join(spark, sf_dir):
+    # replicated-salt join — result-identical to the plain equi-join
+    # (the oracle); a hot part key lands on 8 reducers
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_orderkey"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    joined = skew_ops.replicated_salt_join(
+        li, part, on="p_partkey", salt_col=F.col("l_orderkey"), n_salts=8
+    )
+    return joined.groupBy("p_partkey", "p_name").agg(F.count("*").alias("n_li"))
 
 
 # ---------------------------------------------------------------------------

@@ -34,11 +34,14 @@ def clean_text(col: Column | str) -> Column:
     Idempotent: clean_text(clean_text(x)) == clean_text(x).
     """
     c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)  # FIRST: the later rules see canonical case
     c = F.regexp_replace(c, r"[\n\r\t]", " ")  # newlines/tabs → space
     c = F.regexp_replace(c, r"\.{2,}", ".")  # '....' → '.'
-    c = F.regexp_replace(c, r" a ", " ")  # stray articles/single letters
+    # stray article runs: ' (a )+' (greedy) so consecutive ' a a ' can't
+    # leave a residue that a second pass would still remove
+    c = F.regexp_replace(c, r" (a )+", " ")
     c = F.regexp_replace(c, r"  +", " ")  # collapse runs of spaces
-    return F.lower(F.trim(c))
+    return F.trim(c)
 
 
 def hash_id(*cols: Column | str, length: int = 32) -> Column:

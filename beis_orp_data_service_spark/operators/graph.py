@@ -1,0 +1,83 @@
+"""Graph as DataFrames — the TypeDB entity/relation/attribute store
+(misc/bulk_enrichment/bulk_migration/schema/orp-pbeta-gdb-schema.tql)
+re-expressed as three joinable tables (SURVEY §1.1): ``entities``
+(node_id, entity_type, EAV attrs), ``edges`` (publication/partOf
+relations with role columns), and the ``documents`` wide table.
+
+Operators:
+- Q12 EAV pivot: TypeDB answers arrive as (entity, attr, value) rows;
+  singleton attributes unwrap to scalars, multi-valued attributes
+  (keyword, regulatory_topic — extract_graph_elems.py:25-27) collapse
+  to sorted lists (helpers.py:50-71).
+- Q13 1-hop traversal: docs ⋈ edges ⋈ dimension, both directions
+  (search_functions.py:21-27,100-116).
+- Q14 grouped related-docs with a page_size cap (search_functions.py:68-85).
+- graph build: the stream updater's extractElements
+  (extract_graph_elems.py:20-110) — wide document rows → node/edge rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def unpivot_eav(df: DataFrame, id_col: str, attrs: list[str]) -> DataFrame:
+    """Wide row → EAV rows (the shape TypeDB answers arrive in,
+    helpers.py:50-59): stack the attribute columns."""
+    pairs = ", ".join(f"'{a}', CAST({a} AS STRING)" for a in attrs)
+    return df.selectExpr(
+        id_col, f"stack({len(attrs)}, {pairs}) AS (attr, value)"
+    ).filter(F.col("value").isNotNull())
+
+
+def eav_pivot(
+    eav: DataFrame,
+    id_col: str,
+    scalar_attrs: list[str],
+    list_attrs: list[str] | None = None,
+) -> DataFrame:
+    """Q12 — EAV rows → one wide row per entity. Scalar attrs unwrap
+    via max (singleton per entity); multi-valued attrs collapse to a
+    sorted, '|'-serialized list (deterministic, engine-agnostic)."""
+    aggs: list[Column] = [
+        F.max(F.when(F.col("attr") == a, F.col("value"))).alias(a)
+        for a in scalar_attrs
+    ]
+    for a in list_attrs or []:
+        aggs.append(
+            F.concat_ws(
+                "|",
+                F.sort_array(
+                    F.collect_list(F.when(F.col("attr") == a, F.col("value")))
+                ),
+            ).alias(a)
+        )
+    return eav.groupBy(id_col).agg(*aggs)
+
+
+def traverse(
+    left: DataFrame,
+    edges: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    edge_left: str,
+    edge_right: str,
+    right_key: str,
+) -> DataFrame:
+    """Q13 — 1-hop relation traversal as a 3-way join; the dimension side
+    should be broadcast by the caller when small."""
+    return left.join(edges, left[left_key] == edges[edge_left]).join(
+        right, edges[edge_right] == right[right_key]
+    )
+
+
+def related_grouped(
+    edges: DataFrame, group_col: str, collect_col: str, cap: int
+) -> DataFrame:
+    """Q14 — per dimension key, a capped sorted list of related ids
+    (page_size cap, search_functions.py:68-85)."""
+    return edges.groupBy(group_col).agg(
+        F.slice(F.sort_array(F.collect_list(collect_col)), 1, cap).alias("related"),
+        F.count("*").alias("n_related"),
+    )

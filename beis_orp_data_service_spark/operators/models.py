@@ -91,12 +91,15 @@ def postprocess_title(title: str) -> str:
         if key not in seen:
             seen.add(key)
             out.append(t)
-    while out and out[-1].lower() in STOPWORDS:
-        out.pop()
+    # unbalanced-bracket cut BEFORE the trailing trim — the cut can
+    # expose a stopword tail (found by property testing)
     cleaned = " ".join(out)
     if "(" in cleaned and ")" not in cleaned:
         cleaned = cleaned[: cleaned.index("(")].rstrip()
-    return cleaned
+    out = cleaned.split()
+    while out and out[-1].lower() in STOPWORDS:
+        out.pop()
+    return " ".join(out)
 
 
 def postprocess_title_udf(title_col: str) -> Column:

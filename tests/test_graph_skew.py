@@ -1,0 +1,123 @@
+"""Graph-as-DataFrames ops on domain fixtures (FIXTURES.md shapes) and
+skew helpers; bucketed co-located join plan contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beis_orp_data_service_spark.operators import graph as g
+from beis_orp_data_service_spark.operators import skew
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    docs = spark.createDataFrame(
+        [("d1", "Water quality"), ("d2", "Fishing rules"), ("d3", "Air rules")],
+        "node_id string, title string",
+    )
+    legs = spark.createDataFrame(
+        [("ukpga/2000/1", "Water Act"), ("ukpga/2001/2", "Fisheries Act")],
+        "href string, leg_title string",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("e1", "publication", "d1", "hse", "ukpga/2000/1"),
+            ("e2", "publication", "d2", "ea", "ukpga/2001/2"),
+            ("e3", "publication", "d3", "ea", "ukpga/2001/2"),
+        ],
+        "edge_id string, rel_type string, issued string, issuedBy string, issuedFor string",
+    )
+    return docs, legs, edges
+
+
+def test_traverse_both_directions(spark, graph):
+    docs, legs, edges = graph
+    # doc → legislation
+    out = g.traverse(docs, edges, F.broadcast(legs).alias("l"), "node_id", "issued", "issuedFor", "href")
+    got = {(r.node_id, r.leg_title) for r in out.collect()}
+    assert got == {("d1", "Water Act"), ("d2", "Fisheries Act"), ("d3", "Fisheries Act")}
+    # legislation → docs (reverse roles)
+    back = g.traverse(legs, edges, docs, "href", "issuedFor", "issued", "node_id")
+    assert back.count() == 3
+
+
+def test_related_grouped_cap(spark, graph):
+    _, _, edges = graph
+    out = {r.issuedFor: (r.related, r.n_related)
+           for r in g.related_grouped(edges, "issuedFor", "issued", cap=1).collect()}
+    assert out["ukpga/2001/2"] == (["d2"], 2)  # capped at 1 of 2, sorted
+
+
+def test_unpivot_pivot_roundtrip(spark):
+    df = spark.createDataFrame([(1, "en", 5), (2, None, 7)], "id bigint, lang string, n bigint")
+    eav = g.unpivot_eav(df, "id", ["lang", "n"])
+    # null attrs dropped in EAV form (TypeDB has no null attributes)
+    assert eav.filter("id = 2 AND attr = 'lang'").count() == 0
+    wide = g.eav_pivot(eav, "id", ["lang", "n"])
+    got = {r.id: (r.lang, r.n) for r in wide.collect()}
+    assert got == {1: ("en", "5"), 2: (None, "7")}
+
+
+def test_salted_aggregate_equals_direct(spark):
+    df = spark.createDataFrame(
+        [(k, i, float(i)) for k in ["hot"] * 50 + ["cold"] for i in range(3)],
+        "key string, id bigint, v double",
+    )
+    direct = {
+        r.key: (r.n, r.s)
+        for r in df.groupBy("key").agg(F.count("v").alias("n"), F.sum("v").alias("s")).collect()
+    }
+    salted = {
+        r.key: (r.n, r.s)
+        for r in skew.salted_aggregate(
+            df, ["key"], {"n": ("count", "v"), "s": ("sum", "v")}, F.col("id"), 4
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_replicated_salt_join_equals_plain(spark):
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(100)] + [(2, 100)], "k bigint, rid bigint"
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k bigint, name string")
+    plain = fact.join(dim, "k").groupBy("k", "name").count().collect()
+    salted = (
+        skew.replicated_salt_join(fact, dim, "k", F.col("rid"), 4)
+        .groupBy("k", "name").count().collect()
+    )
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    # co-located join: two tables bucketed on the join key → the join
+    # plan has no Exchange at all (the 100 TB co-location story).
+    # Auto-broadcast is disabled so the plan shows the bucket-aligned
+    # sort-merge join a big-big join would use.
+    import shutil
+
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    from beis_orp_data_service_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
+    li.withColumnRenamed("l_orderkey", "o_orderkey").write.bucketBy(8, "o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_lineitem")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

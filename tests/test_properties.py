@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) — SURVEY §5.3.
+
+Python-side rules (postprocess/clip) get wide random coverage; Spark
+column expressions are checked in one batched job per property.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from beis_orp_data_service_spark.operators import models
+
+TEXTY = st.text(
+    alphabet=st.sampled_from("abcdefgh .()ABC\n\t"), min_size=0, max_size=300
+)
+
+
+@given(TEXTY)
+@settings(max_examples=200, deadline=None)
+def test_postprocess_title_properties(s):
+    out = models.postprocess_title(s)
+    # never ends with a stopword
+    toks = out.split()
+    if toks:
+        assert toks[-1].lower() not in models.STOPWORDS
+    # idempotent
+    assert models.postprocess_title(out) == out
+    # non-stopword tokens unique (case-insensitive)
+    non_stop = [t.lower() for t in toks if t.lower() not in models.STOPWORDS]
+    assert len(non_stop) == len(set(non_stop))
+
+
+@given(st.text(alphabet=st.sampled_from("xyz .,"), min_size=0, max_size=2000))
+@settings(max_examples=200, deadline=None)
+def test_smart_clip_properties(s):
+    out = models.smart_clip(s)
+    assert len(out) <= models.SUMMARY_MAX
+    if len(s) <= models.SUMMARY_MAX:
+        assert out == s
+    else:
+        assert s.startswith(out)
+
+
+@given(st.text(alphabet=st.sampled_from("abc def"), min_size=0, max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_fake_keywords_properties(s):
+    kws = models.fake_keywords(s, top_k=10)
+    assert len(kws) <= 10
+    assert len(kws) == len(set(kws))
+    for k in kws:
+        assert k not in models.STOPWORDS and len(k) >= 3
+
+
+def test_clean_text_idempotent_on_random_batch(spark):
+    # one Spark job over a deterministic pseudo-random corpus
+    import random
+
+    from pyspark.sql import functions as F
+
+    from beis_orp_data_service_spark.functions.text import clean_text
+
+    rng = random.Random(7)
+    alphabet = "ab c.\n\t  A?"
+    rows = [
+        ("".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120))),)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "s string")
+    once = df.select(clean_text("s").alias("c1"))
+    bad = once.select(clean_text("c1").alias("c2"), "c1").filter(
+        F.col("c1") != F.col("c2")
+    )
+    assert bad.count() == 0
+
+
+def test_minhash_jaccard_correlation(spark):
+    # signature agreement must track true shingle jaccard (monotone on a
+    # controlled similarity ladder)
+    from beis_orp_data_service_spark.operators import dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog and the cat " * 3
+    rows = [(0, base)]
+    words = base.split()
+    for i, frac in enumerate([0.1, 0.4, 0.8], start=1):
+        n_swap = int(len(words) * frac)
+        mutated = ["zz" + w if j < n_swap else w for j, w in enumerate(words)]
+        rows.append((i, " ".join(mutated)))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sigs = {r.doc_id: r.sig for r in dd.minhash_signature(df, "doc_id", "text").collect()}
+
+    def agree(a, b):
+        return sum(1 for x, y in zip(a, b) if x == y)
+
+    agreements = [agree(sigs[0], sigs[i]) for i in (1, 2, 3)]
+    assert agreements[0] >= agreements[1] >= agreements[2]
