@@ -1774,6 +1774,31 @@ def scan_parquet(spark, sf_dir):
     ).select("r_regionkey", "r_name")
 
 
+def _ingest_e2e(spark, sf_dir):
+    # SURVEY §3.1 — the whole reference ingestion pipeline as one job:
+    # binary → convert → clean → enrich (model fakes) → minhash →
+    # classify → SCD store. Rows-only check (model-UDF chain).
+    from beis_orp_data_service_spark.pipelines import ingestion
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    fmts = F.array(F.lit("PDF"), F.lit("DOCX"), F.lit("ODF"), F.lit("HTML"))
+    binaries = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(fmts, (F.col("doc_id") % 4 + 1).cast("int")).alias(
+            "document_format"
+        ),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    out = ingestion.ingest(binaries)
+    return out["documents"].select(
+        "media_id", "node_id", "title", "language", "classification",
+        "version", "status",
+    )
+
+
+REGISTRY["ingest_e2e"] = QueryDef(_ingest_e2e, None)
+
+
 # ---------------------------------------------------------------------------
 # Graph EAV + skew-resistant shapes
 # ---------------------------------------------------------------------------

