@@ -52,6 +52,21 @@ def test_minhash_np_equals_sql(spark, corpus):
     assert sql_sigs == np_sigs
 
 
+def test_reference_width_signature_256_perm_band6(spark, corpus):
+    # the reference's exact configuration: 256 perms, seed-1 family,
+    # bands of 6 (check_duplicate/utils.py:24, check_duplicate.py:90-93)
+    sigs = dd.minhash_signature_np(corpus, "doc_id", "text", perms=dd.PERMS_FULL)
+    first = sigs.first()
+    assert len(first.sig) == 256
+    assert len(first.sig_text.split("_")) == 256  # serialized parity shape
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in dd.lsh_band_pairs(sigs, "doc_id", band_width=6, sig_len=256).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs  # identical + near-dup found
+    assert (1, 4) not in pairs  # far pair never shares a 6-band
+
+
 def test_lsh_bands_find_near_dups(spark, corpus):
     sigs = dd.minhash_signature(corpus, "doc_id", "text")
     pairs = {(r.a_id, r.b_id) for r in dd.lsh_band_pairs(sigs, "doc_id").collect()}
