@@ -38,6 +38,7 @@ from beis_orp_data_service_spark.operators import skew as skew_ops
 from beis_orp_data_service_spark.operators import multimodal as mm
 from beis_orp_data_service_spark.operators import search as search_ops
 from beis_orp_data_service_spark.operators import similarity as sim
+from beis_orp_data_service_spark.operators import temporal as tmp_ops
 from beis_orp_data_service_spark.operators import textstats as ts_ops
 from beis_orp_data_service_spark.sources import readers
 from beis_orp_data_service_spark.streaming import pipeline as st_ops
@@ -1878,6 +1879,86 @@ def skew_join(spark, sf_dir):
         li, part, on="p_partkey", salt_col=F.col("l_orderkey"), n_salts=8
     )
     return joined.groupBy("p_partkey", "p_name").agg(F.count("*").alias("n_li"))
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins + multidimensional aggregation (engine extensions)
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "asof_join",
+    """
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS asof_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join(spark, sf_dir):
+    # as-of join (most recent prior click per purchase) via tagged
+    # union + running last_value — one shuffle, no pandas; the oracle is
+    # DuckDB's native ASOF JOIN
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return tmp_ops.asof_join(purchases, clicks, key_col="user_id", ts_col="ts")
+
+
+@declared(
+    "range_join",
+    """
+    WITH bands AS (
+      SELECT 50 * b AS low, 50 * (b + 1) AS high
+      FROM unnest(range(10)) AS t(b)
+    )
+    SELECT b.low, b.high, count(*) AS n_events
+    FROM events e JOIN bands b ON e.value >= b.low AND e.value < b.high
+    GROUP BY b.low, b.high
+    """,
+)
+def range_join(spark, sf_dir):
+    # range join rewritten as a bucketized equi-join (+ residual filter)
+    events = _t(spark, sf_dir, "events")
+    bands = spark.range(10).select(
+        (F.col("id") * 50).alias("low"), ((F.col("id") + 1) * 50).alias("high")
+    )
+    joined = tmp_ops.range_join_bucketized(events, bands, "value")
+    return joined.groupBy("low", "high").agg(F.count("*").alias("n_events"))
+
+
+@declared(
+    "q_rollup",
+    """
+    SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+    FROM events GROUP BY ROLLUP(date_trunc('day', ts), event_type)
+    """,
+)
+def q_rollup(spark, sf_dir):
+    # hierarchical time rollup (hypertable-style day→total)
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.rollup(F.date_trunc("day", "ts").alias("day"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@declared(
+    "q_cube",
+    """
+    SELECT event_type, user_id % 10 AS user_bucket, count(*) AS n
+    FROM events GROUP BY CUBE(event_type, user_id % 10)
+    """,
+)
+def q_cube(spark, sf_dir):
+    # full cube over two dimensions
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.cube(F.col("event_type"), (F.col("user_id") % 10).alias("user_bucket"))
+        .agg(F.count("*").alias("n"))
+    )
 
 
 # ---------------------------------------------------------------------------
