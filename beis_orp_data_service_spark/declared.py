@@ -573,32 +573,18 @@ def l_preprocess(spark, sf_dir):
 
 @declared(
     "clean_text",
-    r"""
+    f"""
     SELECT doc_id,
-           md5(trim(
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(
-                   regexp_replace(lower(text), '[\n\r\t]', ' ', 'g'),
-                   '\.{2,}', '.', 'g'),
-                 ' (a )+', ' ', 'g'),
-               '  +', ' ', 'g')
-           )) AS clean_hash,
-           length(trim(
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(
-                   regexp_replace(lower(text), '[\n\r\t]', ' ', 'g'),
-                   '\.{2,}', '.', 'g'),
-                 ' (a )+', ' ', 'g'),
-               '  +', ' ', 'g')
-           )) AS clean_len
+           md5({X.clean_text_sql('text')}) AS clean_hash,
+           length({X.clean_text_sql('text')}) AS clean_len
     FROM documents
     """,
 )
 def clean_text(spark, sf_dir):
-    # E5 — the clean_text normalization chain (pdf_to_orpml.py:20-57),
-    # pure regexp_replace built-ins: stays in whole-stage codegen.
+    # E5 — the full-fidelity clean_text normalization chain
+    # (pdf_to_orpml.py:20-57), pure replace/regexp_replace built-ins:
+    # stays in whole-stage codegen; DuckDB twin generated by the same
+    # module (functions/text.py::clean_text_sql).
     docs = _t(spark, sf_dir, "documents")
     cleaned = X.clean_text("text")
     return docs.select(
@@ -1066,12 +1052,16 @@ def dedup_exact(spark, sf_dir):
 @declared(
     "ngram_jaccard",
     """
-    WITH g AS (
+    WITH g0 AS (
       SELECT doc_id,
              unnest(list_distinct(
                [array_to_string(t[i:i+2], ' ')
                 for i in range(1, greatest(len(t) - 2, 1) + 1)])) AS gram
       FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+    ), keep AS (
+      SELECT gram FROM g0 GROUP BY gram HAVING count(*) <= 100
+    ), g AS (
+      SELECT g0.doc_id, g0.gram FROM g0 JOIN keep USING (gram)
     ), sizes AS (
       SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id
     ), shared AS (
@@ -1089,10 +1079,13 @@ def dedup_exact(spark, sf_dir):
     """,
 )
 def ngram_jaccard(spark, sf_dir):
-    # Training-data op — word 3-gram Jaccard near-dup pairs, integer-exact
+    # Training-data op — word 3-gram Jaccard near-dup pairs, integer-
+    # exact, over the df-capped gram universe (max_gram_df=100: hot
+    # grams carry no signal but quadratic join cost — the scale guard
+    # is on by default and mirrored in the oracle's HAVING clause)
     docs = _t(spark, sf_dir, "documents")
     return dd.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, min_jaccard_milli=60
+        docs, "doc_id", "text", n=3, min_jaccard_milli=60, max_gram_df=100
     )
 
 
@@ -1132,33 +1125,45 @@ def simhash(spark, sf_dir):
     "dup_classify",
     """
     WITH h AS (
-      SELECT doc_id, md5(text) AS content_hash,
+      SELECT doc_id, md5(text) AS content_hash, source, lang,
              string_split(trim(text), ' ') AS t
       FROM documents WHERE doc_id < 100
     ), g AS (
-      SELECT doc_id, content_hash,
+      SELECT doc_id, content_hash, source, lang,
              list_distinct([array_to_string(t[i:i+2], ' ')
                             for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS grams
       FROM h
     ), pairs AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              a.content_hash AS hash_a, b.content_hash AS hash_b,
+             a.source AS src_a, b.source AS src_b,
+             a.lang AS lang_a, b.lang AS lang_b,
              CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS shared,
              CAST(len(a.grams) AS BIGINT) AS na, CAST(len(b.grams) AS BIGINT) AS nb
       FROM g a JOIN g b ON a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT *,
+             (hash_a = hash_b OR
+              (shared * 1000) // (na + nb - shared) >= 20) AS is_sim,
+             (src_a IS NOT DISTINCT FROM src_b AND
+              lang_a IS NOT DISTINCT FROM lang_b) AS meta_same
+      FROM pairs
     )
     SELECT a_id, b_id,
-           CASE WHEN hash_a = hash_b THEN 'duplicate'
-                WHEN (shared * 1000) // (na + nb - shared) >= 150 THEN 'version'
+           CASE WHEN is_sim AND meta_same THEN 'duplicate'
+                WHEN is_sim THEN 'version'
                 ELSE 'new' END AS classification
-    FROM pairs
+    FROM scored
     """,
 )
 def dup_classify(spark, sf_dir):
     # D4 — three-way duplicate/version/new classification
-    # (check_duplicate.py:154-211): metadata-equal → duplicate;
-    # similar-text → version; else new. Jaccard-milli ≥150 stands in for
-    # the 0.95 signature-cosine cutoff at this corpus size.
+    # (check_duplicate.py:154-211 is_duplicate): similar text AND
+    # identical metadata (source/lang standing in for return_vals) →
+    # duplicate; similar with differing metadata → version; else new.
+    # Jaccard-milli ≥20 stands in for the 0.95 signature-cosine cutoff:
+    # scaled to this word-soup corpus (max observed pair ≈30‰) so the
+    # sf0.01 check exercises all three branches, not just 'new'.
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     t = F.split(F.trim(F.col("text")), r"\s+")
     grams = F.array_distinct(
@@ -1168,16 +1173,21 @@ def dup_classify(spark, sf_dir):
         )
     )
     g = docs.select(
-        "doc_id", F.md5("text").alias("content_hash"), grams.alias("grams")
+        "doc_id", F.md5("text").alias("content_hash"), "source", "lang",
+        grams.alias("grams"),
     )
     a = g.select(
         F.col("doc_id").alias("a_id"),
         F.col("content_hash").alias("hash_a"),
+        F.col("source").alias("src_a"),
+        F.col("lang").alias("lang_a"),
         F.col("grams").alias("grams_a"),
     )
     b = g.select(
         F.col("doc_id").alias("b_id"),
         F.col("content_hash").alias("hash_b"),
+        F.col("source").alias("src_b"),
+        F.col("lang").alias("lang_b"),
         F.col("grams").alias("grams_b"),
     )
     pairs = a.join(b, F.col("a_id") < F.col("b_id")).select(
@@ -1185,19 +1195,27 @@ def dup_classify(spark, sf_dir):
         "b_id",
         "hash_a",
         "hash_b",
+        "src_a",
+        "src_b",
+        "lang_a",
+        "lang_b",
         F.size(F.array_intersect("grams_a", "grams_b")).cast("bigint").alias("shared"),
         F.size("grams_a").cast("bigint").alias("na"),
         F.size("grams_b").cast("bigint").alias("nb"),
     )
-    jac_milli = (F.col("shared") * 1000).cast("bigint") / (
-        F.col("na") + F.col("nb") - F.col("shared")
+    # integer `div`, not float `/`: boundary values (jm exactly at the
+    # threshold) must round identically to DuckDB's `//`
+    jac_milli = F.expr("(shared * 1000) div (na + nb - shared)")
+    scored = pairs.withColumn("sim_milli", jac_milli)
+    classification = dd.dup_classify(
+        scored,
+        sim_col="sim_milli",
+        hash_a="hash_a",
+        hash_b="hash_b",
+        meta_cols=[("src_a", "src_b"), ("lang_a", "lang_b")],
+        version_threshold=20,
     )
-    classification = (
-        F.when(F.col("hash_a") == F.col("hash_b"), F.lit("duplicate"))
-        .when(jac_milli.cast("bigint") >= 150, F.lit("version"))
-        .otherwise(F.lit("new"))
-    )
-    return pairs.select("a_id", "b_id", classification.alias("classification"))
+    return scored.select("a_id", "b_id", classification.alias("classification"))
 
 
 @declared(

@@ -5,13 +5,16 @@ Lambda; here every one is a Catalyst expression chain so it stays inside
 whole-stage codegen and vectorized parquet reads at 100 TB.
 
 - ``clean_text``: the `clean_text` normalization copied across four
-  reference lambdas (pdf_to_orpml.py:20-57, identical in docx/odf/glue).
+  reference lambdas (pdf_to_orpml.py:20-57, identical in docx/odf/glue),
+  reproduced step-for-step (see its docstring for the two documented
+  deviations).
 - ``hash_id``: the deterministic node-id hash
   (misc/stream_update_process/utils/functions.py:5-8) — alnum-lower the
   concatenated key fields, then hash. The reference uses
-  shake_256[:16]; the engine uses sha2-256 truncated to 16 bytes (same
-  determinism/collision properties; a shake-parity pandas UDF exists in
-  operators/enrichment.py for byte-parity needs).
+  shake_256[:16]; the engine substitutes sha2-256 truncated to the same
+  width (identical determinism/collision properties; documented
+  deviation — both are fixed-width one-way digests over the same
+  canonicalized key).
 - ``year_spans``: 4-digit year detection
   (lambdas/legislative_origin_extraction/legislative_origin_extraction.py:45-53).
 - ``sentence_chunks``: sentence segmentation for phrase matching. The
@@ -22,26 +25,92 @@ whole-stage codegen and vectorized parquet reads at 100 TB.
 
 from __future__ import annotations
 
+import string as _string
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
 def clean_text(col: Column | str) -> Column:
-    """Normalization chain of reference pdf_to_orpml.py:20-57:
-    newlines → spaces, collapse whitespace, de-dup punctuation runs,
-    drop stray single-letter tokens, trim, lowercase.
+    """Full-fidelity normalization chain of reference pdf_to_orpml.py:20-57
+    (byte-identical copies in docx_to_orpml.py:30-67 / odf_to_orpml.py:21-58
+    / glue pdf_to_text.py:73-110), in the reference's order:
 
-    Idempotent: clean_text(clean_text(x)) == clean_text(x).
+    newline→space; ' .'→'. '; digit-spacing repair (every number becomes
+    ``' N .'``); whitespace collapse; stray-``' .'`` sweep + doubled-
+    punctuation dedup (remove_excess_punctuation, one pass per
+    ``string.punctuation`` char in order); control-char strip (openpyxl
+    ILLEGAL_CHARACTERS_RE); mergedWords split *before any case change*
+    (``aB``→``a B``, ``ABc``→``A Bc`` — the chain never lowercases);
+    strip; tab→space; ``_x000c_`` removal; ascii-fold; collapse;
+    tag strip ``<.*?>``; ``\\.{4,}``→``.``.
+
+    The reference's lookahead alternation ``[a-z](?=[A-Z])|[A-Z](?=[A-Z][a-z])``
+    is expressed as two sequential backreference passes (AAb first, then
+    aB) so the DuckDB RE2 twin — which has no lookahead — can mirror it;
+    the two forms are equivalent because pass 1 only inserts a space
+    after an uppercase letter, which cannot create or destroy a
+    lower→upper boundary for pass 2.
+
+    Two documented deviations, both strictly more normalized than the
+    reference: the stray-``' .'`` sweep re-runs after pair-dedup (the
+    reference leaks a ``' .'`` when a pair removal lands next to a
+    period), and a final trim (the reference can leave edge whitespace
+    after ascii-fold/tag-strip). These make the chain idempotent on
+    tag-free ASCII input — clean_text(clean_text(x)) == clean_text(x) —
+    which the engine treats as a contract (property-tested).
     """
     c = F.col(col) if isinstance(col, str) else col
-    c = F.lower(c)  # FIRST: the later rules see canonical case
-    c = F.regexp_replace(c, r"[\n\r\t]", " ")  # newlines/tabs → space
-    c = F.regexp_replace(c, r"\.{2,}", ".")  # '....' → '.'
-    # stray article runs: ' (a )+' (greedy) so consecutive ' a a ' can't
-    # leave a residue that a second pass would still remove
-    c = F.regexp_replace(c, r" (a )+", " ")
-    c = F.regexp_replace(c, r"  +", " ")  # collapse runs of spaces
-    return F.trim(c)
+    c = F.replace(c, F.lit("\n"), F.lit(" "))
+    c = F.replace(c, F.lit(" ."), F.lit(". "))
+    c = F.regexp_replace(c, r"(\d+(\.\d+)?)", r" $1 .")  # digit spacing
+    c = F.regexp_replace(c, r"\s+", " ")
+    # remove_excess_punctuation: stray ' .' sweep, then doubled-punct pairs
+    c = F.replace(c, F.lit(" ."), F.lit(""))
+    for p in _string.punctuation:
+        c = F.replace(c, F.lit(p + p), F.lit(""))
+    c = F.replace(c, F.lit(" ."), F.lit(""))  # deviation: re-sweep (idempotence)
+    c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f]", " ")
+    c = F.regexp_replace(c, r"([A-Z])([A-Z][a-z])", r"$1 $2")  # mergedWords...
+    c = F.regexp_replace(c, r"([a-z])([A-Z])", r"$1 $2")  # ...two-pass split
+    c = F.trim(c)
+    c = F.replace(c, F.lit("\t"), F.lit(" "))
+    c = F.replace(c, F.lit("_x000c_"), F.lit(""))
+    c = F.regexp_replace(c, r"[^\x00-\x7F]", "")  # ascii-fold
+    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, r"<.*?>", "")
+    c = F.regexp_replace(c, r"\.{4,}", ".")
+    return F.trim(c)  # deviation: final trim (idempotence)
+
+
+def clean_text_sql(expr: str) -> str:
+    """DuckDB twin of :func:`clean_text` — the same chain as nested SQL
+    over expression ``expr``, for oracle checks. RE2 quirks mirrored:
+    backreference replacements use ``\\1`` and every regexp_replace takes
+    the ``'g'`` flag."""
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    x = f"replace({expr}, chr(10), ' ')"
+    x = f"replace({x}, ' .', '. ')"
+    x = rf"regexp_replace({x}, '(\d+(\.\d+)?)', ' \1 .', 'g')"
+    x = rf"regexp_replace({x}, '\s+', ' ', 'g')"
+    x = f"replace({x}, ' .', '')"
+    for p in _string.punctuation:
+        x = f"replace({x}, {lit(p + p)}, '')"
+    x = f"replace({x}, ' .', '')"
+    x = rf"regexp_replace({x}, '[\x00-\x08\x0b\x0c\x0e-\x1f]', ' ', 'g')"
+    x = rf"regexp_replace({x}, '([A-Z])([A-Z][a-z])', '\1 \2', 'g')"
+    x = rf"regexp_replace({x}, '([a-z])([A-Z])', '\1 \2', 'g')"
+    x = f"trim({x})"
+    x = f"replace({x}, chr(9), ' ')"
+    x = f"replace({x}, '_x000c_', '')"
+    x = rf"regexp_replace({x}, '[^\x00-\x7F]', '', 'g')"
+    x = rf"regexp_replace({x}, '\s+', ' ', 'g')"
+    x = f"regexp_replace({x}, '<.*?>', '', 'g')"
+    x = rf"regexp_replace({x}, '\.{{4,}}', '.', 'g')"
+    return f"trim({x})"
 
 
 def hash_id(*cols: Column | str, length: int = 32) -> Column:

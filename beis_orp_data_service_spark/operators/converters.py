@@ -8,18 +8,41 @@ routed by a Step Functions extension match, plus a bulk dispatcher
 them: one binary DataFrame in, one dispatcher column out — format
 routing is data, not orchestration.
 
-The actual parsers are STUBS (pdfplumber/python-docx/bs4 are not in
-this container): each ``parse_*`` raises NotImplementedError on real
-payloads and falls back to a deterministic fake that decodes the bytes
-as UTF-8 (the test corpus ships text-as-binary). The per-row try/except
-null-row tolerance of the reference's bulk job (notebook cell 4) is
-kept: parse failures yield a null text + error column, counted, never
-thrown.
+DOCX / ODF / HTML kernels are REAL, stdlib-only:
+
+- DOCX (docx_to_orpml.py:102-154 + extract_docx_metadata): unzip
+  ``word/document.xml``, walk ``w:p``/``w:t`` paragraph runs, join with
+  blank lines; core-properties dates/title/creator from
+  ``docProps/core.xml`` (dcterms:modified falling back to created, the
+  reference's prop.modified/prop.created priority).
+- ODF (odf_to_orpml.py:93-151): unzip ``content.xml`` and ``meta.xml``;
+  body = every text node of content.xml space-joined with newlines
+  dropped; metadata from ``office:meta`` (dc:title/dc:date/creator).
+- HTML (html_to_orpml.py:20-67): the 3-tier selector fallback on a
+  stdlib ``html.parser`` mini-DOM — (1) ``id=contentContainer`` body +
+  ``<title>``, (2) last ``<ol><li>`` breadcrumb title + ``<main>``
+  paragraphs, (3) ``id=mainContent`` paragraphs.
+
+Only PDF stays gated: pdfplumber/pdfminer are not in this container, so
+a real ``%PDF`` payload yields a parse-error row (the reference's page
+loop is documented at glue pdf_to_text.py:12-69 for when the lib is
+wired in).
+
+Payloads that are not in their declared container format (the synthetic
+corpus ships text-as-binary) fall back to a UTF-8 decode — the bulk
+job's tolerance posture. Per-row try/except null-row semantics of the
+reference's bulk job (notebook cell 4) are kept: parse failures yield a
+null text + error column, counted, never thrown.
 """
 
 from __future__ import annotations
 
+import io
+import zipfile
+import xml.etree.ElementTree as ET
 from collections.abc import Iterator
+from dataclasses import dataclass
+from html.parser import HTMLParser
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -27,40 +50,236 @@ from pyspark.sql import functions as F
 
 CONVERTED_SCHEMA = (
     "media_id bigint, document_format string, text string, "
-    "n_pages bigint, parse_error string"
+    "n_pages bigint, parse_error string, "
+    "meta_title string, meta_date string, meta_publisher string"
+)
+
+_ZIP_MAGIC = b"PK\x03\x04"
+
+# OpenXML / ODF / Dublin Core namespaces (public schema URIs)
+_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_CORE_NS = {
+    "cp": "http://schemas.openxmlformats.org/package/2006/metadata/core-properties",
+    "dc": "http://purl.org/dc/elements/1.1/",
+    "dcterms": "http://purl.org/dc/terms/",
+}
+_ODF_DC = "{http://purl.org/dc/elements/1.1/}"
+_ODF_META = "{urn:oasis:names:tc:opendocument:xmlns:meta:1.0}"
+
+
+@dataclass
+class Parsed:
+    text: str
+    n_pages: int
+    title: str | None = None
+    date: str | None = None
+    publisher: str | None = None
+
+
+def _page_count(text: str) -> int:
+    # deterministic page-count stand-in for paginated formats
+    return 1 + len(text) // 2000
+
+
+def _fallback_decode(content: bytes) -> Parsed:
+    text = (content or b"").decode("utf-8", errors="replace")
+    return Parsed(text, _page_count(text))
+
+
+def _date10(iso: str | None) -> str | None:
+    """ISO timestamp → '%Y-%m-%d' (the strftime at docx_to_orpml.py:110)."""
+    return iso[:10] if iso else None
+
+
+def parse_pdf(content: bytes) -> Parsed:
+    """E1 — pdfplumber page loop with pdfminer→PyPDF2→fitz fallback chain
+    (glue pdf_to_text.py:12-69). The libs are absent here, so a real PDF
+    payload is a parse-error row; non-PDF bytes take the text fallback."""
+    if content.startswith(b"%PDF"):
+        try:  # pragma: no cover - not installed in this container
+            import pdfplumber  # noqa: F401
+
+            raise NotImplementedError("wire pdfplumber.open(BytesIO(content)) here")
+        except ImportError:
+            raise ValueError("PDF payload but no PDF parser available") from None
+    return _fallback_decode(content)
+
+
+def parse_docx(content: bytes) -> Parsed:
+    """E2 — unzip word/document.xml, iterate w:p paragraphs joining their
+    w:t runs (docx_to_orpml.py:139-154); core-properties metadata with
+    modified-over-created date priority (docx_to_orpml.py:102-125)."""
+    if not content.startswith(_ZIP_MAGIC):
+        return _fallback_decode(content)
+    with zipfile.ZipFile(io.BytesIO(content)) as z:
+        body = ET.XML(z.read("word/document.xml"))
+        core = (
+            ET.XML(z.read("docProps/core.xml"))
+            if "docProps/core.xml" in z.namelist()
+            else None
+        )
+    paragraphs = []
+    for para in body.iter(_W + "p"):
+        runs = [node.text for node in para.iter(_W + "t") if node.text]
+        if runs:
+            paragraphs.append("".join(runs))
+    text = "\n\n".join(paragraphs)
+    title = publisher = date = None
+    if core is not None:
+
+        def prop(path: str) -> str | None:
+            el = core.find(path, _CORE_NS)
+            return el.text if el is not None and el.text else None
+
+        title = prop("dc:title")
+        publisher = prop("dc:creator")
+        date = _date10(prop("dcterms:modified") or prop("dcterms:created"))
+    return Parsed(text, _page_count(text), title, date, publisher)
+
+
+def parse_odf(content: bytes) -> Parsed:
+    """E3 — unzip content.xml/meta.xml; body is every text node of
+    content.xml space-joined with newlines dropped (odf_to_orpml.py:93-151,
+    extract_odf_text); office:meta dc:title/dc:date/initial-creator."""
+    if not content.startswith(_ZIP_MAGIC):
+        return _fallback_decode(content)
+    with zipfile.ZipFile(io.BytesIO(content)) as z:
+        names = set(z.namelist())
+        body = ET.XML(z.read("content.xml")) if "content.xml" in names else None
+        meta = ET.XML(z.read("meta.xml")) if "meta.xml" in names else None
+    if body is None:
+        raise ValueError("ODF container without content.xml")
+    text = " ".join(body.itertext()).replace("\n", " ")
+    title = publisher = date = None
+    if meta is not None:
+        t = meta.find(".//" + _ODF_DC + "title")
+        d = meta.find(".//" + _ODF_DC + "date")
+        c = meta.find(".//" + _ODF_META + "initial-creator")
+        title = t.text if t is not None else None
+        date = _date10(d.text if d is not None else None)
+        publisher = c.text if c is not None else None
+    return Parsed(text, _page_count(text), title, date, publisher)
+
+
+# --- minimal DOM for the HTML selector fallback (stdlib html.parser) ---
+
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta source track wbr".split()
 )
 
 
-def _fake_decode(content: bytes) -> tuple[str, int]:
-    text = (content or b"").decode("utf-8", errors="replace")
-    n_pages = 1 + len(text) // 2000  # deterministic page-count stand-in
-    return text, n_pages
+class _Node:
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: dict[str, str | None]):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list[_Node | str] = []
+
+    def text(self) -> str:
+        out: list[str] = []
+        stack: list[_Node | str] = [self]
+        while stack:
+            cur = stack.pop()
+            if isinstance(cur, str):
+                out.append(cur)
+            else:
+                stack.extend(reversed(cur.children))
+        return "".join(out)
+
+    def find_all(self, tag: str | None = None, node_id: str | None = None):
+        stack = list(reversed(self.children))
+        while stack:
+            cur = stack.pop()
+            if isinstance(cur, str):
+                continue
+            if (tag is None or cur.tag == tag) and (
+                node_id is None or cur.attrs.get("id") == node_id
+            ):
+                yield cur
+            stack.extend(reversed(cur.children))
+
+    def find(self, tag: str | None = None, node_id: str | None = None):
+        return next(self.find_all(tag, node_id), None)
 
 
-def parse_pdf(content: bytes) -> tuple[str, int]:
-    """E1 — pdfplumber page loop with pdfminer→PyPDF2→fitz fallback chain
-    (glue pdf_to_text.py:12-69). Stubbed: decode-as-text fake."""
-    try:  # pragma: no cover - not installed here
-        import pdfplumber  # noqa: F401
+class _DomBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("[document]", {})
+        self._stack = [self.root]
 
-        raise NotImplementedError("wire pdfplumber.open(BytesIO(content)) here")
-    except ImportError:
-        return _fake_decode(content)
+    def handle_starttag(self, tag, attrs):
+        node = _Node(tag, dict(attrs))
+        self._stack[-1].children.append(node)
+        if tag not in _VOID_TAGS:
+            self._stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self._stack[-1].children.append(_Node(tag, dict(attrs)))
+
+    def handle_endtag(self, tag):
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].tag == tag:
+                del self._stack[i:]
+                return
+
+    def handle_data(self, data):
+        if data:
+            self._stack[-1].children.append(data)
 
 
-def parse_docx(content: bytes) -> tuple[str, int]:
-    """E2 — unzip word/document.xml, iterate w:p/w:t (docx_to_orpml.py:102-154)."""
-    return _fake_decode(content)
+def _squash_ws(s: str) -> str:
+    return " ".join(s.replace("\n", " ").split())
 
 
-def parse_odf(content: bytes) -> tuple[str, int]:
-    """E3 — unzip content.xml/meta.xml (odf_to_orpml.py:93-151)."""
-    return _fake_decode(content)
+def _looks_like_html(content: bytes) -> bool:
+    head = content[:512].lstrip()
+    return head.startswith(b"<") and (
+        b"<html" in content[:2048].lower() or b"<!doctype" in head[:64].lower()
+    )
 
 
-def parse_html(content: bytes) -> tuple[str, int]:
-    """E4 — selector-fallback body extraction (html_to_orpml.py:20-84)."""
-    return _fake_decode(content)
+def parse_html(content: bytes) -> Parsed:
+    """E4 — the reference's 3-tier selector fallback
+    (html_to_orpml.py:20-67, get_title_and_text):
+    1. body#contentContainer text, title from <head><title>;
+    2. last <ol><li> breadcrumb as title (else <title>), text = joined
+       <main> paragraph texts;
+    3. same title rule, text = joined #mainContent paragraph texts.
+    """
+    if not _looks_like_html(content):
+        return _fallback_decode(content)
+    builder = _DomBuilder()
+    builder.feed(content.decode("utf-8", errors="replace"))
+    doc = builder.root
+
+    title_el = doc.find("title")
+    head_title = _squash_ws(title_el.text()) if title_el is not None else None
+    ol = doc.find("ol")
+    lis = list(ol.find_all("li")) if ol is not None else []
+    breadcrumb_title = _squash_ws(lis[-1].text()) if lis else None
+
+    # tier 1: dedicated content container
+    container = doc.find(node_id="contentContainer")
+    if container is not None and head_title is not None:
+        text = _squash_ws(container.text())
+        return Parsed(text, _page_count(text), head_title)
+
+    # tier 2: <main> paragraphs
+    main = doc.find("main")
+    title = breadcrumb_title or head_title
+    if main is not None and title is not None:
+        text = _squash_ws(" ".join(p.text() for p in main.find_all("p")))
+        return Parsed(text, _page_count(text), title)
+
+    # tier 3: #mainContent paragraphs
+    container = doc.find(node_id="mainContent")
+    if container is not None and title is not None:
+        text = _squash_ws(" ".join(p.text() for p in container.find_all("p")))
+        return Parsed(text, _page_count(text), title)
+
+    raise ValueError("no extractable HTML content (all selector tiers failed)")
 
 
 PARSERS = {
@@ -73,32 +292,48 @@ PARSERS = {
 
 def convert_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        texts, pages, errors = [], [], []
+        cols: dict[str, list] = {
+            "text": [], "n_pages": [], "parse_error": [],
+            "meta_title": [], "meta_date": [], "meta_publisher": [],
+        }
+
+        def emit(text, pages, err, title=None, date=None, publisher=None):
+            cols["text"].append(text)
+            cols["n_pages"].append(pages)
+            cols["parse_error"].append(err)
+            cols["meta_title"].append(title)
+            cols["meta_date"].append(date)
+            cols["meta_publisher"].append(publisher)
+
         for content, fmt in zip(pdf["content"], pdf["document_format"]):
             parser = PARSERS.get(fmt)
             if parser is None:
-                texts.append(None); pages.append(0); errors.append(f"unsupported format: {fmt}")
+                emit(None, 0, f"unsupported format: {fmt}")
                 continue
             try:
-                t, n = parser(bytes(content or b""))
-                texts.append(t); pages.append(n); errors.append(None)
+                p = parser(bytes(content or b""))
+                emit(p.text, p.n_pages, None, p.title, p.date, p.publisher)
             except Exception as e:  # noqa: BLE001 — per-row tolerance (notebook cell 4)
-                texts.append(None); pages.append(0); errors.append(str(e)[:200])
+                emit(None, 0, str(e)[:200])
         yield pd.DataFrame(
             {
                 "media_id": pdf["media_id"],
                 "document_format": pdf["document_format"],
-                "text": texts,
-                "n_pages": pd.Series(pages, dtype="int64"),
-                "parse_error": errors,
+                "text": cols["text"],
+                "n_pages": pd.Series(cols["n_pages"], dtype="int64"),
+                "parse_error": cols["parse_error"],
+                "meta_title": cols["meta_title"],
+                "meta_date": cols["meta_date"],
+                "meta_publisher": cols["meta_publisher"],
             }
         )
 
 
 def convert_documents(binaries: DataFrame) -> DataFrame:
     """Dispatching converter: (media_id, document_format, content) →
-    (text, n_pages, parse_error). mapInPandas: partition-preserving,
-    binary never leaves the executor, failures are rows not exceptions."""
+    (text, n_pages, parse_error, meta_*). mapInPandas: partition-
+    preserving, binary never leaves the executor, failures are rows not
+    exceptions."""
     return binaries.select("media_id", "document_format", "content").mapInPandas(
         convert_batch, CONVERTED_SCHEMA
     )

@@ -67,13 +67,29 @@ def scd_merge_batch(
 
 
 class ParquetScdSink:
-    """foreachBatch sink maintaining a versioned store in parquet.
+    """foreachBatch sink maintaining an SCD-2 store as immutable parquet
+    snapshots committed by an atomic pointer swap.
 
-    Micro-batch = transaction (the reference commits per SQS message
-    batch, tdb_query_helpers.py:158-183). Overwrite-swap keeps the store
-    readable between batches; on a real deployment this is a Delta MERGE
-    with concurrent-writer isolation instead.
+    Layout: ``<root>/v000000042/part-*.parquet`` snapshot directories
+    plus a tiny ``<root>/_CURRENT`` manifest naming the live snapshot.
+    Each micro-batch (= transaction, the reference commits per SQS
+    message batch, tdb_query_helpers.py:158-183):
+
+    1. distributed-reads the current snapshot,
+    2. merges the batch (idempotent ``scd_merge_batch``),
+    3. writes the NEXT snapshot directory straight from the executors,
+    4. commits by atomically replacing the ``_CURRENT`` pointer
+       (metadata-only; an object-store put on a real deployment),
+    5. prunes snapshots older than the previous one (kept so concurrent
+       readers mid-swap never lose their files).
+
+    No row ever passes through the driver, so store size is bounded by
+    cluster storage, not driver memory; writing to a fresh directory
+    also removes the read-then-overwrite cycle. This is the manifest
+    pattern Delta/Iceberg MERGE implements for managed tables.
     """
+
+    CURRENT = "_CURRENT"
 
     def __init__(self, spark: SparkSession, path: str, key_col: str, order_col: str, id_col: str):
         self.spark = spark
@@ -82,17 +98,46 @@ class ParquetScdSink:
         self.order_col = order_col
         self.id_col = id_col
 
-    def _read_store(self) -> DataFrame | None:
-        if not os.path.exists(self.path):
+    def _current_version(self) -> int | None:
+        pointer = os.path.join(self.path, self.CURRENT)
+        if not os.path.exists(pointer):
             return None
-        return self.spark.read.parquet(self.path)
+        with open(pointer) as f:
+            return int(f.read().strip().lstrip("v"))
+
+    def _snapshot_dir(self, version: int) -> str:
+        return os.path.join(self.path, f"v{version:09d}")
+
+    def _read_store(self) -> DataFrame | None:
+        cur = self._current_version()
+        if cur is None:
+            return None
+        return self.spark.read.parquet(self._snapshot_dir(cur))
 
     def __call__(self, batch: DataFrame, epoch_id: int) -> None:
+        cur = self._current_version()
         store = self._read_store()
         out = scd_merge_batch(store, batch, self.key_col, self.order_col, self.id_col)
-        # materialize before overwrite (store is also the input)
-        pdf = out.toPandas()
-        self.spark.createDataFrame(pdf, out.schema).write.mode("overwrite").parquet(self.path)
+        nxt = 0 if cur is None else cur + 1
+        out.write.mode("overwrite").parquet(self._snapshot_dir(nxt))
+        # atomic commit: swap the pointer, then prune stale snapshots
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, "._current.tmp")
+        with open(tmp, "w") as f:
+            f.write(f"v{nxt:09d}")
+        os.replace(tmp, os.path.join(self.path, self.CURRENT))
+        import shutil
+
+        for name in os.listdir(self.path):
+            if name.startswith("v") and name < f"v{max(nxt - 1, 0):09d}":
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+
+
+def read_scd_store(spark: SparkSession, path: str) -> DataFrame:
+    """Read the live snapshot of a :class:`ParquetScdSink` store."""
+    with open(os.path.join(path, ParquetScdSink.CURRENT)) as f:
+        version = f.read().strip()
+    return spark.read.parquet(os.path.join(path, version))
 
 
 def run_scd_upsert_stream(

@@ -1,0 +1,200 @@
+"""Golden tests for the E1-E4 converter kernels on real container bytes
+built in-test (zip/XML for DOCX+ODF, html for the 3-tier selector), plus
+the per-row failure tolerance and stats accounting through Spark."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from beis_orp_data_service_spark.operators import converters as conv
+
+
+def _zip_bytes(entries: dict[str, str]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for name, data in entries.items():
+            z.writestr(name, data)
+    return buf.getvalue()
+
+
+DOCX_BODY = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+  <w:body>
+    <w:p><w:r><w:t>Guidance on widget </w:t></w:r><w:r><w:t>safety.</w:t></w:r></w:p>
+    <w:p><w:r><w:t xml:space="preserve">Second paragraph text.</w:t></w:r></w:p>
+    <w:p></w:p>
+    <w:tbl><w:tr><w:tc><w:p><w:r><w:t>cell text</w:t></w:r></w:p></w:tc></w:tr></w:tbl>
+  </w:body>
+</w:document>"""
+
+DOCX_CORE = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<cp:coreProperties
+    xmlns:cp="http://schemas.openxmlformats.org/package/2006/metadata/core-properties"
+    xmlns:dc="http://purl.org/dc/elements/1.1/"
+    xmlns:dcterms="http://purl.org/dc/terms/"
+    xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">
+  <dc:title>Widget Safety Guidance</dc:title>
+  <dc:creator>Widget Regulator</dc:creator>
+  <dcterms:created xsi:type="dcterms:W3CDTF">2021-03-01T09:00:00Z</dcterms:created>
+  <dcterms:modified xsi:type="dcterms:W3CDTF">2022-07-15T10:30:00Z</dcterms:modified>
+</cp:coreProperties>"""
+
+
+def docx_fixture() -> bytes:
+    return _zip_bytes({"word/document.xml": DOCX_BODY, "docProps/core.xml": DOCX_CORE})
+
+
+ODF_CONTENT = """<?xml version="1.0" encoding="UTF-8"?>
+<office:document-content
+    xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+    xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">
+  <office:body><office:text>
+    <text:p>Opening paragraph of the ODF.</text:p>
+    <text:p>Closing
+paragraph.</text:p>
+  </office:text></office:body>
+</office:document-content>"""
+
+ODF_META = """<?xml version="1.0" encoding="UTF-8"?>
+<office:document-meta
+    xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+    xmlns:meta="urn:oasis:names:tc:opendocument:xmlns:meta:1.0"
+    xmlns:dc="http://purl.org/dc/elements/1.1/">
+  <office:meta>
+    <dc:title>ODF Fixture Title</dc:title>
+    <dc:date>2020-05-04T12:00:00Z</dc:date>
+    <meta:initial-creator>ODF Author</meta:initial-creator>
+  </office:meta>
+</office:document-meta>"""
+
+
+def odf_fixture() -> bytes:
+    return _zip_bytes({"content.xml": ODF_CONTENT, "meta.xml": ODF_META})
+
+
+HTML_TIER1 = b"""<!doctype html><html><head><title> Tier One Title </title></head>
+<body><div id="contentContainer">Primary
+   container   text.</div><main><p>ignored</p></main></body></html>"""
+
+HTML_TIER2 = b"""<html><head><title>Head Title</title></head><body>
+<ol><li>Home</li><li>Breadcrumb Leaf</li></ol>
+<main><p>First para.</p><div><p>Second para.</p></div></main></body></html>"""
+
+HTML_TIER3 = b"""<html><head><title>T3 Title</title></head><body>
+<div id="mainContent"><p>Only para here.</p></div></body></html>"""
+
+HTML_HOPELESS = b"""<html><head></head><body><div>nothing selectable</div></body></html>"""
+
+
+# --- pure-kernel golden assertions -------------------------------------
+
+
+def test_docx_kernel_text_and_core_properties():
+    p = conv.parse_docx(docx_fixture())
+    assert p.text == "Guidance on widget safety.\n\nSecond paragraph text.\n\ncell text"
+    assert p.title == "Widget Safety Guidance"
+    assert p.publisher == "Widget Regulator"
+    assert p.date == "2022-07-15"  # modified wins over created
+
+
+def test_docx_kernel_created_fallback_date():
+    core = DOCX_CORE.replace(
+        "<dcterms:modified xsi:type=\"dcterms:W3CDTF\">2022-07-15T10:30:00Z</dcterms:modified>",
+        "",
+    )
+    raw = _zip_bytes({"word/document.xml": DOCX_BODY, "docProps/core.xml": core})
+    assert conv.parse_docx(raw).date == "2021-03-01"
+
+
+def test_odf_kernel_text_and_meta():
+    p = conv.parse_odf(odf_fixture())
+    assert "Opening paragraph of the ODF." in p.text
+    assert "Closing paragraph." in " ".join(p.text.split())
+    assert "\n" not in p.text
+    assert p.title == "ODF Fixture Title"
+    assert p.date == "2020-05-04"
+    assert p.publisher == "ODF Author"
+
+
+def test_html_tier1_content_container():
+    p = conv.parse_html(HTML_TIER1)
+    assert p.text == "Primary container text."
+    assert p.title == "Tier One Title"
+
+
+def test_html_tier2_main_paragraphs_and_breadcrumb_title():
+    p = conv.parse_html(HTML_TIER2)
+    assert p.text == "First para. Second para."
+    assert p.title == "Breadcrumb Leaf"
+
+
+def test_html_tier3_main_content():
+    p = conv.parse_html(HTML_TIER3)
+    assert p.text == "Only para here."
+    assert p.title == "T3 Title"
+
+
+def test_html_all_tiers_fail_raises():
+    with pytest.raises(ValueError):
+        conv.parse_html(HTML_HOPELESS)
+
+
+def test_text_as_binary_fallback_all_formats():
+    raw = "plain corpus text".encode()
+    for fmt in ("PDF", "DOCX", "ODF"):
+        assert conv.PARSERS[fmt](raw).text == "plain corpus text"
+    # non-HTML bytes under HTML format also fall back
+    assert conv.parse_html(raw).text == "plain corpus text"
+
+
+def test_real_pdf_payload_is_an_error():
+    with pytest.raises(ValueError):
+        conv.parse_pdf(b"%PDF-1.7 stream...")
+
+
+def test_corrupt_zip_raises():
+    with pytest.raises(Exception):
+        conv.parse_docx(b"PK\x03\x04 this is not a zip")
+
+
+# --- Spark-side dispatch, tolerance, stats -----------------------------
+
+
+def test_convert_documents_mixed_batch(spark):
+    rows = [
+        (1, "DOCX", bytearray(docx_fixture())),
+        (2, "ODF", bytearray(odf_fixture())),
+        (3, "HTML", bytearray(HTML_TIER2)),
+        (4, "PDF", bytearray(b"%PDF-1.4 real pdf")),          # error row
+        (5, "DOCX", bytearray(b"PK\x03\x04broken")),           # error row
+        (6, "EPUB", bytearray(b"whatever")),                   # unsupported
+        (7, "PDF", bytearray("fallback text".encode())),       # fallback
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id bigint, document_format string, content binary"
+    )
+    out = {r.media_id: r for r in conv.convert_documents(df).collect()}
+    assert out[1].text.startswith("Guidance on widget safety.")
+    assert out[1].meta_title == "Widget Safety Guidance"
+    assert out[1].meta_date == "2022-07-15"
+    assert out[2].meta_publisher == "ODF Author"
+    assert out[3].text == "First para. Second para."
+    assert out[3].meta_title == "Breadcrumb Leaf"
+    for bad in (4, 5, 6):
+        assert out[bad].text is None
+        assert out[bad].parse_error is not None
+        assert out[bad].n_pages == 0
+    assert out[7].text == "fallback text"
+
+    stats = {
+        r.document_format: r
+        for r in conv.conversion_stats(conv.convert_documents(df)).collect()
+    }
+    assert stats["PDF"].n_docs == 2 and stats["PDF"].n_failures == 1
+    assert stats["DOCX"].n_docs == 2 and stats["DOCX"].n_failures == 1
+    assert stats["EPUB"].n_failures == 1
+    assert stats["HTML"].n_failures == 0

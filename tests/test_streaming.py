@@ -67,7 +67,7 @@ def test_scd_upsert_stream_invariants(spark, events_json_dir, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    out = spark.read.parquet(store).toPandas()
+    out = st.read_scd_store(spark, store).toPandas()
     assert len(out) == 200  # every message applied exactly once
     live = out[out.status == "published"].groupby("user_id").size()
     assert (live == 1).all()  # one live version per key
@@ -92,6 +92,37 @@ def test_scd_upsert_redelivery_idempotent(spark, events_json_dir, tmp_path):
             q.processAllAvailable()
         finally:
             q.stop()
-    out = spark.read.parquet(store).toPandas()
+    out = st.read_scd_store(spark, store).toPandas()
     assert len(out) == 200
     assert (out.groupby("user_id").version.max() == out.groupby("user_id").size()).all()
+
+
+def test_scd_sink_never_materializes_on_driver(spark, events_json_dir, tmp_path, monkeypatch):
+    # the sink must stream executor→parquet; any driver-side collect of
+    # the store (toPandas/collect) is a scale bug — poison both for the
+    # duration of the run
+    from pyspark.sql import DataFrame
+
+    def _poisoned(self, *a, **k):
+        raise AssertionError("driver-side materialization inside SCD sink")
+
+    monkeypatch.setattr(DataFrame, "toPandas", _poisoned)
+    monkeypatch.setattr(DataFrame, "collect", _poisoned)
+    store = str(tmp_path / "store3")
+    q = st.run_scd_upsert_stream(spark, events_json_dir, store)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    monkeypatch.undo()
+    out = st.read_scd_store(spark, store).toPandas()
+    assert len(out) == 200
+    # snapshot layout: a _CURRENT pointer plus at most two snapshot dirs
+    import os
+
+    names = sorted(os.listdir(store))
+    assert st.ParquetScdSink.CURRENT in names
+    snap_dirs = [n for n in names if n.startswith("v")]
+    assert 1 <= len(snap_dirs) <= 2
+    with open(os.path.join(store, st.ParquetScdSink.CURRENT)) as f:
+        assert f.read().strip() == snap_dirs[-1]

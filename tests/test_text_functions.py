@@ -37,9 +37,62 @@ def test_clean_text_idempotent(strings):
 
 def test_clean_text_normalizes(strings):
     got = {r.id: r.c for r in strings.select("id", clean_text("s").alias("c")).collect()}
-    assert got["s1"] == "hello world new line tab"
-    assert got["s2"] == "dots. and more.dots"
+    # case is PRESERVED (the reference chain never lowercases)
+    assert got["s1"] == "Hello World new line tab"
+    # doubled-punct pairs are removed left-to-right (remove_excess_punctuation)
+    assert got["s2"] == "dots and moredots"
     assert got["s4"] == "already clean text"
+    # digit-spacing repair wraps numbers, then the ' .' sweep re-joins
+    assert got["s5"] == "The Act of 1998 and the 2006 Regulations, not 1066 or 21000"
+
+
+def _reference_chain(text: str) -> str:
+    """The literal reference normalization (pdf_to_orpml.py:20-57) as an
+    in-test oracle, lookaheads and all."""
+    import re
+    import string
+
+    text = str(text).replace("\n", " ")
+    text = text.replace(" .", ". ")
+    text = re.sub(r"(\d+(\.\d+)?)", r" \1 .", text)
+    text = re.sub(r"\s+", " ", text)
+    text = text.replace(" .", "")
+    for p in string.punctuation:
+        text = text.replace(p + p, "")
+    text = re.sub(r"[\000-\010]|[\013-\014]|[\016-\037]", " ", text)
+    text = re.sub(r"([a-z](?=[A-Z])|[A-Z](?=[A-Z][a-z]))", r"\1 ", text)
+    text = text.strip()
+    text = text.replace("\t", " ")
+    text = text.replace("_x000c_", "")
+    text = text.encode("ascii", "ignore").decode("utf-8")
+    text = re.sub(r"\s+", " ", text)
+    text = re.sub(r"<.*?>", "", text)
+    text = re.sub(r"\.{4,}", ".", text)
+    return text
+
+
+def test_clean_text_matches_reference_chain(spark):
+    """Byte-parity with the reference chain on representative prose
+    (the engine's two deviations — ' .' re-sweep and final trim — only
+    fire on pathological punctuation adjacencies, asserted separately)."""
+    fixtures = [
+        "The  Merged WordsProblem appears inPDFExtractions often",
+        "Section 12.5 applies from 1998 onwards; see page 3",
+        "Tabs\tand\nnewlines   and form\x0cfeeds_x000c_ here",
+        "naïve café résumé — unicode folds away",
+        "<p>tags stripped</p> but math a<b stays",
+        "dotted....lines......everywhere....",
+        "CamelCase and ALLCAPS and aWordWithInnerCaps",
+        "price is 3.14159 pounds and 2,500 units",
+        "", "   ", "single",
+    ]
+    df = spark.createDataFrame([(s,) for s in fixtures], "s string")
+    got = [r.c for r in df.select(clean_text("s").alias("c")).collect()]
+    for s, g in zip(fixtures, got):
+        want = _reference_chain(s)
+        # deviations: engine additionally trims + re-sweeps ' .'
+        want = want.replace(" .", "").strip()
+        assert g == want, f"{s!r}: {g!r} != {want!r}"
 
 
 def test_hash_id_deterministic_and_case_insensitive(spark):
