@@ -101,7 +101,7 @@ def q_search_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en") & F.lower(F.col("text")).contains("spark")
     ).select("doc_id", "source", "n_chars")
     paged = search_ops.sort_page(
-        filtered, order_col="n_chars", ascending=False, page=1, page_size=10,
+        filtered, order_col="n_chars", ascending=False, page=0, page_size=10,
         tiebreak="doc_id",
     )
     per_source = docs.groupBy("source").agg(F.count("*").alias("n_docs_in_source"))
@@ -241,7 +241,7 @@ def q_sort_page(spark, sf_dir):
         "o_orderkey", "o_orderdate", "o_totalprice"
     )
     return search_ops.sort_page(
-        orders, order_col="o_orderdate", ascending=False, page=3, page_size=10,
+        orders, order_col="o_orderdate", ascending=False, page=2, page_size=10,
         tiebreak="o_orderkey",
     )
 
@@ -517,20 +517,23 @@ def l_join(spark, sf_dir):
     WITH e AS (
       SELECT unnest(string_split(p_name, ' ')) AS word, p_partkey, p_brand
       FROM part
-    ), m AS (
-      SELECT word, min(p_partkey) AS p_partkey FROM e GROUP BY word
+    ), r AS (
+      SELECT e.*, row_number() OVER (PARTITION BY word
+                                     ORDER BY p_partkey, p_brand) AS rn
+      FROM e
     )
-    SELECT e.word, e.p_partkey, e.p_brand
-    FROM e JOIN m USING (word, p_partkey)
+    SELECT word, p_partkey, p_brand FROM r WHERE rn = 1
     """,
 )
 def l_explode(spark, sf_dir):
-    # L4 — explode + deterministic dedupe (legislation_table_update.py:80-81)
+    # L4 — explode + deterministic dedupe (legislation_table_update.py:80-81);
+    # row_number keeps exactly one survivor per word even on partkey ties
     part = _t(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", F.split("p_name", " ").alias("words")
     )
     return dim_ops.explode_dedupe(
-        part, "words", out_col="word", keep_min_of="p_partkey"
+        part, "words", out_col="word", keep_min_of="p_partkey",
+        tiebreak=["p_brand"],
     ).select("word", "p_partkey", "p_brand")
 
 
@@ -540,11 +543,12 @@ def l_explode(spark, sf_dir):
     WITH f AS (
       SELECT md5(source || '|' || lang) AS group_key, doc_id, source, n_chars
       FROM documents WHERE text IS NOT NULL AND n_chars >= 150
-    ), m AS (
-      SELECT group_key, min(doc_id) AS doc_id FROM f GROUP BY group_key
+    ), r AS (
+      SELECT f.*, row_number() OVER (PARTITION BY group_key
+                                     ORDER BY doc_id) AS rn
+      FROM f
     )
-    SELECT f.group_key, f.doc_id, f.source, f.n_chars
-    FROM f JOIN m USING (group_key, doc_id)
+    SELECT group_key, doc_id, source, n_chars FROM r WHERE rn = 1
     """,
 )
 def l_preprocess(spark, sf_dir):
@@ -1056,7 +1060,7 @@ def dedup_exact(spark, sf_dir):
       SELECT doc_id,
              unnest(list_distinct(
                [array_to_string(t[i:i+2], ' ')
-                for i in range(1, greatest(len(t) - 2, 1) + 1)])) AS gram
+                for i in range(1, greatest(len(t) - 2, 0) + 1)])) AS gram
       FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
     ), keep AS (
       SELECT gram FROM g0 GROUP BY gram HAVING count(*) <= 100

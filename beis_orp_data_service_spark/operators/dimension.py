@@ -15,6 +15,23 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _keep_first(
+    df: DataFrame, key_col: str, order_col: str, tiebreak: Sequence[str]
+) -> DataFrame:
+    """Exactly-one-row-per-key dedupe: row_number() == 1 over
+    (partitionBy key, orderBy order_col + tiebreak). Ties on the order
+    column alone would keep BOTH rows under a groupBy-min + join-back —
+    row_number preserves the pandas drop_duplicates invariant (one
+    survivor per key) even for non-unique order columns."""
+    w = Window.partitionBy(key_col).orderBy(order_col, *tiebreak)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def derive_split_field(col: Column | str, delim: str, index: int) -> Column:
@@ -36,22 +53,23 @@ def left_join_dim(fact: DataFrame, dim: DataFrame, on: Sequence[str] | Column) -
 
 
 def explode_dedupe(
-    df: DataFrame, array_col: str, out_col: str, keep_min_of: str
+    df: DataFrame,
+    array_col: str,
+    out_col: str,
+    keep_min_of: str,
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """L4 — one row per candidate title + drop_duplicates
     (legislation_table_update.py:80-81).
 
     pandas drop_duplicates keeps the first row in frame order; a
     distributed engine has no frame order, so the engine makes the
-    choice explicit and deterministic: per exploded value, keep the row
-    with the minimum ``keep_min_of``.
+    choice explicit and deterministic: per exploded value, keep the
+    single row that sorts first on (``keep_min_of``, *tiebreak*).
+    Exactly one survivor per value even when ``keep_min_of`` ties.
     """
     exploded = df.withColumn(out_col, F.explode(array_col))
-    return (
-        exploded.groupBy(out_col)
-        .agg(F.min(keep_min_of).alias(keep_min_of))
-        .join(exploded, [out_col, keep_min_of])
-    )
+    return _keep_first(exploded, out_col, keep_min_of, tiebreak)
 
 
 def preprocess(
@@ -59,17 +77,14 @@ def preprocess(
     not_null_col: str,
     dedupe_key: Column | str,
     order_col: str,
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """L5 — the bulk-migration preprocess chain
     (bulk_migration/data_preprocess.py:107-117): filter non-null uri,
-    dedupe by raw_uri (deterministically: min ``order_col`` wins),
+    dedupe by raw_uri (deterministically: the row sorting first on
+    (``order_col``, *tiebreak*) wins — exactly one survivor per key),
     ready for node/link hashing downstream.
     """
     key = F.col(dedupe_key) if isinstance(dedupe_key, str) else dedupe_key
     filtered = df.filter(F.col(not_null_col).isNotNull()).withColumn("_k", key)
-    return (
-        filtered.groupBy("_k")
-        .agg(F.min(order_col).alias(order_col))
-        .join(filtered, ["_k", order_col])
-        .drop("_k")
-    )
+    return _keep_first(filtered, "_k", order_col, tiebreak).drop("_k")

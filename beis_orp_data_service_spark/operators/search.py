@@ -51,7 +51,7 @@ class SearchParams:
     status: Sequence[str] = field(default_factory=list)
     document_type: Sequence[str] = field(default_factory=list)
     regulatory_topic: str | None = None
-    page: int = 1
+    page: int = 0  # 0-based, reference handler.py:20 (offset = page*size)
     page_size: int = DEFAULT_PAGE_SIZE
     order: str = "desc"  # sort on date_published
 
@@ -99,8 +99,10 @@ def sort_page(
 ) -> DataFrame:
     """Q9 + Q10 — deterministic sort + offset pagination.
 
-    A unique tiebreak column makes pagination stable — the reference
-    relies on pandas' stable sort (search_functions.py:121-122).
+    ``page`` is 0-based with offset = page·page_size — the reference
+    API contract (handler.py:20: page defaults 0). A unique tiebreak
+    column makes pagination stable — the reference relies on pandas'
+    stable sort (search_functions.py:121-122).
 
     Scale shape: ``orderBy(...).limit(offset+size)`` compiles to
     TakeOrderedAndProject — a distributed per-partition top-K followed by
@@ -113,7 +115,7 @@ def sort_page(
         if ascending
         else [F.col(order_col).desc(), F.col(tiebreak).desc()]
     )
-    lo = (page - 1) * page_size
+    lo = page * page_size
     top = df.orderBy(*cols).limit(lo + page_size)
     w = Window.orderBy(*cols)
     return (

@@ -57,7 +57,7 @@ def parse_request(body: dict[str, Any]) -> SearchParams:
         status=body.get("status", []),
         document_type=body.get("document_type", []),
         regulatory_topic=body.get("regulatory_topic"),
-        page=int(body.get("page", 1)),
+        page=int(body.get("page", 0)),  # 0-based, handler.py:20
         page_size=int(body.get("page_size", 10)),
         order=body.get("order", "desc"),
     )

@@ -43,11 +43,15 @@ def kv_upsert(
     partition directory; dynamic partition overwrite replaces only the
     delivered keys. Replaying a delivery window converges (the
     reference's weekly refresh overlap, legislation_table_update.py:119-121).
+
+    The overwrite mode is passed per-write (DataFrameWriter option), not
+    set on the shared session conf — a session-level
+    partitionOverwriteMode=dynamic would silently turn every later
+    partitioned overwrite into touched-partitions-only.
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    updates.withColumn("_k", F.col(key_col)).write.mode("overwrite").partitionBy(
-        "_k"
-    ).parquet(path)
+    updates.withColumn("_k", F.col(key_col)).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("_k").parquet(path)
 
 
 def read_kv(spark: SparkSession, path: str) -> DataFrame:

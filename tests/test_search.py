@@ -87,8 +87,9 @@ def test_empty_result_path(docs):
 
 def test_sort_page_stable_and_disjoint(docs):
     base = docs.filter(build_predicate(SearchParams()))
-    p1 = sort_page(base, "date_published", False, 1, 2, "document_uid")
-    p2 = sort_page(base, "date_published", False, 2, 2, "document_uid")
+    # 0-based pages (reference handler.py:20)
+    p1 = sort_page(base, "date_published", False, 0, 2, "document_uid")
+    p2 = sort_page(base, "date_published", False, 1, 2, "document_uid")
     ids1 = [r.document_uid for r in p1.collect()]
     ids2 = [r.document_uid for r in p2.collect()]
     assert ids1 == ["d2", "d5"]  # 2021-03-05, then 2021-02-01 tie → uid desc
