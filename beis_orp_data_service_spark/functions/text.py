@@ -148,6 +148,25 @@ def sentence_chunks(col: Column | str, width: int = 8) -> Column:
     )
 
 
+def sentences(col: Column | str, fallback_width: int | None = 8) -> Column:
+    """Period sentencizer — the reference's custom_sentencizer scans for
+    ``.`` tokens only (legislative_origin_extraction.py:18-27): split on
+    periods, trim each piece, drop empties. Text containing no period at
+    all falls back to ``sentence_chunks(fallback_width)`` (pass
+    ``fallback_width=None`` for strict period-only splitting, where a
+    period-free document is one single sentence)."""
+    c = F.col(col) if isinstance(col, str) else col
+    parts = F.filter(
+        F.transform(F.split(c, r"\."), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    if fallback_width is None:
+        return parts
+    return F.when(c.contains("."), parts).otherwise(
+        sentence_chunks(col, fallback_width)
+    )
+
+
 def scan_window(col: Column | str, min_chars: int = 2000, fraction: float = 0.1) -> Column:
     """Search-space pruning of the reference's bulk jobs: scan only the
     first max(min_chars, fraction*len) characters

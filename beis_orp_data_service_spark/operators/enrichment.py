@@ -14,7 +14,11 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from beis_orp_data_service_spark.functions.text import tokens, sentence_chunks
+from beis_orp_data_service_spark.functions.text import (
+    sentence_chunks,
+    sentences,
+    tokens,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -35,45 +39,74 @@ def title_rule(text_col: Column | str, n_chars_col: Column | str,
     )
 
 
+def percentage_shortener(
+    text_col: str, n_chars_col: str | None = None, percentage: float = 0.1
+) -> Column:
+    """Reference percentage_shortener (get_title.py:10-21), expression
+    form: take the first ``int(len(text)·percentage)`` *words* (the
+    reference indexes the word list with a character count — kept
+    verbatim, deviation-free), then append the remainder of the text up
+    to its first period. Pure projection."""
+    text = F.col(text_col)
+    n_chars = F.col(n_chars_col) if n_chars_col else F.length(text)
+    words = F.split(text, " ")
+    k = F.least((n_chars * percentage).cast("int"), F.size(words))
+    shortened = F.concat_ws(" ", F.slice(words, 1, k))
+    remainder = F.substring(text, F.length(shortened) + 1, F.lit(2**31 - 1))
+    first_sent = F.substring_index(remainder, ".", 1)
+    return F.concat(shortened, first_sent)
+
+
 def title_window_max(
     df: DataFrame,
     text_col: str,
+    title_col: str,
     id_col: str,
-    window_len: int = 5,
+    padding: int = 0,
     max_candidates: int = 1000,
 ) -> DataFrame:
     """N3 — metadata-title-in-text scoring
-    (title_generation/search_metadata_title/get_title.py:10-87): slide a
-    title-length window over the token stream, score each window against
-    the title, keep the max (earliest window wins ties — the reference
-    iterates in order and keeps the first max).
-
-    The title here is the document's leading ``window_len`` tokens (the
-    reference compares against the uploaded metadata title; the engine
-    takes the title as just another column). Candidate windows are
-    capped at ``max_candidates`` (get_title.py:41-46).
+    (title_generation/search_metadata_title/get_title.py:10-87): shorten
+    the text (``percentage_shortener``, 10%), slide a window of the
+    *metadata title's* token length (+``padding``,
+    rolling_padded_sentence get_title.py:33) over the shortened token
+    stream, score each window against the title, keep the max (earliest
+    window wins ties — the reference iterates in order and keeps the
+    first max). Candidate windows are capped at ``max_candidates``
+    (get_title.py:41-46). Scoring substitutes deterministic token
+    overlap for the reference's spacy embedding cosine (documented
+    model-free twin); a document with no candidate windows scores 0
+    with window 0 (get_title.py:68-71).
 
     Everything is array-valued per row — no explode, no shuffle: the
     whole operator is a projection, embarrassingly parallel at 100 TB.
     """
-    t = tokens(text_col)
-    title = F.slice(t, 1, window_len)
-    n_windows = F.least(
-        F.size(t) - F.lit(window_len - 1), F.lit(max_candidates)
-    )
+    st = F.split(F.trim(percentage_shortener(text_col)), r"\s+")
+    title_toks = tokens(title_col)
+    wlen = F.size(title_toks) + F.lit(padding)
+    n_windows = F.least(F.size(st) - wlen + 1, F.lit(max_candidates))
+    # greatest(..., 1): sequence(1, 0) would count DOWN ([1, 0]); the
+    # no-window case is masked out by `has_windows` below instead
     scores = F.transform(
-        F.sequence(F.lit(1), n_windows),
+        F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
         lambda i: F.size(
             F.filter(
-                F.slice(t, i, window_len), lambda x: F.array_contains(title, x)
+                F.slice(st, i, wlen), lambda x: F.array_contains(title_toks, x)
             )
         ),
     )
-    best_score = F.array_max(scores)
-    best_idx = F.array_position(scores, best_score)
-    return df.filter(F.size(t) >= window_len * 2).select(
+    # length guard: split(trim('')) is [''] (size 1), not [] — an empty
+    # text must score (0, 0) like the numpy twin's empty token list
+    has_windows = (n_windows >= 1) & (
+        F.length(F.trim(F.col(text_col))) > 0
+    )
+    best_score = F.when(has_windows, F.array_max(scores)).otherwise(F.lit(0))
+    best_idx = F.when(
+        has_windows, F.array_position(scores, F.array_max(scores))
+    ).otherwise(F.lit(0))
+    return df.select(
         F.col(id_col),
-        best_score.alias("best_score"),
+        best_score.cast("int").alias("best_score"),
         best_idx.cast("bigint").alias("best_window_idx"),
     )
 
@@ -81,15 +114,17 @@ def title_window_max(
 def title_window_max_np(
     df: DataFrame,
     text_col: str,
+    title_col: str,
     id_col: str,
-    window_len: int = 5,
+    padding: int = 0,
     max_candidates: int = 1000,
 ) -> DataFrame:
-    """N3 hot path — same semantics as ``title_window_max`` but the
-    window scoring is a numpy sliding-sum inside an Arrow-batched
-    pandas UDF: membership via np.isin, window scores via cumsum
-    difference, first-argmax tiebreak via np.argmax. Identical integer
-    results (tests assert equality with the expression form)."""
+    """N3 hot path — same semantics as ``title_window_max`` (incl. the
+    percentage_shortener preamble) but the window scoring is a numpy
+    sliding-sum inside an Arrow-batched pandas UDF: membership via
+    np.isin, window scores via cumsum difference, first-argmax tiebreak
+    via np.argmax. Identical integer results (tests assert equality
+    with the expression form)."""
     from pyspark.sql import types as T
 
     out_type = T.StructType(
@@ -100,27 +135,37 @@ def title_window_max_np(
     )
 
     @F.pandas_udf(out_type)
-    def _score(texts: pd.Series) -> pd.DataFrame:
+    def _score(texts: pd.Series, titles: pd.Series) -> pd.DataFrame:
         scores, idxs = [], []
-        for t in texts:
-            toks = np.array((t or "").strip().split())
-            title = toks[:window_len]
-            member = np.isin(toks, title).astype(np.int64)
+        for t, title in zip(texts, titles):
+            t = t or ""
+            k = min(int(len(t) * 0.1), len(t.split(" ")))
+            shortened = " ".join(t.split(" ")[:k])
+            short_text = shortened + t[len(shortened):].split(".")[0]
+            toks = np.array(short_text.strip().split())
+            # split(trim(x), '\s+') yields [''] for empty x in both the
+            # expression form and DuckDB — mirror that here so an empty
+            # title means wlen 1 / zero matches, not wlen 0
+            title_toks = np.array((title or "").strip().split() or [""])
+            wlen = len(title_toks) + padding
+            n = min(len(toks) - wlen + 1, max_candidates)
+            if n < 1:
+                scores.append(0)
+                idxs.append(0)
+                continue
+            member = np.isin(toks, title_toks).astype(np.int64)
             c = np.concatenate([[0], np.cumsum(member)])
-            win = c[window_len:] - c[:-window_len]  # sliding sums
-            n = min(len(win), max_candidates)
-            win = win[:n]
-            best = int(win.max())
-            scores.append(best)
+            win = (c[wlen:] - c[:-wlen])[:n]  # sliding sums
+            scores.append(int(win.max()))
             idxs.append(int(win.argmax()) + 1)  # first max, 1-based
         return pd.DataFrame({"best_score": scores, "best_window_idx": idxs})
 
-    t = tokens(text_col)
-    return (
-        df.filter(F.size(t) >= window_len * 2)
-        .select(F.col(id_col), _score(F.col(text_col)).alias("r"))
-        .select(id_col, F.col("r.best_score").alias("best_score"),
-                F.col("r.best_window_idx").alias("best_window_idx"))
+    return df.select(
+        F.col(id_col), _score(F.col(text_col), F.col(title_col)).alias("r")
+    ).select(
+        id_col,
+        F.col("r.best_score").alias("best_score"),
+        F.col("r.best_window_idx").alias("best_window_idx"),
     )
 
 
@@ -149,6 +194,54 @@ def keyword_dedupe_max(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= top_k)
         .select(id_col, "keyword", "score", "rank")
+    )
+
+
+# Reference stopword extras (keyword_extraction.py:38-39) on top of a
+# compact English core — one deterministic list shared with the oracle.
+KEYWORD_STOPWORDS: tuple[str, ...] = (
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
+    "has", "have", "in", "is", "it", "its", "of", "on", "or", "that",
+    "the", "this", "to", "was", "were", "will", "with",
+    "use", "uses", "used", "www", "gov", "uk", "guidance", "pubns",
+    "page",
+)
+
+
+def keyword_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int = 15,
+    stopwords: tuple[str, ...] = KEYWORD_STOPWORDS,
+) -> DataFrame:
+    """N5, relational half — the CountVectorizer preprocessing +
+    term-count candidates of keyword extraction
+    (keyword_extraction.py:27-57,60-78): strip non-alpha to spaces,
+    lowercase, tokenize, drop stopwords and single-character tokens,
+    count terms per document, keep the ``top_n`` by count (ties broken
+    keyword-ascending for determinism). The KeyBERT embedding re-rank
+    on top of these candidates is the model half (operators/models.py);
+    this relational half is what runs at corpus scale and is
+    oracle-checkable.
+
+    The same candidate counts are what Spark ML's ``CountVectorizer``
+    produces as a term-frequency vector — tested for equality — but the
+    relational form keeps the lazy per-doc top-n inside Catalyst (one
+    shuffle on (doc, term), window over ≤ vocab-per-doc rows).
+    """
+    cleaned = F.lower(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", " "))
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.trim(cleaned), r"\s+")).alias("keyword")
+    ).filter((F.length("keyword") > 1) & ~F.col("keyword").isin(*stopwords))
+    counts = words.groupBy(id_col, "keyword").agg(
+        F.count("*").alias("n_mentions")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("n_mentions"), F.asc("keyword"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_n)
+        .select(id_col, "keyword", "n_mentions", "rank")
     )
 
 
@@ -203,21 +296,32 @@ def phrase_match_first_sentence(
     needles: DataFrame,
     needle_col: str = "needle",
     sentence_width: int = 8,
+    sentencizer: str = "period",
 ) -> DataFrame:
     """N12 — legislation phrase match with first-sentence early stop
     (legislative_origin_extraction.py:86-127): segment into sentences,
     match candidate phrases per sentence, keep only matches from the
     FIRST sentence that has any.
 
+    ``sentencizer="period"`` (default) splits on ``.`` exactly like the
+    reference's custom_sentencizer (legislative_origin_extraction.py:
+    18-27), falling back to fixed ``sentence_width``-token chunks for a
+    document with no periods at all; ``sentencizer="chunks"`` forces the
+    fixed-width segmentation.
+
     The reference short-circuits a Python loop; set-wise the same result
     is "rank sentences, keep matches at min(rank)" — fully parallel, no
     early-exit control flow needed (SURVEY §4). Needles are broadcast.
     """
+    if sentencizer == "period":
+        seg = sentences(text_col, fallback_width=sentence_width)
+    elif sentencizer == "chunks":
+        seg = sentence_chunks(text_col, sentence_width)
+    else:
+        raise ValueError(f"unknown sentencizer: {sentencizer!r}")
     sent = docs.select(
         F.col(id_col),
-        F.posexplode(sentence_chunks(text_col, sentence_width)).alias(
-            "sent_idx", "sentence"
-        ),
+        F.posexplode(seg).alias("sent_idx", "sentence"),
     )
     padded = F.concat(F.lit(" "), F.col("sentence"), F.lit(" "))
     matches = sent.join(

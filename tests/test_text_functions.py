@@ -125,12 +125,113 @@ def test_title_window_max_np_equals_expr(spark):
     from beis_orp_data_service_spark.catalog import load_table
     from beis_orp_data_service_spark.operators import enrichment as enr
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").withColumn(
+        "meta_title",
+        F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 11, 5)),
+    )
     a = {r.doc_id: (r.best_score, r.best_window_idx)
-         for r in enr.title_window_max(docs, "text", "doc_id").collect()}
+         for r in enr.title_window_max(
+             docs, "text", "meta_title", "doc_id").collect()}
     b = {r.doc_id: (r.best_score, r.best_window_idx)
-         for r in enr.title_window_max_np(docs, "text", "doc_id").collect()}
+         for r in enr.title_window_max_np(
+             docs, "text", "meta_title", "doc_id").collect()}
     assert a == b
+
+
+def test_title_window_max_finds_planted_title(spark):
+    from beis_orp_data_service_spark.operators import enrichment as enr
+
+    # the metadata title appears verbatim at token offset 3 → that
+    # window must score a full match, earliest-max tiebreak
+    text = "x1 x2 x3 my proper title x4 x5 x6 x7 x8 x9 x10 x11 x12 x13 x14"
+    df = spark.createDataFrame(
+        [(1, text, "my proper title")], "doc_id long, text string, t string"
+    )
+    r = enr.title_window_max(df, "text", "t", "doc_id").first()
+    assert (r.best_score, r.best_window_idx) == (3, 4)
+    r2 = enr.title_window_max_np(df, "text", "t", "doc_id").first()
+    assert (r2.best_score, r2.best_window_idx) == (3, 4)
+
+
+def test_percentage_shortener_stops_at_first_period(spark):
+    from beis_orp_data_service_spark.operators import enrichment as enr
+
+    # 100 chars -> k=10 words kept, then the remainder up to its first
+    # period (reference get_title.py:10-21)
+    words = " ".join(f"w{i:02d}" for i in range(20))  # 99 chars, 20 words
+    text = words + "x. tail after period"
+    df = spark.createDataFrame([(text,)], "text string")
+    out = df.select(enr.percentage_shortener("text").alias("s")).first().s
+    assert out.endswith("w19x") and "tail" not in out
+
+
+def test_sentences_period_split_and_fallback(spark):
+    from beis_orp_data_service_spark.functions.text import sentences
+
+    df = spark.createDataFrame(
+        [("First one. Second one here. Tail",), ("no periods at all here",)],
+        "s string",
+    )
+    got = [r.c for r in df.select(sentences("s", fallback_width=2).alias("c")).collect()]
+    assert got[0] == ["First one", "Second one here", "Tail"]
+    assert got[1] == ["no periods", "at all", "here"]  # chunk fallback
+    strict = df.select(sentences("s", fallback_width=None).alias("c")).collect()
+    assert strict[1].c == ["no periods at all here"]  # one sentence
+
+
+def test_phrase_match_first_sentence_period_prose(spark):
+    from beis_orp_data_service_spark.operators import enrichment as enr
+
+    # prose fixture: the Data Act 2001 match in sentence 2 must be
+    # suppressed because sentence 1 already matched (early stop);
+    # doc 2's only match is in its second sentence and survives
+    docs = spark.createDataFrame(
+        [
+            (1, "Intro under the Water Act 1999 applies. The Data Act 2001 too."),
+            (2, "Nothing relevant here. See the Data Act 2001 for details."),
+        ],
+        "doc_id long, text string",
+    )
+    needles = spark.createDataFrame(
+        [("Water Act 1999",), ("Data Act 2001",)], "needle string"
+    )
+    got = {
+        (r.doc_id, r.sent_idx, r.needle)
+        for r in enr.phrase_match_first_sentence(
+            docs, "doc_id", "text", needles, sentencizer="period"
+        ).collect()
+    }
+    assert got == {(1, 0, "Water Act 1999"), (2, 1, "Data Act 2001")}
+
+
+def test_keyword_candidates_match_countvectorizer(spark):
+    """The relational N5 candidates are exactly Spark ML CountVectorizer
+    term frequencies over the same preprocessed tokens."""
+    from pyspark.ml.feature import CountVectorizer
+
+    from beis_orp_data_service_spark.catalog import load_table
+    from beis_orp_data_service_spark.operators import enrichment as enr
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    got = {
+        (r.doc_id, r.keyword): r.n_mentions
+        for r in enr.keyword_candidates(docs, "doc_id", "text", top_n=5).collect()
+    }
+
+    cleaned = F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z]", " "))
+    toks = F.filter(
+        F.split(F.trim(cleaned), r"\s+"),
+        lambda x: (F.length(x) > 1) & ~x.isin(*enr.KEYWORD_STOPWORDS),
+    )
+    cv = CountVectorizer(inputCol="toks", outputCol="vec", minDF=1.0)
+    prepped = docs.select("doc_id", toks.alias("toks"))
+    model = cv.fit(prepped)
+    vocab = model.vocabulary
+    for row in model.transform(prepped).select("doc_id", "vec").collect():
+        counts = {vocab[int(i)]: int(v) for i, v in zip(row.vec.indices, row.vec.values)}
+        for (doc_id, kw), n in got.items():
+            if doc_id == row.doc_id:
+                assert counts.get(kw) == n, (doc_id, kw)
 
 
 def test_scan_window_min_and_fraction(spark):
