@@ -91,16 +91,40 @@ def sign_bucket(vec_col: Column | str, bits: int = 4) -> Column:
     )
 
 
+def auto_bits(
+    n_rows: int, target_bucket_rows: int = 4096, lo: int = 4, hi: int = 16
+) -> int:
+    """Bucket-width scaling: enough sign bits that an average bucket
+    holds ~``target_bucket_rows`` vectors. A fixed ``bits`` is a scale
+    ceiling (bits=4 → 16 buckets → N/16 vectors per pandas group, which
+    is unbounded growth); scaling with table size keeps per-bucket work
+    roughly constant as the table grows 100×. Clamped to [lo, hi]
+    (hi=16 → 65,536 buckets; the per-bucket Gram is additionally
+    memory-bounded by the tiled kernel regardless of bucket size).
+    ``bits`` may not exceed the embedding dimension for the
+    axis-aligned family — callers pass hi=dim when dim < 16.
+    """
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_rows / target_bucket_rows))))
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    bits: int = 4,
+    bits: int | str = 4,
     multiprobe: bool = True,
 ) -> DataFrame:
     """IVF/LSH-bucketed top-k: score only vectors in the query's bucket(s).
+
+    ``bits="auto"`` scales the bucket count with the table size
+    (``auto_bits``) — a fixed bits=4 prunes at best 1/16 of the scan,
+    which stops being a useful ceiling as the table grows.
 
     The bucket id becomes the join key — with the embedding table
     written partitioned by bucket, Catalyst prunes all other partitions
@@ -109,6 +133,8 @@ def ivf_topk(
     of the data scanned) — the standard LSH recall boost when vector
     mass isn't axis-aligned. Recall < 1 by construction; tests measure
     it against cosine_topk."""
+    if bits == "auto":
+        bits = auto_bits(embeddings.count())
     probe = sign_bucket(vec_col, bits)
     if multiprobe:
         probes = F.array(probe, *[probe.bitwiseXOR(F.lit(1 << j)) for j in range(bits)])
@@ -144,39 +170,78 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sim2_milli_threshold: int = 250,
-    bits: int = 4,
+    bits: int | str = 4,
+    block_size: int = 2048,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, integer-exact — grouped
     matrix form: vectors are bucketed by sign-LSH, and each bucket is
-    handed to a numpy kernel (applyInPandas) that computes the whole
-    pairwise Gram matrix Q·Qᵀ at once. Same int64 arithmetic as the
-    expression form (``embedding_dup_pairs_sql``): sim²(per-mille) =
+    handed to a numpy kernel (applyInPandas) that computes the pairwise
+    Gram products Q·Qᵀ. Same int64 arithmetic as the expression form
+    (``embedding_dup_pairs_sql``): sim²(per-mille) =
     (dot_q²·1000) DIV (|a|²·|b|²) for dot_q > 0, quantization 100.
 
-    Scale shape: one shuffle on bucket; per-bucket work is a dense
-    BLAS matmul instead of per-pair interpreted lambdas (~30× faster);
-    bucket skew is bounded because sign-LSH splits mass 2^bits ways (and
-    AQE splits stragglers).
+    Scale shape, both axes bounded:
+
+    - **bucket count** scales with table size — pass ``bits="auto"``
+      to pick ``auto_bits(count)`` so an average bucket stays ~4k
+      vectors as the table grows (a fixed 4 bits means N/16 vectors in
+      one pandas group — a driver-sized buffer at 100 TB).
+    - **kernel memory** is bounded regardless of bucket size: the Gram
+      is computed in ``block_size``×``block_size`` tiles (default 2048
+      → ≤32 MiB of int64 per tile plus two row-blocks), never the full
+      N×N matrix. A pathological bucket degrades to more tiles, not
+      more memory.
+
+    One shuffle on bucket; per-tile work is a dense BLAS matmul instead
+    of per-pair interpreted lambdas (~30× faster); residual bucket skew
+    is AQE-splittable since output rows stream per tile.
     """
     out_schema = "a_id bigint, b_id bigint, sim2_milli bigint"
+    if bits == "auto":
+        bits = auto_bits(embeddings.count())
 
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
-        q = np.stack([np.round(np.asarray(v, dtype=np.float64) * 100) for v in pdf["vec"]]).astype(np.int64)
-        g = q @ q.T
-        n = np.diag(g)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        # canonical pair order (a_id < b_id) regardless of frame order
-        a, b = ids[iu], ids[ju]
-        swap = a > b
-        a[swap], b[swap] = b[swap], a[swap]
-        dot = g[iu, ju]
-        denom = n[iu] * n[ju]
-        ok = (dot > 0) & (denom > 0)
-        sim2 = np.zeros_like(dot)
-        sim2[ok] = (dot[ok] * dot[ok] * 1000) // denom[ok]
-        keep = sim2 >= sim2_milli_threshold
-        return pd.DataFrame({"a_id": a[keep], "b_id": b[keep], "sim2_milli": sim2[keep]})
+        n_rows = len(ids)
+        q = np.stack(
+            [np.round(np.asarray(v, dtype=np.float64) * 100) for v in pdf["vec"]]
+        ).astype(np.int64)
+        norms2 = (q * q).sum(axis=1)
+        outs: list[pd.DataFrame] = []
+        for i0 in range(0, n_rows, block_size):
+            qi = q[i0 : i0 + block_size]
+            for j0 in range(i0, n_rows, block_size):
+                g = qi @ q[j0 : j0 + block_size].T  # one bounded tile
+                if i0 == j0:
+                    iu, ju = np.triu_indices(g.shape[0], k=1)
+                else:
+                    iu, ju = np.indices(g.shape).reshape(2, -1)
+                gi, gj = iu + i0, ju + j0
+                # canonical pair order (a_id < b_id) whatever the frame order
+                a, b = ids[gi].copy(), ids[gj].copy()
+                swap = a > b
+                a[swap], b[swap] = b[swap], a[swap]
+                dot = g[iu, ju]
+                denom = norms2[gi] * norms2[gj]
+                ok = (dot > 0) & (denom > 0)
+                sim2 = np.zeros_like(dot)
+                sim2[ok] = (dot[ok] * dot[ok] * 1000) // denom[ok]
+                keep = sim2 >= sim2_milli_threshold
+                if keep.any():
+                    outs.append(
+                        pd.DataFrame(
+                            {"a_id": a[keep], "b_id": b[keep], "sim2_milli": sim2[keep]}
+                        )
+                    )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "a_id": np.array([], dtype=np.int64),
+                    "b_id": np.array([], dtype=np.int64),
+                    "sim2_milli": np.array([], dtype=np.int64),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
 
     v = embeddings.select(
         F.col(id_col),

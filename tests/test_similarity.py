@@ -82,3 +82,41 @@ def test_embedding_dup_pairs_numpy_equals_sql(spark, emb):
         for r in sim.embedding_dup_pairs_sql(emb, sim2_milli_threshold=0, bits=4).collect()
     }
     assert got_np == got_sql
+
+
+def test_embedding_dup_pairs_tiled_large_bucket(spark):
+    """Every vector is forced into ONE bucket and block_size is far
+    smaller than the bucket, so the kernel must take the tiled path
+    (diagonal + off-diagonal tiles); results must equal the expression
+    form exactly. Memory bound: the kernel only ever materializes
+    block_size² Gram tiles (64² here), never the 300² matrix."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [abs(rnd.uniform(0.1, 1.0)) for _ in range(8)])  # all-positive
+        for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got_np = {
+        (r.a_id, r.b_id): r.sim2_milli
+        for r in sim.embedding_dup_pairs(
+            emb, sim2_milli_threshold=0, bits=4, block_size=64
+        ).collect()
+    }
+    got_sql = {
+        (r.a_id, r.b_id): r.sim2_milli
+        for r in sim.embedding_dup_pairs_sql(
+            emb, sim2_milli_threshold=0, bits=4
+        ).collect()
+    }
+    assert len(got_np) == 300 * 299 // 2  # single bucket, all pairs
+    assert got_np == got_sql
+
+
+def test_auto_bits_scaling():
+    assert sim.auto_bits(1_000) == 4
+    assert sim.auto_bits(100_000) == 5
+    assert sim.auto_bits(10_000_000) == 12
+    assert sim.auto_bits(10**12) == 16  # clamped at hi
+    assert sim.auto_bits(10**12, hi=8) == 8
