@@ -1693,6 +1693,26 @@ def _scan_listing(spark, sf_dir):
 REGISTRY["scan_listing"] = QueryDef(_scan_listing, None)
 
 
+def _scan_sidecar(spark, sf_dir):
+    # S2 — listing + object-metadata sidecar broadcast join (rows-only:
+    # file-system source). The sidecar carries per-object upload
+    # metadata; unknown objects keep nulls.
+    meta = spark.createDataFrame(
+        [
+            ("documents.parquet", "corpus", 3),
+            ("embeddings.parquet", "vectors", 3),
+            ("orders.parquet", "tpch", 1),
+        ],
+        "basename string, collection string, ingest_batch int",
+    )
+    return readers.scan_with_metadata(spark, f"{sf_dir}/*.parquet", meta).select(
+        "basename", "document_format", "collection", "ingest_batch"
+    )
+
+
+REGISTRY["scan_sidecar"] = QueryDef(_scan_sidecar, None)
+
+
 # ---------------------------------------------------------------------------
 # N13, Q16, E1-E4, S4/S5 — remaining SURVEY §2 coverage
 # ---------------------------------------------------------------------------
@@ -2081,6 +2101,158 @@ def q_tpch5(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@declared(
+    "q_tpch6",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch6(spark, sf_dir):
+    # TPC-H Q6 shape — pure filter + global agg: every predicate reaches
+    # the parquet scan (PushedFilters), zero shuffles before the final
+    # single-row reduce
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@declared(
+    "q_tpch14",
+    """
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS DOUBLE) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def q_tpch14(spark, sf_dir):
+    # TPC-H Q14 shape — broadcast dim join + conditional agg; the two
+    # decimal sums go to double BEFORE dividing (decimal-division scale
+    # rules differ between engines, IEEE double division doesn't)
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            )
+            .cast("double")
+            .alias("promo_revenue")
+        )
+    )
+
+
+@declared(
+    "q_tpch18",
+    """
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+             AS o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q_tpch18(spark, sf_dir):
+    # TPC-H Q18 shape — large-volume orders: agg → semi-filtering join
+    # back to the fact (the HAVING set is small → broadcast)
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select(F.col("l_orderkey").alias("_big_orderkey"))
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == F.col("_big_orderkey"))
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            _dec("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+@declared(
+    "q_tpch4",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch4(spark, sf_dir):
+    # TPC-H Q4 shape (adapted to the schema: shipdate > orderdate stands
+    # in for commitdate < receiptdate) — EXISTS as a LeftSemi join with a
+    # non-equi conjunct, then a tiny agg
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
     )
 
 

@@ -56,6 +56,22 @@ def scan_listing(spark: SparkSession, path_glob: str) -> DataFrame:
     )
 
 
+def scan_with_metadata(
+    spark: SparkSession,
+    path_glob: str,
+    metadata: DataFrame,
+    on: str = "basename",
+) -> DataFrame:
+    """S2 — object listing + object-metadata sidecar join. The reference
+    fetches S3 object metadata per key while processing each document
+    (pdf_to_orpml.py:60-74 `s3_client.head_object` pattern); here the
+    metadata table (an inventory/sidecar extract) is ONE broadcast join
+    onto the distributed listing — zero per-object API calls, and the
+    listing side never shuffles. Unmatched objects keep null metadata
+    (left join), mirroring the reference's tolerate-missing posture."""
+    return scan_listing(spark, path_glob).join(F.broadcast(metadata), on, "left")
+
+
 def scan_csv(spark: SparkSession, path: str, schema: T.StructType | str) -> DataFrame:
     """S5 — CSV with explicit schema (legislation_table_update.py:76-77;
     inferSchema is a two-pass scan, never in production)."""

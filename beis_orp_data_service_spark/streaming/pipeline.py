@@ -160,6 +160,66 @@ def run_scd_upsert_stream(
     )
 
 
+def stream_dedup_first_seen(
+    events: DataFrame, id_col: str = "event_id"
+) -> DataFrame:
+    """Custom stateful operator — exactly-once admission over an
+    at-least-once source (the reference's exists-check insert,
+    record_handler.py:130-147, as a *streaming* operator instead of a
+    per-message store lookup).
+
+    ``applyInPandasWithState`` keyed on the message id: the state cell
+    marks "already emitted"; the first arrival of an id is emitted, every
+    redelivery — within a batch, across batches, or across restarts (the
+    state store lives in the checkpoint) — is swallowed. State per id is
+    one boolean, so the store grows with distinct ids only; add a state
+    TTL (GroupStateTimeout) when the redelivery horizon is bounded, which
+    it is for SQS (visibility timeout × maxReceiveCount).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _first_seen(key, pdfs, state):  # noqa: ANN001 - Spark callback
+        if state.exists:
+            for _ in pdfs:  # drain redeliveries
+                pass
+            return
+        first = None
+        for pdf in pdfs:
+            if first is None and len(pdf):
+                first = pdf.iloc[[0]]
+        state.update((True,))
+        if first is not None:
+            yield first[[f.name for f in EVENTS_STREAM_SCHEMA.fields]]
+
+    return events.groupBy(F.col(id_col)).applyInPandasWithState(
+        _first_seen,
+        outputStructType=EVENTS_STREAM_SCHEMA,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint: str,
+    out_dir: str,
+):
+    """Wire source → stateful first-seen dedup → append-only parquet
+    sink. Parquet (unlike the memory sink) is fault-tolerant, so the
+    query restarts from the checkpoint with its dedup state intact."""
+    deduped = stream_dedup_first_seen(stream_events(spark, source_dir))
+    return (
+        deduped.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-time windows (engine extensions; reference has none — SURVEY §2.7)
 # ---------------------------------------------------------------------------

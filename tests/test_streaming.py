@@ -97,6 +97,53 @@ def test_scd_upsert_redelivery_idempotent(spark, events_json_dir, tmp_path):
     assert (out.groupby("user_id").version.max() == out.groupby("user_id").size()).all()
 
 
+def test_stateful_dedup_exactly_once_across_restarts(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: redeliveries are dropped
+    within a batch, and — because the state store lives in the
+    checkpoint — across a stream restart too."""
+    import os
+
+    events = load_table(spark, SF_SMOKE, "events").orderBy("event_id").limit(60)
+    rows = [r.asDict() for r in events.collect()]
+    d = tmp_path / "dedup_in"
+    d.mkdir()
+
+    def write_batch(name, chunk):
+        with open(d / name, "w") as f:
+            for r in chunk:
+                r = dict(r)
+                r["ts"] = r["ts"].isoformat()
+                f.write(json.dumps(r) + "\n")
+
+    # batch 0: ids 0-39, with 0-9 duplicated inside the same file
+    write_batch("b0.json", rows[:40] + rows[:10])
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "dedup_out")
+    q = st.run_dedup_stream(spark, str(d), chk, out)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got_a = spark.read.parquet(out).select("event_id").collect()
+    assert sorted(r.event_id for r in got_a) == sorted(
+        r["event_id"] for r in rows[:40]
+    )
+
+    # restart with batch 1: ids 20-59 — 20-39 are redeliveries and must
+    # be swallowed by state restored from the checkpoint
+    write_batch("b1.json", rows[20:60])
+    q = st.run_dedup_stream(spark, str(d), chk, out)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got_all = spark.read.parquet(out).select("event_id").collect()
+    assert sorted(r.event_id for r in got_all) == sorted(
+        r["event_id"] for r in rows[:60]
+    )  # every id exactly once across both runs
+    assert os.path.isdir(chk)  # state store persisted
+
+
 def test_scd_sink_never_materializes_on_driver(spark, events_json_dir, tmp_path, monkeypatch):
     # the sink must stream executor→parquet; any driver-side collect of
     # the store (toPandas/collect) is a scale bug — poison both for the
