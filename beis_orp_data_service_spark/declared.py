@@ -1567,9 +1567,10 @@ def quality_score(spark, sf_dir):
     """,
 )
 def fingerprint(spark, sf_dir):
-    # order-sensitive rolling document fingerprint
+    # order-sensitive rolling document fingerprint (numpy polynomial-dot
+    # hot path; expression spec + equality test in textstats/tests)
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", ts_ops.fingerprint("text").alias("fp"))
+    return ts_ops.fingerprint_np_table(docs, "doc_id", "text")
 
 
 @declared(

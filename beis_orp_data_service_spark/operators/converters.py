@@ -93,16 +93,79 @@ def _date10(iso: str | None) -> str | None:
 
 def parse_pdf(content: bytes) -> Parsed:
     """E1 — pdfplumber page loop with pdfminer→PyPDF2→fitz fallback chain
-    (glue pdf_to_text.py:12-69). The libs are absent here, so a real PDF
-    payload is a parse-error row; non-PDF bytes take the text fallback."""
+    (glue pdf_to_text.py:12-69). When the libs are absent (this
+    container) a minimal stdlib extractor handles the common case —
+    FlateDecode (zlib) or plain content streams with literal-string
+    ``Tj``/``TJ`` show operators, page count from ``/Type /Page``
+    objects. A PDF it cannot extract anything from becomes a parse-error
+    row; non-PDF bytes take the text fallback."""
     if content.startswith(b"%PDF"):
         try:  # pragma: no cover - not installed in this container
             import pdfplumber  # noqa: F401
 
             raise NotImplementedError("wire pdfplumber.open(BytesIO(content)) here")
         except ImportError:
-            raise ValueError("PDF payload but no PDF parser available") from None
+            pass
+        text, n_pages = _pdf_extract_minimal(content)
+        if not text:
+            raise ValueError("PDF payload with no extractable text stream")
+        return Parsed(text, n_pages or _page_count(text))
     return _fallback_decode(content)
+
+
+_PDF_STREAM_RE = None  # compiled lazily; module import stays cheap
+
+
+def _pdf_extract_minimal(content: bytes) -> tuple[str, int]:
+    """Best-effort text from PDF content streams, stdlib only: inflate
+    each ``stream…endstream`` body (FlateDecode is zlib §RFC1951; other
+    filters are skipped), then read literal-string show operators
+    ``(…) Tj`` / ``[(…)…] TJ`` with the standard escapes
+    (PDF 32000-1:2008 §7.3.4.2, §9.4.3). Handles the vast majority of
+    machine-generated text PDFs; scanned/CID-font documents yield ''
+    and become parse-error rows upstream."""
+    import re
+    import zlib
+
+    global _PDF_STREAM_RE
+    if _PDF_STREAM_RE is None:
+        _PDF_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
+
+    pieces: list[str] = []
+    for raw in _PDF_STREAM_RE.findall(content):
+        data = raw
+        try:
+            data = zlib.decompress(raw)
+        except zlib.error:
+            pass  # not Flate — try the bytes as-is (uncompressed streams)
+        if b"Tj" not in data and b"TJ" not in data:
+            continue
+        for lit in re.findall(
+            rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|'|\")|\[((?:[^\]\\]|\\.)*)\]\s*TJ",
+            data,
+            re.S,
+        ):
+            strings = [lit[0]] if lit[0] else re.findall(
+                rb"\(((?:[^()\\]|\\.)*)\)", lit[1]
+            )
+            for s in strings:
+                s = re.sub(
+                    rb"\\([nrtbf()\\])",
+                    lambda m: {
+                        b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
+                        b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\",
+                    }[m.group(1)],
+                    s,
+                )
+                s = re.sub(
+                    rb"\\([0-7]{1,3})",
+                    lambda m: bytes([int(m.group(1), 8) & 0xFF]),
+                    s,
+                )
+                pieces.append(s.decode("latin-1"))
+        pieces.append("\n")
+    n_pages = len(re.findall(rb"/Type\s*/Page[^s]", content))
+    return "".join(pieces).strip(), n_pages
 
 
 def parse_docx(content: bytes) -> Parsed:

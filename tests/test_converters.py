@@ -151,9 +151,42 @@ def test_text_as_binary_fallback_all_formats():
     assert conv.parse_html(raw).text == "plain corpus text"
 
 
-def test_real_pdf_payload_is_an_error():
+def pdf_fixture(compress: bool) -> bytes:
+    """Minimal single-page PDF with one content stream of Tj/TJ show
+    operators, optionally FlateDecode-compressed — built byte-by-byte in
+    the test, no library."""
+    import zlib
+
+    ops = (
+        b"BT /F1 12 Tf 72 700 Td (Hello \\(PDF\\) world) Tj "
+        b"[(and) -250 ( array) -250 ( text\\056)] TJ ET"
+    )
+    body = zlib.compress(ops) if compress else ops
+    filt = b"/Filter /FlateDecode " if compress else b""
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << " + filt
+        + b"/Length " + str(len(body)).encode() + b" >>\nstream\n"
+        + body
+        + b"endstream endobj\n"
+        b"%%EOF\n"
+    )
+
+
+def test_pdf_minimal_kernel_flate_and_plain():
+    for compress in (True, False):
+        got = conv.parse_pdf(pdf_fixture(compress))
+        assert "Hello (PDF) world" in got.text
+        assert "and array text." in got.text.replace("\n", "")
+        assert got.n_pages == 1
+
+
+def test_pdf_without_text_streams_is_an_error():
     with pytest.raises(ValueError):
-        conv.parse_pdf(b"%PDF-1.7 stream...")
+        conv.parse_pdf(b"%PDF-1.7 no streams here")
 
 
 def test_corrupt_zip_raises():

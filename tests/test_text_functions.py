@@ -234,6 +234,22 @@ def test_keyword_candidates_match_countvectorizer(spark):
                 assert counts.get(kw) == n, (doc_id, kw)
 
 
+def test_fingerprint_np_equals_expr(spark):
+    from beis_orp_data_service_spark.catalog import load_table
+    from beis_orp_data_service_spark.operators import textstats as ts
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = {r.doc_id: r.fp
+         for r in docs.select("doc_id", ts.fingerprint("text").alias("fp")).collect()}
+    b = {r.doc_id: r.fp
+         for r in ts.fingerprint_np_table(docs, "doc_id", "text").collect()}
+    assert a == b
+    # empty text → 0 in both forms
+    e = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    assert ts.fingerprint_np_table(e, "doc_id", "text").first().fp == 0
+    assert e.select(ts.fingerprint("text").alias("fp")).first().fp == 0
+
+
 def test_scan_window_min_and_fraction(spark):
     df = spark.createDataFrame([("x" * 10_000,), ("y" * 50_000,)], "s string")
     out = df.select(F.length(scan_window("s", 2000, 0.1)).alias("n")).collect()
