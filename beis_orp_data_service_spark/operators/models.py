@@ -80,10 +80,16 @@ def postprocess_title(title: str) -> str:
     """N4 — title postprocess rules (postprocess_functions.py:6-141):
     de-dup non-stopword tokens keeping first occurrence, trim trailing
     stopwords, strip unbalanced trailing '(' fragments."""
-    toks = (title or "").split()
+    # unbalanced-bracket cut FIRST: the cut rewrites tokens ('B(' → 'B'),
+    # so dedup must see the post-cut tokens or a second pass would merge
+    # what the first kept distinct (both orderings found by property
+    # testing — idempotence pins this one)
+    cleaned = title or ""
+    if "(" in cleaned and ")" not in cleaned:
+        cleaned = cleaned[: cleaned.index("(")].rstrip()
     seen: set[str] = set()
     out: list[str] = []
-    for t in toks:
+    for t in cleaned.split():
         key = t.lower()
         if key in STOPWORDS:
             out.append(t)
@@ -91,12 +97,6 @@ def postprocess_title(title: str) -> str:
         if key not in seen:
             seen.add(key)
             out.append(t)
-    # unbalanced-bracket cut BEFORE the trailing trim — the cut can
-    # expose a stopword tail (found by property testing)
-    cleaned = " ".join(out)
-    if "(" in cleaned and ")" not in cleaned:
-        cleaned = cleaned[: cleaned.index("(")].rstrip()
-    out = cleaned.split()
     while out and out[-1].lower() in STOPWORDS:
         out.pop()
     return " ".join(out)

@@ -75,3 +75,35 @@ def test_anti_insert_uses_anti_join(spark):
 def test_semi_join_for_candidate_prune(spark):
     plan = plan_of("lo_candidates", spark)
     assert "LeftSemi" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed by the join key into the same bucket count
+    must join bucket-to-bucket: SortMergeJoin with NO Exchange on either
+    side — the co-located-join layout contract for the 100 TB fact
+    family."""
+    from beis_orp_data_service_spark.catalog import load_table
+    from beis_orp_data_service_spark.sources import bucketed as bk
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    embs = load_table(spark, SF_SMOKE, "embeddings").select("vec_id")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bk.write_bucketed(docs, "bk_docs", "doc_id", 4)
+        bk.write_bucketed(
+            embs.withColumnRenamed("vec_id", "doc_id"), "bk_embs", "doc_id", 4
+        )
+        joined = bk.read_bucketed(spark, "bk_docs").join(
+            bk.read_bucketed(spark, "bk_embs"), "doc_id"
+        )
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bk_docs")
+        spark.sql("DROP TABLE IF EXISTS bk_embs")
