@@ -32,6 +32,7 @@ from beis_orp_data_service_spark.operators import dedup as dd
 from beis_orp_data_service_spark.operators import dimension as dim_ops
 from beis_orp_data_service_spark.operators import enrichment as enr
 from beis_orp_data_service_spark.operators import converters as conv
+from beis_orp_data_service_spark.operators import corpus as corpus_ops
 from beis_orp_data_service_spark.operators import graph as graph_ops
 from beis_orp_data_service_spark.operators import models
 from beis_orp_data_service_spark.operators import skew as skew_ops
@@ -2432,6 +2433,283 @@ def sessionize(spark, sf_dir):
     # session windows via lag-gap-cumsum (streaming twin: session_window)
     events = _t(spark, sf_dir, "events")
     return st_ops.sessionize(events, "user_id", gap_minutes=60)
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation (operators/corpus.py) — post-candidate dedup clustering
+# and the training-data curation battery.
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "dup_clusters",
+    """
+    WITH RECURSIVE
+    w AS (
+      SELECT doc_id,
+             list_transform(
+               list_distinct(string_split(trim(text), ' ')),
+               s -> list_reduce(
+                      list_prepend(CAST(0 AS BIGINT),
+                                   [CAST(ascii(s[i:i]) AS BIGINT)
+                                    for i in range(1, length(s)+1)]),
+                      (acc, x) -> (acc*31 + x) % 65536)) AS hs
+      FROM documents WHERE doc_id % 10 = 0
+    ), s AS (
+      SELECT doc_id,
+             CAST(list_sum([
+               CASE WHEN list_sum([CASE WHEN (h // CAST(pow(2, b) AS BIGINT)) % 2 = 1
+                                        THEN 1 ELSE -1 END
+                                   for h in hs]) > 0
+                    THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END
+               for b in range(0, 16)]) AS BIGINT) AS simhash16
+      FROM w
+    ), p AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM s a JOIN s b
+        ON a.doc_id < b.doc_id
+       AND (a.simhash16 // 256 = b.simhash16 // 256
+            OR a.simhash16 % 256 = b.simhash16 % 256)
+    ), e AS (
+      SELECT a_id AS src, b_id AS dst FROM p
+      UNION
+      SELECT b_id, a_id FROM p
+    ), reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM s
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node
+    )
+    SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dup_clusters(spark, sf_dir):
+    # Training-data op — transitive closure of near-dup candidate pairs
+    # (SimHash hi/lo-byte OR-banding) into canonical duplicate clusters
+    # via iterative min-label propagation; the oracle states the same
+    # closure as a recursive CTE. Sampled doc_id % 10: the word-soup
+    # corpus is mutually similar, so the unsampled pair graph is
+    # near-complete and the closure trivially one cluster.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    # checkpoint the signature table: the pair join references it twice
+    # (union of both directions) and the node list once — without the
+    # cut, the simhash lineage re-executes on every materialization
+    sim = dd.simhash16_table(docs, "doc_id", "text").localCheckpoint()
+    pairs = corpus_ops.simhash_band_pairs(sim)
+    return corpus_ops.dup_clusters(pairs, sim.select("doc_id"))
+
+
+@declared(
+    "gopher_quality",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id, w, count(*) AS c, sum(length(w)) AS lsum
+      FROM w GROUP BY doc_id, w
+    ), d AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS max_c,
+             CAST(sum(lsum) AS BIGINT) AS char_sum,
+             CAST(coalesce(sum(c) FILTER (WHERE w IN ('the','a','of','and')), 0)
+                  AS BIGINT) AS stop_hits
+      FROM g GROUP BY doc_id
+    )
+    SELECT doc_id, n_words,
+           char_sum * 100 // n_words AS mean_wlen_c,
+           stop_hits * 1000 // n_words AS stop_pm,
+           max_c * 1000 // n_words AS maxword_pm,
+           n_distinct * 1000 // n_words AS distinct_pm,
+           CAST(CASE WHEN n_words >= 40 AND n_words <= 100000
+                      AND char_sum * 100 // n_words BETWEEN 300 AND 1000
+                      AND stop_hits >= 2
+                      AND max_c * 1000 // n_words <= 200
+                     THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+    FROM d
+    """,
+)
+def gopher_quality(spark, sf_dir):
+    # Training-data op — Gopher-rule quality signals + verdict,
+    # integer-exact (explode → combining (doc,word) agg → doc agg)
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.gopher_quality(docs, "doc_id", "text")
+
+
+@declared(
+    "repetition_stats",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents
+    ), n AS (
+      SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words, words FROM base
+    ), g2 AS (
+      SELECT doc_id, unnest([words[i] || ' ' || words[i+1]
+                             for i in range(1, len(words))]) AS g
+      FROM n
+    ), t2 AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS max_c
+      FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g)
+      GROUP BY doc_id
+    ), g3 AS (
+      SELECT doc_id, unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                             for i in range(1, len(words)-1)]) AS g
+      FROM n
+    ), t3 AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS max_c
+      FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g)
+      GROUP BY doc_id
+    )
+    SELECT n.doc_id, n.n_words,
+           CAST(CASE WHEN n.n_words > 1
+                     THEN coalesce(t2.max_c, 0) * 1000 // (n.n_words - 1)
+                     ELSE 0 END AS BIGINT) AS top2_pm,
+           CAST(CASE WHEN n.n_words > 2
+                     THEN coalesce(t3.max_c, 0) * 1000 // (n.n_words - 2)
+                     ELSE 0 END AS BIGINT) AS top3_pm
+    FROM n
+    LEFT JOIN t2 ON t2.doc_id = n.doc_id
+    LEFT JOIN t3 ON t3.doc_id = n.doc_id
+    """,
+)
+def repetition_stats(spark, sf_dir):
+    # Training-data op — C4/Gopher repetition signals: per-mille share
+    # of the most frequent word bigram/trigram (JVM NGram, two
+    # combining agg chains joined per doc)
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.repetition_stats(docs, "doc_id", "text")
+
+
+@declared(
+    "pii_redact",
+    """
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com call 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.0.' || CAST(doc_id % 100 AS VARCHAR) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+               '\\b555-[0-9]{4}\\b', '<PHONE>', 'g'),
+             '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\\b555-[0-9]{4}\\b')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text,
+             '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_ips
+    FROM synth
+    """,
+)
+def pii_redact(spark, sf_dir):
+    # Training-data op — typed PII redaction (email/phone/IPv4) with
+    # match counts; the corpus has no PII so both sides plant the same
+    # synthetic contact block, then redact it. Patterns stay in the
+    # RE2 ∩ java.util.regex subset so the oracle runs them verbatim.
+    docs = _t(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("text"),
+    )
+    return corpus_ops.pii_redact(synth, "doc_id", "text")
+
+
+@declared(
+    "seq_pack",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           cum_before // 512 AS bin_id,
+           cum_before % 512 AS offset_in_bin
+    FROM c
+    """,
+)
+def seq_pack(spark, sf_dir):
+    # Training-data op — deterministic concat-then-chunk sequence
+    # packing (512-token bins) laid out per source shard; window
+    # partitions by shard, so no global ordering bottleneck
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.seq_pack(docs, budget=512)
+
+
+@declared(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ((doc_id * 48271 + 11) % 2147483647) % 1000 <
+          CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 300 ELSE 100 END
+    """,
+)
+def stratified_sample(spark, sf_dir):
+    # Training-data op — deterministic per-stratum sampling via a
+    # Lehmer universal hash: pure per-row arithmetic, no shuffle,
+    # identical under any partitioning (df.sample is neither)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return corpus_ops.stratified_sample(
+        docs, {"en": 500, "de": 300}, strat_col="lang", default_pm=100
+    )
+
+
+@declared(
+    "mixture_sample",
+    """
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), rates AS (
+      SELECT source, n_docs,
+             CAST(least(1000, 12 * 1000 // n_docs) AS BIGINT) AS frac_pm
+      FROM counts
+    ), s AS (
+      SELECT d.source, CAST(count(*) AS BIGINT) AS n_sampled
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE ((d.doc_id * 48271 + 11) % 2147483647) % 1000 < r.frac_pm
+      GROUP BY d.source
+    )
+    SELECT r.source, r.n_docs, r.frac_pm,
+           CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled
+    FROM rates r LEFT JOIN s ON r.source = s.source
+    """,
+)
+def mixture_sample(spark, sf_dir):
+    # Training-data op — mixture-weighting plan: per-source sampling
+    # rate targeting N docs/source plus the exact admitted count under
+    # the deterministic hash sample (broadcast rates join)
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.mixture_sample_plan(docs, target_per_source=12)
 
 
 # ---------------------------------------------------------------------------

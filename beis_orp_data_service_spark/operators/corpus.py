@@ -1,0 +1,409 @@
+"""Corpus-curation operators for LLM training-data pipelines — the
+post-candidate-generation half of deduplication (connected-components
+duplicate clustering) plus the standard curation battery: Gopher-style
+quality filters, repetition statistics, PII redaction, deterministic
+sequence packing, and hash-based stratified / mixture sampling.
+
+Engine extension beyond the reference surface (the reference stops at
+pairwise duplicate checks, check_duplicate.py; a production corpus
+pipeline must then CLUSTER the pairs and pick canonicals). Everything
+here is oracle-checkable: integer-exact Catalyst expressions, and a
+documented deterministic variant wherever the textbook algorithm is
+order-dependent (greedy packing) or engine-specific (hash sampling).
+
+Scale notes (100 TB):
+- ``dup_clusters`` is iterative min-label propagation — per round one
+  equi-join shuffle (edges × labels, both hash-partitioned on node) and
+  one map-side-combining groupBy. Rounds = graph diameter; duplicate
+  graphs are dense cliques bridged by LSH bands, so diameter is small
+  (single digits). ``localCheckpoint`` each round truncates lineage so
+  plans don't grow; the per-round convergence count is a scalar
+  aggregate, not a collect of data.
+- Quality / repetition stats are explode + two-level groupBy: the first
+  (doc, word) aggregation partially aggregates map-side before its
+  shuffle, so the wire carries ≈ |vocab per doc|, not |words|.
+- Packing windows partition by the shard column (``source``) — no
+  global single-partition window at any scale.
+- Sampling is pure per-row arithmetic on an int64 universal hash — no
+  shuffle at all, and deterministic across engines and re-runs (unlike
+  ``df.sample`` which is seed- and partitioning-dependent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Universal-hash constants for deterministic sampling: Lehmer/Park-Miller
+# multiplier mod the Mersenne prime 2^31-1. doc_id * 48271 stays far
+# inside int64 (and < 2^53) for any realistic id space.
+SAMPLE_A = 48271
+SAMPLE_B = 11
+SAMPLE_P = 2_147_483_647
+
+STOPWORDS = ("the", "a", "of", "and")
+
+
+def sample_hash(id_col) -> F.Column:
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (c * F.lit(SAMPLE_A) + F.lit(SAMPLE_B)) % F.lit(SAMPLE_P)
+
+
+# ---------------------------------------------------------------------------
+# Connected-components duplicate clustering
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Transitive closure of duplicate pairs → (doc_id, cluster_id).
+
+    ``cluster_id`` is the minimum node id reachable from the node —
+    the canonical representative a dedup pipeline keeps. Iterative
+    min-label propagation: each round every node takes the min of its
+    own label and its neighbours' labels; converged when no label
+    drops. Singletons (nodes in no pair) keep themselves.
+
+    Scale: per round one edge-propagation shuffle join + a combining
+    groupBy + a pointer-doubling self-join, all keyed on node. The
+    doubling step (take your label's label) halves remaining chain
+    length each round, so rounds = O(log diameter) — the same
+    convergence class as large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce") with simpler primitives.
+    ``localCheckpoint`` per round truncates lineage so the plan stays
+    flat however many rounds run.
+    """
+    # Undirected edge list + a self-loop per node, built ONCE outside
+    # the loop: with self-loops, "min of self and neighbours" is a
+    # single join+groupBy per round — no per-round Union (which also
+    # sidesteps a Spark 4.1 constraint-rewrite crash on Union over
+    # checkpointed self-joined relations).
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .union(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .union(
+            nodes.select(
+                F.col(id_col).alias("src"), F.col(id_col).alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        l1 = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+            .toDF("node", "label")
+        )
+        # pointer doubling: jump to the label's own label. Every label
+        # is itself a node (labels start as self and min() only selects
+        # existing ids), so the inner join is total.
+        lb = l1.toDF("node2", "label2")
+        new_labels = (
+            l1.join(lb, l1.label == lb.node2)
+            .select(F.col("node"), F.col("label2").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.toDF("node", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") < F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col).cast("bigint"),
+        F.col("label").alias("cluster_id").cast("bigint"),
+    )
+
+
+def simhash_band_pairs(docs_sim: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """OR-amplified candidate pairs from a 16-bit SimHash: two band
+    keys (high byte, low byte); docs agreeing on EITHER byte pair up.
+    Two scalable equi-joins — nothing meets outside a band bucket.
+
+    Input must carry ``simhash16`` (see dedup.simhash16_table).
+    """
+    keyed = docs_sim.select(
+        F.col(id_col),
+        F.array(
+            F.concat_ws("_", F.lit("hi"), (F.col("simhash16") / 256).cast("bigint")),
+            F.concat_ws("_", F.lit("lo"), F.col("simhash16") % 256),
+        ).alias("bands"),
+    ).select(F.col(id_col), F.explode("bands").alias("band_key"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality filtering (Gopher-style rules) and repetition statistics
+# ---------------------------------------------------------------------------
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 40,
+    max_words: int = 100_000,
+    min_mean_wlen_c: int = 300,  # centi-chars: 3.00
+    max_mean_wlen_c: int = 1000,  # 10.00
+    min_stop_hits: int = 2,
+    max_word_pm: int = 200,  # most-common word ≤ 20% of tokens
+) -> DataFrame:
+    """Gopher-rule quality signals + verdict, integer-exact.
+
+    Signals per document (scaled integers so every engine agrees):
+      n_words, mean_wlen_c (mean word length ×100), stop_pm
+      (stopword per-mille), maxword_pm (most-common-word per-mille),
+      distinct_pm (type-token ratio per-mille), and ``gopher_pass``
+      (1/0) applying the Rae et al. Gopher bounds re-expressed on
+      those signals.
+
+    Plan: explode → (doc, word) combining agg → (doc) agg; the heavy
+    first shuffle carries one row per distinct word per doc.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+    )
+    per_word = words.groupBy(id_col, "w").agg(
+        F.count("*").alias("c"), F.sum(F.length("w")).alias("lsum")
+    )
+    per_doc = per_word.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("max_c"),
+        F.sum("lsum").cast("bigint").alias("char_sum"),
+        F.coalesce(
+            F.sum(F.when(F.col("w").isin(*STOPWORDS), F.col("c"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("stop_hits"),
+    )
+    sig = per_doc.select(
+        F.col(id_col),
+        F.col("n_words"),
+        F.expr("char_sum * 100 div n_words").alias("mean_wlen_c"),
+        F.expr("stop_hits * 1000 div n_words").alias("stop_pm"),
+        F.expr("max_c * 1000 div n_words").alias("maxword_pm"),
+        F.expr("n_distinct * 1000 div n_words").alias("distinct_pm"),
+        F.col("stop_hits"),
+    )
+    verdict = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_wlen_c") >= min_mean_wlen_c)
+        & (F.col("mean_wlen_c") <= max_mean_wlen_c)
+        & (F.col("stop_hits") >= min_stop_hits)
+        & (F.col("maxword_pm") <= max_word_pm)
+    )
+    return sig.select(
+        F.col(id_col),
+        "n_words",
+        "mean_wlen_c",
+        "stop_pm",
+        "maxword_pm",
+        "distinct_pm",
+        F.when(verdict, F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias("gopher_pass"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-n-gram repetition fractions (C4/Gopher 'repetitive text'
+    signals): per-mille share of the most frequent word bigram and
+    trigram. High values flag boilerplate / degenerate generations.
+
+    Word n-grams via ``pyspark.ml.feature.NGram`` (JVM-side; ~5× the
+    interpreted HOF chain — see dedup.ngram_jaccard_pairs). Totals use
+    greatest(n_words-(n-1), 0); documents too short for a gram report 0.
+    """
+    from pyspark.ml.feature import NGram
+
+    base = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("words")
+    )
+    out = base.select(F.col(id_col), F.size("words").cast("bigint").alias("n_words"))
+    for n, name in ((2, "top2_pm"), (3, "top3_pm")):
+        grams = NGram(n=n, inputCol="words", outputCol="grams").transform(base)
+        top = (
+            grams.select(F.col(id_col), F.explode("grams").alias("g"))
+            .groupBy(id_col, "g")
+            .agg(F.count("*").alias("c"))
+            .groupBy(id_col)
+            .agg(F.max("c").cast("bigint").alias("max_c"))
+        )
+        out = (
+            out.join(top, id_col, "left")
+            .withColumn(
+                name,
+                F.expr(
+                    f"CASE WHEN n_words > {n - 1} THEN "
+                    f"coalesce(max_c, 0) * 1000 div (n_words - {n - 1}) "
+                    "ELSE CAST(0 AS BIGINT) END"
+                ),
+            )
+            .drop("max_c")
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the RE2 ∩ java.util.regex common subset (no
+# backreferences, no lookaround) so the oracle runs them verbatim.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+IP_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_redact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails / phone numbers / IPv4 addresses with typed
+    placeholders and report per-document match counts.
+
+    Pure regexp expressions — codegen'd, no shuffle; order of the
+    replace chain matters (IP before phone would still be safe here,
+    but emails must go before the bare-domain heuristics a richer
+    battery would add) and is fixed: email → phone → IP.
+    """
+    c = F.col(text_col)
+    red = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PHONE_RE, "<PHONE>")
+    red = F.regexp_replace(red, IP_RE, "<IP>")
+    return df.select(
+        F.col(id_col),
+        red.alias("redacted"),
+        F.regexp_count(c, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(c, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(c, F.lit(IP_RE)).cast("bigint").alias("n_ips"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+
+def seq_pack(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Deterministic sequence packing: concat-then-chunk at document
+    granularity (the GPT-style pretraining layout). Documents are laid
+    out in ``id_col`` order within each shard; a document's bin is the
+    chunk its FIRST token lands in (``offset_in_bin`` gives the
+    position). Greedy first-fit packs marginally tighter but is
+    inherently order-of-arrival dependent — this variant is
+    reproducible across engines, re-runs and partitionings, which a
+    training pipeline needs more than the last few percent of fill.
+
+    Window partitions by the shard column — parallel across shards, no
+    global ordering bottleneck.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.select(F.col(id_col), F.col(shard_col), toks.alias("n_tokens"))
+        .withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            F.col(id_col),
+            F.col(shard_col),
+            "n_tokens",
+            F.expr(f"cum_before div {budget}").cast("bigint").alias("bin_id"),
+            (F.col("cum_before") % budget).cast("bigint").alias("offset_in_bin"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_pm: dict[str, int],
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    default_pm: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff
+    ``hash(id) % 1000 < rate_pm[stratum]``. The universal hash makes
+    the decision a pure per-row expression — no shuffle, no RNG state,
+    identical sample under any partitioning (``df.sample`` is none of
+    those), and consistent across engines for the oracle.
+    """
+    rate = None
+    for k, v in rates_pm.items():
+        cond = F.col(strat_col) == k
+        rate = F.when(cond, v) if rate is None else rate.when(cond, v)
+    rate = (rate.otherwise(default_pm) if rate is not None else F.lit(default_pm))
+    return df.filter(sample_hash(id_col) % 1000 < rate)
+
+
+def mixture_sample_plan(
+    df: DataFrame,
+    target_per_source: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mixture-weighting plan: per source, the sampling rate that hits
+    ``target_per_source`` documents in expectation, plus the exact
+    count the deterministic hash sample admits. Returns one row per
+    source: (source, n_docs, frac_pm, n_sampled).
+
+    Two combining aggregations + a broadcast-sized join of per-source
+    rates back onto rows — the big table shuffles once.
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").cast("bigint").alias("n_docs"))
+    rates = counts.select(
+        source_col,
+        "n_docs",
+        F.least(
+            F.lit(1000), F.expr(f"{target_per_source} * 1000 div n_docs")
+        )
+        .cast("bigint")
+        .alias("frac_pm"),
+    )
+    sampled = (
+        df.select(id_col, source_col)
+        .join(F.broadcast(rates), source_col)
+        .filter(sample_hash(id_col) % 1000 < F.col("frac_pm"))
+        .groupBy(source_col)
+        .agg(F.count("*").cast("bigint").alias("n_sampled"))
+    )
+    return rates.join(sampled, source_col, "left").select(
+        source_col,
+        "n_docs",
+        "frac_pm",
+        F.coalesce(F.col("n_sampled"), F.lit(0)).cast("bigint").alias("n_sampled"),
+    )

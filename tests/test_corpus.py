@@ -1,0 +1,151 @@
+"""Unit tests for operators/corpus.py — duplicate clustering,
+quality/repetition signals, PII redaction, packing, sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from beis_orp_data_service_spark.operators import corpus
+
+
+def _pairs(spark, *ab):
+    return spark.createDataFrame([Row(a_id=a, b_id=b) for a, b in ab])
+
+
+def _nodes(spark, *ids):
+    return spark.createDataFrame([Row(doc_id=i) for i in ids])
+
+
+class TestDupClusters:
+    def test_chain_and_singleton(self, spark):
+        # 1-2-3 chained, 4-5 paired, 6 isolated
+        out = corpus.dup_clusters(
+            _pairs(spark, (1, 2), (2, 3), (4, 5)), _nodes(spark, 1, 2, 3, 4, 5, 6)
+        )
+        got = {r.doc_id: r.cluster_id for r in out.collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+    def test_long_chain_converges(self, spark):
+        # path graph of 12 nodes — needs multi-round propagation
+        n = 12
+        out = corpus.dup_clusters(
+            _pairs(spark, *[(i, i + 1) for i in range(1, n)]),
+            _nodes(spark, *range(1, n + 1)),
+            max_iter=20,
+        )
+        got = {r.doc_id: r.cluster_id for r in out.collect()}
+        assert got == {i: 1 for i in range(1, n + 1)}
+
+    def test_pair_order_irrelevant(self, spark):
+        # reversed pair ids give the same clustering
+        out = corpus.dup_clusters(
+            _pairs(spark, (9, 2), (2, 7)), _nodes(spark, 2, 7, 9)
+        )
+        got = {r.doc_id: r.cluster_id for r in out.collect()}
+        assert got == {2: 2, 7: 2, 9: 2}
+
+
+class TestGopherQuality:
+    def test_exact_signals(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="the cat sat on the mat")]  # 6 words, 2 'the'
+        )
+        row = corpus.gopher_quality(df).collect()[0]
+        assert row.n_words == 6
+        # chars: 3+3+3+2+3+3 = 17 -> 17*100 div 6 = 283
+        assert row.mean_wlen_c == 283
+        assert row.stop_pm == 2 * 1000 // 6  # 'the' twice (('a' absent))
+        assert row.maxword_pm == 2 * 1000 // 6
+        assert row.distinct_pm == 5 * 1000 // 6
+        assert row.gopher_pass == 0  # too short / mean wlen below bound
+
+    def test_pass_verdict(self, spark):
+        text = " ".join(["alpha beta gamma the delta"] * 10)  # 50 words
+        df = spark.createDataFrame([Row(doc_id=1, text=text)])
+        row = corpus.gopher_quality(df).collect()[0]
+        assert row.n_words == 50 and row.gopher_pass == 1
+
+
+class TestRepetitionStats:
+    def test_degenerate_repeat(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, text="a a a b")])
+        row = corpus.repetition_stats(df).collect()[0]
+        # bigrams: 'a a' x2, 'a b' -> 2*1000//3; trigrams: 'a a a','a a b' -> 500
+        assert row.top2_pm == 666 and row.top3_pm == 500
+
+    def test_short_docs_zero(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="solo"), Row(doc_id=2, text="two words")]
+        )
+        got = {r.doc_id: (r.top2_pm, r.top3_pm) for r in
+               corpus.repetition_stats(df).collect()}
+        assert got[1] == (0, 0)
+        assert got[2] == (1000, 0)  # one bigram, no trigram
+
+
+class TestPiiRedact:
+    def test_redacts_and_counts(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1,
+                 text="mail bob@ex.org and alice@corp.io call 555-0100 ip 10.1.2.3")]
+        )
+        row = corpus.pii_redact(df).collect()[0]
+        assert row.n_emails == 2 and row.n_phones == 1 and row.n_ips == 1
+        assert "@" not in row.redacted and "555-" not in row.redacted
+        assert "<EMAIL>" in row.redacted and "<PHONE>" in row.redacted
+        assert "<IP>" in row.redacted
+
+    def test_clean_text_untouched(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, text="no secrets here")])
+        row = corpus.pii_redact(df).collect()[0]
+        assert row.redacted == "no secrets here"
+        assert (row.n_emails, row.n_phones, row.n_ips) == (0, 0, 0)
+
+
+class TestSeqPack:
+    def test_invariants(self, spark):
+        rows = [Row(doc_id=i, source=f"s{i % 2}", text=" ".join(["w"] * (20 + i)))
+                for i in range(1, 21)]
+        out = corpus.seq_pack(spark.createDataFrame(rows), budget=64).collect()
+        assert all(0 <= r.offset_in_bin < 64 for r in out)
+        # bins contiguous from 0 within each shard
+        for src in {"s0", "s1"}:
+            bins = sorted({r.bin_id for r in out if r.source == src})
+            assert bins == list(range(len(bins))) and bins[0] == 0
+        # layout reproducible regardless of input partitioning
+        out2 = corpus.seq_pack(
+            spark.createDataFrame(rows).repartition(7), budget=64
+        ).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+    def test_first_doc_offset_zero(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, source="s", text="a b c")])
+        row = corpus.seq_pack(df, budget=10).collect()[0]
+        assert (row.bin_id, row.offset_in_bin, row.n_tokens) == (0, 0, 3)
+
+
+class TestSampling:
+    def test_stratified_deterministic_and_exact(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=i, lang="en" if i % 2 else "de") for i in range(1000)]
+        )
+        rates = {"en": 500, "de": 100}
+        a = corpus.stratified_sample(df, rates).collect()
+        b = corpus.stratified_sample(df.repartition(13), rates).collect()
+        assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+        # exact per-row rule
+        for r in a:
+            h = (r.doc_id * corpus.SAMPLE_A + corpus.SAMPLE_B) % corpus.SAMPLE_P
+            assert h % 1000 < rates[r.lang]
+
+    def test_mixture_plan_counts(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=i, source=f"s{i % 4}") for i in range(400)]
+        )
+        out = {r.source: r for r in
+               corpus.mixture_sample_plan(df, target_per_source=50).collect()}
+        assert set(out) == {"s0", "s1", "s2", "s3"}
+        for r in out.values():
+            assert r.n_docs == 100 and r.frac_pm == 500
+            assert 0 <= r.n_sampled <= 100
