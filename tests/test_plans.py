@@ -107,3 +107,41 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bk_docs")
         spark.sql("DROP TABLE IF EXISTS bk_embs")
+
+
+def test_stratified_sample_no_shuffle(spark):
+    # pure per-row hash filter: no Exchange anywhere in the plan, and
+    # the scan prunes to the three projected columns
+    plan = plan_of("stratified_sample", spark)
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "text" not in read_schema
+
+
+def test_pii_redact_no_shuffle_and_pruned(spark):
+    plan = plan_of("pii_redact", spark)
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema
+
+
+def test_seq_pack_partitions_window_by_shard(spark):
+    # the packing window must hash-partition by the shard column —
+    # never a single global ordering partition
+    plan = plan_of("seq_pack", spark)
+    assert "Window" in plan
+    assert "hashpartitioning(source" in plan
+
+
+def test_mixture_rates_join_is_broadcast(spark):
+    plan = plan_of("mixture_sample", spark)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gopher_quality_partial_aggregation(spark):
+    # the (doc, word) aggregation must combine map-side before its
+    # shuffle: HashAggregate below the Exchange
+    plan = plan_of("gopher_quality", spark)
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
