@@ -1666,6 +1666,75 @@ def mm_decode(spark, sf_dir):
 
 
 @declared(
+    "mm_resize",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             CAST(64 + length(text) % 1920 AS BIGINT) AS width,
+             CAST(64 + (length(text) * 7) % 1080 AS BIGINT) AS height
+      FROM documents
+    ), s AS (
+      SELECT media_id, width, height,
+             CAST(least(1000, 256 * 1000 // width, 256 * 1000 // height)
+                  AS BIGINT) AS scale_pm
+      FROM d
+    )
+    SELECT media_id, width, height, scale_pm,
+           width * scale_pm // 1000 AS out_w,
+           height * scale_pm // 1000 AS out_h
+    FROM s
+    """,
+)
+def mm_resize(spark, sf_dir):
+    # multimodal resize plan — aspect-preserving target dims in exact
+    # per-mille integer arithmetic; the byte resample kernel is the
+    # stub, the dimension math a pipeline buckets on is relational
+    docs = _t(spark, sf_dir, "documents")
+    decoded = mm.decode_media(mm.documents_as_media(docs))
+    return mm.resize_dims(decoded, max_w=256, max_h=256)
+
+
+@declared(
+    "mm_frames",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             CAST(1 + length(text) % 120 AS BIGINT) AS duration_s
+      FROM documents
+    )
+    SELECT media_id, duration_s,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(f * 1000 // 30 AS BIGINT) AS ts_ms
+    FROM d, unnest(range(0, duration_s * 30, 10)) AS t(f)
+    """,
+)
+def mm_frames(spark, sf_dir):
+    # multimodal frame-sampling plan — sequence + posexplode fan-out
+    # (every 10th frame at 30 fps over a stub-derived duration); the
+    # per-frame extract kernel consumes this table grouped by media_id
+    docs = _t(spark, sf_dir, "documents")
+    decoded = mm.decode_media(mm.documents_as_media(docs))
+    return mm.frame_sample_plan(decoded, fps=30, every_n=10)
+
+
+@declared(
+    "mm_features",
+    """
+    SELECT doc_id AS media_id,
+           [ (CAST(length(text) AS BIGINT) * j * 2654435761) % 1000003
+             for j in range(1, 9) ] AS features
+    FROM documents
+    """,
+)
+def mm_features(spark, sf_dir):
+    # multimodal feature-extraction stand-in — deterministic typed
+    # embedding column (swap for a model UDF via the models.py harness)
+    docs = _t(spark, sf_dir, "documents")
+    decoded = mm.decode_media(mm.documents_as_media(docs))
+    return mm.feature_plan(decoded, dim=8)
+
+
+@declared(
     "orpml_serialize",
     """
     SELECT doc_id,

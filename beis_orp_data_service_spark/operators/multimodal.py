@@ -89,6 +89,88 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode_media_batch, DECODED_SCHEMA)
 
 
+def resize_dims(
+    decoded: DataFrame, max_w: int = 256, max_h: int = 256
+) -> DataFrame:
+    """Aspect-preserving resize PLAN: target dimensions for each image,
+    integer-exact (scale in per-mille, floor division) so any engine
+    agrees. The byte-level resample kernel is the stub
+    (:func:`resize_media`); the dimension arithmetic — the part a
+    pipeline joins/filters/buckets on — is pure Catalyst expressions."""
+    scale = F.least(
+        F.lit(1000),
+        F.expr(f"{max_w} * 1000 div width"),
+        F.expr(f"{max_h} * 1000 div height"),
+    )
+    return decoded.withColumn("scale_pm", scale.cast("bigint")).select(
+        "media_id",
+        "width",
+        "height",
+        "scale_pm",
+        F.expr("width * scale_pm div 1000").cast("bigint").alias("out_w"),
+        F.expr("height * scale_pm div 1000").cast("bigint").alias("out_h"),
+    )
+
+
+def resize_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the byte-level resample — stubbed like
+    decode (no PIL here): emits the input checksum as the 'resized'
+    payload marker so plumbing is end-to-end testable."""
+    for pdf in batches:
+        if _have_pil():  # pragma: no cover
+            raise NotImplementedError(
+                "wire PIL Image.resize((out_w, out_h)) over content here"
+            )
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "resized_checksum": pdf["content"].map(
+                    lambda b: hashlib.sha256(b"resized:" + bytes(b or b"")).hexdigest()[:16]
+                ),
+            }
+        )
+
+
+def frame_sample_plan(
+    decoded: DataFrame, fps: int = 30, every_n: int = 10
+) -> DataFrame:
+    """Video frame-sampling PLAN: one row per sampled frame with its
+    timestamp. Duration is stub-derived from byte length (real pipeline:
+    a container-header probe in the decode kernel); the fan-out itself —
+    sequence + posexplode, the part that must scale — is real. The
+    sampled-frame table is what a frame-extract kernel (mapInPandas over
+    (content, frame_idx)) consumes; grouping by media_id keeps all of a
+    video's frames in one partition for the decoder."""
+    d = decoded.withColumn("duration_s", (F.lit(1) + F.col("n_bytes") % 120))
+    return d.select(
+        "media_id",
+        F.col("duration_s").cast("bigint").alias("duration_s"),
+        F.explode(
+            F.expr(f"sequence(0, duration_s * {fps} - 1, {every_n})")
+        ).alias("frame_idx"),
+    ).select(
+        "media_id",
+        "duration_s",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.expr(f"frame_idx * 1000 div {fps}").cast("bigint").alias("ts_ms"),
+    )
+
+
+def feature_plan(decoded: DataFrame, dim: int = 8) -> DataFrame:
+    """Deterministic fake feature vector per media item (Knuth
+    multiplicative hash over byte length × component index) — the
+    embedding-extraction stand-in. Schema, typed array column, and
+    downstream joinability are the real contract; swap the expression
+    for a model UDF (operators/models.py harness) to productionize."""
+    return decoded.select(
+        "media_id",
+        F.expr(
+            f"transform(sequence(1, {dim}), "
+            "j -> (n_bytes * j * 2654435761) % 1000003)"
+        ).alias("features"),
+    )
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter for the driver's documents table: text bytes stand in for
     an encoded image payload (deterministic, no external data)."""

@@ -65,3 +65,49 @@ def test_orpml_roundtrip(spark):
     assert parsed.document_uid == "u1"
     assert parsed.regulator_id == "hse"
     assert parsed.body == "body text"
+
+
+def test_resize_dims_aspect_and_bounds(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    decoded = mm.decode_media(mm.documents_as_media(docs))
+    out = mm.resize_dims(decoded, max_w=256, max_h=256).collect()
+    for r in out:
+        assert 0 < r.out_w <= 256 and 0 < r.out_h <= 256
+        # never upscale; exact per-mille floor arithmetic
+        assert r.scale_pm <= 1000
+        assert r.out_w == r.width * r.scale_pm // 1000
+        assert r.out_h == r.height * r.scale_pm // 1000
+
+
+def test_frame_sample_plan_stride_and_range(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    decoded = mm.decode_media(mm.documents_as_media(docs))
+    rows = mm.frame_sample_plan(decoded, fps=30, every_n=10).collect()
+    per_media = {}
+    for r in rows:
+        per_media.setdefault(r.media_id, []).append(r)
+    for media_rows in per_media.values():
+        idxs = sorted(r.frame_idx for r in media_rows)
+        dur = media_rows[0].duration_s
+        assert idxs == list(range(0, dur * 30, 10))
+        for r in media_rows:
+            assert r.ts_ms == r.frame_idx * 1000 // 30
+
+
+def test_feature_plan_shape_and_determinism(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    decoded = mm.decode_media(mm.documents_as_media(docs))
+    a = {r.media_id: r.features for r in mm.feature_plan(decoded, dim=8).collect()}
+    b = {r.media_id: r.features for r in mm.feature_plan(decoded, dim=8).collect()}
+    assert a == b
+    assert all(len(v) == 8 for v in a.values())
+
+
+def test_resize_media_kernel_plumbing(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(10)
+    media = mm.documents_as_media(docs)
+    out = media.mapInPandas(
+        mm.resize_media_batch, "media_id bigint, resized_checksum string"
+    ).collect()
+    assert len(out) == 10
+    assert all(len(r.resized_checksum) == 16 for r in out)
