@@ -2517,6 +2517,31 @@ def sessionize(spark, sf_dir):
 
 
 @declared(
+    "stream_interval_join",
+    """
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS lag_s
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 900000000
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_interval_join(spark, sf_dir):
+    # stream-stream interval join, batch-checkable form — click →
+    # purchase attribution within 15 min per user; the identical plan
+    # runs under readStream with watermarks on both sides (see
+    # streaming tests for the live twin and state-cleanup contract)
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    return st_ops.interval_join(clicks, purchases, "user_id", "15 minutes")
+
+
+@declared(
     "q_tpch10",
     """
     SELECT c.c_custkey, c.c_name, n.n_name,

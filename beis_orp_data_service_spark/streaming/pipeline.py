@@ -257,6 +257,51 @@ def sliding_counts(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    max_lag: str = "15 minutes",
+) -> DataFrame:
+    """Stream-stream interval join — the attribution shape (each left
+    event joined to right events for the same key within
+    ``[t, t + max_lag]``).
+
+    The join condition keys on ``key_col`` (the shuffle/state key) and
+    bounds the right side's event time by an interval off the left's —
+    exactly the constraint Structured Streaming needs to expire join
+    state: with watermarks on BOTH inputs, a left row's state is
+    droppable once the right watermark passes ``t + max_lag``. The same
+    plan runs in batch mode (no state) and is oracle-checkable there.
+    Inner-join matches emit immediately in append mode; the watermark
+    governs state cleanup, not emission.
+    """
+    c = left.select(
+        F.col("event_id").alias("click_id"),
+        F.col(key_col),
+        F.col("ts").alias("c_ts"),
+    )
+    p = right.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col(key_col).alias("_rkey"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = c.join(
+        p,
+        (F.col(key_col) == F.col("_rkey"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {max_lag}")),
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        F.col(key_col),
+        F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000")
+        .cast("bigint")
+        .alias("lag_s"),
+    )
+
+
 def sessionize(
     events: DataFrame, key_col: str = "user_id", gap_minutes: int = 60
 ) -> DataFrame:

@@ -173,3 +173,40 @@ def test_scd_sink_never_materializes_on_driver(spark, events_json_dir, tmp_path,
     assert 1 <= len(snap_dirs) <= 2
     with open(os.path.join(store, st.ParquetScdSink.CURRENT)) as f:
         assert f.read().strip() == snap_dirs[-1]
+
+
+def test_stream_interval_join_equals_batch(spark, events_json_dir, tmp_path):
+    stream = st.stream_events(spark, events_json_dir)
+    clicks = stream.filter(F.col("event_type") == "click").withWatermark("ts", "1 hour")
+    purchases = stream.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "2 hours"
+    )
+    joined = st.interval_join(clicks, purchases, "user_id", "15 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ivj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ivj"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.click_id, r.purchase_id, r.user_id, r.lag_s)
+        for r in spark.sql("SELECT * FROM ivj_out").collect()
+    }
+    batch = load_table(spark, SF_SMOKE, "events").orderBy("event_id").limit(200)
+    want = {
+        (r.click_id, r.purchase_id, r.user_id, r.lag_s)
+        for r in st.interval_join(
+            batch.filter(F.col("event_type") == "click"),
+            batch.filter(F.col("event_type") == "purchase"),
+            "user_id",
+            "15 minutes",
+        ).collect()
+    }
+    assert got == want
+    for _, _, _, lag_s in got:
+        assert 0 <= lag_s <= 900
