@@ -2872,6 +2872,33 @@ def stratified_sample(spark, sf_dir):
 
 
 @declared(
+    "corpus_quantiles",
+    """
+    WITH r AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+               AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_chars END)
+                AS BIGINT) AS p50,
+           CAST(max(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_chars END)
+                AS BIGINT) AS p90,
+           CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN n_chars END)
+                AS BIGINT) AS p99
+    FROM r GROUP BY lang
+    """,
+)
+def corpus_quantiles(spark, sf_dir):
+    # Training-data op — exact discrete length quantiles per language
+    # (rank arithmetic; interpolating percentiles differ per engine)
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.group_quantiles(docs, "lang", "n_chars", "doc_id")
+
+
+@declared(
     "mixture_sample",
     """
     WITH counts AS (

@@ -344,6 +344,50 @@ def seq_pack(
     )
 
 
+def group_quantiles(
+    df: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    qs: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Exact discrete quantiles per group (corpus length/size reporting):
+    value at rank ``ceil(q·n/100)`` under a total order — integer-exact,
+    so every engine returns the identical number (interpolating
+    percentile functions differ across engines and are not
+    hash-comparable).
+
+    One shuffle on the group key; rank + group-size via windows inside
+    the partition. Groups are processed in parallel; within a huge
+    group this is a sort — at 100 TB prefer ``percentile_approx`` for
+    monitoring dashboards and reserve this exact form for
+    gate-keeping thresholds where the number must be reproducible.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    wn = Window.partitionBy(group_col)
+    ranked = df.select(
+        F.col(group_col),
+        F.col(value_col),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for q in qs:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr(f"(n * {q} + 99) div 100"),
+                    F.col(value_col),
+                )
+            )
+            .cast("bigint")
+            .alias(f"p{q}")
+        )
+    return ranked.groupBy(group_col).agg(*aggs)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling
 # ---------------------------------------------------------------------------

@@ -149,3 +149,20 @@ class TestSampling:
         for r in out.values():
             assert r.n_docs == 100 and r.frac_pm == 500
             assert 0 <= r.n_sampled <= 100
+
+
+class TestGroupQuantiles:
+    def test_exact_known_values(self, spark):
+        rows = [Row(doc_id=i, lang="en", n_chars=i * 10) for i in range(1, 101)]
+        out = corpus.group_quantiles(
+            spark.createDataFrame(rows), "lang", "n_chars", "doc_id"
+        ).collect()[0]
+        # n=100: rank ceil(q*n/100) = q -> value q*10
+        assert (out.n_rows, out.p50, out.p90, out.p99) == (100, 500, 900, 990)
+
+    def test_small_group_and_ties(self, spark):
+        rows = [Row(doc_id=i, lang="de", n_chars=7) for i in range(3)]
+        out = corpus.group_quantiles(
+            spark.createDataFrame(rows), "lang", "n_chars", "doc_id"
+        ).collect()[0]
+        assert (out.p50, out.p90, out.p99) == (7, 7, 7) and out.n_rows == 3
