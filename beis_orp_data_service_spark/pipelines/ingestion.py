@@ -27,8 +27,10 @@ from beis_orp_data_service_spark.functions.text import clean_text, hash_id
 from beis_orp_data_service_spark.operators import converters as conv
 from beis_orp_data_service_spark.operators import models
 from beis_orp_data_service_spark.operators.dedup import (
+    band_key_array,
     exact_dup_groups,
     minhash_signature_np,
+    quantized_cosine_cols,
     scd_versions,
 )
 from beis_orp_data_service_spark.sources.readers import orpml_serialize
@@ -59,32 +61,73 @@ def signature_stage(docs: DataFrame, id_col: str = "media_id") -> DataFrame:
     return docs.join(sigs, id_col)
 
 
+#: metadata fields compared for the duplicate-vs-version decision — the
+#: engine's stand-in for the reference's return_vals dict
+#: (regulatory_topic / document_type / status, check_duplicate.py:18)
+CLASSIFY_META_COLS = ("document_format", "title", "language")
+
+#: floor(0.95² · 1000) — the quantized-sim² form of the reference's
+#: cosine cutoff (check_duplicate.py:19)
+SIM2_MILLI_CUTOFF = 902
+
+
 def classify_stage(incoming: DataFrame, existing: DataFrame | None) -> DataFrame:
-    """Three-way duplicate / version / new against the existing store
-    (check_duplicate.py:154-211): exact content hash → duplicate;
-    same node_id (metadata key) → version; else new."""
+    """Three-way duplicate / version / new against the existing store —
+    the reference's is_duplicate rule (check_duplicate.py:154-211): an
+    existing doc is *similar* when signature cosine ≥ 0.95 (exact
+    content-hash equality is the cosine=1 fast path). Similar with
+    identical metadata on ``CLASSIFY_META_COLS`` → 'duplicate' (reject
+    incoming); similar with any metadata difference → 'version'; no
+    similar doc → 'new'.
+
+    Scale shape: both sides are LSH-band-keyed and meet in an equi-join
+    (identical text ⇒ identical bands, so exact dups always collide);
+    the quantized cosine runs only on band candidates, never all pairs.
+    """
     hashed = incoming.withColumn("content_hash", F.md5("text"))
     if existing is None:
         return hashed.withColumn("classification", F.lit("new"))
     ex = existing.select(
-        F.col("content_hash").alias("ex_hash"), F.col("node_id").alias("ex_node")
-    ).distinct()
-    by_hash = hashed.join(
-        F.broadcast(ex.select("ex_hash").distinct()),
-        hashed.content_hash == F.col("ex_hash"),
-        "left",
+        F.col("media_id").alias("ex_id"),
+        F.col("content_hash").alias("ex_hash"),
+        F.col("sig").alias("ex_sig"),
+        *[F.col(c).alias(f"ex_{c}") for c in CLASSIFY_META_COLS],
+    ).dropDuplicates(["ex_id"])
+    a_keyed = hashed.select(
+        "media_id", F.explode(band_key_array("sig")).alias("band_key")
     )
-    by_node = by_hash.join(
-        F.broadcast(ex.select("ex_node").distinct()),
-        by_hash.node_id == F.col("ex_node"),
-        "left",
+    b_keyed = ex.select(
+        "ex_id", F.explode(band_key_array("ex_sig")).alias("band_key")
     )
-    return by_node.withColumn(
-        "classification",
-        F.when(F.col("ex_hash").isNotNull(), "duplicate")
-        .when(F.col("ex_node").isNotNull(), "version")
-        .otherwise("new"),
-    ).drop("ex_hash", "ex_node")
+    candidates = (
+        a_keyed.join(b_keyed, "band_key").select("media_id", "ex_id").distinct()
+    )
+    pairs = candidates.join(
+        hashed.select("media_id", "content_hash", "sig", *CLASSIFY_META_COLS),
+        "media_id",
+    ).join(ex, "ex_id")
+    sim2 = quantized_cosine_cols("sig", "ex_sig")["sim2_milli"]
+    similar = (F.col("content_hash") == F.col("ex_hash")) | (
+        sim2 >= SIM2_MILLI_CUTOFF
+    )
+    meta_same = F.lit(True)
+    for c in CLASSIFY_META_COLS:
+        meta_same = meta_same & F.col(c).eqNullSafe(F.col(f"ex_{c}"))
+    verdicts = (
+        pairs.filter(similar)
+        .groupBy("media_id")
+        .agg(F.max(meta_same.cast("int")).alias("_meta_dup"))
+    )
+    return (
+        hashed.join(verdicts, "media_id", "left")
+        .withColumn(
+            "classification",
+            F.when(F.col("_meta_dup") == 1, "duplicate")
+            .when(F.col("_meta_dup").isNotNull(), "version")
+            .otherwise("new"),
+        )
+        .drop("_meta_dup")
+    )
 
 
 def ingest(

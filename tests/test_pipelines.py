@@ -59,9 +59,42 @@ def test_ingest_against_existing_store_rejects_duplicates(spark, binaries):
     first = ingestion.ingest(binaries.filter("media_id = 1"))
     store = first["documents"]
     second = ingestion.ingest(binaries.filter("media_id = 3"), existing_store=store)
-    # same bytes already in the store → rejected as duplicate
+    # same bytes + same derived metadata already in the store →
+    # rejected as duplicate (check_duplicate.py is_duplicate rule)
     assert second["rejected"].count() == 1
     assert second["documents"].filter("media_id = 3").count() == 0
+
+
+def test_classify_similar_with_metadata_difference_is_version(spark, binaries):
+    # identical text re-uploaded under a different format: similar
+    # (cosine = 1 fast path) but metadata differs → 'version', inserted
+    first = ingestion.ingest(binaries.filter("media_id = 1"))
+    store = first["documents"]
+    reupload = binaries.filter("media_id = 1").select(
+        (F.col("media_id") + 10).alias("media_id"),
+        F.lit("DOCX").alias("document_format"),
+        "content",
+    )
+    out = ingestion.ingest(reupload, existing_store=store)
+    cls = out["documents"].filter("media_id = 11").select("classification").first()
+    assert cls is not None and cls.classification == "version"
+    assert out["rejected"].count() == 0
+
+
+def test_classify_near_duplicate_same_metadata_rejected(spark, binaries):
+    # near-identical text (short suffix appended to a long varied doc),
+    # same derived metadata → signature cosine ≥ 0.95 → 'duplicate' even
+    # though the content hashes differ (the non-exact duplicate path)
+    base = " ".join(f"clause {i} water quality obligations apply" for i in range(40))
+    near = base + " annex"
+    rows = [(1, "PDF", bytearray(base.encode())), (21, "PDF", bytearray(near.encode()))]
+    df = spark.createDataFrame(
+        rows, "media_id bigint, document_format string, content binary"
+    )
+    first = ingestion.ingest(df.filter("media_id = 1"))
+    out = ingestion.ingest(df.filter("media_id = 21"), existing_store=first["documents"])
+    assert out["rejected"].count() == 1
+    assert out["documents"].filter("media_id = 21").count() == 0
 
 
 @pytest.fixture(scope="module")
