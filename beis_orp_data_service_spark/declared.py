@@ -3555,6 +3555,19 @@ def mixture_sample(spark, sf_dir):
     return corpus_ops.mixture_sample_plan(docs, target_per_source=12)
 
 
+@declared(
+    "repeated_passages",
+    corpus_ops.repeated_passages_oracle_sql(k=4, min_docs=2),
+)
+def repeated_passages(spark, sf_dir):
+    # Training-data op — cross-document verbatim passage spans
+    # (suffix-array dedup of Lee et al. 2022 as relational
+    # fingerprinting): k-token rolling fingerprints → cross-doc
+    # repeat filter → gaps-and-islands span merge
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.repeated_passages(docs, "doc_id", "text", k=4, min_docs=2)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------

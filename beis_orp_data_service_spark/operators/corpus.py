@@ -304,6 +304,141 @@ def pii_redact(
 # ---------------------------------------------------------------------------
 
 
+#: polynomial base/modulus for passage window fingerprints — values keep
+#: every intermediate (< P·B + P ≈ 2^51) inside int64 AND exactly
+#: representable as a double, so the fold is engine-portable
+PASSAGE_P = 2_147_483_647
+PASSAGE_B = 1_000_003
+
+
+def _window_fold_sql(th: str, i: str, k: int) -> str:
+    """Unrolled order-sensitive fold over ``th[i .. i+k-1]`` (1-based
+    bracket indexing, DuckDB): ((th[i]·B + th[i+1]) mod P … — the same
+    arithmetic the Spark side computes as a ``lead()`` chain, so the
+    two sides cannot drift in shape, only in indexing syntax."""
+    h = f"{th}[{i}]"
+    for j in range(1, k):
+        h = f"(({h})*{PASSAGE_B} + {th}[{i}+{j}]) % {PASSAGE_P}"
+    return h
+
+
+def repeated_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Passage-level (substring) dedup candidates — the train-data
+    dedup step that removes verbatim passages repeated ACROSS documents
+    (boilerplate, licenses, quoted spans) rather than whole near-dup
+    docs (the suffix-array dedup of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", re-expressed as
+    relational fingerprinting).
+
+    Every k-token window gets an order-sensitive polynomial fingerprint;
+    a fingerprint appearing in ≥ ``min_docs`` distinct documents marks
+    its windows repeated; per document, runs of adjacent repeated
+    windows merge into maximal spans (gaps-and-islands via
+    ``win_idx − row_number``). Output one row per span:
+    ``(doc_id, span_start, span_end, n_windows, span_tokens)`` with
+    0-based inclusive token indexes.
+
+    Scale shape (100 TB): token hashes come from a posexplode table (one
+    single-level fold per token); window fingerprints are an unrolled
+    ``lead()`` chain over (doc, pos) — one WindowExec pass, no arrays,
+    no interpreted per-window lambda. The only other shuffles are the
+    fingerprint groupBy (map-side combined count-distinct — hot
+    boilerplate fingerprints never collect id lists) and the islands
+    window back on the doc key. Windows never span documents, so
+    partitioning by doc_id co-locates every stage after the fingerprint
+    semi-join.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), " ")).alias("pos", "_tok"),
+    )
+    th = toks.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.expr(
+            "aggregate(sequence(1, length(_tok)), CAST(0 AS BIGINT),"
+            f" (acc, i) -> (acc*31 + ascii(substr(_tok, i, 1))) % {PASSAGE_P})"
+        ).alias("_th"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    fold = F.col("_th")
+    for j in range(1, k):
+        fold = (fold * PASSAGE_B + F.lead("_th", j).over(w)) % PASSAGE_P
+    wins = (
+        th.select(
+            F.col(id_col),
+            F.col("pos").cast("bigint").alias("win_idx"),
+            fold.alias("win_hash"),
+            F.lead("_th", k - 1).over(w).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    rep = (
+        wins.groupBy("win_hash")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("win_hash")
+    )
+    flagged = wins.join(rep, "win_hash", "left_semi")
+    iw = Window.partitionBy(id_col).orderBy("win_idx")
+    grouped = flagged.withColumn(
+        "_grp", F.col("win_idx") - F.row_number().over(iw)
+    )
+    return grouped.groupBy(id_col, "_grp").agg(
+        F.min("win_idx").alias("span_start"),
+        (F.max("win_idx") + F.lit(k - 1)).cast("bigint").alias("span_end"),
+        F.count("*").cast("bigint").alias("n_windows"),
+        (F.max("win_idx") - F.min("win_idx") + F.lit(k)).cast("bigint").alias(
+            "span_tokens"
+        ),
+    ).drop("_grp")
+
+
+def repeated_passages_oracle_sql(k: int = 8, min_docs: int = 2) -> str:
+    """DuckDB twin of :func:`repeated_passages` over the ``documents``
+    view — generated from the same fold shape so the two can't drift."""
+    fold = _window_fold_sql("th", "i", k)
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(string_split(trim(text), ' '),
+               s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      [CAST(ascii(s[i:i]) AS BIGINT)
+                       for i in range(1, length(s)+1)]),
+                    (acc, x) -> (acc*31 + x) % {PASSAGE_P})) AS th
+      FROM documents
+    ), w AS (
+      SELECT doc_id, CAST(unnest(range(1, len(th)-{k}+2)) AS BIGINT) - 1 AS win_idx, th
+      FROM t WHERE len(th) >= {k}
+    ), h AS (
+      SELECT doc_id, win_idx, {fold} AS win_hash
+      FROM (SELECT doc_id, win_idx, CAST(win_idx + 1 AS BIGINT) AS i, th FROM w)
+    ), rep AS (
+      SELECT win_hash FROM h GROUP BY win_hash
+      HAVING count(DISTINCT doc_id) >= {min_docs}
+    ), f AS (
+      SELECT doc_id, win_idx,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY win_idx)
+                  AS BIGINT) AS rn
+      FROM h WHERE win_hash IN (SELECT win_hash FROM rep)
+    )
+    SELECT doc_id, CAST(min(win_idx) AS BIGINT) AS span_start,
+           CAST(max(win_idx) + {k} - 1 AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(max(win_idx) - min(win_idx) + {k} AS BIGINT) AS span_tokens
+    FROM f GROUP BY doc_id, win_idx - rn
+    """
+
+
 def seq_pack(
     df: DataFrame,
     budget: int,

@@ -166,3 +166,59 @@ class TestGroupQuantiles:
             spark.createDataFrame(rows), "lang", "n_chars", "doc_id"
         ).collect()[0]
         assert (out.p50, out.p90, out.p99) == (7, 7, 7) and out.n_rows == 3
+
+
+class TestRepeatedPassages:
+    def test_planted_shared_passage(self, spark):
+        # docs 1 and 2 share an 8-token verbatim passage at different
+        # offsets; doc 3 is disjoint text — one span per sharing doc,
+        # none for doc 3
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=f"one two {shared} three four"),
+                Row(doc_id=2, text=f"{shared} five six seven eight nine"),
+                Row(doc_id=3, text="ten eleven twelve thirteen fourteen "
+                                   "fifteen sixteen seventeen eighteen"),
+            ]
+        )
+        out = {
+            r.doc_id: r
+            for r in corpus.repeated_passages(df, k=4, min_docs=2).collect()
+        }
+        assert set(out) == {1, 2}
+        # doc 1: shared tokens occupy positions 2..9 -> windows 2..6
+        assert (out[1].span_start, out[1].span_end) == (2, 9)
+        assert out[1].n_windows == 5 and out[1].span_tokens == 8
+        # doc 2: positions 0..7 -> windows 0..4
+        assert (out[2].span_start, out[2].span_end) == (0, 7)
+        assert out[2].n_windows == 5 and out[2].span_tokens == 8
+
+    def test_two_disjoint_spans_per_doc(self, spark):
+        a = "red orange yellow green"
+        b = "cyan blue indigo violet"
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=f"{a} spacer1 spacer2 spacer3 {b}"),
+                Row(doc_id=2, text=f"{a} other words entirely {b}"),
+            ]
+        )
+        out = corpus.repeated_passages(df, k=4, min_docs=2)
+        spans = sorted(
+            (r.doc_id, r.span_start, r.span_end) for r in out.collect()
+        )
+        # both docs: exact-match windows only at the two planted spans
+        assert spans == [(1, 0, 3), (1, 7, 10), (2, 0, 3), (2, 7, 10)]
+
+    def test_short_docs_no_windows(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="one two three"), Row(doc_id=2, text="one two three")]
+        )
+        # k=4 > doc length -> no windows at all
+        assert corpus.repeated_passages(df, k=4, min_docs=2).count() == 0
+        # but k=3 flags the identical docs end-to-end
+        out = corpus.repeated_passages(df, k=3, min_docs=2).collect()
+        assert {(r.doc_id, r.span_start, r.span_end) for r in out} == {
+            (1, 0, 2),
+            (2, 0, 2),
+        }
