@@ -3556,6 +3556,19 @@ def mixture_sample(spark, sf_dir):
 
 
 @declared(
+    "decontaminate",
+    corpus_ops.decontaminate_oracle_sql(n=5, min_hits=1),
+)
+def decontaminate(spark, sf_dir):
+    # Training-data op — train-test overlap flags: documents sharing
+    # any 5-gram with the held-out benchmark subset (doc_id % 97).
+    # Benchmark gram set broadcasts; corpus probes without shuffling.
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return corpus_ops.decontaminate(docs, bench, n=5, min_hits=1)
+
+
+@declared(
     "repeated_passages",
     corpus_ops.repeated_passages_oracle_sql(k=4, min_docs=2),
 )

@@ -439,6 +439,101 @@ def repeated_passages_oracle_sql(k: int = 8, min_docs: int = 2) -> str:
     """
 
 
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination — flag training documents sharing any
+    word n-gram with a held-out evaluation set (the GPT-3 appendix-C /
+    PaLM / Llama train–test overlap rule, re-expressed relationally).
+
+    Returns one row per training document:
+    ``(id, n_grams, n_hits, contaminated)`` where ``n_hits`` counts the
+    document's DISTINCT n-grams that occur anywhere in the benchmark
+    and ``contaminated = 1`` when ``n_hits >= min_hits``.
+
+    Scale shape (100 TB corpus, benchmark ≪ corpus): the benchmark
+    gram set is distinct-ed and **broadcast** — the corpus never
+    shuffles for the probe. Per-document grams are deduped row-side
+    (``array_distinct`` on the NGram array — no shuffle), and only
+    grams that actually collide with the benchmark reach the per-doc
+    count aggregation, so the single shuffle moves hit rows only.
+    Word n-grams via JVM ``pyspark.ml.feature.NGram`` (codegen'd; no
+    grams for docs shorter than ``n``, mirrored by the oracle's
+    ``greatest(len - n + 1, 0)``).
+    """
+    from pyspark.ml.feature import NGram
+
+    def grams_of(df_: DataFrame, *keep: str) -> DataFrame:
+        base = df_.select(
+            *keep, F.split(F.trim(F.col(text_col)), r"\s+").alias("words")
+        )
+        return NGram(n=n, inputCol="words", outputCol="grams").transform(base)
+
+    bench_grams = (
+        grams_of(bench)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    doc_grams = grams_of(docs, id_col).select(
+        F.col(id_col), F.explode(F.array_distinct("grams")).alias("g")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    per_doc = grams_of(docs, id_col).select(
+        F.col(id_col), F.size("grams").cast("bigint").alias("n_grams")
+    )
+    return per_doc.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        F.when(F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("contaminated"),
+    )
+
+
+def decontaminate_oracle_sql(
+    n: int = 5, min_hits: int = 1, bench_pred: str = "doc_id % 97 = 0"
+) -> str:
+    """DuckDB twin of :func:`decontaminate` over the ``documents`` view
+    with the benchmark selected by ``bench_pred``."""
+    gram = f"array_to_string(words[i:i+{n - 1}], ' ')"
+    rng = f"range(1, len(words)-{n}+2)"
+    return f"""
+    WITH bw AS (
+      SELECT string_split_regex(trim(text), '\\s+') AS words
+      FROM documents WHERE {bench_pred}
+    ), bg AS (
+      SELECT DISTINCT unnest([{gram} for i in {rng}]) AS g
+      FROM bw WHERE len(words) >= {n}
+    ), dw AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents
+    ), dg AS (
+      SELECT DISTINCT doc_id, unnest([{gram} for i in {rng}]) AS g
+      FROM dw WHERE len(words) >= {n}
+    ), h AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM dg JOIN bg USING (g) GROUP BY doc_id
+    )
+    SELECT dw.doc_id,
+           CAST(greatest(len(dw.words) - {n} + 1, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(CASE WHEN coalesce(h.n_hits, 0) >= {min_hits}
+                     THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+    FROM dw LEFT JOIN h ON dw.doc_id = h.doc_id
+    """
+
+
 def seq_pack(
     df: DataFrame,
     budget: int,

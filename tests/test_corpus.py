@@ -222,3 +222,52 @@ class TestRepeatedPassages:
             (1, 0, 2),
             (2, 0, 2),
         }
+
+
+class TestDecontaminate:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                # shares the 5-gram "a b c d e" with the benchmark
+                Row(doc_id=1, text="x y a b c d e z w"),
+                # clean
+                Row(doc_id=2, text="p q r s t u v w x"),
+                # too short for any 5-gram
+                Row(doc_id=3, text="a b c"),
+            ]
+        )
+
+    def test_flags_overlap_only(self, spark):
+        bench = spark.createDataFrame([Row(doc_id=9, text="k a b c d e m")])
+        out = {
+            r.doc_id: r
+            for r in corpus.decontaminate(self._docs(spark), bench, n=5).collect()
+        }
+        assert set(out) == {1, 2, 3}
+        assert (out[1].contaminated, out[2].contaminated, out[3].contaminated) == (
+            1,
+            0,
+            0,
+        )
+        # doc 1: grams "a b c d e" and... windows starting at a(2),b(3),
+        # c(4),d(5) -> only "a b c d e" is in bench's gram set
+        assert out[1].n_hits == 1 and out[1].n_grams == 5
+        assert out[3].n_grams == 0 and out[3].n_hits == 0
+
+    def test_min_hits_threshold(self, spark):
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="a b c d e f")]  # grams: abcde, bcdef
+        )
+        bench = spark.createDataFrame([Row(doc_id=9, text="a b c d e f")])
+        one = corpus.decontaminate(docs, bench, n=5, min_hits=3).collect()[0]
+        assert one.n_hits == 2 and one.contaminated == 0
+
+    def test_repeated_gram_counts_once(self, spark):
+        # the doc repeats the contaminated gram; distinct-gram counting
+        # reports 1 hit, not 2
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="a b c d e a b c d e")]
+        )
+        bench = spark.createDataFrame([Row(doc_id=9, text="a b c d e")])
+        one = corpus.decontaminate(docs, bench, n=5).collect()[0]
+        assert one.n_hits == 1 and one.contaminated == 1
