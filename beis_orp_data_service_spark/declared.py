@@ -3556,6 +3556,18 @@ def mixture_sample(spark, sf_dir):
 
 
 @declared(
+    "export_shards",
+    corpus_ops.export_shards_oracle_sql(n_shards=16),
+)
+def export_shards(spark, sf_dir):
+    # Training-data op — deterministic global-shuffle export layout:
+    # hash shard + within-shard pseudo-random rank, reproducible under
+    # any partitioning (window partitions on shard_id, 16-way parallel)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return corpus_ops.export_shards(docs, n_shards=16)
+
+
+@declared(
     "decontaminate",
     corpus_ops.decontaminate_oracle_sql(n=5, min_hits=1),
 )

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Universal-hash constants for deterministic sampling: Lehmer/Park-Miller
 # multiplier mod the Mersenne prime 2^31-1. doc_id * 48271 stays far
@@ -436,6 +437,58 @@ def repeated_passages_oracle_sql(k: int = 8, min_docs: int = 2) -> str:
            CAST(count(*) AS BIGINT) AS n_windows,
            CAST(max(win_idx) - min(win_idx) + {k} AS BIGINT) AS span_tokens
     FROM f GROUP BY doc_id, win_idx - rn
+    """
+
+
+def export_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic export layout — the 'global shuffle' step that
+    turns a curated corpus into N training shards: every row gets
+    ``(shard_id, shard_pos)`` where the shard is a universal hash of
+    the id and the position is the row's rank *within its shard* by a
+    second hash (so within-shard order is also pseudo-random yet
+    reproducible). Re-running on the same corpus — under any
+    partitioning, any engine — yields byte-identical shard layouts,
+    which `df.repartition(...).sortWithinPartitions(rand())` cannot
+    promise (RNG state, partition-count dependence).
+
+    One shuffle (the per-shard rank window, partitioned on shard_id —
+    parallel across shards, no global ordering bottleneck). The
+    writer-side contract is ``partitionBy(shard_id)`` + sort on
+    shard_pos, so executors stream each shard straight to its
+    directory.
+    """
+    mix = (sample_hash(id_col) * F.lit(SAMPLE_A) + F.lit(SAMPLE_B)) % F.lit(
+        SAMPLE_P
+    )
+    w = Window.partitionBy("shard_id").orderBy("_order", id_col)
+    return (
+        df.withColumn(
+            "shard_id", (sample_hash(id_col) % n_shards).cast("bigint")
+        )
+        .withColumn("_order", mix)
+        .withColumn(
+            "shard_pos", (F.row_number().over(w) - 1).cast("bigint")
+        )
+        .drop("_order")
+    )
+
+
+def export_shards_oracle_sql(n_shards: int) -> str:
+    """DuckDB twin of :func:`export_shards` over ``documents``
+    (projected to the id + shard layout columns)."""
+    h = f"(doc_id * {SAMPLE_A} + {SAMPLE_B}) % {SAMPLE_P}"
+    mix = f"(({h}) * {SAMPLE_A} + {SAMPLE_B}) % {SAMPLE_P}"
+    return f"""
+    SELECT doc_id,
+           CAST(({h}) % {n_shards} AS BIGINT) AS shard_id,
+           CAST(row_number() OVER (
+             PARTITION BY ({h}) % {n_shards}
+             ORDER BY {mix}, doc_id) - 1 AS BIGINT) AS shard_pos
+    FROM documents
     """
 
 

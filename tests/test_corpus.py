@@ -271,3 +271,37 @@ class TestDecontaminate:
         bench = spark.createDataFrame([Row(doc_id=9, text="a b c d e")])
         one = corpus.decontaminate(docs, bench, n=5).collect()[0]
         assert one.n_hits == 1 and one.contaminated == 1
+
+
+class TestExportShards:
+    def test_layout_invariants(self, spark):
+        df = spark.createDataFrame([Row(doc_id=i) for i in range(200)])
+        out = corpus.export_shards(df, n_shards=8).collect()
+        assert len(out) == 200
+        by_shard = {}
+        for r in out:
+            assert 0 <= r.shard_id < 8
+            exp = ((r.doc_id * corpus.SAMPLE_A + corpus.SAMPLE_B)
+                   % corpus.SAMPLE_P) % 8
+            assert r.shard_id == exp
+            by_shard.setdefault(r.shard_id, []).append(r.shard_pos)
+        # positions within each shard are exactly 0..len-1
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(len(poss)))
+
+    def test_partitioning_invariant(self, spark):
+        df = spark.createDataFrame([Row(doc_id=i) for i in range(100)])
+        a = {(r.doc_id, r.shard_id, r.shard_pos)
+             for r in corpus.export_shards(df, n_shards=4).collect()}
+        b = {(r.doc_id, r.shard_id, r.shard_pos)
+             for r in corpus.export_shards(df.repartition(13), n_shards=4).collect()}
+        assert a == b
+
+    def test_within_shard_order_not_id_order(self, spark):
+        # the second-hash mix must scramble within-shard order; with 400
+        # ids it would be astronomically unlikely to equal id order
+        df = spark.createDataFrame([Row(doc_id=i) for i in range(400)])
+        rows = [r for r in corpus.export_shards(df, n_shards=2).collect()
+                if r.shard_id == 0]
+        by_pos = [r.doc_id for r in sorted(rows, key=lambda r: r.shard_pos)]
+        assert by_pos != sorted(by_pos)
