@@ -39,11 +39,13 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table, normalizing timestamp physical types.
 
-    The driver writes ``events.ts`` as parquet TIMESTAMP(NANOS), which the
-    vectorized Spark reader rejects (SPARK-40819). We read nanos as long
-    (legacy conf, safe to set per-session at runtime) and truncate to
-    microseconds so every downstream operator sees a plain TimestampType —
-    the same value DuckDB's reader produces.
+    The driver has shipped ``events.ts`` in two physical forms across
+    rounds: parquet TIMESTAMP(NANOS) — which the vectorized Spark reader
+    rejects (SPARK-40819), so we read nanos as long and truncate to
+    micros — and TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark
+    reads as TimestampNTZ. Both are normalized to a plain TimestampType:
+    the session timezone is pinned UTC, so an NTZ→TZ cast is value-
+    preserving and yields the same instant DuckDB's reader produces.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # timestamp semantics are UTC throughout the engine (ISO-8601/UTC in the
@@ -59,6 +61,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer DIV, not float division: nanos exceed 2^53, so a
             # double round-trip loses the last microsecond.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

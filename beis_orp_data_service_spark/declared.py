@@ -3593,6 +3593,31 @@ def repeated_passages(spark, sf_dir):
     return corpus_ops.repeated_passages(docs, "doc_id", "text", k=4, min_docs=2)
 
 
+@declared(
+    "chunk_dedup",
+    corpus_ops.chunk_dedup_oracle_sql(width=16),
+)
+def chunk_dedup(spark, sf_dir):
+    # Training-data op — CCNet-style paragraph dedup (keep globally
+    # first occurrence of each repeated chunk): min-struct keeper per
+    # chunk (map-side combined, hot-chunk-safe) → semi-join survivors
+    # → position-ordered reassembly
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.chunk_dedup(docs, "doc_id", "text", width=16)
+
+
+@declared(
+    "dsir_weights",
+    corpus_ops.dsir_weights_oracle_sql(target_pred="lang = 'en'"),
+)
+def dsir_weights(spark, sf_dir):
+    # Training-data op — DSIR importance weights: bigram log-likelihood
+    # ratio vs the lang='en' target domain, integer-micro-summed so the
+    # per-doc weight is aggregation-order independent
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------

@@ -734,3 +734,254 @@ def mixture_sample_plan(
         "frac_pm",
         F.coalesce(F.col("n_sampled"), F.lit(0)).cast("bigint").alias("n_sampled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup (CCNet-style) and DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 16,
+) -> DataFrame:
+    """Paragraph-level exact dedup — CCNet's "dedup repeated paragraphs
+    across the corpus, keep the first occurrence" rule (Wenzek et al.
+    2020), with fixed-width token chunks standing in for paragraphs on
+    newline-free corpora (the same chunking contract as
+    ``functions.text.sentence_chunks``).
+
+    A chunk occurrence survives iff it is the globally FIRST occurrence
+    of that chunk text: minimal ``(doc_id, pos)`` over every document
+    containing it. Output one row per document:
+    ``(id, n_chunks, n_kept, text_kept)`` where ``text_kept`` re-joins
+    the surviving chunks in position order.
+
+    Scale shape (100 TB): the keeper per chunk is a ``min(struct(doc,
+    pos))`` groupBy — map-side combined, so a boilerplate chunk
+    repeated a billion times ships one pre-aggregated row per map task
+    rather than a sorted window partition (the row_number formulation
+    would funnel every occurrence of a hot chunk through one reducer).
+    Survivors come back via an equi-join on (chunk, doc, pos) against
+    the full occurrence table, then one reassembly groupBy on the doc
+    key. Three shuffles total, none skew-prone.
+    """
+    chunks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(
+                        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+                        / F.lit(width)
+                    ).cast("int")
+                    - 1,
+                ),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.split(F.trim(F.col(text_col)), r"\s+"),
+                        i * width + 1,
+                        width,
+                    ),
+                ),
+            )
+        ).alias("pos", "chunk"),
+    )
+    keeper = chunks.groupBy("chunk").agg(
+        F.min(F.struct(F.col(id_col).alias("kid"), F.col("pos").alias("kpos"))).alias(
+            "k"
+        )
+    )
+    kept = chunks.join(
+        keeper,
+        (chunks.chunk == keeper.chunk)
+        & (chunks[id_col] == keeper.k.kid)
+        & (chunks.pos == keeper.k.kpos),
+        "left_semi",
+    )
+    per_doc = chunks.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_chunks")
+    )
+    kept_agg = kept.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ", F.transform(F.array_sort(F.collect_list(F.struct("pos", "chunk"))), lambda s: s.chunk)
+        ).alias("text_kept"),
+    )
+    return per_doc.join(kept_agg, id_col, "left").select(
+        F.col(id_col),
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.col("text_kept"), F.lit("")).alias("text_kept"),
+    )
+
+
+def chunk_dedup_oracle_sql(width: int = 16) -> str:
+    """DuckDB twin of :func:`chunk_dedup` over the ``documents`` view."""
+    w = width
+    return f"""
+    WITH dw AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             CAST(i - 1 AS INT) AS pos,
+             array_to_string(words[(i-1)*{w}+1 : least(i*{w}, len(words))], ' ')
+               AS chunk
+      FROM dw, unnest(range(1, CAST(ceil(len(words) / {w}.0) AS BIGINT) + 1))
+                 AS t(i)
+    ), k AS (
+      SELECT chunk, min(struct_pack(kid := doc_id, kpos := pos)) AS k
+      FROM c GROUP BY chunk
+    ), kept AS (
+      SELECT c.doc_id, c.pos, c.chunk
+      FROM c JOIN k ON c.chunk = k.chunk
+                   AND c.doc_id = k.k.kid AND c.pos = k.k.kpos
+    ), pd AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM c GROUP BY doc_id
+    ), ka AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY pos) AS text_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT pd.doc_id, pd.n_chunks,
+           CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(ka.text_kept, '') AS text_kept
+    FROM pd LEFT JOIN ka ON pd.doc_id = ka.doc_id
+    """
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by the log-likelihood ratio of its word-bigram features
+    under a target-domain unigram-of-bigrams model vs the raw-corpus
+    model, with add-one smoothing over the raw vocabulary.
+
+        weight(d) = Σ_g c_{d,g} · ln( (t_g + 1)/(T + V) / ((r_g + 1)/(R + V)) )
+
+    where ``c_{d,g}`` is the bigram's count in the document, ``t_g``/
+    ``r_g`` its total count in the target / raw corpus, ``T``/``R`` the
+    corpus totals, and ``V`` the raw vocabulary size. A pipeline then
+    resamples ∝ exp(weight) — the weight itself is the deterministic,
+    oracle-checkable part.
+
+    Determinism: each term is scaled to integer micro-units
+    (``round(c·lr·1e6)`` as BIGINT) before summation, so the per-doc
+    sum is integer-exact and independent of aggregation order — the
+    float division at the end is a single exact int→double cast per
+    row. Output: ``(id, n_grams, weight_micro, weight)``.
+
+    Scale shape (100 TB): gram-count tables are map-side-combined
+    groupBys (wire carries ≈ vocab, not tokens); the scalar totals
+    (T, R, V) ride along via a broadcast cross-join of one row; the
+    doc-gram table shuffles once on the gram key to meet the count
+    tables, once on the doc key for the final sum. DSIR's production
+    form caps the feature space by hashing grams into 2^20 buckets —
+    here the corpus vocabulary is small enough to keep raw grams, and
+    the hashed variant only changes the gram expression (portable
+    md5-prefix bucket), not the plan shape.
+    """
+    from pyspark.ml.feature import NGram
+
+    def doc_grams(df_: DataFrame, *keep: str) -> DataFrame:
+        base = df_.select(
+            *keep, F.split(F.trim(F.col(text_col)), r"\s+").alias("words")
+        )
+        return (
+            NGram(n=2, inputCol="words", outputCol="grams")
+            .transform(base)
+            .select(*keep, F.explode("grams").alias("g"))
+        )
+
+    dg = doc_grams(docs, id_col).groupBy(id_col, "g").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    raw = dg.groupBy("g").agg(F.sum("c").cast("bigint").alias("r"))
+    tg = doc_grams(target).groupBy("g").agg(
+        F.count("*").cast("bigint").alias("t")
+    )
+    # scalar totals get collision-proof names: Spark resolution is
+    # case-insensitive by default, so "T" would alias tg's "t".
+    totals = raw.agg(
+        F.sum("r").cast("bigint").alias("r_tot"),
+        F.count("*").cast("bigint").alias("v_size"),
+    ).crossJoin(
+        tg.agg(F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("t_tot"))
+    )
+    scored = (
+        dg.join(raw, "g")
+        .join(tg, "g", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.col("c"),
+            F.round(
+                F.col("c")
+                * (
+                    F.log(
+                        (F.coalesce(F.col("t"), F.lit(0)) + 1)
+                        / (F.col("t_tot") + F.col("v_size"))
+                    )
+                    - F.log((F.col("r") + 1) / (F.col("r_tot") + F.col("v_size")))
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("bigint")
+            .alias("term_micro"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.sum("term_micro").cast("bigint").alias("weight_micro"),
+        (F.sum("term_micro") / F.lit(1_000_000.0)).alias("weight"),
+    )
+
+
+def dsir_weights_oracle_sql(target_pred: str = "lang = 'en'") -> str:
+    """DuckDB twin of :func:`dsir_weights` over the ``documents`` view
+    with the target domain selected by ``target_pred``."""
+    gram = "words[i] || ' ' || words[i+1]"
+    rng = "range(1, len(words))"
+    return f"""
+    WITH dw AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents
+    ), dg AS (
+      SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest([{gram} for i in {rng}]) AS g
+            FROM dw WHERE len(words) >= 2)
+      GROUP BY doc_id, g
+    ), raw AS (
+      SELECT g, CAST(sum(c) AS BIGINT) AS r FROM dg GROUP BY g
+    ), tg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS t
+      FROM (SELECT unnest([{gram} for i in {rng}]) AS g
+            FROM dw JOIN documents USING (doc_id)
+            WHERE ({target_pred}) AND len(words) >= 2)
+      GROUP BY g
+    ), tot AS (
+      SELECT (SELECT CAST(sum(r) AS BIGINT) FROM raw) AS R,
+             (SELECT CAST(count(*) AS BIGINT) FROM raw) AS V,
+             (SELECT CAST(coalesce(sum(t), 0) AS BIGINT) FROM tg) AS T
+    ), scored AS (
+      SELECT dg.doc_id, dg.c,
+             CAST(round(dg.c * (ln((coalesce(tg.t, 0) + 1.0) / (tot.T + tot.V))
+                                - ln((raw.r + 1.0) / (tot.R + tot.V)))
+                        * 1000000.0) AS BIGINT) AS term_micro
+      FROM dg JOIN raw USING (g) LEFT JOIN tg USING (g) CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+           CAST(sum(term_micro) AS BIGINT) AS weight_micro,
+           sum(term_micro) / 1000000.0 AS weight
+    FROM scored GROUP BY doc_id
+    """

@@ -305,3 +305,64 @@ class TestExportShards:
                 if r.shard_id == 0]
         by_pos = [r.doc_id for r in sorted(rows, key=lambda r: r.shard_pos)]
         assert by_pos != sorted(by_pos)
+
+
+class TestChunkDedup:
+    def test_first_occurrence_survives(self, spark):
+        # width=2 chunks; "x y" appears in docs 1 (pos 0) and 2 (pos 1):
+        # only doc 1's copy survives.
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="x y a b"),
+                Row(doc_id=2, text="c d x y"),
+            ]
+        )
+        got = {
+            r.doc_id: r
+            for r in corpus.chunk_dedup(df, width=2).collect()
+        }
+        assert got[1].n_chunks == 2 and got[1].n_kept == 2
+        assert got[1].text_kept == "x y a b"
+        assert got[2].n_chunks == 2 and got[2].n_kept == 1
+        assert got[2].text_kept == "c d"
+
+    def test_within_doc_repeat_keeps_first(self, spark):
+        df = spark.createDataFrame([Row(doc_id=7, text="p q p q")])
+        row = corpus.chunk_dedup(df, width=2).collect()[0]
+        assert row.n_chunks == 2 and row.n_kept == 1
+        assert row.text_kept == "p q"
+
+    def test_all_duplicated_doc_yields_empty(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="m n"), Row(doc_id=2, text="m n")]
+        )
+        got = {r.doc_id: r for r in corpus.chunk_dedup(df, width=2).collect()}
+        assert got[2].n_kept == 0 and got[2].text_kept == ""
+
+
+class TestDsirWeights:
+    def test_target_like_doc_scores_higher(self, spark):
+        # target domain speaks "alpha beta"; doc 1 matches it, doc 2
+        # doesn't — doc 1's log-likelihood-ratio weight must be higher.
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="alpha beta alpha beta"),
+                Row(doc_id=2, text="gamma delta gamma delta"),
+                Row(doc_id=3, text="alpha beta gamma"),
+            ]
+        )
+        target = df.filter(F.col("doc_id") == 3)
+        got = {r.doc_id: r for r in corpus.dsir_weights(df, target).collect()}
+        assert got[1].weight > got[2].weight
+        # micro-int contract: weight is exactly weight_micro / 1e6
+        for r in got.values():
+            assert abs(r.weight - r.weight_micro / 1e6) < 1e-12
+
+    def test_gram_counts(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="a b c"), Row(doc_id=2, text="a")]
+        )
+        out = corpus.dsir_weights(df, df.filter(F.col("doc_id") == 1)).collect()
+        got = {r.doc_id: r.n_grams for r in out}
+        # doc 2 has no bigram -> absent; doc 1 has 2
+        assert got == {1: 2}
