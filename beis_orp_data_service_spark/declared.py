@@ -3594,6 +3594,19 @@ def repeated_passages(spark, sf_dir):
 
 
 @declared(
+    "semdedup",
+    sim.semdedup_oracle_sql(n_clusters=8, sim2_milli_threshold=900),
+)
+def semdedup(spark, sf_dir):
+    # Training-data op — SemDeDup (Abbas et al. 2023): deterministic
+    # coarse quantizer (first-k vectors; production: kmeans_centroids),
+    # argmin quantized-L2 assignment, within-cluster int-cosine² dedup
+    # against lower-id cluster-mates. All integer-exact.
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.semdedup(emb, n_clusters=8, sim2_milli_threshold=900)
+
+
+@declared(
     "chunk_dedup",
     corpus_ops.chunk_dedup_oracle_sql(width=16),
 )

@@ -354,6 +354,154 @@ def embedding_dup_pairs(
     return v.groupBy("bucket").applyInPandas(_pairs, out_schema)
 
 
+def semdedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    sim2_milli_threshold: int = 900,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the embedding
+    space, then drop every document whose embedding is near-identical to
+    an earlier document IN THE SAME CLUSTER — pairwise similarity is
+    only ever computed within a cluster, never across the corpus.
+
+    This declared form is end-to-end integer-exact so the DuckDB oracle
+    can replay it: the coarse quantizer is the ``n_clusters`` vectors
+    with the smallest ids (a deterministic stand-in for trained
+    centroids — production swaps in ``kmeans_centroids`` without
+    touching the plan shape); assignment is argmin quantized-L2
+    (d² = |q_x|² − 2·q_x·q_c + |q_c|², int64, ties to the lower
+    centroid id); the dedup rule is quantized cosine²(per-mille) ≥
+    threshold against any lower-id cluster-mate, the same ``sim2``
+    arithmetic as :func:`embedding_dup_pairs`. Output one row per
+    vector: ``(id, cluster_id, is_dup)``.
+
+    Scale shape (100 TB): centroids broadcast (k rows) — assignment is
+    a map-only projection + one min-struct groupBy on the vector id
+    (map-side combined). The within-cluster self-join is the algorithm's
+    actual cost model: with k ∼ √N trained centroids a cluster stays
+    ~√N vectors, and the pair stage reuses the tiled Gram kernel of
+    ``embedding_dup_pairs`` (bucket = cluster) rather than this
+    expression join when clusters outgrow a few thousand rows.
+    """
+    v = embeddings.select(F.col(id_col), F.col(vec_col).alias("vec"))
+    cent = (
+        v.orderBy(id_col)
+        .limit(n_clusters)
+        .select(F.col(id_col).alias("cid"), F.col("vec").alias("cvec"))
+    )
+    qx, qc = _quantize(F.col("vec"), 100), _quantize(F.col("cvec"), 100)
+    dot_xc = F.aggregate(
+        F.zip_with(qx, qc, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda s, x: s + x,
+    )
+    nx = F.aggregate(
+        F.transform(qx, lambda x: x * x), F.lit(0).cast("bigint"), lambda s, x: s + x
+    )
+    nc = F.aggregate(
+        F.transform(qc, lambda x: x * x), F.lit(0).cast("bigint"), lambda s, x: s + x
+    )
+    assigned = (
+        v.crossJoin(F.broadcast(cent))
+        .select(
+            F.col(id_col),
+            F.col("vec"),
+            F.col("cid"),
+            (nx - 2 * dot_xc + nc).alias("d2"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.min(F.struct("d2", "cid")).alias("best"),
+            F.first("vec").alias("vec"),
+        )
+        .select(
+            F.col(id_col), F.col("best.cid").alias("cluster_id"), F.col("vec")
+        )
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    qa, qb = _quantize(F.col("a.vec"), 100), _quantize(F.col("b.vec"), 100)
+    dot = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda s, x: s + x,
+    )
+    na = F.aggregate(
+        F.transform(qa, lambda x: x * x), F.lit(0).cast("bigint"), lambda s, x: s + x
+    )
+    nb = F.aggregate(
+        F.transform(qb, lambda x: x * x), F.lit(0).cast("bigint"), lambda s, x: s + x
+    )
+    sim2 = F.when(
+        (dot > 0) & (na > 0) & (nb > 0),
+        ((dot * dot * F.lit(1_000)) / (na * nb)).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    dups = (
+        a.join(b, "cluster_id")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(sim2 >= sim2_milli_threshold)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("is_dup", F.lit(1).cast("bigint"))
+    )
+    return assigned.join(dups, id_col, "left").select(
+        F.col(id_col),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.coalesce(F.col("is_dup"), F.lit(0)).cast("bigint").alias("is_dup"),
+    )
+
+
+def semdedup_oracle_sql(
+    n_clusters: int = 8, sim2_milli_threshold: int = 900
+) -> str:
+    """DuckDB twin of :func:`semdedup` over the ``embeddings`` view —
+    the same quantize/L2/cosine² integer arithmetic via list
+    comprehensions."""
+    qz = "list_transform({0}, x -> CAST(round(x*100) AS BIGINT))"
+    return f"""
+    WITH v AS (
+      SELECT vec_id, {qz.format('embedding')} AS q FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cid, q AS cq FROM v ORDER BY vec_id LIMIT {n_clusters}
+    ), d AS (
+      SELECT v.vec_id, cent.cid,
+             CAST(list_sum([(v.q[i] - cent.cq[i]) * (v.q[i] - cent.cq[i])
+                            for i in range(1, len(v.q)+1)]) AS BIGINT) AS d2
+      FROM v CROSS JOIN cent
+    ), asg AS (
+      SELECT vec_id, cid AS cluster_id
+      FROM (SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid)
+                     AS rn
+            FROM d)
+      WHERE rn = 1
+    ), av AS (
+      SELECT asg.vec_id, asg.cluster_id, v.q
+      FROM asg JOIN v USING (vec_id)
+    ), p AS (
+      SELECT b.vec_id,
+             CAST(list_sum([a.q[i]*b.q[i] for i in range(1, len(a.q)+1)])
+                  AS BIGINT) AS dot,
+             CAST(list_sum([a.q[i]*a.q[i] for i in range(1, len(a.q)+1)])
+                  AS BIGINT) AS na,
+             CAST(list_sum([b.q[i]*b.q[i] for i in range(1, len(b.q)+1)])
+                  AS BIGINT) AS nb
+      FROM av a JOIN av b ON a.cluster_id = b.cluster_id
+                         AND a.vec_id < b.vec_id
+    ), dup AS (
+      SELECT DISTINCT vec_id FROM p
+      WHERE dot > 0 AND na > 0 AND nb > 0
+        AND (dot * dot * 1000) // (na * nb) >= {sim2_milli_threshold}
+    )
+    SELECT av.vec_id, CAST(av.cluster_id AS BIGINT) AS cluster_id,
+           CAST(CASE WHEN dup.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS is_dup
+    FROM av LEFT JOIN dup ON av.vec_id = dup.vec_id
+    """
+
+
 def embedding_dup_pairs_sql(
     embeddings: DataFrame,
     id_col: str = "vec_id",

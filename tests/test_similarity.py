@@ -149,3 +149,48 @@ def test_ivf_kmeans_no_self_and_k_bound(spark, emb):
         per_q.setdefault(r.query_id, []).append(r.rank)
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
+
+
+class TestSemDeDup:
+    def test_planted_duplicate_dropped(self, spark):
+        # two well-separated clusters; vec 10 duplicates vec 2 (same
+        # direction, slightly scaled) -> same cluster, cosine ~1 -> dup.
+        # vec 11 is orthogonal-ish in the other cluster -> kept.
+        from pyspark.sql import Row
+        rows = [
+            Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),   # centroid A
+            Row(vec_id=1, embedding=[0.0, 1.0, 0.0, 0.0]),   # centroid B
+            Row(vec_id=2, embedding=[0.7, 0.7, 0.1, 0.0]),   # cluster A (tie->A)
+            Row(vec_id=10, embedding=[0.7, 0.7, 0.1, 0.0]),  # dup of 2
+            Row(vec_id=11, embedding=[0.0, 0.8, 0.4, 0.0]),  # cluster B, kept
+        ]
+        emb = spark.createDataFrame(rows)
+        out = {
+            r.vec_id: r
+            for r in sim.semdedup(
+                emb, n_clusters=2, sim2_milli_threshold=900
+            ).collect()
+        }
+        assert len(out) == 5
+        # 0 and 1 are their own centroids/first occupants -> kept
+        assert out[0].is_dup == 0 and out[1].is_dup == 0
+        # 2 is the first of the duplicate pair -> kept; 10 dropped
+        assert out[2].is_dup == 0
+        assert out[10].is_dup == 1
+        assert out[10].cluster_id == out[2].cluster_id
+        assert out[11].is_dup == 0
+
+    def test_cluster_assignment_is_nearest(self, spark):
+        from pyspark.sql import Row
+        emb = spark.createDataFrame(
+            [
+                Row(vec_id=0, embedding=[1.0, 0.0]),
+                Row(vec_id=1, embedding=[0.0, 1.0]),
+                Row(vec_id=5, embedding=[0.1, 0.9]),
+            ]
+        )
+        out = {
+            r.vec_id: r.cluster_id
+            for r in sim.semdedup(emb, n_clusters=2).collect()
+        }
+        assert out[5] == 1 and out[0] == 0 and out[1] == 1
