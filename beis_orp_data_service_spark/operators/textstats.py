@@ -24,6 +24,23 @@ def token_count(text_col: Column | str) -> Column:
     return F.size(F.split(F.trim(c), r"\s+")).cast("bigint")
 
 
+# BPE-ish pre-tokenization pattern — the GPT-2 regex family
+# (contraction suffix | space-prefixed letter run | space-prefixed digit
+# run | space-prefixed punctuation run | whitespace run), restricted to
+# the Java-regex ∩ RE2 dialect subset (no lookarounds, no \p classes) so
+# Spark and the DuckDB oracle tokenize identically.
+BPE_PATTERN = r"'[a-zA-Z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+
+
+def bpe_token_count(text_col: Column | str) -> Column:
+    """Token count under BPE-ish pre-tokenization (``BPE_PATTERN``) —
+    the training-pipeline token budget estimator, vs the whitespace
+    count of :func:`token_count`. Pure regexp expression: one
+    ``regexp_extract_all`` inside codegen, no UDF."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)).cast("bigint")
+
+
 def occurrence_count(text_col: Column | str, needle: str) -> Column:
     """Occurrences of ``needle`` via length difference — pure string
     arithmetic, identical in any engine."""
