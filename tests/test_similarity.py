@@ -180,6 +180,54 @@ class TestSemDeDup:
         assert out[10].cluster_id == out[2].cluster_id
         assert out[11].is_dup == 0
 
+    def test_kernel_equals_expression_form(self, spark):
+        """The tiled-Gram kernel path must reproduce the pure-expression
+        within-cluster join exactly (same quantize/dot/sim² int64
+        arithmetic), including with a block_size far smaller than the
+        cluster so the tiled i<j masking is exercised."""
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        for thr in (250, 900):
+            got_kernel = {
+                r.vec_id: (r.cluster_id, r.is_dup)
+                for r in sim.semdedup(
+                    emb, n_clusters=8, sim2_milli_threshold=thr, block_size=64
+                ).collect()
+            }
+            got_expr = {
+                r.vec_id: (r.cluster_id, r.is_dup)
+                for r in sim.semdedup_expr(
+                    emb, n_clusters=8, sim2_milli_threshold=thr
+                ).collect()
+            }
+            assert got_kernel == got_expr
+
+    def test_trained_quantizer_finds_planted_dups(self, spark):
+        """Production path (n_clusters="auto" -> MLlib k-means quantizer
+        + Arrow assignment + tiled kernel): near-identical planted pairs
+        land in the same cell and the later id is flagged; all rows come
+        back exactly once."""
+        import random
+
+        rnd = random.Random(11)
+        rows = []
+        for i in range(40):
+            rows.append((i, [rnd.uniform(-1.0, 1.0) for _ in range(8)]))
+        # plant near-duplicates of vectors 3 and 17 at higher ids
+        for src, did in ((3, 100), (17, 101)):
+            rows.append((did, [x * 1.01 for x in rows[src][1]]))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {
+            r.vec_id: r
+            for r in sim.semdedup(
+                emb, n_clusters="auto", sim2_milli_threshold=900
+            ).collect()
+        }
+        assert len(out) == 42
+        for src, did in ((3, 100), (17, 101)):
+            assert out[did].cluster_id == out[src].cluster_id
+            assert out[did].is_dup == 1
+            assert out[src].is_dup == 0
+
     def test_cluster_assignment_is_nearest(self, spark):
         from pyspark.sql import Row
         emb = spark.createDataFrame(
