@@ -4,10 +4,12 @@ snapshot-isolated commits.
 A 100 TB table accumulates small files from streaming micro-batches and
 over-parallel writes; scans then pay per-file open cost and lose
 row-group locality. Compaction rewrites the data into ~target-size
-files. The commit uses the same immutable-snapshot + atomic pointer
-pattern as ``streaming.pipeline.ParquetScdSink`` (Delta/Iceberg's
-manifest idea): readers mid-compaction keep a consistent view, and a
-failed compaction leaves the live snapshot untouched.
+files. The commit uses an immutable-snapshot + atomic pointer pattern
+(Delta/Iceberg's manifest idea): readers mid-compaction keep a
+consistent view, and a failed compaction leaves the live snapshot
+untouched. (``streaming.pipeline.ParquetScdSink`` instead bounds
+per-batch I/O with bucket-partitioned dynamic overwrite — the two
+commit disciplines trade atomicity scope against rewrite volume.)
 
 File inventory goes through the Hadoop FileSystem API (not ``os``), so
 the same code paths work against HDFS / S3A / local on a real cluster.

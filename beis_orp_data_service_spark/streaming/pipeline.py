@@ -67,77 +67,87 @@ def scd_merge_batch(
 
 
 class ParquetScdSink:
-    """foreachBatch sink maintaining an SCD-2 store as immutable parquet
-    snapshots committed by an atomic pointer swap.
+    """foreachBatch sink maintaining an SCD-2 store as a key-bucketed
+    parquet table; each micro-batch rewrites ONLY the buckets its keys
+    hash into.
 
-    Layout: ``<root>/v000000042/part-*.parquet`` snapshot directories
-    plus a tiny ``<root>/_CURRENT`` manifest naming the live snapshot.
-    Each micro-batch (= transaction, the reference commits per SQS
-    message batch, tdb_query_helpers.py:158-183):
+    Layout: ``<root>/_bucket=NN/part-*.parquet`` — ``n_buckets``
+    hash-partition directories (``pmod(hash(key), n_buckets)``). Each
+    micro-batch (= transaction, the reference commits per SQS message
+    batch, tdb_query_helpers.py:158-183):
 
-    1. distributed-reads the current snapshot,
-    2. merges the batch (idempotent ``scd_merge_batch``),
-    3. writes the NEXT snapshot directory straight from the executors,
-    4. commits by atomically replacing the ``_CURRENT`` pointer
-       (metadata-only; an object-store put on a real deployment),
-    5. prunes snapshots older than the previous one (kept so concurrent
-       readers mid-swap never lose their files).
+    1. stamps the batch rows with their bucket,
+    2. distributed-reads the store restricted to the batch's buckets —
+       a broadcast left-semi join on the partition column, so dynamic
+       partition pruning drops every untouched bucket from the scan,
+    3. merges (idempotent ``scd_merge_batch`` — SCD-2 versions are
+       per-key, and a key lives entirely inside one bucket, so the
+       merge never needs the other buckets),
+    4. writes with DYNAMIC partition overwrite: only partitions present
+       in the output (= the touched buckets) are replaced; untouched
+       bucket files are never rewritten (the ``kv_upsert`` S12 pattern).
 
-    No row ever passes through the driver, so store size is bounded by
-    cluster storage, not driver memory; writing to a fresh directory
-    also removes the read-then-overwrite cycle. This is the manifest
-    pattern Delta/Iceberg MERGE implements for managed tables.
+    Per-batch I/O is therefore O(touched buckets + batch), not O(store)
+    — the round-2 full-snapshot rewrite was O(store) per micro-batch,
+    unrunnable against a 100 TB store on a minute trigger. No row ever
+    passes through the driver (no collect anywhere — the touched-bucket
+    set itself stays distributed via the semi-join).
+
+    Consistency: each bucket partition is replaced atomically by the
+    parquet job commit, and redelivered batches converge (id-dedup
+    before reversioning), but cross-bucket readers mid-commit can see
+    buckets from two epochs. Production deployments wanting a single
+    atomic multi-bucket commit use Delta/Iceberg ``MERGE INTO`` —
+    this sink is the plain-parquet demonstration of the same plan.
     """
 
-    CURRENT = "_CURRENT"
+    BUCKET = "_bucket"
 
-    def __init__(self, spark: SparkSession, path: str, key_col: str, order_col: str, id_col: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_col: str,
+        order_col: str,
+        id_col: str,
+        n_buckets: int = 64,
+    ):
         self.spark = spark
         self.path = path
         self.key_col = key_col
         self.order_col = order_col
         self.id_col = id_col
+        self.n_buckets = n_buckets
 
-    def _current_version(self) -> int | None:
-        pointer = os.path.join(self.path, self.CURRENT)
-        if not os.path.exists(pointer):
-            return None
-        with open(pointer) as f:
-            return int(f.read().strip().lstrip("v"))
+    def _bucket(self, col):
+        return F.pmod(F.hash(col), F.lit(self.n_buckets)).cast("int")
 
-    def _snapshot_dir(self, version: int) -> str:
-        return os.path.join(self.path, f"v{version:09d}")
-
-    def _read_store(self) -> DataFrame | None:
-        cur = self._current_version()
-        if cur is None:
-            return None
-        return self.spark.read.parquet(self._snapshot_dir(cur))
+    def _store_exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            n.startswith(f"{self.BUCKET}=") for n in os.listdir(self.path)
+        )
 
     def __call__(self, batch: DataFrame, epoch_id: int) -> None:
-        cur = self._current_version()
-        store = self._read_store()
+        batch = batch.withColumn(self.BUCKET, self._bucket(F.col(self.key_col)))
+        store = None
+        if self._store_exists():
+            touched = batch.select(self.BUCKET).distinct()
+            store = (
+                self.spark.read.parquet(self.path)
+                .join(F.broadcast(touched), self.BUCKET, "left_semi")
+            )
         out = scd_merge_batch(store, batch, self.key_col, self.order_col, self.id_col)
-        nxt = 0 if cur is None else cur + 1
-        out.write.mode("overwrite").parquet(self._snapshot_dir(nxt))
-        # atomic commit: swap the pointer, then prune stale snapshots
-        os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, "._current.tmp")
-        with open(tmp, "w") as f:
-            f.write(f"v{nxt:09d}")
-        os.replace(tmp, os.path.join(self.path, self.CURRENT))
-        import shutil
-
-        for name in os.listdir(self.path):
-            if name.startswith("v") and name < f"v{max(nxt - 1, 0):09d}":
-                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(self.BUCKET)
+            .parquet(self.path)
+        )
 
 
 def read_scd_store(spark: SparkSession, path: str) -> DataFrame:
-    """Read the live snapshot of a :class:`ParquetScdSink` store."""
-    with open(os.path.join(path, ParquetScdSink.CURRENT)) as f:
-        version = f.read().strip()
-    return spark.read.parquet(os.path.join(path, version))
+    """Read the live state of a :class:`ParquetScdSink` store."""
+    return spark.read.parquet(path).drop(ParquetScdSink.BUCKET)
 
 
 def run_scd_upsert_stream(

@@ -164,15 +164,76 @@ def test_scd_sink_never_materializes_on_driver(spark, events_json_dir, tmp_path,
     monkeypatch.undo()
     out = st.read_scd_store(spark, store).toPandas()
     assert len(out) == 200
-    # snapshot layout: a _CURRENT pointer plus at most two snapshot dirs
+    # bucketed layout: only _bucket=NN partition directories
     import os
 
-    names = sorted(os.listdir(store))
-    assert st.ParquetScdSink.CURRENT in names
-    snap_dirs = [n for n in names if n.startswith("v")]
-    assert 1 <= len(snap_dirs) <= 2
-    with open(os.path.join(store, st.ParquetScdSink.CURRENT)) as f:
-        assert f.read().strip() == snap_dirs[-1]
+    bucket_dirs = [
+        n for n in os.listdir(store) if n.startswith(f"{st.ParquetScdSink.BUCKET}=")
+    ]
+    assert bucket_dirs
+    assert all(
+        0 <= int(n.split("=")[1]) < 64 for n in bucket_dirs
+    )
+
+
+def _bucket_files(store):
+    """Map of bucket-dir -> {filename: (size, sha256)} for every bucket
+    partition currently in the store."""
+    import hashlib
+    import os
+
+    out = {}
+    for n in sorted(os.listdir(store)):
+        if not n.startswith(f"{st.ParquetScdSink.BUCKET}="):
+            continue
+        d = os.path.join(store, n)
+        files = {}
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".parquet"):
+                p = os.path.join(d, fn)
+                with open(p, "rb") as f:
+                    files[fn] = (os.path.getsize(p), hashlib.sha256(f.read()).hexdigest())
+        out[n] = files
+    return out
+
+
+def test_scd_sink_untouched_buckets_not_rewritten(spark, events_json_dir, tmp_path):
+    """Per-batch I/O must be O(touched buckets), not O(store): after the
+    initial load, a micro-batch containing a single key may rewrite only
+    that key's bucket — every other bucket's files stay byte-identical
+    (dynamic partition overwrite, never a full-store rewrite)."""
+    import json as _json
+    import os
+
+    store = str(tmp_path / "store_buckets")
+    q = st.run_scd_upsert_stream(spark, events_json_dir, store)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    before = _bucket_files(store)
+    assert len(before) > 1  # the 200-event load spans many buckets
+
+    # one-key micro-batch: user_id 1 -> exactly one touched bucket
+    sink = st.ParquetScdSink(spark, store, "user_id", "ts", "event_id")
+    one = spark.createDataFrame(
+        [(10_001, "2024-01-01T00:00:00", 1, "click", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sink(one, epoch_id=999)
+
+    after = _bucket_files(store)
+    touched = spark.createDataFrame([(1,)], "user_id long").select(
+        F.pmod(F.hash("user_id"), F.lit(64)).cast("int").alias("b")
+    ).collect()[0].b
+    touched_dir = f"{st.ParquetScdSink.BUCKET}={touched}"
+    assert after[touched_dir] != before.get(touched_dir)
+    for d, files in before.items():
+        if d != touched_dir:
+            assert after[d] == files, f"untouched bucket {d} was rewritten"
+    # and the store is still correct: user 1 gained one version
+    out = st.read_scd_store(spark, store).toPandas()
+    assert len(out) == 201
 
 
 def test_stream_interval_join_equals_batch(spark, events_json_dir, tmp_path):
