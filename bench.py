@@ -1,7 +1,11 @@
 """Benchmark: run every declared query at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Prints a SHORT summary JSON line first (always parseable even if a log
+capture truncates one end), then the full JSON line with the per-query
+map as the LAST line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+The full record is also written to BENCH_LOCAL.json next to this file,
+so the numbers survive any stdout truncation.
 
 Materialization uses the JVM-only noop sink so we measure plan execution,
 not Python-side row transfer.
@@ -44,17 +48,28 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "declared_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    record = {
+        "metric": "declared_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    summary = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": "sec",
+        "n_queries": len(timings),
+        "sf": sf,
+    }
+    local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    try:
+        with open(local, "w") as f:
+            json.dump(record, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout still carries the record
+    print(json.dumps(summary), flush=True)
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":
