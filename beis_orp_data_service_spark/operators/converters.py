@@ -94,9 +94,12 @@ def _date10(iso: str | None) -> str | None:
 def parse_pdf(content: bytes) -> Parsed:
     """E1 — pdfplumber page loop with pdfminer→PyPDF2→fitz fallback chain
     (glue pdf_to_text.py:12-69). When the libs are absent (this
-    container) a minimal stdlib extractor handles the common case —
-    FlateDecode (zlib) or plain content streams with literal-string
-    ``Tj``/``TJ`` show operators, page count from ``/Type /Page``
+    container) a minimal stdlib extractor handles the common cases —
+    FlateDecode (zlib) or plain content streams; literal-string AND
+    hex-string ``Tj``/``'``/``"``/``TJ`` show operators; subset-embedded
+    fonts whose codes are mapped back to Unicode through simple
+    ``/ToUnicode`` CMaps (``beginbfchar``/``beginbfrange``), the layout
+    most real government PDFs use. Page count from ``/Type /Page``
     objects. A PDF it cannot extract anything from becomes a parse-error
     row; non-PDF bytes take the text fallback."""
     if content.startswith(b"%PDF"):
@@ -116,20 +119,146 @@ def parse_pdf(content: bytes) -> Parsed:
 _PDF_STREAM_RE = None  # compiled lazily; module import stays cheap
 
 
+def _pdf_unescape(s: bytes) -> bytes:
+    """Literal-string escapes of PDF 32000-1:2008 §7.3.4.2."""
+    import re
+
+    s = re.sub(
+        rb"\\([nrtbf()\\])",
+        lambda m: {
+            b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
+            b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\",
+        }[m.group(1)],
+        s,
+    )
+    return re.sub(
+        rb"\\([0-7]{1,3})", lambda m: bytes([int(m.group(1), 8) & 0xFF]), s
+    )
+
+
+def _pdf_parse_tounicode(data: bytes) -> tuple[dict[int, str], int]:
+    """Parse a simple ToUnicode CMap stream (PDF §9.10.3): code width
+    from the codespacerange, ``beginbfchar`` single mappings and
+    ``beginbfrange`` contiguous/array mappings, destinations UTF-16BE."""
+    import re
+
+    m = re.search(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", data)
+    width = max(1, len(m.group(1)) // 2) if m else 2
+
+    def uni(hexs: bytes) -> str:
+        return bytes.fromhex(hexs.decode("ascii")).decode(
+            "utf-16-be", errors="replace"
+        )
+
+    cmap: dict[int, str] = {}
+    for block in re.findall(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for src, dst in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", block
+        ):
+            cmap[int(src, 16)] = uni(dst)
+    for block in re.findall(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        for lo, _hi, arr in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]", block, re.S
+        ):
+            for i, dst in enumerate(re.findall(rb"<([0-9A-Fa-f]+)>", arr)):
+                cmap[int(lo, 16) + i] = uni(dst)
+        for lo, hi, dst in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", block
+        ):
+            base = bytes.fromhex(dst.decode("ascii"))
+            prefix, last = base[:-2], int.from_bytes(base[-2:] or b"\x00\x00", "big")
+            for c in range(int(lo, 16), int(hi, 16) + 1):
+                unit = (last + c - int(lo, 16)) & 0xFFFF
+                cmap[c] = (prefix + unit.to_bytes(2, "big")).decode(
+                    "utf-16-be", errors="replace"
+                )
+    return cmap, width
+
+
+def _pdf_font_cmaps(content: bytes) -> dict[bytes, tuple[dict[int, str], int]]:
+    """Resource-name → ToUnicode CMap for subset-embedded fonts, from
+    the classic object layout: font dicts carry ``/ToUnicode N 0 R``;
+    page resources name them ``/Font << /F1 N 0 R … >>``. (Cross-ref /
+    object streams are out of scope for the minimal extractor — the
+    real pdfplumber path handles those when the lib is present.)"""
+    import re
+    import zlib
+
+    objects: dict[int, bytes] = {}
+    for m in re.finditer(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", content, re.S):
+        objects.setdefault(int(m.group(1)), m.group(2))
+
+    def stream_of(body: bytes) -> bytes | None:
+        sm = _PDF_STREAM_RE.search(body)
+        if sm is None:
+            return None
+        raw = sm.group(1)
+        try:
+            return zlib.decompress(raw)
+        except zlib.error:
+            return raw
+
+    obj_cmap: dict[int, tuple[dict[int, str], int]] = {}
+    for num, body in objects.items():
+        tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", body)
+        if tm is None:
+            continue
+        cm_body = objects.get(int(tm.group(1)))
+        data = stream_of(cm_body) if cm_body is not None else None
+        if data is not None and (b"beginbfchar" in data or b"beginbfrange" in data):
+            obj_cmap[num] = _pdf_parse_tounicode(data)
+
+    by_name: dict[bytes, tuple[dict[int, str], int]] = {}
+    for body in objects.values():
+        for fm in re.finditer(rb"/Font\s*<<(.*?)>>", body, re.S):
+            for name, ref in re.findall(rb"/(\w+)\s+(\d+)\s+\d+\s+R", fm.group(1)):
+                if int(ref) in obj_cmap:
+                    by_name.setdefault(name, obj_cmap[int(ref)])
+    return by_name
+
+
 def _pdf_extract_minimal(content: bytes) -> tuple[str, int]:
     """Best-effort text from PDF content streams, stdlib only: inflate
     each ``stream…endstream`` body (FlateDecode is zlib §RFC1951; other
-    filters are skipped), then read literal-string show operators
-    ``(…) Tj`` / ``[(…)…] TJ`` with the standard escapes
-    (PDF 32000-1:2008 §7.3.4.2, §9.4.3). Handles the vast majority of
-    machine-generated text PDFs; scanned/CID-font documents yield ''
-    and become parse-error rows upstream."""
+    filters are skipped), then read the show operators in order —
+    literal ``(…)`` and hex ``<…>`` strings under ``Tj``/``'``/``"``,
+    and mixed ``[…] TJ`` arrays (PDF 32000-1:2008 §7.3.4, §9.4.3).
+    ``Tf`` operators track the current font; strings shown in a font
+    with a parsed ToUnicode CMap are decoded code-by-code through it
+    (fixed code width from the codespacerange), everything else as
+    latin-1. Scanned or ObjStm-packed documents yield '' and become
+    parse-error rows upstream."""
     import re
     import zlib
 
     global _PDF_STREAM_RE
     if _PDF_STREAM_RE is None:
         _PDF_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
+
+    font_cmaps = _pdf_font_cmaps(content)
+    token_re = re.compile(
+        rb"/(?P<font>\w+)\s+[-\d.]+\s+Tf"
+        rb"|\((?P<lit>(?:[^()\\]|\\.)*)\)\s*(?:Tj|'|\")"
+        rb"|<(?P<hex>[0-9A-Fa-f\s]*)>\s*(?:Tj|'|\")"
+        rb"|\[(?P<arr>(?:[^\]\\]|\\.)*)\]\s*TJ",
+        re.S,
+    )
+    arr_re = re.compile(rb"\((?P<lit>(?:[^()\\]|\\.)*)\)|<(?P<hex>[0-9A-Fa-f\s]*)>")
+
+    def decode(raw: bytes, cmap_w) -> str:
+        if cmap_w is None:
+            return raw.decode("latin-1")
+        cmap, width = cmap_w
+        return "".join(
+            cmap.get(int.from_bytes(raw[i : i + width], "big"), "")
+            for i in range(0, len(raw) - width + 1, width)
+        )
+
+    def hex_bytes(h: bytes) -> bytes:
+        h = b"".join(h.split())
+        if len(h) % 2:
+            h += b"0"  # §7.3.4.3: odd final digit implies trailing 0
+        return bytes.fromhex(h.decode("ascii"))
 
     pieces: list[str] = []
     for raw in _PDF_STREAM_RE.findall(content):
@@ -140,29 +269,20 @@ def _pdf_extract_minimal(content: bytes) -> tuple[str, int]:
             pass  # not Flate — try the bytes as-is (uncompressed streams)
         if b"Tj" not in data and b"TJ" not in data:
             continue
-        for lit in re.findall(
-            rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|'|\")|\[((?:[^\]\\]|\\.)*)\]\s*TJ",
-            data,
-            re.S,
-        ):
-            strings = [lit[0]] if lit[0] else re.findall(
-                rb"\(((?:[^()\\]|\\.)*)\)", lit[1]
-            )
-            for s in strings:
-                s = re.sub(
-                    rb"\\([nrtbf()\\])",
-                    lambda m: {
-                        b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
-                        b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\",
-                    }[m.group(1)],
-                    s,
-                )
-                s = re.sub(
-                    rb"\\([0-7]{1,3})",
-                    lambda m: bytes([int(m.group(1), 8) & 0xFF]),
-                    s,
-                )
-                pieces.append(s.decode("latin-1"))
+        cur = None  # current font's cmap (None = unmapped/simple font)
+        for tok in token_re.finditer(data):
+            if tok.group("font") is not None:
+                cur = font_cmaps.get(tok.group("font"))
+            elif tok.group("lit") is not None:
+                pieces.append(decode(_pdf_unescape(tok.group("lit")), cur))
+            elif tok.group("hex") is not None:
+                pieces.append(decode(hex_bytes(tok.group("hex")), cur))
+            else:
+                for el in arr_re.finditer(tok.group("arr")):
+                    if el.group("lit") is not None:
+                        pieces.append(decode(_pdf_unescape(el.group("lit")), cur))
+                    else:
+                        pieces.append(decode(hex_bytes(el.group("hex")), cur))
         pieces.append("\n")
     n_pages = len(re.findall(rb"/Type\s*/Page[^s]", content))
     return "".join(pieces).strip(), n_pages

@@ -189,6 +189,68 @@ def test_pdf_without_text_streams_is_an_error():
         conv.parse_pdf(b"%PDF-1.7 no streams here")
 
 
+def pdf_cid_fixture() -> bytes:
+    """Single-page PDF in the subset-embedded-font layout: a Type0 font
+    with a FlateDecode ToUnicode CMap (bfchar + bfrange), text shown as
+    2-byte-code hex strings — plus a second plain font shown as a
+    literal string. Built byte-by-byte in the test, no library."""
+    import zlib
+
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"12 dict begin\nbegincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<0048> <0048>\n<0065> <0065>\nendbfchar\n"
+        b"1 beginbfrange\n<006C> <006F> <006C>\nendbfrange\n"
+        b"endcmap\nend\nend\n"
+    )
+    cmap_z = zlib.compress(cmap)
+    # F1 (CID, hex codes): 0048 0065 006C = "Hel", TJ array <006C> <006F>
+    # with kerning = "lo"; F2 (simple font, literal) = " world"
+    ops = (
+        b"BT /F1 12 Tf 72 700 Td <00480065006C> Tj "
+        b"[<006C> -250 <006F>] TJ "
+        b"/F2 12 Tf ( world) Tj ET"
+    )
+    ops_z = zlib.compress(ops)
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R "
+        b"/Resources << /Font << /F1 4 0 R /F2 6 0 R >> >> "
+        b"/Contents 5 0 R >> endobj\n"
+        b"4 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Fake-Subset "
+        b"/ToUnicode 7 0 R >> endobj\n"
+        b"6 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n"
+        b"5 0 obj << /Filter /FlateDecode /Length "
+        + str(len(ops_z)).encode() + b" >>\nstream\n" + ops_z + b"endstream endobj\n"
+        b"7 0 obj << /Filter /FlateDecode /Length "
+        + str(len(cmap_z)).encode() + b" >>\nstream\n" + cmap_z + b"endstream endobj\n"
+        b"%%EOF\n"
+    )
+
+
+def test_pdf_hex_strings_with_tounicode_cmap():
+    got = conv.parse_pdf(pdf_cid_fixture())
+    assert got.text.replace("\n", "") == "Hello world"
+    assert got.n_pages == 1
+
+
+def test_pdf_hex_tj_without_cmap_is_latin1():
+    # hex show operators in a font with no ToUnicode map decode as raw
+    # latin-1 bytes (the pre-CMap behavior, now reachable for hex too)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Page >> endobj\n"
+        b"2 0 obj << /Length 29 >>\nstream\n"
+        b"BT <48692068657821> Tj ET\nendstream endobj\n"
+        b"%%EOF\n"
+    )
+    got = conv.parse_pdf(pdf)
+    assert got.text.strip() == "Hi hex!"
+
+
 def test_corrupt_zip_raises():
     with pytest.raises(Exception):
         conv.parse_docx(b"PK\x03\x04 this is not a zip")
