@@ -29,6 +29,7 @@ from beis_orp_data_service_spark.operators import models
 from beis_orp_data_service_spark.operators.dedup import (
     band_key_array,
     exact_dup_groups,
+    minhash_sig_udf,
     minhash_signature_np,
     quantized_cosine_cols,
     scd_versions,
@@ -56,9 +57,14 @@ def enrich_stage(docs: DataFrame) -> DataFrame:
 
 
 def signature_stage(docs: DataFrame, id_col: str = "media_id") -> DataFrame:
-    """MinHash signatures joined back as columns (sig + serialized)."""
-    sigs = minhash_signature_np(docs, id_col, "text")
-    return docs.join(sigs, id_col)
+    """MinHash signature columns computed IN PLACE (pandas-UDF
+    projection, no join-back — joining a sig table onto its own source
+    would execute the converter/enrichment lineage twice)."""
+    sig = minhash_sig_udf()
+    return docs.withColumn("sig", sig(F.col("text"))).withColumn(
+        "sig_text",
+        F.concat_ws("_", F.expr("transform(sig, x -> cast(x as string))")),
+    )
 
 
 #: metadata fields compared for the duplicate-vs-version decision — the
@@ -142,10 +148,18 @@ def ingest(
     - 'orpml': serialized ORPML rows for the object sink
     - 'stats': conversion failure accounting
     """
-    converted = convert_stage(binaries)
+    # Stage boundaries are MATERIALIZED (eager localCheckpoint): the
+    # classify stage's LSH self-joins and the stats/orpml branches all
+    # fan out from these frames, and without a boundary each consumer
+    # re-executes the converter + model-UDF lineage (2 MapInPandas + 2
+    # ArrowEvalPython nodes in the round-2 plan). The reference has the
+    # same discipline physically — every Step Functions stage writes to
+    # S3 before the next reads. On a cluster, swap localCheckpoint for a
+    # parquet/Delta stage table; blocks here are MEMORY_AND_DISK and
+    # cleaner-reclaimed when the frames go out of scope.
+    converted = convert_stage(binaries).localCheckpoint(eager=True)
     ok = converted.filter(F.col("parse_error").isNull())
-    enriched = enrich_stage(ok)
-    signed = signature_stage(enriched)
+    signed = signature_stage(enrich_stage(ok)).localCheckpoint(eager=True)
     classified = classify_stage(signed, existing_store)
 
     accepted = classified.filter(F.col("classification") != "duplicate")
