@@ -1764,22 +1764,64 @@ def orpml_serialize(spark, sf_dir):
     return docs.select("doc_id", F.md5(xml).alias("orpml_hash"))
 
 
+# File-inventory oracle twin: DuckDB reads the same objects through
+# read_blob(), so S1-S3 get hash-grade checks (basename + byte length +
+# derived format), not rows-only. The glob root cannot come from the
+# pre-registered table views, so the sql carries a __SCAN_DIR__
+# placeholder that oracle_sql() substitutes at call time (driver default
+# /root/testdata/sf0.01 — the sf the driver compares at; local
+# check_oracle.py overrides via SPARK_GRAFT_ORACLE_SF_DIR).
+_INVENTORY_CTE = """
+    inv AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS basename,
+             size AS length
+      FROM read_blob('__SCAN_DIR__/*.parquet')
+    ), fmt AS (
+      SELECT basename, length,
+             lower(list_extract(string_split(basename, '.'), -1)) AS ext
+      FROM inv
+    ), listing AS (
+      SELECT basename, length,
+             CASE WHEN ext = 'pdf' THEN 'PDF'
+                  WHEN ext IN ('docx', 'doc') THEN 'DOCX'
+                  WHEN ext IN ('odt', 'odf', 'odp') THEN 'ODF'
+                  WHEN ext IN ('html', 'htm') THEN 'HTML'
+                  WHEN ext = 'orpml' THEN 'ORPML'
+                  ELSE upper(ext) END AS document_format
+      FROM fmt
+    )
+"""
+
+
+@declared(
+    "scan_listing",
+    f"WITH {_INVENTORY_CTE} SELECT basename, length, document_format FROM listing",
+)
 def _scan_listing(spark, sf_dir):
-    # S1/S3 — distributed binary scan + listing with derived formats
-    # (rows-only: file-system source). Scans the sf dir's parquet objects
-    # themselves as opaque binaries.
+    # S1/S3 — distributed binary scan + listing with derived formats.
+    # Scans the sf dir's parquet objects themselves as opaque binaries;
+    # oracle = DuckDB read_blob inventory of the same glob.
     return readers.scan_listing(spark, f"{sf_dir}/*.parquet").select(
         "basename", "length", "document_format"
     )
 
 
-REGISTRY["scan_listing"] = QueryDef(_scan_listing, None)
-
-
+@declared(
+    "scan_sidecar",
+    f"""
+    WITH {_INVENTORY_CTE},
+    side(basename, collection, ingest_batch) AS (
+      VALUES ('documents.parquet', 'corpus', 3),
+             ('embeddings.parquet', 'vectors', 3),
+             ('orders.parquet', 'tpch', 1)
+    )
+    SELECT l.basename, l.document_format, side.collection, side.ingest_batch
+    FROM listing l LEFT JOIN side ON l.basename = side.basename
+    """,
+)
 def _scan_sidecar(spark, sf_dir):
-    # S2 — listing + object-metadata sidecar broadcast join (rows-only:
-    # file-system source). The sidecar carries per-object upload
-    # metadata; unknown objects keep nulls.
+    # S2 — listing + object-metadata sidecar broadcast join. The sidecar
+    # carries per-object upload metadata; unknown objects keep nulls.
     meta = spark.createDataFrame(
         [
             ("documents.parquet", "corpus", 3),
@@ -1791,9 +1833,6 @@ def _scan_sidecar(spark, sf_dir):
     return readers.scan_with_metadata(spark, f"{sf_dir}/*.parquet", meta).select(
         "basename", "document_format", "collection", "ingest_batch"
     )
-
-
-REGISTRY["scan_sidecar"] = QueryDef(_scan_sidecar, None)
 
 
 # ---------------------------------------------------------------------------
@@ -3648,4 +3687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: qd.sql for name, qd in REGISTRY.items() if qd.sql is not None}
+    scan_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    return {
+        name: qd.sql.replace("__SCAN_DIR__", scan_dir)
+        for name, qd in REGISTRY.items()
+        if qd.sql is not None
+    }

@@ -72,6 +72,9 @@ def main() -> int:
     con = duckdb.connect()
     import os
 
+    # file-inventory oracles (scan_listing/scan_sidecar) glob this dir
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     for t in TABLES:
         p = table_path(sf_dir, t)
         if os.path.exists(p):
