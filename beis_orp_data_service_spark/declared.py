@@ -1496,6 +1496,30 @@ def token_count(spark, sf_dir):
     return docs.select("doc_id", ts_ops.token_count("text").alias("n_tokens"))
 
 
+# the BPE pre-tokenizer pattern is written in the Java-regex ∩ RE2
+# dialect subset, so the same literal runs in both engines (quote
+# doubled for the SQL string)
+_BPE_SQL_PAT = ts_ops.BPE_PATTERN.replace("'", "''")
+
+
+@declared(
+    "bpe_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_SQL_PAT}')) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def bpe_token_count(spark, sf_dir):
+    # token-budget estimator under BPE-ish pre-tokenization (GPT-2
+    # regex family) — pure regexp_extract_all expression, no UDF
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", ts_ops.bpe_token_count("text").alias("n_bpe_tokens")
+    )
+
+
 @declared(
     "token_stats_by_lang",
     """

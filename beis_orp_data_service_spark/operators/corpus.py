@@ -791,14 +791,19 @@ def chunk_dedup(
             )
         ).alias("pos", "chunk"),
     )
+    # the keeper key is re-aliased so the join compares DISTINCT
+    # attributes — groupBy keeps the input's attribute id, and a
+    # chunks.chunk == keeper.chunk condition would silently resolve to a
+    # trivially-true self-reference (Spark's failAmbiguousSelfJoin
+    # hazard); kchunk makes the equality real and analyzer-stable
     keeper = chunks.groupBy("chunk").agg(
         F.min(F.struct(F.col(id_col).alias("kid"), F.col("pos").alias("kpos"))).alias(
             "k"
         )
-    )
+    ).withColumnRenamed("chunk", "kchunk")
     kept = chunks.join(
         keeper,
-        (chunks.chunk == keeper.chunk)
+        (chunks.chunk == keeper.kchunk)
         & (chunks[id_col] == keeper.k.kid)
         & (chunks.pos == keeper.k.kpos),
         "left_semi",
@@ -879,7 +884,14 @@ def dsir_weights(
     (``round(c·lr·1e6)`` as BIGINT) before summation, so the per-doc
     sum is integer-exact and independent of aggregation order — the
     float division at the end is a single exact int→double cast per
-    row. Output: ``(id, n_grams, weight_micro, weight)``.
+    row. Cross-engine caveat: unlike the fully-integer intermediates of
+    the dedup family, the per-term value goes through a transcendental
+    (``ln``) in double precision before rounding, so Spark↔DuckDB
+    hash-equality additionally assumes both engines' ``ln`` round
+    identically — true for IEEE-754 libm on this data, but a 1-ulp
+    divergence landing exactly on a ``round(x·1e6)`` half-way boundary
+    would flip one ``term_micro``. Within a single engine the result is
+    still exactly reproducible whatever the aggregation order.
 
     Scale shape (100 TB): gram-count tables are map-side-combined
     groupBys (wire carries ≈ vocab, not tokens); the scalar totals

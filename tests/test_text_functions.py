@@ -254,3 +254,35 @@ def test_scan_window_min_and_fraction(spark):
     df = spark.createDataFrame([("x" * 10_000,), ("y" * 50_000,)], "s string")
     out = df.select(F.length(scan_window("s", 2000, 0.1)).alias("n")).collect()
     assert [r.n for r in out] == [2000, 5000]  # max(2000, 10%·len)
+
+
+def test_bpe_token_count_known_values_and_duckdb_dialect(spark):
+    """BPE-ish pre-tokenization: known token counts, and the same
+    pattern literal must tokenize identically in DuckDB (the oracle
+    dialect-compat claim — Java regex ∩ RE2 subset)."""
+    import duckdb
+
+    from beis_orp_data_service_spark.operators import textstats as ts
+
+    rows = [
+        (1, "Hello world"),        # [Hello][ world]
+        (2, "it's 2024, ok?"),     # [it]['s][ 2024][,][ ok][?]
+        (3, ""),                   # no tokens
+        (4, "  spaced   out  "),   # [  ][spaced][   ][out][  ]
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", ts.bpe_token_count("text").alias("n")
+        ).collect()
+    }
+    assert got == {1: 2, 2: 6, 3: 0, 4: 5}
+
+    pat = ts.BPE_PATTERN.replace("'", "''")
+    con = duckdb.connect()
+    for doc_id, text in rows:
+        want = con.sql(
+            f"SELECT len(regexp_extract_all('{text.replace(chr(39), chr(39)*2)}', '{pat}')) AS n"
+        ).fetchone()[0]
+        assert got[doc_id] == want, f"dialect mismatch on doc {doc_id}"
