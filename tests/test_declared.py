@@ -27,13 +27,16 @@ def duck():
 
 
 @pytest.mark.parametrize("name", sorted(declared.REGISTRY))
-def test_declared_query_matches_oracle(spark, duck, name):
+def test_declared_query_matches_oracle(spark, duck, name, monkeypatch):
+    # go through oracle_sql() (not qd.sql) so call-time substitutions —
+    # the file-inventory __SCAN_DIR__ glob — point at the test's sf dir
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", SF_SMOKE)
     qd = declared.REGISTRY[name]
     spark_pdf = qd.fn(spark, SF_SMOKE).toPandas()
     if qd.sql is None:
         assert len(spark_pdf) >= 0
         return
-    duck_pdf = duck.sql(qd.sql).df()
+    duck_pdf = duck.sql(declared.oracle_sql()[name]).df()
     problems = compare(name, spark_pdf, duck_pdf)
     assert not problems, problems
 
