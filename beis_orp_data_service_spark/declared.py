@@ -3320,10 +3320,10 @@ def q_tpch22(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@declared(
-    "dup_clusters",
-    """
-    WITH RECURSIVE
+# dup_clusters closure as a reusable oracle CTE chain (recursive CTE =
+# the same transitive closure the iterative min-label propagation
+# computes); canonical_docs extends it with the keep-decision.
+_DUP_CLUSTERS_CTE = """
     w AS (
       SELECT doc_id,
              list_transform(
@@ -3357,10 +3357,16 @@ def q_tpch22(spark, sf_dir):
       SELECT doc_id, doc_id FROM s
       UNION
       SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node
+    ), clusters AS (
+      SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY node
     )
-    SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
-    FROM reach GROUP BY node
-    """,
+"""
+
+
+@declared(
+    "dup_clusters",
+    f"WITH RECURSIVE {_DUP_CLUSTERS_CTE} SELECT doc_id, cluster_id FROM clusters",
 )
 def dup_clusters(spark, sf_dir):
     # Training-data op — transitive closure of near-dup candidate pairs
@@ -3692,6 +3698,66 @@ def dsir_weights(spark, sf_dir):
     # per-doc weight is aggregation-order independent
     docs = _t(spark, sf_dir, "documents")
     return corpus_ops.dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
+@declared(
+    "bloom_probe",
+    corpus_ops.bloom_probe_oracle_sql(
+        insert_pred="doc_id % 2 = 0", m_bits=1 << 20, k=4
+    ),
+)
+def bloom_probe(spark, sf_dir):
+    # Training-data op — distributed Bloom-filter membership: build the
+    # filter over half the corpus (one bit_or groupBy, <= m/32 rows),
+    # probe every document (broadcast join + min-agg). Incremental
+    # dedup/decontamination's O(m)-bits alternative to shipping key
+    # sets. md5-derived positions -> DuckDB replays it bit-exactly.
+    docs = _t(spark, sf_dir, "documents")
+    flt = corpus_ops.bloom_filter_words(
+        docs.filter(F.col("doc_id") % 2 == 0), "text", m_bits=1 << 20, k=4
+    )
+    return corpus_ops.bloom_probe(
+        docs, flt, "doc_id", "text", m_bits=1 << 20, k=4
+    )
+
+
+@declared(
+    "canonical_docs",
+    f"""
+    WITH RECURSIVE {_DUP_CLUSTERS_CTE},
+    q AS (
+      SELECT doc_id,
+             (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1000)
+               // length(text) AS q
+      FROM documents WHERE doc_id % 10 = 0
+    ), j AS (
+      SELECT clusters.doc_id, clusters.cluster_id, q.q
+      FROM clusters JOIN q USING (doc_id)
+    ), best AS (
+      SELECT cluster_id,
+             first(doc_id ORDER BY q DESC, doc_id) AS keep_id,
+             CAST(count(*) AS BIGINT) AS cluster_size
+      FROM j GROUP BY cluster_id
+    )
+    SELECT j.doc_id, j.cluster_id, best.cluster_size,
+           CAST(CASE WHEN j.doc_id = best.keep_id THEN 1 ELSE 0 END AS BIGINT)
+             AS is_canonical
+    FROM j JOIN best USING (cluster_id)
+    """,
+)
+def canonical_docs(spark, sf_dir):
+    # Training-data op — the keep-decision after dup clustering: per
+    # cluster keep the highest-quality member (alpha per-mille, ties to
+    # lower id). Max-struct groupBy on cluster_id (map-side combined,
+    # no window funnel) + join back.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    simt = dd.simhash16_table(docs, "doc_id", "text").localCheckpoint()
+    pairs = corpus_ops.simhash_band_pairs(simt)
+    clusters = corpus_ops.dup_clusters(pairs, simt.select("doc_id"))
+    quality = docs.select(
+        "doc_id", ts_ops.quality_scores("text")["alpha_milli"].alias("q")
+    )
+    return corpus_ops.canonical_docs(clusters, quality, "doc_id", "q")
 
 
 # ---------------------------------------------------------------------------

@@ -997,3 +997,185 @@ def dsir_weights_oracle_sql(target_pred: str = "lang = 'en'") -> str:
            sum(term_micro) / 1000000.0 AS weight
     FROM scored GROUP BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership — incremental dedup / decontamination at scale
+# ---------------------------------------------------------------------------
+
+
+def md5_int60(c):
+    """Deterministic 60-bit integer from a string: the first 15 hex
+    chars of md5. Engine-portable (Spark ``conv``; DuckDB rebuilds the
+    same value by folding the hex digits), which is what makes the
+    Bloom positions oracle-replayable — unlike murmur/xxhash whose
+    implementations differ across engines."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def bloom_positions(key_col, m_bits: int, k: int):
+    """The k bit positions of a key: pos_j = md5_int60(j || ':' || key)
+    mod m — k independent-ish hashes derived from one digest family
+    (the standard double-hashing trick is also fine; explicit per-j
+    digests keep the SQL twin trivial)."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.array(
+        *[
+            md5_int60(F.concat(F.lit(str(j)), F.lit(":"), c)) % m_bits
+            for j in range(k)
+        ]
+    )
+
+
+def bloom_filter_words(
+    df: DataFrame, key_col: str, m_bits: int = 1 << 20, k: int = 4
+) -> DataFrame:
+    """Build a distributed Bloom filter over ``df[key_col]`` as
+    ``(word, bits)`` rows — 32 bits per word (mask fits int64 with no
+    sign games in any engine).
+
+    Scale shape (100 TB): one explode (k rows per key) + one map-side-
+    combined ``bit_or`` groupBy on the word index; the filter is
+    ≤ m/32 rows however big the corpus is. Membership pipelines size m
+    to the key cardinality (≈10 bits/key for ~1% FPR); the result is
+    small enough to broadcast for the probe side, or to keep as rows
+    and equi-join on ``word`` when m itself is huge. This is the
+    standing alternative to shipping the full key set that
+    ``decontaminate`` broadcasts — O(m) bits instead of O(keys)."""
+    pos = df.select(
+        F.explode(bloom_positions(key_col, m_bits, k)).alias("pos")
+    )
+    return (
+        pos.select(
+            F.expr("pos div 32").cast("bigint").alias("word"),
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    keys: DataFrame,
+    bloom: DataFrame,
+    id_col: str,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Probe every key against a ``bloom_filter_words`` filter. Output
+    ``(id, maybe_present)`` — 1 iff ALL k positions are set (no false
+    negatives; false positives at the filter's design rate).
+
+    Plan: explode the k positions, left-join the filter on the word
+    index (the filter side is tiny → broadcast), test the bit with a
+    mask AND, then a min-agg back to one row per key. Missing words
+    (null bits) are unset by definition."""
+    pos = keys.select(
+        F.col(id_col),
+        F.posexplode(bloom_positions(key_col, m_bits, k)).alias("j", "pos"),
+    ).select(
+        F.col(id_col),
+        F.expr("pos div 32").cast("bigint").alias("word"),
+        F.expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))").alias(
+            "mask"
+        ),
+    )
+    hit = pos.join(F.broadcast(bloom), "word", "left").select(
+        F.col(id_col),
+        F.when(
+            F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("hit"),
+    )
+    return hit.groupBy(id_col).agg(
+        F.min("hit").cast("bigint").alias("maybe_present")
+    )
+
+
+def bloom_probe_oracle_sql(
+    insert_pred: str = "doc_id % 2 = 0", m_bits: int = 1 << 20, k: int = 4
+) -> str:
+    """DuckDB twin of build(documents WHERE insert_pred) + probe(all
+    documents) on the text key: the same md5-hex fold, positions, 32-bit
+    words and bit arithmetic."""
+    hexfold = (
+        "list_reduce([CAST(strpos('0123456789abcdef', h[i:i]) - 1 AS BIGINT) "
+        "for i in range(1, 16)], (a, x) -> a * 16 + x)"
+    )
+    return f"""
+    WITH ins AS (
+      SELECT j, md5(j || ':' || text) AS h
+      FROM documents CROSS JOIN (SELECT unnest(range(0, {k})) AS j)
+      WHERE {insert_pred}
+    ), ipos AS (
+      SELECT {hexfold} % {m_bits} AS pos FROM (SELECT substr(h, 1, 15) AS h FROM ins)
+    ), flt AS (
+      SELECT pos // 32 AS word,
+             CAST(bit_or(CAST(pow(2, pos % 32) AS BIGINT)) AS BIGINT) AS bits
+      FROM ipos GROUP BY pos // 32
+    ), q AS (
+      SELECT doc_id, j, substr(md5(j || ':' || text), 1, 15) AS h
+      FROM documents CROSS JOIN (SELECT unnest(range(0, {k})) AS j)
+    ), qpos AS (
+      SELECT doc_id, {hexfold} % {m_bits} AS pos FROM q
+    ), hits AS (
+      SELECT doc_id,
+             CASE WHEN coalesce(flt.bits, 0) & CAST(pow(2, qpos.pos % 32) AS BIGINT)
+                       <> 0
+                  THEN 1 ELSE 0 END AS hit
+      FROM qpos LEFT JOIN flt ON qpos.pos // 32 = flt.word
+    )
+    SELECT doc_id, CAST(min(hit) AS BIGINT) AS maybe_present
+    FROM hits GROUP BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Canonical-document selection — dedup-cluster representative picking
+# ---------------------------------------------------------------------------
+
+
+def canonical_docs(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "q",
+) -> DataFrame:
+    """Pick each duplicate cluster's canonical representative: the
+    member with the highest quality score, ties to the lower id — the
+    keep-decision a dedup pipeline applies after ``dup_clusters``
+    (cluster assignment alone says *what* is duplicated; this says
+    *which copy survives*). Output one row per document:
+    ``(id, cluster_id, cluster_size, is_canonical)``.
+
+    Scale shape: one equi-join on the id, one max-struct groupBy on
+    ``cluster_id`` (map-side combined — a billion-member boilerplate
+    cluster pre-aggregates per map task instead of sorting through one
+    window reducer), and one join back on ``cluster_id``. No windows,
+    no skew funnel."""
+    q = clusters.join(
+        quality.select(F.col(id_col), F.col(quality_col).alias("_q")), id_col
+    )
+    best = q.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("_q"), (-F.col(id_col)).alias("_neg_id"))).alias("b"),
+        F.count("*").cast("bigint").alias("cluster_size"),
+    ).select(
+        "cluster_id",
+        (-F.col("b._neg_id")).cast("bigint").alias("_keep_id"),
+        "cluster_size",
+    )
+    return q.join(best, "cluster_id").select(
+        F.col(id_col).cast("bigint"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.col("cluster_size"),
+        F.when(F.col(id_col) == F.col("_keep_id"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_canonical"),
+    )

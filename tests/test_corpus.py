@@ -366,3 +366,82 @@ class TestDsirWeights:
         got = {r.doc_id: r.n_grams for r in out}
         # doc 2 has no bigram -> absent; doc 1 has 2
         assert got == {1: 2}
+
+
+class TestBloom:
+    def test_no_false_negatives_and_low_fpr(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        rows = [(i, f"document number {i} payload") for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        inserted = df.filter(F.col("doc_id") % 2 == 0)
+        flt = co.bloom_filter_words(inserted, "text", m_bits=1 << 16, k=4)
+        got = {
+            r.doc_id: r.maybe_present
+            for r in co.bloom_probe(df, flt, "doc_id", "text", m_bits=1 << 16, k=4).collect()
+        }
+        assert len(got) == 400
+        # Bloom guarantee: every inserted key probes present
+        assert all(got[i] == 1 for i in range(0, 400, 2))
+        # non-inserted keys: false positives at the design rate only
+        # (n*k/m = 800/65536 per bit -> FPR ~ (0.012)^4, essentially 0)
+        fps = sum(got[i] for i in range(1, 400, 2))
+        assert fps <= 4, f"false-positive rate too high: {fps}/200"
+
+    def test_filter_is_bounded_rows(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        df = spark.createDataFrame(
+            [(i, f"k{i}") for i in range(1000)], "doc_id long, text string"
+        )
+        flt = co.bloom_filter_words(df, "text", m_bits=1 << 10, k=8)
+        n = flt.count()
+        assert n <= (1 << 10) // 32  # never more rows than filter words
+        # every word index in range, every bits value a set int64
+        for r in flt.collect():
+            assert 0 <= r.word < (1 << 10) // 32
+            assert r.bits != 0
+
+
+class TestCanonicalDocs:
+    def test_picks_highest_quality_tie_lower_id(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (7, 7), (9, 9), (10, 9)],
+            "doc_id long, cluster_id long",
+        )
+        quality = spark.createDataFrame(
+            # cluster 1: doc 2 wins on quality; cluster 9: tie -> doc 9
+            [(1, 10), (2, 90), (3, 90 - 1), (7, 5), (9, 40), (10, 40)],
+            "doc_id long, q long",
+        )
+        out = {r.doc_id: r for r in co.canonical_docs(clusters, quality).collect()}
+        assert len(out) == 6
+        assert [out[i].is_canonical for i in (1, 2, 3)] == [0, 1, 0]
+        assert out[7].is_canonical == 1 and out[7].cluster_size == 1
+        assert out[9].is_canonical == 1 and out[10].is_canonical == 0
+        assert all(out[i].cluster_size == 3 for i in (1, 2, 3))
+
+    def test_every_cluster_has_exactly_one_canonical(self, spark):
+        from beis_orp_data_service_spark.catalog import load_table
+        from beis_orp_data_service_spark.operators import corpus as co
+        from beis_orp_data_service_spark.operators import dedup as dd
+        from beis_orp_data_service_spark.operators import textstats as ts
+        from tests.conftest import SF_SMOKE
+
+        docs = load_table(spark, SF_SMOKE, "documents").filter(
+            F.col("doc_id") % 10 == 0
+        )
+        simt = dd.simhash16_table(docs, "doc_id", "text").localCheckpoint()
+        clusters = co.dup_clusters(
+            co.simhash_band_pairs(simt), simt.select("doc_id")
+        )
+        quality = docs.select(
+            "doc_id", ts.quality_scores("text")["alpha_milli"].alias("q")
+        )
+        out = co.canonical_docs(clusters, quality).toPandas()
+        per = out.groupby("cluster_id").is_canonical.sum()
+        assert (per == 1).all()
+        sizes = out.groupby("cluster_id").size()
+        assert (out.groupby("cluster_id").cluster_size.first() == sizes).all()
