@@ -463,7 +463,38 @@ def semdedup(
             F.col(vec_col).alias("vec"),
         )
     else:
-        assigned = _semdedup_assign_exact(embeddings, id_col, vec_col, n_clusters)
+        # deterministic quantizer, Arrow form: the k smallest-id vectors
+        # are collected once (k rows, same driver footprint as a trained
+        # centroid matrix) and the integer argmin-L2 runs as an int64
+        # numpy matmul — bit-identical to the expression assignment of
+        # semdedup_expr (d² = |q|² − 2·q·Cᵀ + |c|², ties to the lower
+        # cid via first-occurrence argmin over ascending cids), without
+        # its per-row interpreted array-lambda folds
+        cent_rows = (
+            embeddings.select(F.col(id_col), F.col(vec_col))
+            .orderBy(id_col)
+            .limit(n_clusters)
+            .collect()
+        )
+        cids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+        c_q = np.stack(
+            [np.round(np.asarray(r[1], dtype=np.float64) * 100) for r in cent_rows]
+        ).astype(np.int64)
+        c_norm = (c_q * c_q).sum(axis=1)
+
+        @F.pandas_udf("bigint")
+        def _assign(vecs: pd.Series) -> pd.Series:
+            q = np.stack(
+                [np.round(np.asarray(v, dtype=np.float64) * 100) for v in vecs]
+            ).astype(np.int64)
+            d2 = (q * q).sum(axis=1)[:, None] - 2 * (q @ c_q.T) + c_norm[None, :]
+            return pd.Series(cids[np.argmin(d2, axis=1)])
+
+        assigned = embeddings.select(
+            F.col(id_col),
+            _assign(F.col(vec_col)).alias("cluster_id"),
+            F.col(vec_col).alias("vec"),
+        )
 
     out_schema = f"{id_col} bigint, cluster_id bigint, is_dup bigint"
 
