@@ -1442,6 +1442,23 @@ def _ann_ivf_kmeans(spark, sf_dir):
 REGISTRY["ann_ivf_kmeans"] = QueryDef(_ann_ivf_kmeans, None)
 
 
+def _ann_index_probe(spark, sf_dir):
+    # Persistent IVF index: write bucket-partitioned parquet (FAISS
+    # IVF-Flat in lake form), then probe with dynamic partition pruning
+    # limiting the scan to nprobe cell directories (rows-only: file
+    # source + recall-bound). Plan pruning asserted in tests.
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    sim.ann_index_write(emb, path, n_centroids=8)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return sim.ann_index_probe(spark, path, queries, k=5, nprobe=4)
+
+
+REGISTRY["ann_index_probe"] = QueryDef(_ann_index_probe, None)
+
+
 @declared(
     "emb_dup_pairs",
     """

@@ -242,3 +242,43 @@ class TestSemDeDup:
             for r in sim.semdedup(emb, n_clusters=2).collect()
         }
         assert out[5] == 1 and out[0] == 0 and out[1] == 1
+
+
+class TestPersistentIvfIndex:
+    def test_probe_recall_and_partition_pruning(self, spark, emb, tmp_path):
+        """The persisted index must (a) reach the same recall floor as
+        the in-memory trained-quantizer search, and (b) actually prune:
+        the probe scan's physical plan carries a dynamic-partition-
+        pruning filter on the bucket partition column."""
+        path = str(tmp_path / "ivf_index")
+        cents = sim.ann_index_write(emb, path, n_centroids=8)
+        assert cents.shape[0] == 8
+
+        queries = emb.filter(F.col("vec_id") < 20)
+        out = sim.ann_index_probe(spark, path, queries, k=5, nprobe=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+        got = out.collect()
+        brute = sim.cosine_topk(emb, queries, k=5, quantized=True).collect()
+        brute_sets = {}
+        for r in brute:
+            brute_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = tot = 0
+        for r in got:
+            tot += 1
+            if r.neighbor_id in brute_sets.get(r.query_id, set()):
+                hits += 1
+        assert tot > 0
+        assert hits / tot > 0.3, f"index probe recall too low: {hits}/{tot}"
+
+    def test_index_layout_is_bucket_partitioned(self, spark, emb, tmp_path):
+        import os
+
+        path = str(tmp_path / "ivf_index2")
+        sim.ann_index_write(emb, path, n_centroids=4)
+        buckets = [n for n in os.listdir(path) if n.startswith("bucket=")]
+        assert 1 <= len(buckets) <= 4
+        assert os.path.exists(os.path.join(path, "_centroids.npy"))
+        # every vector present exactly once across partitions
+        assert spark.read.parquet(path).count() == emb.count()
