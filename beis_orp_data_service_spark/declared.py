@@ -3685,11 +3685,22 @@ def repeated_passages(spark, sf_dir):
 )
 def semdedup(spark, sf_dir):
     # Training-data op — SemDeDup (Abbas et al. 2023): deterministic
-    # coarse quantizer (first-k vectors; production: kmeans_centroids),
-    # argmin quantized-L2 assignment, within-cluster int-cosine² dedup
-    # against lower-id cluster-mates. All integer-exact.
+    # coarse quantizer (first-k vectors), integer-exact Arrow argmin-L2
+    # assignment, per-cluster tiled int64 Gram kernel for the dup rule.
     emb = _t(spark, sf_dir, "embeddings")
     return sim.semdedup(emb, n_clusters=8, sim2_milli_threshold=900)
+
+
+def _semdedup_auto(spark, sf_dir):
+    # SemDeDup production path: MLlib k-means quantizer with ~sqrt(N)
+    # cells + Arrow assignment + the same tiled kernel (rows-only:
+    # trained centroids aren't ANSI-SQL). Planted-dup agreement tested
+    # in tests/test_similarity.py.
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.semdedup(emb, n_clusters="auto", sim2_milli_threshold=900)
+
+
+REGISTRY["semdedup_auto"] = QueryDef(_semdedup_auto, None)
 
 
 @declared(

@@ -1179,3 +1179,14 @@ def canonical_docs(
         .cast("bigint")
         .alias("is_canonical"),
     )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Union Bloom filters built with the same (m, k): bitwise OR of
+    word rows — the property that makes Bloom membership incremental
+    (build per day/shard/source, merge into the corpus filter without
+    touching raw keys). One combining groupBy on the word index."""
+    merged = filters[0]
+    for f in filters[1:]:
+        merged = merged.unionByName(f)
+    return merged.groupBy("word").agg(F.bit_or("bits").alias("bits"))

@@ -445,3 +445,26 @@ class TestCanonicalDocs:
         assert (per == 1).all()
         sizes = out.groupby("cluster_id").size()
         assert (out.groupby("cluster_id").cluster_size.first() == sizes).all()
+
+    def test_merge_equals_build_on_union(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        a = spark.createDataFrame(
+            [(i, f"k{i}") for i in range(100)], "doc_id long, text string"
+        )
+        b = spark.createDataFrame(
+            [(i, f"k{i}") for i in range(100, 180)], "doc_id long, text string"
+        )
+        m, k = 1 << 14, 4
+        merged = {
+            (r.word, r.bits)
+            for r in co.bloom_merge(
+                co.bloom_filter_words(a, "text", m, k),
+                co.bloom_filter_words(b, "text", m, k),
+            ).collect()
+        }
+        direct = {
+            (r.word, r.bits)
+            for r in co.bloom_filter_words(a.unionByName(b), "text", m, k).collect()
+        }
+        assert merged == direct
