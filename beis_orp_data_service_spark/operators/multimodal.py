@@ -45,11 +45,70 @@ def _have_pil() -> bool:
         return False
 
 
+def probe_media_header(content: bytes) -> dict | None:
+    """REAL container-header sniffing, stdlib only: dimensions / audio
+    properties parsed straight from the byte layout of the common
+    containers — PNG IHDR, JPEG SOF0-3 markers, GIF logical screen,
+    BMP info header, RIFF/WAVE fmt+data chunks. This is the metadata a
+    pipeline buckets/filters/joins on; only pixel/sample DECODE needs
+    the heavy libs (PIL/ffmpeg) and stays behind the stub."""
+    import struct
+
+    b = bytes(content or b"")
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return {"container": "png", "width": w, "height": h}
+    if b[:2] == b"\xff\xd8":  # JPEG: walk segments to a start-of-frame
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return {"container": "jpeg", "width": w, "height": h}
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                i += 2  # standalone marker, no length field
+                continue
+            if i + 4 > len(b):
+                break
+            i += 2 + struct.unpack(">H", b[i + 2 : i + 4])[0]
+        return None
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return {"container": "gif", "width": w, "height": h}
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return {"container": "bmp", "width": w, "height": abs(h)}
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        out: dict = {"container": "wav"}
+        i = 12
+        while i + 8 <= len(b):
+            cid, size = b[i : i + 4], struct.unpack("<I", b[i + 4 : i + 8])[0]
+            if cid == b"fmt " and i + 24 <= len(b):
+                channels, rate = struct.unpack("<HI", b[i + 10 : i + 16])
+                bits = struct.unpack("<H", b[i + 22 : i + 24])[0]
+                out.update(channels=channels, sample_rate_hz=rate, bits=bits)
+            elif cid == b"data":
+                out["data_bytes"] = size
+            i += 8 + size + (size % 2)  # chunks are word-aligned
+        if "sample_rate_hz" in out and "data_bytes" in out and out.get("bits"):
+            denom = out["sample_rate_hz"] * out["channels"] * out["bits"]
+            out["duration_ms"] = out["data_bytes"] * 8 * 1000 // denom
+        return out
+    return None
+
+
 def decode_image(content: bytes) -> tuple[int, int]:
-    """Real decode is stubbed (no PIL in this container). The
-    deterministic fake derives (width, height) from the byte length so
-    downstream logic (resize, bucketing, dedup-by-dims) is exercised
-    with stable, oracle-checkable values."""
+    """(width, height): parsed from the real container header when the
+    payload IS one (``probe_media_header`` — PNG/JPEG/GIF/BMP, stdlib);
+    otherwise the deterministic byte-length fake, so non-media payloads
+    (the synthetic corpus) keep stable, oracle-checkable values. Pixel
+    decode itself stays stubbed behind PIL."""
+    hdr = probe_media_header(content)
+    if hdr and "width" in hdr:
+        return (hdr["width"], hdr["height"])
     if _have_pil():  # pragma: no cover
         raise NotImplementedError(
             "wire PIL.Image.open(io.BytesIO(content)).size here when PIL is available"
@@ -87,6 +146,40 @@ def decode_media(df: DataFrame) -> DataFrame:
     executor memory (spark.sql.files.maxPartitionBytes governs the scan
     side)."""
     return df.mapInPandas(decode_media_batch, DECODED_SCHEMA)
+
+
+HEADER_SCHEMA = (
+    "media_id bigint, container string, width bigint, height bigint, "
+    "channels bigint, sample_rate_hz bigint, duration_ms bigint"
+)
+
+
+def media_headers(df: DataFrame) -> DataFrame:
+    """Typed header table from real byte-layout parsing
+    (:func:`probe_media_header`): one row per media item with the
+    container name and its intrinsic properties (nulls where the
+    container has none / the payload is unrecognized). mapInPandas —
+    partition-preserving, bytes never leave the executor."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                hdr = probe_media_header(bytes(content or b"")) or {}
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "container": hdr.get("container"),
+                        "width": hdr.get("width"),
+                        "height": hdr.get("height"),
+                        "channels": hdr.get("channels"),
+                        "sample_rate_hz": hdr.get("sample_rate_hz"),
+                        "duration_ms": hdr.get("duration_ms"),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "content").mapInPandas(_batches, HEADER_SCHEMA)
 
 
 def resize_dims(

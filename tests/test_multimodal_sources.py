@@ -111,3 +111,91 @@ def test_resize_media_kernel_plumbing(spark):
     ).collect()
     assert len(out) == 10
     assert all(len(r.resized_checksum) == 16 for r in out)
+
+
+class TestMediaHeaders:
+    """Real container-header parsing from in-test-built byte payloads."""
+
+    @staticmethod
+    def _png(w, h):
+        import struct
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", w, h)
+            + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+        )
+
+    @staticmethod
+    def _jpeg(w, h):
+        import struct
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+    @staticmethod
+    def _gif(w, h):
+        import struct
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
+
+    @staticmethod
+    def _bmp(w, h):
+        import struct
+        return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h) + b"\x00" * 8
+
+    @staticmethod
+    def _wav(rate, channels, bits, n_samples):
+        import struct
+        data = b"\x00" * (n_samples * channels * bits // 8)
+        fmt = (
+            b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, channels, rate,
+                          rate * channels * bits // 8, channels * bits // 8, bits)
+        )
+        body = b"WAVE" + fmt + b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def test_probe_each_container(self):
+        from beis_orp_data_service_spark.operators import multimodal as mm
+
+        assert mm.probe_media_header(self._png(640, 480)) == {
+            "container": "png", "width": 640, "height": 480,
+        }
+        assert mm.probe_media_header(self._jpeg(800, 600)) == {
+            "container": "jpeg", "width": 800, "height": 600,
+        }
+        assert mm.probe_media_header(self._gif(320, 200)) == {
+            "container": "gif", "width": 320, "height": 200,
+        }
+        bmp = mm.probe_media_header(self._bmp(100, -50))  # top-down BMP
+        assert (bmp["width"], bmp["height"]) == (100, 50)
+        wav = mm.probe_media_header(self._wav(16000, 1, 16, 16000))
+        assert wav["sample_rate_hz"] == 16000
+        assert wav["channels"] == 1
+        assert wav["duration_ms"] == 1000
+        assert mm.probe_media_header(b"just text bytes") is None
+        assert mm.probe_media_header(b"") is None
+
+    def test_media_headers_dataframe(self, spark):
+        from beis_orp_data_service_spark.operators import multimodal as mm
+
+        rows = [
+            (1, "image", bytearray(self._png(640, 480)), {}),
+            (2, "image", bytearray(self._jpeg(12, 34)), {}),
+            (3, "audio", bytearray(self._wav(44100, 2, 16, 44100)), {}),
+            (4, "image", bytearray(b"not media"), {}),
+        ]
+        df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+        got = {r.media_id: r for r in mm.media_headers(df).collect()}
+        assert got[1].container == "png" and got[1].width == 640
+        assert got[2].container == "jpeg" and got[2].height == 34
+        assert got[3].container == "wav" and got[3].sample_rate_hz == 44100
+        assert got[3].duration_ms == 1000 and got[3].channels == 2
+        assert got[4].container is None and got[4].width is None
+
+    def test_decode_image_uses_real_header(self):
+        from beis_orp_data_service_spark.operators import multimodal as mm
+
+        assert mm.decode_image(self._png(111, 222)) == (111, 222)
+        # non-media payloads keep the deterministic fallback
+        n = len(b"abc")
+        assert mm.decode_image(b"abc") == (64 + n % 1920, 64 + (n * 7) % 1080)
