@@ -1058,9 +1058,15 @@ def minhash_sig(spark, sf_dir):
 )
 def lsh_bands(spark, sf_dir):
     # D2 — LSH banding: docs sharing a band of contiguous signature
-    # values are duplicate candidates (check_duplicate.py:89-125)
+    # values are duplicate candidates (check_duplicate.py:89-125).
+    # The sig table is a stage boundary (lazy localCheckpoint): the
+    # band join is a self-join, and without the cut the Arrow minhash
+    # pass executes once per side (2 ArrowEvalPython stages in the
+    # round-3 plan audit).
     docs = _t(spark, sf_dir, "documents")
-    sigs = dd.minhash_signature_np(docs, "doc_id", "text")
+    sigs = dd.minhash_signature_np(docs, "doc_id", "text").localCheckpoint(
+        eager=False
+    )
     return dd.lsh_band_pairs(sigs, "doc_id", band_width=4)
 
 
