@@ -192,11 +192,21 @@ def kmeans_centroids(
     return np.array([np.asarray(c) for c in model.clusterCenters()])
 
 
-def _nearest_centroids_udf(centroids: np.ndarray, nprobe: int):
+def _nearest_centroids_udf(
+    centroids: np.ndarray, nprobe: int, deterministic: bool = False
+):
     """Arrow-batched assignment: for each vector the ``nprobe`` nearest
     centroids by L2 (argmin of -2xCᵀ + ||c||²; ||x||² is rank-invariant).
     The centroid matrix rides inside the UDF closure — broadcast once
-    per executor, numpy matmul per batch."""
+    per executor, numpy matmul per batch.
+
+    ``deterministic`` trades two optimizer behaviors that both hinge on
+    Catalyst's right to clone the expression: False (default) stops the
+    implied join-key null filter from re-evaluating the assignment pass
+    (duplicate stacked ArrowEvalPython); True permits cloning, which
+    dynamic partition pruning NEEDS to push the probe's bucket set into
+    a partitioned scan (``ann_index_probe``). The UDF's value is
+    deterministic either way."""
     c_t = centroids.T.astype(np.float64)
     c_norm = (centroids.astype(np.float64) ** 2).sum(axis=1)[None, :]
 
@@ -207,7 +217,7 @@ def _nearest_centroids_udf(centroids: np.ndarray, nprobe: int):
         idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(idx))
 
-    return probes
+    return probes if deterministic else probes.asNondeterministic()
 
 
 def ivf_kmeans_topk(
@@ -744,7 +754,10 @@ def ann_index_probe(
     import os
 
     cents = np.load(os.path.join(path, "_centroids.npy"))
-    probe_n = _nearest_centroids_udf(cents, nprobe)
+    # deterministic: DPP must clone the bucket expression into the
+    # partitioned scan's pruning subquery; the probe side is tiny so
+    # duplicate evaluation is irrelevant
+    probe_n = _nearest_centroids_udf(cents, nprobe, deterministic=True)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
