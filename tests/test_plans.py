@@ -145,3 +145,33 @@ def test_gopher_quality_partial_aggregation(spark):
     plan = plan_of("gopher_quality", spark)
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_bloom_probe_broadcast_filter_and_partial_bitor(spark):
+    # the filter side must broadcast (it is <= m/32 rows) and the
+    # bit_or build must partially aggregate map-side before its shuffle
+    plan = plan_of("bloom_probe", spark)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_canonical_docs_no_window_funnel(spark):
+    # the keep-decision is a max-struct aggregation, never a window
+    # sort over cluster_id (the skew funnel); struct max compiles to
+    # SortAggregate, still with a map-side partial before the shuffle
+    plan = plan_of("canonical_docs", spark)
+    assert "Window" not in plan
+    assert plan.count("SortAggregate") >= 2
+    assert "partial" in plan
+
+
+def test_first_50_registrations_are_oracle_grade(spark):
+    """The driver's CORRECTNESS file samples the first 50 registered
+    queries; every one of them must carry a DuckDB oracle (sql != None)
+    so the sampled window gets hash checks, not rows-only. Guards the
+    registration-order hygiene across future additions."""
+    from beis_orp_data_service_spark import declared
+
+    first50 = list(declared.REGISTRY.items())[:50]
+    rows_only = [n for n, qd in first50 if qd.sql is None]
+    assert rows_only == [], f"rows-only queries inside the driver window: {rows_only}"

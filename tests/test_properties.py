@@ -95,3 +95,36 @@ def test_minhash_jaccard_correlation(spark):
 
     agreements = [agree(sigs[0], sigs[i]) for i in (1, 2, 3)]
     assert agreements[0] >= agreements[1] >= agreements[2]
+
+
+@given(
+    st.integers(min_value=1, max_value=60000),
+    st.integers(min_value=1, max_value=60000),
+)
+@settings(max_examples=100, deadline=None)
+def test_probe_media_header_roundtrip_dims(w, h):
+    """Any (w, h) written into a PNG IHDR / GIF screen / JPEG SOF0 must
+    be read back exactly by the header probe."""
+    import struct
+
+    from beis_orp_data_service_spark.operators import multimodal as mm
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", w, h)
+        + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+    )
+    assert mm.probe_media_header(png) == {"container": "png", "width": w, "height": h}
+    if w <= 0xFFFF and h <= 0xFFFF:
+        gif = b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
+        assert mm.probe_media_header(gif) == {
+            "container": "gif", "width": w, "height": h,
+        }
+        sof0 = (
+            b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+        )
+        jpeg = b"\xff\xd8" + sof0 + b"\xff\xd9"
+        assert mm.probe_media_header(jpeg) == {
+            "container": "jpeg", "width": w, "height": h,
+        }
