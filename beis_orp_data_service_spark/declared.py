@@ -3794,6 +3794,63 @@ def canonical_docs(spark, sf_dir):
     return corpus_ops.canonical_docs(clusters, quality, "doc_id", "q")
 
 
+@declared(
+    "q_reach",
+    """
+    WITH RECURSIVE e AS (
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+             'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+      UNION ALL
+      SELECT 's' || CAST(s_suppkey AS VARCHAR),
+             'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+      UNION ALL
+      SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+             'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+    ), src AS (
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node
+      FROM customer WHERE c_custkey % 100 = 0
+    ), reach(node, hops) AS (
+      SELECT node, 0 FROM src
+      UNION
+      SELECT e.dst, r.hops + 1
+      FROM reach r JOIN e ON e.src = r.node WHERE r.hops < 3
+    )
+    SELECT node, CAST(min(hops) AS BIGINT) AS hops
+    FROM reach GROUP BY node
+    """,
+)
+def q_reach(spark, sf_dir):
+    # multi-hop graph traversal (TQL chained relation hops): frontier
+    # BFS with min-hop distances over the customer→nation→region +
+    # supplier→nation edge set; oracle = recursive CTE of the same
+    # closure. Each level is one equi-join + anti-join shuffle pair.
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    edges = (
+        cust.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+        )
+        .unionByName(
+            supp.select(
+                F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+                F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+            )
+        )
+        .unionByName(
+            nat.select(
+                F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+                F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+            )
+        )
+    )
+    sources = cust.filter(F.col("c_custkey") % 100 == 0).select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    return graph_ops.reachability(edges, sources, max_hops=3)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------

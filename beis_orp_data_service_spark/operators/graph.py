@@ -81,3 +81,39 @@ def related_grouped(
         F.slice(F.sort_array(F.collect_list(collect_col)), 1, cap).alias("related"),
         F.count("*").alias("n_related"),
     )
+
+
+def reachability(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """N-hop reachability with min-hop distances — the multi-hop
+    extension of the Q13 1-hop traverse (the reference's TQL can chain
+    relation hops; relationally it is iterated equi-joins). Input:
+    ``edges (src, dst)`` directed, ``sources (node)``. Output one row
+    per reachable node: ``(node, hops)`` = fewest hops from any source.
+
+    Frontier BFS: per level one equi-join shuffle (frontier × edges,
+    both keyed on the node) + an anti-join against the visited set, so
+    each node is expanded exactly once — level cost is O(frontier
+    out-degree), never O(graph). ``localCheckpoint`` per level keeps
+    the plan flat (every frame a LogicalRDD scan, no lineage growth);
+    the per-level emptiness check is a scalar count, the standard
+    driver action for iterative closure. Cycles terminate because a
+    revisited node is never re-expanded."""
+    visited = sources.select(
+        F.col("node"), F.lit(0).cast("bigint").alias("hops")
+    ).localCheckpoint()
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"), F.lit(h).cast("bigint").alias("hops"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited

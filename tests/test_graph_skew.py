@@ -121,3 +121,39 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+class TestReachability:
+    def test_min_hops_and_cycle_termination(self, spark):
+        from pyspark.sql import functions as F
+        from beis_orp_data_service_spark.operators import graph as g
+
+        # 0->1->2->3 chain, a shortcut 0->2, and a cycle 3->1
+        edges = spark.createDataFrame(
+            [("0", "1"), ("1", "2"), ("2", "3"), ("0", "2"), ("3", "1")],
+            "src string, dst string",
+        )
+        sources = spark.createDataFrame([("0",)], "node string")
+        out = {r.node: r.hops for r in g.reachability(edges, sources, max_hops=10).collect()}
+        # shortcut wins: node 2 is 1 hop, not 2; cycle doesn't loop
+        assert out == {"0": 0, "1": 1, "2": 1, "3": 2}
+
+    def test_max_hops_bounds_frontier(self, spark):
+        from beis_orp_data_service_spark.operators import graph as g
+
+        edges = spark.createDataFrame(
+            [(str(i), str(i + 1)) for i in range(6)], "src string, dst string"
+        )
+        sources = spark.createDataFrame([("0",)], "node string")
+        out = {r.node: r.hops for r in g.reachability(edges, sources, max_hops=2).collect()}
+        assert out == {"0": 0, "1": 1, "2": 2}
+
+    def test_multiple_sources_union(self, spark):
+        from beis_orp_data_service_spark.operators import graph as g
+
+        edges = spark.createDataFrame(
+            [("a", "x"), ("b", "x"), ("x", "y")], "src string, dst string"
+        )
+        sources = spark.createDataFrame([("a",), ("b",)], "node string")
+        out = {r.node: r.hops for r in g.reachability(edges, sources).collect()}
+        assert out == {"a": 0, "b": 0, "x": 1, "y": 2}
