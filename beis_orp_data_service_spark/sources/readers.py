@@ -127,3 +127,52 @@ def orpml_parse(xml_col: Column | str) -> dict[str, Column]:
         "regulator_id": F.regexp_extract(c, "<publisher>(.*?)</publisher>", 1),
         "body": F.regexp_extract(c, "<body>(.*?)</body>", 1),
     }
+
+
+ORPML_PARSED_SCHEMA = (
+    "document_uid string, title string, regulator_id string, "
+    "date_published string, body string"
+)
+
+
+def orpml_parse_xml(df: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """E6 parse-back, REAL kernel (finalise_orpml.py:47-70 semantics):
+    a mapInPandas ElementTree parse of the ORPML envelope under its
+    namespace — entity unescaping and nesting handled properly, unlike
+    the regexp projection twin :func:`orpml_parse` (kept as the
+    no-Python oracle-friendly form, which leaves entities escaped).
+    Malformed envelopes yield null rows (per-row tolerance, the
+    converter posture)."""
+    import xml.etree.ElementTree as ET
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    ns = "{http://www.beis.gov.uk/namespaces/orpml}"
+    fields = ("document_uid", "title", "regulator_id", "date_published", "body")
+
+    def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for x in pdf[xml_col]:
+                try:
+                    root = ET.fromstring(x)
+
+                    def text(leaf: str) -> str | None:
+                        el = root.find(f".//{ns}{leaf}")
+                        return el.text if el is not None else None
+
+                    rows.append(
+                        {
+                            "document_uid": text("identifier"),
+                            "title": text("title"),
+                            "regulator_id": text("publisher"),
+                            "date_published": text("datePublished"),
+                            "body": text("body"),
+                        }
+                    )
+                except ET.ParseError:
+                    rows.append(dict.fromkeys(fields))
+            yield pd.DataFrame(rows, columns=list(fields))
+
+    return df.select(xml_col).mapInPandas(_batch, ORPML_PARSED_SCHEMA)

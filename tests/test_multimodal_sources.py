@@ -199,3 +199,24 @@ class TestMediaHeaders:
         # non-media payloads keep the deterministic fallback
         n = len(b"abc")
         assert mm.decode_image(b"abc") == (64 + n % 1920, 64 + (n * 7) % 1080)
+
+
+def test_orpml_parse_xml_kernel_unescapes(spark):
+    """The ElementTree kernel must round-trip escaped content back to
+    the original characters (the regexp twin leaves entities escaped)
+    and null-row malformed envelopes."""
+    df = spark.createDataFrame(
+        [("u1", "Title & <stuff>", "hse", None, "a < b & c")],
+        "document_uid string, title string, regulator_id string, "
+        "date_published timestamp, text string",
+    )
+    xml_df = df.select(readers.orpml_serialize().alias("xml"))
+    parsed = readers.orpml_parse_xml(xml_df).first()
+    assert parsed.document_uid == "u1"
+    assert parsed.title == "Title & <stuff>"   # entities unescaped
+    assert parsed.body == "a < b & c"
+    assert parsed.regulator_id == "hse"
+
+    bad = spark.createDataFrame([("<orpml>not closed",)], "xml string")
+    nulls = readers.orpml_parse_xml(bad).first()
+    assert nulls.document_uid is None and nulls.body is None
