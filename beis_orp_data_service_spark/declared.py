@@ -3794,6 +3794,16 @@ def canonical_docs(spark, sf_dir):
     return corpus_ops.canonical_docs(clusters, quality, "doc_id", "q")
 
 
+@declared("bpe_pair_counts", corpus_ops.bpe_pair_counts_oracle_sql())
+def bpe_pair_counts(spark, sf_dir):
+    # Training-data op — BPE tokenizer-training prep: corpus-wide
+    # adjacent-character pair counts, weighted explode over DISTINCT
+    # words (O(vocab), not O(tokens)); the merge loop iterates on this
+    # compact table.
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.bpe_pair_counts(docs, "doc_id", "text")
+
+
 @declared(
     "q_reach",
     """

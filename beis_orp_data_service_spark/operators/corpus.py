@@ -1190,3 +1190,61 @@ def bloom_merge(*filters: DataFrame) -> DataFrame:
     for f in filters[1:]:
         merged = merged.unionByName(f)
     return merged.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-training prep — BPE adjacent-pair counting at corpus scale
+# ---------------------------------------------------------------------------
+
+
+def bpe_pair_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide adjacent-symbol pair counts over the initial BPE
+    alphabet (characters) — the expensive first step of BPE tokenizer
+    training (Sennrich et al. 2016): the merge loop itself iterates on
+    the compact (pair, count) table this produces.
+
+    Scale shape (100 TB): the character explode runs over DISTINCT
+    words weighted by their corpus frequency, so the heavy fan-out is
+    O(vocab · word-length), not O(corpus tokens); both groupBys are
+    map-side combined. Output: ``(a, b, pair_count)``."""
+    words = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 1)
+    wf = words.groupBy("w").agg(F.count("*").cast("bigint").alias("freq"))
+    pairs = (
+        wf.filter(F.length("w") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> struct(substring(w, i, 1) AS a, "
+                    "substring(w, i + 1, 1) AS b))"
+                )
+            ).alias("pr"),
+        )
+    )
+    return pairs.groupBy(
+        F.col("pr.a").alias("a"), F.col("pr.b").alias("b")
+    ).agg(F.sum("freq").cast("bigint").alias("pair_count"))
+
+
+def bpe_pair_counts_oracle_sql() -> str:
+    """DuckDB twin of :func:`bpe_pair_counts` over ``documents``."""
+    return """
+    WITH w AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+    ), wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM w WHERE length(w) >= 1 GROUP BY w
+    ), p AS (
+      SELECT unnest([{'a': w[i:i], 'b': w[i+1:i+1]}
+                     for i in range(1, length(w))]) AS pr,
+             freq
+      FROM wf WHERE length(w) >= 2
+    )
+    SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS pair_count
+    FROM p GROUP BY pr.a, pr.b
+    """

@@ -468,3 +468,16 @@ class TestCanonicalDocs:
             for r in co.bloom_filter_words(a.unionByName(b), "text", m, k).collect()
         }
         assert merged == direct
+
+
+def test_bpe_pair_counts_known_values(spark):
+    """'abab ab cd' twice: pairs weighted by word frequency over the
+    distinct-word table, not per occurrence."""
+    from beis_orp_data_service_spark.operators import corpus as co
+
+    df = spark.createDataFrame(
+        [(1, "abab ab cd"), (2, "abab ab cd")], "doc_id long, text string"
+    )
+    got = {(r.a, r.b): r.pair_count for r in co.bpe_pair_counts(df).collect()}
+    # abab (freq 2): ab, ba, ab -> ab:4, ba:2 ; ab (freq 2): ab:2 ; cd (freq 2): cd:2
+    assert got == {("a", "b"): 6, ("b", "a"): 2, ("c", "d"): 2}
