@@ -3804,6 +3804,19 @@ def bpe_pair_counts(spark, sf_dir):
     return corpus_ops.bpe_pair_counts(docs, "doc_id", "text")
 
 
+def _bpe_merges(spark, sf_dir):
+    # Distributed BPE merge learning (rows-only: iterative argmax —
+    # not ANSI-SQL). Golden-tested against a pure-Python reference
+    # trainer in tests/test_corpus.py. n_merges=4 bounds bench cost —
+    # per-iteration overhead is fixed in local mode; at scale the loop
+    # runs on the vocab table, not the corpus.
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.bpe_learn_merges(docs, "doc_id", "text", n_merges=4)
+
+
+REGISTRY["bpe_merges"] = QueryDef(_bpe_merges, None)
+
+
 @declared(
     "q_reach",
     """

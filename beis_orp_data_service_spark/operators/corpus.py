@@ -31,6 +31,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1248,3 +1249,87 @@ def bpe_pair_counts_oracle_sql() -> str:
     SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS pair_count
     FROM p GROUP BY pr.a, pr.b
     """
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Distributed BPE merge learning (Sennrich et al. 2016): starting
+    from the character alphabet, repeatedly (1) count adjacent symbol
+    pairs across the frequency-weighted DISTINCT-word vocabulary,
+    (2) pick the most frequent pair (ties: lexicographically smallest —
+    deterministic across partitionings), (3) apply the merge
+    left-to-right in every word's symbol sequence. Output is the
+    tokenizer artifact itself: ``(merge_rank, a, b, pair_count)``.
+
+    Scale shape (100 TB): the corpus is touched ONCE (the word-
+    frequency groupBy); every iteration after that runs on the vocab
+    table (O(distinct words)), which is how production BPE trainers
+    work too. Per merge: one map-side-combined pair aggregation, a
+    1-row argmax collect (the standard driver scalar for iterative
+    algorithms), and one Arrow map pass applying the merge;
+    ``localCheckpoint`` keeps the per-iteration plan flat."""
+    from pyspark.sql import functions as SF
+
+    words = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 1)
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .select(F.split("w", "").alias("syms"), "freq")
+        .localCheckpoint()
+    )
+
+    pair_expr = F.explode(
+        F.expr(
+            "transform(sequence(1, size(syms) - 1), "
+            "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"
+        )
+    ).alias("pr")
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts = (
+            vocab.filter(F.size("syms") >= 2)
+            .select("freq", pair_expr)
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+        )
+        best = counts.orderBy(
+            F.desc("pair_count"), F.asc("a"), F.asc("b")
+        ).limit(1).collect()
+        if not best:
+            break
+        a, b, cnt = best[0].a, best[0].b, best[0].pair_count
+
+        def _merge_udf(ma: str, mb: str):
+            @SF.pandas_udf("array<string>")
+            def _merge(seqs: pd.Series) -> pd.Series:
+                out = []
+                for seq in seqs:
+                    res, i, n = [], 0, len(seq)
+                    while i < n:
+                        if i + 1 < n and seq[i] == ma and seq[i + 1] == mb:
+                            res.append(ma + mb)
+                            i += 2
+                        else:
+                            res.append(seq[i])
+                            i += 1
+                    out.append(res)
+                return pd.Series(out)
+
+            return _merge
+
+        vocab = vocab.select(
+            _merge_udf(a, b)(F.col("syms")).alias("syms"), "freq"
+        ).localCheckpoint()
+        merges.append((rank, a, b, int(cnt)))
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "merge_rank bigint, a string, b string, pair_count bigint"
+    )

@@ -481,3 +481,72 @@ def test_bpe_pair_counts_known_values(spark):
     got = {(r.a, r.b): r.pair_count for r in co.bpe_pair_counts(df).collect()}
     # abab (freq 2): ab, ba, ab -> ab:4, ba:2 ; ab (freq 2): ab:2 ; cd (freq 2): cd:2
     assert got == {("a", "b"): 6, ("b", "a"): 2, ("c", "d"): 2}
+
+
+class TestBpeLearnMerges:
+    @staticmethod
+    def _reference_bpe(texts, n_merges):
+        """Pure-Python BPE reference (Sennrich et al.): same tie-break
+        (max count, then lexicographically smallest pair)."""
+        from collections import Counter
+
+        vocab = Counter()
+        for t in texts:
+            for w in t.split():
+                if w:
+                    vocab[tuple(w)] += 1
+        merges = []
+        for rank in range(1, n_merges + 1):
+            pairs = Counter()
+            for syms, freq in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += freq
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            (a, b), cnt = best
+            merges.append((rank, a, b, cnt))
+            new_vocab = Counter()
+            for syms, freq in vocab.items():
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                new_vocab[tuple(res)] += freq
+            vocab = new_vocab
+        return merges
+
+    def test_matches_reference_implementation(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        texts = [
+            "low low low low low",
+            "lower lower newest newest newest",
+            "newest newest newest widest widest",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = [
+            (r.merge_rank, r.a, r.b, r.pair_count)
+            for r in co.bpe_learn_merges(df, n_merges=6)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        want = self._reference_bpe(texts, 6)
+        assert got == want
+        # the classic outcome: 'es'/'est'-style merges appear
+        assert any(a + b == "es" or a + b == "est" for _, a, b, _ in got)
+
+    def test_stops_when_no_pairs_remain(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+        out = co.bpe_learn_merges(df, n_merges=10).collect()
+        # one merge fuses 'a','b'; afterwards every word is one symbol
+        assert len(out) == 1
+        assert (out[0].a, out[0].b) == ("a", "b")
