@@ -1333,3 +1333,51 @@ def bpe_learn_merges(
     return spark.createDataFrame(
         merges, "merge_rank bigint, a string, b string, pair_count bigint"
     )
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge list (from :func:`bpe_learn_merges`)
+    to the corpus — the encode half of the tokenizer: each word starts
+    as characters and the merges are applied greedily in rank order.
+    Output per document: ``(id, n_tokens, n_chars)`` — the token-budget
+    numbers a training pipeline actually consumes (the token arrays
+    themselves stay executor-side; emit them instead if a sink needs
+    them).
+
+    One Arrow pass over the corpus; the merge list rides in the UDF
+    closure (it is the tokenizer model — KBs, broadcast once per
+    executor)."""
+    ranked = list(merges)
+
+    @F.pandas_udf("bigint")
+    def _count(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            total = 0
+            for w in (t or "").split():
+                seq = list(w)
+                for a, b in ranked:
+                    i, res = 0, []
+                    n = len(seq)
+                    while i < n:
+                        if i + 1 < n and seq[i] == a and seq[i + 1] == b:
+                            res.append(a + b)
+                            i += 2
+                        else:
+                            res.append(seq[i])
+                            i += 1
+                    seq = res
+                total += len(seq)
+            out.append(total)
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col),
+        _count(F.col(text_col)).alias("n_tokens"),
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
+    )

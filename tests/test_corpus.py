@@ -550,3 +550,38 @@ class TestBpeLearnMerges:
         # one merge fuses 'a','b'; afterwards every word is one symbol
         assert len(out) == 1
         assert (out[0].a, out[0].b) == ("a", "b")
+
+    def test_tokenize_applies_merges_in_rank_order(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        df = spark.createDataFrame(
+            [(1, "abab ab"), (2, "cd")], "doc_id long, text string"
+        )
+        # merge 1: (a,b)->ab ; merge 2: (ab,ab)->abab
+        out = {
+            r.doc_id: (r.n_tokens, r.n_chars)
+            for r in co.bpe_tokenize(
+                df, [("a", "b"), ("ab", "ab")]
+            ).collect()
+        }
+        # "abab" -> [ab, ab] -> [abab] = 1 token; "ab" -> [ab] = 1
+        assert out[1] == (2, 7)
+        # "cd" untouched by merges -> [c, d] = 2 tokens
+        assert out[2] == (2, 2)
+
+    def test_learned_merges_compress_corpus(self, spark):
+        from beis_orp_data_service_spark.catalog import load_table
+        from beis_orp_data_service_spark.operators import corpus as co
+        from tests.conftest import SF_SMOKE
+
+        docs = load_table(spark, SF_SMOKE, "documents").limit(100)
+        learned = [
+            (r.a, r.b)
+            for r in co.bpe_learn_merges(docs, n_merges=4)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert len(learned) == 4
+        before = co.bpe_tokenize(docs, []).agg(F.sum("n_tokens")).collect()[0][0]
+        after = co.bpe_tokenize(docs, learned).agg(F.sum("n_tokens")).collect()[0][0]
+        assert after < before  # each merge strictly reduces token count
