@@ -1452,11 +1452,16 @@ def _ann_index_probe(spark, sf_dir):
     # Persistent IVF index: write bucket-partitioned parquet (FAISS
     # IVF-Flat in lake form), then probe with dynamic partition pruning
     # limiting the scan to nprobe cell directories (rows-only: file
-    # source + recall-bound). Plan pruning asserted in tests.
+    # source + recall-bound). Plan pruning asserted in tests. One
+    # STABLE path per sf dir, idempotently overwritten — a fresh
+    # mkdtemp per invocation would leak a full index copy every run.
     import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="ivf_index_")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivf_index_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
     sim.ann_index_write(emb, path, n_centroids=8)
     queries = emb.filter(F.col("vec_id") < 20)
     return sim.ann_index_probe(spark, path, queries, k=5, nprobe=4)
@@ -3891,6 +3896,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    """Call-time assembly of the oracle map. The file-inventory oracles
+    (scan_listing/scan_sidecar) glob a directory DuckDB must see: the
+    __SCAN_DIR__ placeholder resolves from SPARK_GRAFT_ORACLE_SF_DIR,
+    defaulting to the driver's fixed sf0.01 compare dir. A consumer
+    comparing at any OTHER sf dir must set the env var (as
+    scripts/check_oracle.py does) or those two queries compare against
+    the wrong inventory."""
     scan_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     return {
         name: qd.sql.replace("__SCAN_DIR__", scan_dir)

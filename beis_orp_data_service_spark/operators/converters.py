@@ -267,7 +267,12 @@ def _pdf_extract_minimal(content: bytes) -> tuple[str, int]:
             data = zlib.decompress(raw)
         except zlib.error:
             pass  # not Flate — try the bytes as-is (uncompressed streams)
-        if b"Tj" not in data and b"TJ" not in data:
+        if (
+            b"Tj" not in data
+            and b"TJ" not in data
+            and b"'" not in data
+            and b'"' not in data
+        ):  # pre-filter must admit the quote show operators too
             continue
         cur = None  # current font's cmap (None = unmapped/simple font)
         for tok in token_re.finditer(data):

@@ -59,13 +59,17 @@ def probe_media_header(content: bytes) -> dict | None:
         w, h = struct.unpack(">II", b[16:24])
         return {"container": "png", "width": w, "height": h}
     if b[:2] == b"\xff\xd8":  # JPEG: walk segments to a start-of-frame
+        # SOF0-15 minus DHT(C4)/JPG(C8)/DAC(CC), per ITU T.81 B.1.1.3
+        sof = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
         i = 2
         while i + 9 <= len(b):
             if b[i] != 0xFF:
                 i += 1
                 continue
+            while i + 1 < len(b) and b[i + 1] == 0xFF:
+                i += 1  # 0xFF fill bytes before a marker are padding
             marker = b[i + 1]
-            if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            if marker in sof:
                 h, w = struct.unpack(">HH", b[i + 5 : i + 9])
                 return {"container": "jpeg", "width": w, "height": h}
             if marker == 0x01 or 0xD0 <= marker <= 0xD9:
@@ -93,8 +97,11 @@ def probe_media_header(content: bytes) -> dict | None:
             elif cid == b"data":
                 out["data_bytes"] = size
             i += 8 + size + (size % 2)  # chunks are word-aligned
-        if "sample_rate_hz" in out and "data_bytes" in out and out.get("bits"):
-            denom = out["sample_rate_hz"] * out["channels"] * out["bits"]
+        denom = (
+            out.get("sample_rate_hz", 0) * out.get("channels", 0) * out.get("bits", 0)
+        )
+        if denom > 0 and "data_bytes" in out:  # malformed fmt (e.g.
+            # channels=0) must yield a null duration, never a crash
             out["duration_ms"] = out["data_bytes"] * 8 * 1000 // denom
         return out
     return None

@@ -30,6 +30,17 @@ def _quantize(col: Column, factor: int = 1000) -> Column:
     return F.transform(col, lambda x: F.round(x.cast("double") * factor).cast("bigint"))
 
 
+def _quantize_np(v) -> "np.ndarray":
+    """numpy twin of :func:`_quantize`'s rounding: Spark ``F.round`` and
+    DuckDB ``round`` are HALF-UP (away from zero on .5), but
+    ``np.round`` is banker's half-to-even — np.round(12.5)=12 vs
+    round(12.5)=13 — which would silently break kernel↔expression↔
+    oracle bit-parity on any component landing exactly on a half
+    (e.g. 0.125·100). sign(x)·floor(|x|+0.5) reproduces HALF-UP."""
+    x = np.asarray(v, dtype=np.float64) * 100
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
 def dot_q(a: Column, b: Column) -> Column:
     """Integer dot product over quantized vectors — exact in int64."""
     return F.aggregate(
@@ -316,9 +327,7 @@ def embedding_dup_pairs(
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
         n_rows = len(ids)
-        q = np.stack(
-            [np.round(np.asarray(v, dtype=np.float64) * 100) for v in pdf["vec"]]
-        ).astype(np.int64)
+        q = np.stack([_quantize_np(v) for v in pdf["vec"]])
         norms2 = (q * q).sum(axis=1)
         outs: list[pd.DataFrame] = []
         for i0 in range(0, n_rows, block_size):
@@ -487,16 +496,12 @@ def semdedup(
             .collect()
         )
         cids = np.array([r[0] for r in cent_rows], dtype=np.int64)
-        c_q = np.stack(
-            [np.round(np.asarray(r[1], dtype=np.float64) * 100) for r in cent_rows]
-        ).astype(np.int64)
+        c_q = np.stack([_quantize_np(r[1]) for r in cent_rows])
         c_norm = (c_q * c_q).sum(axis=1)
 
         @F.pandas_udf("bigint")
         def _assign(vecs: pd.Series) -> pd.Series:
-            q = np.stack(
-                [np.round(np.asarray(v, dtype=np.float64) * 100) for v in vecs]
-            ).astype(np.int64)
+            q = np.stack([_quantize_np(v) for v in vecs])
             d2 = (q * q).sum(axis=1)[:, None] - 2 * (q @ c_q.T) + c_norm[None, :]
             return pd.Series(cids[np.argmin(d2, axis=1)])
 
@@ -512,12 +517,7 @@ def semdedup(
         ids = pdf[id_col].to_numpy()
         order = np.argsort(ids, kind="stable")
         ids_s = ids[order]
-        q = np.stack(
-            [
-                np.round(np.asarray(v, dtype=np.float64) * 100)
-                for v in pdf["vec"].iloc[order]
-            ]
-        ).astype(np.int64)
+        q = np.stack([_quantize_np(v) for v in pdf["vec"].iloc[order]])
         norms2 = (q * q).sum(axis=1)
         n_rows = len(ids_s)
         dup = np.zeros(n_rows, dtype=bool)

@@ -56,7 +56,7 @@ def enrich_stage(docs: DataFrame) -> DataFrame:
     )
 
 
-def signature_stage(docs: DataFrame, id_col: str = "media_id") -> DataFrame:
+def signature_stage(docs: DataFrame) -> DataFrame:
     """MinHash signature columns computed IN PLACE (pandas-UDF
     projection, no join-back — joining a sig table onto its own source
     would execute the converter/enrichment lineage twice)."""

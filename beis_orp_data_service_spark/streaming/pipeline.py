@@ -93,12 +93,18 @@ class ParquetScdSink:
     passes through the driver (no collect anywhere — the touched-bucket
     set itself stays distributed via the semi-join).
 
-    Consistency: each bucket partition is replaced atomically by the
-    parquet job commit, and redelivered batches converge (id-dedup
-    before reversioning), but cross-bucket readers mid-commit can see
-    buckets from two epochs. Production deployments wanting a single
-    atomic multi-bucket commit use Delta/Iceberg ``MERGE INTO`` —
-    this sink is the plain-parquet demonstration of the same plan.
+    Consistency: redelivered batches converge (id-dedup before
+    reversioning) and cross-bucket readers mid-commit can see buckets
+    from two epochs. The sharper caveat is CRASH atomicity: dynamic
+    overwrite deletes a touched bucket's files during job commit before
+    moving the staged replacements in, so a crash inside that window
+    can lose those buckets' previous contents — the price of in-place
+    O(touched) rewrites vs the old full-snapshot + pointer swap (which
+    was crash-safe but O(store) per batch). Production deployments get
+    BOTH properties from Delta/Iceberg ``MERGE INTO`` (transaction log
+    + bounded rewrite); this sink is the plain-parquet demonstration of
+    the bounded-I/O plan, with the checkpointed source as the replay
+    path of record.
     """
 
     BUCKET = "_bucket"

@@ -293,3 +293,18 @@ def test_convert_documents_mixed_batch(spark):
     assert stats["DOCX"].n_docs == 2 and stats["DOCX"].n_failures == 1
     assert stats["EPUB"].n_failures == 1
     assert stats["HTML"].n_failures == 0
+
+
+def test_pdf_quote_only_show_operators():
+    """A stream whose only show operators are ' / \" must pass the
+    stream pre-filter and extract (regression: the Tj/TJ-only filter
+    skipped it)."""
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Page >> endobj\n"
+        b"2 0 obj << /Length 40 >>\nstream\n"
+        b"BT (line one) ' (line two) ' ET\nendstream endobj\n"
+        b"%%EOF\n"
+    )
+    got = conv.parse_pdf(pdf)
+    assert "line one" in got.text and "line two" in got.text

@@ -220,3 +220,36 @@ def test_orpml_parse_xml_kernel_unescapes(spark):
     bad = spark.createDataFrame([("<orpml>not closed",)], "xml string")
     nulls = readers.orpml_parse_xml(bad).first()
     assert nulls.document_uid is None and nulls.body is None
+
+
+def test_probe_wav_zero_channels_no_crash():
+    """Malformed fmt chunk (channels=0) must yield a null duration,
+    never a ZeroDivisionError (per-row tolerance contract)."""
+    import struct
+
+    from beis_orp_data_service_spark.operators import multimodal as mm
+
+    fmt = (
+        b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 0, 16000, 0, 0, 16)
+    )
+    body = b"WAVE" + fmt + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    hdr = mm.probe_media_header(wav)
+    assert hdr["container"] == "wav"
+    assert hdr["channels"] == 0
+    assert "duration_ms" not in hdr
+
+
+def test_probe_jpeg_fill_bytes_and_progressive_sof():
+    """0xFF fill padding before markers is spec-legal and must not
+    derail the segment walk; extended SOF markers (e.g. SOF9) count."""
+    import struct
+
+    from beis_orp_data_service_spark.operators import multimodal as mm
+
+    sof9 = b"\xff\xff\xff\xc9" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 7, 9) + b"\x01\x11\x00"
+    jpeg = b"\xff\xd8" + sof9 + b"\xff\xd9"
+    assert mm.probe_media_header(jpeg) == {
+        "container": "jpeg", "width": 9, "height": 7,
+    }

@@ -282,3 +282,28 @@ class TestPersistentIvfIndex:
         assert os.path.exists(os.path.join(path, "_centroids.npy"))
         # every vector present exactly once across partitions
         assert spark.read.parquet(path).count() == emb.count()
+
+
+def test_quantize_np_half_up_parity(spark):
+    """np.round is banker's (half-to-even); Spark F.round and DuckDB
+    round are HALF-UP away from zero. The numpy kernels must match the
+    expression form exactly AT the .5 boundaries (0.125*100 = 12.5
+    exactly in binary)."""
+    import duckdb
+    import numpy as np
+
+    vals = [0.125, -0.125, 0.105, -0.105, 0.5, 1.0, 0.33]
+    got_np = sim._quantize_np(vals).tolist()
+    got_spark = (
+        spark.createDataFrame([(vals,)], "v array<double>")
+        .select(sim._quantize(F.col("v"), 100).alias("q"))
+        .first()
+        .q
+    )
+    con = duckdb.connect()
+    got_duck = con.sql(
+        "SELECT [CAST(round(x * 100) AS BIGINT) FOR x IN "
+        f"{vals}] AS q"
+    ).fetchone()[0]
+    assert got_np == got_spark == got_duck
+    assert got_np[0] == 13  # 12.5 rounds UP, not to even (12)
