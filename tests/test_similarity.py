@@ -24,7 +24,11 @@ def test_cosine_topk_matches_numpy(spark, emb):
     pdf = emb.toPandas()
     vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in pdf.itertuples()}
     q = 3
-    quant = {k: np.round(v * 1000).astype(np.int64) for k, v in vecs.items()}
+    # half-up, matching F.round (np.round is banker's — diverges at .5)
+    quant = {
+        k: (np.sign(v * 1000) * np.floor(np.abs(v * 1000) + 0.5)).astype(np.int64)
+        for k, v in vecs.items()
+    }
     expected = sorted(
         ((int(quant[q] @ quant[n]), n) for n in vecs if n != q),
         key=lambda t: (-t[0], t[1]),
