@@ -3823,6 +3823,40 @@ REGISTRY["bpe_merges"] = QueryDef(_bpe_merges, None)
 
 
 @declared(
+    "session_window_agg",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= 3600000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             CAST(sum(new_session)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+               AS session_id
+      FROM g
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def session_window_agg(spark, sf_dir):
+    # NATIVE session windows (F.session_window) in batch mode — the
+    # engine-managed dynamic windows that run incrementally under
+    # Structured Streaming (stream==batch equivalence pinned in
+    # tests/test_streaming.py). Oracle: gaps-and-islands with the
+    # native boundary rule (a gap of exactly the timeout STARTS a new
+    # session — microsecond-exact, >= not >).
+    events = _t(spark, sf_dir, "events")
+    return st_ops.session_window_counts(events, gap="60 minutes").select(
+        "user_id", "session_start", "n_events"
+    )
+
+
+@declared(
     "q_reach",
     """
     WITH RECURSIVE e AS (

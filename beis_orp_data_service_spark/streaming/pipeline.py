@@ -344,3 +344,28 @@ def sessionize(
             F.count("*").alias("n_events"),
         )
     )
+
+
+def session_window_counts(
+    events: DataFrame,
+    key_col: str = "user_id",
+    gap: str = "60 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Native session windows (``F.session_window``): dynamic-length
+    windows that close after ``gap`` of inactivity per key — the
+    engine-managed counterpart of the lag-gap-cumsum ``sessionize``
+    (same sessions; that form is oracle-checkable, this one runs
+    incrementally under Structured Streaming with watermark-bounded
+    state). Equivalence is pinned by test."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.session_window("ts", gap), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

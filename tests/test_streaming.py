@@ -271,3 +271,40 @@ def test_stream_interval_join_equals_batch(spark, events_json_dir, tmp_path):
     assert got == want
     for _, _, _, lag_s in got:
         assert 0 <= lag_s <= 900
+
+
+def test_session_window_stream_equals_batch_sessionize(spark, events_json_dir, tmp_path):
+    """Native session_window under a live stream must produce the same
+    (key, session_start, n_events) sessions as (a) the same aggregation
+    in batch mode and (b) the lag-gap-cumsum sessionize twin."""
+    stream = st.stream_events(spark, events_json_dir)
+    agg = st.session_window_counts(stream, gap="60 minutes", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "chk_sess"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    batch_events = (
+        load_table(spark, SF_SMOKE, "events").orderBy("event_id").limit(200)
+    )
+    want_native = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in st.session_window_counts(batch_events, gap="60 minutes").collect()
+    }
+    assert got == want_native
+    # and the relational twin agrees on session starts and sizes
+    want_twin = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in st.sessionize(batch_events, gap_minutes=60).collect()
+    }
+    assert got == want_twin
