@@ -49,6 +49,11 @@ from beis_orp_data_service_spark.streaming import pipeline as st_ops
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
     sql: str | None  # None => non-SQL-expressible: driver does rows-only check
+    # Floor for rows-only entries: a rows-only check that legitimately yields
+    # zero rows can't distinguish "working" from "broken join", so every
+    # sql=None entry pins the minimum row count it must produce at sf0.01
+    # (scripts/check_oracle.py enforces it).
+    min_rows: int = 0
 
 
 REGISTRY: dict[str, QueryDef] = {}
@@ -1380,13 +1385,30 @@ def _minhash_lsh_pairs(spark, sf_dir):
     # Sampled 1-in-10: this synthetic corpus is mutually similar (shared
     # small vocabulary), so the candidate set grows ~quadratically — the
     # declared check demonstrates the operator, not the corpus.
+    #
+    # The sampled corpus has no true near-dup pairs at small SF, which made
+    # the rows-only check vacuous (0 rows proves nothing).  We plant three
+    # near-duplicates — copies of the three lowest-id sampled docs with a
+    # short suffix appended and ids offset by 10^9 — so a working LSH join
+    # MUST surface at least those three (planted, original) pairs; min_rows=3
+    # below turns 0 rows into a hard failure.  check_duplicate.py:89-151 is
+    # the reference semantics (near-dup → same cluster).
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    return dd.minhash_lsh_pairs_mllib(docs, "doc_id", "text").select(
+    planted = (
+        docs.orderBy("doc_id")
+        .limit(3)
+        .select(
+            (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" planted near duplicate suffix")).alias("text"),
+        )
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    return dd.minhash_lsh_pairs_mllib(corpus, "doc_id", "text").select(
         "a_id", "b_id", F.round("jaccard_distance", 4).alias("jaccard_distance")
     )
 
 
-REGISTRY["minhash_lsh_pairs"] = QueryDef(_minhash_lsh_pairs, None)
+REGISTRY["minhash_lsh_pairs"] = QueryDef(_minhash_lsh_pairs, None, min_rows=3)
 
 
 # ---------------------------------------------------------------------------
@@ -1433,7 +1455,7 @@ def _ann_ivf(spark, sf_dir):
     return sim.ivf_topk(emb, queries, k=5, bits=4)
 
 
-REGISTRY["ann_ivf_topk"] = QueryDef(_ann_ivf, None)
+REGISTRY["ann_ivf_topk"] = QueryDef(_ann_ivf, None, min_rows=1)
 
 
 def _ann_ivf_kmeans(spark, sf_dir):
@@ -1445,7 +1467,7 @@ def _ann_ivf_kmeans(spark, sf_dir):
     return sim.ivf_kmeans_topk(emb, queries, k=5, n_centroids="auto", nprobe=4)
 
 
-REGISTRY["ann_ivf_kmeans"] = QueryDef(_ann_ivf_kmeans, None)
+REGISTRY["ann_ivf_kmeans"] = QueryDef(_ann_ivf_kmeans, None, min_rows=1)
 
 
 def _ann_index_probe(spark, sf_dir):
@@ -1467,7 +1489,7 @@ def _ann_index_probe(spark, sf_dir):
     return sim.ann_index_probe(spark, path, queries, k=5, nprobe=4)
 
 
-REGISTRY["ann_index_probe"] = QueryDef(_ann_index_probe, None)
+REGISTRY["ann_index_probe"] = QueryDef(_ann_index_probe, None, min_rows=1)
 
 
 @declared(
@@ -1695,7 +1717,7 @@ def _title_postprocess(spark, sf_dir):
     )
 
 
-REGISTRY["title_postprocess"] = QueryDef(_title_postprocess, None)
+REGISTRY["title_postprocess"] = QueryDef(_title_postprocess, None, min_rows=1)
 
 
 @declared(
@@ -2083,7 +2105,7 @@ def _ingest_e2e(spark, sf_dir):
     )
 
 
-REGISTRY["ingest_e2e"] = QueryDef(_ingest_e2e, None)
+REGISTRY["ingest_e2e"] = QueryDef(_ingest_e2e, None, min_rows=1)
 
 
 # ---------------------------------------------------------------------------
@@ -3711,7 +3733,7 @@ def _semdedup_auto(spark, sf_dir):
     return sim.semdedup(emb, n_clusters="auto", sim2_milli_threshold=900)
 
 
-REGISTRY["semdedup_auto"] = QueryDef(_semdedup_auto, None)
+REGISTRY["semdedup_auto"] = QueryDef(_semdedup_auto, None, min_rows=1)
 
 
 @declared(
@@ -3819,7 +3841,7 @@ def _bpe_merges(spark, sf_dir):
     return corpus_ops.bpe_learn_merges(docs, "doc_id", "text", n_merges=4)
 
 
-REGISTRY["bpe_merges"] = QueryDef(_bpe_merges, None)
+REGISTRY["bpe_merges"] = QueryDef(_bpe_merges, None, min_rows=1)
 
 
 @declared(

@@ -1,11 +1,16 @@
 """Benchmark: run every declared query at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints a SHORT summary JSON line first (always parseable even if a log
-capture truncates one end), then the full JSON line with the per-query
-map as the LAST line:
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and the reported
+per-query number is the MEDIAN — machine noise on shared hosts produced
+phantom ~30% swings with single-shot timing.
+
+Prints the FULL JSON record (with the per-query median map) first, then a
+SHORT summary JSON as the LAST stdout line: log captures that keep only the
+tail of stdout always see a complete, parseable line.  The full record is
+also written to BENCH_LOCAL.json next to this file, so the numbers survive
+any stdout truncation.
+
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
-The full record is also written to BENCH_LOCAL.json next to this file,
-so the numbers survive any stdout truncation.
 
 Materialization uses the JVM-only noop sink so we measure plan execution,
 not Python-side row transfer.
@@ -16,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -31,6 +37,7 @@ def materialize(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
@@ -42,11 +49,14 @@ def main() -> None:
 
     total = 0.0
     for name, qd in declared.REGISTRY.items():
-        t0 = time.time()
-        materialize(qd.fn(spark, sf_dir))
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            materialize(qd.fn(spark, sf_dir))
+            samples.append(time.time() - t0)
+        med = statistics.median(samples)
+        timings[name] = round(med, 3)
+        total += med
 
     record = {
         "metric": "declared_queries_total_wall",
@@ -54,6 +64,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "reps": reps,
+        "stat": "median",
     }
     summary = {
         "metric": record["metric"],
@@ -61,6 +73,8 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(timings),
         "sf": sf,
+        "reps": reps,
+        "stat": "median",
     }
     local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
     try:
@@ -68,8 +82,10 @@ def main() -> None:
             json.dump(record, f, indent=1)
     except OSError:
         pass  # read-only checkout: stdout still carries the record
-    print(json.dumps(summary), flush=True)
     print(json.dumps(record), flush=True)
+    # SHORT summary must be the FINAL line: the driver captures only the tail
+    # of stdout, and the full record above is ~3KB.
+    print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":

@@ -19,6 +19,7 @@ import pandas as pd
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod  # noqa: E402
+from beis_orp_data_service_spark import declared as declared_mod  # noqa: E402
 from beis_orp_data_service_spark.catalog import TABLES, table_path  # noqa: E402
 from beis_orp_data_service_spark.session import get_spark  # noqa: E402
 
@@ -100,7 +101,22 @@ def main() -> int:
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(spark_pdf)} rows) [{time.time()-t0:.1f}s]")
+            # rows-only entries pin a minimum row count (QueryDef.min_rows):
+            # a legitimately-zero-row result can't distinguish "working"
+            # from "broken join", so 0 < floor is a hard failure.
+            qdef = declared_mod.REGISTRY.get(name)
+            floor = qdef.min_rows if qdef is not None else 0
+            if len(spark_pdf) < floor:
+                print(
+                    f"FAIL {name}: rows-only floor: {len(spark_pdf)} rows "
+                    f"< min_rows={floor} [{time.time()-t0:.1f}s]"
+                )
+                n_fail += 1
+                continue
+            print(
+                f"ok   {name}: rows-only ({len(spark_pdf)} rows >= floor {floor}) "
+                f"[{time.time()-t0:.1f}s]"
+            )
             continue
         try:
             duck_pdf = con.sql(oracles[name]).df()

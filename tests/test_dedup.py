@@ -135,3 +135,29 @@ def test_mllib_lsh_recall_against_ngram_truth(spark, corpus):
     }
     assert (1, 2) in got and (1, 3) in got and (2, 3) in got
     assert (1, 4) not in got
+
+
+def test_declared_minhash_lsh_recovers_planted_pairs(spark):
+    # the declared rows-only entry plants 3 near-dup copies (id + 10^9,
+    # suffix-perturbed text); a working LSH join MUST recover all three
+    # (original, planted) pairs at sf0.01 — this pins the min_rows=3 floor
+    # so the driver's rows-only check is non-vacuous.
+    from pyspark.sql import functions as F
+
+    from beis_orp_data_service_spark import declared
+    from conftest import SF_CORRECT
+
+    qd = declared.REGISTRY["minhash_lsh_pairs"]
+    assert qd.min_rows == 3
+    pairs = {(r.a_id, r.b_id) for r in qd.fn(spark, SF_CORRECT).collect()}
+    assert len(pairs) >= 3
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    low3 = [
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") % 10 == 0)
+        .orderBy("doc_id")
+        .limit(3)
+        .collect()
+    ]
+    for i in low3:
+        assert (i, i + 1_000_000_000) in pairs
