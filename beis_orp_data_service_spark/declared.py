@@ -2031,6 +2031,8 @@ def convert_dispatch(spark, sf_dir):
              AS document_format,
            count(*) AS n_docs,
            CAST(0 AS BIGINT) AS n_failures,
+           CAST(0 AS BIGINT) AS n_lossy,
+           CAST(0 AS BIGINT) AS n_encrypted,
            CAST(sum(1 + length(text) // 2000) AS BIGINT) AS total_pages
     FROM documents GROUP BY 1
     """,

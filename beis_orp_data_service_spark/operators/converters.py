@@ -50,9 +50,21 @@ from pyspark.sql import functions as F
 
 CONVERTED_SCHEMA = (
     "media_id bigint, document_format string, text string, "
-    "n_pages bigint, parse_error string, "
+    "n_pages bigint, parse_error string, lossy boolean, "
     "meta_title string, meta_date string, meta_publisher string"
 )
+
+# typed parse_error value for password-protected PDFs — conversion_stats
+# counts these separately from ordinary parse failures
+PDF_ENCRYPTED_ERROR = "encrypted"
+
+
+class PdfEncryptedError(ValueError):
+    """The PDF trailer references an /Encrypt dictionary: content streams
+    are ciphertext, so extraction is impossible without the key. The
+    reference's fallback chain (glue pdf_to_text.py:12-69) surfaces these
+    as library errors; the engine types them so stats can distinguish
+    'encrypted' from 'corrupt'."""
 
 _ZIP_MAGIC = b"PK\x03\x04"
 
@@ -74,6 +86,10 @@ class Parsed:
     title: str | None = None
     date: str | None = None
     publisher: str | None = None
+    # True when extraction degraded to glyph-id passthrough (CID font
+    # without a ToUnicode CMap): the text is "(cid:N)" tokens, usable for
+    # dedup/fingerprints but not human-readable — flagged, not failed.
+    lossy: bool = False
 
 
 def _page_count(text: str) -> int:
@@ -101,18 +117,29 @@ def parse_pdf(content: bytes) -> Parsed:
     ``/ToUnicode`` CMaps (``beginbfchar``/``beginbfrange``), the layout
     most real government PDFs use. Page count from ``/Type /Page``
     objects. A PDF it cannot extract anything from becomes a parse-error
-    row; non-PDF bytes take the text fallback."""
+    row; non-PDF bytes take the text fallback.
+
+    CID/Identity-H fonts WITHOUT a ToUnicode CMap degrade to glyph-id
+    passthrough — each 2-byte code rendered as ``(cid:N)`` (pdfminer's
+    public convention for unmapped CIDs) and the row flagged
+    ``lossy=true`` instead of erroring. Encrypted PDFs (trailer
+    ``/Encrypt``) raise :class:`PdfEncryptedError`, surfaced as a typed
+    ``parse_error='encrypted'`` row."""
     if content.startswith(b"%PDF"):
+        import re
+
+        if re.search(rb"/Encrypt\s+(?:\d+\s+\d+\s+R|<<)", content):
+            raise PdfEncryptedError(PDF_ENCRYPTED_ERROR)
         try:  # pragma: no cover - not installed in this container
             import pdfplumber  # noqa: F401
 
             raise NotImplementedError("wire pdfplumber.open(BytesIO(content)) here")
         except ImportError:
             pass
-        text, n_pages = _pdf_extract_minimal(content)
+        text, n_pages, lossy = _pdf_extract_minimal(content)
         if not text:
             raise ValueError("PDF payload with no extractable text stream")
-        return Parsed(text, n_pages or _page_count(text))
+        return Parsed(text, n_pages or _page_count(text), lossy=lossy)
     return _fallback_decode(content)
 
 
@@ -175,12 +202,21 @@ def _pdf_parse_tounicode(data: bytes) -> tuple[dict[int, str], int]:
     return cmap, width
 
 
-def _pdf_font_cmaps(content: bytes) -> dict[bytes, tuple[dict[int, str], int]]:
-    """Resource-name → ToUnicode CMap for subset-embedded fonts, from
-    the classic object layout: font dicts carry ``/ToUnicode N 0 R``;
-    page resources name them ``/Font << /F1 N 0 R … >>``. (Cross-ref /
-    object streams are out of scope for the minimal extractor — the
-    real pdfplumber path handles those when the lib is present.)"""
+# font decoder spec: ("cmap", code->str map, code width) for fonts with a
+# parsed ToUnicode CMap; ("cid", None, 2) for composite Identity-H/V fonts
+# without one (glyph-id passthrough, flagged lossy upstream)
+FontDecoder = tuple[str, "dict[int, str] | None", int]
+
+
+def _pdf_font_cmaps(content: bytes) -> dict[bytes, FontDecoder]:
+    """Resource-name → font decoder for subset-embedded fonts, from the
+    classic object layout: font dicts carry ``/ToUnicode N 0 R``; page
+    resources name them ``/Font << /F1 N 0 R … >>``. Composite fonts
+    (``/Subtype /Type0`` with ``/Encoding /Identity-H|V``) that lack a
+    usable ToUnicode CMap map to the ``("cid", None, 2)`` passthrough
+    decoder. (Cross-ref / object streams are out of scope for the
+    minimal extractor — the real pdfplumber path handles those when the
+    lib is present.)"""
     import re
     import zlib
 
@@ -198,26 +234,33 @@ def _pdf_font_cmaps(content: bytes) -> dict[bytes, tuple[dict[int, str], int]]:
         except zlib.error:
             return raw
 
-    obj_cmap: dict[int, tuple[dict[int, str], int]] = {}
+    obj_dec: dict[int, FontDecoder] = {}
     for num, body in objects.items():
         tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", body)
-        if tm is None:
-            continue
-        cm_body = objects.get(int(tm.group(1)))
-        data = stream_of(cm_body) if cm_body is not None else None
-        if data is not None and (b"beginbfchar" in data or b"beginbfrange" in data):
-            obj_cmap[num] = _pdf_parse_tounicode(data)
+        if tm is not None:
+            cm_body = objects.get(int(tm.group(1)))
+            data = stream_of(cm_body) if cm_body is not None else None
+            if data is not None and (b"beginbfchar" in data or b"beginbfrange" in data):
+                cmap, width = _pdf_parse_tounicode(data)
+                obj_dec[num] = ("cmap", cmap, width)
+                continue
+        # Identity-H/V composite font with no (usable) ToUnicode: 2-byte
+        # codes ARE the glyph ids — passthrough, lossy
+        if re.search(rb"/Subtype\s*/Type0\b", body) and re.search(
+            rb"/Encoding\s*/Identity-[HV]\b", body
+        ):
+            obj_dec[num] = ("cid", None, 2)
 
-    by_name: dict[bytes, tuple[dict[int, str], int]] = {}
+    by_name: dict[bytes, FontDecoder] = {}
     for body in objects.values():
         for fm in re.finditer(rb"/Font\s*<<(.*?)>>", body, re.S):
             for name, ref in re.findall(rb"/(\w+)\s+(\d+)\s+\d+\s+R", fm.group(1)):
-                if int(ref) in obj_cmap:
-                    by_name.setdefault(name, obj_cmap[int(ref)])
+                if int(ref) in obj_dec:
+                    by_name.setdefault(name, obj_dec[int(ref)])
     return by_name
 
 
-def _pdf_extract_minimal(content: bytes) -> tuple[str, int]:
+def _pdf_extract_minimal(content: bytes) -> tuple[str, int, bool]:
     """Best-effort text from PDF content streams, stdlib only: inflate
     each ``stream…endstream`` body (FlateDecode is zlib §RFC1951; other
     filters are skipped), then read the show operators in order —
@@ -225,9 +268,11 @@ def _pdf_extract_minimal(content: bytes) -> tuple[str, int]:
     and mixed ``[…] TJ`` arrays (PDF 32000-1:2008 §7.3.4, §9.4.3).
     ``Tf`` operators track the current font; strings shown in a font
     with a parsed ToUnicode CMap are decoded code-by-code through it
-    (fixed code width from the codespacerange), everything else as
-    latin-1. Scanned or ObjStm-packed documents yield '' and become
-    parse-error rows upstream."""
+    (fixed code width from the codespacerange); strings in an
+    Identity-H/V font without a CMap become ``(cid:N)`` glyph-id tokens
+    and set the returned lossy flag; everything else decodes as latin-1.
+    Scanned or ObjStm-packed documents yield '' and become parse-error
+    rows upstream. Returns (text, n_pages, lossy)."""
     import re
     import zlib
 
@@ -245,10 +290,19 @@ def _pdf_extract_minimal(content: bytes) -> tuple[str, int]:
     )
     arr_re = re.compile(rb"\((?P<lit>(?:[^()\\]|\\.)*)\)|<(?P<hex>[0-9A-Fa-f\s]*)>")
 
-    def decode(raw: bytes, cmap_w) -> str:
-        if cmap_w is None:
+    lossy = False
+
+    def decode(raw: bytes, dec: FontDecoder | None) -> str:
+        nonlocal lossy
+        if dec is None:
             return raw.decode("latin-1")
-        cmap, width = cmap_w
+        kind, cmap, width = dec
+        if kind == "cid":
+            lossy = True
+            return "".join(
+                f"(cid:{int.from_bytes(raw[i : i + width], 'big')})"
+                for i in range(0, len(raw) - width + 1, width)
+            )
         return "".join(
             cmap.get(int.from_bytes(raw[i : i + width], "big"), "")
             for i in range(0, len(raw) - width + 1, width)
@@ -290,7 +344,7 @@ def _pdf_extract_minimal(content: bytes) -> tuple[str, int]:
                         pieces.append(decode(hex_bytes(el.group("hex")), cur))
         pieces.append("\n")
     n_pages = len(re.findall(rb"/Type\s*/Page[^s]", content))
-    return "".join(pieces).strip(), n_pages
+    return "".join(pieces).strip(), n_pages, lossy
 
 
 def parse_docx(content: bytes) -> Parsed:
@@ -481,14 +535,15 @@ PARSERS = {
 def convert_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         cols: dict[str, list] = {
-            "text": [], "n_pages": [], "parse_error": [],
+            "text": [], "n_pages": [], "parse_error": [], "lossy": [],
             "meta_title": [], "meta_date": [], "meta_publisher": [],
         }
 
-        def emit(text, pages, err, title=None, date=None, publisher=None):
+        def emit(text, pages, err, title=None, date=None, publisher=None, lossy=False):
             cols["text"].append(text)
             cols["n_pages"].append(pages)
             cols["parse_error"].append(err)
+            cols["lossy"].append(lossy)
             cols["meta_title"].append(title)
             cols["meta_date"].append(date)
             cols["meta_publisher"].append(publisher)
@@ -500,7 +555,9 @@ def convert_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 continue
             try:
                 p = parser(bytes(content or b""))
-                emit(p.text, p.n_pages, None, p.title, p.date, p.publisher)
+                emit(p.text, p.n_pages, None, p.title, p.date, p.publisher, p.lossy)
+            except PdfEncryptedError:
+                emit(None, 0, PDF_ENCRYPTED_ERROR)
             except Exception as e:  # noqa: BLE001 — per-row tolerance (notebook cell 4)
                 emit(None, 0, str(e)[:200])
         yield pd.DataFrame(
@@ -510,6 +567,7 @@ def convert_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "text": cols["text"],
                 "n_pages": pd.Series(cols["n_pages"], dtype="int64"),
                 "parse_error": cols["parse_error"],
+                "lossy": pd.Series(cols["lossy"], dtype="bool"),
                 "meta_title": cols["meta_title"],
                 "meta_date": cols["meta_date"],
                 "meta_publisher": cols["meta_publisher"],
@@ -529,9 +587,15 @@ def convert_documents(binaries: DataFrame) -> DataFrame:
 
 def conversion_stats(converted: DataFrame) -> DataFrame:
     """The bulk job's failure accounting (SURVEY §4: count failures as a
-    metric, never break the job)."""
+    metric, never break the job). Distinguishes ok / lossy (CID glyph-id
+    passthrough) / encrypted so operators can see extraction QUALITY,
+    not just success."""
     return converted.groupBy("document_format").agg(
         F.count("*").alias("n_docs"),
         F.count("parse_error").alias("n_failures"),
+        F.count(F.when(F.col("lossy"), 1)).alias("n_lossy"),
+        F.count(F.when(F.col("parse_error") == PDF_ENCRYPTED_ERROR, 1)).alias(
+            "n_encrypted"
+        ),
         F.sum("n_pages").alias("total_pages"),
     )

@@ -251,6 +251,90 @@ def test_pdf_hex_tj_without_cmap_is_latin1():
     assert got.text.strip() == "Hi hex!"
 
 
+def pdf_identity_h_fixture() -> bytes:
+    """Single-page PDF with a Type0 /Identity-H font and NO ToUnicode
+    CMap — the commonest real-world extraction gap (subset-embedded CID
+    fonts). A second simple font shows a literal string so the mixed
+    case is covered. Built byte-by-byte, no library."""
+    import zlib
+
+    # F1 (Identity-H, no CMap): glyph ids 72, 101 → "(cid:72)(cid:101)";
+    # F2 (simple) shows " readable"
+    ops = (
+        b"BT /F1 12 Tf 72 700 Td <00480065> Tj "
+        b"/F2 12 Tf ( readable) Tj ET"
+    )
+    ops_z = zlib.compress(ops)
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R "
+        b"/Resources << /Font << /F1 4 0 R /F2 6 0 R >> >> "
+        b"/Contents 5 0 R >> endobj\n"
+        b"4 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Fake-CID "
+        b"/Encoding /Identity-H >> endobj\n"
+        b"6 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n"
+        b"5 0 obj << /Filter /FlateDecode /Length "
+        + str(len(ops_z)).encode() + b" >>\nstream\n" + ops_z + b"endstream endobj\n"
+        b"%%EOF\n"
+    )
+
+
+def pdf_encrypted_fixture() -> bytes:
+    """PDF whose trailer references an /Encrypt dictionary — content
+    streams are ciphertext, extraction must fail TYPED (not garbage)."""
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Page >> endobj\n"
+        b"5 0 obj << /Filter /Standard /V 2 /R 3 /O <aa> /U <bb> /P -44 >> endobj\n"
+        b"2 0 obj << /Length 20 >>\nstream\n"
+        b"\x8f\x3a\xb1\xc4 cipher \x02\x7f\nendstream endobj\n"
+        b"trailer << /Size 6 /Encrypt 5 0 R /Root 1 0 R >>\n"
+        b"%%EOF\n"
+    )
+
+
+def test_pdf_identity_h_without_cmap_is_lossy_passthrough():
+    got = conv.parse_pdf(pdf_identity_h_fixture())
+    assert got.lossy is True
+    assert "(cid:72)(cid:101)" in got.text
+    assert " readable" in got.text
+    assert got.n_pages == 1
+
+
+def test_pdf_with_tounicode_cmap_is_not_lossy():
+    got = conv.parse_pdf(pdf_cid_fixture())
+    assert got.lossy is False
+
+
+def test_pdf_encrypted_raises_typed():
+    with pytest.raises(conv.PdfEncryptedError):
+        conv.parse_pdf(pdf_encrypted_fixture())
+
+
+def test_convert_stats_distinguish_ok_lossy_encrypted(spark):
+    rows = [
+        (1, "PDF", bytearray(pdf_fixture(True))),            # ok
+        (2, "PDF", bytearray(pdf_identity_h_fixture())),     # lossy
+        (3, "PDF", bytearray(pdf_encrypted_fixture())),      # encrypted
+        (4, "PDF", bytearray(b"%PDF-1.7 no streams here")),  # plain failure
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id bigint, document_format string, content binary"
+    )
+    out = {r.media_id: r for r in conv.convert_documents(df).collect()}
+    assert out[1].parse_error is None and out[1].lossy is False
+    assert out[2].parse_error is None and out[2].lossy is True
+    assert out[3].parse_error == conv.PDF_ENCRYPTED_ERROR
+    assert out[4].parse_error is not None and out[4].parse_error != "encrypted"
+    stats = conv.conversion_stats(conv.convert_documents(df)).collect()[0]
+    assert stats.n_docs == 4
+    assert stats.n_failures == 2   # encrypted + plain failure
+    assert stats.n_lossy == 1
+    assert stats.n_encrypted == 1
+
+
 def test_corrupt_zip_raises():
     with pytest.raises(Exception):
         conv.parse_docx(b"PK\x03\x04 this is not a zip")
