@@ -3937,6 +3937,172 @@ def q_reach(spark, sf_dir):
     return graph_ops.reachability(edges, sources, max_hops=3)
 
 
+_DTI_MAP_CSV = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "resources",
+    "govuk_document_type.csv",
+)
+
+# N14 web half + composition (rule_based_dti.py:36-66) over PREFETCHED
+# response columns synthesized deterministically from doc_id: gov.uk rows
+# carry a content-API JSON (own type + one parent), hse rows a page with
+# a body class, 1-in-6 rows exercise the depth-1 parent-url fallback, and
+# the rest resolve 'NA' and fall through to the text rules.
+_DTI_WEB_SQL = """
+    WITH fx AS (
+      SELECT doc_id, text,
+        CASE CAST(doc_id % 3 AS INTEGER)
+          WHEN 0 THEN 'https://www.gov.uk/guidance/doc' || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN 'https://www.hse.gov.uk/doc' || CAST(doc_id AS VARCHAR)
+          ELSE 'https://example.org/doc' || CAST(doc_id AS VARCHAR) END AS url,
+        CASE WHEN doc_id % 3 = 0 THEN
+          '{"document_type":"' ||
+          (['guidance','form','consultation','unknown_type'])[CAST(doc_id % 4 AS INTEGER) + 1] ||
+          '","links":{"parent":[{"document_type":"' ||
+          (['statutory_guidance','policy_paper'])[CAST(doc_id % 2 AS INTEGER) + 1] ||
+          '"}]}}' END AS api_response,
+        CASE WHEN doc_id % 3 = 1 THEN
+          '<html><body class="' ||
+          (['hs-guidance','hs-approved-code','nope'])[CAST((doc_id % 9 - 1) // 3 AS INTEGER) + 1] ||
+          ' extra">x</body></html>' END AS html,
+        CASE WHEN doc_id % 6 = 2
+          THEN 'https://www.gov.uk/parent/doc' || CAST(doc_id AS VARCHAR)
+        END AS parent_url,
+        CASE WHEN doc_id % 6 = 2 THEN
+          '{"document_type":"' ||
+          (['regulation','detailed_guide'])[CAST((doc_id % 12 - 2) // 6 AS INTEGER) + 1] ||
+          '","links":{}}' END AS parent_api
+      FROM documents
+    ), eff AS (
+      SELECT doc_id, text,
+        CASE WHEN url LIKE 'https://www.gov.uk/%' OR url LIKE 'https://www.hse.gov.uk/%'
+             THEN url ELSE parent_url END AS url_eff,
+        CASE WHEN url LIKE 'https://www.gov.uk/%' OR url LIKE 'https://www.hse.gov.uk/%'
+             THEN api_response ELSE parent_api END AS api_eff,
+        CASE WHEN url LIKE 'https://www.gov.uk/%' OR url LIKE 'https://www.hse.gov.uk/%'
+             THEN html ELSE CAST(NULL AS VARCHAR) END AS html_eff
+      FROM fx
+    ), poss AS (
+      SELECT doc_id, text,
+        CASE
+          WHEN url_eff LIKE 'https://www.hse.gov.uk/%' THEN
+            str_split_regex(regexp_extract(html_eff, '<body[^>]*class="([^"]*)"', 1), '\\s+')
+          WHEN url_eff LIKE 'https://www.gov.uk/%' THEN
+            list_filter([json_extract_string(api_eff, '$.document_type'),
+                         json_extract_string(api_eff, '$.links.parent[0].document_type'),
+                         json_extract_string(api_eff, '$.links.parent[1].document_type')],
+                        x -> x IS NOT NULL)
+          ELSE CAST([] AS VARCHAR[]) END AS possible
+      FROM eff
+    ), m AS (
+      SELECT * FROM read_csv('__DTI_CSV__', header=true)
+    ), hits AS (
+      SELECT p.doc_id, arg_min(m.orp_dt, m.map_idx) AS web_dt
+      FROM poss p JOIN m ON list_contains(p.possible, m.document_type)
+      GROUP BY p.doc_id
+    ), web AS (
+      SELECT p.doc_id, coalesce(h.web_dt, 'NA') AS web_document_type
+      FROM poss p LEFT JOIN hits h ON p.doc_id = h.doc_id
+    ), rules AS (
+      SELECT * FROM (VALUES ('spark', CAST(3 AS BIGINT), 'SPARK'),
+                            ('vector', CAST(2 AS BIGINT), 'VEC'),
+                            ('merge', CAST(1 AS BIGINT), 'MRG'))
+        AS t(phrase, priority, label)
+    ), trank AS (
+      SELECT d.doc_id, arg_max(r.label, r.priority) AS tlabel
+      FROM documents d JOIN rules r
+        ON contains(' ' || d.text || ' ', ' ' || r.phrase || ' ')
+      GROUP BY d.doc_id
+    )
+    SELECT w.doc_id, w.web_document_type,
+           CASE WHEN w.web_document_type <> 'NA' THEN w.web_document_type
+                ELSE coalesce(t.tlabel, 'NA') END AS document_type
+    FROM web w LEFT JOIN trank t ON w.doc_id = t.doc_id
+""".replace("__DTI_CSV__", _DTI_MAP_CSV)
+
+
+@declared("dti_web_rank", _DTI_WEB_SQL)
+def dti_web_rank(spark, sf_dir):
+    # N14 web half + dti() composition (rule_based_dti.py:36-66): gov.uk
+    # content-API parent-chain + hse body-class rules as pure column
+    # logic over prefetched response columns; web 'NA' falls back to the
+    # text rulebook (dti_rank). The live fetch is the only out-of-scope
+    # piece — everything downstream of the response bytes runs here.
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    did = F.col("doc_id")
+    gov_types = F.array(
+        F.lit("guidance"), F.lit("form"), F.lit("consultation"), F.lit("unknown_type")
+    )
+    par_types = F.array(F.lit("statutory_guidance"), F.lit("policy_paper"))
+    hse_cls = F.array(F.lit("hs-guidance"), F.lit("hs-approved-code"), F.lit("nope"))
+    pg_types = F.array(F.lit("regulation"), F.lit("detailed_guide"))
+    m3 = (did % 3).cast("int")
+    url = (
+        F.when(m3 == 0, F.concat(F.lit("https://www.gov.uk/guidance/doc"), sid))
+        .when(m3 == 1, F.concat(F.lit("https://www.hse.gov.uk/doc"), sid))
+        .otherwise(F.concat(F.lit("https://example.org/doc"), sid))
+    )
+    api = F.when(
+        m3 == 0,
+        F.concat(
+            F.lit('{"document_type":"'),
+            F.element_at(gov_types, (did % 4).cast("int") + 1),
+            F.lit('","links":{"parent":[{"document_type":"'),
+            F.element_at(par_types, (did % 2).cast("int") + 1),
+            F.lit('"}]}}'),
+        ),
+    )
+    html = F.when(
+        m3 == 1,
+        F.concat(
+            F.lit('<html><body class="'),
+            F.element_at(hse_cls, F.floor((did % 9 - 1) / 3).cast("int") + 1),
+            F.lit(' extra">x</body></html>'),
+        ),
+    )
+    p_url = F.when(
+        did % 6 == 2, F.concat(F.lit("https://www.gov.uk/parent/doc"), sid)
+    )
+    p_api = F.when(
+        did % 6 == 2,
+        F.concat(
+            F.lit('{"document_type":"'),
+            F.element_at(pg_types, F.floor((did % 12 - 2) / 6).cast("int") + 1),
+            F.lit('","links":{}}'),
+        ),
+    )
+    fx = docs.select(
+        "doc_id",
+        "text",
+        url.alias("url"),
+        api.alias("api_response"),
+        html.alias("html"),
+        p_url.alias("parent_url"),
+        p_api.alias("parent_api"),
+        F.lit(None).cast("string").alias("parent_html"),
+    )
+    mapping = readers.scan_csv(
+        spark, _DTI_MAP_CSV, "map_idx bigint, document_type string, orp_dt string"
+    )
+    web = enr.dti_web_rank(
+        fx,
+        "doc_id",
+        "url",
+        "api_response",
+        "html",
+        mapping,
+        parent_url_col="parent_url",
+        parent_api_json_col="parent_api",
+        parent_html_col="parent_html",
+    )
+    rulebook = spark.createDataFrame(
+        _RULEBOOK, "phrase string, priority bigint, label string"
+    )
+    text = enr.dti_rank(docs, id_col="doc_id", text_col="text", rulebook=rulebook)
+    return enr.dti_resolve(web, text, "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------

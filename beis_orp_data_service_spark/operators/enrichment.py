@@ -379,6 +379,134 @@ def dti_rank(
 
 
 # ---------------------------------------------------------------------------
+# N14 (web half) — document-type from prefetched gov.uk API / hse HTML
+# ---------------------------------------------------------------------------
+
+GOVUK_PREFIX = "https://www.gov.uk/"
+HSE_PREFIX = "https://www.hse.gov.uk/"
+
+# gov.uk content API response subset the rules consume
+# (rule_based_dti.py:40-46: js['document_type'] + parent document_types)
+_GOVUK_API_SCHEMA = (
+    "struct<document_type: string,"
+    " links: struct<parent: array<struct<document_type: string>>>>"
+)
+
+
+def dti_web_rank(
+    docs: DataFrame,
+    id_col: str,
+    url_col: str,
+    api_json_col: str,
+    html_col: str,
+    mapping: DataFrame,
+    parent_url_col: str | None = None,
+    parent_api_json_col: str | None = None,
+    parent_html_col: str | None = None,
+    doc_type_col: str = "document_type",
+    orp_col: str = "orp_dt",
+    order_col: str = "map_idx",
+) -> DataFrame:
+    """N14 web half — document-type from PREFETCHED web responses, as
+    pure column logic (rule_based_dti.py:36-58 ``dti_web``; the live
+    ``requests.get`` is the only part left out of engine scope):
+
+    - hse urls: candidate types are the ``<body class="...">`` classes
+      of the fetched page (``html_col``);
+    - gov.uk urls: ``document_type`` of the content-API response plus
+      the parent chain's document_types (``api_json_col``, parsed with
+      the native ``from_json`` — no Python);
+    - other urls with a ``parent_url``: one recursion level on the
+      parent's prefetched columns (``dti_web(parent_url, None)`` —
+      the reference's recursion cannot go deeper than one because it
+      passes ``None`` as the new parent);
+    - resolution: first row of the mapping table (by ``order_col``,
+      the CSV row order — ``df[df.document_type.isin(...)].orp_dt
+      .iloc[0]``) whose ``document_type`` is among the candidates,
+      else 'NA'.
+
+    ``mapping`` is broadcast (a few-hundred-row dimension); only hit
+    rows shuffle for the min-index aggregation.
+    """
+    url = F.col(url_col)
+    own_known = url.startswith(GOVUK_PREFIX) | url.startswith(HSE_PREFIX)
+    p_url = F.col(parent_url_col) if parent_url_col else F.lit(None).cast("string")
+    p_api = (
+        F.col(parent_api_json_col)
+        if parent_api_json_col
+        else F.lit(None).cast("string")
+    )
+    p_html = (
+        F.col(parent_html_col) if parent_html_col else F.lit(None).cast("string")
+    )
+
+    url_eff = F.when(own_known, url).otherwise(p_url)
+    api_eff = F.when(own_known, F.col(api_json_col)).otherwise(p_api)
+    html_eff = F.when(own_known, F.col(html_col)).otherwise(p_html)
+
+    parsed = F.from_json(api_eff, _GOVUK_API_SCHEMA)
+    gov_types = F.filter(
+        F.concat(
+            F.array(parsed["document_type"]),
+            F.coalesce(
+                F.transform(
+                    parsed["links"]["parent"], lambda x: x["document_type"]
+                ),
+                F.array().cast("array<string>"),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    body_class = F.regexp_extract(html_eff, r'<body[^>]*class="([^"]*)"', 1)
+    hse_types = F.split(body_class, r"\s+")
+    possible = (
+        F.when(url_eff.startswith(HSE_PREFIX), hse_types)
+        .when(url_eff.startswith(GOVUK_PREFIX), gov_types)
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+    cands = docs.select(F.col(id_col), possible.alias("_possible"))
+    hits = (
+        cands.join(
+            F.broadcast(mapping),
+            F.array_contains(F.col("_possible"), F.col(doc_type_col)),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(F.col(order_col).alias("i"), F.col(orp_col).alias("o"))
+            ).alias("b")
+        )
+        .select(id_col, F.col("b.o").alias("web_document_type"))
+    )
+    return docs.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce("web_document_type", F.lit("NA")).alias("web_document_type"),
+    )
+
+
+def dti_resolve(
+    web: DataFrame,
+    text_ranked: DataFrame,
+    id_col: str,
+    web_col: str = "web_document_type",
+    text_label_col: str = "document_type",
+) -> DataFrame:
+    """N14 composition — ``dti()`` (rule_based_dti.py:61-66): web rules
+    first, text rules only when the web half said 'NA'."""
+    t = text_ranked.select(F.col(id_col), F.col(text_label_col).alias("_tl"))
+    return web.join(t, id_col, "left").select(
+        id_col,
+        F.col(web_col),
+        F.coalesce(
+            F.when(F.col(web_col) != "NA", F.col(web_col)),
+            F.col("_tl"),
+            F.lit("NA"),
+        ).alias("document_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # N15/N16/N17 — topic paths, regulator id, deepest topic
 # ---------------------------------------------------------------------------
 
