@@ -17,6 +17,10 @@ property, made explicit).
 
 from __future__ import annotations
 
+import re
+from collections.abc import Callable
+from datetime import datetime, timedelta
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -35,13 +39,81 @@ RAW_SCHEMA = (
 )
 
 
+SPARQL_ENDPOINT = "https://www.legislation.gov.uk/sparql"
+
+# The weekly job pulls the last 14 days so a missed run self-heals on the
+# next one (legislation_table_update.py:119-121).
+WATERMARK_DAYS = 14
+
+_CURSOR_RE = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}$")
+
+
+def watermark_cursor(now: datetime, days: int = WATERMARK_DAYS) -> str:
+    """Incremental-watermark cursor: ``now - days`` formatted as the
+    second-precision ISO string the endpoint's ``str(?actTime)``
+    comparison expects (legislation_table_update.py:119-121)."""
+    return (now - timedelta(days=days)).strftime("%Y-%m-%dT%H:%M:%S")
+
+
+def build_sparql_query(date_cursor: str) -> str:
+    """S6 — the legislation.gov.uk SPARQL query with the incremental
+    watermark FILTER (legislation_table_update.py:28-63: additions
+    provenance graph → leg:Legislation triples with optional
+    citation/shortTitle/acronymCitation/number, restricted to activity
+    end-times after the cursor).
+
+    The cursor is validated against the exact second-precision ISO shape
+    before interpolation — a malformed cursor would otherwise inject
+    into the query string."""
+    if not _CURSOR_RE.match(date_cursor):
+        raise ValueError(f"bad date cursor (want YYYY-MM-DDTHH:MM:SS): {date_cursor!r}")
+    return (
+        "prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>\n"
+        "prefix xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+        "prefix void: <http://rdfs.org/ns/void#>\n"
+        "prefix sd: <http://www.w3.org/ns/sparql-service-description#>\n"
+        "prefix prov: <http://www.w3.org/ns/prov#>\n"
+        "prefix leg: <http://www.legislation.gov.uk/def/legislation/>\n"
+        "select distinct ?ref ?title ?href ?shorttitle ?citation"
+        " ?acronymcitation ?year ?number\n"
+        "where {\n"
+        "  ?activity prov:endedAtTime ?actTime .\n"
+        "  ?graph prov:wasInfluencedBy ?activity .\n"
+        "  ?activity rdf:type"
+        " <http://www.legislation.gov.uk/def/provenance/Addition> .\n"
+        "  ?dataUnitDataSet sd:namedGraph ?graph .\n"
+        "  <http://www.legislation.gov.uk/id/dataset/topic/core>"
+        " void:subset ?dataUnitDataSet .\n"
+        "  graph ?graph {\n"
+        "    ?ref a leg:Legislation ;\n"
+        "         leg:title ?title ;\n"
+        "         leg:year ?year ;\n"
+        "         leg:interpretation ?href .\n"
+        "    OPTIONAL { ?ref leg:citation ?citation } .\n"
+        "    OPTIONAL { ?ref leg:acronymCitation ?acronymcitation } .\n"
+        "    OPTIONAL { ?href leg:shortTitle ?shorttitle } .\n"
+        "    OPTIONAL { ?ref leg:number ?number } .\n"
+        "  }\n"
+        f"  FILTER(str(?actTime) > '{date_cursor}')\n"
+        "}\n"
+    )
+
+
 def fetch_updated_acts(
-    spark: SparkSession, rows: list[tuple] | None = None
+    spark: SparkSession,
+    rows: list[tuple] | None = None,
+    query: str | None = None,
+    executor: Callable[[str], list[tuple]] | None = None,
 ) -> DataFrame:
-    """S6 — the SPARQL federated source. Network fetch is out of engine
-    scope (and this container); callers inject rows (tests) or wire the
-    real endpoint here. The incremental watermark lives in the caller's
-    query (last-14-days FILTER, legislation_table_update.py:120)."""
+    """S6 — the SPARQL federated source. The live HTTP fetch is out of
+    engine scope (and this container): pass ``executor`` (query string →
+    result rows; a real deployment wires SPARQLWrapper against
+    :data:`SPARQL_ENDPOINT` there) or inject ``rows`` directly (tests).
+    When an executor is given, ``query`` defaults to the engine-owned
+    watermark query over the last :data:`WATERMARK_DAYS` days."""
+    if executor is not None:
+        q = query or build_sparql_query(watermark_cursor(datetime.now()))
+        rows = executor(q)
     return spark.createDataFrame(rows or [], RAW_SCHEMA)
 
 

@@ -155,3 +155,51 @@ def test_legislation_refresh_idempotent_overlap(spark):
     assert len(water) == 1 and water[0].year == "2005"
     # untouched rows survive the merge
     assert t2.filter("candidate_titles = 'Fish Rules 2001'").count() == 1
+
+
+def test_sparql_watermark_cursor_arithmetic():
+    from datetime import datetime
+
+    lr = legislation_refresh
+    # 14-day window crossing a month boundary
+    assert lr.watermark_cursor(datetime(2026, 3, 10, 8, 30, 45)) == "2026-02-24T08:30:45"
+    # leap-year February
+    assert lr.watermark_cursor(datetime(2024, 3, 1, 0, 0, 0)) == "2024-02-16T00:00:00"
+    # year boundary
+    assert lr.watermark_cursor(datetime(2026, 1, 7, 23, 59, 59)) == "2025-12-24T23:59:59"
+    # custom window width
+    assert lr.watermark_cursor(datetime(2026, 3, 10, 8, 0, 0), days=1) == "2026-03-09T08:00:00"
+
+
+def test_sparql_query_builder_embeds_cursor_and_validates():
+    import pytest as _pytest
+
+    lr = legislation_refresh
+    q = lr.build_sparql_query("2026-02-24T08:30:45")
+    assert "FILTER(str(?actTime) > '2026-02-24T08:30:45')" in q
+    # the query asks for the full projection the transform consumes
+    for var in ("?ref", "?title", "?shorttitle", "?citation",
+                "?acronymcitation", "?year", "?number"):
+        assert var in q
+    assert "leg:Legislation" in q and "provenance/Addition" in q
+    # malformed cursors (including injection attempts) are rejected
+    for bad in ("2026-2-4T08:30:45", "2026-02-24", "x') } #", ""):
+        with _pytest.raises(ValueError):
+            lr.build_sparql_query(bad)
+
+
+def test_fetch_updated_acts_consumes_builder_query(spark):
+    lr = legislation_refresh
+    seen = {}
+
+    def fake_executor(query: str) -> list[tuple]:
+        seen["q"] = query
+        return [
+            ("ukpga/2000/1/x/ukpga", "Water Act 2000", "Water Act", None, None,
+             "2000", 1, "Primary", "England and Wales"),
+        ]
+
+    q = lr.build_sparql_query("2026-02-24T08:30:45")
+    df = lr.fetch_updated_acts(spark, query=q, executor=fake_executor)
+    assert seen["q"] == q and "2026-02-24T08:30:45" in seen["q"]
+    assert df.count() == 1 and df.first().title == "Water Act 2000"
