@@ -36,23 +36,114 @@ SUMMARY_MAX = 600  # summariser clip window (utils.py:18-31)
 SUMMARY_MIN = 500
 
 
+# Model-loader CONTRACT (pinned by tests/test_model_contracts.py so real
+# weights can be dropped in without plan changes): each loader returns a
+# callable batch fn taking list[str] and returning a list of EXACTLY the
+# same length, with non-null elements — str for title/summary/language,
+# list[str] for keywords. The Spark schema/dtype of every UDF is fixed
+# by the @pandas_udf return type and therefore identical on both
+# branches; the loader contract is what keeps the VALUES well-typed.
+
+
 def _load_title_model():
     """Load the real seq2seq title model if available, else the fake.
 
-    The reference loads 'fabiochiu/t5-small-medium-title-generation'
-    (title_generation/local_download.py); this container has no
+    Real branch: the reference's T5 title model
+    'fabiochiu/t5-small-medium-title-generation' behind a ``summarize:``
+    prompt with num_beams=10 and the first-sentence rule
+    (title_generation/title_generation.py:27-46). This container has no
     transformers/torch, so the deterministic fake is the default path.
     """
-    try:  # pragma: no cover - not installed in this environment
-        from transformers import pipeline  # noqa: F401
-
-        raise NotImplementedError(
-            "real model path intentionally stubbed: wire a pipeline('summarization', "
-            "model='fabiochiu/t5-small-medium-title-generation') here when weights "
-            "are available"
-        )
+    try:
+        from transformers import pipeline
     except ImportError:
         return lambda texts: [fake_title(t) for t in texts]
+
+    gen = pipeline(  # pragma: no cover - needs weights + torch
+        "summarization", model="fabiochiu/t5-small-medium-title-generation"
+    )
+
+    def run(texts: list[str]) -> list[str]:  # pragma: no cover
+        outs = gen(
+            ["summarize: " + (t or "")[:3000] for t in texts],
+            num_beams=10,
+            truncation=True,
+        )
+        # first sentence of the generation (title_generation.py:44-46)
+        return [(o.get("summary_text") or "").split(".")[0].strip() for o in outs]
+
+    return run
+
+
+def _load_keyword_model(top_k: int = 10, pool_k: int = 15):
+    """Real branch: KeyBERT top-15 → case-insensitive dedupe → top-10
+    (keyword_extraction.py:60-101); fake: term-frequency ranking with the
+    same dedupe/top-k semantics."""
+    try:
+        from keybert import KeyBERT
+    except ImportError:
+        return lambda texts: [fake_keywords(t, top_k) for t in texts]
+
+    model = KeyBERT()  # pragma: no cover - needs weights
+
+    def run(texts: list[str]) -> list[list[str]]:  # pragma: no cover
+        out = []
+        for t in texts:
+            pairs = model.extract_keywords(t or "", top_n=pool_k)
+            seen: set[str] = set()
+            deduped: list[str] = []
+            for word, _score in pairs:
+                lw = word.lower()
+                if lw not in seen:
+                    seen.add(lw)
+                    deduped.append(word)
+            out.append(deduped[:top_k])
+        return out
+
+    return run
+
+
+def _load_summary_model():
+    """Real branch: BART summariser + the real smart_clip postprocess
+    (summarisation.py:23-61); fake: smart_clip of the source text."""
+    try:
+        from transformers import pipeline
+    except ImportError:
+        return lambda texts: [smart_clip(t) for t in texts]
+
+    gen = pipeline(  # pragma: no cover - needs weights + torch
+        "summarization", model="facebook/bart-large-cnn"
+    )
+
+    def run(texts: list[str]) -> list[str]:  # pragma: no cover
+        outs = gen([(t or "")[:4000] for t in texts], truncation=True)
+        return [smart_clip(o.get("summary_text") or "") for o in outs]
+
+    return run
+
+
+def _load_language_model():
+    """Real branch: langdetect (summarisation.py:34-41); fake: English
+    stopword-ratio heuristic matching textstats.lang_id_heuristic."""
+    try:
+        import langdetect
+    except ImportError:
+
+        def fake(texts: list[str]) -> list[str]:
+            out = []
+            for t in texts:
+                words = (t or "").lower().split()
+                hits = sum(1 for w in words if w in STOPWORDS)
+                n = max(len(words), 1)
+                out.append("en" if hits * 1000 / n >= 20 else "other")
+            return out
+
+        return fake
+
+    def run(texts: list[str]) -> list[str]:  # pragma: no cover
+        return [langdetect.detect(t) if t else "und" for t in texts]
+
+    return run
 
 
 def fake_title(text: str, n_tokens: int = 5) -> str:
@@ -133,8 +224,9 @@ def summarize(text_col: str) -> Column:
 
     @F.pandas_udf(T.StringType())
     def _sum(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model = _load_summary_model()  # once per task stream
         for texts in batches:
-            yield texts.fillna("").map(smart_clip)
+            yield pd.Series(model(texts.fillna("").tolist()))
 
     return _sum(F.col(text_col))
 
@@ -155,8 +247,9 @@ def fake_keywords(text: str, top_k: int = 10) -> list[str]:
 def extract_keywords(text_col: str, top_k: int = 10) -> Column:
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _kw(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model = _load_keyword_model(top_k)  # once per task stream
         for texts in batches:
-            yield texts.fillna("").map(lambda t: fake_keywords(t, top_k))
+            yield pd.Series(model(texts.fillna("").tolist()))
 
     return _kw(F.col(text_col))
 
@@ -166,27 +259,12 @@ def detect_language(text_col: str) -> Column:
     relational twin lives in textstats.lang_id_heuristic; this UDF form
     exists so the pipeline shape matches the reference's per-doc model
     call, and to swap in real langdetect when installed)."""
-    try:  # pragma: no cover
-        import langdetect  # noqa: F401
-
-        use_real = True
-    except ImportError:
-        use_real = False
 
     @F.pandas_udf(T.StringType())
     def _lang(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        if use_real:  # pragma: no cover
-            import langdetect
-
-            for texts in batches:
-                yield texts.fillna("").map(lambda t: langdetect.detect(t) if t else "und")
-        else:
-            for texts in batches:
-                hits = texts.fillna("").map(
-                    lambda t: sum(1 for w in t.lower().split() if w in STOPWORDS)
-                )
-                n = texts.fillna("").map(lambda t: max(len(t.split()), 1))
-                yield (hits * 1000 / n >= 20).map(lambda b: "en" if b else "other")
+        model = _load_language_model()  # once per task stream
+        for texts in batches:
+            yield pd.Series(model(texts.fillna("").tolist()))
 
     return _lang(F.col(text_col))
 

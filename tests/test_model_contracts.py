@@ -1,0 +1,128 @@
+"""Real-vs-fake model loader contract (models.py).
+
+Every loader returns a batch callable: list[str] -> list of EXACTLY the
+input length with non-null, well-typed elements (str for title/summary/
+language, list[str] for keywords). The Spark schema is fixed by each
+UDF's @pandas_udf return type, so the VALUE contract here is the only
+thing a real-weights deployment could break — these tests run the fake
+branch always and the real branch when the libs are installed
+(skip-marked in this sandbox), so a GPU box gets the same assertions
+against real weights with zero plan changes.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from beis_orp_data_service_spark.operators import models
+
+HAVE_TRANSFORMERS = importlib.util.find_spec("transformers") is not None
+HAVE_KEYBERT = importlib.util.find_spec("keybert") is not None
+HAVE_LANGDETECT = importlib.util.find_spec("langdetect") is not None
+
+BATCH = [
+    "The quick brown fox jumps over the lazy dog. " * 30,
+    "",  # empty text must not crash or change batch length
+    "word",
+    "A regulation of the safety of widgets and the guidance thereof. " * 10,
+]
+
+
+def _assert_str_batch_contract(fn):
+    out = fn(BATCH)
+    assert isinstance(out, list) and len(out) == len(BATCH)
+    for v in out:
+        assert isinstance(v, str)  # non-null, not bytes/NaN
+
+
+def _assert_keywords_batch_contract(fn):
+    out = fn(BATCH)
+    assert isinstance(out, list) and len(out) == len(BATCH)
+    for kws in out:
+        assert isinstance(kws, list)
+        assert all(isinstance(k, str) for k in kws)
+        assert len(kws) <= 10
+        # dedupe contract: no case-insensitive repeats
+        assert len({k.lower() for k in kws}) == len(kws)
+
+
+# --- fake branch: always runs ------------------------------------------
+
+
+def test_fake_title_loader_contract():
+    assert not HAVE_TRANSFORMERS or True  # loader picks branch itself
+    _assert_str_batch_contract(models._load_title_model())
+
+
+def test_fake_keyword_loader_contract():
+    _assert_keywords_batch_contract(models._load_keyword_model())
+
+
+def test_fake_summary_loader_contract():
+    fn = models._load_summary_model()
+    _assert_str_batch_contract(fn)
+    out = fn(BATCH)
+    assert all(len(v) <= models.SUMMARY_MAX for v in out)
+
+
+def test_fake_language_loader_contract():
+    fn = models._load_language_model()
+    _assert_str_batch_contract(fn)
+    out = fn(BATCH)
+    assert all(v for v in out)  # never empty string
+
+
+# --- real branch: runs only where the libs exist (GPU box) -------------
+
+
+@pytest.mark.skipif(not HAVE_TRANSFORMERS, reason="transformers not installed")
+def test_real_title_loader_contract():  # pragma: no cover - needs weights
+    _assert_str_batch_contract(models._load_title_model())
+
+
+@pytest.mark.skipif(not HAVE_KEYBERT, reason="keybert not installed")
+def test_real_keyword_loader_contract():  # pragma: no cover - needs weights
+    _assert_keywords_batch_contract(models._load_keyword_model())
+
+
+@pytest.mark.skipif(not HAVE_TRANSFORMERS, reason="transformers not installed")
+def test_real_summary_loader_contract():  # pragma: no cover - needs weights
+    fn = models._load_summary_model()
+    _assert_str_batch_contract(fn)
+    assert all(len(v) <= models.SUMMARY_MAX for v in fn(BATCH))
+
+
+@pytest.mark.skipif(not HAVE_LANGDETECT, reason="langdetect not installed")
+def test_real_language_loader_contract():  # pragma: no cover
+    _assert_str_batch_contract(models._load_language_model())
+
+
+# --- Spark plan contract: schema identical on either branch ------------
+
+
+def test_enrich_documents_schema_is_branch_independent(spark):
+    df = spark.createDataFrame(
+        [(1, BATCH[0]), (2, "")], "doc_id bigint, text string"
+    )
+    out = models.enrich_documents(df)
+    got = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert got == {
+        "doc_id": "bigint",
+        "text": "string",
+        "title": "string",
+        "subject_keywords": "array<string>",
+        "summary": "string",
+        "language": "string",
+    }
+    rows = out.collect()
+    # null-contract: model columns never null even for empty text
+    for r in rows:
+        assert r.title is not None
+        assert r.subject_keywords is not None
+        assert r.summary is not None
+        assert r.language is not None
