@@ -71,6 +71,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# Row-count cache for auto-sizing (√N cells, auto bits): the sizing scan
+# runs at most ONCE per (sf_dir, table) per process instead of once per
+# declared ANN/semdedup query — at 100 TB a table row count comes from
+# catalog statistics, which this stands in for.
+_ROWCOUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _n_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    key = (sf_dir, name)
+    if key not in _ROWCOUNT_CACHE:
+        _ROWCOUNT_CACHE[key] = _t(spark, sf_dir, name).count()
+    return _ROWCOUNT_CACHE[key]
+
+
 # money-exact aggregation helper: DECIMAL(18,2) keeps the sum exact so it
 # hash-matches DuckDB regardless of summation order.
 def _dec(c):
@@ -1464,7 +1478,10 @@ def _ann_ivf_kmeans(spark, sf_dir):
     # size — no fixed pruning ceiling (rows-only: recall < 1).
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return sim.ivf_kmeans_topk(emb, queries, k=5, n_centroids="auto", nprobe=4)
+    return sim.ivf_kmeans_topk(
+        emb, queries, k=5, n_centroids="auto", nprobe=4,
+        n_rows=_n_rows(spark, sf_dir, "embeddings"),
+    )
 
 
 REGISTRY["ann_ivf_kmeans"] = QueryDef(_ann_ivf_kmeans, None, min_rows=1)
@@ -1484,7 +1501,9 @@ def _ann_index_probe(spark, sf_dir):
         tempfile.gettempdir(),
         f"spark_graft_ivf_index_{os.path.basename(os.path.normpath(sf_dir))}",
     )
-    sim.ann_index_write(emb, path, n_centroids=8)
+    sim.ann_index_write(
+        emb, path, n_centroids=8, n_rows=_n_rows(spark, sf_dir, "embeddings")
+    )
     queries = emb.filter(F.col("vec_id") < 20)
     return sim.ann_index_probe(spark, path, queries, k=5, nprobe=4)
 
@@ -3732,7 +3751,12 @@ def _semdedup_auto(spark, sf_dir):
     # trained centroids aren't ANSI-SQL). Planted-dup agreement tested
     # in tests/test_similarity.py.
     emb = _t(spark, sf_dir, "embeddings")
-    return sim.semdedup(emb, n_clusters="auto", sim2_milli_threshold=900)
+    return sim.semdedup(
+        emb,
+        n_clusters="auto",
+        sim2_milli_threshold=900,
+        n_rows=_n_rows(spark, sf_dir, "embeddings"),
+    )
 
 
 REGISTRY["semdedup_auto"] = QueryDef(_semdedup_auto, None, min_rows=1)
@@ -3844,6 +3868,22 @@ def _bpe_merges(spark, sf_dir):
 
 
 REGISTRY["bpe_merges"] = QueryDef(_bpe_merges, None, min_rows=1)
+
+
+def _bpe_encode(spark, sf_dir):
+    # BPE encode half (rows-only: greedy rank-order merge application —
+    # iterative, not ANSI-SQL): learn a small merge table, pull it to the
+    # driver (the tokenizer MODEL — n_merges rows, bounded by design),
+    # then one Arrow pass over the corpus for per-doc token budgets.
+    # Compression sanity (sum n_tokens strictly between 0 and n_chars)
+    # is pinned in tests/test_corpus.py.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    merges_df = corpus_ops.bpe_learn_merges(docs, "doc_id", "text", n_merges=4)
+    ranked = [(r.a, r.b) for r in merges_df.orderBy("merge_rank").collect()]
+    return corpus_ops.bpe_tokenize(docs, ranked)
+
+
+REGISTRY["bpe_encode"] = QueryDef(_bpe_encode, None, min_rows=1)
 
 
 @declared(

@@ -36,9 +36,15 @@ def _quantize_np(v) -> "np.ndarray":
     ``np.round`` is banker's half-to-even — np.round(12.5)=12 vs
     round(12.5)=13 — which would silently break kernel↔expression↔
     oracle bit-parity on any component landing exactly on a half
-    (e.g. 0.125·100). sign(x)·floor(|x|+0.5) reproduces HALF-UP."""
+    (e.g. 0.125·100). floor(|x|) + (|x|−floor(|x|) ≥ 0.5) reproduces
+    HALF-UP *exactly*: the naive floor(|x|+0.5) rounds up one ulp early
+    (0.49999999999999994+0.5 == 1.0 in FP) where BigDecimal/DuckDB
+    round down; the subtraction form is exact for |x| < 2⁵²."""
     x = np.asarray(v, dtype=np.float64) * 100
-    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+    ax = np.abs(x)
+    f = np.floor(ax)
+    q = f + (ax - f >= 0.5)
+    return (np.sign(x) * q).astype(np.int64)
 
 
 def dot_q(a: Column, b: Column) -> Column:
@@ -130,6 +136,7 @@ def ivf_topk(
     k: int = 5,
     bits: int | str = 4,
     multiprobe: bool = True,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF/LSH-bucketed top-k: score only vectors in the query's bucket(s).
 
@@ -143,9 +150,13 @@ def ivf_topk(
     Hamming distance 1 from the query's (bits+1 probes ≈ (bits+1)/2^bits
     of the data scanned) — the standard LSH recall boost when vector
     mass isn't axis-aligned. Recall < 1 by construction; tests measure
-    it against cosine_topk."""
+    it against cosine_topk.
+
+    Pass ``n_rows`` when the table size is known (catalog statistics, a
+    prior count) — otherwise ``bits="auto"`` costs one extra sizing
+    scan before the real job."""
     if bits == "auto":
-        bits = auto_bits(embeddings.count())
+        bits = auto_bits(n_rows if n_rows is not None else embeddings.count())
     probe = sign_bucket(vec_col, bits)
     if multiprobe:
         probes = F.array(probe, *[probe.bitwiseXOR(F.lit(1 << j)) for j in range(bits)])
@@ -240,6 +251,7 @@ def ivf_kmeans_topk(
     n_centroids: int | str = "auto",
     nprobe: int = 4,
     seed: int = 7,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """True IVF top-k: a TRAINED k-means coarse quantizer instead of
     the data-independent sign-LSH of ``ivf_topk``.
@@ -253,10 +265,11 @@ def ivf_kmeans_topk(
     At 100 TB: write the table partitioned by ``bucket`` and Catalyst
     prunes unprobed cells from the scan entirely; re-fit the quantizer
     only on drift, not per query. Recall < 1 by construction —
-    recall-tested against ``cosine_topk`` ground truth."""
+    recall-tested against ``cosine_topk`` ground truth. Pass ``n_rows``
+    when known to skip the sizing scan."""
     import math
 
-    n = embeddings.count()
+    n = n_rows if n_rows is not None else embeddings.count()
     if n_centroids == "auto":
         n_centroids = max(4, min(65_536, math.isqrt(n)))
     cents = kmeans_centroids(
@@ -296,6 +309,7 @@ def embedding_dup_pairs(
     sim2_milli_threshold: int = 250,
     bits: int | str = 4,
     block_size: int = 2048,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, integer-exact — grouped
     matrix form: vectors are bucketed by sign-LSH, and each bucket is
@@ -322,7 +336,7 @@ def embedding_dup_pairs(
     """
     out_schema = "a_id bigint, b_id bigint, sim2_milli bigint"
     if bits == "auto":
-        bits = auto_bits(embeddings.count())
+        bits = auto_bits(n_rows if n_rows is not None else embeddings.count())
 
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
@@ -428,6 +442,7 @@ def semdedup(
     sim2_milli_threshold: int = 900,
     block_size: int = 2048,
     seed: int = 7,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the embedding
@@ -470,7 +485,7 @@ def semdedup(
     if n_clusters == "auto":
         import math
 
-        n = embeddings.count()
+        n = n_rows if n_rows is not None else embeddings.count()
         k = max(4, min(65_536, math.isqrt(n)))
         cents = kmeans_centroids(
             embeddings, vec_col, k, seed=seed, n_rows=n
@@ -692,6 +707,12 @@ def embedding_dup_pairs_sql(
 # ---------------------------------------------------------------------------
 
 
+def _centroids_path(path: str) -> str:
+    # underscore-prefixed: invisible to Spark's file index, so reading
+    # the table path never picks the sidecar up as data
+    return path.rstrip("/") + "/_centroids"
+
+
 def ann_index_write(
     embeddings: DataFrame,
     path: str,
@@ -699,22 +720,25 @@ def ann_index_write(
     vec_col: str = "embedding",
     n_centroids: int | str = "auto",
     seed: int = 7,
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """Materialize the IVF index: train the coarse quantizer
     (:func:`kmeans_centroids`), assign every vector to its nearest cell
     (map-only Arrow pass), and write parquet PARTITIONED BY the cell id
     — so a probe that names its cells scans only those directories and
     Spark prunes the rest at planning/runtime. The centroid matrix is
-    persisted alongside as ``_centroids.npy`` (underscore-prefixed:
-    invisible to Spark's file index).
+    persisted alongside as a tiny parquet sidecar under ``_centroids/``
+    written THROUGH Spark — so the index works on any Hadoop-compatible
+    filesystem (HDFS/S3A/local), not just the local FS a ``np.save``
+    would reach.
 
     This is the FAISS IVF-Flat layout in lake form: at 100 TB the index
     is rewritten only on quantizer drift, appends go to their cell
-    directory, and every query touches nprobe/√N of the data."""
+    directory, and every query touches nprobe/√N of the data. Pass
+    ``n_rows`` when known to skip the sizing scan."""
     import math
-    import os
 
-    n = embeddings.count()
+    n = n_rows if n_rows is not None else embeddings.count()
     if n_centroids == "auto":
         n_centroids = max(4, min(65_536, math.isqrt(n)))
     cents = kmeans_centroids(embeddings, vec_col, n_centroids, seed=seed, n_rows=n)
@@ -729,8 +753,23 @@ def ann_index_write(
         .partitionBy("bucket")
         .parquet(path)
     )
-    np.save(os.path.join(path, "_centroids.npy"), cents)
+    spark = embeddings.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    (
+        spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_centroids_path(path))
+    )
     return cents
+
+
+def ann_index_centroids(spark, path: str) -> np.ndarray:
+    """Reload the coarse quantizer from the index's parquet sidecar
+    (bounded: ≤65,536 rows by construction). Doubles round-trip parquet
+    exactly, so the probe assignment is bit-identical to write time."""
+    rows = spark.read.parquet(_centroids_path(path)).orderBy("cell").collect()
+    return np.array([r.centroid for r in rows], dtype=np.float64)
 
 
 def ann_index_probe(
@@ -751,9 +790,7 @@ def ann_index_probe(
     .explain plan carries ``dynamicpruning`` on the scan (asserted in
     tests). Scoring/ranking is the same quantized top-k as
     :func:`ivf_kmeans_topk`."""
-    import os
-
-    cents = np.load(os.path.join(path, "_centroids.npy"))
+    cents = ann_index_centroids(spark, path)
     # deterministic: DPP must clone the bucket expression into the
     # partitioned scan's pruning subquery; the probe side is tiny so
     # duplicate evaluation is irrelevant

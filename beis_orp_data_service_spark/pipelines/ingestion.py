@@ -30,7 +30,6 @@ from beis_orp_data_service_spark.operators.dedup import (
     band_key_array,
     exact_dup_groups,
     minhash_sig_udf,
-    minhash_signature_np,
     quantized_cosine_cols,
     scd_versions,
 )

@@ -585,3 +585,25 @@ class TestBpeLearnMerges:
         before = co.bpe_tokenize(docs, []).agg(F.sum("n_tokens")).collect()[0][0]
         after = co.bpe_tokenize(docs, learned).agg(F.sum("n_tokens")).collect()[0][0]
         assert after < before  # each merge strictly reduces token count
+
+    def test_declared_bpe_encode_compression_floor(self, spark):
+        """The declared rows-only bpe_encode entry must produce a real
+        compression: 0 < sum(n_tokens) < sum(non-space chars) — a
+        broken encode (no merges applied, or everything collapsed)
+        fails one side or the other."""
+        from beis_orp_data_service_spark import declared
+        from beis_orp_data_service_spark.catalog import load_table
+        from tests.conftest import SF_SMOKE
+
+        qd = declared.REGISTRY["bpe_encode"]
+        assert qd.min_rows == 1
+        agg = (
+            qd.fn(spark, SF_SMOKE)
+            .agg(F.sum("n_tokens").alias("t"), F.sum("n_chars").alias("c"))
+            .first()
+        )
+        docs = load_table(spark, SF_SMOKE, "documents").filter("doc_id < 200")
+        nonspace = docs.agg(
+            F.sum(F.length(F.regexp_replace("text", r"\s+", ""))).alias("n")
+        ).first()["n"]
+        assert 0 < agg.t < nonspace <= agg.c

@@ -283,7 +283,11 @@ class TestPersistentIvfIndex:
         sim.ann_index_write(emb, path, n_centroids=4)
         buckets = [n for n in os.listdir(path) if n.startswith("bucket=")]
         assert 1 <= len(buckets) <= 4
-        assert os.path.exists(os.path.join(path, "_centroids.npy"))
+        # centroid sidecar is a parquet dir written through Spark (lake-
+        # portable: HDFS/S3A/local) and invisible to the table scan
+        assert os.path.isdir(os.path.join(path, "_centroids"))
+        cents = sim.ann_index_centroids(spark, path)
+        assert cents.shape[0] <= 4 and cents.ndim == 2
         # every vector present exactly once across partitions
         assert spark.read.parquet(path).count() == emb.count()
 
@@ -296,7 +300,12 @@ def test_quantize_np_half_up_parity(spark):
     import duckdb
     import numpy as np
 
-    vals = [0.125, -0.125, 0.105, -0.105, 0.5, 1.0, 0.33]
+    # 0.0049999999999999994*100 is one ulp BELOW 0.5: the naive
+    # floor(|x|+0.5) form rounds it UP (0.49999999999999994+0.5 == 1.0
+    # in FP) where BigDecimal/DuckDB round down — the floor-and-compare
+    # form must agree with the engines
+    vals = [0.125, -0.125, 0.105, -0.105, 0.5, 1.0, 0.33,
+            0.0049999999999999994, -0.0049999999999999994]
     got_np = sim._quantize_np(vals).tolist()
     got_spark = (
         spark.createDataFrame([(vals,)], "v array<double>")
