@@ -20,7 +20,7 @@ Engine mapping:
 
 from __future__ import annotations
 
-import os
+import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,43 +68,56 @@ def scd_merge_batch(
 
 class ParquetScdSink:
     """foreachBatch sink maintaining an SCD-2 store as a key-bucketed
-    parquet table; each micro-batch rewrites ONLY the buckets its keys
-    hash into.
+    parquet table with IMMUTABLE commit directories and an atomically
+    renamed manifest — bounded per-batch I/O *and* crash atomicity.
 
-    Layout: ``<root>/_bucket=NN/part-*.parquet`` — ``n_buckets``
-    hash-partition directories (``pmod(hash(key), n_buckets)``). Each
-    micro-batch (= transaction, the reference commits per SQS message
-    batch, tdb_query_helpers.py:158-183):
+    Layout::
 
-    1. stamps the batch rows with their bucket,
-    2. distributed-reads the store restricted to the batch's buckets —
-       a broadcast left-semi join on the partition column, so dynamic
-       partition pruning drops every untouched bucket from the scan,
+        <root>/data/epoch=E/_bucket=NN/part-*.parquet   (immutable)
+        <root>/_manifest/manifest-<E>.json              (pointer file)
+
+    The manifest maps every bucket to the commit epoch holding its
+    CURRENT contents; the highest-numbered manifest file is the store
+    state. Each micro-batch (= transaction, the reference commits per
+    SQS message batch, tdb_query_helpers.py:158-183):
+
+    1. stamps the batch rows with their bucket
+       (``pmod(hash(key), n_buckets)``),
+    2. distributed-reads the current store restricted to the batch's
+       buckets — the manifest names the (epoch, bucket) partition pairs,
+       a broadcast left-semi join on the bucket column prunes every
+       untouched bucket from the scan,
     3. merges (idempotent ``scd_merge_batch`` — SCD-2 versions are
        per-key, and a key lives entirely inside one bucket, so the
        merge never needs the other buckets),
-    4. writes with DYNAMIC partition overwrite: only partitions present
-       in the output (= the touched buckets) are replaced; untouched
-       bucket files are never rewritten (the ``kv_upsert`` S12 pattern).
+    4. writes the merged buckets to a NEW ``data/epoch=E`` directory —
+       no existing file is ever modified or deleted by a write,
+    5. commits by renaming a staged manifest (old mapping + touched
+       buckets repointed at E) into place — rename is the atomic
+       primitive on HDFS/local (and an atomic object PUT on S3A),
+    6. best-effort GC: superseded bucket directories (unreferenced by
+       the new manifest) are deleted AFTER the commit; a crash mid-GC
+       leaves only unreferenced garbage, never corrupts state.
 
-    Per-batch I/O is therefore O(touched buckets + batch), not O(store)
-    — the round-2 full-snapshot rewrite was O(store) per micro-batch,
-    unrunnable against a 100 TB store on a minute trigger. No row ever
-    passes through the driver (no collect anywhere — the touched-bucket
-    set itself stays distributed via the semi-join).
+    Crash at ANY point before the manifest rename leaves the previous
+    manifest — and therefore the previous store state — fully intact;
+    the stream checkpoint replays the batch, which writes a fresh epoch
+    directory and commits then. (This restores the crash atomicity the
+    round-3 dynamic-partition-overwrite commit traded away — dynamic
+    overwrite deletes old bucket files during job commit, so a crash in
+    that window lost them.) Per-batch I/O stays O(touched buckets +
+    batch): untouched buckets are neither read, rewritten, nor GC'd.
 
-    Consistency: redelivered batches converge (id-dedup before
-    reversioning) and cross-bucket readers mid-commit can see buckets
-    from two epochs. The sharper caveat is CRASH atomicity: dynamic
-    overwrite deletes a touched bucket's files during job commit before
-    moving the staged replacements in, so a crash inside that window
-    can lose those buckets' previous contents — the price of in-place
-    O(touched) rewrites vs the old full-snapshot + pointer swap (which
-    was crash-safe but O(store) per batch). Production deployments get
-    BOTH properties from Delta/Iceberg ``MERGE INTO`` (transaction log
-    + bounded rewrite); this sink is the plain-parquet demonstration of
-    the bounded-I/O plan, with the checkpointed source as the replay
-    path of record.
+    All store metadata I/O goes through the Hadoop FileSystem API (no
+    ``os.listdir``/local-FS assumptions), so the store works on
+    HDFS/S3A exactly as on local disk. The touched-bucket set is
+    discovered by LISTING the written epoch directory — filesystem
+    metadata, no driver-side collect of data rows anywhere.
+
+    Production deployments get the same two properties from
+    Delta/Iceberg ``MERGE INTO`` (transaction log + bounded rewrite);
+    this sink is the plain-parquet demonstration of that commit
+    protocol.
     """
 
     BUCKET = "_bucket"
@@ -119,41 +132,140 @@ class ParquetScdSink:
         n_buckets: int = 64,
     ):
         self.spark = spark
-        self.path = path
+        self.path = path.rstrip("/")
         self.key_col = key_col
         self.order_col = order_col
         self.id_col = id_col
         self.n_buckets = n_buckets
 
-    def _bucket(self, col):
+    # --- Hadoop FS helpers (portable: HDFS / S3A / local) --------------
+
+    def _fs(self):
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(self.path)
+        return jvm, path.getFileSystem(conf)
+
+    def _jpath(self, *parts: str):
+        jvm, _ = self._fs()
+        return jvm.org.apache.hadoop.fs.Path("/".join((self.path, *parts)))
+
+    @property
+    def _data_root(self) -> str:
+        return f"{self.path}/data"
+
+    def _manifest_dir(self):
+        return self._jpath("_manifest")
+
+    def _list_names(self, jpath) -> list[str]:
+        _, fs = self._fs()
+        if not fs.exists(jpath):
+            return []
+        return [st.getPath().getName() for st in fs.listStatus(jpath)]
+
+    def _current_manifest(self) -> tuple[int, dict[int, int]]:
+        """(current commit id, bucket -> epoch map); (-1, {}) if empty."""
+        names = [
+            n
+            for n in self._list_names(self._manifest_dir())
+            if n.startswith("manifest-") and n.endswith(".json")
+        ]
+        if not names:
+            return -1, {}
+        latest = max(names)
+        commit_id = int(latest[len("manifest-") : -len(".json")])
+        _, fs = self._fs()
+        stream = fs.open(self._jpath("_manifest", latest))
+        try:
+            data = bytes(stream.readAllBytes())
+        finally:
+            stream.close()
+        mapping = {int(k): int(v) for k, v in json.loads(data.decode()).items()}
+        return commit_id, mapping
+
+    def _commit_manifest(self, commit_id: int, mapping: dict[int, int]) -> None:
+        _, fs = self._fs()
+        fs.mkdirs(self._manifest_dir())
+        name = f"manifest-{commit_id:020d}.json"
+        tmp = self._jpath("_manifest", f".{name}.tmp")
+        final = self._jpath("_manifest", name)
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(json.dumps({str(k): v for k, v in mapping.items()}).encode()))
+        finally:
+            out.close()
+        if not fs.rename(tmp, final):  # pragma: no cover - FS race
+            raise OSError(f"manifest commit rename failed: {name}")
+
+    def _store_df(self, mapping: dict[int, int]) -> DataFrame:
+        """Current store state: epoch+bucket partition-discovered read,
+        filtered to exactly the manifest's (epoch, bucket) pairs (static
+        partition pruning drops everything else, including orphan
+        uncommitted epochs)."""
+        df = self.spark.read.option("basePath", self._data_root).parquet(
+            self._data_root
+        )
+        if not mapping:
+            raise FileNotFoundError(f"no committed SCD store at {self.path}")
+        by_epoch: dict[int, list[int]] = {}
+        for b, e in mapping.items():
+            by_epoch.setdefault(e, []).append(b)
+        cond = None
+        for e, buckets in by_epoch.items():
+            c = (F.col("epoch") == e) & F.col(self.BUCKET).isin(buckets)
+            cond = c if cond is None else (cond | c)
+        return df.filter(cond).drop("epoch")
+
+    # --- the transaction ------------------------------------------------
+
+    def _bucket_col(self, col):
         return F.pmod(F.hash(col), F.lit(self.n_buckets)).cast("int")
 
-    def _store_exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            n.startswith(f"{self.BUCKET}=") for n in os.listdir(self.path)
-        )
-
     def __call__(self, batch: DataFrame, epoch_id: int) -> None:
-        batch = batch.withColumn(self.BUCKET, self._bucket(F.col(self.key_col)))
+        batch = batch.withColumn(self.BUCKET, self._bucket_col(F.col(self.key_col)))
+        prev_id, mapping = self._current_manifest()
+        commit_id = prev_id + 1  # single writer: foreachBatch serializes
         store = None
-        if self._store_exists():
+        if mapping:
             touched = batch.select(self.BUCKET).distinct()
-            store = (
-                self.spark.read.parquet(self.path)
-                .join(F.broadcast(touched), self.BUCKET, "left_semi")
+            store = self._store_df(mapping).join(
+                F.broadcast(touched), self.BUCKET, "left_semi"
             )
         out = scd_merge_batch(store, batch, self.key_col, self.order_col, self.id_col)
+        epoch_path = f"{self._data_root}/epoch={commit_id}"
         (
-            out.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
+            out.write.mode("overwrite")  # retry of an uncommitted epoch
             .partitionBy(self.BUCKET)
-            .parquet(self.path)
+            .parquet(epoch_path)
         )
+        # touched buckets from filesystem METADATA (no data collect)
+        touched_ids = [
+            int(n.split("=", 1)[1])
+            for n in self._list_names(self._jpath("data", f"epoch={commit_id}"))
+            if n.startswith(f"{self.BUCKET}=")
+        ]
+        superseded = [
+            (b, mapping[b]) for b in touched_ids if b in mapping
+        ]
+        for b in touched_ids:
+            mapping[b] = commit_id
+        self._commit_manifest(commit_id, mapping)
+        # best-effort GC after the commit point: superseded bucket dirs
+        # are unreferenced now; a crash here leaves garbage, not damage
+        _, fs = self._fs()
+        for b, old_epoch in superseded:
+            fs.delete(
+                self._jpath("data", f"epoch={old_epoch}", f"{self.BUCKET}={b}"),
+                True,
+            )
 
 
 def read_scd_store(spark: SparkSession, path: str) -> DataFrame:
-    """Read the live state of a :class:`ParquetScdSink` store."""
-    return spark.read.parquet(path).drop(ParquetScdSink.BUCKET)
+    """Read the live state of a :class:`ParquetScdSink` store (the
+    latest committed manifest's buckets)."""
+    sink = ParquetScdSink(spark, path, key_col="", order_col="", id_col="")
+    _, mapping = sink._current_manifest()
+    return sink._store_df(mapping).drop(ParquetScdSink.BUCKET)
 
 
 def run_scd_upsert_stream(

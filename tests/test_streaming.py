@@ -164,36 +164,50 @@ def test_scd_sink_never_materializes_on_driver(spark, events_json_dir, tmp_path,
     monkeypatch.undo()
     out = st.read_scd_store(spark, store).toPandas()
     assert len(out) == 200
-    # bucketed layout: only _bucket=NN partition directories
+    # layout: immutable data/epoch=E/_bucket=NN dirs + manifest pointers
     import os
 
+    epochs = [
+        n for n in os.listdir(os.path.join(store, "data")) if n.startswith("epoch=")
+    ]
+    assert epochs
     bucket_dirs = [
-        n for n in os.listdir(store) if n.startswith(f"{st.ParquetScdSink.BUCKET}=")
+        n
+        for e in epochs
+        for n in os.listdir(os.path.join(store, "data", e))
+        if n.startswith(f"{st.ParquetScdSink.BUCKET}=")
     ]
     assert bucket_dirs
-    assert all(
-        0 <= int(n.split("=")[1]) < 64 for n in bucket_dirs
-    )
+    assert all(0 <= int(n.split("=")[1]) < 64 for n in bucket_dirs)
+    manifests = os.listdir(os.path.join(store, "_manifest"))
+    assert any(n.startswith("manifest-") for n in manifests)
 
 
 def _bucket_files(store):
-    """Map of bucket-dir -> {filename: (size, sha256)} for every bucket
-    partition currently in the store."""
+    """Map of bucket -> {(epoch, filename): (size, sha256)} across every
+    epoch directory currently in the store."""
     import hashlib
     import os
 
     out = {}
-    for n in sorted(os.listdir(store)):
-        if not n.startswith(f"{st.ParquetScdSink.BUCKET}="):
+    data = os.path.join(store, "data")
+    for e in sorted(os.listdir(data)):
+        if not e.startswith("epoch="):
             continue
-        d = os.path.join(store, n)
-        files = {}
-        for fn in sorted(os.listdir(d)):
-            if fn.endswith(".parquet"):
-                p = os.path.join(d, fn)
-                with open(p, "rb") as f:
-                    files[fn] = (os.path.getsize(p), hashlib.sha256(f.read()).hexdigest())
-        out[n] = files
+        for n in sorted(os.listdir(os.path.join(data, e))):
+            if not n.startswith(f"{st.ParquetScdSink.BUCKET}="):
+                continue
+            b = int(n.split("=", 1)[1])
+            d = os.path.join(data, e, n)
+            files = out.setdefault(b, {})
+            for fn in sorted(os.listdir(d)):
+                if fn.endswith(".parquet"):
+                    p = os.path.join(d, fn)
+                    with open(p, "rb") as f:
+                        files[(e, fn)] = (
+                            os.path.getsize(p),
+                            hashlib.sha256(f.read()).hexdigest(),
+                        )
     return out
 
 
@@ -226,14 +240,56 @@ def test_scd_sink_untouched_buckets_not_rewritten(spark, events_json_dir, tmp_pa
     touched = spark.createDataFrame([(1,)], "user_id long").select(
         F.pmod(F.hash("user_id"), F.lit(64)).cast("int").alias("b")
     ).collect()[0].b
-    touched_dir = f"{st.ParquetScdSink.BUCKET}={touched}"
-    assert after[touched_dir] != before.get(touched_dir)
-    for d, files in before.items():
-        if d != touched_dir:
-            assert after[d] == files, f"untouched bucket {d} was rewritten"
+    assert after[touched] != before.get(touched)
+    for b, files in before.items():
+        if b != touched:
+            assert after[b] == files, f"untouched bucket {b} was rewritten"
     # and the store is still correct: user 1 gained one version
     out = st.read_scd_store(spark, store).toPandas()
     assert len(out) == 201
+
+
+def test_scd_sink_crash_before_commit_preserves_store(spark, events_json_dir, tmp_path):
+    """Crash atomicity: an epoch directory written WITHOUT a manifest
+    commit (= crash between write and rename) must be invisible to
+    readers, and the replayed batch must commit cleanly over it."""
+    import os
+
+    store = str(tmp_path / "store_crash")
+    q = st.run_scd_upsert_stream(spark, events_json_dir, store)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    before = st.read_scd_store(spark, store).toPandas()
+
+    sink = st.ParquetScdSink(spark, store, "user_id", "ts", "event_id")
+    one = spark.createDataFrame(
+        [(20_001, "2024-01-01T00:00:00", 1, "click", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    # simulate the crash: perform ONLY the epoch write, no manifest
+    commit_id, mapping = sink._current_manifest()
+    orphan = commit_id + 1
+    (
+        one.withColumn(sink.BUCKET, sink._bucket_col(F.col("user_id")))
+        .write.mode("overwrite")
+        .partitionBy(sink.BUCKET)
+        .parquet(f"{store}/data/epoch={orphan}")
+    )
+    assert os.path.isdir(f"{store}/data/epoch={orphan}")
+    # reader sees the PRE-crash state — the orphan epoch is unreferenced
+    mid = st.read_scd_store(spark, store).toPandas()
+    assert len(mid) == len(before)
+    assert 20_001 not in set(mid.event_id)
+
+    # the checkpoint replays the batch: full transaction commits over
+    # the orphan directory (same commit id, overwritten idempotently)
+    sink(one, epoch_id=123)
+    after = st.read_scd_store(spark, store).toPandas()
+    assert len(after) == len(before) + 1
+    assert 20_001 in set(after.event_id)
 
 
 def test_stream_interval_join_equals_batch(spark, events_json_dir, tmp_path):
