@@ -66,6 +66,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_rows(sf_dir: str, name: str) -> int | None:
+    """Row count from parquet FOOTER metadata — no Spark job, no data
+    scan. This is the catalog-statistics stand-in the auto-sizing paths
+    (√N IVF cells, auto LSH bits) should consume: at 100 TB a row count
+    must come from table metadata, not a counting scan. Returns None if
+    the path isn't local-readable parquet (caller falls back to
+    ``df.count()``)."""
+    try:
+        import pyarrow.dataset as pads
+
+        ds = pads.dataset(table_path(sf_dir, name), format="parquet")
+        return sum(
+            frag.metadata.num_rows for frag in ds.get_fragments()
+        )
+    except Exception:  # noqa: BLE001 - remote FS / non-parquet: caller counts
+        return None
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register_views: bool = False
 ) -> dict[str, DataFrame]:

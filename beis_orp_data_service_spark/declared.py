@@ -71,17 +71,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-# Row-count cache for auto-sizing (√N cells, auto bits): the sizing scan
-# runs at most ONCE per (sf_dir, table) per process instead of once per
-# declared ANN/semdedup query — at 100 TB a table row count comes from
-# catalog statistics, which this stands in for.
+# Row-count cache for auto-sizing (√N cells, auto bits): counts come
+# from parquet FOOTER metadata (catalog.table_rows — no Spark job, no
+# data scan; the catalog-statistics story at 100 TB), cached per
+# (sf_dir, table), with a one-time counting scan as the fallback for
+# non-footer-readable sources.
 _ROWCOUNT_CACHE: dict[tuple[str, str], int] = {}
 
 
 def _n_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
     key = (sf_dir, name)
     if key not in _ROWCOUNT_CACHE:
-        _ROWCOUNT_CACHE[key] = _t(spark, sf_dir, name).count()
+        from beis_orp_data_service_spark.catalog import table_rows
+
+        n = table_rows(sf_dir, name)
+        _ROWCOUNT_CACHE[key] = n if n is not None else _t(spark, sf_dir, name).count()
     return _ROWCOUNT_CACHE[key]
 
 

@@ -18,3 +18,13 @@ def test_events_ts_is_timestamp(spark):
     assert isinstance(events.schema["ts"].dataType, T.TimestampType)
     row = events.selectExpr("min(ts) AS lo", "max(ts) AS hi").first()
     assert row.lo.year >= 2000 and row.hi.year <= 2100
+
+
+def test_table_rows_footer_metadata_matches_scan(spark):
+    from beis_orp_data_service_spark.catalog import load_table, table_rows
+    from tests.conftest import SF_SMOKE
+
+    for name in ("documents", "embeddings", "region"):
+        meta = table_rows(SF_SMOKE, name)
+        assert meta == load_table(spark, SF_SMOKE, name).count()
+    assert table_rows("/nonexistent", "x") is None
