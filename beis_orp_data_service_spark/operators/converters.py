@@ -130,12 +130,20 @@ def parse_pdf(content: bytes) -> Parsed:
 
         if re.search(rb"/Encrypt\s+(?:\d+\s+\d+\s+R|<<)", content):
             raise PdfEncryptedError(PDF_ENCRYPTED_ERROR)
-        try:  # pragma: no cover - not installed in this container
-            import pdfplumber  # noqa: F401
-
-            raise NotImplementedError("wire pdfplumber.open(BytesIO(content)) here")
+        try:
+            import pdfplumber
         except ImportError:
-            pass
+            pdfplumber = None
+        if pdfplumber is not None:  # pragma: no cover - lib absent here
+            # the reference's page loop (glue pdf_to_text.py:12-69):
+            # per-page extract_text joined by newlines; same Parsed
+            # contract as the stdlib path so plans never change
+            with pdfplumber.open(io.BytesIO(content)) as pdf:
+                pages = [p.extract_text() or "" for p in pdf.pages]
+            text = "\n".join(pages).strip()
+            if not text:
+                raise ValueError("PDF payload with no extractable text stream")
+            return Parsed(text, len(pages))
         text, n_pages, lossy = _pdf_extract_minimal(content)
         if not text:
             raise ValueError("PDF payload with no extractable text stream")

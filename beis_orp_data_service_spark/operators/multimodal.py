@@ -3,12 +3,15 @@ typed metadata, processed via mapInPandas (engine extension for
 training-data pipelines; the reference's binary handling is the S1
 document-bytes scan, pdf_to_orpml.py:60-74).
 
-The decode kernels are STUBS: PIL/ffmpeg are not in this container, so
-``decode_image``/``sample_frames`` raise NotImplementedError when asked
-for real decoding and default to a deterministic fake derived from the
-bytes. Everything Spark-side — schemas, Arrow batch iteration,
-partition-preserving mapInPandas plumbing, metadata join shape — is
-real and tested; swapping the fake for PIL is a one-function change.
+Pixel kernels are import-gated: container HEADERS are parsed for real
+with stdlib byte-layout code (``probe_media_header``), and the pixel
+paths (``decode_image`` via ``PIL.Image.open``, ``resize_media_batch``
+via ``Image.resize``) run the real branch when PIL is installed,
+falling back to a deterministic bytes-derived fake here (PIL/ffmpeg are
+not in this container). Everything Spark-side — schemas, Arrow batch
+iteration, partition-preserving mapInPandas plumbing, metadata join
+shape — is identical on both branches (contract-tested like
+operators/models.py).
 """
 
 from __future__ import annotations
@@ -116,10 +119,16 @@ def decode_image(content: bytes) -> tuple[int, int]:
     hdr = probe_media_header(content)
     if hdr and "width" in hdr:
         return (hdr["width"], hdr["height"])
-    if _have_pil():  # pragma: no cover
-        raise NotImplementedError(
-            "wire PIL.Image.open(io.BytesIO(content)).size here when PIL is available"
-        )
+    if _have_pil():  # pragma: no cover - lib absent in this container
+        import io
+
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(bytes(content or b""))) as im:
+                return im.size
+        except Exception:  # noqa: BLE001 - not an image: fake below
+            pass
     n = len(content or b"")
     return (64 + n % 1920, 64 + (n * 7) % 1080)
 
@@ -213,14 +222,33 @@ def resize_dims(
 
 
 def resize_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel for the byte-level resample — stubbed like
-    decode (no PIL here): emits the input checksum as the 'resized'
-    payload marker so plumbing is end-to-end testable."""
+    """mapInPandas kernel for the byte-level resample. Real branch (PIL
+    installed, ``out_w``/``out_h`` columns present from
+    :func:`resize_dims`): decode → ``Image.resize`` → PNG re-encode,
+    checksum of the resized bytes. Fake branch (this container): input
+    checksum as the 'resized' marker. Output schema identical either
+    way, so the plumbing is end-to-end testable without PIL."""
     for pdf in batches:
-        if _have_pil():  # pragma: no cover
-            raise NotImplementedError(
-                "wire PIL Image.resize((out_w, out_h)) over content here"
+        if _have_pil() and "out_w" in pdf.columns:  # pragma: no cover
+            import io
+
+            from PIL import Image
+
+            sums = []
+            for b, w, h in zip(pdf["content"], pdf["out_w"], pdf["out_h"]):
+                raw = bytes(b or b"")
+                try:
+                    with Image.open(io.BytesIO(raw)) as im:
+                        out = io.BytesIO()
+                        im.resize((int(w), int(h))).save(out, format="PNG")
+                        data = out.getvalue()
+                except Exception:  # noqa: BLE001 - non-image payload
+                    data = b"resized:" + raw
+                sums.append(hashlib.sha256(data).hexdigest()[:16])
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "resized_checksum": sums}
             )
+            continue
         yield pd.DataFrame(
             {
                 "media_id": pdf["media_id"],
