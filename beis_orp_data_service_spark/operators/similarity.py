@@ -710,7 +710,34 @@ def embedding_dup_pairs_sql(
 def _centroids_path(path: str) -> str:
     # underscore-prefixed: invisible to Spark's file index, so reading
     # the table path never picks the sidecar up as data
-    return path.rstrip("/") + "/_centroids"
+    return path.rstrip("/") + "/_centroids.json"
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jpath, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _write_centroids(spark, path: str, cents: np.ndarray) -> None:
+    """Persist the centroid matrix as a JSON sidecar THROUGH the Hadoop
+    FileSystem API (HDFS/S3A/local all work; no Spark job — a 2-job
+    createDataFrame+write round trip costs seconds for an 8-row table).
+    json round-trips doubles exactly (shortest-roundtrip repr), and the
+    temp-file + rename keeps the sidecar atomic on rename-capable FSs."""
+    import json
+
+    data = json.dumps([[float(x) for x in c] for c in cents]).encode()
+    jvm, jpath, fs = _hadoop_fs(spark, _centroids_path(path))
+    tmp = jvm.org.apache.hadoop.fs.Path(_centroids_path(path) + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+    fs.delete(jpath, False)
+    if not fs.rename(tmp, jpath):  # pragma: no cover - FS race
+        raise OSError(f"centroid sidecar rename failed: {path}")
 
 
 def ann_index_write(
@@ -727,10 +754,10 @@ def ann_index_write(
     (map-only Arrow pass), and write parquet PARTITIONED BY the cell id
     — so a probe that names its cells scans only those directories and
     Spark prunes the rest at planning/runtime. The centroid matrix is
-    persisted alongside as a tiny parquet sidecar under ``_centroids/``
-    written THROUGH Spark — so the index works on any Hadoop-compatible
+    persisted alongside as a ``_centroids.json`` sidecar written through
+    the Hadoop FileSystem API — the index works on any Hadoop-compatible
     filesystem (HDFS/S3A/local), not just the local FS a ``np.save``
-    would reach.
+    would reach, and the sidecar costs no Spark job.
 
     This is the FAISS IVF-Flat layout in lake form: at 100 TB the index
     is rewritten only on quantizer drift, appends go to their cell
@@ -753,23 +780,24 @@ def ann_index_write(
         .partitionBy("bucket")
         .parquet(path)
     )
-    spark = embeddings.sparkSession
-    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
-    (
-        spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(_centroids_path(path))
-    )
+    _write_centroids(embeddings.sparkSession, path, cents)
     return cents
 
 
 def ann_index_centroids(spark, path: str) -> np.ndarray:
-    """Reload the coarse quantizer from the index's parquet sidecar
-    (bounded: ≤65,536 rows by construction). Doubles round-trip parquet
-    exactly, so the probe assignment is bit-identical to write time."""
-    rows = spark.read.parquet(_centroids_path(path)).orderBy("cell").collect()
-    return np.array([r.centroid for r in rows], dtype=np.float64)
+    """Reload the coarse quantizer from the index's JSON sidecar
+    (bounded: ≤65,536 rows by construction). Doubles round-trip JSON
+    exactly (shortest-roundtrip repr), so the probe assignment is
+    bit-identical to write time."""
+    import json
+
+    _, jpath, fs = _hadoop_fs(spark, _centroids_path(path))
+    stream = fs.open(jpath)
+    try:
+        data = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return np.array(json.loads(data.decode()), dtype=np.float64)
 
 
 def ann_index_probe(
