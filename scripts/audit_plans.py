@@ -1,16 +1,29 @@
 """Plan hygiene audit over every declared query.
 
-Flags physical plans that re-execute Python stages (duplicate
-MapInPandas / ArrowEvalPython / FlatMapGroupsInPandas over the same
-lineage) — the defect class fixed in round 3 for ingest_e2e, lsh_bands
-and the IVF assignment (a doubled Arrow pass is a doubled full-table
-scan at 100 TB). Exits non-zero when a query exceeds its allowance.
+Two defect classes, both scale-killers at 100 TB:
+
+1. **Duplicated Python stages** — re-executed MapInPandas /
+   ArrowEvalPython / FlatMapGroupsInPandas over the same lineage (the
+   class fixed in round 3 for ingest_e2e, lsh_bands and the IVF
+   assignment: a doubled Arrow pass is a doubled full-table scan).
+2. **Red-flag physical operators** —
+   - ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` (all-pairs:
+     O(N·M) row touches; only legitimate for a broadcast-tiny side
+     under an inequality predicate, which none of our plans needs),
+   - ``BatchEvalPython`` (row-at-a-time Python UDF — the 10-100×-slow
+     path; every Python kernel here must be Arrow-batched),
+   - unlimited global ``Sort`` as the TOP operator (a full-data sort;
+     pagination must plan as TakeOrderedAndProject; sorts under joins/
+     windows/partitioned writes are fine and not flagged).
+
+Exits non-zero when a query exceeds its allowance.
 
 Usage: python scripts/audit_plans.py [sf_dir]
 """
 
 from __future__ import annotations
 
+import re
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -21,6 +34,38 @@ from beis_orp_data_service_spark.session import get_spark  # noqa: E402
 # Queries with a legitimate >1 Arrow-stage plan: one stage per JOIN SIDE
 # (table assignment + query probe) is the minimum for the IVF family.
 ALLOW_ARROW = {"ann_ivf_kmeans": 2, "ann_ivf_topk": 2, "ann_topk": 2, "ann_index_probe": 2}
+
+RED_FLAGS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+
+# BroadcastNestedLoopJoin is legitimate ONLY for a theta-join whose
+# broadcast side is guaranteed tiny; every allowance names that side.
+# A NEW query acquiring a BNLJ fails the audit until justified here.
+ALLOW_BNLJ = {
+    "lo_match",      # broadcast needle list (5 phrases), contains() predicate
+    "dti_rank",      # broadcast rulebook (3 rules), contains() predicate
+    "dti_web_rank",  # broadcast doc-type mapping (11 rows), array_contains()
+    "cos_sim",       # broadcast signature pairs, != self predicate
+    "dup_classify",  # broadcast candidate set, theta dup-rule predicate
+    "ann_topk",      # broadcast query vectors (10), != self predicate
+    "lo_join",       # broadcast legislation dim, theta title-match
+    "q_tpch11",      # 1-row scalar-aggregate subquery (HAVING threshold)
+    "q_tpch22",      # 1-row scalar-aggregate subquery (avg balance)
+    "dsir_weights",  # 1-row normalization-constant subquery
+}
+
+
+def top_level_global_sort(plan: str) -> bool:
+    """True when the plan's FIRST operator (above every exchange/limit)
+    is a global Sort — a whole-result sort with no bounding limit."""
+    for line in plan.splitlines():
+        m = re.match(r"[*(\d)\s+-]*([A-Za-z]+)", line.strip())
+        if not m or not line.strip():
+            continue
+        head = line.strip().lstrip("*(0123456789) +-")
+        if not head:
+            continue
+        return head.startswith("Sort [") and "global=true" in line
+    return False
 
 
 def main() -> int:
@@ -39,6 +84,18 @@ def main() -> int:
         fg = plan.count("FlatMapGroupsInPandas")
         if mp > 1 or fg > 1 or aep > ALLOW_ARROW.get(name, 1):
             print(f"DUP  {name}: MapInPandas={mp} ArrowEvalPython={aep} FlatMapGroups={fg}")
+            bad.append(name)
+            continue
+        flags = [
+            f
+            for f in RED_FLAGS
+            if f in plan
+            and not (f == "BroadcastNestedLoopJoin" and name in ALLOW_BNLJ)
+        ]
+        if top_level_global_sort(plan):
+            flags.append("unbounded global Sort at plan top")
+        if flags:
+            print(f"FLAG {name}: {', '.join(flags)}")
             bad.append(name)
     print("CLEAN" if not bad else f"{len(bad)} flagged")
     return 1 if bad else 0
