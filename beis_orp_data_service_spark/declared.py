@@ -1727,9 +1727,53 @@ def summarize_clip(spark, sf_dir):
     )
 
 
+# N4 oracle — the postprocess rules as DuckDB list comprehensions:
+# (1) unbalanced-'(' cut, (2) whitespace tokenize, (3) keep a token if
+# it is a stopword OR the first occurrence of its lowercase form,
+# (4) drop the trailing-stopword suffix (first non-stopword from the
+# reversed list marks the cut). Verified token-for-token against the
+# Python kernel on the corpus before promotion from rows-only.
+_TPP_STOP = list(models.STOPWORDS)
+_TITLE_POSTPROCESS_SQL = f"""
+    WITH titled AS (
+      SELECT doc_id,
+             array_to_string((str_split_regex(trim(text), '\\s+'))[1:12], ' ')
+               AS title_raw
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             CASE WHEN contains(title_raw, '(') AND NOT contains(title_raw, ')')
+                  THEN rtrim(title_raw[1:strpos(title_raw, '(') - 1])
+                  ELSE title_raw END AS cl
+      FROM titled
+    ), tok AS (
+      SELECT doc_id, list_filter(str_split_regex(cl, '\\s+'), x -> x <> '') AS ts
+      FROM c
+    ), ded AS (
+      SELECT doc_id,
+             list_filter(ts, (x, i) ->
+                list_contains({_TPP_STOP}, lower(x))
+                OR list_position(list_transform(ts, t -> lower(t)), lower(x)) = i
+             ) AS ds
+      FROM tok
+    ), trimmed AS (
+      SELECT doc_id,
+             CASE WHEN k IS NULL THEN []::VARCHAR[]
+                  ELSE ds[1:len(ds) - k + 1] END AS fin
+      FROM (SELECT doc_id, ds,
+                   list_position(list_transform(list_reverse(ds),
+                         t -> NOT list_contains({_TPP_STOP}, lower(t))), true) AS k
+            FROM ded)
+    )
+    SELECT doc_id, array_to_string(fin, ' ') AS title FROM trimmed
+"""
+
+
+@declared("title_postprocess", _TITLE_POSTPROCESS_SQL)
 def _title_postprocess(spark, sf_dir):
     # N4 — title postprocess rules (token de-dup keep-first, trailing
-    # stopword trim; UDF-only per SURVEY §2.3 — golden tests pin rules)
+    # stopword trim, unbalanced-bracket cut; golden tests pin rules, the
+    # DuckDB list-comprehension twin hash-checks them corpus-wide)
     docs = _t(spark, sf_dir, "documents")
     pseudo_title = F.concat_ws(
         " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 12)
@@ -1738,9 +1782,6 @@ def _title_postprocess(spark, sf_dir):
     return titled.select(
         "doc_id", models.postprocess_title_udf("title_raw").alias("title")
     )
-
-
-REGISTRY["title_postprocess"] = QueryDef(_title_postprocess, None, min_rows=1)
 
 
 @declared(
