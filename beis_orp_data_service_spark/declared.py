@@ -1465,15 +1465,45 @@ def ann_topk(spark, sf_dir):
     return sim.cosine_topk(emb, queries, k=5, quantized=True)
 
 
+# sign-LSH is data-independent and deterministic, so the whole IVF path
+# — bucket assignment, Hamming-1 multiprobe, quantized scoring, ranking
+# — replays exactly in DuckDB (promoted from rows-only in round 4).
+_ANN_IVF_SQL = f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             CAST(list_sum([CASE WHEN embedding[b + 1] >= 0
+                                 THEN CAST(pow(2, 3 - b) AS BIGINT) ELSE 0 END
+                            for b in range(0, 4)]) AS BIGINT) AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding,
+             unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                     xor(bucket, 4), xor(bucket, 8)]) AS bucket
+      FROM v WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.query_id, t.vec_id AS neighbor_id,
+             CAST({_ANN_DUCK_DOT} AS BIGINT) AS score
+      FROM v t JOIN q USING (bucket)
+      WHERE t.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS BIGINT)
+               AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@declared("ann_ivf_topk", _ANN_IVF_SQL)
 def _ann_ivf(spark, sf_dir):
-    # Scale path: sign-LSH bucketed ANN — same output shape as ann_topk,
-    # recall measured against it in tests (rows-only check).
+    # Scale path: sign-LSH bucketed ANN (Hamming-1 multiprobe) — same
+    # output shape as ann_topk; recall measured against it in tests,
+    # values hash-checked against the DuckDB replay of the same LSH.
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return sim.ivf_topk(emb, queries, k=5, bits=4)
-
-
-REGISTRY["ann_ivf_topk"] = QueryDef(_ann_ivf, None, min_rows=1)
 
 
 def _ann_ivf_kmeans(spark, sf_dir):
