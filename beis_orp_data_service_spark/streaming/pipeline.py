@@ -328,6 +328,56 @@ def stream_dedup_first_seen(
     )
 
 
+def stream_dedup_first_seen_tws(events: DataFrame) -> DataFrame:
+    """Spark-4-native variant of :func:`stream_dedup_first_seen` on the
+    ``transformWithStateInPandas`` StatefulProcessor API — the successor
+    to ``applyInPandasWithState`` (typed state handles, timers, state
+    TTL). Same semantics: first arrival of an id is emitted, every
+    redelivery swallowed.
+
+    Gated on ``google.protobuf`` (the API's worker-side dependency,
+    absent in this container — raises ImportError here; the
+    applyInPandasWithState form above is the tested default). Requires
+    the RocksDB state store provider, which the caller must set::
+
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+    """
+    import google.protobuf  # noqa: F401 - fail fast with a clear error
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class FirstSeen(StatefulProcessor):  # pragma: no cover - needs protobuf
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.seen = handle.getValueState("seen", "seen boolean")
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self.seen.exists():
+                for _ in rows:  # drain redeliveries
+                    pass
+                return iter([])
+            first = None
+            for pdf in rows:
+                if first is None and len(pdf):
+                    first = pdf.iloc[[0]]
+            self.seen.update((True,))
+            return iter([first]) if first is not None else iter([])
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(F.col("event_id")).transformWithStateInPandas(
+        statefulProcessor=FirstSeen(),
+        outputStructType=EVENTS_STREAM_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
 def run_dedup_stream(
     spark: SparkSession,
     source_dir: str,

@@ -364,3 +364,49 @@ def test_session_window_stream_equals_batch_sessionize(spark, events_json_dir, t
         for r in st.sessionize(batch_events, gap_minutes=60).collect()
     }
     assert got == want_twin
+
+
+def test_tws_dedup_matches_apply_in_pandas_variant(spark, tmp_path):
+    """Spark-4 transformWithStateInPandas first-seen dedup must produce
+    the same admitted set as the applyInPandasWithState form. Gated on
+    google.protobuf (the API's worker dependency, absent here)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        _pytest.skip("google.protobuf not installed (transformWithState worker dep)")
+
+    # pragma: no cover - runs only where protobuf exists
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    d = tmp_path / "tws_in"
+    d.mkdir()
+    rows = [
+        {"event_id": i, "ts": "2024-01-01T00:00:00", "user_id": 1,
+         "event_type": "x", "value": 1.0, "props": "{}"}
+        for i in list(range(20)) + list(range(10))  # 10 redeliveries
+    ]
+    with open(d / "b0.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    out_dir = str(tmp_path / "tws_out")
+    q = (
+        st.stream_dedup_first_seen_tws(st.stream_events(spark, str(d)))
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "tws_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r.event_id for r in spark.read.parquet(out_dir).collect())
+    assert got == list(range(20))
