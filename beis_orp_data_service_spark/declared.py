@@ -1225,6 +1225,73 @@ def simhash(spark, sf_dir):
     return dd.simhash16_table(docs, "doc_id", "text")
 
 
+# 48-bit fingerprint CTE shared by the wide-simhash queries: the 16-bit
+# oracle construction with mod 2^48 (acc*31 < 2^53 — exact in int64 and
+# in pow()'s double range).
+_SIMHASH48_CTE = """
+    WITH w AS (
+      SELECT doc_id,
+             list_transform(
+               list_distinct(string_split(trim(text), ' ')),
+               s -> list_reduce(
+                      list_prepend(CAST(0 AS BIGINT),
+                                   [CAST(ascii(s[i:i]) AS BIGINT)
+                                    for i in range(1, length(s)+1)]),
+                      (acc, x) -> (acc*31 + x) % 281474976710656)) AS hs
+      FROM documents
+    ), fp AS (
+      SELECT doc_id,
+             CAST(list_sum([
+               CASE WHEN list_sum([CASE WHEN (h // CAST(pow(2, b) AS BIGINT)) % 2 = 1
+                                        THEN 1 ELSE -1 END
+                                   for h in hs]) > 0
+                    THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END
+               for b in range(0, 48)]) AS BIGINT) AS simhash
+      FROM w
+    )
+"""
+
+
+@declared(
+    "simhash_wide",
+    _SIMHASH48_CTE + "SELECT doc_id, simhash FROM fp",
+)
+def simhash_wide(spark, sf_dir):
+    # Training-data op — 48-bit SimHash (Manku et al. 2007): the
+    # corpus-scale fingerprint (16 bits saturates into all-collisions
+    # well before 100 TB); same explode + codegen shape.
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash_table(docs, "doc_id", "text", n_bits=48)
+
+
+@declared(
+    "simhash_pairs",
+    _SIMHASH48_CTE
+    + """
+    , bands AS (
+      SELECT doc_id, simhash, b AS band_idx,
+             (simhash // CAST(pow(2, b * 12) AS BIGINT)) % 4096 AS band_val
+      FROM fp, unnest([0, 1, 2, 3]) AS t(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM bands a JOIN bands b USING (band_idx, band_val)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id, hamming FROM cand WHERE hamming <= 3
+    """,
+)
+def simhash_pairs(spark, sf_dir):
+    # Training-data op — SimHash near-dup pairs via band blocking: 4
+    # bands of 12 bits; pigeonhole guarantees every Hamming<=3 pair
+    # shares a band, so the single band-key shuffle finds ALL of them
+    # (recall exactly 1.0) without an all-pairs join; exact popcount
+    # verification is codegen (xor + bit_count).
+    docs = _t(spark, sf_dir, "documents")
+    fp = dd.simhash_table(docs, "doc_id", "text", n_bits=48)
+    return dd.simhash_band_pairs(fp, n_bits=48, n_bands=4, max_hamming=3)
+
+
 @declared(
     "dup_classify",
     """

@@ -161,3 +161,50 @@ def test_declared_minhash_lsh_recovers_planted_pairs(spark):
     ]
     for i in low3:
         assert (i, i + 1_000_000_000) in pairs
+
+
+def test_simhash_table_generalizes_16_bit(spark):
+    # n_bits=16 must reproduce simhash16_table exactly
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "jumps over lazy dogs"), (3, "the quick brown fox")],
+        "doc_id long, text string",
+    )
+    wide = {r.doc_id: r.simhash for r in dd.simhash_table(df, "doc_id", "text", 16).collect()}
+    narrow = {r.doc_id: r.simhash16 for r in dd.simhash16_table(df, "doc_id", "text").collect()}
+    assert wide == narrow
+    assert wide[1] == wide[3]  # identical text -> identical fingerprint
+
+
+def test_simhash_band_pairs_full_recall_within_guarantee(spark):
+    """Pigeonhole: with 4 bands, EVERY pair at Hamming <= 3 must be
+    found; pairs differing in >3 bits must be absent."""
+    base = 0b101010101010_111100001111_000011110000_110011001100  # 48 bits
+    rows = [
+        (1, base),
+        (2, base ^ 0b111),            # hamming 3 (one band) -> found
+        (3, base ^ (1 << 13)),        # hamming 1 (band 1)   -> found
+        (4, base ^ 0b111 ^ (1 << 13) ^ (1 << 25) ^ (1 << 37)),  # 6 bits -> out
+    ]
+    fp = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in dd.simhash_band_pairs(fp, n_bits=48, n_bands=4, max_hamming=3).collect()
+    }
+    assert got[(1, 2)] == 3
+    assert got[(1, 3)] == 1
+    assert got[(2, 3)] == 4 if (2, 3) in got else True  # >3 filtered
+    assert (2, 3) not in got  # hamming 4 > max
+    assert (1, 4) not in got  # hamming 6, no shared band needed anyway
+
+
+def test_simhash_band_pairs_rejects_broken_guarantee(spark):
+    fp = spark.createDataFrame([(1, 0)], "doc_id long, simhash long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dd.simhash_band_pairs(fp, n_bands=4, max_hamming=4)
+    with _pytest.raises(ValueError):
+        dd.simhash_table(
+            spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+            "doc_id", "text", n_bits=49,
+        )
