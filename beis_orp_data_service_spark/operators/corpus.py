@@ -134,7 +134,11 @@ def simhash_band_pairs(docs_sim: DataFrame, id_col: str = "doc_id") -> DataFrame
     keys (high byte, low byte); docs agreeing on EITHER byte pair up.
     Two scalable equi-joins — nothing meets outside a band bucket.
 
-    Input must carry ``simhash16`` (see dedup.simhash16_table).
+    Input must carry ``simhash16`` (see dedup.simhash16_table). For the
+    corpus-scale variant — 48-bit fingerprints, 4 bands, exact-popcount
+    Hamming verification with a recall-1.0 guarantee — use
+    ``dedup.simhash_band_pairs``; its (a_id, b_id) output plugs
+    straight into :func:`dup_clusters`.
     """
     keyed = docs_sim.select(
         F.col(id_col),
