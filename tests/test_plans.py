@@ -175,3 +175,19 @@ def test_first_50_registrations_are_oracle_grade(spark):
     first50 = list(declared.REGISTRY.items())[:50]
     rows_only = [n for n, qd in first50 if qd.sql is None]
     assert rows_only == [], f"rows-only queries inside the driver window: {rows_only}"
+
+
+def test_simhash_pairs_dedupe_is_codegen_not_shuffle(spark):
+    """The first-agreeing-band dedupe must plan as a codegen Filter over
+    the join output — NO aggregate over the candidate set (the
+    dropDuplicates it replaced would add a partial+final pair) and no
+    interpreted forall() in the predicate (higher-order functions fall
+    out of whole-stage codegen; only the per-word fingerprint hash may
+    carry a lambda)."""
+    plan = plan_of("simhash_pairs", spark)
+    # aggregates: partial+final fingerprint groupBy per join side — a
+    # candidate-set distinct would add a fifth/sixth
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") <= 4
+    assert "forall" not in plan
+    # the hamming verification is a plain bit_count filter
+    assert "bit_count" in plan
