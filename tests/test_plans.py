@@ -185,9 +185,12 @@ def test_simhash_pairs_dedupe_is_codegen_not_shuffle(spark):
     out of whole-stage codegen; only the per-word fingerprint hash may
     carry a lambda)."""
     plan = plan_of("simhash_pairs", spark)
+    # count operators in the plan TREE only (the formatted detail
+    # sections repeat every node name once more below it)
+    tree = plan.split("\n\n")[0]
     # aggregates: partial+final fingerprint groupBy per join side — a
     # candidate-set distinct would add a fifth/sixth
-    assert plan.count("HashAggregate") + plan.count("SortAggregate") <= 4
+    assert tree.count("HashAggregate") + tree.count("SortAggregate") <= 4
     assert "forall" not in plan
     # the hamming verification is a plain bit_count filter
     assert "bit_count" in plan
