@@ -1293,6 +1293,56 @@ def simhash_pairs(spark, sf_dir):
 
 
 @declared(
+    "fuzzy_title_pairs",
+    """
+    WITH t AS (
+      SELECT min(doc_id) AS doc_id,
+             array_to_string((str_split_regex(trim(text), '\\s+'))[1:4], ' ')
+               AS title
+      FROM documents
+      GROUP BY 2
+    ), planted AS (
+      SELECT doc_id + 1000000000 AS doc_id, title || ' x' AS title
+      FROM t WHERE doc_id % 25 = 0
+    ), corpus AS (
+      SELECT doc_id, title FROM t WHERE length(title) >= 3
+      UNION ALL
+      SELECT doc_id, title FROM planted WHERE length(title) >= 3
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+    FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.title, b.title) <= 2
+    """,
+)
+def fuzzy_title_pairs(spark, sf_dir):
+    # Engine extension — exact edit-distance self-join (PassJoin segment
+    # blocking, recall 1.0, native levenshtein verify): the scalable
+    # fuzzy-match primitive the reference's exact title matching (N12/
+    # N13) lacks. Fixture: deduped 4-token pseudo-titles + planted
+    # ' x'-suffixed typos (1-in-25), so the pair set is non-trivial at
+    # any SF; the oracle is the brute-force quadratic join DuckDB can
+    # afford at sf0.01.
+    docs = _t(spark, sf_dir, "documents")
+    title = F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 4))
+    t = (
+        docs.select(title.alias("title"), "doc_id")
+        .groupBy("title")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    planted = t.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+        F.concat(F.col("title"), F.lit(" x")).alias("title"),
+    )
+    corpus = (
+        t.select("doc_id", "title")
+        .filter(F.length("title") >= 3)
+        .unionByName(planted.filter(F.length("title") >= 3))
+    )
+    return dd.edit_distance_pairs(corpus, "doc_id", "title", max_dist=2)
+
+
+@declared(
     "dup_classify",
     """
     WITH h AS (

@@ -208,3 +208,73 @@ def test_simhash_band_pairs_rejects_broken_guarantee(spark):
             spark.createDataFrame([(1, "x")], "doc_id long, text string"),
             "doc_id", "text", n_bits=49,
         )
+
+
+class TestEditDistancePairs:
+    def test_planted_typos_found(self, spark):
+        rows = [
+            (1, "regulation of widgets"),
+            (2, "regulation of widgets"),   # exact dup -> dist 0
+            (3, "regulation of widgetz"),   # 1 substitution
+            (4, "regulations of widgets"),  # 1 insertion
+            (5, "regulation off widgetz"),  # 2 edits from 1
+            (6, "completely different"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, title string")
+        got = {
+            (r.a_id, r.b_id): r.dist
+            for r in dd.edit_distance_pairs(df, "doc_id", "title", max_dist=2).collect()
+        }
+        assert got[(1, 2)] == 0
+        assert got[(1, 3)] == 1
+        assert got[(1, 4)] == 1
+        assert got[(1, 5)] == 2
+        assert got[(3, 5)] == 1
+        assert not any(6 in p for p in got)
+
+    def test_recall_matches_brute_force(self, spark):
+        """PassJoin blocking must find EVERY pair the quadratic scan
+        finds — exact recall, not approximate."""
+        import itertools
+        import random
+
+        rnd = random.Random(11)
+        vocab = ["act", "rule", "order", "safety", "guidance", "widget"]
+        strings = [
+            " ".join(rnd.choice(vocab) for _ in range(rnd.randint(2, 4)))
+            for _ in range(60)
+        ]
+        rows = list(enumerate(strings))
+        df = spark.createDataFrame(rows, "doc_id long, title string")
+        got = {
+            (r.a_id, r.b_id): r.dist
+            for r in dd.edit_distance_pairs(df, "doc_id", "title", max_dist=2).collect()
+        }
+
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        want = {
+            (i, j): lev(strings[i], strings[j])
+            for i, j in itertools.combinations(range(len(strings)), 2)
+            if lev(strings[i], strings[j]) <= 2
+        }
+        assert got == want
+
+    def test_short_strings_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(1, "ab"), (2, "ab"), (3, "abc"), (4, "abc")], "doc_id long, title string"
+        )
+        got = {
+            (r.a_id, r.b_id)
+            for r in dd.edit_distance_pairs(df, "doc_id", "title", max_dist=2).collect()
+        }
+        # length < max_dist+1 is outside the guarantee and excluded
+        assert (1, 2) not in got
+        assert (3, 4) in got
