@@ -128,8 +128,16 @@ def parse_pdf(content: bytes) -> Parsed:
     if content.startswith(b"%PDF"):
         import re
 
-        if re.search(rb"/Encrypt\s+(?:\d+\s+\d+\s+R|<<)", content):
-            raise PdfEncryptedError(PDF_ENCRYPTED_ERROR)
+        # /Encrypt is only meaningful inside a trailer dictionary —
+        # scanning the whole byte stream would misclassify a readable
+        # PDF whose TEXT mentions '/Encrypt N 0 R' (e.g. a document
+        # about PDF internals). Valid PDF syntax allows '/Encrypt<<'
+        # with no whitespace, hence \s* not \s+. (XRef-stream PDFs put
+        # the key in the stream dict instead; those are ObjStm-class
+        # files the minimal extractor doesn't parse anyway.)
+        for trailer in re.findall(rb"trailer\s*<<(.{0,2000}?)>>", content, re.S):
+            if re.search(rb"/Encrypt\s*(?:\d+\s+\d+\s+R|<<)", trailer):
+                raise PdfEncryptedError(PDF_ENCRYPTED_ERROR)
         try:
             import pdfplumber
         except ImportError:

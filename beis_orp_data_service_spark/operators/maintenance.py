@@ -30,9 +30,9 @@ def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     """(path, bytes) for every data file under ``path``, recursively,
     skipping _metadata/_SUCCESS/hidden files. Hadoop FS API — works on
     any supported filesystem, not just local."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    from beis_orp_data_service_spark.sources.hadoop_fs import fs_for
+
+    _, hpath, fs = fs_for(spark, path)
     out: list[tuple[str, int]] = []
     it = fs.listFiles(hpath, True)
     while it.hasNext():

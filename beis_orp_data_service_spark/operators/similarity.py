@@ -707,37 +707,29 @@ def embedding_dup_pairs_sql(
 # ---------------------------------------------------------------------------
 
 
-def _centroids_path(path: str) -> str:
+def _centroids_dir(path: str) -> str:
     # underscore-prefixed: invisible to Spark's file index, so reading
     # the table path never picks the sidecar up as data
-    return path.rstrip("/") + "/_centroids.json"
-
-
-def _hadoop_fs(spark, path: str):
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jvm, jpath, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return path.rstrip("/") + "/_centroids"
 
 
 def _write_centroids(spark, path: str, cents: np.ndarray) -> None:
-    """Persist the centroid matrix as a JSON sidecar THROUGH the Hadoop
-    FileSystem API (HDFS/S3A/local all work; no Spark job — a 2-job
-    createDataFrame+write round trip costs seconds for an 8-row table).
-    json round-trips doubles exactly (shortest-roundtrip repr), and the
-    temp-file + rename keeps the sidecar atomic on rename-capable FSs."""
+    """Persist the centroid matrix as a VERSIONED JSON sidecar through
+    the Hadoop FileSystem API (HDFS/S3A/local all work; no Spark job —
+    a 2-job createDataFrame+write round trip costs seconds for an 8-row
+    table). json round-trips doubles exactly (shortest-roundtrip repr).
+    Commit is rename-to-a-fresh-versioned-name: the previous sidecar
+    stays readable until the new one lands, so a crash mid-rewrite
+    never leaves the index without centroids (a delete-then-rename
+    overwrite had exactly that window)."""
     import json
 
+    from beis_orp_data_service_spark.sources import hadoop_fs as hfs
+
     data = json.dumps([[float(x) for x in c] for c in cents]).encode()
-    jvm, jpath, fs = _hadoop_fs(spark, _centroids_path(path))
-    tmp = jvm.org.apache.hadoop.fs.Path(_centroids_path(path) + ".tmp")
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(data))
-    finally:
-        out.close()
-    fs.delete(jpath, False)
-    if not fs.rename(tmp, jpath):  # pragma: no cover - FS race
-        raise OSError(f"centroid sidecar rename failed: {path}")
+    d = _centroids_dir(path)
+    v = hfs.latest_version(spark, d, "centroids-", ".json") + 1
+    hfs.write_new_versioned(spark, d, "centroids-", ".json", v, data)
 
 
 def ann_index_write(
@@ -754,10 +746,11 @@ def ann_index_write(
     (map-only Arrow pass), and write parquet PARTITIONED BY the cell id
     — so a probe that names its cells scans only those directories and
     Spark prunes the rest at planning/runtime. The centroid matrix is
-    persisted alongside as a ``_centroids.json`` sidecar written through
-    the Hadoop FileSystem API — the index works on any Hadoop-compatible
-    filesystem (HDFS/S3A/local), not just the local FS a ``np.save``
-    would reach, and the sidecar costs no Spark job.
+    persisted alongside as a versioned JSON sidecar under
+    ``_centroids/`` written through the Hadoop FileSystem API — the
+    index works on any Hadoop-compatible filesystem (HDFS/S3A/local),
+    not just the local FS a ``np.save`` would reach, and the sidecar
+    costs no Spark job.
 
     This is the FAISS IVF-Flat layout in lake form: at 100 TB the index
     is rewritten only on quantizer drift, appends go to their cell
@@ -785,18 +778,17 @@ def ann_index_write(
 
 
 def ann_index_centroids(spark, path: str) -> np.ndarray:
-    """Reload the coarse quantizer from the index's JSON sidecar
-    (bounded: ≤65,536 rows by construction). Doubles round-trip JSON
-    exactly (shortest-roundtrip repr), so the probe assignment is
-    bit-identical to write time."""
+    """Reload the coarse quantizer from the index's latest committed
+    JSON sidecar version (bounded: ≤65,536 rows by construction).
+    Doubles round-trip JSON exactly (shortest-roundtrip repr), so the
+    probe assignment is bit-identical to write time."""
     import json
 
-    _, jpath, fs = _hadoop_fs(spark, _centroids_path(path))
-    stream = fs.open(jpath)
-    try:
-        data = bytes(stream.readAllBytes())
-    finally:
-        stream.close()
+    from beis_orp_data_service_spark.sources import hadoop_fs as hfs
+
+    _, data = hfs.read_latest_versioned(spark, _centroids_dir(path), "centroids-", ".json")
+    if data is None:
+        raise FileNotFoundError(f"no committed centroid sidecar under {path}")
     return np.array(json.loads(data.decode()), dtype=np.float64)
 
 

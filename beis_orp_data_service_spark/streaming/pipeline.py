@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from beis_orp_data_service_spark.operators.dedup import scd_versions
+from beis_orp_data_service_spark.sources import hadoop_fs as hfs
 
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
@@ -138,75 +139,53 @@ class ParquetScdSink:
         self.id_col = id_col
         self.n_buckets = n_buckets
 
-    # --- Hadoop FS helpers (portable: HDFS / S3A / local) --------------
-
-    def _fs(self):
-        jvm = self.spark._jvm
-        conf = self.spark._jsc.hadoopConfiguration()
-        path = jvm.org.apache.hadoop.fs.Path(self.path)
-        return jvm, path.getFileSystem(conf)
-
-    def _jpath(self, *parts: str):
-        jvm, _ = self._fs()
-        return jvm.org.apache.hadoop.fs.Path("/".join((self.path, *parts)))
+    # --- store metadata (Hadoop FS via sources.hadoop_fs: HDFS/S3A/local) --
 
     @property
     def _data_root(self) -> str:
         return f"{self.path}/data"
 
-    def _manifest_dir(self):
-        return self._jpath("_manifest")
-
-    def _list_names(self, jpath) -> list[str]:
-        _, fs = self._fs()
-        if not fs.exists(jpath):
-            return []
-        return [st.getPath().getName() for st in fs.listStatus(jpath)]
+    @property
+    def _manifest_dir(self) -> str:
+        return f"{self.path}/_manifest"
 
     def _current_manifest(self) -> tuple[int, dict[int, int]]:
         """(current commit id, bucket -> epoch map); (-1, {}) if empty."""
-        names = [
-            n
-            for n in self._list_names(self._manifest_dir())
-            if n.startswith("manifest-") and n.endswith(".json")
-        ]
-        if not names:
+        commit_id, data = hfs.read_latest_versioned(
+            self.spark, self._manifest_dir, "manifest-", ".json"
+        )
+        if data is None:
             return -1, {}
-        latest = max(names)
-        commit_id = int(latest[len("manifest-") : -len(".json")])
-        _, fs = self._fs()
-        stream = fs.open(self._jpath("_manifest", latest))
-        try:
-            data = bytes(stream.readAllBytes())
-        finally:
-            stream.close()
         mapping = {int(k): int(v) for k, v in json.loads(data.decode()).items()}
         return commit_id, mapping
 
     def _commit_manifest(self, commit_id: int, mapping: dict[int, int]) -> None:
-        _, fs = self._fs()
-        fs.mkdirs(self._manifest_dir())
-        name = f"manifest-{commit_id:020d}.json"
-        tmp = self._jpath("_manifest", f".{name}.tmp")
-        final = self._jpath("_manifest", name)
-        out = fs.create(tmp, True)
-        try:
-            out.write(bytearray(json.dumps({str(k): v for k, v in mapping.items()}).encode()))
-        finally:
-            out.close()
-        if not fs.rename(tmp, final):  # pragma: no cover - FS race
-            raise OSError(f"manifest commit rename failed: {name}")
+        # rename-to-fresh-versioned-name commit + best-effort GC of
+        # manifests older than the newest 10 (one manifest per
+        # micro-batch would otherwise accumulate forever and the
+        # per-batch directory listing stops being O(1))
+        hfs.write_new_versioned(
+            self.spark,
+            self._manifest_dir,
+            "manifest-",
+            ".json",
+            commit_id,
+            json.dumps({str(k): v for k, v in mapping.items()}).encode(),
+            keep=10,
+        )
 
     def _store_df(self, mapping: dict[int, int]) -> DataFrame:
         """Current store state: epoch+bucket partition-discovered read,
         filtered to exactly the manifest's (epoch, bucket) pairs (static
         partition pruning drops everything else, including orphan
         uncommitted epochs)."""
+        if not mapping:
+            # before the eager parquet read: a missing store must raise
+            # the documented typed error, not AnalysisException
+            raise FileNotFoundError(f"no committed SCD store at {self.path}")
         df = self.spark.read.option("basePath", self._data_root).parquet(
             self._data_root
         )
-        if not mapping:
-            raise FileNotFoundError(f"no committed SCD store at {self.path}")
         by_epoch: dict[int, list[int]] = {}
         for b, e in mapping.items():
             by_epoch.setdefault(e, []).append(b)
@@ -241,7 +220,7 @@ class ParquetScdSink:
         # touched buckets from filesystem METADATA (no data collect)
         touched_ids = [
             int(n.split("=", 1)[1])
-            for n in self._list_names(self._jpath("data", f"epoch={commit_id}"))
+            for n in hfs.list_names(self.spark, f"{self._data_root}/epoch={commit_id}")
             if n.startswith(f"{self.BUCKET}=")
         ]
         superseded = [
@@ -252,11 +231,11 @@ class ParquetScdSink:
         self._commit_manifest(commit_id, mapping)
         # best-effort GC after the commit point: superseded bucket dirs
         # are unreferenced now; a crash here leaves garbage, not damage
-        _, fs = self._fs()
         for b, old_epoch in superseded:
-            fs.delete(
-                self._jpath("data", f"epoch={old_epoch}", f"{self.BUCKET}={b}"),
-                True,
+            hfs.delete(
+                self.spark,
+                f"{self._data_root}/epoch={old_epoch}/{self.BUCKET}={b}",
+                recursive=True,
             )
 
 
@@ -315,8 +294,11 @@ def stream_dedup_first_seen(
         for pdf in pdfs:
             if first is None and len(pdf):
                 first = pdf.iloc[[0]]
-        state.update((True,))
+        # mark seen ONLY when a row was actually admitted: an invocation
+        # whose chunks are all empty must not burn the key, or the real
+        # first arrival in a later batch would be swallowed unemitted
         if first is not None:
+            state.update((True,))
             yield first[[f.name for f in EVENTS_STREAM_SCHEMA.fields]]
 
     return events.groupBy(F.col(id_col)).applyInPandasWithState(
@@ -364,8 +346,10 @@ def stream_dedup_first_seen_tws(events: DataFrame) -> DataFrame:
             for pdf in rows:
                 if first is None and len(pdf):
                     first = pdf.iloc[[0]]
+            if first is None:  # all-empty chunks: don't burn the key
+                return iter([])
             self.seen.update((True,))
-            return iter([first]) if first is not None else iter([])
+            return iter([first])
 
         def close(self) -> None:
             pass

@@ -54,17 +54,24 @@ ALLOW_BNLJ = {
 }
 
 
+# wrapper/pass-through nodes to skip when finding the plan's first real
+# operator (AQE wraps everything in AdaptiveSparkPlan; writes and
+# projections don't change result cardinality/ordering semantics)
+_SORT_WRAPPERS = ("AdaptiveSparkPlan", "ResultQueryStage", "Project", "ColumnarToRow")
+
+
 def top_level_global_sort(plan: str) -> bool:
-    """True when the plan's FIRST operator (above every exchange/limit)
-    is a global Sort — a whole-result sort with no bounding limit."""
+    """True when the plan's first NON-WRAPPER operator is a global Sort
+    — a whole-result sort with no bounding limit. Spark prints a global
+    sort as ``Sort [keys...], true, 0`` (second arg = global flag);
+    TakeOrderedAndProject / local sorts under joins don't match."""
     for line in plan.splitlines():
-        m = re.match(r"[*(\d)\s+-]*([A-Za-z]+)", line.strip())
-        if not m or not line.strip():
-            continue
-        head = line.strip().lstrip("*(0123456789) +-")
+        head = line.strip().lstrip("*(0123456789)+- ")
         if not head:
             continue
-        return head.startswith("Sort [") and "global=true" in line
+        if any(head.startswith(w) for w in _SORT_WRAPPERS):
+            continue
+        return bool(re.match(r"Sort \[.*\], true, ", head))
     return False
 
 

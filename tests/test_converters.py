@@ -313,6 +313,33 @@ def test_pdf_encrypted_raises_typed():
         conv.parse_pdf(pdf_encrypted_fixture())
 
 
+def test_pdf_mentioning_encrypt_in_content_not_misclassified():
+    """A readable PDF whose TEXT talks about '/Encrypt 5 0 R' (e.g. a
+    document about PDF internals) must extract normally — detection is
+    scoped to trailer dictionaries, not the whole byte stream."""
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Page >> endobj\n"
+        b"2 0 obj << /Length 53 >>\nstream\n"
+        b"BT (the /Encrypt 5 0 R key marks encryption) Tj ET\nendstream endobj\n"
+        b"%%EOF\n"
+    )
+    got = conv.parse_pdf(pdf)
+    assert "/Encrypt 5 0 R key marks encryption" in got.text
+
+
+def test_pdf_encrypted_tight_trailer_serialization():
+    # '/Encrypt<<' with no whitespace is valid PDF syntax
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Page >> endobj\n"
+        b"trailer << /Size 2 /Encrypt<</Filter/Standard/V 2>> /Root 1 0 R >>\n"
+        b"%%EOF\n"
+    )
+    with pytest.raises(conv.PdfEncryptedError):
+        conv.parse_pdf(pdf)
+
+
 def test_convert_stats_distinguish_ok_lossy_encrypted(spark):
     rows = [
         (1, "PDF", bytearray(pdf_fixture(True))),            # ok

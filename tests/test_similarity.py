@@ -283,9 +283,11 @@ class TestPersistentIvfIndex:
         sim.ann_index_write(emb, path, n_centroids=4)
         buckets = [n for n in os.listdir(path) if n.startswith("bucket=")]
         assert 1 <= len(buckets) <= 4
-        # centroid sidecar is a JSON file written via the Hadoop FS API
-        # (lake-portable: HDFS/S3A/local) and invisible to the table scan
-        assert os.path.isfile(os.path.join(path, "_centroids.json"))
+        # centroid sidecar: versioned JSON files via the Hadoop FS API
+        # (lake-portable, rename-to-fresh-name commit) in a _-prefixed
+        # dir invisible to the table scan
+        sidecars = os.listdir(os.path.join(path, "_centroids"))
+        assert any(n.startswith("centroids-") and n.endswith(".json") for n in sidecars)
         cents = sim.ann_index_centroids(spark, path)
         assert cents.shape[0] <= 4 and cents.ndim == 2
         # every vector present exactly once across partitions
