@@ -1635,7 +1635,7 @@ def _ann_ivf_kmeans(spark, sf_dir):
     )
 
 
-REGISTRY["ann_ivf_kmeans"] = QueryDef(_ann_ivf_kmeans, None, min_rows=1)
+REGISTRY["ann_ivf_kmeans"] = QueryDef(_ann_ivf_kmeans, None, min_rows=10)
 
 
 def _ann_index_probe(spark, sf_dir):
@@ -1659,7 +1659,7 @@ def _ann_index_probe(spark, sf_dir):
     return sim.ann_index_probe(spark, path, queries, k=5, nprobe=4)
 
 
-REGISTRY["ann_index_probe"] = QueryDef(_ann_index_probe, None, min_rows=1)
+REGISTRY["ann_index_probe"] = QueryDef(_ann_index_probe, None, min_rows=20)
 
 
 @declared(
@@ -2318,7 +2318,7 @@ def _ingest_e2e(spark, sf_dir):
     )
 
 
-REGISTRY["ingest_e2e"] = QueryDef(_ingest_e2e, None, min_rows=1)
+REGISTRY["ingest_e2e"] = QueryDef(_ingest_e2e, None, min_rows=100)
 
 
 # ---------------------------------------------------------------------------
@@ -3951,7 +3951,7 @@ def _semdedup_auto(spark, sf_dir):
     )
 
 
-REGISTRY["semdedup_auto"] = QueryDef(_semdedup_auto, None, min_rows=1)
+REGISTRY["semdedup_auto"] = QueryDef(_semdedup_auto, None, min_rows=100)
 
 
 @declared(
@@ -4059,7 +4059,7 @@ def _bpe_merges(spark, sf_dir):
     return corpus_ops.bpe_learn_merges(docs, "doc_id", "text", n_merges=4)
 
 
-REGISTRY["bpe_merges"] = QueryDef(_bpe_merges, None, min_rows=1)
+REGISTRY["bpe_merges"] = QueryDef(_bpe_merges, None, min_rows=4)
 
 
 def _bpe_encode(spark, sf_dir):
@@ -4075,7 +4075,7 @@ def _bpe_encode(spark, sf_dir):
     return corpus_ops.bpe_tokenize(docs, ranked)
 
 
-REGISTRY["bpe_encode"] = QueryDef(_bpe_encode, None, min_rows=1)
+REGISTRY["bpe_encode"] = QueryDef(_bpe_encode, None, min_rows=100)
 
 
 @declared(

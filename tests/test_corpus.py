@@ -596,7 +596,7 @@ class TestBpeLearnMerges:
         from tests.conftest import SF_SMOKE
 
         qd = declared.REGISTRY["bpe_encode"]
-        assert qd.min_rows == 1
+        assert qd.min_rows >= 100
         agg = (
             qd.fn(spark, SF_SMOKE)
             .agg(F.sum("n_tokens").alias("t"), F.sum("n_chars").alias("c"))
