@@ -128,16 +128,28 @@ def parse_pdf(content: bytes) -> Parsed:
     if content.startswith(b"%PDF"):
         import re
 
-        # /Encrypt is only meaningful inside a trailer dictionary —
-        # scanning the whole byte stream would misclassify a readable
-        # PDF whose TEXT mentions '/Encrypt N 0 R' (e.g. a document
-        # about PDF internals). Valid PDF syntax allows '/Encrypt<<'
-        # with no whitespace, hence \s* not \s+. (XRef-stream PDFs put
-        # the key in the stream dict instead; those are ObjStm-class
-        # files the minimal extractor doesn't parse anyway.)
-        for trailer in re.findall(rb"trailer\s*<<(.{0,2000}?)>>", content, re.S):
-            if re.search(rb"/Encrypt\s*(?:\d+\s+\d+\s+R|<<)", trailer):
-                raise PdfEncryptedError(PDF_ENCRYPTED_ERROR)
+        # /Encrypt is only meaningful in a trailer dictionary or an
+        # xref-STREAM dictionary (PDF 1.5+, /Type /XRef) — scanning the
+        # whole byte stream would misclassify a readable PDF whose TEXT
+        # mentions '/Encrypt N 0 R' (e.g. a document about PDF
+        # internals). Valid PDF syntax allows '/Encrypt<<' with no
+        # whitespace, hence \s* not \s+. The classic-trailer window runs
+        # to the following 'startxref' so nested '>>' tokens inside the
+        # trailer dict can't hide the key; the xref-stream window is the
+        # bytes around the /Type /XRef token (its dictionary).
+        enc_key = rb"/Encrypt\s*(?:\d+\s+\d+\s+R|<<)"
+        regions = [
+            m.group(1)
+            for m in re.finditer(
+                rb"trailer(.{0,2000}?)(?:startxref|%%EOF|\Z)", content, re.S
+            )
+        ]
+        regions += [
+            content[max(0, m.start() - 1000) : m.end() + 1000]
+            for m in re.finditer(rb"/Type\s*/XRef\b", content)
+        ]
+        if any(re.search(enc_key, region) for region in regions):
+            raise PdfEncryptedError(PDF_ENCRYPTED_ERROR)
         try:
             import pdfplumber
         except ImportError:

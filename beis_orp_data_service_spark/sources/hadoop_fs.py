@@ -22,12 +22,8 @@ def fs_for(spark, path: str):
     """(jvm, jPath, FileSystem) for ``path`` under the session's Hadoop
     configuration."""
     jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jvm, jpath, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-
-
-def jpath(spark, path: str):
-    return spark._jvm.org.apache.hadoop.fs.Path(path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p, p.getFileSystem(spark._jsc.hadoopConfiguration())
 
 
 def exists(spark, path: str) -> bool:
@@ -53,12 +49,16 @@ def read_bytes(spark, path: str) -> bytes:
 
 
 def write_bytes_rename(spark, path: str, data: bytes) -> None:
-    """Write ``data`` to ``<path>.tmp`` then rename to ``path``.
-    PRECONDITION: ``path`` must not exist (Hadoop rename does not
-    overwrite) — use :func:`write_new_versioned` for updatable
-    artifacts."""
+    """Write ``data`` to a per-call-unique temp name then rename to
+    ``path`` (a FIXED temp name would let two concurrent committers
+    truncate each other's half-written bytes and rename the corrupt
+    result into place). PRECONDITION: ``path`` must not exist (Hadoop
+    rename does not overwrite) — use :func:`write_new_versioned` for
+    updatable artifacts."""
+    import uuid
+
     jvm, p, fs = fs_for(spark, path)
-    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}.{uuid.uuid4().hex}.tmp")
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(data))
@@ -114,6 +114,10 @@ def write_new_versioned(
     readable until the new one is committed). Afterwards best-effort
     GC: versions older than the newest ``keep`` are deleted — a crash
     mid-GC leaves unreferenced garbage, never damage."""
+    if keep < 1:
+        # keep=0 would make versions[:-keep] the EMPTY slice — a silent
+        # GC no-op, the opposite of "retain nothing old"
+        raise ValueError(f"keep must be >= 1: {keep}")
     mkdirs(spark, dir_path)
     name = f"{prefix}{version:020d}{suffix}"
     write_bytes_rename(spark, f"{dir_path}/{name}", data)

@@ -419,3 +419,30 @@ def test_pdf_quote_only_show_operators():
     )
     got = conv.parse_pdf(pdf)
     assert "line one" in got.text and "line two" in got.text
+
+
+def test_pdf_encrypted_xref_stream_detected():
+    """PDF 1.5+ encrypted files have no 'trailer' keyword — /Encrypt
+    lives in the xref-STREAM dictionary (/Type /XRef)."""
+    pdf = (
+        b"%PDF-1.5\n"
+        b"1 0 obj << /Type /Page >> endobj\n"
+        b"7 0 obj << /Type /XRef /Size 8 /W [1 2 1] /Encrypt 5 0 R "
+        b"/Root 1 0 R /Length 4 >>\nstream\n\x00\x01\x02\x03\nendstream endobj\n"
+        b"startxref\n9\n%%EOF\n"
+    )
+    with pytest.raises(conv.PdfEncryptedError):
+        conv.parse_pdf(pdf)
+
+
+def test_pdf_encrypted_after_nested_dict_in_trailer():
+    # a '>>' token BEFORE the /Encrypt key (nested dict value) must not
+    # hide it — the detection window runs to startxref, not first '>>'
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Page >> endobj\n"
+        b"trailer << /Info << /Title (x) >> /Encrypt 5 0 R /Root 1 0 R >>\n"
+        b"startxref\n9\n%%EOF\n"
+    )
+    with pytest.raises(conv.PdfEncryptedError):
+        conv.parse_pdf(pdf)
