@@ -4169,6 +4169,82 @@ def q_reach(spark, sf_dir):
     return graph_ops.reachability(edges, sources, max_hops=3)
 
 
+@declared(
+    "q_pagerank",
+    """
+    WITH e AS (
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+             'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+      UNION ALL
+      SELECT 's' || CAST(s_suppkey AS VARCHAR),
+             'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+      UNION ALL
+      SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+             'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+    ), v AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+    ), deg AS (
+      SELECT src, count(*) AS d FROM e GROUP BY src
+    ), pr0 AS (
+      SELECT node, CAST(1000000 AS BIGINT) AS pr FROM v
+    ), pr1 AS (
+      SELECT v.node, CAST(150000 + (850 * coalesce(x.inc, 0)) // 1000 AS BIGINT) AS pr
+      FROM v LEFT JOIN (
+        SELECT e.dst AS node, sum(p.pr // dg.d) AS inc
+        FROM e JOIN pr0 p ON p.node = e.src JOIN deg dg ON dg.src = e.src
+        GROUP BY e.dst) x USING (node)
+    ), pr2 AS (
+      SELECT v.node, CAST(150000 + (850 * coalesce(x.inc, 0)) // 1000 AS BIGINT) AS pr
+      FROM v LEFT JOIN (
+        SELECT e.dst AS node, sum(p.pr // dg.d) AS inc
+        FROM e JOIN pr1 p ON p.node = e.src JOIN deg dg ON dg.src = e.src
+        GROUP BY e.dst) x USING (node)
+    ), pr3 AS (
+      SELECT v.node, CAST(150000 + (850 * coalesce(x.inc, 0)) // 1000 AS BIGINT) AS pr
+      FROM v LEFT JOIN (
+        SELECT e.dst AS node, sum(p.pr // dg.d) AS inc
+        FROM e JOIN pr2 p ON p.node = e.src JOIN deg dg ON dg.src = e.src
+        GROUP BY e.dst) x USING (node)
+    )
+    SELECT node, pr AS pr_micro FROM pr3
+    """,
+)
+def q_pagerank(spark, sf_dir):
+    # Integer-exact PageRank over the q_reach edge set (customer/
+    # supplier -> nation -> region): scaled-integer DIV arithmetic makes
+    # an ITERATIVE algorithm hash-checkable — the oracle unrolls the
+    # same 3 iterations as chained CTEs. Per iteration one edge-join
+    # shuffle + map-side-combined contribution aggregate.
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    edges = (
+        cust.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+        )
+        .unionByName(
+            supp.select(
+                F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+                F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+            )
+        )
+        .unionByName(
+            nat.select(
+                F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+                F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+            )
+        )
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return graph_ops.pagerank(edges, nodes, iterations=3)
+
+
 _DTI_MAP_CSV = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     "resources",

@@ -117,3 +117,61 @@ def reachability(
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return visited
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 3,
+    damping_milli: int = 850,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Integer-exact PageRank, fixed iteration count (Page et al. 1999;
+    the related-document/citation ranking a regulatory graph store
+    serves next to Q13/Q14 traversals).
+
+    All arithmetic is scaled-integer (rank in micro-units, ``DIV``
+    division), so every engine computes bit-identical ranks — no float
+    summation-order drift — which is what makes a HASH-grade oracle
+    possible for an iterative algorithm. Per iteration: every node's
+    rank splits evenly over its out-edges (integer DIV; dangling mass
+    is dropped, deterministically), contributions aggregate per target
+    (one shuffle, map-side combined), and
+    ``rank' = (1000-d)·scale DIV 1000 + d·incoming DIV 1000``.
+
+    Scale shape: ``iterations`` shuffles over the edge list — the same
+    per-round cost class as :func:`reachability`; no driver-side data,
+    no lineage growth (the rank table is tiny relative to edges and is
+    localCheckpointed per round). Fixed iterations rather than a
+    convergence test keeps the oracle replayable; callers wanting
+    convergence can loop externally on the returned frame.
+
+    Returns ``(node, pr_micro)``.
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
+    base = (1000 - damping_milli) * scale // 1000
+    pr = nodes.select(
+        F.col("node"), F.lit(scale).cast("bigint").alias("pr_micro")
+    ).localCheckpoint(eager=False)
+    for _ in range(iterations):
+        contrib = (
+            edges.join(pr, edges.src == pr.node)
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), F.expr("pr_micro DIV _deg").alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_inc"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("bigint")
+                    + F.expr(
+                        f"{damping_milli} * coalesce(_inc, CAST(0 AS BIGINT)) DIV 1000"
+                    )
+                ).alias("pr_micro"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr

@@ -157,3 +157,31 @@ class TestReachability:
         sources = spark.createDataFrame([("a",), ("b",)], "node string")
         out = {r.node: r.hops for r in g.reachability(edges, sources).collect()}
         assert out == {"a": 0, "b": 0, "x": 1, "y": 2}
+
+
+def test_pagerank_integer_exact_known_values(spark):
+    """Chain a->b->c, 3 iterations: hand-computed scaled-integer ranks
+    (dangling c's mass deterministically dropped)."""
+    from beis_orp_data_service_spark.operators import graph as g
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "node string")
+    got = {r.node: r.pr_micro for r in g.pagerank(edges, nodes, iterations=3).collect()}
+    # it1: b=150000+850000=1000000, c=1000000, a=150000
+    # it2: b=150000+850*150000//1000=277500, c=1000000
+    # it3: b=277500, c=150000+850*277500//1000=385875
+    assert got == {"a": 150_000, "b": 277_500, "c": 385_875}
+
+
+def test_pagerank_sink_accumulates_most_mass(spark):
+    # star into one hub: the hub must outrank every spoke
+    from beis_orp_data_service_spark.operators import graph as g
+
+    edges = spark.createDataFrame(
+        [(f"s{i}", "hub") for i in range(10)], "src string, dst string"
+    )
+    nodes = spark.createDataFrame(
+        [(f"s{i}",) for i in range(10)] + [("hub",)], "node string"
+    )
+    got = {r.node: r.pr_micro for r in g.pagerank(edges, nodes, iterations=2).collect()}
+    assert all(got["hub"] > got[f"s{i}"] for i in range(10))
