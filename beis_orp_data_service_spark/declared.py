@@ -4001,6 +4001,35 @@ def bloom_probe(spark, sf_dir):
 
 
 @declared(
+    "hll_registers",
+    """
+    WITH w AS (
+      SELECT unnest(str_split_regex(trim(text), '\\s+')) AS w FROM documents
+    ), h AS (
+      SELECT (('0x' || substr(md5(w), 1, 15))::BIGINT) AS h60 FROM w
+    )
+    SELECT h60 % 1024 AS bucket,
+           CAST(max(CASE WHEN h60 // 1024 = 0 THEN 51
+                         ELSE 51 - length(bin(h60 // 1024)) END) AS BIGINT)
+             AS max_rho
+    FROM h GROUP BY 1
+    """,
+)
+def hll_registers(spark, sf_dir):
+    # Training-data op — deterministic HLL cardinality-sketch registers
+    # over the corpus vocabulary: md5 hash (engine-independent), so the
+    # <=2^p-row register table is bit-identical in DuckDB and carries a
+    # hash-grade check unlike builtin approx_count_distinct (whose
+    # sketch is engine-private). Mergeable state: shards sketch
+    # independently, merge = per-bucket max (exactness pinned in tests).
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    return corpus_ops.hll_registers(words, "w", p=10)
+
+
+@declared(
     "canonical_docs",
     f"""
     WITH RECURSIVE {_DUP_CLUSTERS_CTE},

@@ -1385,3 +1385,72 @@ def bpe_tokenize(
         _count(F.col(text_col)).alias("n_tokens"),
         F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cardinality sketch — deterministic HLL-style registers
+# ---------------------------------------------------------------------------
+
+
+def hll_registers(df: DataFrame, value_col: str, p: int = 10) -> DataFrame:
+    """Distributed cardinality-sketch REGISTERS (Flajolet et al. 2007,
+    HyperLogLog), deterministic by construction: the hash is md5 (fixed,
+    engine-independent), so the register table — ``(bucket, max_rho)``,
+    at most 2^p rows whatever the input size — is bit-identical in any
+    engine and carries a HASH-grade oracle, unlike builtin
+    ``approx_count_distinct`` whose sketch is engine-private.
+
+    h = first 60 bits of md5(value); bucket = h mod 2^p; rho = leading
+    zeros of the remaining 60−p bits + 1; register = max(rho) per
+    bucket. One map-side-combined groupBy — the sketch is the classic
+    mergeable state (:func:`hll_merge` = per-bucket max), so shards
+    sketch independently and merge in O(2^p).
+
+    Use :func:`hll_estimate` for the scalar estimate (float math,
+    driver-side over ≤2^p rows).
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16]: {p}")
+    m = 1 << p
+    rest_bits = 60 - p
+    h60 = F.expr(
+        f"CAST(conv(substr(md5(CAST({value_col} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    )
+    out = df.select(
+        (h60 % m).alias("bucket"),
+        F.expr(
+            f"CAST(conv(substr(md5(CAST({value_col} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+            f" DIV {m}"
+        ).alias("_rest"),
+    ).select(
+        "bucket",
+        F.when(F.col("_rest") == 0, F.lit(rest_bits + 1))
+        .otherwise(F.lit(rest_bits + 1) - F.length(F.expr("bin(_rest)")))
+        .cast("bigint")
+        .alias("_rho"),
+    )
+    return out.groupBy("bucket").agg(F.max("_rho").alias("max_rho"))
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two register tables: per-bucket max — the sketch's
+    mergeable-state property (sketch shards independently, merge
+    losslessly: merge(R(A), R(B)) == R(A ∪ B) exactly)."""
+    return a.unionByName(b).groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 10) -> float:
+    """Scalar HLL estimate from a register table (driver-side over
+    ≤2^p rows — bounded by construction). Standard alpha_m bias
+    correction + linear counting for the small range."""
+    import math
+
+    m = 1 << p
+    rows = {r.bucket: r.max_rho for r in registers.collect()}
+    alpha = 0.7213 / (1 + 1.079 / m)
+    z = sum(2.0 ** -rows.get(j, 0) for j in range(m))
+    est = alpha * m * m / z
+    zeros = m - len(rows)
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)  # linear counting
+    return est

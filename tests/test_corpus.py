@@ -607,3 +607,61 @@ class TestBpeLearnMerges:
             F.sum(F.length(F.regexp_replace("text", r"\s+", ""))).alias("n")
         ).first()["n"]
         assert 0 < agg.t < nonspace <= agg.c
+
+
+class TestHllSketch:
+    def test_estimate_within_standard_error(self, spark):
+        """p=10 → relative error ≈ 1.04/√1024 ≈ 3.3%; assert within 3σ
+        on a 20k-distinct synthetic set."""
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        n = 20_000
+        df = spark.range(n).selectExpr("CAST(id AS STRING) AS v")
+        regs = co.hll_registers(df, "v", p=10)
+        est = co.hll_estimate(regs, p=10)
+        assert abs(est - n) / n < 0.10
+
+    def test_small_range_linear_counting(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        df = spark.range(100).selectExpr("CAST(id AS STRING) AS v")
+        est = co.hll_estimate(co.hll_registers(df, "v", p=10), p=10)
+        assert abs(est - 100) / 100 < 0.15
+
+    def test_merge_equals_union_sketch_exactly(self, spark):
+        """Mergeable-state property: merge(R(A), R(B)) == R(A ∪ B)
+        register-for-register (not approximately)."""
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        a = spark.range(0, 3000).selectExpr("CAST(id AS STRING) AS v")
+        b = spark.range(2000, 6000).selectExpr("CAST(id AS STRING) AS v")
+        merged = {
+            (r.bucket, r.max_rho)
+            for r in co.hll_merge(
+                co.hll_registers(a, "v"), co.hll_registers(b, "v")
+            ).collect()
+        }
+        direct = {
+            (r.bucket, r.max_rho)
+            for r in co.hll_registers(a.unionByName(b), "v").collect()
+        }
+        assert merged == direct
+
+    def test_duplicates_do_not_move_registers(self, spark):
+        # cardinality sketch: multiplicity is invisible
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        once = spark.range(500).selectExpr("CAST(id AS STRING) AS v")
+        thrice = once.unionByName(once).unionByName(once)
+        r1 = {(r.bucket, r.max_rho) for r in co.hll_registers(once, "v").collect()}
+        r3 = {(r.bucket, r.max_rho) for r in co.hll_registers(thrice, "v").collect()}
+        assert r1 == r3
+
+    def test_p_validation(self, spark):
+        import pytest as _pytest
+
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        df = spark.range(1).selectExpr("CAST(id AS STRING) AS v")
+        with _pytest.raises(ValueError):
+            co.hll_registers(df, "v", p=3)
