@@ -1398,7 +1398,9 @@ def hll_registers(df: DataFrame, value_col: str, p: int = 10) -> DataFrame:
     engine-independent), so the register table — ``(bucket, max_rho)``,
     at most 2^p rows whatever the input size — is bit-identical in any
     engine and carries a HASH-grade oracle, unlike builtin
-    ``approx_count_distinct`` whose sketch is engine-private.
+    ``approx_count_distinct`` whose sketch is engine-private. NULL
+    values are excluded before hashing (cardinality of NULL is
+    undefined; a NULL row would also break the 2^p row bound).
 
     h = first 60 bits of md5(value); bucket = h mod 2^p; rho = leading
     zeros of the remaining 60−p bits + 1; register = max(rho) per
@@ -1413,15 +1415,12 @@ def hll_registers(df: DataFrame, value_col: str, p: int = 10) -> DataFrame:
         raise ValueError(f"p must be in [4, 16]: {p}")
     m = 1 << p
     rest_bits = 60 - p
-    h60 = F.expr(
-        f"CAST(conv(substr(md5(CAST({value_col} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
+        md5_int60(F.col(value_col).cast("string")).alias("_h")
     )
-    out = df.select(
-        (h60 % m).alias("bucket"),
-        F.expr(
-            f"CAST(conv(substr(md5(CAST({value_col} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
-            f" DIV {m}"
-        ).alias("_rest"),
+    out = hashed.select(
+        (F.col("_h") % m).alias("bucket"),
+        F.expr(f"_h DIV {m}").alias("_rest"),
     ).select(
         "bucket",
         F.when(F.col("_rest") == 0, F.lit(rest_bits + 1))
@@ -1435,18 +1434,29 @@ def hll_registers(df: DataFrame, value_col: str, p: int = 10) -> DataFrame:
 def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Union two register tables: per-bucket max — the sketch's
     mergeable-state property (sketch shards independently, merge
-    losslessly: merge(R(A), R(B)) == R(A ∪ B) exactly)."""
+    losslessly: merge(R(A), R(B)) == R(A ∪ B) exactly). PRECONDITION:
+    both sketches were built with the SAME ``p`` — bucket ids from
+    different p spaces are incommensurable and merge to garbage (the
+    mismatch surfaces in :func:`hll_estimate`'s bucket-bound check)."""
     return a.unionByName(b).groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
 
 
 def hll_estimate(registers: DataFrame, p: int = 10) -> float:
     """Scalar HLL estimate from a register table (driver-side over
     ≤2^p rows — bounded by construction). Standard alpha_m bias
-    correction + linear counting for the small range."""
+    correction + linear counting for the small range. ``p`` MUST match
+    the value the registers were built with — a sketch with buckets
+    outside [0, 2^p) is rejected rather than silently mis-estimated."""
     import math
 
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16]: {p}")
     m = 1 << p
     rows = {r.bucket: r.max_rho for r in registers.collect()}
+    if rows and not all(0 <= b < m for b in rows):
+        raise ValueError(
+            f"register buckets outside [0, {m}) — sketch built with a different p?"
+        )
     alpha = 0.7213 / (1 + 1.079 / m)
     z = sum(2.0 ** -rows.get(j, 0) for j in range(m))
     est = alpha * m * m / z

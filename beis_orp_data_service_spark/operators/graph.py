@@ -125,6 +125,7 @@ def pagerank(
     iterations: int = 3,
     damping_milli: int = 850,
     scale: int = 1_000_000,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Integer-exact PageRank, fixed iteration count (Page et al. 1999;
     the related-document/citation ranking a regulatory graph store
@@ -142,27 +143,43 @@ def pagerank(
     Scale shape: ``iterations`` shuffles over the edge list — the same
     per-round cost class as :func:`reachability`; no driver-side data,
     no lineage growth (the rank table is tiny relative to edges and is
-    localCheckpointed per round). Fixed iterations rather than a
-    convergence test keeps the oracle replayable; callers wanting
-    convergence can loop externally on the returned frame.
+    localCheckpointed per round). The degree-annotated edge list and
+    the node list are checkpointed ONCE before the loop — a
+    localCheckpoint boundary per iteration would otherwise recompute
+    the degree groupBy and the node derivation every round (exchange
+    reuse cannot span checkpointed plans). Fixed iterations rather than
+    a convergence test keeps the oracle replayable; pass ``init``
+    (a previous ``(node, pr_micro)`` result) to continue iterating
+    toward convergence instead of restarting from uniform ranks.
 
     Returns ``(node, pr_micro)``.
     """
-    deg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
+    # one edge scan per round: degrees pre-joined onto the edges
+    edges_deg = (
+        edges.join(
+            edges.groupBy("src").agg(F.count("*").alias("_deg")), "src"
+        )
+        .select("src", "dst", "_deg")
+        .localCheckpoint(eager=False)
+    )
+    nodes_c = nodes.select("node").localCheckpoint(eager=False)
     base = (1000 - damping_milli) * scale // 1000
-    pr = nodes.select(
-        F.col("node"), F.lit(scale).cast("bigint").alias("pr_micro")
-    ).localCheckpoint(eager=False)
+    if init is not None:
+        pr = init.select("node", F.col("pr_micro").cast("bigint"))
+    else:
+        pr = nodes_c.select(
+            F.col("node"), F.lit(scale).cast("bigint").alias("pr_micro")
+        )
+    pr = pr.localCheckpoint(eager=False)
     for _ in range(iterations):
         contrib = (
-            edges.join(pr, edges.src == pr.node)
-            .join(deg, "src")
+            edges_deg.join(pr, edges_deg.src == pr.node)
             .select(F.col("dst").alias("node"), F.expr("pr_micro DIV _deg").alias("_c"))
             .groupBy("node")
             .agg(F.sum("_c").alias("_inc"))
         )
         pr = (
-            nodes.join(contrib, "node", "left")
+            nodes_c.join(contrib, "node", "left")
             .select(
                 "node",
                 (

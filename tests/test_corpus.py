@@ -665,3 +665,21 @@ class TestHllSketch:
         df = spark.range(1).selectExpr("CAST(id AS STRING) AS v")
         with _pytest.raises(ValueError):
             co.hll_registers(df, "v", p=3)
+
+    def test_estimate_rejects_p_mismatch(self, spark):
+        import pytest as _pytest
+
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        regs = co.hll_registers(
+            spark.range(5000).selectExpr("CAST(id AS STRING) AS v"), "v", p=12
+        )
+        with _pytest.raises(ValueError):
+            co.hll_estimate(regs, p=10)  # buckets beyond 2^10 -> typed error
+
+    def test_nulls_excluded_from_registers(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        df = spark.createDataFrame([("a",), (None,), ("b",)], "v string")
+        regs = co.hll_registers(df, "v").collect()
+        assert all(r.bucket is not None and r.max_rho is not None for r in regs)

@@ -185,3 +185,22 @@ def test_pagerank_sink_accumulates_most_mass(spark):
     )
     got = {r.node: r.pr_micro for r in g.pagerank(edges, nodes, iterations=2).collect()}
     assert all(got["hub"] > got[f"s{i}"] for i in range(10))
+
+
+def test_pagerank_init_seeding_continues_iteration(spark):
+    # running 1 iteration twice (seeding the second from the first's
+    # output) must equal 2 straight iterations — the recurrence is
+    # Markovian, which is what makes external convergence loops valid
+    from beis_orp_data_service_spark.operators import graph as g
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")], "src string, dst string"
+    )
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "node string")
+    two = {r.node: r.pr_micro for r in g.pagerank(edges, nodes, iterations=2).collect()}
+    one = g.pagerank(edges, nodes, iterations=1)
+    resumed = {
+        r.node: r.pr_micro
+        for r in g.pagerank(edges, nodes, iterations=1, init=one).collect()
+    }
+    assert resumed == two
