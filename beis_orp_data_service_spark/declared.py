@@ -4274,6 +4274,93 @@ def q_pagerank(spark, sf_dir):
     return graph_ops.pagerank(edges, nodes, iterations=3)
 
 
+@declared(
+    "q_ppr",
+    """
+    WITH e AS (
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+             'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+      UNION ALL
+      SELECT 's' || CAST(s_suppkey AS VARCHAR),
+             'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+      UNION ALL
+      SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+             'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+    ), v AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+    ), deg AS (
+      SELECT src, count(*) AS d FROM e GROUP BY src
+    ), s AS (
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node
+      FROM customer WHERE c_custkey % 100 = 0
+    ), b AS (
+      SELECT v.node,
+             CAST(CASE WHEN s.node IS NOT NULL THEN 150000 ELSE 0 END AS BIGINT)
+               AS base,
+             CAST(CASE WHEN s.node IS NOT NULL THEN 1000000 ELSE 0 END AS BIGINT)
+               AS pr0
+      FROM v LEFT JOIN s ON v.node = s.node
+    ), pr1 AS (
+      SELECT b.node, b.base, CAST(b.base + (850 * coalesce(x.inc, 0)) // 1000 AS BIGINT) AS pr
+      FROM b LEFT JOIN (
+        SELECT e.dst AS node, sum(p.pr0 // dg.d) AS inc
+        FROM e JOIN b p ON p.node = e.src JOIN deg dg ON dg.src = e.src
+        GROUP BY e.dst) x USING (node)
+    ), pr2 AS (
+      SELECT p1.node, p1.base, CAST(p1.base + (850 * coalesce(x.inc, 0)) // 1000 AS BIGINT) AS pr
+      FROM pr1 p1 LEFT JOIN (
+        SELECT e.dst AS node, sum(p.pr // dg.d) AS inc
+        FROM e JOIN pr1 p ON p.node = e.src JOIN deg dg ON dg.src = e.src
+        GROUP BY e.dst) x USING (node)
+    ), pr3 AS (
+      SELECT p2.node, CAST(p2.base + (850 * coalesce(x.inc, 0)) // 1000 AS BIGINT) AS pr
+      FROM pr2 p2 LEFT JOIN (
+        SELECT e.dst AS node, sum(p.pr // dg.d) AS inc
+        FROM e JOIN pr2 p ON p.node = e.src JOIN deg dg ON dg.src = e.src
+        GROUP BY e.dst) x USING (node)
+    )
+    SELECT node, pr AS pr_micro FROM pr3
+    """,
+)
+def q_ppr(spark, sf_dir):
+    # Personalized PageRank from the q_reach source customers: teleport
+    # mass restricted to the source set, so ranks measure proximity to
+    # those customers (the related-nodes primitive behind Q14-style
+    # views). Same integer arithmetic and CTE-unrolled oracle as
+    # q_pagerank; source membership is a broadcast left join.
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    edges = (
+        cust.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+        )
+        .unionByName(
+            supp.select(
+                F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+                F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+            )
+        )
+        .unionByName(
+            nat.select(
+                F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+                F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+            )
+        )
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sources = cust.filter(F.col("c_custkey") % 100 == 0).select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    return graph_ops.pagerank(edges, nodes, iterations=3, sources=sources)
+
+
 _DTI_MAP_CSV = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     "resources",

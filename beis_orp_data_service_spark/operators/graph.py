@@ -126,6 +126,7 @@ def pagerank(
     damping_milli: int = 850,
     scale: int = 1_000_000,
     init: DataFrame | None = None,
+    sources: DataFrame | None = None,
 ) -> DataFrame:
     """Integer-exact PageRank, fixed iteration count (Page et al. 1999;
     the related-document/citation ranking a regulatory graph store
@@ -152,6 +153,14 @@ def pagerank(
     (a previous ``(node, pr_micro)`` result) to continue iterating
     toward convergence instead of restarting from uniform ranks.
 
+    ``sources`` switches to PERSONALIZED PageRank (Haveliwala 2002 —
+    the related-document ranking primitive the reference's Q14 grouped
+    related-docs view approximates): the teleport mass lands only on
+    the source set (base term zero elsewhere) and the initial rank is
+    concentrated there, so ranks measure proximity TO the sources, not
+    global centrality. Same integer arithmetic, same oracle story; the
+    source set is broadcast (a query-sized dimension).
+
     Returns ``(node, pr_micro)``.
     """
     # one edge scan per round: degrees pre-joined onto the edges
@@ -162,14 +171,33 @@ def pagerank(
         .select("src", "dst", "_deg")
         .localCheckpoint(eager=False)
     )
-    nodes_c = nodes.select("node").localCheckpoint(eager=False)
     base = (1000 - damping_milli) * scale // 1000
+    if sources is None:
+        nodes_c = nodes.select(
+            "node", F.lit(base).cast("bigint").alias("_base"),
+            F.lit(scale).cast("bigint").alias("_init"),
+        ).localCheckpoint(eager=False)
+    else:
+        src = sources.select("node", F.lit(1).alias("_is_src"))
+        nodes_c = (
+            nodes.join(F.broadcast(src), "node", "left")
+            .select(
+                "node",
+                F.when(F.col("_is_src") == 1, F.lit(base))
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("_base"),
+                F.when(F.col("_is_src") == 1, F.lit(scale))
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("_init"),
+            )
+            .localCheckpoint(eager=False)
+        )
     if init is not None:
         pr = init.select("node", F.col("pr_micro").cast("bigint"))
     else:
-        pr = nodes_c.select(
-            F.col("node"), F.lit(scale).cast("bigint").alias("pr_micro")
-        )
+        pr = nodes_c.select(F.col("node"), F.col("_init").alias("pr_micro"))
     pr = pr.localCheckpoint(eager=False)
     for _ in range(iterations):
         contrib = (
@@ -183,7 +211,7 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(base).cast("bigint")
+                    F.col("_base")
                     + F.expr(
                         f"{damping_milli} * coalesce(_inc, CAST(0 AS BIGINT)) DIV 1000"
                     )

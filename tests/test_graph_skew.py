@@ -204,3 +204,25 @@ def test_pagerank_init_seeding_continues_iteration(spark):
         for r in g.pagerank(edges, nodes, iterations=1, init=one).collect()
     }
     assert resumed == two
+
+
+def test_personalized_pagerank_mass_stays_near_sources(spark):
+    """PPR from {a}: nodes reachable from a get rank; an isolated
+    component gets exactly zero (no teleport mass lands there)."""
+    from beis_orp_data_service_spark.operators import graph as g
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in "abcxy"], "node string"
+    )
+    sources = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r.node: r.pr_micro
+        for r in g.pagerank(edges, nodes, iterations=3, sources=sources).collect()
+    }
+    assert got["a"] == 150_000          # teleport mass only at the source
+    assert got["b"] > 0 and got["c"] > 0
+    assert got["x"] == 0 and got["y"] == 0  # unreachable component: zero
+    assert got["b"] > got["c"]          # closer to the source ranks higher
