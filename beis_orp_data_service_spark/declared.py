@@ -4528,6 +4528,40 @@ def dti_web_rank(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Relevance ranking (engine extension: free-text scoring over the corpus;
+# operators/ranking.py — integer-rational BM25, per-term micro idf)
+# ---------------------------------------------------------------------------
+
+from beis_orp_data_service_spark.operators import ranking as rank_ops
+
+_BM25_TERMS = ["spark", "window", "merge", "vector"]
+
+
+@declared(
+    "bm25_topk",
+    rank_ops.bm25_topk_oracle_sql("documents", "doc_id", "text", _BM25_TERMS, k=10),
+)
+def bm25_topk(spark, sf_dir):
+    # Okapi BM25 top-10 for a 4-term query: explode->prune-to-query-
+    # vocabulary before any shuffle, single-row stats broadcast, per-term
+    # micro-integer idf, exact int64 rational tf saturation, and a
+    # TakeOrderedAndProject finish (never a global sort).
+    docs = _t(spark, sf_dir, "documents")
+    return rank_ops.bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=10)
+
+
+@declared(
+    "tfidf_vectors",
+    rank_ops.tfidf_vectors_oracle_sql("documents", "doc_id", "text", min_df=2),
+)
+def tfidf_vectors(spark, sf_dir):
+    # Exploded (doc, term, tf, tfidf_micro) feature table; hapax terms
+    # pruned map-side (min_df=2) before the dfreq join.
+    docs = _t(spark, sf_dir, "documents")
+    return rank_ops.tfidf_vectors(docs, "doc_id", "text", min_df=2)
+
+
+# ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,282 @@
+"""Full-text relevance ranking — BM25 and TF-IDF scoring over a
+document corpus, as single declarative Spark plans.
+
+Engine extension beyond the reference surface: the reference's search
+API (see `search` / SURVEY §2 Q1-Q11) filters and sorts by metadata
+only; a production corpus service also needs *relevance* ranking for
+free-text queries, and an LLM-data pipeline uses the same scoring for
+query-based corpus selection (e.g. retrieval-weighted sampling).
+
+Determinism design (what makes this hash-oracle-checkable):
+- Okapi BM25's term-frequency saturation is a RATIONAL function of
+  integers once k1 and b are expressed in percent: with k1 = k1_pct/100
+  and b = b_pct/100 and avgdl = sumdl/N,
+
+      tf_part = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+  multiplying numerator and denominator by 100*100*sumdl clears every
+  fraction:
+
+      num = tf * (100+k1_pct) * 100 * sumdl
+      den = tf*10000*sumdl + k1_pct*(100-b_pct)*sumdl + k1_pct*b_pct*dl*N
+
+  both exact int64, so `idf_micro * num DIV den` is bit-identical in
+  any engine. The only transcendental is ln() inside idf, quantized
+  once per TERM to an integer micro value (same cross-engine 1-ulp
+  assumption as dsir_weights — documented there; measure-zero risk).
+- OVERFLOW PRECONDITION (documented, like the quantized-cosine 2^53
+  headroom in similarity.py): idf_micro*num < 2^63 requires roughly
+  tf * sumdl < 2·10^9 * ln(N). Holds through ~10^8 total corpus tokens;
+  beyond that use score_mode="float" (production scale: double-math
+  scoring is fine when you are not hash-comparing engines).
+
+Scale notes (100 TB):
+- Tokens are exploded then IMMEDIATELY filtered to the (tiny) query
+  vocabulary, so only rows containing a query term ever reach a
+  shuffle; the corpus-wide stats (N, sumdl) are one map-side-combined
+  aggregate producing a single row that broadcasts.
+- Per-term document frequencies are a groupBy over the already-pruned
+  (doc, term) pairs — at most |docs|×|terms| rows.
+- The final ranking is orderBy+limit → TakeOrderedAndProject (per
+  partition top-k, then k·partitions rows to one reducer), never a
+  global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = "\\s+"
+
+
+def _tokens(text_col) -> F.Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT), lambda t: t != "")
+
+
+def doc_lengths(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, dl): whitespace-token count per document. No shuffle."""
+    return df.select(F.col(id_col), F.size(_tokens(text_col)).alias("dl"))
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1_pct: int = 120,
+    b_pct: int = 75,
+    score_mode: str = "int",
+) -> DataFrame:
+    """Okapi BM25 top-k (Robertson & Zaragoza 2009) as one declarative
+    plan. Returns (id, score, n_terms_hit) — `score` is the summed
+    per-term BM25 contribution, as an exact integer micro value
+    (score_mode="int", hash-oracle-checkable; see module docstring for
+    the derivation and the int64 headroom precondition) or a double
+    (score_mode="float", unbounded scale). idf uses the Lucene-style
+    non-negative form ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Ordering: score desc, id asc (unique tiebreak, stable pagination).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if score_mode not in ("int", "float"):
+        raise ValueError(f"score_mode must be 'int' or 'float': {score_mode}")
+
+    toks = df.select(
+        F.col(id_col).alias("_id"), _tokens(text_col).alias("_toks")
+    ).select("_id", F.size("_toks").alias("dl"), F.col("_toks"))
+
+    # Corpus stats: one map-side-combined aggregate -> a single row that
+    # Spark broadcasts into the nested-loop join below (1 row x N rows
+    # is a broadcast, not a shuffle).
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sumdl")
+    )
+
+    # Explode then prune to the query vocabulary BEFORE any shuffle:
+    # only (doc, query-term) occurrences survive the map side.
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    hits = (
+        toks.select("_id", "dl", F.explode("_toks").alias("term"))
+        .where(F.col("term").isin(query_terms))
+        .groupBy("_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+    # Per-term document frequency over the pruned pairs (<= |docs|x|terms|
+    # rows), then idf quantized once per term to micro integers.
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    dfreq = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+                / (F.col("df_t") + F.lit(0.5))
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("idf_micro"),
+    )
+
+    scored = hits.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    if score_mode == "int":
+        num = (
+            F.col("tf")
+            * F.lit(100 + k1_pct)
+            * F.lit(100)
+            * F.col("sumdl")
+        )
+        den = (
+            F.col("tf") * F.lit(10_000) * F.col("sumdl")
+            + F.lit(k1_pct * (100 - b_pct)) * F.col("sumdl")
+            + F.lit(k1_pct * b_pct) * F.col("dl") * F.col("n_docs")
+        )
+        # DIV needs SQL-expr form; alias the two exact int64 operands
+        # first so the expression stays readable.
+        scored = scored.select(
+            "_id",
+            "term",
+            (F.col("idf_micro") * num).alias("_n"),
+            den.alias("_d"),
+        ).select("_id", "term", F.expr("_n DIV _d").alias("term_score"))
+    else:
+        k1 = k1_pct / 100.0
+        b = b_pct / 100.0
+        avgdl = F.col("sumdl") / F.col("n_docs")
+        tf = F.col("tf").cast("double")
+        scored = scored.select(
+            "_id",
+            "term",
+            (
+                F.col("idf_micro").cast("double")
+                / 1_000_000.0
+                * (tf * (k1 + 1.0))
+                / (tf + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+            ).alias("term_score"),
+        )
+
+    out = scored.groupBy("_id").agg(
+        F.sum("term_score").alias("score"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    return (
+        out.select(F.col("_id").alias(id_col), "score", "n_terms_hit")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def bm25_topk_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1_pct: int = 120,
+    b_pct: int = 75,
+) -> str:
+    """DuckDB twin of bm25_topk(score_mode='int'): identical integer
+    rational arithmetic; ln() carries the same cross-engine 1-ulp
+    assumption as dsir_weights."""
+    terms_sql = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS _id,
+             list_filter(string_split_regex(lower({text_col}), '{TOKEN_SPLIT}'),
+                         t -> t <> '') AS _toks
+      FROM {table}
+    ), dl AS (
+      SELECT _id, len(_toks) AS dl, _toks FROM toks
+    ), stats AS (
+      SELECT count(*) AS n_docs, sum(dl) AS sumdl FROM dl
+    ), hits AS (
+      SELECT _id, dl, term, count(*) AS tf
+      FROM (SELECT _id, dl, unnest(_toks) AS term FROM dl)
+      WHERE term IN ({terms_sql})
+      GROUP BY _id, dl, term
+    ), dfreq AS (
+      SELECT term,
+             CAST(round(ln(1.0 + (s.n_docs - count(*) + 0.5)
+                               / (count(*) + 0.5)) * 1000000) AS BIGINT)
+               AS idf_micro
+      FROM hits, stats s GROUP BY term, s.n_docs
+    ), scored AS (
+      SELECT h._id,
+             (d.idf_micro * (h.tf * {100 + k1_pct} * 100 * s.sumdl))
+             // (h.tf * 10000 * s.sumdl
+                 + {k1_pct * (100 - b_pct)} * s.sumdl
+                 + {k1_pct * b_pct} * h.dl * s.n_docs) AS term_score
+      FROM hits h JOIN dfreq d USING (term), stats s
+    )
+    SELECT _id AS {id_col}, CAST(sum(term_score) AS BIGINT) AS score,
+           count(*) AS n_terms_hit
+    FROM scored GROUP BY _id
+    ORDER BY score DESC, {id_col} ASC LIMIT {k}
+    """
+
+
+def tfidf_vectors(
+    df: DataFrame, id_col: str, text_col: str, min_df: int = 1
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF micro weights — the classic retrieval /
+    feature-extraction table, exploded form (one row per doc-term).
+    tfidf_micro = tf * round(ln(N / df_t) * 1e6); integer-exact given
+    the same per-term ln quantization as bm25_topk. min_df prunes the
+    long hapax tail BEFORE the join (at corpus scale most terms appear
+    once; dropping them map-side shrinks the dfreq join input).
+    """
+    toks = df.select(F.col(id_col).alias("_id"), _tokens(text_col).alias("_toks"))
+    pairs = (
+        toks.select("_id", F.explode("_toks").alias("term"))
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = toks.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = (
+        pairs.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+        .where(F.col("df_t") >= min_df)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.round(F.log(F.col("n_docs") / F.col("df_t")) * 1_000_000)
+            .cast("bigint")
+            .alias("idf_micro"),
+        )
+    )
+    return pairs.join(dfreq, "term").select(
+        F.col("_id").alias(id_col),
+        "term",
+        "tf",
+        (F.col("tf") * F.col("idf_micro")).alias("tfidf_micro"),
+    )
+
+
+def tfidf_vectors_oracle_sql(
+    table: str, id_col: str, text_col: str, min_df: int = 1
+) -> str:
+    return f"""
+    WITH pairs AS (
+      SELECT {id_col} AS _id, term, count(*) AS tf
+      FROM (
+        SELECT {id_col}, unnest(list_filter(
+          string_split_regex(lower({text_col}), '{TOKEN_SPLIT}'),
+          t -> t <> '')) AS term
+        FROM {table})
+      GROUP BY _id, term
+    ), n AS (SELECT count(*) AS n_docs FROM {table}
+    ), dfreq AS (
+      SELECT term, CAST(round(ln(CAST(n.n_docs AS DOUBLE) / count(*))
+                              * 1000000) AS BIGINT) AS idf_micro
+      FROM pairs, n GROUP BY term, n.n_docs
+      HAVING count(*) >= {min_df}
+    )
+    SELECT p._id AS {id_col}, p.term, p.tf,
+           p.tf * d.idf_micro AS tfidf_micro
+    FROM pairs p JOIN dfreq d USING (term)
+    """

@@ -49,6 +49,8 @@ ALLOW_BNLJ = {
     "ann_topk",      # broadcast query vectors (10), != self predicate
     "lo_join",       # broadcast legislation dim, theta title-match
     "q_tpch11",      # 1-row scalar-aggregate subquery (HAVING threshold)
+    "bm25_topk",     # 1-row corpus-stats aggregate crossJoined (broadcast)
+    "tfidf_vectors", # 1-row n_docs aggregate crossJoined (broadcast)
     "q_tpch22",      # 1-row scalar-aggregate subquery (avg balance)
     "dsir_weights",  # 1-row normalization-constant subquery
 }

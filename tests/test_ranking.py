@@ -1,0 +1,112 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from beis_orp_data_service_spark.operators import ranking as rk
+
+from tests.conftest import SF_SMOKE
+
+
+def _py_bm25(corpus, terms, k1=1.2, b=0.75):
+    """Pure-Python BM25 twin (float math, Lucene idf) for ranking-order
+    ground truth."""
+    toks = {i: t.lower().split() for i, t in corpus.items()}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    scores = {}
+    for term in terms:
+        df_t = sum(1 for v in toks.values() if term in v)
+        if df_t == 0:
+            continue
+        idf = round(math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5)) * 1e6) / 1e6
+        for i, v in toks.items():
+            tf = v.count(term)
+            if tf == 0:
+                continue
+            s = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+            scores[i] = scores.get(i, 0.0) + s
+    return sorted(scores, key=lambda i: (-scores[i], i))
+
+
+CORPUS = {
+    1: "red fox jumps over the lazy dog",
+    2: "red red red herring",
+    3: "the quick brown fox",
+    4: "dog dog dog dog dog dog dog dog dog dog",
+    5: "a completely unrelated document about spark",
+}
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in CORPUS.items()], "doc_id bigint, text string"
+    )
+
+
+def test_bm25_matches_pure_python_ranking(spark):
+    got = rk.bm25_topk(_df(spark), "doc_id", "text", ["red", "dog"], k=5)
+    ids = [r.doc_id for r in got.collect()]
+    assert ids == _py_bm25(CORPUS, ["red", "dog"])
+
+
+def test_bm25_tf_saturation_beats_raw_counts(spark):
+    # term-frequency saturation: doc 1 matches BOTH terms once; doc 4 is
+    # ten repetitions of 'dog'. Raw tf-sum would rank doc 4 (10) over
+    # doc 1 (2); BM25's saturated tf plus length norm must not.
+    got = rk.bm25_topk(_df(spark), "doc_id", "text", ["red", "dog"], k=5)
+    rows = {r.doc_id: r for r in got.collect()}
+    assert rows[1].score > rows[4].score
+    assert rows[1].n_terms_hit == 2 and rows[4].n_terms_hit == 1
+
+
+def test_bm25_int_and_float_modes_agree_on_order(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    terms = ["spark", "window", "merge", "vector"]
+    ids_int = [
+        r.doc_id
+        for r in rk.bm25_topk(docs, "doc_id", "text", terms, k=15).collect()
+    ]
+    ids_float = [
+        r.doc_id
+        for r in rk.bm25_topk(
+            docs, "doc_id", "text", terms, k=15, score_mode="float"
+        ).collect()
+    ]
+    assert ids_int == ids_float
+
+
+def test_bm25_empty_query_rejected(spark):
+    with pytest.raises(ValueError):
+        rk.bm25_topk(_df(spark), "doc_id", "text", [])
+    with pytest.raises(ValueError):
+        rk.bm25_topk(_df(spark), "doc_id", "text", ["x"], score_mode="exact")
+
+
+def test_bm25_plan_topk_and_broadcast(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = (
+        rk.bm25_topk(docs, "doc_id", "text", ["spark", "merge"], k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # top-k finish, broadcast stats/dfreq, and no cartesian anywhere.
+    assert "TakeOrderedAndProject" in plan
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_min_df_prunes_hapax(spark):
+    out = rk.tfidf_vectors(_df(spark), "doc_id", "text", min_df=2).collect()
+    terms = {r.term for r in out}
+    # 'herring' and 'spark' are hapax in this corpus -> pruned
+    assert "herring" not in terms and "spark" not in terms
+    assert {"red", "dog", "fox", "the"} <= terms
+    # idf weighting: tf * idf_micro consistency for a known cell
+    by = {(r.doc_id, r.term): r for r in out}
+    cell = by[(2, "red")]
+    assert cell.tf == 3
+    idf_red = round(math.log(len(CORPUS) / 2) * 1e6)
+    assert cell.tfidf_micro == 3 * idf_red
