@@ -4528,6 +4528,35 @@ def dti_web_rank(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Graph analytics (engine extension): triangle counting over the
+# sequential co-activity graph — operators/graph.py
+# ---------------------------------------------------------------------------
+
+_TRI_EDGES_CTE = """
+      SELECT DISTINCT least(_u, _v) AS a, greatest(_u, _v) AS b FROM (
+        SELECT user_id AS _u,
+               lead(user_id) OVER (PARTITION BY event_type
+                                   ORDER BY event_id) AS _v
+        FROM events)
+      WHERE _v IS NOT NULL AND _u <> _v
+"""
+
+
+@declared("q_triangles", graph_ops.triangle_counts_oracle_sql(_TRI_EDGES_CTE))
+def q_triangles(spark, sf_dir):
+    # Per-node triangle counts (triadic closure) over the sequential
+    # co-activity graph: lag-window edges (linear in events — never a
+    # same-bucket co-occurrence clique), then degree-ordered
+    # orientation so the wedge join survives hub skew (out-degree
+    # capped ~sqrt(m) whatever the power law).
+    events = _t(spark, sf_dir, "events")
+    edges = graph_ops.sequential_edges(
+        events, "event_type", ["event_id"], "user_id"
+    )
+    return graph_ops.triangle_counts(edges)
+
+
+# ---------------------------------------------------------------------------
 # Relevance ranking (engine extension: free-text scoring over the corpus;
 # operators/ranking.py — integer-rational BM25, per-term micro idf)
 # ---------------------------------------------------------------------------

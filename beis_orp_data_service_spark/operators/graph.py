@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def unpivot_eav(df: DataFrame, id_col: str, attrs: list[str]) -> DataFrame:
@@ -220,3 +221,125 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return pr
+
+
+def sequential_edges(
+    events: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    node_col: str,
+) -> DataFrame:
+    """Sequential co-activity edge builder: an undirected edge between
+    the actors of CONSECUTIVE events within each ``part_col`` stream
+    (who acted right after whom, per event type / channel / thread).
+    The standard interaction-graph construction that stays LINEAR in
+    the event count — unlike same-bucket co-occurrence cliques, whose
+    C(bucket,2) pair blow-up is quadratic in bucket size and unusable
+    at 100 TB.
+
+    One window shuffle (partition by stream, order by ``order_cols`` —
+    pass a unique tiebreak, e.g. [ts, event_id], so the sequence is
+    deterministic), then normalize to (a, b) with a < b, drop self
+    loops, distinct. Returns the undirected edge set (a, b).
+    """
+    w = Window.partitionBy(part_col).orderBy(*[F.col(c) for c in order_cols])
+    nxt = events.select(
+        F.col(node_col).alias("_u"),
+        F.lag(node_col, -1).over(w).alias("_v"),
+    ).where(F.col("_v").isNotNull() & (F.col("_u") != F.col("_v")))
+    return nxt.select(
+        F.least("_u", "_v").alias("a"), F.greatest("_u", "_v").alias("b")
+    ).distinct()
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation
+    (Ortmann & Brandes 2014; the compact-forward / Latapy 2008 family —
+    the MapReduce formulation is Suri & Vassilvitskii 2011, WWW).
+
+    Input: undirected distinct edges (a, b) with a < b, no self loops.
+    Each edge is oriented from its (degree, id)-smaller endpoint to the
+    larger, so every out-neighborhood has size O(sqrt(m)) regardless of
+    hub skew — THE property that makes the wedge join survive
+    power-law graphs at scale (a raw neighbor self-join on an
+    unoriented hub of degree d generates d^2 wedges; orientation caps
+    it at 2m wedges total... bounded by a_m = arboricity-ish sqrt(m)).
+    Every triangle is generated exactly once, at its smallest-(deg,id)
+    apex.
+
+    Three equi-join shuffles: degree groupBy, wedge self-join on the
+    apex, closure semi-join on the wedge's (x, y) pair; then one
+    explode + map-side-combined count. Returns (node, n_triangles) for
+    nodes in >= 1 triangle.
+    """
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("deg", "da")
+        .join(deg.withColumnRenamed("node", "b"), "b")
+        .withColumnRenamed("deg", "db")
+    )
+    lt = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lt, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1 = oriented.select(
+        F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx")
+    )
+    o2 = oriented.select(
+        F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy")
+    )
+    wedges = o1.join(o2, "u").where(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"], "leftsemi").select("u", "x", "y")
+    return (
+        tri.select(F.explode(F.array("u", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def triangle_counts_oracle_sql(edges_cte: str) -> str:
+    """DuckDB twin: same orientation, wedge join, closure semi-join.
+    ``edges_cte`` must be a SELECT yielding (a, b) distinct undirected
+    edges with a < b."""
+    return f"""
+    WITH edges AS ({edges_cte}
+    ), deg AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+      GROUP BY node
+    ), oriented AS (
+      SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS u,
+             CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS v,
+             CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e.a < e.b)
+                  THEN db.deg ELSE da.deg END AS dv
+      FROM edges e
+      JOIN deg da ON da.node = e.a
+      JOIN deg db ON db.node = e.b
+    ), tri AS (
+      SELECT o1.u, o1.v AS x, o2.v AS y
+      FROM oriented o1 JOIN oriented o2 ON o1.u = o2.u
+      WHERE ((o1.dv < o2.dv) OR (o1.dv = o2.dv AND o1.v < o2.v))
+        AND EXISTS (SELECT 1 FROM oriented c WHERE c.u = o1.v AND c.v = o2.v)
+    )
+    SELECT node, count(*) AS n_triangles FROM (
+      SELECT u AS node FROM tri
+      UNION ALL SELECT x FROM tri
+      UNION ALL SELECT y FROM tri)
+    GROUP BY node
+    """

@@ -226,3 +226,82 @@ def test_personalized_pagerank_mass_stays_near_sources(spark):
     assert got["b"] > 0 and got["c"] > 0
     assert got["x"] == 0 and got["y"] == 0  # unreachable component: zero
     assert got["b"] > got["c"]          # closer to the source ranks higher
+
+
+class TestTriangles:
+    def _tri(self, spark, pairs):
+        from beis_orp_data_service_spark.operators.graph import triangle_counts
+
+        edges = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in pairs], "a bigint, b bigint"
+        ).distinct()
+        return {
+            r.node: r.n_triangles for r in triangle_counts(edges).collect()
+        }
+
+    def test_single_triangle(self, spark):
+        assert self._tri(spark, [(1, 2), (2, 3), (1, 3)]) == {1: 1, 2: 1, 3: 1}
+
+    def test_k4_every_node_in_three(self, spark):
+        # K4 has 4 triangles; each node participates in C(3,2)=3
+        k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        assert self._tri(spark, k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_path_has_no_triangles(self, spark):
+        assert self._tri(spark, [(1, 2), (2, 3), (3, 4)]) == {}
+
+    def test_matches_bruteforce_on_random_graph(self, spark):
+        import itertools
+
+        # deterministic pseudo-random graph (no RNG: hash arithmetic)
+        nodes = list(range(30))
+        pairs = [
+            (a, b)
+            for a, b in itertools.combinations(nodes, 2)
+            if (a * 48271 + b * 11) % 7 < 2
+        ]
+        adj = {n: set() for n in nodes}
+        for a, b in pairs:
+            adj[a].add(b)
+            adj[b].add(a)
+        want = {}
+        for a, b, c in itertools.combinations(nodes, 3):
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                for n in (a, b, c):
+                    want[n] = want.get(n, 0) + 1
+        assert self._tri(spark, pairs) == want
+
+    def test_sequential_edges_linear_and_normalized(self, spark):
+        from beis_orp_data_service_spark.operators.graph import sequential_edges
+
+        events = spark.createDataFrame(
+            [(i, "t", [5, 9, 5, 7, 9][i]) for i in range(5)],
+            "event_id bigint, event_type string, user_id bigint",
+        )
+        got = {
+            (r.a, r.b)
+            for r in sequential_edges(
+                events, "event_type", ["event_id"], "user_id"
+            ).collect()
+        }
+        # consecutive actors: (5,9),(9,5),(5,7),(7,9) -> normalized distinct
+        assert got == {(5, 9), (5, 7), (7, 9)}
+
+    def test_no_cartesian_in_plan(self, spark):
+        from beis_orp_data_service_spark.operators.graph import (
+            sequential_edges,
+            triangle_counts,
+        )
+        from beis_orp_data_service_spark.catalog import load_table
+        from tests.conftest import SF_SMOKE
+
+        events = load_table(spark, SF_SMOKE, "events")
+        edges = sequential_edges(events, "event_type", ["event_id"], "user_id")
+        plan = (
+            triangle_counts(edges)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
