@@ -4557,6 +4557,24 @@ def q_triangles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# RAG / long-context chunking (engine extension) — operators/corpus.py
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "rag_chunks",
+    corpus_ops.rag_chunks_oracle_sql(
+        "documents", "doc_id", "text", width=32, stride=24
+    ),
+)
+def rag_chunks(spark, sf_dir):
+    # Overlapping token-window chunking: map-only (split -> sequence ->
+    # posexplode -> slice, all codegen), zero shuffles at any scale.
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.rag_chunks(docs, "doc_id", "text", width=32, stride=24)
+
+
+# ---------------------------------------------------------------------------
 # Relevance ranking (engine extension: free-text scoring over the corpus;
 # operators/ranking.py — integer-rational BM25, per-term micro idf)
 # ---------------------------------------------------------------------------

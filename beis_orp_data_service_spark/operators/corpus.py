@@ -1464,3 +1464,74 @@ def hll_estimate(registers: DataFrame, p: int = 10) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * math.log(m / zeros)  # linear counting
     return est
+
+
+def rag_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token-window chunking — the retrieval/RAG (and
+    long-context training) preprocessing step that splits each document
+    into windows of ``width`` whitespace tokens every ``stride`` tokens
+    (overlap = width - stride). Deterministic spec: window starts are
+    0, stride, 2*stride, ... for every start < n_tokens, and the last
+    windows are simply shorter (no lookback merging — keeps the chunk
+    set a pure per-row function of the text, replayable in any engine).
+
+    Pure per-row expression work (split -> sequence -> posexplode ->
+    slice): NO shuffle at any scale — chunking 100 TB is a map-only
+    stage whose output partitioning inherits the input's. All codegen
+    (slice/array_join are Catalyst built-ins, not higher-order-function
+    lambdas, which this repo has measured to fall out of codegen).
+
+    Returns (id, chunk_idx, chunk_text, n_tokens).
+    """
+    if width < 1 or stride < 1:
+        raise ValueError(f"width and stride must be >= 1: {width}, {stride}")
+    toks = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != ""
+        ).alias("_toks"),
+    ).where(F.size("_toks") > 0)
+    starts = F.expr(f"sequence(0, size(_toks) - 1, {stride})")
+    exploded = toks.select(
+        id_col, "_toks", F.posexplode(starts).alias("chunk_idx", "_start")
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, width)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("bigint"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+    )
+
+
+def rag_chunks_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    width: int = 64,
+    stride: int = 48,
+) -> str:
+    """DuckDB twin of :func:`rag_chunks` (1-based inclusive list_slice)."""
+    return f"""
+    WITH toks AS (
+      SELECT {id_col},
+             list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                         t -> t <> '') AS _toks
+      FROM {table}
+    ), starts AS (
+      SELECT {id_col}, _toks, unnest(range(0, len(_toks), {stride})) AS s
+      FROM toks WHERE len(_toks) > 0
+    )
+    SELECT {id_col}, CAST(s // {stride} AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(_toks, s + 1, s + {width}), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(_toks, s + 1, s + {width})) AS BIGINT)
+             AS n_tokens
+    FROM starts
+    """

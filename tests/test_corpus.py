@@ -683,3 +683,68 @@ class TestHllSketch:
         df = spark.createDataFrame([("a",), (None,), ("b",)], "v string")
         regs = co.hll_registers(df, "v").collect()
         assert all(r.bucket is not None and r.max_rho is not None for r in regs)
+
+
+class TestRagChunks:
+    def _chunks(self, spark, text, width, stride):
+        from beis_orp_data_service_spark.operators.corpus import rag_chunks
+
+        df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        return sorted(
+            (r.chunk_idx, r.chunk_text, r.n_tokens)
+            for r in rag_chunks(df, "doc_id", "text", width, stride).collect()
+        )
+
+    def test_exact_windows_and_overlap(self, spark):
+        text = "a b c d e f g h"
+        got = self._chunks(spark, text, width=4, stride=2)
+        assert got == [
+            (0, "a b c d", 4),
+            (1, "c d e f", 4),
+            (2, "e f g h", 4),
+            (3, "g h", 2),
+        ]
+
+    def test_short_doc_single_chunk(self, spark):
+        assert self._chunks(spark, "x y", width=64, stride=48) == [(0, "x y", 2)]
+
+    def test_empty_doc_dropped(self, spark):
+        from beis_orp_data_service_spark.operators.corpus import rag_chunks
+
+        df = spark.createDataFrame(
+            [(1, "   "), (2, "ok")], "doc_id bigint, text string"
+        )
+        rows = rag_chunks(df, "doc_id", "text", 8, 8).collect()
+        assert [r.doc_id for r in rows] == [2]
+
+    def test_reconstruction_no_token_lost(self, spark):
+        # stride == width (no overlap): concatenating chunks restores the
+        # lowercased token stream exactly
+        text = "The quick Brown fox JUMPS over the lazy dog near the bank"
+        got = self._chunks(spark, text, width=3, stride=3)
+        rebuilt = " ".join(t for _, t, _ in got)
+        assert rebuilt == text.lower()
+
+    def test_bad_params_rejected(self, spark):
+        import pytest
+        from beis_orp_data_service_spark.operators.corpus import rag_chunks
+
+        df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        with pytest.raises(ValueError):
+            rag_chunks(df, "doc_id", "text", width=0)
+        with pytest.raises(ValueError):
+            rag_chunks(df, "doc_id", "text", width=4, stride=0)
+
+    def test_map_only_plan(self, spark):
+        from beis_orp_data_service_spark.catalog import load_table
+        from beis_orp_data_service_spark.operators.corpus import rag_chunks
+        from tests.conftest import SF_SMOKE
+
+        docs = load_table(spark, SF_SMOKE, "documents")
+        plan = (
+            rag_chunks(docs, "doc_id", "text")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan  # zero shuffles: map-only chunking
