@@ -4557,6 +4557,37 @@ def q_triangles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Count-min sketch (engine extension, next to bloom/HLL) — operators/corpus.py
+# ---------------------------------------------------------------------------
+
+
+@declared("cms_probe", corpus_ops.cms_probe_oracle_sql("documents", "text", w=16, d=2))
+def cms_probe(spark, sf_dir):
+    # Build a deliberately tiny (2x16) count-min sketch over the corpus
+    # word stream, probe every distinct word, and join the exact counts
+    # on so the overestimate (the sketch's one-sided error) is visible
+    # and hash-checked. Sketch <= d*w rows -> broadcast probe join.
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), "\\s+"), lambda t: t != "")
+        ).alias("w")
+    )
+    sketch = corpus_ops.cms_sketch(words, "w", w=16, d=2)
+    exact = words.groupBy("w").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = corpus_ops.cms_probe(sketch, exact.select("w"), "w", w=16, d=2)
+    return (
+        exact.join(est, "w")
+        .select(
+            F.col("w").alias("term"),
+            F.col("cms_est").cast("bigint"),
+            "exact_n",
+            (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overest"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # RAG / long-context chunking (engine extension) — operators/corpus.py
 # ---------------------------------------------------------------------------
 

@@ -1535,3 +1535,125 @@ def rag_chunks_oracle_sql(
              AS n_tokens
     FROM starts
     """
+
+
+def cms_sketch(
+    df: DataFrame, value_col: str, w: int = 1024, d: int = 4
+) -> DataFrame:
+    """Count-min sketch build (Cormode & Muthukrishnan 2005): d x w
+    integer cells, cell[j][h_j(x)] += count(x). Like :func:`hll_registers`
+    /:func:`bloom_filter_words`, the hash family is md5-derived
+    (h_j(x) = md5_int60(j || ':' || x) mod w) so the sketch is
+    bit-identical in any engine — a HASH-grade oracle for a sketch,
+    which builtin engine-private sketches can't give.
+
+    One explode (d rows per value) + one map-side-combined groupBy:
+    the sketch table is <= d*w rows whatever the input size — the
+    classic mergeable summary (:func:`cms_merge` = per-cell sum over
+    shards; linearity of the cells).
+
+    Returns (j, pos, cell): row index, column index, count.
+    """
+    if w < 1 or d < 1:
+        raise ValueError(f"w and d must be >= 1: {w}, {d}")
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("string").alias("_v")
+    )
+    return (
+        vals.select(
+            F.explode(F.expr(f"sequence(0, {d - 1})")).alias("j"), "_v"
+        )
+        .select(
+            F.col("j").cast("bigint"),
+            (
+                md5_int60(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("_v")))
+                % w
+            ).alias("pos"),
+        )
+        .groupBy("j", "pos")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two sketches built with the SAME (w, d): per-cell sum
+    (cells are linear counters, so merge(S(A), S(B)) == S(A ∪ B)
+    exactly)."""
+    return (
+        a.unionByName(b).groupBy("j", "pos").agg(F.sum("cell").alias("cell"))
+    )
+
+
+def cms_probe(
+    sketch: DataFrame, keys: DataFrame, key_col: str, w: int, d: int
+) -> DataFrame:
+    """Point-frequency estimates: est(x) = min_j cell[j][h_j(x)] —
+    never an underestimate, overestimate bounded by e*N/w with
+    probability 1 - e^-d. The sketch (<= d*w rows) is broadcast, so
+    probing any number of keys is shuffle-free on the probe side apart
+    from the per-key min aggregate.
+
+    Returns (key_col, cms_est).
+    """
+    probes = keys.select(F.col(key_col)).select(
+        key_col,
+        F.explode(F.expr(f"sequence(0, {d - 1})")).alias("j"),
+    ).select(
+        key_col,
+        F.col("j").cast("bigint"),
+        (
+            md5_int60(
+                F.concat(
+                    F.col("j").cast("string"),
+                    F.lit(":"),
+                    F.col(key_col).cast("string"),
+                )
+            )
+            % w
+        ).alias("pos"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["j", "pos"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cell"), F.lit(0))).alias("cms_est"))
+    )
+
+
+def cms_probe_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    w: int = 16,
+    d: int = 2,
+) -> str:
+    """DuckDB twin of build(words of ``table``) + probe(every distinct
+    word), with the exact count and overestimate joined on — same
+    md5-hex fold as the Spark side."""
+    hexfold = (
+        "list_reduce([CAST(strpos('0123456789abcdef', h[i:i]) - 1 AS BIGINT) "
+        "for i in range(1, 16)], (a, x) -> a * 16 + x)"
+    )
+    return f"""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                    t -> t <> '')) AS w
+      FROM {table}
+    ), cells AS (
+      SELECT j, {hexfold} % {w} AS pos, count(*) AS cell FROM (
+        SELECT j, substr(md5(j || ':' || w), 1, 15) AS h
+        FROM words CROSS JOIN (SELECT unnest(range(0, {d})) AS j))
+      GROUP BY j, pos
+    ), exact AS (
+      SELECT w, count(*) AS exact_n FROM words GROUP BY w
+    ), probes AS (
+      SELECT w, j, {hexfold} % {w} AS pos FROM (
+        SELECT w, j, substr(md5(j || ':' || w), 1, 15) AS h
+        FROM exact CROSS JOIN (SELECT unnest(range(0, {d})) AS j))
+    ), est AS (
+      SELECT p.w, min(coalesce(c.cell, 0)) AS cms_est
+      FROM probes p LEFT JOIN cells c ON p.j = c.j AND p.pos = c.pos
+      GROUP BY p.w
+    )
+    SELECT e.w AS term, CAST(est.cms_est AS BIGINT) AS cms_est,
+           e.exact_n, CAST(est.cms_est - e.exact_n AS BIGINT) AS overest
+    FROM exact e JOIN est USING (w)
+    """

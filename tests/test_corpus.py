@@ -748,3 +748,64 @@ class TestRagChunks:
             .toString()
         )
         assert "Exchange" not in plan  # zero shuffles: map-only chunking
+
+
+class TestCountMin:
+    def _words(self, spark, rows):
+        return spark.createDataFrame([(w,) for w in rows], "w string")
+
+    def test_never_underestimates_and_exact_when_roomy(self, spark):
+        from beis_orp_data_service_spark.operators.corpus import (
+            cms_probe,
+            cms_sketch,
+        )
+
+        words = ["a"] * 5 + ["b"] * 3 + ["c"]
+        df = self._words(spark, words)
+        sk = cms_sketch(df, "w", w=1024, d=4)
+        keys = self._words(spark, ["a", "b", "c", "absent"])
+        got = {r.w: r.cms_est for r in cms_probe(sk, keys, "w", 1024, 4).collect()}
+        # roomy sketch (3 keys, 4096 cells): estimates are exact
+        assert got == {"a": 5, "b": 3, "c": 1, "absent": 0}
+
+    def test_collisions_only_overestimate(self, spark):
+        from beis_orp_data_service_spark.operators.corpus import (
+            cms_probe,
+            cms_sketch,
+        )
+
+        words = [f"w{i}" for i in range(40) for _ in range(i % 3 + 1)]
+        df = self._words(spark, words)
+        sk = cms_sketch(df, "w", w=8, d=2)  # 16 cells, 40 keys: collisions
+        from collections import Counter
+
+        exact = Counter(words)
+        keys = self._words(spark, sorted(exact))
+        got = {r.w: r.cms_est for r in cms_probe(sk, keys, "w", 8, 2).collect()}
+        assert all(got[k] >= exact[k] for k in exact)
+        assert any(got[k] > exact[k] for k in exact)  # cramped: some collide
+
+    def test_sketch_bounded_and_mergeable(self, spark):
+        from beis_orp_data_service_spark.operators.corpus import (
+            cms_merge,
+            cms_sketch,
+        )
+
+        a = self._words(spark, ["x", "y", "x"])
+        b = self._words(spark, ["y", "z"])
+        both = self._words(spark, ["x", "y", "x", "y", "z"])
+        merged = cms_merge(
+            cms_sketch(a, "w", w=32, d=2), cms_sketch(b, "w", w=32, d=2)
+        )
+        direct = cms_sketch(both, "w", w=32, d=2)
+        assert merged.count() <= 2 * 32
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+    def test_bad_params_rejected(self, spark):
+        import pytest
+        from beis_orp_data_service_spark.operators.corpus import cms_sketch
+
+        with pytest.raises(ValueError):
+            cms_sketch(self._words(spark, ["x"]), "w", w=0, d=1)
