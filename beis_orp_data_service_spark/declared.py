@@ -4557,6 +4557,24 @@ def q_triangles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Weighted priority sampling (engine extension, next to stratified/
+# mixture sampling) — operators/corpus.py
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "priority_sample",
+    corpus_ops.priority_sample_oracle_sql("documents", "doc_id", "n_chars", k=25),
+)
+def priority_sample_q(spark, sf_dir):
+    # Size-proportional sample of 25 docs by n_chars with Horvitz-
+    # Thompson estimate weights: per-row hash arithmetic (no shuffle)
+    # then TakeOrderedAndProject top-(k+1); replayable across engines.
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.priority_sample(docs, "doc_id", "n_chars", k=25)
+
+
+# ---------------------------------------------------------------------------
 # Count-min sketch (engine extension, next to bloom/HLL) — operators/corpus.py
 # ---------------------------------------------------------------------------
 

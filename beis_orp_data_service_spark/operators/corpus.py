@@ -1657,3 +1657,101 @@ def cms_probe_oracle_sql(
            e.exact_n, CAST(est.cms_est - e.exact_n AS BIGINT) AS overest
     FROM exact e JOIN est USING (w)
     """
+
+
+def priority_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Weight-proportional sampling WITHOUT replacement via priority
+    sampling (Duffield, Lund & Thorup 2007, JACM): priority
+    q_i = w_i / u_i with u_i uniform in (0,1]; keep the k largest
+    priorities; tau = the (k+1)-th priority; each kept row gets the
+    Horvitz-Thompson weight estimate max(w_i, tau) (sums over the
+    sample then estimate subset totals near-unbiasedly).
+
+    Deterministic twin of the randomized original (same move as
+    stratified_sample): u_i = (md5_int60(id)+1) / 2^60 — a fixed
+    universal hash, so the sample is REPLAYABLE and engine-portable
+    (every arithmetic step is a single IEEE-754 op on exactly equal
+    inputs, so even the double priorities are bit-identical across
+    engines; the output quantizes the estimate to micro anyway).
+
+    Scale: per-row hash + division (no shuffle), then top-(k+1) via
+    orderBy+limit -> TakeOrderedAndProject (per-partition heaps, k+1
+    rows to the driver-side reducer — never a global sort); the final
+    rank/tau window runs over the k+1 surviving rows only (bounded by
+    construction, single tiny partition is fine).
+
+    Returns (id, weight, pri_rank, est_w_micro), pri_rank 1..k.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    pri = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("bigint").alias("_w"),
+        (
+            F.col(weight_col).cast("double")
+            * F.lit(float(1 << 60))
+            / (md5_int60(F.col(id_col).cast("string")) + F.lit(1)).cast("double")
+        ).alias("_pri"),
+    ).where(F.col("_w") > 0)
+    top = pri.orderBy(F.col("_pri").desc(), F.col(id_col).asc()).limit(k + 1)
+    w_rank = Window.orderBy(F.col("_pri").desc(), F.col(id_col).asc())
+    w_all = Window.partitionBy()
+    ranked = top.select(
+        id_col,
+        "_w",
+        "_pri",
+        F.row_number().over(w_rank).alias("pri_rank"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+        F.min("_pri").over(w_all).alias("_tau"),
+    )
+    # tau applies only when a (k+1)-th row exists; with n <= k the whole
+    # population is kept and est = w exactly.
+    est = F.when(
+        F.col("_n") > k, F.greatest(F.col("_w").cast("double"), F.col("_tau"))
+    ).otherwise(F.col("_w").cast("double"))
+    return ranked.where(F.col("pri_rank") <= k).select(
+        F.col(id_col),
+        F.col("_w").alias(weight_col),
+        F.col("pri_rank").cast("bigint"),
+        F.round(est * 1_000_000).cast("bigint").alias("est_w_micro"),
+    )
+
+
+def priority_sample_oracle_sql(
+    table: str, id_col: str, weight_col: str, k: int
+) -> str:
+    """DuckDB twin of :func:`priority_sample` — same md5-hex fold, same
+    IEEE arithmetic."""
+    hexfold = (
+        "list_reduce([CAST(strpos('0123456789abcdef', h[i:i]) - 1 AS BIGINT) "
+        "for i in range(1, 16)], (a, x) -> a * 16 + x)"
+    )
+    return f"""
+    WITH pri AS (
+      SELECT {id_col}, _w,
+             CAST(_w AS DOUBLE) * 1152921504606846976.0 / (hv + 1) AS _pri
+      FROM (
+        SELECT {id_col}, CAST({weight_col} AS BIGINT) AS _w,
+               {hexfold} AS hv
+        FROM (SELECT {id_col}, {weight_col},
+                     substr(md5(CAST({id_col} AS VARCHAR)), 1, 15) AS h
+              FROM {table}))
+      WHERE _w > 0
+    ), top AS (
+      SELECT * FROM pri ORDER BY _pri DESC, {id_col} ASC LIMIT {k + 1}
+    ), ranked AS (
+      SELECT {id_col}, _w, _pri,
+             row_number() OVER (ORDER BY _pri DESC, {id_col} ASC) AS pri_rank,
+             count(*) OVER () AS _n,
+             min(_pri) OVER () AS _tau
+      FROM top
+    )
+    SELECT {id_col}, _w AS {weight_col}, CAST(pri_rank AS BIGINT) AS pri_rank,
+           CAST(round((CASE WHEN _n > {k}
+                            THEN greatest(CAST(_w AS DOUBLE), _tau)
+                            ELSE CAST(_w AS DOUBLE) END) * 1000000) AS BIGINT)
+             AS est_w_micro
+    FROM ranked WHERE pri_rank <= {k}
+    """

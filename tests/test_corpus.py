@@ -809,3 +809,79 @@ class TestCountMin:
 
         with pytest.raises(ValueError):
             cms_sketch(self._words(spark, ["x"]), "w", w=0, d=1)
+
+
+class TestPrioritySample:
+    def _py_twin(self, rows, k):
+        import hashlib
+
+        def u(i):
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+            return h + 1
+
+        pri = sorted(
+            ((w * float(1 << 60) / u(i), i, w) for i, w in rows if w > 0),
+            key=lambda t: (-t[0], t[1]),
+        )
+        top = pri[: k + 1]
+        tau = top[-1][0] if len(top) > k else None
+        out = []
+        for r, (p, i, w) in enumerate(top[:k], 1):
+            est = max(float(w), tau) if tau is not None else float(w)
+            out.append((i, w, r, round(est * 1_000_000)))
+        return out
+
+    def test_matches_pure_python_twin(self, spark):
+        from beis_orp_data_service_spark.operators.corpus import priority_sample
+
+        rows = [(i, (i * 37) % 100 + 1) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+        got = [
+            (r.doc_id, r.w, r.pri_rank, r.est_w_micro)
+            for r in priority_sample(df, "doc_id", "w", 10)
+            .orderBy("pri_rank")
+            .collect()
+        ]
+        assert got == self._py_twin(rows, 10)
+
+    def test_k_covers_population_returns_exact_weights(self, spark):
+        from beis_orp_data_service_spark.operators.corpus import priority_sample
+
+        rows = [(1, 10), (2, 20), (3, 30)]
+        df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+        got = priority_sample(df, "doc_id", "w", 50).collect()
+        assert len(got) == 3
+        assert all(r.est_w_micro == r.w * 1_000_000 for r in got)
+
+    def test_partitioning_invariant(self, spark):
+        from beis_orp_data_service_spark.operators.corpus import priority_sample
+
+        rows = [(i, i % 50 + 1) for i in range(500)]
+        a = spark.createDataFrame(rows, "doc_id bigint, w bigint").repartition(1)
+        b = spark.createDataFrame(rows, "doc_id bigint, w bigint").repartition(16)
+        ra = sorted(map(tuple, priority_sample(a, "doc_id", "w", 20).collect()))
+        rb = sorted(map(tuple, priority_sample(b, "doc_id", "w", 20).collect()))
+        assert ra == rb
+
+    def test_heavy_rows_preferred(self, spark):
+        from beis_orp_data_service_spark.operators.corpus import priority_sample
+
+        # one row with 1000x the weight of 99 others: it must be sampled
+        rows = [(0, 100000)] + [(i, 100) for i in range(1, 100)]
+        df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+        ids = {r.doc_id for r in priority_sample(df, "doc_id", "w", 5).collect()}
+        assert 0 in ids
+
+    def test_topk_plan_no_global_sort(self, spark):
+        from beis_orp_data_service_spark.operators.corpus import priority_sample
+
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(100)], "doc_id bigint, w bigint"
+        )
+        plan = (
+            priority_sample(df, "doc_id", "w", 10)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
