@@ -4557,6 +4557,29 @@ def q_triangles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Bigram LM perplexity scoring (engine extension: CCNet-style quality
+# filter, real trained model) — operators/lm.py
+# ---------------------------------------------------------------------------
+
+from beis_orp_data_service_spark.operators import lm as lm_ops
+
+
+@declared(
+    "lm_perplexity",
+    lm_ops.lm_score_oracle_sql("documents", "doc_id", "text", "doc_id % 2 = 0"),
+)
+def lm_perplexity(spark, sf_dir):
+    # Add-one bigram LM trained on the even-id half of the corpus,
+    # scoring ALL docs (the odd half exercises the unseen-bigram
+    # smoothing path). Two map-side-combined training groupBys + two
+    # scoring equi-joins; per-bigram log-probs quantized to micro
+    # integers before the order-free per-doc sum.
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    return lm_ops.lm_score(docs, train, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
 # Weighted priority sampling (engine extension, next to stratified/
 # mixture sampling) — operators/corpus.py
 # ---------------------------------------------------------------------------

@@ -1,0 +1,182 @@
+"""Distributed n-gram language-model scoring — the CCNet-style
+perplexity quality filter (Wenzek et al. 2020 train a KenLM and keep
+low-perplexity documents; Brown et al. 2020 / GPT-3 use the same shape
+with a linear classifier). Engine extension: the reference has no
+model-based quality scoring; an LLM training-data pipeline filters on
+it constantly.
+
+This is a REAL trained model, not a stub: add-one-smoothed bigram
+maximum likelihood estimated from a training slice of the corpus
+itself, entirely as DataFrame aggregations — no driver-side state, no
+Python loops. A KenLM binary would interpolate higher orders with
+Kneser-Ney; the bigram+add-one variant keeps every quantity a ratio of
+integer counts, which is what makes a HASH-grade oracle possible
+(per-bigram log-probabilities quantize to micro integers BEFORE the
+per-document sum, so the sum is order-free integer addition — the same
+determinism move as dsir_weights, and the same documented cross-engine
+ln() 1-ulp assumption, corpus.py:dsir_weights).
+
+Scale notes (100 TB):
+- Training is two map-side-combined groupBys over the exploded bigram
+  stream (bigram counts, then context counts as a second aggregate of
+  the first — the second input is |bigram types|, not |tokens|).
+- Scoring joins the document bigram stream to the count tables on
+  (w1, w2) and (w1): plain hash-partitioned equi-joins — at web scale
+  the bigram-type table is itself huge (billions of types), so a
+  shuffle join IS the right plan; Spark/AQE will broadcast instead
+  whenever a small corpus makes the counts tiny.
+- The vocabulary size V is a single-row aggregate, broadcast via a
+  1-row crossJoin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) — consecutive lowercased whitespace tokens; docs
+    with < 2 tokens contribute nothing. Map-only (split + transform +
+    explode)."""
+    toks = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != ""
+        ).alias("_toks"),
+    ).where(F.size("_toks") >= 2)
+    # Spark SQL array indexing is 0-based: bigram i covers _toks[i] and
+    # _toks[i+1] for i in 0 .. size-2.
+    pairs = F.expr(
+        "transform(sequence(0, size(_toks) - 2),"
+        " i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2))"
+    )
+    return toks.select(id_col, F.explode(pairs).alias("_p")).select(
+        id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
+    )
+
+
+def bigram_lm_counts(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the model: returns (bigram_counts(w1, w2, c2),
+    context_counts(w1, c1), vocab(v) single row). c1 is derived from
+    the bigram table (sum of c2 per w1), so context mass and bigram
+    mass agree exactly and every P(w2|w1) = (c2+1)/(c1+V) is a proper
+    distribution over the V-word vocabulary."""
+    bg = _doc_bigrams(df, id_col, text_col)
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != ""
+                )
+            ).alias("w")
+        )
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    return c2, c1, vocab
+
+
+def lm_score(
+    docs: DataFrame,
+    train: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Score every document of ``docs`` under the bigram LM trained on
+    ``train``: per-bigram logp_micro = round(ln((c2+1)/(c1+V))·1e6)
+    (unseen bigram -> c2=0; unseen context -> c1=0, i.e. P=1/V —
+    add-one smoothing handles both without special cases), then
+    order-free integer sums per document.
+
+    Returns (id, n_bigrams, logp_sum_micro, avg_logp_micro) — filter
+    on avg_logp_micro (low = far from the training distribution; the
+    CCNet keep/discard knob).
+    """
+    c2, c1, vocab = bigram_lm_counts(train, id_col, text_col)
+    bg = _doc_bigrams(docs, id_col, text_col)
+    scored = (
+        bg.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1)).cast("double")
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast(
+                        "double"
+                    )
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("_logp_micro"),
+        )
+    )
+    # NOTE: avg uses floor(double division), NOT integer DIV — Spark's
+    # DIV truncates toward zero while DuckDB's // floors, and these sums
+    # are negative; floor-of-IEEE-quotient is identical in both engines
+    # (sums stay far inside 2^53).
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("_logp_micro").alias("logp_sum_micro"),
+        F.floor(
+            F.sum("_logp_micro").cast("double") / F.count(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("avg_logp_micro"),
+    )
+
+
+def lm_score_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    train_pred: str,
+) -> str:
+    """DuckDB twin: train on ``{table} WHERE train_pred``, score all
+    rows. Same add-one arithmetic; ln() carries the documented 1-ulp
+    cross-engine assumption (see dsir_weights)."""
+    toks = (
+        f"SELECT {id_col}, list_filter(string_split_regex(lower({text_col}),"
+        f" '\\s+'), t -> t <> '') AS _toks FROM {table}"
+    )
+    # DuckDB list indexing is 1-based: bigram i covers _toks[i-1], _toks[i].
+    bigrams = (
+        "SELECT {id}, _toks[i - 1] AS w1, _toks[i] AS w2 FROM ("
+        "SELECT {id}, _toks, unnest(range(2, len(_toks) + 1)) AS i "
+        "FROM toks {where})"
+    )
+    return f"""
+    WITH toks AS ({toks}
+    ), train_bg AS (
+      {bigrams.format(id=id_col, where=f"WHERE {train_pred}")}
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS c2 FROM train_bg GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1
+    ), vocab AS (
+      SELECT count(DISTINCT w) AS v FROM (
+        SELECT unnest(_toks) AS w FROM toks WHERE {train_pred})
+    ), all_bg AS (
+      {bigrams.format(id=id_col, where="")}
+    ), scored AS (
+      SELECT b.{id_col},
+             CAST(round(ln(CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE)
+                           / CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE))
+                        * 1000000) AS BIGINT) AS _logp_micro
+      FROM all_bg b
+      LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+      LEFT JOIN c1 ON b.w1 = c1.w1
+      CROSS JOIN vocab v
+    )
+    SELECT {id_col}, count(*) AS n_bigrams,
+           CAST(sum(_logp_micro) AS BIGINT) AS logp_sum_micro,
+           CAST(floor(CAST(sum(_logp_micro) AS DOUBLE) / count(*)) AS BIGINT)
+             AS avg_logp_micro
+    FROM scored GROUP BY {id_col}
+    """

@@ -50,6 +50,7 @@ ALLOW_BNLJ = {
     "lo_join",       # broadcast legislation dim, theta title-match
     "q_tpch11",      # 1-row scalar-aggregate subquery (HAVING threshold)
     "bm25_topk",     # 1-row corpus-stats aggregate crossJoined (broadcast)
+    "lm_perplexity", # 1-row vocab-size aggregate crossJoined (broadcast)
     "tfidf_vectors", # 1-row n_docs aggregate crossJoined (broadcast)
     "q_tpch22",      # 1-row scalar-aggregate subquery (avg balance)
     "dsir_weights",  # 1-row normalization-constant subquery

@@ -1,0 +1,101 @@
+from __future__ import annotations
+
+import math
+
+from beis_orp_data_service_spark.operators import lm
+
+
+def _py_lm(train, score):
+    """Pure-Python add-one bigram LM twin."""
+    def toks(t):
+        return [w for w in t.lower().split() if w]
+
+    c2, c1, vocab = {}, {}, set()
+    for t in train:
+        ws = toks(t)
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    v = len(vocab)
+    out = {}
+    for i, t in score.items():
+        ws = toks(t)
+        if len(ws) < 2:
+            continue
+        lps = [
+            round(
+                math.log(
+                    (c2.get((a, b), 0) + 1) / (c1.get(a, 0) + v)
+                )
+                * 1e6
+            )
+            for a, b in zip(ws, ws[1:])
+        ]
+        s = sum(lps)
+        out[i] = (len(lps), s, math.floor(s / len(lps)))
+    return out
+
+
+TRAIN = [
+    "the cat sat on the mat",
+    "the dog sat on the log",
+    "a cat and a dog",
+]
+SCORE = {
+    1: "the cat sat on the mat",      # in-distribution
+    2: "mat the on sat dog the",      # seen words, unseen bigrams
+    3: "quantum flux capacitor oscillation",  # fully OOV
+    4: "word",                        # < 2 tokens: dropped
+}
+
+
+def test_lm_matches_pure_python(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in SCORE.items()], "doc_id bigint, text string"
+    )
+    train = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(TRAIN)], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.logp_sum_micro, r.avg_logp_micro)
+        for r in lm.lm_score(docs, train, "doc_id", "text").collect()
+    }
+    assert got == _py_lm(TRAIN, SCORE)
+
+
+def test_in_distribution_scores_higher(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in SCORE.items()], "doc_id bigint, text string"
+    )
+    train = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(TRAIN)], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: r.avg_logp_micro
+        for r in lm.lm_score(docs, train, "doc_id", "text").collect()
+    }
+    # the training sentence beats both out-of-distribution docs. (No
+    # ordering asserted between 2 and 3: under add-one smoothing an
+    # unseen continuation of a FREQUENT context, 1/(c1+V), is rightly
+    # less probable than a fully-OOV context's 1/V.)
+    assert got[1] > got[2] and got[1] > got[3]
+    assert 4 not in got
+
+
+def test_probabilities_normalize(spark):
+    # add-one model: sum over vocab of P(w2|w1) + mass for unseen w2
+    # must equal 1 for any seen context: (c1 + V)/(c1 + V)
+    train = spark.createDataFrame(
+        [(1, t) for t in TRAIN], "doc_id bigint, text string"
+    )
+    c2, c1, vocab = lm.bigram_lm_counts(train, "doc_id", "text")
+    v = vocab.collect()[0].v
+    rows_c1 = {r.w1: r.c1 for r in c1.collect()}
+    by_ctx = {}
+    for r in c2.collect():
+        by_ctx.setdefault(r.w1, []).append(r.c2)
+    for w1, counts in by_ctx.items():
+        seen_mass = sum(c + 1 for c in counts)
+        unseen_mass = v - len(counts)  # each unseen w2 gets 1/(c1+V)
+        assert seen_mass + unseen_mass == rows_c1[w1] + v
