@@ -4557,6 +4557,53 @@ def q_triangles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# WARC/WET round-trip (engine extension: Common Crawl ingestion) —
+# sources/warc.py
+# ---------------------------------------------------------------------------
+
+from beis_orp_data_service_spark.sources import warc as warc_src
+
+
+@declared(
+    "warc_roundtrip",
+    """
+    SELECT doc_id,
+           'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+           CAST(strlen(text) AS BIGINT) AS content_length,
+           text AS payload
+    FROM documents
+    """,
+)
+def warc_roundtrip(spark, sf_dir):
+    # Serialize every document to a WET conversion record (pure concat
+    # projection), pack records into 8 shard blobs (sorted-struct
+    # aggregate), then run the REAL Content-Length-scanning parser over
+    # the blobs. The oracle states the lossless-round-trip contract
+    # directly from the source table.
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.concat(F.lit("https://example.org/doc/"), F.col("doc_id").cast("string")).alias(
+            "uri"
+        ),
+        (F.col("doc_id") % 8).alias("shard"),
+    )
+    recs = docs.select(
+        "shard", "doc_id", warc_src.warc_serialize("doc_id", "uri", "text").alias("rec")
+    )
+    blobs = warc_src.warc_concat(recs, "shard", "doc_id", "rec")
+    parsed = warc_src.warc_parse(blobs, "blob")
+    return parsed.select(
+        F.regexp_extract("record_id", r"urn:uuid:doc-(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "target_uri",
+        "content_length",
+        "payload",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bigram LM perplexity scoring (engine extension: CCNet-style quality
 # filter, real trained model) — operators/lm.py
 # ---------------------------------------------------------------------------
