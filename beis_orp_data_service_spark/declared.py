@@ -4542,6 +4542,26 @@ _TRI_EDGES_CTE = """
 """
 
 
+@declared(
+    "q_communities", graph_ops.label_propagation_oracle_sql(_TRI_EDGES_CTE, 3)
+)
+def q_communities(spark, sf_dir):
+    # Deterministic synchronous label propagation (min-tie-break mode
+    # label, 3 unrolled rounds) over the same sequential co-activity
+    # graph as q_triangles; per round one labels-edges equi-join + two
+    # map-side-combined aggregates, no window funnel.
+    events = _t(spark, sf_dir, "events")
+    edges = graph_ops.sequential_edges(
+        events, "event_type", ["event_id"], "user_id"
+    )
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    return graph_ops.label_propagation(edges, nodes, iterations=3)
+
+
 @declared("q_triangles", graph_ops.triangle_counts_oracle_sql(_TRI_EDGES_CTE))
 def q_triangles(spark, sf_dir):
     # Per-node triangle counts (triadic closure) over the sequential

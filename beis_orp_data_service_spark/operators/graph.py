@@ -343,3 +343,98 @@ def triangle_counts_oracle_sql(edges_cte: str) -> str:
       UNION ALL SELECT y FROM tri)
     GROUP BY node
     """
+
+
+def label_propagation(
+    edges: DataFrame, nodes: DataFrame, iterations: int = 3
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007), made deterministic and hash-oracle-checkable: every
+    node starts labeled with its own id; each round it adopts its
+    neighbors' MODE label — most frequent, ties to the SMALLEST label
+    (the textbook random tie-break is what makes vanilla LPA
+    irreproducible; min-tie-break fixes the run), isolated nodes keep
+    their own. Fixed ``iterations`` (oracle unrolls the same rounds as
+    chained CTEs — the pagerank replayability move).
+
+    Per round: one labels⋈edges equi-join shuffle, a map-side-combined
+    (node, label) count, then a per-node argmax as ``max(struct(cnt,
+    -label))`` — ALSO map-side combinable, no window funnel. The label
+    table is localCheckpointed per round so plans stay flat. Input
+    ``edges`` is undirected (a, b) pairs; both directions are derived
+    here.
+
+    Returns (node, label).
+
+    PRECONDITION: node ids are NUMERIC — the single-pass argmax rides
+    on ``max(struct(cnt, -label))`` (larger count wins, then smaller
+    label), and the negation needs a signed numeric label. String node
+    ids should be dictionary-encoded first (the usual move before any
+    iterative graph kernel: ints shuffle and compare cheaper anyway).
+    """
+    both = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    both = both.localCheckpoint(eager=False)
+    nodes_c = nodes.select("node").localCheckpoint(eager=False)
+    labels = nodes_c.select("node", F.col("node").alias("label"))
+    for _ in range(iterations):
+        counts = (
+            both.join(labels, both.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        mode = counts.groupBy("node").agg(
+            (-F.max(F.struct(F.col("_cnt"), (-F.col("label")).alias("_nl")))["_nl"]).alias(
+                "_mode"
+            )
+        )
+        labels = (
+            nodes_c.join(mode, "node", "left")
+            .select(
+                "node", F.coalesce(F.col("_mode"), F.col("node")).alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+def label_propagation_oracle_sql(edges_cte: str, iterations: int = 3) -> str:
+    """DuckDB twin: the same synchronous min-tie-break rounds unrolled.
+    ``edges_cte`` yields (a, b) undirected distinct edges."""
+    rounds = []
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        rounds.append(
+            f"""cnt{i} AS (
+      SELECT e.dst AS node, p.label, count(*) AS c
+      FROM bidir e JOIN {prev} p ON p.node = e.src
+      GROUP BY e.dst, p.label
+    ), mode{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM cnt{i})
+      WHERE rn = 1
+    ), l{i} AS (
+      SELECT v.node, coalesce(m.label, v.node) AS label
+      FROM v LEFT JOIN mode{i} m USING (node)
+    )"""
+        )
+        prev = f"l{i}"
+    joined = ", ".join(rounds)
+    return f"""
+    WITH edges AS ({edges_cte}
+    ), bidir AS (
+      SELECT a AS src, b AS dst FROM edges
+      UNION ALL SELECT b, a FROM edges
+    ), v AS (
+      SELECT DISTINCT node FROM (
+        SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+    ), l0 AS (
+      SELECT node, node AS label FROM v
+    ), {joined}
+    SELECT node, label FROM {prev}
+    """

@@ -305,3 +305,68 @@ class TestTriangles:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestLabelPropagation:
+    def _lp(self, spark, pairs, iters=3):
+        from beis_orp_data_service_spark.operators.graph import label_propagation
+
+        edges = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in pairs], "a bigint, b bigint"
+        ).distinct()
+        nodes = spark.createDataFrame(
+            [(n,) for n in {x for p in pairs for x in p}], "node bigint"
+        )
+        return {
+            r.node: r.label
+            for r in label_propagation(edges, nodes, iterations=iters).collect()
+        }
+
+    def _py_lp(self, pairs, iters=3):
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        labels = {n: n for n in adj}
+        for _ in range(iters):
+            nxt = {}
+            for n in adj:
+                cnt = {}
+                for m in adj[n]:
+                    cnt[labels[m]] = cnt.get(labels[m], 0) + 1
+                best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+                nxt[n] = best[0]
+            labels = nxt
+        return labels
+
+    def test_two_cliques_with_bridge(self, spark):
+        import itertools
+
+        c1 = list(itertools.combinations([1, 2, 3, 4], 2))
+        c2 = list(itertools.combinations([10, 11, 12, 13], 2))
+        pairs = c1 + c2 + [(4, 10)]
+        got = self._lp(spark, pairs)
+        # each clique converges to its minimum id
+        assert all(got[n] == 1 for n in (1, 2, 3))
+        assert all(got[n] == 10 for n in (11, 12, 13))
+
+    def test_matches_pure_python_sync_rounds(self, spark):
+        pairs = [
+            (a, b)
+            for a in range(25)
+            for b in range(a + 1, 25)
+            if (a * 31 + b * 7) % 5 == 0
+        ]
+        for iters in (1, 2, 3):
+            assert self._lp(spark, pairs, iters) == self._py_lp(pairs, iters)
+
+    def test_isolated_node_keeps_own_label(self, spark):
+        from beis_orp_data_service_spark.operators.graph import label_propagation
+
+        edges = spark.createDataFrame([(1, 2)], "a bigint, b bigint")
+        nodes = spark.createDataFrame([(1,), (2,), (99,)], "node bigint")
+        got = {
+            r.node: r.label
+            for r in label_propagation(edges, nodes, iterations=2).collect()
+        }
+        assert got[99] == 99
