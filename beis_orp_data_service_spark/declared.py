@@ -4577,6 +4577,87 @@ def q_triangles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Incremental MinHash-LSH dedup index (engine extension: the
+# check_duplicate store as a persistent band-partitioned lake table) —
+# operators/dedup.py lsh_index_write/lsh_index_probe
+# ---------------------------------------------------------------------------
+
+_LSH_IDX_BANDS = """
+      unnest([
+        '0_' || CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)
+          || '_' || CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR),
+        '1_' || CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)
+          || '_' || CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR)
+      ]) AS band_key
+"""
+
+
+@declared(
+    "lsh_index_probe",
+    f"""
+    WITH corpus AS (
+      SELECT 0 AS side, doc_id, text FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT 1, doc_id, text FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT 1, doc_id + 1000000000,
+             text || ' planted near duplicate suffix'
+      FROM (SELECT doc_id, text FROM documents
+            WHERE doc_id % 2 = 0 ORDER BY doc_id LIMIT 3)
+    ), codes_t AS (
+      SELECT side, doc_id,
+             [CAST(ascii(text[i:i]) AS BIGINT)
+              for i in range(1, length(text) + 1)] AS codes
+      FROM corpus
+    ), h AS (
+      SELECT side, doc_id, {_DUCK_SHINGLE_HASHES} AS hs FROM codes_t
+    ), sig AS (
+      SELECT side, doc_id, {_duck_minhash_cols()} FROM h
+    ), keyed AS (
+      SELECT side, doc_id, {_LSH_IDX_BANDS} FROM sig
+    )
+    SELECT i.doc_id AS index_id, p.doc_id AS probe_id,
+           count(*) AS n_bands
+    FROM keyed i JOIN keyed p USING (band_key)
+    WHERE i.side = 0 AND p.side = 1
+    GROUP BY i.doc_id, p.doc_id
+    """,
+)
+def lsh_index_probe_q(spark, sf_dir):
+    # Incremental dedup: the even half of the corpus is the EXISTING
+    # store (band-partitioned parquet index, written once), the odd
+    # half plus three planted near-dups of indexed docs is the ingest
+    # batch; only the batch is signed, then one (band, band_key)
+    # equi-join. Stable per-sf path, idempotently overwritten (the
+    # ann_index_probe convention).
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    even = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    planted = (
+        even.orderBy("doc_id")
+        .limit(3)
+        .select(
+            (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" planted near duplicate suffix")).alias(
+                "text"
+            ),
+        )
+    )
+    batch = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_lsh_index_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    dd.lsh_index_write(even, path)
+    return dd.lsh_index_probe(spark, path, batch)
+
+
+# ---------------------------------------------------------------------------
 # WARC/WET round-trip (engine extension: Common Crawl ingestion) —
 # sources/warc.py
 # ---------------------------------------------------------------------------

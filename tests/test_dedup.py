@@ -278,3 +278,85 @@ class TestEditDistancePairs:
         # length < max_dist+1 is outside the guarantee and excluded
         assert (1, 2) not in got
         assert (3, 4) in got
+
+
+class TestLshIndex:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_probe_equals_direct_band_key_intersection(self, spark, tmp_path):
+        # the index mechanism must reproduce exactly the (band_key)
+        # collisions the in-memory band table yields — LSH *recall* for
+        # near-dups is the banding math's job and is pinned by the
+        # lsh_bands/minhash tests; this pins store+probe fidelity.
+        from beis_orp_data_service_spark.operators import dedup as dd
+
+        base = "the quick brown fox jumps over the lazy dog " * 4
+        corpus = self._docs(
+            spark, [(1, base), (2, "totally different content here")]
+        )
+        batch = self._docs(
+            spark, [(100, base + " tiny suffix"), (200, base)]
+        )
+        ik = {
+            (r.band_key, r.doc_id)
+            for r in dd._lsh_band_rows(corpus, "doc_id", "text", 4, None).collect()
+        }
+        pk = {
+            (r.band_key, r.doc_id)
+            for r in dd._lsh_band_rows(batch, "doc_id", "text", 4, None).collect()
+        }
+        want = {}
+        for bk, i in ik:
+            for bk2, p in pk:
+                if bk == bk2:
+                    want[(i, p)] = want.get((i, p), 0) + 1
+        dd.lsh_index_write(corpus, str(tmp_path / "idx"))
+        got = {
+            (r.index_id, r.probe_id): r.n_bands
+            for r in dd.lsh_index_probe(
+                spark, str(tmp_path / "idx"), batch
+            ).collect()
+        }
+        assert got == want
+        # identical text must collide on every band
+        assert got[(1, 200)] == 2
+
+    def test_append_mode_is_incremental(self, spark, tmp_path):
+        from beis_orp_data_service_spark.operators import dedup as dd
+
+        path = str(tmp_path / "idx")
+        d1 = "alpha beta gamma delta epsilon zeta eta theta " * 3
+        d2 = "one two three four five six seven eight nine ten " * 3
+        dd.lsh_index_write(self._docs(spark, [(1, d1)]), path)
+        dd.lsh_index_write(
+            self._docs(spark, [(2, d2)]), path, mode="append"
+        )
+        probe = self._docs(spark, [(10, d1), (20, d2)])
+        got = {(r.index_id, r.probe_id) for r in dd.lsh_index_probe(spark, path, probe).collect()}
+        # both generations of the index answer
+        assert (1, 10) in got and (2, 20) in got
+
+    def test_band_partitioned_layout(self, spark, tmp_path):
+        import os
+
+        from beis_orp_data_service_spark.operators import dedup as dd
+
+        path = str(tmp_path / "idx")
+        dd.lsh_index_write(
+            self._docs(spark, [(1, "some words repeated some words " * 2)]), path
+        )
+        bands = {d for d in os.listdir(path) if d.startswith("band=")}
+        assert bands == {"band=0", "band=1"}  # 8 perms / width 4
+
+    def test_probe_count_equals_band_key_intersection(self, spark, tmp_path):
+        from beis_orp_data_service_spark.operators import dedup as dd
+
+        text = "shared vocabulary for both documents in this tiny test " * 2
+        path = str(tmp_path / "idx")
+        dd.lsh_index_write(self._docs(spark, [(1, text)]), path)
+        got = dd.lsh_index_probe(
+            spark, path, self._docs(spark, [(9, text)])
+        ).collect()
+        # identical text -> identical signature -> both bands agree
+        assert [(r.index_id, r.probe_id, r.n_bands) for r in got] == [(1, 9, 2)]
