@@ -33,7 +33,11 @@ from beis_orp_data_service_spark.session import get_spark  # noqa: E402
 
 # Queries with a legitimate >1 Arrow-stage plan: one stage per JOIN SIDE
 # (table assignment + query probe) is the minimum for the IVF family.
-ALLOW_ARROW = {"ann_ivf_kmeans": 2, "ann_ivf_topk": 2, "ann_topk": 2, "ann_index_probe": 2}
+ALLOW_ARROW = {"ann_ivf_kmeans": 2, "ann_ivf_topk": 2, "ann_topk": 2, "ann_index_probe": 2,
+               # probe batch = union(odd half, planted rows): the signing
+               # projection pushes through the Union, one Arrow node per
+               # branch — every row still signed exactly once.
+               "lsh_index_probe": 2}
 
 RED_FLAGS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
 
