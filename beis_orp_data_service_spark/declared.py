@@ -4577,6 +4577,36 @@ def q_triangles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Z-order layout key (engine extension: lakehouse OPTIMIZE ZORDER) —
+# operators/layout.py
+# ---------------------------------------------------------------------------
+
+from beis_orp_data_service_spark.operators import layout as layout_ops
+
+
+@declared(
+    "zorder_key",
+    f"""
+    SELECT event_id,
+           {layout_ops.zorder_key_sql(['(user_id % 256)', '(event_id % 256)'], bits=8)}
+             AS zkey
+    FROM events
+    """,
+)
+def zorder_key_q(spark, sf_dir):
+    # Morton interleave of two 8-bit-binned key columns — the sort key
+    # an OPTIMIZE ZORDER rewrite range-partitions on; pure codegen bit
+    # arithmetic, map-only.
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        layout_ops.zorder_key(
+            [F.col("user_id") % 256, F.col("event_id") % 256], bits=8
+        ).alias("zkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental MinHash-LSH dedup index (engine extension: the
 # check_duplicate store as a persistent band-partitioned lake table) —
 # operators/dedup.py lsh_index_write/lsh_index_probe
