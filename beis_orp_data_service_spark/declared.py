@@ -4577,6 +4577,41 @@ def q_triangles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Incremental rollup maintenance (engine extension: continuous-aggregate
+# partials, merge == recompute proven by the oracle) — operators/temporal.py
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "rollup_incremental",
+    """
+    SELECT date_trunc('day', ts) AS bucket, event_type,
+           count(*) AS n,
+           min(value) AS min_value, max(value) AS max_value,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value_d,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+             AS avg_value
+    FROM events GROUP BY date_trunc('day', ts), event_type
+    """,
+)
+def rollup_incremental(spark, sf_dir):
+    # Continuous aggregate: the stored rollup (event_id <= 8000) absorbs
+    # a late batch (the rest) by MERGING partials — per-bucket monoid
+    # ops, work O(touched buckets). The oracle aggregates the union
+    # directly: merge(partials(A), partials(B)) == agg(A ∪ B) exactly
+    # (sum rides DECIMAL so merge order can't drift a float).
+    events = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    stored = tmp_ops.rollup_partials(
+        events.where(F.col("event_id") <= 8000), day, ["event_type"], "value"
+    )
+    late = tmp_ops.rollup_partials(
+        events.where(F.col("event_id") > 8000), day, ["event_type"], "value"
+    )
+    return tmp_ops.rollup_finalize(tmp_ops.rollup_merge(stored, late))
+
+
+# ---------------------------------------------------------------------------
 # Z-order layout key (engine extension: lakehouse OPTIMIZE ZORDER) —
 # operators/layout.py
 # ---------------------------------------------------------------------------

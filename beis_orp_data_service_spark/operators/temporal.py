@@ -124,3 +124,58 @@ def range_join_bucketized(
         .filter((F.col(value_col) >= F.col(low_col)) & (F.col(value_col) < F.col(high_col)))
         .drop("_bucket")
     )
+
+
+def rollup_partials(
+    events: DataFrame,
+    bucket_col,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Continuous-aggregate building block (the TimescaleDB/materialized
+    -view maintenance pattern, engine extension): reduce raw events to
+    MERGEABLE per-bucket partial aggregates — (bucket, groups, n,
+    sum_value DECIMAL(18,6), min_value, max_value). Count/sum/min/max
+    are the classic commutative-monoid partials: merging shards is the
+    SAME aggregation over partial rows, so a stored rollup absorbs an
+    out-of-order/late batch with work proportional to the BATCH's
+    touched buckets, never a full recompute. Sum rides DECIMAL so
+    merge order can't drift a float (the money-exactness convention).
+
+    One map-side-combined groupBy; output rows = |buckets x groups|.
+    """
+    return events.groupBy(bucket_col.alias("bucket"), *group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("sum_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )
+
+
+def rollup_merge(existing: DataFrame, batch: DataFrame) -> DataFrame:
+    """Merge partial-aggregate tables (same schema): per-key n-sum,
+    value-sum, min-of-min, max-of-max. merge(partials(A), partials(B))
+    == partials(A ∪ B) EXACTLY — the property the declared query's
+    oracle states (it aggregates the union directly)."""
+    keys = [c for c in existing.columns if c not in ("n", "sum_value", "min_value", "max_value")]
+    return (
+        existing.unionByName(batch)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
+def rollup_finalize(partials: DataFrame) -> DataFrame:
+    """Finalize serving columns from partials: avg = sum/n (double; a
+    single IEEE division of exact inputs — engine-portable), sum cast
+    back to double for the API surface."""
+    return partials.select(
+        *[c for c in partials.columns if c not in ("sum_value",)],
+        F.col("sum_value").cast("double").alias("sum_value_d"),
+        (F.col("sum_value").cast("double") / F.col("n")).alias("avg_value"),
+    )

@@ -78,3 +78,61 @@ def test_range_join_wide_bands_explode(spark):
     bands = spark.createDataFrame([(100.0, 300.0)], "low double, high double")
     out = t.range_join_bucketized(fact, bands, "value", bucket_width=100)
     assert {r.id for r in out.collect()} == {1, 2}
+
+
+class TestIncrementalRollup:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id bigint, day string, event_type string, value double"
+        )
+
+    def test_merge_equals_recompute(self, spark):
+        from beis_orp_data_service_spark.operators import temporal as t
+
+        rows = [
+            (i, f"d{i % 3}", "ab"[i % 2], float(i) * 0.25 + 0.01) for i in range(60)
+        ]
+        all_ev = self._ev(spark, rows)
+        a = self._ev(spark, rows[:40])
+        b = self._ev(spark, rows[40:])
+        from pyspark.sql import functions as F
+
+        day = F.col("day")
+        merged = t.rollup_merge(
+            t.rollup_partials(a, day, ["event_type"], "value"),
+            t.rollup_partials(b, day, ["event_type"], "value"),
+        )
+        direct = t.rollup_partials(all_ev, day, ["event_type"], "value")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+    def test_merge_associative_and_bucket_bounded(self, spark):
+        from pyspark.sql import functions as F
+
+        from beis_orp_data_service_spark.operators import temporal as t
+
+        rows = [(i, f"d{i % 4}", "x", 1.5) for i in range(40)]
+        day = F.col("day")
+        p = [
+            t.rollup_partials(self._ev(spark, rows[i::3]), day, ["event_type"], "value")
+            for i in range(3)
+        ]
+        left = t.rollup_merge(t.rollup_merge(p[0], p[1]), p[2])
+        right = t.rollup_merge(p[0], t.rollup_merge(p[1], p[2]))
+        assert sorted(map(tuple, left.collect())) == sorted(
+            map(tuple, right.collect())
+        )
+        assert left.count() == 4  # |buckets x groups|, not |events|
+
+    def test_finalize_avg(self, spark):
+        from pyspark.sql import functions as F
+
+        from beis_orp_data_service_spark.operators import temporal as t
+
+        ev = self._ev(spark, [(1, "d", "x", 2.0), (2, "d", "x", 4.0)])
+        out = t.rollup_finalize(
+            t.rollup_partials(ev, F.col("day"), ["event_type"], "value")
+        ).collect()
+        assert len(out) == 1
+        assert out[0].avg_value == 3.0 and out[0].sum_value_d == 6.0
