@@ -4577,6 +4577,21 @@ def q_triangles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Token-distribution KL divergence per slice (engine extension:
+# domain-shift analytics) — operators/corpus.py
+# ---------------------------------------------------------------------------
+
+
+@declared("token_kl", corpus_ops.token_kl_oracle_sql("documents", "text", "lang"))
+def token_kl_q(spark, sf_dir):
+    # KL(P_lang || P_corpus) over word unigrams: quantize-then-sum
+    # micro ln terms (dsir determinism recipe); |vocab|-keyed join for
+    # the word marginal, group totals broadcast.
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.token_kl(docs, "text", "lang")
+
+
+# ---------------------------------------------------------------------------
 # Incremental rollup maintenance (engine extension: continuous-aggregate
 # partials, merge == recompute proven by the oracle) — operators/temporal.py
 # ---------------------------------------------------------------------------

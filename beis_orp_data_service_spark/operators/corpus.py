@@ -1755,3 +1755,94 @@ def priority_sample_oracle_sql(
              AS est_w_micro
     FROM ranked WHERE pri_rank <= {k}
     """
+
+
+def token_kl(
+    docs: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Per-slice distribution shift: KL(P_g || P_corpus) over the word
+    unigram distributions — the standard corpus-analytics check that a
+    source/domain slice diverges from the blend (domain weighting and
+    contamination triage both start here; cf. the DSIR importance
+    weights, which are the per-DOCUMENT form of the same ratio).
+
+    KL(g) = Σ_w (c_gw/N_g) · ln(c_gw·N / (N_g·c_w)) — computed as
+    integer count arithmetic + one quantized ln per (group, word) type
+    (micro units, the dsir_weights determinism recipe: quantize before
+    the order-free integer sum, then a single portable floor-divide by
+    N_g). Always ≥ 0; 0 iff the slice matches the corpus distribution
+    exactly (up to quantization).
+
+    Shuffles: one (group, word) count, one word-marginal count joined
+    back on the word key (the |vocab|-scale join — hash-partitioned,
+    the right plan at web scale), group totals broadcast, corpus total
+    a 1-row crossJoin.
+
+    Returns (group, n_tokens, kl_micro).
+    """
+    words = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+        ).alias("w"),
+    )
+    gw = words.groupBy("g", "w").agg(F.count(F.lit(1)).alias("c_gw"))
+    cw = gw.groupBy("w").agg(F.sum("c_gw").alias("c_w"))
+    ng = gw.groupBy("g").agg(F.sum("c_gw").alias("n_g"))
+    n = ng.agg(F.sum("n_g").alias("n_total"))
+    term = (
+        gw.join(cw, "w")
+        .join(F.broadcast(ng), "g")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "g",
+            "n_g",
+            (
+                F.col("c_gw")
+                * F.round(
+                    F.log(
+                        (F.col("c_gw") * F.col("n_total")).cast("double")
+                        / (F.col("n_g") * F.col("c_w")).cast("double")
+                    )
+                    * 1_000_000
+                ).cast("bigint")
+            ).alias("_wterm"),
+        )
+    )
+    return term.groupBy("g").agg(
+        F.max("n_g").alias("n_tokens"),
+        F.floor(F.sum("_wterm").cast("double") / F.max("n_g"))
+        .cast("bigint")
+        .alias("kl_micro"),
+    ).select(F.col("g").alias(group_col), "n_tokens", "kl_micro")
+
+
+def token_kl_oracle_sql(table: str, text_col: str, group_col: str) -> str:
+    """DuckDB twin of :func:`token_kl` — same quantize-then-sum
+    arithmetic; ln() carries the documented 1-ulp assumption."""
+    return f"""
+    WITH words AS (
+      SELECT {group_col} AS g,
+             unnest(list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                    t -> t <> '')) AS w
+      FROM {table}
+    ), gw AS (
+      SELECT g, w, count(*) AS c_gw FROM words GROUP BY g, w
+    ), cw AS (
+      SELECT w, sum(c_gw) AS c_w FROM gw GROUP BY w
+    ), ng AS (
+      SELECT g, sum(c_gw) AS n_g FROM gw GROUP BY g
+    ), n AS (
+      SELECT sum(n_g) AS n_total FROM ng
+    ), term AS (
+      SELECT gw.g, ng.n_g,
+             gw.c_gw * CAST(round(ln(CAST(gw.c_gw * n.n_total AS DOUBLE)
+                                     / CAST(ng.n_g * cw.c_w AS DOUBLE))
+                                  * 1000000) AS BIGINT) AS _wterm
+      FROM gw JOIN cw USING (w) JOIN ng USING (g) CROSS JOIN n
+    )
+    SELECT g AS {group_col}, CAST(max(n_g) AS BIGINT) AS n_tokens,
+           CAST(floor(CAST(sum(_wterm) AS DOUBLE) / max(n_g)) AS BIGINT)
+             AS kl_micro
+    FROM term GROUP BY g
+    """

@@ -55,6 +55,7 @@ ALLOW_BNLJ = {
     "q_tpch11",      # 1-row scalar-aggregate subquery (HAVING threshold)
     "bm25_topk",     # 1-row corpus-stats aggregate crossJoined (broadcast)
     "lm_perplexity", # 1-row vocab-size aggregate crossJoined (broadcast)
+    "token_kl",      # 1-row corpus-total aggregate crossJoined (broadcast)
     "tfidf_vectors", # 1-row n_docs aggregate crossJoined (broadcast)
     "q_tpch22",      # 1-row scalar-aggregate subquery (avg balance)
     "dsir_weights",  # 1-row normalization-constant subquery

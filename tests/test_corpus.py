@@ -885,3 +885,63 @@ class TestPrioritySample:
             .toString()
         )
         assert "TakeOrderedAndProject" in plan
+
+
+class TestTokenKL:
+    def _py_kl(self, rows):
+        import math
+        from collections import Counter
+
+        gw, cw, ng = Counter(), Counter(), Counter()
+        for g, t in rows:
+            for w in t.lower().split():
+                gw[(g, w)] += 1
+                cw[w] += 1
+                ng[g] += 1
+        n = sum(ng.values())
+        out = {}
+        for g in ng:
+            s = sum(
+                c * round(math.log((c * n) / (ng[g] * cw[w])) * 1e6)
+                for (gg, w), c in gw.items()
+                if gg == g
+            )
+            out[g] = (ng[g], math.floor(s / ng[g]))
+        return out
+
+    def test_matches_pure_python(self, spark):
+        from beis_orp_data_service_spark.operators.corpus import token_kl
+
+        rows = [
+            ("en", "alpha beta gamma alpha"),
+            ("en", "beta beta delta"),
+            ("fr", "gamma gamma gamma epsilon"),
+            ("fr", "alpha epsilon"),
+        ]
+        docs = spark.createDataFrame(rows, "lang string, text string")
+        got = {
+            r.lang: (r.n_tokens, r.kl_micro)
+            for r in token_kl(docs, "text", "lang").collect()
+        }
+        assert got == self._py_kl(rows)
+
+    def test_identical_slices_have_zero_kl(self, spark):
+        from beis_orp_data_service_spark.operators.corpus import token_kl
+
+        rows = [("a", "x y z"), ("b", "x y z")]
+        docs = spark.createDataFrame(rows, "lang string, text string")
+        got = {r.lang: r.kl_micro for r in token_kl(docs, "text", "lang").collect()}
+        assert got == {"a": 0, "b": 0}
+
+    def test_disjoint_vocab_maximal_divergence(self, spark):
+        from beis_orp_data_service_spark.operators.corpus import token_kl
+
+        # two equal-size slices with disjoint vocab: each word's ratio is
+        # (c_gw * N)/(N_g * c_w) = 2, so KL = ln(2) exactly
+        import math
+
+        rows = [("a", "p q r s"), ("b", "t u v w")]
+        docs = spark.createDataFrame(rows, "lang string, text string")
+        got = {r.lang: r.kl_micro for r in token_kl(docs, "text", "lang").collect()}
+        ln2 = round(math.log(2) * 1e6)
+        assert got == {"a": ln2, "b": ln2}
