@@ -515,3 +515,97 @@ def session_window_counts(
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup admission against the persistent LSH index
+# ---------------------------------------------------------------------------
+
+
+def lsh_dedup_batch(
+    spark: SparkSession,
+    index_path: str,
+    batch: DataFrame,
+    flagged_out: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_bands: int = 1,
+) -> None:
+    """One micro-batch of streaming near-dup admission — the
+    foreachBatch body wiring the persistent band-partitioned LSH index
+    (operators/dedup.py lsh_index_write/probe) into an ingest stream,
+    the reference's check_duplicate-per-message flow
+    (check_duplicate.py:89-151) at stream granularity:
+
+    1. probe: sign the BATCH only, equi-join against the store, flag
+       batch docs with >= ``min_bands`` agreeing bands;
+    2. append the batch's flag verdicts to ``flagged_out``;
+    3. append the batch's own band rows to the index, so LATER batches
+       dedup against everything admitted before them.
+
+    Work per batch is O(batch) signing + one join against colliding
+    band keys — the store is never re-hashed. Probe-before-append
+    means a batch does not flag against itself (within-batch dups are
+    the batch's own lsh_band_pairs job if wanted).
+    """
+    from beis_orp_data_service_spark.operators import dedup as dd
+    from beis_orp_data_service_spark.sources import hadoop_fs as hfs
+
+    docs = batch.select(id_col, text_col)
+    if hfs.exists(spark, index_path):
+        hits = (
+            dd.lsh_index_probe(spark, index_path, docs, id_col, text_col)
+            .where(F.col("n_bands") >= min_bands)
+            .groupBy("probe_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_index_matches"),
+                F.max("n_bands").alias("max_bands"),
+            )
+        )
+    else:  # first batch: no index yet
+        hits = None
+    verdicts = docs.select(F.col(id_col))
+    if hits is not None:
+        verdicts = verdicts.join(
+            hits.withColumnRenamed("probe_id", id_col), id_col, "left"
+        )
+    else:
+        verdicts = verdicts.select(
+            id_col,
+            F.lit(None).cast("bigint").alias("n_index_matches"),
+            F.lit(None).cast("bigint").alias("max_bands"),
+        )
+    verdicts.select(
+        id_col,
+        F.coalesce("n_index_matches", F.lit(0)).alias("n_index_matches"),
+        F.coalesce("max_bands", F.lit(0)).alias("max_bands"),
+        (F.coalesce("n_index_matches", F.lit(0)) > 0).alias("is_near_dup"),
+    ).write.mode("append").parquet(flagged_out)
+    dd.lsh_index_write(docs, index_path, id_col, text_col, mode="append")
+
+
+def run_lsh_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint: str,
+    index_path: str,
+    flagged_out: str,
+):
+    """Wire source → per-batch LSH-index probe+append. The index is the
+    stream's durable dedup state (unlike the in-memory first-seen set,
+    it is shared with batch jobs and survives any restart — replays
+    append duplicate band rows, which only create already-flagged
+    candidates, so admission verdicts stay stable)."""
+    src = stream_events(spark, source_dir).selectExpr(
+        "CAST(event_id AS BIGINT) AS doc_id", "CAST(props AS STRING) AS text"
+    )
+
+    def _batch(b: DataFrame, _epoch: int) -> None:
+        lsh_dedup_batch(spark, index_path, b, flagged_out)
+
+    return (
+        src.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

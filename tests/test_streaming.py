@@ -410,3 +410,65 @@ def test_tws_dedup_matches_apply_in_pandas_variant(spark, tmp_path):
         q.stop()
     got = sorted(r.event_id for r in spark.read.parquet(out_dir).collect())
     assert got == list(range(20))
+
+
+def test_lsh_dedup_stream_flags_cross_batch_near_dups(spark, tmp_path):
+    """foreachBatch LSH admission: batch 0 seeds the index unflagged;
+    batch 1's exact copy of a batch-0 doc is flagged against the store,
+    its fresh doc is not; batch 2 (a separate stream run — restart) still
+    flags against everything admitted before it."""
+    import json as _json
+
+    d = tmp_path / "lsh_in"
+    d.mkdir()
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    other = "completely unrelated fresh content with different words entirely " * 3
+
+    def write_batch(name, rows):
+        with open(d / name, "w") as f:
+            for eid, text in rows:
+                f.write(
+                    _json.dumps(
+                        {
+                            "event_id": eid,
+                            "ts": "2024-01-01T00:00:00",
+                            "user_id": 1,
+                            "event_type": "doc",
+                            "value": 0.0,
+                            "props": text,
+                        }
+                    )
+                    + "\n"
+                )
+
+    chk = str(tmp_path / "chk")
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "flags")
+
+    write_batch("b0.json", [(1, base), (2, other)])
+    q = st.run_lsh_dedup_stream(spark, str(d), chk, idx, out)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    flags = {r.doc_id: r.is_near_dup for r in spark.read.parquet(out).collect()}
+    assert flags == {1: False, 2: False}
+
+    write_batch("b1.json", [(10, base), (11, "brand new third topic words")])
+    q = st.run_lsh_dedup_stream(spark, str(d), chk, idx, out)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    flags = {r.doc_id: r.is_near_dup for r in spark.read.parquet(out).collect()}
+    assert flags[10] is True and flags[11] is False
+
+    # restarted stream (same checkpoint): the index is durable state
+    write_batch("b2.json", [(20, other)])
+    q = st.run_lsh_dedup_stream(spark, str(d), chk, idx, out)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    flags = {r.doc_id: r.is_near_dup for r in spark.read.parquet(out).collect()}
+    assert flags[20] is True  # near-dup of doc 2 admitted in batch 0
