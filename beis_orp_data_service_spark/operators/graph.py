@@ -241,6 +241,13 @@ def sequential_edges(
     pass a unique tiebreak, e.g. [ts, event_id], so the sequence is
     deterministic), then normalize to (a, b) with a < b, drop self
     loops, distinct. Returns the undirected edge set (a, b).
+
+    Scale note: the window sorts each ``part_col`` stream in ONE task,
+    so the stream key must be bounded — at corpus scale pass a
+    compound key (e.g. ``concat(event_type, day)``): consecutive-pair
+    edges are local, so bucketing the stream by day loses only the
+    one boundary pair per bucket (≤ #buckets edges) while capping
+    per-task sort size.
     """
     w = Window.partitionBy(part_col).orderBy(*[F.col(c) for c in order_cols])
     nxt = events.select(
