@@ -4839,7 +4839,7 @@ def cms_probe(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(
-            F.filter(F.split(F.lower("text"), "\\s+"), lambda t: t != "")
+            X.lc_tokens("text")
         ).alias("w")
     )
     sketch = corpus_ops.cms_sketch(words, "w", w=16, d=2)

@@ -135,6 +135,23 @@ def tokens(col: Column | str) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+# The one whitespace-token split every oracle-paired text operator
+# shares (BM25/TF-IDF, bigram LM, token-KL, RAG chunking, CMS words).
+# Its DuckDB twin is list_filter(string_split_regex(lower(x), '\s+'),
+# t -> t <> '') — keep BOTH forms in sync; a drift here silently
+# desynchronizes every downstream oracle at once, which is exactly why
+# there is a single copy.
+LC_TOKEN_SPLIT = "\\s+"
+
+
+def lc_tokens(col: Column | str) -> Column:
+    """Lowercased whitespace tokens with empties dropped — the
+    engine-portable tokenizer (split/lower are identical in Spark and
+    DuckDB, unlike any locale-aware tokenizer)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), LC_TOKEN_SPLIT), lambda t: t != "")
+
+
 def sentence_chunks(col: Column | str, width: int = 8) -> Column:
     """Fixed-width token chunks standing in for sentences (the engine's
     period-sentencizer analog for period-free text). Returns

@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from beis_orp_data_service_spark.functions.text import lc_tokens
+
 # Universal-hash constants for deterministic sampling: Lehmer/Park-Miller
 # multiplier mod the Mersenne prime 2^31-1. doc_id * 48271 stays far
 # inside int64 (and < 2^53) for any realistic id space.
@@ -1009,6 +1011,16 @@ def dsir_weights_oracle_sql(target_pred: str = "lang = 'en'") -> str:
 # ---------------------------------------------------------------------------
 
 
+# DuckDB twin of md5_int60's 60-bit fold — THE one copy every oracle
+# that replays the md5 hash family interpolates (bloom, count-min,
+# priority sampling). Editing either side without the other breaks
+# every md5-replaying oracle at once, which is why there is one copy.
+DUCK_MD5_HEXFOLD = (
+    "list_reduce([CAST(strpos('0123456789abcdef', h[i:i]) - 1 AS BIGINT) "
+    "for i in range(1, 16)], (a, x) -> a * 16 + x)"
+)
+
+
 def md5_int60(c):
     """Deterministic 60-bit integer from a string: the first 15 hex
     chars of md5. Engine-portable (Spark ``conv``; DuckDB rebuilds the
@@ -1109,10 +1121,7 @@ def bloom_probe_oracle_sql(
     """DuckDB twin of build(documents WHERE insert_pred) + probe(all
     documents) on the text key: the same md5-hex fold, positions, 32-bit
     words and bit arithmetic."""
-    hexfold = (
-        "list_reduce([CAST(strpos('0123456789abcdef', h[i:i]) - 1 AS BIGINT) "
-        "for i in range(1, 16)], (a, x) -> a * 16 + x)"
-    )
+    hexfold = DUCK_MD5_HEXFOLD
     return f"""
     WITH ins AS (
       SELECT j, md5(j || ':' || text) AS h
@@ -1492,10 +1501,7 @@ def rag_chunks(
     if width < 1 or stride < 1:
         raise ValueError(f"width and stride must be >= 1: {width}, {stride}")
     toks = df.select(
-        F.col(id_col),
-        F.filter(
-            F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != ""
-        ).alias("_toks"),
+        F.col(id_col), lc_tokens(text_col).alias("_toks")
     ).where(F.size("_toks") > 0)
     starts = F.expr(f"sequence(0, size(_toks) - 1, {stride})")
     exploded = toks.select(
@@ -1628,10 +1634,7 @@ def cms_probe_oracle_sql(
     """DuckDB twin of build(words of ``table``) + probe(every distinct
     word), with the exact count and overestimate joined on — same
     md5-hex fold as the Spark side."""
-    hexfold = (
-        "list_reduce([CAST(strpos('0123456789abcdef', h[i:i]) - 1 AS BIGINT) "
-        "for i in range(1, 16)], (a, x) -> a * 16 + x)"
-    )
+    hexfold = DUCK_MD5_HEXFOLD
     return f"""
     WITH words AS (
       SELECT unnest(list_filter(string_split_regex(lower({text_col}), '\\s+'),
@@ -1683,18 +1686,28 @@ def priority_sample(
     construction, single tiny partition is fine).
 
     Returns (id, weight, pri_rank, est_w_micro), pri_rank 1..k.
+
+    PRECONDITION: the weight column is INTEGER-VALUED (counts, byte/
+    token lengths). Both engines derive the priority from the bigint
+    weight, but a fractional weight would cast differently on the way
+    there (Spark double→bigint truncates, DuckDB rounds half-even) and
+    silently de-synchronize the sample.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
     pri = df.select(
         F.col(id_col),
         F.col(weight_col).cast("bigint").alias("_w"),
+    ).where(F.col("_w") > 0)
+    pri = pri.select(
+        id_col,
+        "_w",
         (
-            F.col(weight_col).cast("double")
+            F.col("_w").cast("double")
             * F.lit(float(1 << 60))
             / (md5_int60(F.col(id_col).cast("string")) + F.lit(1)).cast("double")
         ).alias("_pri"),
-    ).where(F.col("_w") > 0)
+    )
     top = pri.orderBy(F.col("_pri").desc(), F.col(id_col).asc()).limit(k + 1)
     w_rank = Window.orderBy(F.col("_pri").desc(), F.col(id_col).asc())
     w_all = Window.partitionBy()
@@ -1724,10 +1737,7 @@ def priority_sample_oracle_sql(
 ) -> str:
     """DuckDB twin of :func:`priority_sample` — same md5-hex fold, same
     IEEE arithmetic."""
-    hexfold = (
-        "list_reduce([CAST(strpos('0123456789abcdef', h[i:i]) - 1 AS BIGINT) "
-        "for i in range(1, 16)], (a, x) -> a * 16 + x)"
-    )
+    hexfold = DUCK_MD5_HEXFOLD
     return f"""
     WITH pri AS (
       SELECT {id_col}, _w,
@@ -1781,10 +1791,7 @@ def token_kl(
     Returns (group, n_tokens, kl_micro).
     """
     words = docs.select(
-        F.col(group_col).alias("g"),
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
-        ).alias("w"),
+        F.col(group_col).alias("g"), F.explode(lc_tokens(text_col)).alias("w")
     )
     gw = words.groupBy("g", "w").agg(F.count(F.lit(1)).alias("c_gw"))
     cw = gw.groupBy("w").agg(F.sum("c_gw").alias("c_w"))

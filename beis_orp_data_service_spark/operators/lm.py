@@ -34,16 +34,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from beis_orp_data_service_spark.functions.text import lc_tokens
+
 
 def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, w1, w2) — consecutive lowercased whitespace tokens; docs
     with < 2 tokens contribute nothing. Map-only (split + transform +
     explode)."""
     toks = df.select(
-        F.col(id_col),
-        F.filter(
-            F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != ""
-        ).alias("_toks"),
+        F.col(id_col), lc_tokens(text_col).alias("_toks")
     ).where(F.size("_toks") >= 2)
     # Spark SQL array indexing is 0-based: bigram i covers _toks[i] and
     # _toks[i+1] for i in 0 .. size-2.
@@ -68,13 +67,7 @@ def bigram_lm_counts(
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = (
-        df.select(
-            F.explode(
-                F.filter(
-                    F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != ""
-                )
-            ).alias("w")
-        )
+        df.select(F.explode(lc_tokens(text_col)).alias("w"))
         .agg(F.countDistinct("w").alias("v"))
     )
     return c2, c1, vocab

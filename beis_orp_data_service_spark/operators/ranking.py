@@ -47,12 +47,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-TOKEN_SPLIT = "\\s+"
+from beis_orp_data_service_spark.functions.text import LC_TOKEN_SPLIT, lc_tokens
 
-
-def _tokens(text_col) -> F.Column:
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.filter(F.split(F.lower(c), TOKEN_SPLIT), lambda t: t != "")
+TOKEN_SPLIT = LC_TOKEN_SPLIT  # oracle twins interpolate this
+_tokens = lc_tokens
 
 
 def doc_lengths(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -98,7 +96,6 @@ def bm25_topk(
 
     # Explode then prune to the query vocabulary BEFORE any shuffle:
     # only (doc, query-term) occurrences survive the map side.
-    terms = F.array(*[F.lit(t) for t in query_terms])
     hits = (
         toks.select("_id", "dl", F.explode("_toks").alias("term"))
         .where(F.col("term").isin(query_terms))

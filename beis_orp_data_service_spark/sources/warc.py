@@ -124,6 +124,8 @@ def warc_parse(df: DataFrame, blob_col: str = "blob") -> DataFrame:
                 clen = int(headers[b"content-length"])
             except (KeyError, ValueError):
                 return
+            if clen < 0:
+                return  # crafted negative length: framing lost, stop
             payload = data[pos : pos + clen]
             if len(payload) < clen:
                 return  # truncated record

@@ -530,6 +530,7 @@ def lsh_dedup_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_bands: int = 1,
+    epoch: int | None = None,
 ) -> None:
     """One micro-batch of streaming near-dup admission — the
     foreachBatch body wiring the persistent band-partitioned LSH index
@@ -552,9 +553,25 @@ def lsh_dedup_batch(
     from beis_orp_data_service_spark.sources import hadoop_fs as hfs
 
     docs = batch.select(id_col, text_col)
+    # sign the batch ONCE; the same band rows feed the probe join and
+    # the index append (signing is the per-batch dominant cost)
+    rows = dd.lsh_band_rows(docs, id_col, text_col, 4, None).persist()
     if hfs.exists(spark, index_path):
+        # exclude_same_id: under at-least-once replay the batch's own
+        # rows are already in the index; a doc must not flag against
+        # itself, and the probe's distinct ignores the duplicate band
+        # rows a replayed append leaves behind — so verdicts really are
+        # stable across replays.
         hits = (
-            dd.lsh_index_probe(spark, index_path, docs, id_col, text_col)
+            dd.lsh_index_probe(
+                spark,
+                index_path,
+                docs,
+                id_col,
+                text_col,
+                band_rows=rows,
+                exclude_same_id=True,
+            )
             .where(F.col("n_bands") >= min_bands)
             .groupBy("probe_id")
             .agg(
@@ -575,13 +592,29 @@ def lsh_dedup_batch(
             F.lit(None).cast("bigint").alias("n_index_matches"),
             F.lit(None).cast("bigint").alias("max_bands"),
         )
-    verdicts.select(
+    out = verdicts.select(
         id_col,
         F.coalesce("n_index_matches", F.lit(0)).alias("n_index_matches"),
         F.coalesce("max_bands", F.lit(0)).alias("max_bands"),
         (F.coalesce("n_index_matches", F.lit(0)) > 0).alias("is_near_dup"),
-    ).write.mode("append").parquet(flagged_out)
-    dd.lsh_index_write(docs, index_path, id_col, text_col, mode="append")
+    )
+    if epoch is not None:
+        # idempotent under replay: verdicts land in their epoch's own
+        # partition and a replayed epoch OVERWRITES exactly that
+        # partition (dynamic mode) instead of appending duplicates
+        (
+            out.withColumn("_epoch", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(flagged_out)
+        )
+    else:
+        out.write.mode("append").parquet(flagged_out)
+    dd.lsh_index_write(
+        docs, index_path, id_col, text_col, mode="append", band_rows=rows
+    )
+    rows.unpersist()
 
 
 def run_lsh_dedup_stream(
@@ -600,8 +633,8 @@ def run_lsh_dedup_stream(
         "CAST(event_id AS BIGINT) AS doc_id", "CAST(props AS STRING) AS text"
     )
 
-    def _batch(b: DataFrame, _epoch: int) -> None:
-        lsh_dedup_batch(spark, index_path, b, flagged_out)
+    def _batch(b: DataFrame, epoch: int) -> None:
+        lsh_dedup_batch(spark, index_path, b, flagged_out, epoch=epoch)
 
     return (
         src.writeStream.foreachBatch(_batch)

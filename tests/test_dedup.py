@@ -300,11 +300,11 @@ class TestLshIndex:
         )
         ik = {
             (r.band_key, r.doc_id)
-            for r in dd._lsh_band_rows(corpus, "doc_id", "text", 4, None).collect()
+            for r in dd.lsh_band_rows(corpus, "doc_id", "text", 4, None).collect()
         }
         pk = {
             (r.band_key, r.doc_id)
-            for r in dd._lsh_band_rows(batch, "doc_id", "text", 4, None).collect()
+            for r in dd.lsh_band_rows(batch, "doc_id", "text", 4, None).collect()
         }
         want = {}
         for bk, i in ik:

@@ -472,3 +472,22 @@ def test_lsh_dedup_stream_flags_cross_batch_near_dups(spark, tmp_path):
         q.stop()
     flags = {r.doc_id: r.is_near_dup for r in spark.read.parquet(out).collect()}
     assert flags[20] is True  # near-dup of doc 2 admitted in batch 0
+
+
+def test_lsh_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    """At-least-once replay: re-running the SAME epoch (after its index
+    append already happened) must neither flag docs against their own
+    replayed rows nor duplicate verdict rows."""
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "flags")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon " * 4), (2, "one two three four five " * 4)],
+        "doc_id bigint, text string",
+    )
+    st.lsh_dedup_batch(spark, idx, docs, out, epoch=0)
+    first = sorted(map(tuple, spark.read.parquet(out).drop("_epoch").collect()))
+    # crash-after-append, checkpoint replays epoch 0:
+    st.lsh_dedup_batch(spark, idx, docs, out, epoch=0)
+    second = sorted(map(tuple, spark.read.parquet(out).drop("_epoch").collect()))
+    assert first == second
+    assert all(r.is_near_dup is False for r in spark.read.parquet(out).collect())

@@ -91,3 +91,14 @@ def test_blob_order_deterministic_across_partitioning(spark):
         blobs = {r.g: r.blob for r in warc.warc_concat(recs, "g", "doc_id", "rec").collect()}
         out.append(blobs)
     assert out[0] == out[1]
+
+
+def test_negative_content_length_stops_scan(spark):
+    # a crafted 'Content-Length: -4' must not walk the scan backwards
+    # into emitting a garbage record
+    blob = (
+        "WARC/1.0\r\nWARC-Record-ID: <urn:uuid:doc-1>\r\n"
+        "Content-Length: -4\r\n\r\n\r\n\r\n"
+    )
+    blobs = spark.createDataFrame([(blob,)], "blob string")
+    assert warc.warc_parse(blobs).collect() == []
