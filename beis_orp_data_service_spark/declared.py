@@ -4577,6 +4577,31 @@ def q_triangles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Exact set-similarity self-join via prefix filtering (engine
+# extension: recall-1.0 Jaccard join) — operators/dedup.py
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "jaccard_prefix_join",
+    dd.jaccard_prefix_join_oracle_sql(
+        "(SELECT * FROM documents WHERE n_chars < 150)", "doc_id", "text", 500
+    ),
+)
+def jaccard_prefix_join_q(spark, sf_dir):
+    # PPJoin-style EXACT token-set Jaccard >= 0.5: rare-first canonical
+    # prefixes block, array_intersect verifies — recall exactly 1.0,
+    # unlike the MinHash path; candidates bounded by the df floor of
+    # each set's rarest tokens. Scoped to the short-doc slice (pushed
+    # to the scan): this synthetic corpus shares one small vocabulary,
+    # so its LONG docs are mutually set-similar by construction and
+    # would quadratically blow the declared output (the same corpus
+    # pathology the minhash_lsh_pairs entry documents).
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") < 150)
+    return dd.jaccard_prefix_join(docs, "doc_id", "text", threshold_milli=500)
+
+
+# ---------------------------------------------------------------------------
 # Token-distribution KL divergence per slice (engine extension:
 # domain-shift analytics) — operators/corpus.py
 # ---------------------------------------------------------------------------

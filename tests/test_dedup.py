@@ -360,3 +360,63 @@ class TestLshIndex:
         ).collect()
         # identical text -> identical signature -> both bands agree
         assert [(r.index_id, r.probe_id, r.n_bands) for r in got] == [(1, 9, 2)]
+
+
+class TestJaccardPrefixJoin:
+    def _brute(self, rows, t_milli):
+        out = {}
+        sets = {i: set(t.lower().split()) for i, t in rows}
+        ids = sorted(sets)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                i = len(sets[a] & sets[b])
+                u = len(sets[a] | sets[b])
+                jm = 1000 * i // u
+                if jm >= t_milli:
+                    out[(a, b)] = jm
+        return out
+
+    def test_recall_is_exactly_one_vs_bruteforce(self, spark):
+        # deterministic corpus mixing near-dups, partial overlaps, and
+        # disjoint docs; EVERY qualifying pair must be found (no LSH luck)
+        vocab = [f"w{j}" for j in range(30)]
+        rows = [
+            (i, " ".join(vocab[(i * 3 + k) % 30] for k in range(8 + i % 5)))
+            for i in range(40)
+        ]
+        rows += [(100, rows[0][1]), (101, rows[0][1] + " extra")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        for t in (400, 600, 800):
+            got = {
+                (r.a_id, r.b_id): r.jaccard_milli
+                for r in dd.jaccard_prefix_join(
+                    df, "doc_id", "text", threshold_milli=t
+                ).collect()
+            }
+            assert got == self._brute(rows, t)
+
+    def test_identical_docs_score_1000(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "delta")],
+            "doc_id bigint, text string",
+        )
+        got = {
+            (r.a_id, r.b_id): r.jaccard_milli
+            for r in dd.jaccard_prefix_join(df, "doc_id", "text", 900).collect()
+        }
+        assert got == {(1, 2): 1000}  # set semantics: order/dup irrelevant
+
+    def test_no_cartesian_plan(self, spark):
+        from beis_orp_data_service_spark.catalog import load_table
+        from conftest import SF_SMOKE
+
+        docs = load_table(spark, SF_SMOKE, "documents").where("n_chars < 150")
+        plan = (
+            dd.jaccard_prefix_join(docs, "doc_id", "text", 500)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
