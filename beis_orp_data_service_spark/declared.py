@@ -4577,6 +4577,21 @@ def q_triangles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Product-quantization encoding (engine extension: the FAISS IVF-PQ
+# compression half) — operators/similarity.py
+# ---------------------------------------------------------------------------
+
+
+@declared("pq_codes", sim.pq_codes_oracle_sql("embeddings", "vec_id", "embedding"))
+def pq_codes_q(spark, sf_dir):
+    # 64-dim vectors -> 4 sub-codes (16-entry deterministic codebook) +
+    # integer reconstruction error; map-only Arrow pass, codebook in
+    # closure; ties to the smallest code (= SQL min-struct).
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.pq_codes(emb, "vec_id", "embedding", m=4, k=16)
+
+
+# ---------------------------------------------------------------------------
 # Exact set-similarity self-join via prefix filtering (engine
 # extension: recall-1.0 Jaccard join) — operators/dedup.py
 # ---------------------------------------------------------------------------

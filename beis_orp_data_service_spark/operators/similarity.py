@@ -30,7 +30,7 @@ def _quantize(col: Column, factor: int = 1000) -> Column:
     return F.transform(col, lambda x: F.round(x.cast("double") * factor).cast("bigint"))
 
 
-def _quantize_np(v) -> "np.ndarray":
+def _quantize_np(v, factor: int = 100) -> "np.ndarray":
     """numpy twin of :func:`_quantize`'s rounding: Spark ``F.round`` and
     DuckDB ``round`` are HALF-UP (away from zero on .5), but
     ``np.round`` is banker's half-to-even — np.round(12.5)=12 vs
@@ -40,7 +40,7 @@ def _quantize_np(v) -> "np.ndarray":
     HALF-UP *exactly*: the naive floor(|x|+0.5) rounds up one ulp early
     (0.49999999999999994+0.5 == 1.0 in FP) where BigDecimal/DuckDB
     round down; the subtraction form is exact for |x| < 2⁵²."""
-    x = np.asarray(v, dtype=np.float64) * 100
+    x = np.asarray(v, dtype=np.float64) * factor
     ax = np.abs(x)
     f = np.floor(ax)
     q = f + (ax - f >= 0.5)
@@ -853,3 +853,133 @@ def ann_index_probe(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def pq_codebook_deterministic(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+) -> np.ndarray:
+    """Deterministic PQ codebooks: the quantized subvectors of the
+    first ``k`` rows in id order — the replayable-quantizer move the
+    SemDeDup oracle path uses (a trained k-means codebook is the
+    production variant; swap it in exactly like ``kmeans_centroids``).
+    Driver pull is k rows (bounded, the centroid-pull cost class).
+    Returns int64 [m, k, d/m]."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"need at least k={k} rows for the codebook, got {len(rows)}")
+    mat = np.stack([_quantize_np(r[vec_col], 1000) for r in rows])  # [k, d]
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return np.stack([mat[:, s * dsub : (s + 1) * dsub] for s in range(m)])
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    codebook: np.ndarray | None = None,
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011 — the FAISS
+    IVF-PQ compression half; composes with the persistent IVF index,
+    which is the coarse half): split each vector into ``m`` subvectors,
+    assign each to its nearest codebook entry (quantized-int L2 —
+    exact int64, the repo's cross-engine arithmetic), emit the m code
+    ids and the total squared reconstruction error.
+
+    64-dim float vectors become m=4 bytes of codes — the 64× memory
+    cut that makes billion-vector rerank tables RAM-resident. Encoding
+    is a map-only Arrow pass with the [m,k,d/m] codebook in closure
+    (k·d ints — broadcast-trivial); ties go to the SMALLEST code id
+    (numpy argmin first-hit == the SQL min(struct(dist, code))).
+
+    Returns (id, codes_text '_'-joined, recon_err).
+    """
+    import pandas as pd
+
+    cb = (
+        codebook
+        if codebook is not None
+        else pq_codebook_deterministic(embeddings, id_col, vec_col, m, k)
+    )
+    m_, k_, dsub = cb.shape
+
+    def _encode(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=[id_col, "codes_text", "recon_err"])
+                continue
+            x = np.stack([_quantize_np(v, 1000) for v in pdf[vec_col]])  # [n, d]
+            codes = np.empty((len(pdf), m_), dtype=np.int64)
+            err = np.zeros(len(pdf), dtype=np.int64)
+            for s in range(m_):
+                sub = x[:, s * dsub : (s + 1) * dsub]
+                dist = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = dist.argmin(axis=1)  # first min: smallest code
+                err += dist.min(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "codes_text": ["_".join(map(str, c)) for c in codes],
+                    "recon_err": err,
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        _encode, f"{id_col} bigint, codes_text string, recon_err bigint"
+    )
+
+
+def pq_codes_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    k: int = 16,
+) -> str:
+    """DuckDB twin of :func:`pq_codes` with the deterministic first-k
+    codebook — same quantization, L2 arithmetic, and min-struct
+    tie-break."""
+    dsub = dim // m
+    qv = (
+        f"[CAST(round(CAST({vec_col}[i] AS DOUBLE) * 1000) AS BIGINT) "
+        f"for i in range(1, {dim} + 1)]"
+    )
+    return f"""
+    WITH q AS (
+      SELECT {id_col}, {qv} AS qv FROM {table}
+    ), cb AS (
+      SELECT row_number() OVER (ORDER BY {id_col} ASC) - 1 AS code, qv AS qc
+      FROM (SELECT {id_col}, qv FROM q ORDER BY {id_col} ASC LIMIT {k})
+    ), d AS (
+      SELECT q.{id_col}, s.s, cb.code,
+             list_sum([(q.qv[s.s * {dsub} + j] - cb.qc[s.s * {dsub} + j])
+                       * (q.qv[s.s * {dsub} + j] - cb.qc[s.s * {dsub} + j])
+                       for j in range(1, {dsub} + 1)]) AS dist
+      FROM q
+      CROSS JOIN (SELECT unnest(range(0, {m})) AS s) s
+      CROSS JOIN cb
+    ), best AS (
+      SELECT {id_col}, s, code, dist,
+             row_number() OVER (PARTITION BY {id_col}, s
+                                ORDER BY dist ASC, code ASC) AS rn
+      FROM d
+    )
+    SELECT {id_col},
+           string_agg(CAST(code AS VARCHAR), '_' ORDER BY s) AS codes_text,
+           CAST(sum(dist) AS BIGINT) AS recon_err
+    FROM best WHERE rn = 1 GROUP BY {id_col}
+    """

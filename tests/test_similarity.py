@@ -322,3 +322,61 @@ def test_quantize_np_half_up_parity(spark):
     ).fetchone()[0]
     assert got_np == got_spark == got_duck
     assert got_np[0] == 13  # 12.5 rounds UP, not to even (12)
+
+
+class TestProductQuantization:
+    def test_codes_match_pure_python(self, spark):
+        import numpy as np
+
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        rng_rows = [
+            (i, [((i * 31 + j * 7) % 17 - 8) / 8.0 for j in range(8)])
+            for i in range(40)
+        ]
+        emb = spark.createDataFrame(rng_rows, "vec_id bigint, embedding array<float>")
+        got = {
+            r.vec_id: (r.codes_text, r.recon_err)
+            for r in sim.pq_codes(emb, m=2, k=4).collect()
+        }
+
+        def q(v):
+            x = np.asarray(v, dtype=np.float64) * 1000
+            ax = np.abs(x)
+            f = np.floor(ax)
+            return (np.sign(x) * (f + (ax - f >= 0.5))).astype(np.int64)
+
+        mat = {i: q(np.asarray(v, dtype=np.float32)) for i, v in rng_rows}
+        cb = [np.stack([mat[i][s * 4 : (s + 1) * 4] for i in range(4)]) for s in range(2)]
+        for i, _v in rng_rows:
+            codes, err = [], 0
+            for s in range(2):
+                d = ((mat[i][s * 4 : (s + 1) * 4][None, :] - cb[s]) ** 2).sum(axis=1)
+                codes.append(int(d.argmin()))
+                err += int(d.min())
+            assert got[i] == ("_".join(map(str, codes)), err)
+
+    def test_codebook_rows_have_zero_error_on_their_own_subspace(self, spark):
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        rows = [(i, [float(i), float(-i), i / 3.0, 1.0 - i]) for i in range(10)]
+        emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        got = {r.vec_id: r for r in sim.pq_codes(emb, m=2, k=4).collect()}
+        # the first k=4 rows ARE the codebook: they reconstruct exactly
+        for i in range(4):
+            assert got[i].recon_err == 0
+            assert got[i].codes_text == f"{i}_{i}"
+
+    def test_bad_shapes_rejected(self, spark):
+        import pytest
+
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        emb = spark.createDataFrame(
+            [(i, [0.1, 0.2, 0.3]) for i in range(5)],
+            "vec_id bigint, embedding array<float>",
+        )
+        with pytest.raises(ValueError):
+            sim.pq_codes(emb, m=2, k=3)  # dim 3 not divisible by 2
+        with pytest.raises(ValueError):
+            sim.pq_codes(emb, m=3, k=50)  # not enough rows for codebook
