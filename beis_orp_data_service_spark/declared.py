@@ -4577,6 +4577,38 @@ def q_triangles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# JSONL scan (engine extension next to S5: explicit schema + permissive
+# corrupt capture) — sources/readers.py
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "scan_jsonl",
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    """,
+)
+def scan_jsonl_q(spark, sf_dir):
+    # Round-trip through the wire format: export documents (minus text,
+    # to keep the fixture lean) as JSONL to a stable per-sf tmp path,
+    # scan back with explicit schema + PERMISSIVE corrupt capture, and
+    # assert zero corrupt rows by filtering them out (the oracle states
+    # the lossless contract from the source table).
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_jsonl_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.write.mode("overwrite").json(path)
+    out = readers.scan_jsonl(spark, path, "doc_id bigint, lang string, n_chars bigint")
+    return out.where(F.col("_corrupt_record").isNull()).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Product-quantization encoding (engine extension: the FAISS IVF-PQ
 # compression half) — operators/similarity.py
 # ---------------------------------------------------------------------------

@@ -83,6 +83,28 @@ def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def scan_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | str
+) -> DataFrame:
+    """JSON-lines scan with explicit schema and PERMISSIVE corrupt-row
+    capture (engine extension next to S5: the wire format queue/export
+    pipelines actually ship). Schema is explicit — like scan_csv, an
+    inferSchema pass over a 100 TB lake is a full extra scan. Rows that
+    fail to parse land intact in ``_corrupt_record`` instead of
+    poisoning the job (the converter family's per-row tolerance
+    posture); count them with ``_corrupt_record IS NOT NULL`` and route
+    to a quarantine sink."""
+    st = T._parse_datatype_string(schema) if isinstance(schema, str) else schema
+    if "_corrupt_record" not in [f.name for f in st.fields]:
+        st = st.add(T.StructField("_corrupt_record", T.StringType()))
+    return (
+        spark.read.schema(st)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
 def _xml_escape(c: Column) -> Column:
     for raw, esc in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
         c = F.replace(c, F.lit(raw), F.lit(esc))

@@ -28,3 +28,39 @@ def test_table_rows_footer_metadata_matches_scan(spark):
         meta = table_rows(SF_SMOKE, name)
         assert meta == load_table(spark, SF_SMOKE, name).count()
     assert table_rows("/nonexistent", "x") is None
+
+
+class TestScanJsonl:
+    def test_corrupt_rows_captured_not_fatal(self, spark, tmp_path):
+        from beis_orp_data_service_spark.sources import readers
+
+        p = tmp_path / "in.jsonl"
+        p.write_text(
+            '{"doc_id": 1, "lang": "en"}\n'
+            "this is not json at all\n"
+            '{"doc_id": 2, "lang": "fr"}\n'
+            '{"doc_id": "notanumber", "lang": "de"}\n'
+        )
+        out = readers.scan_jsonl(spark, str(p), "doc_id bigint, lang string")
+        rows = out.collect()
+        good = {r.doc_id: r.lang for r in rows if r._corrupt_record is None}
+        bad = [r._corrupt_record for r in rows if r._corrupt_record is not None]
+        assert good == {1: "en", 2: "fr"}
+        assert len(bad) == 2
+        assert "not json" in bad[0] or "not json" in bad[1]
+
+    def test_explicit_corrupt_column_respected(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from beis_orp_data_service_spark.sources import readers
+
+        p = tmp_path / "in.jsonl"
+        p.write_text('{"a": 1}\n')
+        st = T.StructType(
+            [
+                T.StructField("a", T.LongType()),
+                T.StructField("_corrupt_record", T.StringType()),
+            ]
+        )
+        out = readers.scan_jsonl(spark, str(p), st)
+        assert [f.name for f in out.schema.fields].count("_corrupt_record") == 1
