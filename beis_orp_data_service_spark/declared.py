@@ -4577,6 +4577,36 @@ def q_triangles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Grouped top-k (engine extension: per-group 'latest N' pages) —
+# operators/search.py
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q_group_topk",
+    """
+    SELECT source, doc_id, n_chars, rank_in_group FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC)
+               AS rank_in_group
+      FROM documents)
+    WHERE rank_in_group <= 3
+    """,
+)
+def q_group_topk(spark, sf_dir):
+    # top-3 largest docs per source: one group-partitioned window (no
+    # global sort), unique tiebreak so pages replay.
+    docs = _t(spark, sf_dir, "documents")
+    return search_ops.grouped_topk(
+        docs.select("source", "doc_id", "n_chars"),
+        ["source"],
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        3,
+    )
+
+
+# ---------------------------------------------------------------------------
 # JSONL scan (engine extension next to S5: explicit schema + permissive
 # corrupt capture) — sources/readers.py
 # ---------------------------------------------------------------------------

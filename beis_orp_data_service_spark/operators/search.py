@@ -153,3 +153,34 @@ def search(
     if return_cols:
         paged = paged.select(*return_cols)  # Q18
     return paged
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+) -> DataFrame:
+    """Top-k rows per group (the per-source/per-regulator 'latest N'
+    every listing page needs; the grouped analog of Q8-Q10's global
+    sort+page). Pass fully deterministic ``order_cols`` (unique
+    tiebreak last) — rank ties would otherwise make the page
+    non-replayable.
+
+    One shuffle partitioned by the GROUP columns; within each group
+    Spark sorts locally and the rank filter truncates — there is never
+    a global sort, and with AQE skew handling a hot group splits
+    rather than stalling a task. (Spark has no grouped partial top-k
+    aggregate; window-rank-filter is the canonical plan and the
+    filter is pushed into the window via LimitPushDownThroughWindow
+    when eligible.)
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .withColumnRenamed("_rk", "rank_in_group")
+        .withColumn("rank_in_group", F.col("rank_in_group").cast("bigint"))
+    )

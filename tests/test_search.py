@@ -105,3 +105,53 @@ def test_search_end_to_end_with_left_join(spark, docs):
                  return_cols=["document_uid", "leg_href"])
     got = {r.document_uid: r.leg_href for r in out.collect()}
     assert got == {"d1": "ukpga/2000/1", "d2": None, "d4": None, "d5": None}
+
+
+class TestGroupedTopK:
+    def test_topk_per_group_with_tiebreak(self, spark):
+        from pyspark.sql import functions as F
+
+        from beis_orp_data_service_spark.operators.search import grouped_topk
+
+        rows = [("a", i, 100 - (i % 3)) for i in range(9)] + [("b", 100, 5)]
+        df = spark.createDataFrame(rows, "g string, id bigint, v bigint")
+        got = grouped_topk(
+            df, ["g"], [F.col("v").desc(), F.col("id").asc()], 2
+        ).collect()
+        by = {(r.g, r.rank_in_group): r.id for r in got}
+        # group a: v=100 for ids 0,3,6 -> tiebreak id asc picks 0 then 3
+        assert by[("a", 1)] == 0 and by[("a", 2)] == 3
+        # group b has a single row
+        assert by[("b", 1)] == 100 and ("b", 2) not in by
+
+    def test_no_global_sort_in_plan(self, spark):
+        from pyspark.sql import functions as F
+
+        from beis_orp_data_service_spark.catalog import load_table
+        from beis_orp_data_service_spark.operators.search import grouped_topk
+        from tests.conftest import SF_SMOKE
+
+        docs = load_table(spark, SF_SMOKE, "documents")
+        plan = (
+            grouped_topk(
+                docs.select("source", "doc_id", "n_chars"),
+                ["source"],
+                [F.col("n_chars").desc(), F.col("doc_id").asc()],
+                3,
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # window sort is group-partitioned, never a global Sort/Exchange
+        # into a single range partition
+        assert "rangepartitioning" not in plan.lower()
+
+    def test_k_validation(self, spark):
+        import pytest
+
+        from beis_orp_data_service_spark.operators.search import grouped_topk
+
+        df = spark.createDataFrame([("a", 1)], "g string, id bigint")
+        with pytest.raises(ValueError):
+            grouped_topk(df, ["g"], [], 0)
