@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from beis_orp_data_service_spark.catalog import load_table
 from beis_orp_data_service_spark.functions import text as X
+from beis_orp_data_service_spark.operators import analytics as an_ops
 from beis_orp_data_service_spark.operators import dedup as dd
 from beis_orp_data_service_spark.operators import dimension as dim_ops
 from beis_orp_data_service_spark.operators import enrichment as enr
@@ -5008,6 +5009,141 @@ def tfidf_vectors(spark, sf_dir):
     # pruned map-side (min_df=2) before the dfreq join.
     docs = _t(spark, sf_dir, "documents")
     return rank_ops.tfidf_vectors(docs, "doc_id", "text", min_df=2)
+
+
+# ---------------------------------------------------------------------------
+# Warehouse analytics (engine extensions: dataset profiling, funnels,
+# CDC merge-apply) — operators/analytics.py
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "profile_docs",
+    an_ops.profile_table_oracle_sql(
+        "documents", ["doc_id", "lang", "source", "n_chars"]
+    ),
+)
+def profile_docs(spark, sf_dir):
+    # per-column profile (non-null, exact NDV, typed min/max) in ONE
+    # scan: multi-distinct planned as Expand + partial agg; the 1-row
+    # aggregate unpivots with stack — no per-column jobs.
+    docs = _t(spark, sf_dir, "documents")
+    return an_ops.profile_table(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+@declared(
+    "funnel_steps",
+    an_ops.funnel_oracle_sql("events", ["view", "click", "purchase"]),
+)
+def funnel_steps(spark, sf_dir):
+    # strictly-ordered view->click->purchase funnel: per step one
+    # user-keyed equi-join + map-side-combined MIN — no global window
+    # over the event log, later steps join only surviving users.
+    events = _t(spark, sf_dir, "events")
+    return an_ops.funnel(events, ["view", "click", "purchase"])
+
+
+@declared(
+    "cdc_apply",
+    an_ops.cdc_apply_oracle_sql(
+        "SELECT o_orderkey, o_custkey, CAST(FLOOR(o_totalprice * 100)"
+        " AS BIGINT) AS price_c FROM orders WHERE o_orderkey % 4 <> 3",
+        "SELECT o_orderkey, o_orderkey % 5 AS seq,"
+        " CASE WHEN o_orderkey % 8 = 0 THEN 'D' ELSE 'U' END AS op,"
+        " o_custkey + 1 AS o_custkey,"
+        " CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 7 AS price_c"
+        " FROM orders WHERE o_orderkey % 2 = 0",
+        "o_orderkey",
+        "seq",
+        "op",
+        ["o_custkey", "price_c"],
+    ),
+)
+def cdc_apply_q(spark, sf_dir):
+    # MERGE INTO semantics: last-change-per-key reduction (max-struct,
+    # map-side combinable) then ONE full-outer join — a key churning
+    # 10k times in the batch still shuffles one row to the snapshot.
+    # Synthetic CDC batch carved from orders: even keys change (every
+    # 8th a delete), snapshot holds keys % 4 != 3, so the join
+    # exercises update/insert/delete/untouched all four ways.
+    orders = _t(spark, sf_dir, "orders")
+    # explicit floor on both sides: DuckDB CAST(double AS BIGINT)
+    # ROUNDS, Spark cast truncates — floor is the one both agree on
+    price_c = F.floor(F.col("o_totalprice") * 100)
+    snapshot = orders.filter(F.col("o_orderkey") % 4 != 3).select(
+        "o_orderkey", "o_custkey", price_c.alias("price_c")
+    )
+    changes = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 5).alias("seq"),
+        F.when(F.col("o_orderkey") % 8 == 0, "D").otherwise("U").alias("op"),
+        (F.col("o_custkey") + 1).alias("o_custkey"),
+        (price_c + 7).alias("price_c"),
+    )
+    return an_ops.cdc_apply(
+        snapshot, changes, "o_orderkey", "seq", "op", ["o_custkey", "price_c"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted shortest paths (engine extension: bounded-hop Bellman-Ford
+# over the reference's typed-relation graph) — operators/graph.py
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q_shortest_path",
+    graph_ops.shortest_paths_oracle_sql(
+        """
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS src,
+               'n' || CAST(c_nationkey AS VARCHAR) AS dst,
+               CAST(c_custkey % 7 + 1 AS BIGINT) AS w FROM customer
+        UNION ALL
+        SELECT 's' || CAST(s_suppkey AS VARCHAR),
+               'n' || CAST(s_nationkey AS VARCHAR),
+               CAST(s_suppkey % 5 + 1 AS BIGINT) FROM supplier
+        UNION ALL
+        SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+               'r' || CAST(n_regionkey AS VARCHAR),
+               CAST(n_nationkey % 3 + 1 AS BIGINT) FROM nation
+        """,
+        "SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node "
+        "FROM customer WHERE c_custkey % 100 = 0",
+        max_hops=3,
+    ),
+)
+def q_shortest_path(spark, sf_dir):
+    # bounded-hop Bellman-Ford over the c->n->r typed graph with
+    # deterministic integer weights: per round one edge-join shuffle +
+    # map-side-combined MIN; the oracle unrolls the same 3 relaxations.
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    edges = (
+        cust.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+            (F.col("c_custkey") % 7 + 1).cast("bigint").alias("w"),
+        )
+        .unionByName(
+            supp.select(
+                F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+                F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+                (F.col("s_suppkey") % 5 + 1).cast("bigint").alias("w"),
+            )
+        )
+        .unionByName(
+            nat.select(
+                F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+                F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+                (F.col("n_nationkey") % 3 + 1).cast("bigint").alias("w"),
+            )
+        )
+    )
+    sources = cust.filter(F.col("c_custkey") % 100 == 0).select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    return graph_ops.shortest_paths(edges, sources, max_hops=3)
 
 
 # ---------------------------------------------------------------------------

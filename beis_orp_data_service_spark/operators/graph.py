@@ -120,6 +120,65 @@ def reachability(
     return visited
 
 
+def shortest_paths(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Weighted single/multi-source shortest paths, bounded hops —
+    Bellman-Ford relaxation on DataFrames. Input: ``edges (src, dst,
+    w)`` with NON-NEGATIVE integer weights (integer arithmetic keeps
+    the result bit-identical cross-engine, so the oracle can unroll
+    the same relaxations as chained CTEs), ``sources (node)``. Output
+    ``(node, dist)`` = minimum total weight over paths of at most
+    ``max_hops`` edges from any source.
+
+    Per round: one equi-join shuffle (current dists × edges on the
+    node key) + a map-side-combined MIN aggregate — never a window,
+    never per-node pandas. The hop bound makes the round count FIXED
+    (no per-round driver emptiness action, unlike :func:`reachability`
+    where early exit pays for itself on shallow graphs);
+    ``localCheckpoint`` per round keeps the plan flat. Negative-cycle
+    safety comes free from the hop bound."""
+    dist = sources.select(
+        F.col("node"), F.lit(0).cast("bigint").alias("dist")
+    ).localCheckpoint()
+    for _ in range(max_hops):
+        relaxed = dist.join(edges, dist.node == edges.src).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).cast("bigint").alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist
+
+
+def shortest_paths_oracle_sql(
+    edges_cte: str, sources_cte: str, max_hops: int = 3
+) -> str:
+    """DuckDB twin: unrolls the same ``max_hops`` relaxation rounds as
+    chained CTEs (d0 = sources at 0; d(i) = per-node MIN over d(i-1)
+    UNION relaxed edges) — identical arithmetic, so hash-grade.
+    ``edges_cte`` must yield (src, dst, w); ``sources_cte`` (node)."""
+    ctes = [
+        f"e AS ({edges_cte})",
+        f"d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM ({sources_cte}))",
+    ]
+    for i in range(1, max_hops + 1):
+        ctes.append(
+            f"d{i} AS (SELECT node, MIN(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{i - 1} UNION ALL "
+            f"SELECT e.dst AS node, d{i - 1}.dist + e.w AS dist "
+            f"FROM d{i - 1} JOIN e ON e.src = d{i - 1}.node) GROUP BY node)"
+        )
+    return (
+        f"WITH {', '.join(ctes)} "
+        f"SELECT node, dist FROM d{max_hops}"
+    )
+
+
 def pagerank(
     edges: DataFrame,
     nodes: DataFrame,

@@ -1,0 +1,192 @@
+"""Tests for operators/analytics.py — profiler, funnel, CDC apply —
+and graph.shortest_paths."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from beis_orp_data_service_spark.operators import analytics as an
+from beis_orp_data_service_spark.operators import graph as g
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+# ---------------------------------------------------------------- profiler
+
+
+def test_profile_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (None, "b")],
+        "id bigint, tag string",
+    )
+    out = {
+        r["column_name"]: r
+        for r in an.profile_table(df, ["id", "tag"]).collect()
+    }
+    assert out["id"]["n_nonnull"] == 3
+    assert out["id"]["ndv"] == 3
+    assert out["id"]["min_value"] == "1"
+    assert out["id"]["max_value"] == "3"
+    assert out["tag"]["n_nonnull"] == 3
+    assert out["tag"]["ndv"] == 2
+    assert out["tag"]["min_value"] == "a"
+    assert out["tag"]["max_value"] == "b"
+
+
+def test_profile_numeric_minmax_is_typed_not_lexicographic(spark):
+    # "9" > "10" lexicographically — the profile must use numeric order
+    df = spark.createDataFrame([(9,), (10,), (100,)], "v bigint")
+    row = an.profile_table(df, ["v"]).collect()[0]
+    assert row["min_value"] == "9"
+    assert row["max_value"] == "100"
+
+
+def test_profile_single_job(spark):
+    # the whole profile is ONE aggregate plan (Expand for the multi-
+    # distinct) — no per-column jobs, no second scan
+    df = spark.createDataFrame([(1, "a")], "id bigint, tag string")
+    plan = an.profile_table(df, ["id", "tag"])._jdf.queryExecution().toString()
+    assert plan.count("Expand") >= 1
+
+
+# ------------------------------------------------------------------ funnel
+
+
+def test_funnel_ordering_and_break(spark):
+    rows = [
+        # u1 completes all three in order
+        (1, "view", _ts(1)),
+        (1, "click", _ts(2)),
+        (1, "buy", _ts(3)),
+        # u2 clicks BEFORE viewing: click doesn't count, funnel stops at 1
+        (2, "click", _ts(1)),
+        (2, "view", _ts(2)),
+        # u3 never views: not in the output at all
+        (3, "click", _ts(1)),
+        (3, "buy", _ts(2)),
+        # u4 view->click but buy precedes click: stops at 2
+        (4, "view", _ts(1)),
+        (4, "buy", _ts(2)),
+        (4, "click", _ts(3)),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, event_type string, ts timestamp")
+    out = {
+        r["user_id"]: r
+        for r in an.funnel(df, ["view", "click", "buy"]).collect()
+    }
+    assert set(out) == {1, 2, 4}
+    assert out[1]["max_step"] == 3 and out[1]["ts_3"] == _ts(3)
+    assert out[2]["max_step"] == 1 and out[2]["ts_2"] is None
+    assert out[4]["max_step"] == 2 and out[4]["ts_3"] is None
+
+
+def test_funnel_strictly_after_ties_break(spark):
+    # same-timestamp next step does NOT count (strict >)
+    rows = [(1, "view", _ts(1)), (1, "click", _ts(1))]
+    df = spark.createDataFrame(rows, "user_id bigint, event_type string, ts timestamp")
+    out = an.funnel(df, ["view", "click"]).collect()
+    assert out[0]["max_step"] == 1
+
+
+def test_funnel_uses_first_qualifying_occurrence(spark):
+    rows = [
+        (1, "view", _ts(5)),
+        (1, "click", _ts(2)),   # before the view — ignored
+        (1, "click", _ts(7)),   # first qualifying
+        (1, "click", _ts(9)),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, event_type string, ts timestamp")
+    out = an.funnel(df, ["view", "click"]).collect()[0]
+    assert out["ts_2"] == _ts(7)
+
+
+# --------------------------------------------------------------- cdc_apply
+
+
+def _cdc_frames(spark):
+    snap = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k bigint, v bigint"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, 1, "U", 21),   # update existing
+            (2, 2, "U", 22),   # later seq wins
+            (3, 1, "D", 0),    # delete existing
+            (4, 1, "U", 40),   # insert new
+            (5, 1, "D", 0),    # delete of absent key: no-op
+        ],
+        "k bigint, seq bigint, op string, v bigint",
+    )
+    return snap, changes
+
+
+def test_cdc_apply_merge_semantics(spark):
+    snap, changes = _cdc_frames(spark)
+    out = {
+        r["k"]: r["v"]
+        for r in an.cdc_apply(snap, changes, "k", "seq", "op", ["v"]).collect()
+    }
+    assert out == {1: 10, 2: 22, 4: 40}
+
+
+def test_cdc_apply_delete_then_update_last_wins(spark):
+    snap = spark.createDataFrame([(1, 10)], "k bigint, v bigint")
+    changes = spark.createDataFrame(
+        [(1, 1, "D", 0), (1, 2, "U", 99)], "k bigint, seq bigint, op string, v bigint"
+    )
+    out = an.cdc_apply(snap, changes, "k", "seq", "op", ["v"]).collect()
+    assert [(r["k"], r["v"]) for r in out] == [(1, 99)]
+    # and the reverse order deletes
+    changes2 = spark.createDataFrame(
+        [(1, 2, "D", 0), (1, 1, "U", 99)], "k bigint, seq bigint, op string, v bigint"
+    )
+    assert an.cdc_apply(snap, changes2, "k", "seq", "op", ["v"]).count() == 0
+
+
+def test_cdc_apply_is_single_aggregate_plus_one_join(spark):
+    # the batch reduces via max(struct) with map-side partial_max —
+    # never a row_number window funnel
+    snap, changes = _cdc_frames(spark)
+    plan = (
+        an.cdc_apply(snap, changes, "k", "seq", "op", ["v"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "partial_max" in plan
+
+
+# ----------------------------------------------------------- shortest paths
+
+
+def test_shortest_paths_picks_cheaper_longer_path(spark):
+    # a->b direct w=10; a->c->b total w=3: min dist to b is 3
+    edges = spark.createDataFrame(
+        [("a", "b", 10), ("a", "c", 1), ("c", "b", 2)], "src string, dst string, w bigint"
+    )
+    srcs = spark.createDataFrame([("a",)], "node string")
+    out = {r["node"]: r["dist"] for r in g.shortest_paths(edges, srcs, 3).collect()}
+    assert out == {"a": 0, "b": 3, "c": 1}
+
+
+def test_shortest_paths_hop_bound(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)], "src string, dst string, w bigint"
+    )
+    srcs = spark.createDataFrame([("a",)], "node string")
+    out = {r["node"]: r["dist"] for r in g.shortest_paths(edges, srcs, 2).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2}  # d is 3 hops away — excluded
+
+
+def test_shortest_paths_cycle_safe_multi_source(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1), ("b", "c", 5), ("s2", "c", 1)],
+        "src string, dst string, w bigint",
+    )
+    srcs = spark.createDataFrame([("a",), ("s2",)], "node string")
+    out = {r["node"]: r["dist"] for r in g.shortest_paths(edges, srcs, 4).collect()}
+    assert out["c"] == 1  # via the second source, not the a->b->c=6 path
+    assert out["a"] == 0 and out["b"] == 1
