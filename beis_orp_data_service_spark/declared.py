@@ -5146,6 +5146,59 @@ def q_shortest_path(spark, sf_dir):
     return graph_ops.shortest_paths(edges, sources, max_hops=3)
 
 
+@declared("retention", an_ops.retention_cohorts_oracle_sql("events"))
+def retention(spark, sf_dir):
+    # weekly retention-cohort matrix: user-keyed MIN + (user, week)
+    # DISTINCT + one equi-join; exact epoch arithmetic on truncated
+    # weeks keeps offsets hash-grade cross-engine.
+    return an_ops.retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+@declared("transitions", an_ops.transition_counts_oracle_sql("events"))
+def transitions(spark, sf_dir):
+    # first-order Markov transition counts: LAG window partitioned by
+    # user (state bounded by one user's stream), event_id tiebreak.
+    return an_ops.transition_counts(_t(spark, sf_dir, "events"))
+
+
+@declared(
+    "value_hist",
+    an_ops.value_histogram_oracle_sql("events", "value", 0.0, 500.0, 20),
+)
+def value_hist(spark, sf_dir):
+    # fixed-width histogram, clamped edge bins: one map-side-combined
+    # aggregate; identical IEEE bin expression on the oracle side.
+    return an_ops.value_histogram(
+        _t(spark, sf_dir, "events"), "value", 0.0, 500.0, 20
+    )
+
+
+@declared(
+    "skyline",
+    an_ops.skyline_oracle_sql(
+        "SELECT l_orderkey * 10 + l_linenumber AS li_id, l_quantity,"
+        " l_extendedprice, l_discount FROM lineitem WHERE l_partkey % 40 = 0",
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "li_id",
+    ),
+)
+def skyline_q(spark, sf_dir):
+    # 3-D Pareto frontier (maximize qty/price/discount) on a lineitem
+    # slice: per-partition local skyline (Arrow kernel) -> union ->
+    # one-task final pass; the oracle is the quadratic NOT EXISTS
+    # dominance spelling, viable only at oracle scale.
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 40 == 0)
+    li = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("li_id"),
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    return an_ops.skyline(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], "li_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------

@@ -223,3 +223,223 @@ def cdc_apply_oracle_sql(
         f"ON s.{key_col} = c.{key_col} "
         f"WHERE c.{op_col} IS NULL OR c.{op_col} <> 'D'"
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention-cohort matrix: users bucketed by first-seen
+    week (`cohort_week`), counted in every later week they were active,
+    keyed by the week offset. Output ``(cohort_week, week_offset,
+    n_users)``.
+
+    Shape: one user-keyed MIN aggregate (map-side combined) for the
+    cohort, one (user, week) DISTINCT, an equi-join on the user key,
+    and the final small aggregate — no window over the raw log, and the
+    join's right side is one row per user. Offsets ride exact epoch
+    arithmetic on week-truncated timestamps (UTC session), so the
+    division is exact — hash-grade cross-engine."""
+    week = F.date_trunc("week", F.col(ts_col))
+    cohort = (
+        events.groupBy(user_col)
+        .agg(F.min(week).alias("cohort_week"))
+    )
+    active = events.select(
+        F.col(user_col), week.alias("_week")
+    ).distinct()
+    offset = (
+        (F.unix_timestamp("_week") - F.unix_timestamp("cohort_week")) / 604800
+    ).cast("bigint")
+    return (
+        active.join(cohort, user_col)
+        .select("cohort_week", offset.alias("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def retention_cohorts_oracle_sql(
+    table: str, user_col: str = "user_id", ts_col: str = "ts"
+) -> str:
+    """DuckDB twin of :func:`retention_cohorts` (epoch() of a naive
+    timestamp is UTC, matching the pinned-UTC Spark session)."""
+    return f"""
+    WITH cohort AS (
+      SELECT {user_col}, MIN(date_trunc('week', {ts_col})) AS cohort_week
+      FROM {table} GROUP BY {user_col}
+    ), active AS (
+      SELECT DISTINCT {user_col}, date_trunc('week', {ts_col}) AS _week
+      FROM {table}
+    )
+    SELECT c.cohort_week,
+           CAST((epoch(a._week) - epoch(c.cohort_week)) / 604800 AS BIGINT)
+             AS week_offset,
+           COUNT(*) AS n_users
+    FROM active a JOIN cohort c ON a.{user_col} = c.{user_col}
+    GROUP BY c.cohort_week, week_offset
+    """
+
+
+def transition_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    stream: ``(prev_type, next_type, n)``. The per-user sequence is a
+    LAG window PARTITIONED BY the user key — state never exceeds one
+    user's stream per task, so the window is scale-safe (unlike a
+    global-order window); ``id_col`` breaks timestamp ties so the
+    sequence — and therefore the counts — is deterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    pairs = events.select(
+        F.lag(type_col).over(w).alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    return pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def transition_counts_oracle_sql(
+    table: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB twin: identical LAG window, identical tiebreak."""
+    return f"""
+    SELECT prev_type, next_type, COUNT(*) AS n FROM (
+      SELECT lag({type_col}) OVER (PARTITION BY {user_col}
+                                   ORDER BY {ts_col}, {id_col}) AS prev_type,
+             {type_col} AS next_type
+      FROM {table})
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """
+
+
+def value_histogram(
+    df: DataFrame, value_col: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Fixed-width histogram: ``(bin, n)``; values outside [lo, hi)
+    clamp to the edge bins (so every non-null value is counted — the
+    dashboard convention). One map-side-combined aggregate, all
+    codegen. The bin expression is the SAME IEEE double expression
+    tree on the oracle side, so binning is bit-identical even for
+    values landing on a boundary."""
+    raw = (
+        (F.col(value_col) - F.lit(float(lo)))
+        * F.lit(float(nbins))
+        / F.lit(float(hi) - float(lo))
+    )
+    bin_ = F.greatest(
+        F.lit(0), F.least(F.lit(nbins - 1), F.floor(raw).cast("int"))
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(bin_.cast("bigint").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def value_histogram_oracle_sql(
+    table: str, value_col: str, lo: float, hi: float, nbins: int
+) -> str:
+    """DuckDB twin — same arithmetic, same clamp."""
+    raw = f"({value_col} - {float(lo)}) * {float(nbins)} / {float(hi) - float(lo)}"
+    return f"""
+    SELECT CAST(GREATEST(0, LEAST({nbins - 1},
+                 CAST(FLOOR({raw}) AS INT))) AS BIGINT) AS bin,
+           COUNT(*) AS n
+    FROM {table} WHERE {value_col} IS NOT NULL GROUP BY bin
+    """
+
+
+def skyline(df: DataFrame, dim_cols: list[str], id_col: str) -> DataFrame:
+    """Pareto frontier (skyline) MAXIMIZING every dimension: rows no
+    other row dominates (>= on all dims, > on at least one). Classic
+    distributed shape (Börzsönyi et al. 2001 / map-reduce skyline):
+
+    1. per-partition LOCAL skyline (Arrow kernel: sort by dim-sum
+       descending, vectorized dominance scan against the retained set)
+       — a point dominated inside any partition is dominated globally,
+       so this only removes losers;
+    2. the union of local skylines — every GLOBAL skyline point
+       survives step 1 (an undominated point is undominated in any
+       subset), so the union is a superset of the answer —
+       single-group final pass with the same kernel.
+
+    The final pass is one task over the survivor set; survivor size is
+    O(log^(d-1) n) expected for independent dims — document/partition
+    counts keep it tiny in practice, but a pathological anti-correlated
+    input degrades the last task, the known skyline bound. NULL dims
+    are rejected (dominance is undefined on NULL)."""
+    import pandas as pd
+
+    d = len(dim_cols)
+    out_schema = ", ".join(
+        [f"{id_col} bigint"] + [f"{c} double" for c in dim_cols]
+    )
+
+    def _local(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) == 0:
+            return pdf
+        vals = pdf[dim_cols].to_numpy(dtype=np.float64)
+        order = np.argsort(-vals.sum(axis=1), kind="stable")
+        vals = vals[order]
+        keep_idx = []
+        kept = np.empty((0, d))
+        for i in range(len(vals)):
+            v = vals[i]
+            if len(keep_idx):
+                ge = (kept >= v).all(axis=1)
+                gt = (kept > v).any(axis=1)
+                if (ge & gt).any():
+                    continue
+            keep_idx.append(i)
+            kept = np.vstack([kept, v])
+        return pdf.iloc[order[keep_idx]]
+
+    prepared = df.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        *[F.col(c).cast("double").alias(c) for c in dim_cols],
+    ).na.drop(subset=dim_cols)
+    local = prepared.mapInPandas(
+        lambda it: (_local(pdf) for pdf in it), schema=out_schema
+    )
+    final = (
+        local.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(
+            lambda _, pdf: _local(pdf)[[id_col, *dim_cols]],
+            schema=out_schema,
+        )
+    )
+    return final
+
+
+def skyline_oracle_sql(rel_sql: str, dim_cols: list[str], id_col: str) -> str:
+    """DuckDB twin: textbook NOT EXISTS dominance (quadratic — the
+    oracle grade, not the scale path). ``rel_sql`` is a subquery
+    yielding (id, dims...)."""
+    ge = " AND ".join(f"o.{c} >= s.{c}" for c in dim_cols)
+    gt = " OR ".join(f"o.{c} > s.{c}" for c in dim_cols)
+    dims = ", ".join(f"CAST(s.{c} AS DOUBLE) AS {c}" for c in dim_cols)
+    return f"""
+    SELECT s.{id_col} AS {id_col}, {dims}
+    FROM ({rel_sql}) s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM ({rel_sql}) o
+      WHERE {ge} AND ({gt})
+    )
+    """

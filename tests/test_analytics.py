@@ -190,3 +190,108 @@ def test_shortest_paths_cycle_safe_multi_source(spark):
     out = {r["node"]: r["dist"] for r in g.shortest_paths(edges, srcs, 4).collect()}
     assert out["c"] == 1  # via the second source, not the a->b->c=6 path
     assert out["a"] == 0 and out["b"] == 1
+
+
+# ---------------------------------------------------------------- retention
+
+
+def test_retention_known_matrix(spark):
+    rows = [
+        # u1 first seen week of Jan 1 (Mon), active weeks 0 and 2
+        (1, dt.datetime(2024, 1, 2, 10)),
+        (1, dt.datetime(2024, 1, 16, 10)),
+        # u2 first seen week 1, active weeks 1 and 2
+        (2, dt.datetime(2024, 1, 9, 10)),
+        (2, dt.datetime(2024, 1, 17, 10)),
+        # duplicate activity in the same week counts once
+        (2, dt.datetime(2024, 1, 18, 10)),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    from beis_orp_data_service_spark.operators.analytics import retention_cohorts
+
+    out = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(df).collect()
+    }
+    w0 = dt.datetime(2024, 1, 1)
+    w1 = dt.datetime(2024, 1, 8)
+    assert out == {(w0, 0): 1, (w0, 2): 1, (w1, 0): 1, (w1, 1): 1}
+
+
+# -------------------------------------------------------------- transitions
+
+
+def test_transition_counts_tiebreak_deterministic(spark):
+    # two events at the SAME ts: event_id orders them
+    rows = [
+        (10, 1, "a", _ts(1)),
+        (11, 1, "b", _ts(2)),
+        (12, 1, "c", _ts(2)),  # same ts as b: id 11 < 12 => b then c
+        (13, 2, "a", _ts(1)),
+        (14, 2, "b", _ts(5)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    )
+    from beis_orp_data_service_spark.operators.analytics import transition_counts
+
+    out = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in transition_counts(df).collect()
+    }
+    assert out == {("a", "b"): 2, ("b", "c"): 1}
+
+
+# ---------------------------------------------------------------- histogram
+
+
+def test_value_histogram_clamps_and_bins(spark):
+    from beis_orp_data_service_spark.operators.analytics import value_histogram
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (4.9,), (5.0,), (99.0,), (200.0,), (None,)],
+        "v double",
+    )
+    out = {r["bin"]: r["n"] for r in value_histogram(df, "v", 0.0, 100.0, 20).collect()}
+    # bin width 5: -5 clamps to 0; 0,4.9 -> 0; 5.0 -> 1; 99 -> 19; 200 clamps to 19
+    assert out == {0: 3, 1: 1, 19: 2}
+
+
+# ------------------------------------------------------------------ skyline
+
+
+def _brute_skyline(points):
+    out = []
+    for i, p in enumerate(points):
+        dominated = any(
+            all(q[d] >= p[d] for d in range(len(p)))
+            and any(q[d] > p[d] for d in range(len(p)))
+            for j, q in enumerate(points)
+            if j != i
+        )
+        if not dominated:
+            out.append(i)
+    return set(out)
+
+
+def test_skyline_matches_bruteforce_random(spark):
+    import random
+
+    from beis_orp_data_service_spark.operators.analytics import skyline
+
+    rng = random.Random(7)
+    pts = [(rng.uniform(0, 1), rng.uniform(0, 1), rng.uniform(0, 1)) for _ in range(200)]
+    rows = [(i, *p) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id bigint, x double, y double, z double").repartition(7)
+    got = {r["id"] for r in skyline(df, ["x", "y", "z"], "id").collect()}
+    assert got == _brute_skyline(pts)
+
+
+def test_skyline_keeps_duplicate_maxima(spark):
+    from beis_orp_data_service_spark.operators.analytics import skyline
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 1.0, 1.0), (3, 0.5, 0.5)], "id bigint, x double, y double"
+    )
+    got = {r["id"] for r in skyline(df, ["x", "y"], "id").collect()}
+    assert got == {1, 2}  # identical points don't dominate each other
