@@ -5199,6 +5199,46 @@ def skyline_q(spark, sf_dir):
     )
 
 
+@declared(
+    "resample_daily",
+    tmp_ops.resample_ffill_oracle_sql("events", "user_id", "ts", "value", 86400),
+)
+def resample_daily(spark, sf_dir):
+    # per-user daily grid with forward fill: per-key MIN/MAX sizes the
+    # grid, sequence+explode fans out, max-struct last-observation,
+    # per-key ordered IGNORE-NULLS fill — every shuffle on the key.
+    return tmp_ops.resample_ffill(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "value", 86400
+    )
+
+
+@declared(
+    "ivm_join",
+    """
+    SELECT o.o_orderkey, o.o_custkey, c.c_nationkey
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def ivm_join(spark, sf_dir):
+    # incremental join-view maintenance: J_old ∪ delta-rule(ΔA, ΔB)
+    # must equal the recomputed join over the full inputs — the oracle
+    # IS the recompute, so the delta algebra is hash-checked exactly.
+    # Maintenance cost is bounded by the delta sides (|Δ|·fanout).
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    a_old = orders.filter(F.col("o_orderkey") % 3 != 0)
+    a_delta = orders.filter(F.col("o_orderkey") % 3 == 0)
+    b_old = cust.filter(F.col("o_custkey") % 4 != 0)
+    b_delta = cust.filter(F.col("o_custkey") % 4 == 0)
+    j_old = a_old.join(b_old, "o_custkey")
+    j_new = j_old.unionByName(
+        tmp_ops.join_delta(a_old, a_delta, b_old, b_delta, "o_custkey")
+    )
+    return j_new.select("o_orderkey", "o_custkey", "c_nationkey")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------

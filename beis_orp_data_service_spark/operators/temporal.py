@@ -179,3 +179,127 @@ def rollup_finalize(partials: DataFrame) -> DataFrame:
         F.col("sum_value").cast("double").alias("sum_value_d"),
         (F.col("sum_value").cast("double") / F.col("n")).alias("avg_value"),
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Regular-grid resampling with forward fill, per key: emit one row
+    per ``step_seconds`` tick between each key's first and last
+    observation; ticks with no observation carry the latest prior
+    value (``filled = true``). Output ``(key, tick, value, filled)``
+    with ``tick`` in epoch seconds (BIGINT — integer grid arithmetic
+    is bit-identical cross-engine; callers re-cast to timestamp at the
+    edge).
+
+    Shape: one per-key MIN/MAX aggregate sizes the grid, ``sequence``
+    + ``explode`` fans it out (rows ∝ key's time span / step — never a
+    cross join against a global calendar), one per-(key, tick)
+    last-observation reduction (max-struct: deterministic on ties, by
+    value), a left join grid←observations on (key, tick), and a
+    per-key ordered LAST(ignorenulls) window for the fill. Every
+    shuffle is on the key (or key+tick) — a key's grid never
+    co-resides with another's, so state is bounded per key."""
+    epoch = F.unix_timestamp(F.col(ts_col))
+    tick_of = (F.floor(epoch / step_seconds) * step_seconds).cast("bigint")
+    span = df.groupBy(key_col).agg(
+        F.min(tick_of).alias("_lo"), F.max(tick_of).alias("_hi")
+    )
+    grid = span.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence("_lo", "_hi", F.lit(int(step_seconds)))
+        ).alias("tick"),
+    )
+    obs = (
+        df.select(
+            F.col(key_col),
+            tick_of.alias("tick"),
+            F.struct(epoch.alias("_e"), F.col(value_col).alias("_v")).alias("_o"),
+        )
+        .groupBy(key_col, "tick")
+        .agg(F.max("_o")["_v"].alias("_obs"))
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("tick")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = grid.join(obs, [key_col, "tick"], "left")
+    return joined.select(
+        F.col(key_col),
+        F.col("tick"),
+        F.last("_obs", ignorenulls=True).over(w).alias("value"),
+        F.col("_obs").isNull().alias("filled"),
+    )
+
+
+def resample_ffill_oracle_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+) -> str:
+    """DuckDB twin of :func:`resample_ffill` — generate_series grid,
+    row_number last-observation pick (ts DESC, value DESC — the same
+    order the max-struct reduces by), IGNORE NULLS window fill."""
+    s = int(step_seconds)
+    return f"""
+    WITH ticked AS (
+      SELECT {key_col},
+             CAST(FLOOR(epoch({ts_col}) / {s}) * {s} AS BIGINT) AS tick,
+             epoch({ts_col}) AS _e, {value_col} AS _v
+      FROM {table}
+    ), span AS (
+      SELECT {key_col}, MIN(tick) AS _lo, MAX(tick) AS _hi
+      FROM ticked GROUP BY {key_col}
+    ), grid AS (
+      SELECT {key_col}, UNNEST(generate_series(_lo, _hi, {s})) AS tick
+      FROM span
+    ), obs AS (
+      SELECT {key_col}, tick, _v AS _obs FROM (
+        SELECT {key_col}, tick, _v,
+               row_number() OVER (PARTITION BY {key_col}, tick
+                                  ORDER BY _e DESC, _v DESC) AS _rn
+        FROM ticked) WHERE _rn = 1
+    )
+    SELECT g.{key_col} AS {key_col}, g.tick,
+           last_value(o._obs IGNORE NULLS) OVER (
+             PARTITION BY g.{key_col} ORDER BY g.tick
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           o._obs IS NULL AS filled
+    FROM grid g LEFT JOIN obs o
+      ON g.{key_col} = o.{key_col} AND g.tick = o.tick
+    """
+
+
+def join_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: str,
+) -> DataFrame:
+    """Incremental view maintenance for an inner equi-join under
+    insert-only deltas — the classic delta rule:
+
+        Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    Returns exactly the NEW join rows; the maintained view is
+    ``J_old ∪ join_delta(...)`` and equals ``(A_old ∪ ΔA) ⋈ (B_old ∪
+    ΔB)`` EXACTLY (multiset semantics — no dedup is applied, matching
+    the recomputed join). The whole point at lake scale: the three
+    delta joins are each bounded by a delta side, so maintenance cost
+    is O(|Δ| · fanout), never a rescan of the stored view; with both
+    stores bucketed on the key (sources/bucketed.py) the B_old/A_old
+    probes are shuffle-free on the big side."""
+    return (
+        a_delta.join(b_old, on)
+        .unionByName(a_old.join(b_delta, on))
+        .unionByName(a_delta.join(b_delta, on))
+    )

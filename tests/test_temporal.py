@@ -136,3 +136,68 @@ class TestIncrementalRollup:
         ).collect()
         assert len(out) == 1
         assert out[0].avg_value == 3.0 and out[0].sum_value_d == 6.0
+
+
+# ----------------------------------------------------------- resample_ffill
+
+
+def test_resample_ffill_fills_gaps(spark):
+    import datetime as dt
+
+    from beis_orp_data_service_spark.operators.temporal import resample_ffill
+
+    rows = [
+        # key "a": obs at t=0 and t=25 with step 10 -> ticks 0,10,20
+        ("a", dt.datetime(2024, 1, 1, 0, 0, 0), 1.0),
+        ("a", dt.datetime(2024, 1, 1, 0, 0, 25), 5.0),
+        # key "b": single obs -> one tick, no fill
+        ("b", dt.datetime(2024, 1, 1, 0, 0, 13), 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        (r["k"], r["tick"]): (r["value"], r["filled"])
+        for r in resample_ffill(df, "k", "ts", "v", 10).collect()
+    }
+    base = dt.datetime(2024, 1, 1).timestamp()
+    assert out[("a", int(base))] == (1.0, False)
+    assert out[("a", int(base) + 10)] == (1.0, True)   # forward-filled
+    assert out[("a", int(base) + 20)] == (5.0, False)
+    assert out[("b", int(base) + 10)] == (9.0, False)
+    assert len(out) == 4
+
+
+def test_resample_ffill_last_obs_in_tick_wins(spark):
+    import datetime as dt
+
+    from beis_orp_data_service_spark.operators.temporal import resample_ffill
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0, 0, 1), 1.0),
+        ("a", dt.datetime(2024, 1, 1, 0, 0, 9), 3.0),  # later in same tick
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = resample_ffill(df, "k", "ts", "v", 10).collect()
+    assert len(out) == 1 and out[0]["value"] == 3.0
+
+
+# --------------------------------------------------------------- join_delta
+
+
+def test_join_delta_equals_recompute(spark):
+    from beis_orp_data_service_spark.operators.temporal import join_delta
+
+    a_old = spark.createDataFrame([(1, "x"), (2, "y")], "k bigint, av string")
+    a_new = spark.createDataFrame([(2, "z"), (3, "w")], "k bigint, av string")
+    b_old = spark.createDataFrame([(1, 10), (3, 30)], "k bigint, bv bigint")
+    b_new = spark.createDataFrame([(2, 20), (3, 31)], "k bigint, bv bigint")
+
+    j_old = a_old.join(b_old, "k")
+    maintained = j_old.unionByName(join_delta(a_old, a_new, b_old, b_new, "k"))
+    recomputed = a_old.unionByName(a_new).join(b_old.unionByName(b_new), "k")
+
+    key = lambda r: (r["k"], r["av"], r["bv"])
+    assert sorted(map(key, maintained.collect())) == sorted(
+        map(key, recomputed.collect())
+    )
+    # multiset: k=3 matches twice on the b side — both present
+    assert maintained.filter("k = 3").count() == 2
