@@ -5239,6 +5239,21 @@ def ivm_join(spark, sf_dir):
     return j_new.select("o_orderkey", "o_custkey", "c_nationkey")
 
 
+@declared("pq_adc_topk", sim.pq_adc_topk_oracle_sql())
+def pq_adc_topk_q(spark, sf_dir):
+    # FAISS-style ADC search over PQ codes: per-query m×k int64 LUT in
+    # the kernel closure, one map-only pass over the m-byte code table
+    # emitting local top-k, final per-query window — and because the
+    # arithmetic is quantized int64 end-to-end, the ANN result is
+    # HASH-checked against the SQL spelling (d CTE doubles as the LUT).
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = [
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") % 250 == 0).select("vec_id").collect()
+    ]
+    return sim.pq_adc_topk(emb, query_ids=qids, k_neighbors=5)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------

@@ -983,3 +983,147 @@ def pq_codes_oracle_sql(
            CAST(sum(dist) AS BIGINT) AS recon_err
     FROM best WHERE rn = 1 GROUP BY {id_col}
     """
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: list[int] | None = None,
+    k_neighbors: int = 5,
+    m: int = 4,
+    k: int = 16,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the search half
+    of FAISS IVF-PQ (Jégou et al. 2011 §IV): queries stay full
+    precision, the table is m code bytes per vector, and the distance
+    is a table lookup: adist(q, x) = Σ_s LUT_q[s][code_s(x)] where
+    LUT_q[s][c] = ‖q_s − codebook[s][c]‖². All arithmetic is the
+    repo's quantized int64, so the result is bit-exact against the SQL
+    spelling (hash-grade oracle — rare for an ANN operator).
+
+    Scale shape: the per-query LUTs are m·k ints each (driver-built
+    from a BOUNDED pull of the query rows — the centroid-pull cost
+    class) and ride the Arrow kernel's closure; the scan is one
+    map-only pass over the CODES table (m bytes/vector, not the d·4
+    raw — this is why a billion-vector rerank fits in RAM), emitting
+    only each partition's local top-k per query before the final
+    per-query window merges k·partitions rows. Self-matches excluded.
+    Output (query_id, neighbor_id, adist, rank)."""
+    import pandas as pd
+
+    cb = pq_codebook_deterministic(embeddings, id_col, vec_col, m, k)
+    m_, k_, dsub = cb.shape
+    q_rows = (
+        embeddings.filter(F.col(id_col).isin(list(query_ids)))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    luts = {}
+    for r in q_rows:
+        qv = _quantize_np(r[vec_col], 1000)
+        lut = np.empty((m_, k_), dtype=np.int64)
+        for s in range(m_):
+            sub = qv[s * dsub : (s + 1) * dsub]
+            lut[s] = ((cb[s] - sub[None, :]) ** 2).sum(axis=1)
+        luts[int(r[id_col])] = lut
+    codes = pq_codes(embeddings, id_col, vec_col, m=m, k=k, codebook=cb)
+
+    out_cols = ["query_id", "neighbor_id", "adist"]
+
+    def _score(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            carr = np.array(
+                [[int(t) for t in s.split("_")] for s in pdf["codes_text"]],
+                dtype=np.int64,
+            )
+            frames = []
+            for qid, lut in luts.items():
+                adist = lut[np.arange(m_)[None, :], carr].sum(axis=1)
+                keep = ids != qid
+                # local top-k: sorted by (adist, id) so the global
+                # window sees every candidate that could rank
+                order = np.lexsort((ids[keep], adist[keep]))[:k_neighbors]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[keep][order],
+                            "adist": adist[keep][order],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames)[out_cols]
+
+    scored = codes.mapInPandas(
+        _score, "query_id bigint, neighbor_id bigint, adist bigint"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "adist", "rank")
+    )
+
+
+def pq_adc_topk_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    k: int = 16,
+    query_pred: str = "vec_id % 250 = 0",
+    k_neighbors: int = 5,
+) -> str:
+    """DuckDB twin of :func:`pq_adc_topk`: the per-(vector, subspace,
+    code) distance CTE serves double duty — argmin over it yields the
+    codes, and restricted to the query rows it IS the ADC lookup
+    table. Identical int64 arithmetic and tie-breaks throughout."""
+    dsub = dim // m
+    qv = (
+        f"[CAST(round(CAST({vec_col}[i] AS DOUBLE) * 1000) AS BIGINT) "
+        f"for i in range(1, {dim} + 1)]"
+    )
+    return f"""
+    WITH q AS (
+      SELECT {id_col}, {qv} AS qv FROM {table}
+    ), cb AS (
+      SELECT row_number() OVER (ORDER BY {id_col} ASC) - 1 AS code, qv AS qc
+      FROM (SELECT {id_col}, qv FROM q ORDER BY {id_col} ASC LIMIT {k})
+    ), d AS (
+      SELECT q.{id_col}, s.s, cb.code,
+             list_sum([(q.qv[s.s * {dsub} + j] - cb.qc[s.s * {dsub} + j])
+                       * (q.qv[s.s * {dsub} + j] - cb.qc[s.s * {dsub} + j])
+                       for j in range(1, {dsub} + 1)]) AS dist
+      FROM q
+      CROSS JOIN (SELECT unnest(range(0, {m})) AS s) s
+      CROSS JOIN cb
+    ), best AS (
+      SELECT {id_col}, s, code FROM (
+        SELECT {id_col}, s, code,
+               row_number() OVER (PARTITION BY {id_col}, s
+                                  ORDER BY dist ASC, code ASC) AS rn
+        FROM d) WHERE rn = 1
+    ), lut AS (
+      SELECT d.{id_col} AS query_id, d.s, d.code, d.dist
+      FROM d WHERE d.{id_col} IN (SELECT {id_col} FROM {table} WHERE {query_pred})
+    ), adc AS (
+      SELECT l.query_id, b.{id_col} AS neighbor_id,
+             CAST(SUM(l.dist) AS BIGINT) AS adist
+      FROM best b JOIN lut l ON l.s = b.s AND l.code = b.code
+      WHERE b.{id_col} <> l.query_id
+      GROUP BY l.query_id, b.{id_col}
+    )
+    SELECT query_id, neighbor_id, adist, rank FROM (
+      SELECT query_id, neighbor_id, adist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adist ASC, neighbor_id ASC) AS rank
+      FROM adc) WHERE rank <= {k_neighbors}
+    """

@@ -380,3 +380,52 @@ class TestProductQuantization:
             sim.pq_codes(emb, m=2, k=3)  # dim 3 not divisible by 2
         with pytest.raises(ValueError):
             sim.pq_codes(emb, m=3, k=50)  # not enough rows for codebook
+
+
+# ------------------------------------------------------------- pq_adc_topk
+
+
+def test_pq_adc_exact_on_codebook_members(spark):
+    # rows 0..k-1 ARE the codebook, so their codes reconstruct exactly:
+    # adist(query, member) == exact quantized L2(query, member)
+    import numpy as np
+
+    from beis_orp_data_service_spark.catalog import load_table
+    from beis_orp_data_service_spark.operators import similarity as sim
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        "vec_id < 32"
+    )
+    out = sim.pq_adc_topk(emb, query_ids=[0], k_neighbors=31, m=4, k=16).collect()
+    rows = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    qv = sim._quantize_np(rows[0], 1000)
+    got = {r["neighbor_id"]: r["adist"] for r in out}
+    for nid in range(1, 16):  # codebook members (k=16, excluding self)
+        exact = int(((sim._quantize_np(rows[nid], 1000) - qv) ** 2).sum())
+        assert got[nid] == exact, nid
+
+
+def test_pq_adc_recall_vs_bruteforce(spark):
+    # ADC is approximate, but on 500 vectors with 16 codes it must
+    # agree with exact L2 on a decent fraction of the top-5
+    import numpy as np
+
+    from beis_orp_data_service_spark.catalog import load_table
+    from beis_orp_data_service_spark.operators import similarity as sim
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = sim.pq_adc_topk(emb, query_ids=[0, 250], k_neighbors=5).collect()
+    vecs = {r["vec_id"]: sim._quantize_np(r["embedding"], 1000) for r in emb.collect()}
+    hits = total = 0
+    for qid in (0, 250):
+        d = {
+            nid: int(((v - vecs[qid]) ** 2).sum())
+            for nid, v in vecs.items()
+            if nid != qid
+        }
+        exact5 = set(sorted(d, key=lambda n: (d[n], n))[:5])
+        got5 = {r["neighbor_id"] for r in out if r["query_id"] == qid}
+        assert len(got5) == 5
+        hits += len(exact5 & got5)
+        total += 5
+    assert hits / total >= 0.2, f"ADC recall@5 collapsed: {hits}/{total}"
