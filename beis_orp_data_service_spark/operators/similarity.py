@@ -993,6 +993,7 @@ def pq_adc_topk(
     k_neighbors: int = 5,
     m: int = 4,
     k: int = 16,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes — the search half
     of FAISS IVF-PQ (Jégou et al. 2011 §IV): queries stay full
@@ -1004,12 +1005,16 @@ def pq_adc_topk(
 
     Scale shape: the per-query LUTs are m·k ints each (driver-built
     from a BOUNDED pull of the query rows — the centroid-pull cost
-    class) and ride the Arrow kernel's closure; the scan is one
-    map-only pass over the CODES table (m bytes/vector, not the d·4
-    raw — this is why a billion-vector rerank fits in RAM), emitting
-    only each partition's local top-k per query before the final
-    per-query window merges k·partitions rows. Self-matches excluded.
-    Output (query_id, neighbor_id, adist, rank)."""
+    class) and ride the Arrow kernel's closure; the scan is ONE
+    map-only Arrow pass (encode-and-score fused — a stored-codes
+    probe is likewise one kernel because codes come off parquet, so
+    two chained Python stages would pay Arrow serialization twice for
+    nothing), emitting only each partition's local top-k per query
+    before the final per-query window merges k·partitions rows.
+    Self-matches excluded. Output (query_id, neighbor_id, adist,
+    rank). Pass ``codes=pq_codes(...)`` output (e.g. read back from a
+    stored code table) to score WITHOUT re-encoding — the production
+    path once codes are materialized."""
     import pandas as pd
 
     cb = pq_codebook_deterministic(embeddings, id_col, vec_col, m, k)
@@ -1027,11 +1032,44 @@ def pq_adc_topk(
             sub = qv[s * dsub : (s + 1) * dsub]
             lut[s] = ((cb[s] - sub[None, :]) ** 2).sum(axis=1)
         luts[int(r[id_col])] = lut
-    codes = pq_codes(embeddings, id_col, vec_col, m=m, k=k, codebook=cb)
 
     out_cols = ["query_id", "neighbor_id", "adist"]
 
-    def _score(it):
+    def _emit_topk(ids, carr):
+        frames = []
+        for qid, lut in luts.items():
+            adist = lut[np.arange(m_)[None, :], carr].sum(axis=1)
+            keep = ids != qid
+            # local top-k: sorted by (adist, id) so the global
+            # window sees every candidate that could rank
+            order = np.lexsort((ids[keep], adist[keep]))[:k_neighbors]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": ids[keep][order],
+                        "adist": adist[keep][order],
+                    }
+                )
+            )
+        return frames
+
+    def _encode_and_score(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            x = np.stack([_quantize_np(v, 1000) for v in pdf[vec_col]])
+            carr = np.empty((len(pdf), m_), dtype=np.int64)
+            for s in range(m_):
+                sub = x[:, s * dsub : (s + 1) * dsub]
+                dist = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+                carr[:, s] = dist.argmin(axis=1)
+            frames = _emit_topk(ids, carr)
+            if frames:
+                yield pd.concat(frames)[out_cols]
+
+    def _score_codes(it):
         for pdf in it:
             if len(pdf) == 0:
                 continue
@@ -1040,27 +1078,14 @@ def pq_adc_topk(
                 [[int(t) for t in s.split("_")] for s in pdf["codes_text"]],
                 dtype=np.int64,
             )
-            frames = []
-            for qid, lut in luts.items():
-                adist = lut[np.arange(m_)[None, :], carr].sum(axis=1)
-                keep = ids != qid
-                # local top-k: sorted by (adist, id) so the global
-                # window sees every candidate that could rank
-                order = np.lexsort((ids[keep], adist[keep]))[:k_neighbors]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qid,
-                            "neighbor_id": ids[keep][order],
-                            "adist": adist[keep][order],
-                        }
-                    )
-                )
+            frames = _emit_topk(ids, carr)
             if frames:
                 yield pd.concat(frames)[out_cols]
 
-    scored = codes.mapInPandas(
-        _score, "query_id bigint, neighbor_id bigint, adist bigint"
+    source = codes if codes is not None else embeddings.select(id_col, vec_col)
+    kernel = _score_codes if codes is not None else _encode_and_score
+    scored = source.mapInPandas(
+        kernel, "query_id bigint, neighbor_id bigint, adist bigint"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc()

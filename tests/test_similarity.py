@@ -429,3 +429,19 @@ def test_pq_adc_recall_vs_bruteforce(spark):
         hits += len(exact5 & got5)
         total += 5
     assert hits / total >= 0.2, f"ADC recall@5 collapsed: {hits}/{total}"
+
+
+def test_pq_adc_stored_codes_path_matches_fused(spark):
+    # scoring a pre-encoded codes table (the production probe) must
+    # equal the fused encode-and-score pass exactly
+    from beis_orp_data_service_spark.catalog import load_table
+    from beis_orp_data_service_spark.operators import similarity as sim
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    fused = sim.pq_adc_topk(emb, query_ids=[0, 250], k_neighbors=5)
+    codes = sim.pq_codes(emb, m=4, k=16)
+    stored = sim.pq_adc_topk(emb, query_ids=[0, 250], k_neighbors=5, codes=codes)
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, fused.collect()), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, stored.collect()), key=lambda t: (t[0], t[3])
+    )
