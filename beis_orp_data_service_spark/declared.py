@@ -5254,6 +5254,48 @@ def pq_adc_topk_q(spark, sf_dir):
     return sim.pq_adc_topk(emb, query_ids=qids, k_neighbors=5)
 
 
+@declared(
+    "activity_islands",
+    tmp_ops.merge_intervals_oracle_sql(
+        # FLOOR before the cast: DuckDB epoch() keeps fractional
+        # seconds and CAST rounds, Spark unix_timestamp truncates
+        "SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,"
+        " CAST(FLOOR(epoch(ts)) AS BIGINT) + 180 AS e FROM events",
+        "user_id",
+        "s",
+        "e",
+        max_gap=0,
+    ),
+)
+def activity_islands(spark, sf_dir):
+    # standalone gaps-and-islands: per-user 3-minute activity
+    # intervals coalesced into islands — one key-partitioned window
+    # pass + one aggregate, integer epoch bounds for bit parity.
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + 180).alias("e"),
+    )
+    return tmp_ops.merge_intervals(iv, "user_id", "s", "e", max_gap=0)
+
+
+@declared(
+    "priority_sample_grouped",
+    corpus_ops.priority_sample_by_group_oracle_sql(
+        "documents", "doc_id", "n_chars", "source", 5
+    ),
+)
+def priority_sample_grouped(spark, sf_dir):
+    # balanced per-source curation: exactly min(5, |source|) weight-
+    # proportional docs per source, deterministic md5 priorities,
+    # per-group Horvitz-Thompson tau; grouped-top-k window shape.
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.priority_sample_by_group(
+        docs, "doc_id", "n_chars", "source", 5
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------

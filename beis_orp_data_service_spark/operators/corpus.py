@@ -1853,3 +1853,109 @@ def token_kl_oracle_sql(table: str, text_col: str, group_col: str) -> str:
              AS kl_micro
     FROM term GROUP BY g
     """
+
+
+def priority_sample_by_group(
+    df: DataFrame, id_col: str, weight_col: str, group_col: str, k: int
+) -> DataFrame:
+    """Per-group priority sampling: exactly min(k, group size)
+    weight-proportional rows from EACH group — the balanced-per-source
+    curation move (a global sample lets one giant source swamp the
+    mixture; per-group exact-k caps every source at k). Same
+    deterministic Duffield-Lund-Thorup priorities as
+    :func:`priority_sample` (md5 uniform, replayable, cross-engine
+    bit-identical), same Horvitz-Thompson estimate with a PER-GROUP
+    tau.
+
+    Scale: the rank is a window partitioned by the group key (the
+    grouped-top-k idiom — there is no grouped TakeOrderedAndProject,
+    so the shuffle is on the group key with per-group sort state);
+    the tau/count pass runs over the rank-filtered k+1 rows per group
+    only. Returns (group, id, weight, pri_rank, est_w_micro)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    pri = (
+        df.select(
+            F.col(group_col),
+            F.col(id_col),
+            F.col(weight_col).cast("bigint").alias("_w"),
+        )
+        .where(F.col("_w") > 0)
+        .select(
+            group_col,
+            id_col,
+            "_w",
+            (
+                F.col("_w").cast("double")
+                * F.lit(float(1 << 60))
+                / (md5_int60(F.col(id_col).cast("string")) + F.lit(1)).cast(
+                    "double"
+                )
+            ).alias("_pri"),
+        )
+    )
+    w_rank = Window.partitionBy(group_col).orderBy(
+        F.col("_pri").desc(), F.col(id_col).asc()
+    )
+    top = pri.withColumn("pri_rank", F.row_number().over(w_rank)).where(
+        F.col("pri_rank") <= k + 1
+    )
+    w_grp = Window.partitionBy(group_col)
+    ranked = top.select(
+        group_col,
+        id_col,
+        "_w",
+        "_pri",
+        "pri_rank",
+        F.count(F.lit(1)).over(w_grp).alias("_n"),
+        F.min("_pri").over(w_grp).alias("_tau"),
+    )
+    est = F.when(
+        F.col("_n") > k, F.greatest(F.col("_w").cast("double"), F.col("_tau"))
+    ).otherwise(F.col("_w").cast("double"))
+    return ranked.where(F.col("pri_rank") <= k).select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col("_w").alias(weight_col),
+        F.col("pri_rank").cast("bigint").alias("pri_rank"),
+        F.round(est * 1_000_000).cast("bigint").alias("est_w_micro"),
+    )
+
+
+def priority_sample_by_group_oracle_sql(
+    table: str, id_col: str, weight_col: str, group_col: str, k: int
+) -> str:
+    """DuckDB twin of :func:`priority_sample_by_group` — same md5-hex
+    fold, same IEEE arithmetic, per-group rank and tau."""
+    hexfold = DUCK_MD5_HEXFOLD
+    return f"""
+    WITH pri AS (
+      SELECT {group_col}, {id_col}, _w,
+             CAST(_w AS DOUBLE) * 1152921504606846976.0 / (hv + 1) AS _pri
+      FROM (
+        SELECT {group_col}, {id_col}, CAST({weight_col} AS BIGINT) AS _w,
+               {hexfold} AS hv
+        FROM (SELECT {group_col}, {id_col}, {weight_col},
+                     substr(md5(CAST({id_col} AS VARCHAR)), 1, 15) AS h
+              FROM {table}))
+      WHERE _w > 0
+    ), top AS (
+      SELECT * FROM (
+        SELECT {group_col}, {id_col}, _w, _pri,
+               row_number() OVER (PARTITION BY {group_col}
+                                  ORDER BY _pri DESC, {id_col} ASC) AS pri_rank
+        FROM pri) WHERE pri_rank <= {k + 1}
+    ), ranked AS (
+      SELECT {group_col}, {id_col}, _w, _pri, pri_rank,
+             count(*) OVER (PARTITION BY {group_col}) AS _n,
+             min(_pri) OVER (PARTITION BY {group_col}) AS _tau
+      FROM top
+    )
+    SELECT {group_col}, {id_col}, _w AS {weight_col},
+           CAST(pri_rank AS BIGINT) AS pri_rank,
+           CAST(round((CASE WHEN _n > {k}
+                            THEN greatest(CAST(_w AS DOUBLE), _tau)
+                            ELSE CAST(_w AS DOUBLE) END) * 1000000) AS BIGINT)
+             AS est_w_micro
+    FROM ranked WHERE pri_rank <= {k}
+    """

@@ -303,3 +303,88 @@ def join_delta(
         .unionByName(a_old.join(b_delta, on))
         .unionByName(a_delta.join(b_delta, on))
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    max_gap: int = 0,
+) -> DataFrame:
+    """Coalesce overlapping / near-adjacent intervals per key — the
+    gaps-and-islands kernel as a standalone operator (outage windows,
+    span merging, coverage stitching; the repeated-passages operator
+    inlines the same move). Intervals are INTEGER bounds (epoch
+    seconds, token offsets — integer compare is bit-identical
+    cross-engine); two intervals merge when the next start is within
+    ``max_gap`` of the running max end. Output ``(key, start, end,
+    n_merged)`` per island.
+
+    One window pass partitioned by the key (running max of prior ends
+    → island flag → running island id) + one aggregate — state bounded
+    per key, no self-join, no driver iteration."""
+    w = Window.partitionBy(key_col).orderBy(F.col(start_col), F.col(end_col))
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = F.when(
+        prev_max_end.isNull()
+        | (F.col(start_col) > prev_max_end + F.lit(int(max_gap))),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    flagged = df.select(
+        F.col(key_col),
+        F.col(start_col),
+        F.col(end_col),
+        is_new.alias("_new"),
+    )
+    island = F.sum("_new").over(
+        Window.partitionBy(key_col)
+        .orderBy(F.col(start_col), F.col(end_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.withColumn("_island", island)
+        .groupBy(key_col, "_island")
+        .agg(
+            F.min(start_col).alias("start"),
+            F.max(end_col).alias("end"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .select(key_col, "start", "end", "n_merged")
+    )
+
+
+def merge_intervals_oracle_sql(
+    rel_sql: str, key_col: str, start_col: str, end_col: str, max_gap: int = 0
+) -> str:
+    """DuckDB twin — identical running-max / island-sum windows.
+    ``rel_sql`` yields (key, start, end) with integer bounds."""
+    return f"""
+    WITH flagged AS (
+      SELECT {key_col}, {start_col}, {end_col},
+             CASE WHEN MAX({end_col}) OVER (
+                    PARTITION BY {key_col}
+                    ORDER BY {start_col}, {end_col}
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+                  OR {start_col} > MAX({end_col}) OVER (
+                    PARTITION BY {key_col}
+                    ORDER BY {start_col}, {end_col}
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     + {int(max_gap)}
+                  THEN 1 ELSE 0 END AS _new
+      FROM ({rel_sql})
+    ), islands AS (
+      SELECT {key_col}, {start_col}, {end_col},
+             SUM(_new) OVER (PARTITION BY {key_col}
+                             ORDER BY {start_col}, {end_col}
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS _island
+      FROM flagged
+    )
+    SELECT {key_col}, MIN({start_col}) AS start, MAX({end_col}) AS "end",
+           COUNT(*) AS n_merged
+    FROM islands GROUP BY {key_col}, _island
+    """

@@ -945,3 +945,51 @@ class TestTokenKL:
         got = {r.lang: r.kl_micro for r in token_kl(docs, "text", "lang").collect()}
         ln2 = round(math.log(2) * 1e6)
         assert got == {"a": ln2, "b": ln2}
+
+
+# ------------------------------------------------- priority_sample_by_group
+
+
+def test_priority_sample_by_group_exact_k_each(spark):
+    from beis_orp_data_service_spark.catalog import load_table
+    from beis_orp_data_service_spark.operators.corpus import (
+        priority_sample,
+        priority_sample_by_group,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs_sf001 = load_table(spark, SF_SMOKE, "documents")
+    out = priority_sample_by_group(docs_sf001, "doc_id", "n_chars", "source", 3)
+    rows = out.collect()
+    import collections
+
+    per = collections.Counter(r["source"] for r in rows)
+    sizes = {
+        r["source"]: r["n"]
+        for r in docs_sf001.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    for src, n in sizes.items():
+        assert per[src] == min(3, n), src
+    # within one group the sample must equal the global sampler run on
+    # that group alone (same priorities, same tau rule)
+    src0 = rows[0]["source"]
+    solo = priority_sample(
+        docs_sf001.filter(F.col("source") == src0), "doc_id", "n_chars", 3
+    ).collect()
+    got = {(r["doc_id"], r["pri_rank"], r["est_w_micro"]) for r in rows if r["source"] == src0}
+    want = {(r["doc_id"], r["pri_rank"], r["est_w_micro"]) for r in solo}
+    assert got == want
+
+
+def test_priority_sample_by_group_partitioning_invariant(spark):
+    from beis_orp_data_service_spark.catalog import load_table
+    from beis_orp_data_service_spark.operators.corpus import priority_sample_by_group
+    from tests.conftest import SF_SMOKE
+
+    docs_sf001 = load_table(spark, SF_SMOKE, "documents")
+    a = priority_sample_by_group(docs_sf001, "doc_id", "n_chars", "source", 4)
+    b = priority_sample_by_group(
+        docs_sf001.repartition(13), "doc_id", "n_chars", "source", 4
+    )
+    key = lambda r: (r["source"], r["pri_rank"])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

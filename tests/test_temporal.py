@@ -201,3 +201,49 @@ def test_join_delta_equals_recompute(spark):
     )
     # multiset: k=3 matches twice on the b side — both present
     assert maintained.filter("k = 3").count() == 2
+
+
+# ------------------------------------------------------------ merge_intervals
+
+
+def test_merge_intervals_overlap_gap_and_contained(spark):
+    from beis_orp_data_service_spark.operators.temporal import merge_intervals
+
+    rows = [
+        # key a: [0,10] overlaps [5,20]; [20,25] adjacent (start == max end,
+        # not > end+0) merges too; [40,50] separate island
+        ("a", 0, 10),
+        ("a", 5, 20),
+        ("a", 20, 25),
+        ("a", 40, 50),
+        # contained interval extends nothing but joins the island
+        ("a", 6, 8),
+        # key b independent
+        ("b", 0, 1),
+    ]
+    df = spark.createDataFrame(rows, "k string, s bigint, e bigint")
+    out = {
+        (r["k"], r["start"]): (r["end"], r["n_merged"])
+        for r in merge_intervals(df, "k", "s", "e").collect()
+    }
+    assert out == {("a", 0): (25, 4), ("a", 40): (50, 1), ("b", 0): (1, 1)}
+
+
+def test_merge_intervals_max_gap_bridges(spark):
+    from beis_orp_data_service_spark.operators.temporal import merge_intervals
+
+    rows = [("a", 0, 10), ("a", 13, 20)]
+    df = spark.createDataFrame(rows, "k string, s bigint, e bigint")
+    assert merge_intervals(df, "k", "s", "e", max_gap=2).count() == 2
+    assert merge_intervals(df, "k", "s", "e", max_gap=3).count() == 1
+
+
+def test_merge_intervals_out_of_order_input(spark):
+    from beis_orp_data_service_spark.operators.temporal import merge_intervals
+
+    rows = [("a", 40, 50), ("a", 5, 20), ("a", 0, 10)]
+    df = spark.createDataFrame(rows, "k string, s bigint, e bigint").repartition(3)
+    out = sorted(
+        (r["start"], r["end"]) for r in merge_intervals(df, "k", "s", "e").collect()
+    )
+    assert out == [(0, 20), (40, 50)]
