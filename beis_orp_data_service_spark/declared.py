@@ -5296,6 +5296,24 @@ def priority_sample_grouped(spark, sf_dir):
     )
 
 
+@declared(
+    "search_rerank",
+    rank_ops.rerank_topk_oracle_sql(
+        "documents", "doc_id", "text", _BM25_TERMS, k=10, n_candidates=50
+    ),
+)
+def search_rerank(spark, sf_dir):
+    # two-stage retrieval: BM25 top-50 candidate gen (relational) then
+    # a model-harness rerank kernel over ONLY those 50 rows — inference
+    # cost bounded by the candidate set, not the corpus. The fake
+    # cross-encoder's semantics are SQL-expressible, so the end-to-end
+    # pipeline (incl. the Arrow model stage) is hash-checked.
+    docs = _t(spark, sf_dir, "documents")
+    return rank_ops.rerank_topk(
+        docs, "doc_id", "text", _BM25_TERMS, k=10, n_candidates=50
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------

@@ -44,7 +44,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from beis_orp_data_service_spark.functions.text import LC_TOKEN_SPLIT, lc_tokens
@@ -276,4 +276,120 @@ def tfidf_vectors_oracle_sql(
     SELECT p._id AS {id_col}, p.term, p.tf,
            p.tf * d.idf_micro AS tfidf_micro
     FROM pairs p JOIN dfreq d USING (term)
+    """
+
+
+def rerank_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    n_candidates: int = 50,
+    scorer=None,
+) -> DataFrame:
+    """Two-stage retrieval — the production search shape the reference
+    approximates with OpenSearch-then-enrich (SURVEY §2 Q8-Q11 list +
+    fetch): a cheap RELATIONAL candidate generator (BM25 top-
+    ``n_candidates``) followed by an expensive MODEL scorer that runs
+    over ONLY the candidate set. That bound is the whole point at
+    scale: cross-encoder inference is O(n_candidates), never O(corpus),
+    no matter how big the table gets — the kernel sees ≤ n_candidates
+    rows regardless of corpus size.
+
+    ``scorer`` is a ``list[str] -> list[int]`` micro-score batch
+    callable (a real cross-encoder goes here — same drop-in contract
+    as operators/models.py); the default is the deterministic fake:
+    ``matched_query_terms * 1e6 + total_occurrences`` (coverage
+    dominates frequency), whose semantics are SQL-expressible so the
+    WHOLE two-stage pipeline carries a hash-grade oracle — the model
+    harness is exercised end-to-end with bit-checked output.
+
+    Output (id, ce_score_micro, rank), rank 1..k by (score desc, id)."""
+    import re
+
+    import pandas as pd
+
+    terms = list(query_terms)
+
+    def _fake_batch(texts: list[str]) -> list[int]:
+        # ASCII whitespace split — the same token boundary as
+        # lc_tokens (Java \s) and the RE2 twin on the oracle side
+        out = []
+        for t in texts:
+            toks = [w for w in re.split("[ \t\n\x0b\f\r]+", (t or "").lower()) if w]
+            matched = sum(1 for q in set(terms) if q in set(toks))
+            tf = sum(1 for w in toks if w in set(terms))
+            out.append(matched * 1_000_000 + tf)
+        return out
+
+    run = scorer if scorer is not None else _fake_batch
+
+    cands = bm25_topk(df, id_col, text_col, terms, k=n_candidates).select(id_col)
+    cand_docs = df.select(id_col, text_col).join(cands, id_col, "left_semi")
+
+    def _score(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "ce_score_micro": run(list(pdf[text_col])),
+                }
+            )
+
+    scored = cand_docs.mapInPandas(
+        _score, f"{id_col} bigint, ce_score_micro bigint"
+    )
+    return (
+        scored.orderBy(F.col("ce_score_micro").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col,
+            "ce_score_micro",
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("ce_score_micro").desc(), F.col(id_col).asc())
+            )
+            .cast("bigint")
+            .alias("rank"),
+        )
+    )
+
+
+def rerank_topk_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    n_candidates: int = 50,
+) -> str:
+    """DuckDB twin of :func:`rerank_topk` with the fake scorer — the
+    BM25 twin generates the same candidate set, then coverage*1e6 + tf
+    scores it."""
+    terms_sql = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    bm25 = bm25_topk_oracle_sql(
+        table, id_col, text_col, query_terms, k=n_candidates
+    )
+    return f"""
+    WITH cands AS (SELECT {id_col} FROM ({bm25})),
+    ctoks AS (
+      SELECT d.{id_col},
+             list_filter(string_split_regex(lower(d.{text_col}), '{TOKEN_SPLIT}'),
+                         t -> t <> '') AS _toks
+      FROM {table} d JOIN cands USING ({id_col})
+    ), scored AS (
+      SELECT {id_col},
+             CAST((SELECT count(DISTINCT t) FROM unnest(_toks) AS u(t)
+                   WHERE t IN ({terms_sql})) AS BIGINT) * 1000000
+             + CAST((SELECT count(*) FROM unnest(_toks) AS u(t)
+                     WHERE t IN ({terms_sql})) AS BIGINT) AS ce_score_micro
+      FROM ctoks
+    )
+    SELECT {id_col}, ce_score_micro,
+           CAST(row_number() OVER (ORDER BY ce_score_micro DESC, {id_col} ASC)
+                AS BIGINT) AS rank
+    FROM scored ORDER BY ce_score_micro DESC, {id_col} ASC LIMIT {k}
     """

@@ -54,6 +54,7 @@ ALLOW_BNLJ = {
     "lo_join",       # broadcast legislation dim, theta title-match
     "q_tpch11",      # 1-row scalar-aggregate subquery (HAVING threshold)
     "bm25_topk",     # 1-row corpus-stats aggregate crossJoined (broadcast)
+    "search_rerank", # same bm25 1-row stats broadcast inside the candidate stage
     "lm_perplexity", # 1-row vocab-size aggregate crossJoined (broadcast)
     "token_kl",      # 1-row corpus-total aggregate crossJoined (broadcast)
     "tfidf_vectors", # 1-row n_docs aggregate crossJoined (broadcast)

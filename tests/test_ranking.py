@@ -110,3 +110,59 @@ def test_tfidf_min_df_prunes_hapax(spark):
     assert cell.tf == 3
     idf_red = round(math.log(len(CORPUS) / 2) * 1e6)
     assert cell.tfidf_micro == 3 * idf_red
+
+
+# -------------------------------------------------------------- rerank_topk
+
+
+def test_rerank_candidates_bound_and_subset(spark):
+    from beis_orp_data_service_spark.catalog import load_table
+    from beis_orp_data_service_spark.operators import ranking as rk
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    terms = ["the", "policy"]
+    out = rk.rerank_topk(docs, "doc_id", "text", terms, k=5, n_candidates=20)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    # reranked ids must come from the BM25 candidate set — the model
+    # stage never sees (or surfaces) anything outside it
+    cand_ids = {
+        r["doc_id"]
+        for r in rk.bm25_topk(docs, "doc_id", "text", terms, k=20).collect()
+    }
+    assert {r["doc_id"] for r in rows} <= cand_ids
+
+
+def test_rerank_custom_scorer_contract(spark):
+    from beis_orp_data_service_spark.catalog import load_table
+    from beis_orp_data_service_spark.operators import ranking as rk
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+
+    def reverse_length_scorer(texts):
+        return [len(t or "") for t in texts]  # longest doc wins
+
+    out = rk.rerank_topk(
+        docs, "doc_id", "text", ["the"], k=3, n_candidates=10,
+        scorer=reverse_length_scorer,
+    ).collect()
+    scores = [r["ce_score_micro"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_rerank_fake_scorer_coverage_dominates_frequency(spark):
+    from beis_orp_data_service_spark.operators import ranking as rk
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha alpha alpha alpha alpha"),      # 1 term, tf 5
+            (2, "alpha beta"),                          # 2 terms, tf 2
+        ],
+        "doc_id bigint, text string",
+    )
+    out = rk.rerank_topk(df, "doc_id", "text", ["alpha", "beta"], k=2, n_candidates=2)
+    rows = out.collect()
+    assert rows[0]["doc_id"] == 2 and rows[0]["rank"] == 1
