@@ -194,3 +194,51 @@ def test_simhash_pairs_dedupe_is_codegen_not_shuffle(spark):
     assert "forall" not in plan
     # the hamming verification is a plain bit_count filter
     assert "bit_count" in plan
+
+
+def test_funnel_step_filters_pushed_to_scan(spark):
+    # each funnel step's event_type filter must reach the parquet scan
+    plan = plan_of("funnel_steps", spark)
+    assert "PushedFilters" in plan
+    assert "event_type" in plan.split("PushedFilters")[1][:200]
+
+
+def test_profile_is_one_scan_with_expand(spark):
+    # single aggregate job: exactly one parquet scan, multi-distinct
+    # planned via Expand — no per-column jobs
+    plan = plan_of("profile_docs", spark)
+    # tree form "Scan parquet  (n)" counts physical occurrences once
+    # (the formatted string repeats each node in the detail section)
+    assert plan.count("Scan parquet  (") == 1
+    assert "Expand" in plan
+
+
+def test_transitions_window_is_partitioned_by_user(spark):
+    # the LAG window must be keyed (no global single-partition window)
+    plan = plan_of("transitions", spark)
+    import re
+
+    m = re.search(r"Arguments:.*?partitionspec.*", plan, re.I | re.S)
+    assert "user_id" in plan
+    assert "WindowGroupLimit" in plan or "Window" in plan
+    # a global window would warn and show an empty partition spec;
+    # assert the spec carries the user key
+    win_idx = plan.find("(4) Window") if "(4) Window" in plan else plan.find("Window")
+    assert "user_id" in plan[win_idx : win_idx + 800]
+
+
+def test_skyline_local_then_final_python_stages(spark):
+    # two Arrow stages by design: per-partition local skyline, then the
+    # one-task final pass over survivors (union superset reduction)
+    plan = plan_of("skyline", spark)
+    assert plan.count("MapInPandas (") == 1
+    assert plan.count("FlatMapGroupsInPandas (") == 1
+
+
+def test_rerank_model_stage_after_candidate_semi_join(spark):
+    # the Arrow scorer must sit above the left-semi candidate prune —
+    # inference bounded by the candidate set, never the corpus
+    plan = plan_of("search_rerank", spark)
+    mp = plan.find("MapInPandas")
+    semi = plan.find("LeftSemi")
+    assert mp != -1 and semi != -1
