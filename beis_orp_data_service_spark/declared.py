@@ -5314,6 +5314,37 @@ def search_rerank(spark, sf_dir):
     )
 
 
+@declared(
+    "zscore_by_lang",
+    an_ops.standardize_by_group_oracle_sql(
+        "documents", "lang", "n_chars",
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    ),
+)
+def zscore_by_lang(spark, sf_dir):
+    # per-group z-score: exact DECIMAL moments in one map-side-combined
+    # aggregate, group-keyed join back; every float step a single IEEE
+    # op on identical inputs, so z_micro is hash-grade.
+    docs = _t(spark, sf_dir, "documents")
+    return an_ops.standardize_by_group(docs, "lang", "n_chars")
+
+
+@declared(
+    "corr_matrix",
+    an_ops.corr_matrix_oracle_sql(
+        "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ),
+)
+def corr_matrix_q(spark, sf_dir):
+    # pairwise Pearson over 4 measures in ONE scan: DECIMAL sums /
+    # sum-squares / cross-sums (exact, order-free), float formula once
+    # at the end, stack-unpivot of the 1-row aggregate.
+    li = _t(spark, sf_dir, "lineitem")
+    return an_ops.corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------

@@ -443,3 +443,138 @@ def skyline_oracle_sql(rel_sql: str, dim_cols: list[str], id_col: str) -> str:
       WHERE {ge} AND ({gt})
     )
     """
+
+
+def standardize_by_group(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group z-score standardization — the feature-normalization
+    pass before clustering / quality thresholding. Output ``(group,
+    id-columns passthrough…, z_micro)`` = (x − mean_g) / stddev_pop_g,
+    micro-quantized HALF-UP (the repo's cross-engine rounding).
+
+    Group moments ride ONE map-side-combined aggregate (count / DECIMAL
+    sum / DECIMAL sum-of-squares — decimal makes the sums order-
+    independent, so the moments are EXACT before the final float ops);
+    the join back is on the group key (broadcast when groups are few).
+    Every subsequent step is a single IEEE-754 op on identical inputs
+    (mean = sum/n, var = sumsq/n − mean², sqrt is correctly rounded),
+    so z is bit-identical cross-engine. Degenerate groups (std = 0)
+    yield NULL z."""
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(value_col).cast("decimal(28,8)")).alias("_s"),
+        F.sum(
+            (F.col(value_col).cast("decimal(28,8)") * F.col(value_col).cast("decimal(28,8)"))
+        ).alias("_ss"),
+    )
+    joined = df.join(stats, group_col)
+    mean = F.col("_s").cast("double") / F.col("_n")
+    var = F.col("_ss").cast("double") / F.col("_n") - mean * mean
+    std = F.sqrt(var)
+    z = (F.col(value_col) - mean) / std
+    return joined.select(
+        *df.columns,
+        F.when(std > 0, F.round(z * 1_000_000).cast("bigint"))
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("z_micro"),
+    )
+
+
+def standardize_by_group_oracle_sql(
+    table: str, group_col: str, value_col: str, passthrough: list[str]
+) -> str:
+    """DuckDB twin — identical DECIMAL moments and IEEE op order."""
+    cols = ", ".join(f"d.{c}" for c in passthrough)
+    return f"""
+    WITH stats AS (
+      SELECT {group_col}, COUNT(*) AS _n,
+             SUM(CAST({value_col} AS DECIMAL(28,8))) AS _s,
+             SUM(CAST({value_col} AS DECIMAL(28,8))
+                 * CAST({value_col} AS DECIMAL(28,8))) AS _ss
+      FROM {table} GROUP BY {group_col}
+    )
+    SELECT {cols},
+           CASE WHEN sqrt(CAST(_ss AS DOUBLE) / _n
+                          - (CAST(_s AS DOUBLE) / _n) * (CAST(_s AS DOUBLE) / _n)) > 0
+                THEN CAST(round(({value_col} - CAST(_s AS DOUBLE) / _n)
+                          / sqrt(CAST(_ss AS DOUBLE) / _n
+                                 - (CAST(_s AS DOUBLE) / _n) * (CAST(_s AS DOUBLE) / _n))
+                          * 1000000) AS BIGINT)
+                ELSE NULL END AS z_micro
+    FROM {table} d JOIN stats USING ({group_col})
+    """
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation over numeric columns in ONE
+    aggregate pass: count + per-column DECIMAL sums/sum-squares +
+    per-pair DECIMAL cross-sums — all map-side combinable and EXACT
+    (order-independent), with the float formula applied once at the
+    end. Output one row per unordered pair ``(col_x, col_y,
+    corr_micro)`` (micro-quantized HALF-UP; NULL when a variance is
+    zero). d columns → d(d−1)/2 pairs from a single scan — the
+    feature-audit matrix without d² jobs."""
+    dec = lambda c: F.col(c).cast("decimal(28,8)")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(dec(c)).alias(f"_s_{c}"))
+        aggs.append(F.sum(dec(c) * dec(c)).alias(f"_ss_{c}"))
+    pairs = [
+        (cols[i], cols[j]) for i in range(len(cols)) for j in range(i + 1, len(cols))
+    ]
+    for x, y in pairs:
+        aggs.append(F.sum(dec(x) * dec(y)).alias(f"_sxy_{x}_{y}"))
+    one = df.agg(*aggs)
+
+    def corr_expr(x, y):
+        n = F.col("_n")
+        sx = F.col(f"_s_{x}").cast("double")
+        sy = F.col(f"_s_{y}").cast("double")
+        ssx = F.col(f"_ss_{x}").cast("double")
+        ssy = F.col(f"_ss_{y}").cast("double")
+        sxy = F.col(f"_sxy_{x}_{y}").cast("double")
+        cov = sxy / n - (sx / n) * (sy / n)
+        vx = ssx / n - (sx / n) * (sx / n)
+        vy = ssy / n - (sy / n) * (sy / n)
+        denom = F.sqrt(vx) * F.sqrt(vy)
+        return F.when(
+            denom > 0, F.round(cov / denom * 1_000_000).cast("bigint")
+        ).otherwise(F.lit(None).cast("bigint"))
+
+    stacked = ", ".join(
+        f"'{x}', '{y}', `_c_{x}_{y}`" for x, y in pairs
+    )
+    with_corrs = one.select(
+        *[corr_expr(x, y).alias(f"_c_{x}_{y}") for x, y in pairs]
+    )
+    return with_corrs.select(
+        F.expr(
+            f"stack({len(pairs)}, {stacked}) AS (col_x, col_y, corr_micro)"
+        )
+    )
+
+
+def corr_matrix_oracle_sql(table: str, cols: list[str]) -> str:
+    """DuckDB twin — same DECIMAL sums, same float op order, one
+    UNION ALL branch per pair."""
+    parts = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            x, y = cols[i], cols[j]
+            n = "CAST(COUNT(*) AS BIGINT)"
+            sx = f"CAST(SUM(CAST({x} AS DECIMAL(28,8))) AS DOUBLE)"
+            sy = f"CAST(SUM(CAST({y} AS DECIMAL(28,8))) AS DOUBLE)"
+            ssx = f"CAST(SUM(CAST({x} AS DECIMAL(28,8)) * CAST({x} AS DECIMAL(28,8))) AS DOUBLE)"
+            ssy = f"CAST(SUM(CAST({y} AS DECIMAL(28,8)) * CAST({y} AS DECIMAL(28,8))) AS DOUBLE)"
+            sxy = f"CAST(SUM(CAST({x} AS DECIMAL(28,8)) * CAST({y} AS DECIMAL(28,8))) AS DOUBLE)"
+            cov = f"({sxy} / {n} - ({sx} / {n}) * ({sy} / {n}))"
+            vx = f"({ssx} / {n} - ({sx} / {n}) * ({sx} / {n}))"
+            vy = f"({ssy} / {n} - ({sy} / {n}) * ({sy} / {n}))"
+            denom = f"(sqrt({vx}) * sqrt({vy}))"
+            parts.append(
+                f"SELECT '{x}' AS col_x, '{y}' AS col_y, "
+                f"CASE WHEN {denom} > 0 THEN CAST(round({cov} / {denom} * 1000000)"
+                f" AS BIGINT) ELSE NULL END AS corr_micro FROM {table}"
+            )
+    return " UNION ALL ".join(parts)

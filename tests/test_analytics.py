@@ -295,3 +295,53 @@ def test_skyline_keeps_duplicate_maxima(spark):
     )
     got = {r["id"] for r in skyline(df, ["x", "y"], "id").collect()}
     assert got == {1, 2}  # identical points don't dominate each other
+
+
+# ------------------------------------------------------------- standardize
+
+
+def test_standardize_known_values(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 3.0), ("h", 5.0)], "grp string, v double"
+    )
+    out = {
+        (r["grp"], r["v"]): r["z_micro"]
+        for r in an.standardize_by_group(df, "grp", "v").collect()
+    }
+    # mean 2, pop std sqrt(2/3): z(1) = -1.224744..., micro -1224745
+    assert out[("g", 2.0)] == 0
+    assert out[("g", 1.0)] == -1224745
+    assert out[("g", 3.0)] == 1224745
+    # degenerate single-row group: std 0 -> NULL
+    assert out[("h", 5.0)] is None
+
+
+def test_standardize_passthrough_columns(spark):
+    df = spark.createDataFrame([("g", 1, 10.0), ("g", 2, 20.0)], "grp string, id bigint, v double")
+    cols = an.standardize_by_group(df, "grp", "v").columns
+    assert cols == ["grp", "id", "v", "z_micro"]
+
+
+# ------------------------------------------------------------- corr_matrix
+
+
+def test_corr_matrix_known_values(spark):
+    rows = [(1.0, 2.0, 5.0), (2.0, 4.0, 1.0), (3.0, 6.0, 3.0), (4.0, 8.0, 3.0)]
+    df = spark.createDataFrame(rows, "x double, y double, w double")
+    out = {
+        (r["col_x"], r["col_y"]): r["corr_micro"]
+        for r in an.corr_matrix(df, ["x", "y", "w"]).collect()
+    }
+    assert out[("x", "y")] == 1_000_000  # y = 2x exactly
+    import numpy as np
+
+    xs = np.array([r[0] for r in rows]); ws = np.array([r[2] for r in rows])
+    want = np.corrcoef(xs, ws)[0, 1]
+    assert abs(out[("x", "w")] / 1e6 - want) < 1e-4
+    assert len(out) == 3  # unordered pairs only
+
+
+def test_corr_matrix_zero_variance_is_null(spark):
+    df = spark.createDataFrame([(1.0, 7.0), (2.0, 7.0)], "x double, c double")
+    out = an.corr_matrix(df, ["x", "c"]).collect()
+    assert out[0]["corr_micro"] is None
