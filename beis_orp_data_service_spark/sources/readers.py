@@ -198,3 +198,21 @@ def orpml_parse_xml(df: DataFrame, xml_col: str = "xml") -> DataFrame:
             yield pd.DataFrame(rows, columns=list(fields))
 
     return df.select(xml_col).mapInPandas(_batch, ORPML_PARSED_SCHEMA)
+
+
+def scan_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan with SCHEMA EVOLUTION (engine extension next to S4):
+    a long-lived lake table accumulates files written under successive
+    schema versions — columns added over time. ``mergeSchema`` unions
+    the footers (names matched case-sensitively, added columns NULL for
+    older files); column pruning and filter pushdown still apply
+    per-file against each file's own physical schema.
+
+    Cost note for 100 TB: schema merging reads every file footer at
+    planning time. That is exactly the driver-side listing cost class
+    the compaction operator (operators/maintenance.py) keeps bounded —
+    merge-on-read is for the ingest edge; compact + rewrite settles the
+    schema for the steady state. Type WIDENING conflicts (int32 file vs
+    int64 file) raise at read — resolve by rewriting the narrow files,
+    not by silent casts."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -64,3 +64,44 @@ class TestScanJsonl:
         )
         out = readers.scan_jsonl(spark, str(p), st)
         assert [f.name for f in out.schema.fields].count("_corrupt_record") == 1
+
+
+def test_scan_parquet_evolving_merges_added_column(spark, tmp_path):
+    from beis_orp_data_service_spark.sources.readers import scan_parquet_evolving
+
+    root = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id bigint, a string").write.parquet(
+        root + "/v1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 99)], "id bigint, a string, b bigint"
+    ).write.parquet(root + "/v2")
+    # read both generations through one scan
+    out = scan_parquet_evolving(spark, root + "/*")
+    assert set(out.columns) == {"id", "a", "b"}
+    rows = {r["id"]: (r["a"], r["b"]) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 99)}
+
+
+def test_scan_parquet_evolving_pushdown_survives_merge(spark, tmp_path):
+    from beis_orp_data_service_spark.sources.readers import scan_parquet_evolving
+
+    root = str(tmp_path / "evolving2")
+    spark.createDataFrame([(1, "a")], "id bigint, a string").write.parquet(
+        root + "/v1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 99)], "id bigint, a string, b bigint"
+    ).write.parquet(root + "/v2")
+    df = scan_parquet_evolving(spark, root + "/*").filter("id = 2").select("id", "b")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "id" in plan.split("PushedFilters")[1][:120]
+    assert out_schema_is_pruned(plan)
+
+
+def out_schema_is_pruned(plan: str) -> bool:
+    # ReadSchema must carry only the projected columns
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    return "a:string" not in rs
