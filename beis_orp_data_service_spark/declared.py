@@ -5345,6 +5345,56 @@ def corr_matrix_q(spark, sf_dir):
     )
 
 
+@declared(
+    "hll_by_lang",
+    """
+    WITH w AS (
+      SELECT lang, unnest(str_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ), h AS (
+      SELECT lang, (('0x' || substr(md5(w), 1, 15))::BIGINT) AS h60 FROM w
+    )
+    SELECT lang, h60 % 1024 AS bucket,
+           CAST(max(CASE WHEN h60 // 1024 = 0 THEN 51
+                         ELSE 51 - length(bin(h60 // 1024)) END) AS BIGINT)
+             AS max_rho
+    FROM h GROUP BY 1, 2
+    """,
+)
+def hll_by_lang(spark, sf_dir):
+    # per-slice NDV sketch: the profile a 100 TB lake ships instead of
+    # exact per-group COUNT DISTINCT — one map-side-combined aggregate,
+    # <= |langs|*2^p mergeable rows, bit-identical registers.
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    return corpus_ops.hll_registers_by_group(words, "lang", "w", p=10)
+
+
+@declared(
+    "q_setops",
+    """
+    SELECT doc_id FROM (
+      SELECT doc_id FROM documents WHERE lang = 'en'
+      INTERSECT
+      SELECT doc_id FROM documents WHERE n_chars > 200
+    )
+    EXCEPT
+    SELECT doc_id FROM documents WHERE source = 'web'
+    """,
+)
+def q_setops(spark, sf_dir):
+    # INTERSECT/EXCEPT surface — Catalyst rewrites both to semi/anti
+    # joins (asserted in tests), so the set algebra costs two
+    # key-shuffled joins, not materialized distinct unions.
+    docs = _t(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    big = docs.filter(F.col("n_chars") > 200).select("doc_id")
+    web = docs.filter(F.col("source") == "web").select("doc_id")
+    return en.intersect(big).subtract(web)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------

@@ -1959,3 +1959,36 @@ def priority_sample_by_group_oracle_sql(
              AS est_w_micro
     FROM ranked WHERE pri_rank <= {k}
     """
+
+
+def hll_registers_by_group(
+    df: DataFrame, group_col: str, value_col: str, p: int = 10
+) -> DataFrame:
+    """Per-group HLL registers — :func:`hll_registers` keyed by a slice
+    column: ``(group, bucket, max_rho)``, at most |groups|·2^p rows.
+    The per-group NDV sketch is what a 100 TB profile actually ships
+    (the profiler's exact COUNT DISTINCT is a full shuffle per column;
+    this is one map-side-combined aggregate producing bounded mergeable
+    state — per-slice estimates come from :func:`hll_estimate` over
+    each group's registers, merges stay per-(group, bucket) max)."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16]: {p}")
+    m = 1 << p
+    rest_bits = 60 - p
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col),
+        md5_int60(F.col(value_col).cast("string")).alias("_h"),
+    )
+    out = hashed.select(
+        group_col,
+        (F.col("_h") % m).alias("bucket"),
+        F.expr(f"_h DIV {m}").alias("_rest"),
+    ).select(
+        group_col,
+        "bucket",
+        F.when(F.col("_rest") == 0, F.lit(rest_bits + 1))
+        .otherwise(F.lit(rest_bits + 1) - F.length(F.expr("bin(_rest)")))
+        .cast("bigint")
+        .alias("_rho"),
+    )
+    return out.groupBy(group_col, "bucket").agg(F.max("_rho").alias("max_rho"))

@@ -993,3 +993,49 @@ def test_priority_sample_by_group_partitioning_invariant(spark):
     )
     key = lambda r: (r["source"], r["pri_rank"])
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------- hll_registers_by_group
+
+
+def test_hll_by_group_rows_bounded_and_match_solo(spark):
+    from beis_orp_data_service_spark.operators.corpus import (
+        hll_registers,
+        hll_registers_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [("a", f"w{i % 50}") for i in range(500)]
+        + [("b", f"x{i}") for i in range(200)],
+        "grp string, w string",
+    )
+    out = hll_registers_by_group(df, "grp", "w", p=6)
+    rows = out.collect()
+    assert len(rows) <= 2 * 64  # |groups| * 2^p bound
+    # each group's registers equal the global sketch run on that slice
+    for grp in ("a", "b"):
+        solo = {
+            (r["bucket"], r["max_rho"])
+            for r in hll_registers(
+                df.filter(F.col("grp") == grp).select("w"), "w", p=6
+            ).collect()
+        }
+        got = {(r["bucket"], r["max_rho"]) for r in rows if r["grp"] == grp}
+        assert got == solo, grp
+
+
+def test_hll_by_group_estimate_per_slice(spark):
+    from beis_orp_data_service_spark.operators.corpus import (
+        hll_estimate,
+        hll_registers_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [("a", f"w{i}") for i in range(300)] + [("b", "only")],
+        "grp string, w string",
+    )
+    regs = hll_registers_by_group(df, "grp", "w", p=10)
+    est_a = hll_estimate(regs.filter("grp = 'a'").drop("grp"), p=10)
+    est_b = hll_estimate(regs.filter("grp = 'b'").drop("grp"), p=10)
+    assert abs(est_a - 300) / 300 < 0.15
+    assert round(est_b) == 1

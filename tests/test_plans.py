@@ -242,3 +242,11 @@ def test_rerank_model_stage_after_candidate_semi_join(spark):
     mp = plan.find("MapInPandas")
     semi = plan.find("LeftSemi")
     assert mp != -1 and semi != -1
+
+
+def test_setops_rewrite_to_semi_anti_joins(spark):
+    # INTERSECT -> LeftSemi, EXCEPT -> LeftAnti: set algebra as joins,
+    # not materialized distinct unions
+    plan = plan_of("q_setops", spark)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
