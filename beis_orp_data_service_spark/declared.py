@@ -5395,6 +5395,15 @@ def q_setops(spark, sf_dir):
     return en.intersect(big).subtract(web)
 
 
+@declared("emb_mean_pool", sim.embedding_mean_by_group_oracle_sql())
+def emb_mean_pool(spark, sf_dir):
+    # grouped embedding mean-pool (chunk->doc centroid): posexplode to
+    # long form, quantize-then-sum (order-free integer adds), one
+    # map-side-combined groupBy on (group, dim) — no per-group pandas.
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.embedding_mean_by_group(emb, F.col("vec_id") % 10)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------

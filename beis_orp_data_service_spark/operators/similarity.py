@@ -1152,3 +1152,64 @@ def pq_adc_topk_oracle_sql(
                                 ORDER BY adist ASC, neighbor_id ASC) AS rank
       FROM adc) WHERE rank <= {k_neighbors}
     """
+
+
+def embedding_mean_by_group(
+    embeddings: DataFrame,
+    group_col,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Grouped mean-pooling of embedding vectors — chunk→document /
+    member→cluster centroid aggregation (the pooling step between
+    chunk-level encoders and doc-level ANN). Output one row per
+    (group, dim): ``(group, pos, n, mean_micro)`` — long form so the
+    aggregate is an ordinary map-side-combined groupBy on (group,
+    pos), never a per-group pandas pass; re-assemble with
+    ``array_agg(... ORDER BY pos)`` at the edge if an array column is
+    needed.
+
+    Determinism: components quantize to int (×1000) BEFORE summing —
+    integer addition is order-free where float summation is not — and
+    the mean is one IEEE division of exact inputs, micro-rounded
+    HALF-UP. posexplode is the only fan-out (rows × dim), one shuffle
+    total."""
+    g = group_col if not isinstance(group_col, str) else F.col(group_col)
+    exploded = embeddings.select(
+        g.alias("grp"),
+        F.posexplode(vec_col).alias("pos", "_x"),
+    ).select(
+        "grp",
+        "pos",
+        F.round(F.col("_x").cast("double") * 1000).cast("bigint").alias("_q"),
+    )
+    return exploded.groupBy("grp", "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            (F.sum("_q").cast("double") / F.count(F.lit(1))) * 1000
+        )
+        .cast("bigint")
+        .alias("mean_micro"),
+    )
+
+
+def embedding_mean_by_group_oracle_sql(
+    table: str = "embeddings",
+    group_expr: str = "vec_id % 10",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> str:
+    """DuckDB twin — same quantize-then-sum, same single division.
+    Positions come from a range cross join + list indexing (the pq
+    oracle's move; WITH ORDINALITY is unavailable)."""
+    return f"""
+    SELECT {group_expr} AS grp, CAST(r.i - 1 AS INT) AS pos,
+           COUNT(*) AS n,
+           CAST(round((CAST(SUM(CAST(round(CAST({vec_col}[r.i] AS DOUBLE) * 1000)
+                                     AS BIGINT)) AS DOUBLE) / COUNT(*)) * 1000)
+                AS BIGINT) AS mean_micro
+    FROM {table}
+    CROSS JOIN (SELECT unnest(range(1, {dim} + 1)) AS i) r
+    GROUP BY 1, 2
+    """

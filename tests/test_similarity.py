@@ -445,3 +445,23 @@ def test_pq_adc_stored_codes_path_matches_fused(spark):
     assert sorted(map(tuple, fused.collect()), key=lambda t: (t[0], t[3])) == sorted(
         map(tuple, stored.collect()), key=lambda t: (t[0], t[3])
     )
+
+
+def test_embedding_mean_by_group_known_values(spark):
+    from beis_orp_data_service_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -2.0]), (2, [2.0, 3.0]), (1, [5.0, 0.5])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {
+        (r["grp"], r["pos"]): (r["n"], r["mean_micro"])
+        for r in sim.embedding_mean_by_group(
+            df, F.col("vec_id") % 2
+        ).collect()
+    }
+    # group 0 = ids {0, 2}: dim0 mean 1.5 -> 1500000; dim1 mean 0.5
+    assert out[(0, 0)] == (2, 1_500_000)
+    assert out[(0, 1)] == (2, 500_000)
+    assert out[(1, 0)] == (1, 5_000_000)
+    assert out[(1, 1)] == (1, 500_000)
