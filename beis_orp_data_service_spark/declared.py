@@ -5049,10 +5049,10 @@ def funnel_steps(spark, sf_dir):
         "SELECT o_orderkey, o_custkey, CAST(FLOOR(o_totalprice * 100)"
         " AS BIGINT) AS price_c FROM orders WHERE o_orderkey % 4 <> 3",
         "SELECT o_orderkey, o_orderkey % 5 AS seq,"
-        " CASE WHEN o_orderkey % 8 = 0 THEN 'D' ELSE 'U' END AS op,"
+        " CASE WHEN o_orderkey % 6 = 0 THEN 'D' ELSE 'U' END AS op,"
         " o_custkey + 1 AS o_custkey,"
         " CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 7 AS price_c"
-        " FROM orders WHERE o_orderkey % 2 = 0",
+        " FROM orders WHERE o_orderkey % 3 = 0",
         "o_orderkey",
         "seq",
         "op",
@@ -5063,9 +5063,10 @@ def cdc_apply_q(spark, sf_dir):
     # MERGE INTO semantics: last-change-per-key reduction (max-struct,
     # map-side combinable) then ONE full-outer join — a key churning
     # 10k times in the batch still shuffles one row to the snapshot.
-    # Synthetic CDC batch carved from orders: even keys change (every
-    # 8th a delete), snapshot holds keys % 4 != 3, so the join
-    # exercises update/insert/delete/untouched all four ways.
+    # Synthetic CDC batch carved from orders: multiples of 3 change
+    # (every 6th a delete), snapshot holds keys % 4 != 3 — keys ≡ 3
+    # (mod 12) are changed-but-absent, so the hash-checked query
+    # exercises update/INSERT/delete/untouched all four ways.
     orders = _t(spark, sf_dir, "orders")
     # explicit floor on both sides: DuckDB CAST(double AS BIGINT)
     # ROUNDS, Spark cast truncates — floor is the one both agree on
@@ -5073,10 +5074,10 @@ def cdc_apply_q(spark, sf_dir):
     snapshot = orders.filter(F.col("o_orderkey") % 4 != 3).select(
         "o_orderkey", "o_custkey", price_c.alias("price_c")
     )
-    changes = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+    changes = orders.filter(F.col("o_orderkey") % 3 == 0).select(
         "o_orderkey",
         (F.col("o_orderkey") % 5).alias("seq"),
-        F.when(F.col("o_orderkey") % 8 == 0, "D").otherwise("U").alias("op"),
+        F.when(F.col("o_orderkey") % 6 == 0, "D").otherwise("U").alias("op"),
         (F.col("o_custkey") + 1).alias("o_custkey"),
         (price_c + 7).alias("price_c"),
     )

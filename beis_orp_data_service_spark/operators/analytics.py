@@ -38,7 +38,14 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
     Expand + partial aggregation); the 1-row result is unpivoted with
     ``stack`` — no second pass, no driver-side loop over columns.
     min/max are computed on the COLUMN'S OWN TYPE and cast to string
-    only for the uniform report schema."""
+    only for the uniform report schema.
+
+    CONTRACT SCOPE: min_value/max_value stringification is engine-
+    native. Integer / string / date columns render identically across
+    engines (hash-grade); FLOAT columns diverge once the magnitude
+    leaves plain-notation range (Spark prints 1.0E10 where DuckDB
+    prints 10000000000.0) — profile floats for the report, but do not
+    put a float column behind the cross-engine oracle."""
     aggs = []
     for c in cols:
         aggs += [
@@ -61,7 +68,8 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
 
 def profile_table_oracle_sql(table: str, cols: list[str]) -> str:
     """DuckDB twin: one UNION ALL branch per column (the relational
-    spelling of the same profile; DuckDB fuses the scans)."""
+    spelling of the same profile; DuckDB fuses the scans). Same float
+    caveat as :func:`profile_table` — int/string/date columns only."""
     parts = [
         f"SELECT '{c}' AS column_name, COUNT({c}) AS n_nonnull, "
         f"COUNT(DISTINCT {c}) AS ndv, "
@@ -89,7 +97,8 @@ def funnel(
     Per step: filter (pushed to the scan) + equi-join on the user key +
     map-side-combined MIN — the log is never windowed globally, and
     step i's join input is only the users still in the funnel."""
-    assert len(steps) >= 2, "a funnel needs at least 2 steps"
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
     reached = (
         events.filter(F.col(type_col) == steps[0])
         .groupBy(user_col)
@@ -330,22 +339,32 @@ def value_histogram(
     df: DataFrame, value_col: str, lo: float, hi: float, nbins: int
 ) -> DataFrame:
     """Fixed-width histogram: ``(bin, n)``; values outside [lo, hi)
-    clamp to the edge bins (so every non-null value is counted — the
-    dashboard convention). One map-side-combined aggregate, all
-    codegen. The bin expression is the SAME IEEE double expression
-    tree on the oracle side, so binning is bit-identical even for
-    values landing on a boundary."""
+    clamp to the edge bins (so every non-null, non-NaN value is
+    counted — the dashboard convention; NaN has no orderable bin and
+    is excluded). One map-side-combined aggregate, all codegen. The
+    bin expression is the SAME IEEE double expression tree on the
+    oracle side, so binning is bit-identical even for values landing
+    on a boundary.
+
+    The clamp happens on the DOUBLE, before any integral narrowing —
+    ±infinity and magnitudes past 2^63 land in the edge bins instead
+    of raising CAST_OVERFLOW under ANSI mode."""
     raw = (
         (F.col(value_col) - F.lit(float(lo)))
         * F.lit(float(nbins))
         / F.lit(float(hi) - float(lo))
     )
-    bin_ = F.greatest(
-        F.lit(0), F.least(F.lit(nbins - 1), F.floor(raw).cast("int"))
+    bin_ = (
+        F.when(raw < 0, F.lit(0).cast("bigint"))
+        .when(raw >= nbins, F.lit(nbins - 1).cast("bigint"))
+        .otherwise(F.floor(raw))
     )
     return (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(bin_.cast("bigint").alias("bin"))
+        df.filter(
+            F.col(value_col).isNotNull()
+            & ~F.isnan(F.col(value_col).cast("double"))
+        )
+        .groupBy(bin_.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
@@ -353,13 +372,17 @@ def value_histogram(
 def value_histogram_oracle_sql(
     table: str, value_col: str, lo: float, hi: float, nbins: int
 ) -> str:
-    """DuckDB twin — same arithmetic, same clamp."""
+    """DuckDB twin — same arithmetic, same double-side clamp order,
+    same NaN exclusion."""
     raw = f"({value_col} - {float(lo)}) * {float(nbins)} / {float(hi) - float(lo)}"
     return f"""
-    SELECT CAST(GREATEST(0, LEAST({nbins - 1},
-                 CAST(FLOOR({raw}) AS INT))) AS BIGINT) AS bin,
+    SELECT CASE WHEN {raw} < 0 THEN CAST(0 AS BIGINT)
+                WHEN {raw} >= {nbins} THEN CAST({nbins - 1} AS BIGINT)
+                ELSE CAST(FLOOR({raw}) AS BIGINT) END AS bin,
            COUNT(*) AS n
-    FROM {table} WHERE {value_col} IS NOT NULL GROUP BY bin
+    FROM {table}
+    WHERE {value_col} IS NOT NULL AND NOT isnan(CAST({value_col} AS DOUBLE))
+    GROUP BY bin
     """
 
 
@@ -398,16 +421,22 @@ def skyline(df: DataFrame, dim_cols: list[str], id_col: str) -> DataFrame:
         order = np.argsort(-vals.sum(axis=1), kind="stable")
         vals = vals[order]
         keep_idx = []
-        kept = np.empty((0, d))
+        # preallocated retained buffer: appending via vstack would
+        # recopy the whole kept set per survivor (O(s^2) on the
+        # anti-correlated worst case this docstring calls out)
+        kept = np.empty((len(vals), d))
+        n_kept = 0
         for i in range(len(vals)):
             v = vals[i]
-            if len(keep_idx):
-                ge = (kept >= v).all(axis=1)
-                gt = (kept > v).any(axis=1)
+            if n_kept:
+                kv = kept[:n_kept]
+                ge = (kv >= v).all(axis=1)
+                gt = (kv > v).any(axis=1)
                 if (ge & gt).any():
                     continue
             keep_idx.append(i)
-            kept = np.vstack([kept, v])
+            kept[n_kept] = v
+            n_kept += 1
         return pdf.iloc[order[keep_idx]]
 
     prepared = df.select(
@@ -455,18 +484,25 @@ def standardize_by_group(
 
     Group moments ride ONE map-side-combined aggregate (count / DECIMAL
     sum / DECIMAL sum-of-squares — decimal makes the sums order-
-    independent, so the moments are EXACT before the final float ops);
+    independent, so the moments are EXACT before the final float ops;
+    one factor cast to decimal(22,8), the other decimal(15,8): the
+    product is decimal(38,16) on Spark / decimal(37,16) on DuckDB —
+    inside the 38-digit cap with NO scale truncation, and wide enough
+    that DuckDB computes it in int128 rather than overflowing int64.
+    PRECONDITION: |x| < 10^7, ≤ 8 meaningful fractional digits, and
+    n·max(x²) < 10^22 per group so the scale-16 sum fits 38 digits —
+    ANSI mode raises on violation rather than silently wrapping);
     the join back is on the group key (broadcast when groups are few).
     Every subsequent step is a single IEEE-754 op on identical inputs
     (mean = sum/n, var = sumsq/n − mean², sqrt is correctly rounded),
     so z is bit-identical cross-engine. Degenerate groups (std = 0)
     yield NULL z."""
+    dec_w = F.col(value_col).cast("decimal(22,8)")
+    dec_n = F.col(value_col).cast("decimal(15,8)")
     stats = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("_n"),
-        F.sum(F.col(value_col).cast("decimal(28,8)")).alias("_s"),
-        F.sum(
-            (F.col(value_col).cast("decimal(28,8)") * F.col(value_col).cast("decimal(28,8)"))
-        ).alias("_ss"),
+        F.sum(dec_n).alias("_s"),
+        F.sum(dec_w * dec_n).alias("_ss"),
     )
     joined = df.join(stats, group_col)
     mean = F.col("_s").cast("double") / F.col("_n")
@@ -484,14 +520,15 @@ def standardize_by_group(
 def standardize_by_group_oracle_sql(
     table: str, group_col: str, value_col: str, passthrough: list[str]
 ) -> str:
-    """DuckDB twin — identical DECIMAL moments and IEEE op order."""
+    """DuckDB twin — identical DECIMAL moments (same decimal(15,8)
+    inputs, scale-16 products) and IEEE op order."""
     cols = ", ".join(f"d.{c}" for c in passthrough)
     return f"""
     WITH stats AS (
       SELECT {group_col}, COUNT(*) AS _n,
-             SUM(CAST({value_col} AS DECIMAL(28,8))) AS _s,
-             SUM(CAST({value_col} AS DECIMAL(28,8))
-                 * CAST({value_col} AS DECIMAL(28,8))) AS _ss
+             SUM(CAST({value_col} AS DECIMAL(15,8))) AS _s,
+             SUM(CAST({value_col} AS DECIMAL(22,8))
+                 * CAST({value_col} AS DECIMAL(15,8))) AS _ss
       FROM {table} GROUP BY {group_col}
     )
     SELECT {cols},
@@ -510,21 +547,26 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     """Pairwise Pearson correlation over numeric columns in ONE
     aggregate pass: count + per-column DECIMAL sums/sum-squares +
     per-pair DECIMAL cross-sums — all map-side combinable and EXACT
-    (order-independent), with the float formula applied once at the
-    end. Output one row per unordered pair ``(col_x, col_y,
+    (order-independent; the left factor of every product is cast to
+    decimal(22,8) and the right decimal(15,8), so products are
+    decimal(38,16)/decimal(37,16) — no scale truncation, int128
+    arithmetic on both engines — PRECONDITION |x| < 10^7, ≤ 8
+    meaningful fractional digits, n·max(|x·y|) < 10^22), with the
+    float formula applied once at the end. Output one row per unordered pair ``(col_x, col_y,
     corr_micro)`` (micro-quantized HALF-UP; NULL when a variance is
     zero). d columns → d(d−1)/2 pairs from a single scan — the
     feature-audit matrix without d² jobs."""
-    dec = lambda c: F.col(c).cast("decimal(28,8)")
+    dec = lambda c: F.col(c).cast("decimal(15,8)")
+    dec_w = lambda c: F.col(c).cast("decimal(22,8)")
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
         aggs.append(F.sum(dec(c)).alias(f"_s_{c}"))
-        aggs.append(F.sum(dec(c) * dec(c)).alias(f"_ss_{c}"))
+        aggs.append(F.sum(dec_w(c) * dec(c)).alias(f"_ss_{c}"))
     pairs = [
         (cols[i], cols[j]) for i in range(len(cols)) for j in range(i + 1, len(cols))
     ]
     for x, y in pairs:
-        aggs.append(F.sum(dec(x) * dec(y)).alias(f"_sxy_{x}_{y}"))
+        aggs.append(F.sum(dec_w(x) * dec(y)).alias(f"_sxy_{x}_{y}"))
     one = df.agg(*aggs)
 
     def corr_expr(x, y):
@@ -556,18 +598,18 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def corr_matrix_oracle_sql(table: str, cols: list[str]) -> str:
-    """DuckDB twin — same DECIMAL sums, same float op order, one
-    UNION ALL branch per pair."""
+    """DuckDB twin — same decimal(15,8) inputs / scale-16 products,
+    same float op order, one UNION ALL branch per pair."""
     parts = []
     for i in range(len(cols)):
         for j in range(i + 1, len(cols)):
             x, y = cols[i], cols[j]
             n = "CAST(COUNT(*) AS BIGINT)"
-            sx = f"CAST(SUM(CAST({x} AS DECIMAL(28,8))) AS DOUBLE)"
-            sy = f"CAST(SUM(CAST({y} AS DECIMAL(28,8))) AS DOUBLE)"
-            ssx = f"CAST(SUM(CAST({x} AS DECIMAL(28,8)) * CAST({x} AS DECIMAL(28,8))) AS DOUBLE)"
-            ssy = f"CAST(SUM(CAST({y} AS DECIMAL(28,8)) * CAST({y} AS DECIMAL(28,8))) AS DOUBLE)"
-            sxy = f"CAST(SUM(CAST({x} AS DECIMAL(28,8)) * CAST({y} AS DECIMAL(28,8))) AS DOUBLE)"
+            sx = f"CAST(SUM(CAST({x} AS DECIMAL(15,8))) AS DOUBLE)"
+            sy = f"CAST(SUM(CAST({y} AS DECIMAL(15,8))) AS DOUBLE)"
+            ssx = f"CAST(SUM(CAST({x} AS DECIMAL(22,8)) * CAST({x} AS DECIMAL(15,8))) AS DOUBLE)"
+            ssy = f"CAST(SUM(CAST({y} AS DECIMAL(22,8)) * CAST({y} AS DECIMAL(15,8))) AS DOUBLE)"
+            sxy = f"CAST(SUM(CAST({x} AS DECIMAL(22,8)) * CAST({y} AS DECIMAL(15,8))) AS DOUBLE)"
             cov = f"({sxy} / {n} - ({sx} / {n}) * ({sy} / {n}))"
             vx = f"({ssx} / {n} - ({sx} / {n}) * ({sx} / {n}))"
             vy = f"({ssy} / {n} - ({sy} / {n}) * ({sy} / {n}))"

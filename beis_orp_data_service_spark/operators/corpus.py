@@ -1662,6 +1662,52 @@ def cms_probe_oracle_sql(
     """
 
 
+def _dlt_pri_expr(id_col: str):
+    """Shared DLT priority q = w / u with u = (md5_int60(id)+1)/2^60 —
+    the ONE definition both the global and the grouped sampler use
+    (and whose SQL twin is :func:`_dlt_pri_cte_sql`); a change here is
+    a change everywhere or the samplers silently diverge."""
+    return (
+        F.col("_w").cast("double")
+        * F.lit(float(1 << 60))
+        / (md5_int60(F.col(id_col).cast("string")) + F.lit(1)).cast("double")
+    )
+
+
+def _ht_est_expr(k: int):
+    """Shared Horvitz-Thompson estimate: max(w, tau) when a (k+1)-th
+    row exists in the frame (tau defined), else w exactly."""
+    return F.when(
+        F.col("_n") > k, F.greatest(F.col("_w").cast("double"), F.col("_tau"))
+    ).otherwise(F.col("_w").cast("double"))
+
+
+def _dlt_pri_cte_sql(
+    table: str, id_col: str, weight_col: str, extra_cols: str = ""
+) -> str:
+    """Shared SQL twin of :func:`_dlt_pri_expr`: the `pri` CTE body
+    (same md5-hex fold, same IEEE op order). ``extra_cols`` is a
+    leading 'col, ' string carried through (the grouped variant's
+    group key)."""
+    hexfold = DUCK_MD5_HEXFOLD
+    return f"""
+      SELECT {extra_cols}{id_col}, _w,
+             CAST(_w AS DOUBLE) * 1152921504606846976.0 / (hv + 1) AS _pri
+      FROM (
+        SELECT {extra_cols}{id_col}, CAST({weight_col} AS BIGINT) AS _w,
+               {hexfold} AS hv
+        FROM (SELECT {extra_cols}{id_col}, {weight_col},
+                     substr(md5(CAST({id_col} AS VARCHAR)), 1, 15) AS h
+              FROM {table}))
+      WHERE _w > 0"""
+
+
+_HT_EST_SQL = (
+    "CAST(round((CASE WHEN _n > {k} THEN greatest(CAST(_w AS DOUBLE), _tau) "
+    "ELSE CAST(_w AS DOUBLE) END) * 1000000) AS BIGINT)"
+)
+
+
 def priority_sample(
     df: DataFrame, id_col: str, weight_col: str, k: int
 ) -> DataFrame:
@@ -1699,15 +1745,7 @@ def priority_sample(
         F.col(id_col),
         F.col(weight_col).cast("bigint").alias("_w"),
     ).where(F.col("_w") > 0)
-    pri = pri.select(
-        id_col,
-        "_w",
-        (
-            F.col("_w").cast("double")
-            * F.lit(float(1 << 60))
-            / (md5_int60(F.col(id_col).cast("string")) + F.lit(1)).cast("double")
-        ).alias("_pri"),
-    )
+    pri = pri.select(id_col, "_w", _dlt_pri_expr(id_col).alias("_pri"))
     top = pri.orderBy(F.col("_pri").desc(), F.col(id_col).asc()).limit(k + 1)
     w_rank = Window.orderBy(F.col("_pri").desc(), F.col(id_col).asc())
     w_all = Window.partitionBy()
@@ -1721,9 +1759,7 @@ def priority_sample(
     )
     # tau applies only when a (k+1)-th row exists; with n <= k the whole
     # population is kept and est = w exactly.
-    est = F.when(
-        F.col("_n") > k, F.greatest(F.col("_w").cast("double"), F.col("_tau"))
-    ).otherwise(F.col("_w").cast("double"))
+    est = _ht_est_expr(k)
     return ranked.where(F.col("pri_rank") <= k).select(
         F.col(id_col),
         F.col("_w").alias(weight_col),
@@ -1736,19 +1772,10 @@ def priority_sample_oracle_sql(
     table: str, id_col: str, weight_col: str, k: int
 ) -> str:
     """DuckDB twin of :func:`priority_sample` — same md5-hex fold, same
-    IEEE arithmetic."""
-    hexfold = DUCK_MD5_HEXFOLD
+    IEEE arithmetic (shared pri CTE: :func:`_dlt_pri_cte_sql`)."""
+    est = _HT_EST_SQL.format(k=k)
     return f"""
-    WITH pri AS (
-      SELECT {id_col}, _w,
-             CAST(_w AS DOUBLE) * 1152921504606846976.0 / (hv + 1) AS _pri
-      FROM (
-        SELECT {id_col}, CAST({weight_col} AS BIGINT) AS _w,
-               {hexfold} AS hv
-        FROM (SELECT {id_col}, {weight_col},
-                     substr(md5(CAST({id_col} AS VARCHAR)), 1, 15) AS h
-              FROM {table}))
-      WHERE _w > 0
+    WITH pri AS ({_dlt_pri_cte_sql(table, id_col, weight_col)}
     ), top AS (
       SELECT * FROM pri ORDER BY _pri DESC, {id_col} ASC LIMIT {k + 1}
     ), ranked AS (
@@ -1759,10 +1786,7 @@ def priority_sample_oracle_sql(
       FROM top
     )
     SELECT {id_col}, _w AS {weight_col}, CAST(pri_rank AS BIGINT) AS pri_rank,
-           CAST(round((CASE WHEN _n > {k}
-                            THEN greatest(CAST(_w AS DOUBLE), _tau)
-                            ELSE CAST(_w AS DOUBLE) END) * 1000000) AS BIGINT)
-             AS est_w_micro
+           {est} AS est_w_micro
     FROM ranked WHERE pri_rank <= {k}
     """
 
@@ -1881,18 +1905,7 @@ def priority_sample_by_group(
             F.col(weight_col).cast("bigint").alias("_w"),
         )
         .where(F.col("_w") > 0)
-        .select(
-            group_col,
-            id_col,
-            "_w",
-            (
-                F.col("_w").cast("double")
-                * F.lit(float(1 << 60))
-                / (md5_int60(F.col(id_col).cast("string")) + F.lit(1)).cast(
-                    "double"
-                )
-            ).alias("_pri"),
-        )
+        .select(group_col, id_col, "_w", _dlt_pri_expr(id_col).alias("_pri"))
     )
     w_rank = Window.partitionBy(group_col).orderBy(
         F.col("_pri").desc(), F.col(id_col).asc()
@@ -1910,9 +1923,7 @@ def priority_sample_by_group(
         F.count(F.lit(1)).over(w_grp).alias("_n"),
         F.min("_pri").over(w_grp).alias("_tau"),
     )
-    est = F.when(
-        F.col("_n") > k, F.greatest(F.col("_w").cast("double"), F.col("_tau"))
-    ).otherwise(F.col("_w").cast("double"))
+    est = _ht_est_expr(k)
     return ranked.where(F.col("pri_rank") <= k).select(
         F.col(group_col),
         F.col(id_col),
@@ -1925,20 +1936,12 @@ def priority_sample_by_group(
 def priority_sample_by_group_oracle_sql(
     table: str, id_col: str, weight_col: str, group_col: str, k: int
 ) -> str:
-    """DuckDB twin of :func:`priority_sample_by_group` — same md5-hex
-    fold, same IEEE arithmetic, per-group rank and tau."""
-    hexfold = DUCK_MD5_HEXFOLD
+    """DuckDB twin of :func:`priority_sample_by_group` — same shared
+    pri CTE, per-group rank and tau."""
+    est = _HT_EST_SQL.format(k=k)
     return f"""
-    WITH pri AS (
-      SELECT {group_col}, {id_col}, _w,
-             CAST(_w AS DOUBLE) * 1152921504606846976.0 / (hv + 1) AS _pri
-      FROM (
-        SELECT {group_col}, {id_col}, CAST({weight_col} AS BIGINT) AS _w,
-               {hexfold} AS hv
-        FROM (SELECT {group_col}, {id_col}, {weight_col},
-                     substr(md5(CAST({id_col} AS VARCHAR)), 1, 15) AS h
-              FROM {table}))
-      WHERE _w > 0
+    WITH pri AS ({_dlt_pri_cte_sql(table, id_col, weight_col,
+                                   extra_cols=f"{group_col}, ")}
     ), top AS (
       SELECT * FROM (
         SELECT {group_col}, {id_col}, _w, _pri,
@@ -1953,10 +1956,7 @@ def priority_sample_by_group_oracle_sql(
     )
     SELECT {group_col}, {id_col}, _w AS {weight_col},
            CAST(pri_rank AS BIGINT) AS pri_rank,
-           CAST(round((CASE WHEN _n > {k}
-                            THEN greatest(CAST(_w AS DOUBLE), _tau)
-                            ELSE CAST(_w AS DOUBLE) END) * 1000000) AS BIGINT)
-             AS est_w_micro
+           {est} AS est_w_micro
     FROM ranked WHERE pri_rank <= {k}
     """
 

@@ -312,14 +312,17 @@ def rerank_topk(
 
     terms = list(query_terms)
 
+    qset = set(terms)
+
     def _fake_batch(texts: list[str]) -> list[int]:
         # ASCII whitespace split — the same token boundary as
         # lc_tokens (Java \s) and the RE2 twin on the oracle side
         out = []
         for t in texts:
             toks = [w for w in re.split("[ \t\n\x0b\f\r]+", (t or "").lower()) if w]
-            matched = sum(1 for q in set(terms) if q in set(toks))
-            tf = sum(1 for w in toks if w in set(terms))
+            tokset = set(toks)
+            matched = sum(1 for q in qset if q in tokset)
+            tf = sum(1 for w in toks if w in qset)
             out.append(matched * 1_000_000 + tf)
         return out
 

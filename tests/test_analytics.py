@@ -345,3 +345,76 @@ def test_corr_matrix_zero_variance_is_null(spark):
     df = spark.createDataFrame([(1.0, 7.0), (2.0, 7.0)], "x double, c double")
     out = an.corr_matrix(df, ["x", "c"]).collect()
     assert out[0]["corr_micro"] is None
+
+
+# --------------------------------------------- review-fix regression tests
+
+
+def test_value_histogram_huge_and_nan_values_survive_ansi(spark):
+    # pre-fix: floor(raw).cast('int') raised CAST_OVERFLOW for 1.2e10
+    # under ANSI mode; NaN has no bin and is excluded
+    df = spark.createDataFrame(
+        [(1.2e10,), (-1.2e10,), (float("inf"),), (float("-inf"),),
+         (float("nan"),), (50.0,)],
+        "v double",
+    )
+    out = {r["bin"]: r["n"] for r in an.value_histogram(df, "v", 0.0, 100.0, 20).collect()}
+    assert out == {19: 2, 0: 2, 10: 1}  # NaN dropped, infs/huge clamped
+
+
+def test_standardize_fractional_values_match_duckdb_twin(spark):
+    # pre-fix: Spark's decimal(28,8) product truncated to scale 6,
+    # diverging from DuckDB at the 7th fractional digit
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"grp": ["g"] * 4, "v": [0.1234567, 0.7654321, 0.9999999, 1e-7]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["v"]: r["z_micro"]
+        for r in an.standardize_by_group(df, "grp", "v").collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            an.standardize_by_group_oracle_sql("t", "grp", "v", ["grp", "v"])
+            .replace("SELECT d.grp, d.v", "SELECT d.v")
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_corr_matrix_fractional_values_match_duckdb_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "x": [0.1234567, 0.7654321, 0.9999999, 0.0000001],
+            "y": [0.9876543, 0.1111111, 0.5555555, 0.3333333],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r["col_x"], r["col_y"]): r["corr_micro"]
+        for r in an.corr_matrix(df, ["x", "y"]).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(an.corr_matrix_oracle_sql("t", ["x", "y"])).fetchall()
+    }
+    assert got == want
+
+
+def test_funnel_rejects_short_step_list(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "view", _ts(1))], "user_id bigint, event_type string, ts timestamp")
+    with _pytest.raises(ValueError):
+        an.funnel(df, ["view"])
