@@ -5405,6 +5405,18 @@ def emb_mean_pool(spark, sf_dir):
     return sim.embedding_mean_by_group(emb, F.col("vec_id") % 10)
 
 
+@declared(
+    "chi2_lang_source",
+    an_ops.chi_square_contingency_oracle_sql("documents", "lang", "source"),
+)
+def chi2_lang_source(spark, sf_dir):
+    # slice-independence audit (does source predict language?): one
+    # observed aggregate + two broadcast marginals, expected computed
+    # as one exact int product / one division — hash-grade cells.
+    docs = _t(spark, sf_dir, "documents")
+    return an_ops.chi_square_contingency(docs, "lang", "source")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------

@@ -620,3 +620,81 @@ def corr_matrix_oracle_sql(table: str, cols: list[str]) -> str:
                 f" AS BIGINT) ELSE NULL END AS corr_micro FROM {table}"
             )
     return " UNION ALL ".join(parts)
+
+
+def chi_square_contingency(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Chi-square independence scan between two categorical columns —
+    the data-audit question "does slice A predict slice B?" (source vs
+    language drift, label leakage checks). Returns the contingency
+    cells with expected counts and per-cell chi² terms: ``(a, b,
+    observed, expected_micro, chi2_term_micro)`` — the statistic is
+    the (bounded, |A|·|B|-row) sum of the last column; degrees of
+    freedom (|A|−1)(|B|−1) are derivable from the same result.
+
+    One observed aggregate + two marginal aggregates; the cell grid is
+    the CROSS PRODUCT of the marginals (|A|·|B| rows — bounded by
+    category cardinality, so the cross join is the cheap side) left-
+    joined to the observed cells: ZERO cells are real chi² terms
+    ((0−E)²/E) and must not vanish just because no row landed there.
+    expected = row_total·col_total/N computed as ONE exact integer
+    product divided once (bit-identical cross-engine), micro-rounded
+    HALF-UP."""
+    obs = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    row_m = df.groupBy(F.col(col_a).alias("a")).agg(
+        F.count(F.lit(1)).alias("_ra")
+    )
+    col_m = df.groupBy(F.col(col_b).alias("b")).agg(
+        F.count(F.lit(1)).alias("_cb")
+    )
+    n = df.count()  # scalar sizing count — one job, the centroid class
+    grid = row_m.crossJoin(F.broadcast(col_m))
+    joined = grid.join(obs, ["a", "b"], "left").withColumn(
+        "observed", F.coalesce(F.col("observed"), F.lit(0))
+    )
+    # exact int64 product (counts ≤ ~3e9 per side stay in range), one
+    # division, then micro rounding
+    expected = (F.col("_ra") * F.col("_cb")).cast("double") / F.lit(float(n))
+    chi_term = (F.col("observed") - expected) * (F.col("observed") - expected) / expected
+    return joined.select(
+        "a",
+        "b",
+        "observed",
+        F.round(expected * 1_000_000).cast("bigint").alias("expected_micro"),
+        F.round(chi_term * 1_000_000).cast("bigint").alias("chi2_term_micro"),
+    )
+
+
+def chi_square_contingency_oracle_sql(
+    table: str, col_a: str, col_b: str
+) -> str:
+    """DuckDB twin — same marginal joins, same single-division float
+    order."""
+    return f"""
+    WITH obs AS (
+      SELECT {col_a} AS a, {col_b} AS b, COUNT(*) AS observed
+      FROM {table} GROUP BY 1, 2
+    ), row_m AS (
+      SELECT {col_a} AS a, COUNT(*) AS _ra FROM {table} GROUP BY 1
+    ), col_m AS (
+      SELECT {col_b} AS b, COUNT(*) AS _cb FROM {table} GROUP BY 1
+    ), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS _n FROM {table}),
+    grid AS (
+      SELECT r.a, c.b, r._ra, c._cb FROM row_m r CROSS JOIN col_m c
+    ), cells AS (
+      SELECT g.a, g.b, g._ra, g._cb, COALESCE(o.observed, 0) AS observed
+      FROM grid g LEFT JOIN obs o ON g.a = o.a AND g.b = o.b
+    )
+    SELECT o.a, o.b, o.observed,
+           CAST(round(CAST(r._ra * c._cb AS DOUBLE) / n._n * 1000000) AS BIGINT)
+             AS expected_micro,
+           CAST(round((o.observed - CAST(r._ra * c._cb AS DOUBLE) / n._n)
+                      * (o.observed - CAST(r._ra * c._cb AS DOUBLE) / n._n)
+                      / (CAST(r._ra * c._cb AS DOUBLE) / n._n)
+                      * 1000000) AS BIGINT) AS chi2_term_micro
+    FROM cells o JOIN row_m r ON o.a = r.a JOIN col_m c ON o.b = c.b
+    CROSS JOIN n
+    """

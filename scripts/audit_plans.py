@@ -55,6 +55,7 @@ ALLOW_BNLJ = {
     "q_tpch11",      # 1-row scalar-aggregate subquery (HAVING threshold)
     "bm25_topk",     # 1-row corpus-stats aggregate crossJoined (broadcast)
     "search_rerank", # same bm25 1-row stats broadcast inside the candidate stage
+    "chi2_lang_source",  # |A|x|B| marginal cross join (bounded by category counts)
     "lm_perplexity", # 1-row vocab-size aggregate crossJoined (broadcast)
     "token_kl",      # 1-row corpus-total aggregate crossJoined (broadcast)
     "tfidf_vectors", # 1-row n_docs aggregate crossJoined (broadcast)

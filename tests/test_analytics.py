@@ -418,3 +418,31 @@ def test_funnel_rejects_short_step_list(spark):
     df = spark.createDataFrame([(1, "view", _ts(1))], "user_id bigint, event_type string, ts timestamp")
     with _pytest.raises(ValueError):
         an.funnel(df, ["view"])
+
+
+# ----------------------------------------------------------------- chi2
+
+
+def test_chi_square_known_2x2(spark):
+    # classic 2x2: perfect association
+    rows = [("x", "p")] * 30 + [("y", "q")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = {
+        (r["a"], r["b"]): r
+        for r in an.chi_square_contingency(df, "a", "b").collect()
+    }
+    r = out[("x", "p")]
+    # expected = 30*30/40 = 22.5 -> 22500000 micro
+    assert r["observed"] == 30 and r["expected_micro"] == 22_500_000
+    # chi2 term = (30-22.5)^2/22.5 = 2.5
+    assert r["chi2_term_micro"] == 2_500_000
+    # total statistic over cells = N * phi^2 = 40 for perfect association
+    total = sum(r["chi2_term_micro"] for r in out.values())
+    assert total == 40_000_000
+
+
+def test_chi_square_independent_columns_zero(spark):
+    rows = [(a, b) for a in ("x", "y") for b in ("p", "q") for _ in range(5)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = an.chi_square_contingency(df, "a", "b").collect()
+    assert all(r["chi2_term_micro"] == 0 for r in out)
