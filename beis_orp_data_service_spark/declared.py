@@ -5417,6 +5417,18 @@ def chi2_lang_source(spark, sf_dir):
     return an_ops.chi_square_contingency(docs, "lang", "source")
 
 
+@declared(
+    "top_terms_by_source",
+    rank_ops.top_terms_by_group_oracle_sql("documents", "source", "text", k=5),
+)
+def top_terms_by_source(spark, sf_dir):
+    # c-TF-IDF slice labels (BERTopic recipe): one (group, term) agg,
+    # vocab-keyed frequency join, broadcast average, grouped top-k
+    # window; ln quantized to micro before ranking (dsir convention).
+    docs = _t(spark, sf_dir, "documents")
+    return rank_ops.top_terms_by_group(docs, "source", "text", k=5)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------

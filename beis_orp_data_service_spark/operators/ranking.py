@@ -396,3 +396,92 @@ def rerank_topk_oracle_sql(
                 AS BIGINT) AS rank
     FROM scored ORDER BY ce_score_micro DESC, {id_col} ASC LIMIT {k}
     """
+
+
+def top_terms_by_group(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Class-based TF-IDF distinctive terms (the BERTopic c-TF-IDF
+    recipe, Grootendorst 2022): score(t, g) = tf(t, g) · ln(1 + A /
+    f(t)) with A = average tokens per group and f(t) = corpus-wide
+    term frequency — the "what makes this slice different" labels for
+    sources / clusters / dedup groups. Output ``(group, term,
+    score_micro, rank)``, rank 1..k per group.
+
+    Shape: one (group, term) count aggregate (map-side combined), a
+    |vocab|-keyed term-frequency join, group sizes as a broadcast
+    |groups|-row join, 1-row average broadcast; ranking is the grouped
+    top-k window on the group key. ln quantizes to micro BEFORE the
+    rank (the dsir/lm 1-ulp cross-engine convention — docstring of
+    corpus.py::dsir_weights)."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(_tokens(text_col)).alias("term"),
+    )
+    tf_g = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
+    f_t = toks.groupBy("term").agg(F.count(F.lit(1)).alias("f_all"))
+    g_sz = toks.groupBy("grp").agg(F.count(F.lit(1)).alias("g_tokens"))
+    avg_a = g_sz.agg(
+        (F.sum("g_tokens").cast("double") / F.count(F.lit(1))).alias("_a")
+    )
+    scored = (
+        tf_g.join(f_t, "term")
+        .crossJoin(F.broadcast(avg_a))
+        .select(
+            "grp",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.lit(1.0) + F.col("_a") / F.col("f_all"))
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "term", "score_micro", "rank")
+    )
+
+
+def top_terms_by_group_oracle_sql(
+    table: str, group_col: str, text_col: str, k: int = 5
+) -> str:
+    """DuckDB twin — same counts, same single-expression score, same
+    tie-break."""
+    return f"""
+    WITH toks AS (
+      SELECT {group_col} AS grp,
+             unnest(list_filter(string_split_regex(lower({text_col}),
+                                                   '{TOKEN_SPLIT}'),
+                    t -> t <> '')) AS term
+      FROM {table}
+    ), tf_g AS (
+      SELECT grp, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), f_t AS (
+      SELECT term, COUNT(*) AS f_all FROM toks GROUP BY 1
+    ), g_sz AS (
+      SELECT grp, COUNT(*) AS g_tokens FROM toks GROUP BY 1
+    ), avg_a AS (
+      SELECT CAST(SUM(g_tokens) AS DOUBLE) / COUNT(*) AS _a FROM g_sz
+    ), scored AS (
+      SELECT tf_g.grp, tf_g.term,
+             CAST(round(tf * ln(1.0 + _a / f_all) * 1000000) AS BIGINT)
+               AS score_micro
+      FROM tf_g JOIN f_t ON tf_g.term = f_t.term CROSS JOIN avg_a
+    )
+    SELECT grp AS {group_col}, term, score_micro, rank FROM (
+      SELECT grp, term, score_micro,
+             CAST(row_number() OVER (PARTITION BY grp
+                                     ORDER BY score_micro DESC, term ASC)
+                  AS BIGINT) AS rank
+      FROM scored) WHERE rank <= {k}
+    """

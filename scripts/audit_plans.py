@@ -56,6 +56,7 @@ ALLOW_BNLJ = {
     "bm25_topk",     # 1-row corpus-stats aggregate crossJoined (broadcast)
     "search_rerank", # same bm25 1-row stats broadcast inside the candidate stage
     "chi2_lang_source",  # |A|x|B| marginal cross join (bounded by category counts)
+    "top_terms_by_source",  # 1-row average-tokens-per-group aggregate crossJoined
     "lm_perplexity", # 1-row vocab-size aggregate crossJoined (broadcast)
     "token_kl",      # 1-row corpus-total aggregate crossJoined (broadcast)
     "tfidf_vectors", # 1-row n_docs aggregate crossJoined (broadcast)

@@ -166,3 +166,42 @@ def test_rerank_fake_scorer_coverage_dominates_frequency(spark):
     out = rk.rerank_topk(df, "doc_id", "text", ["alpha", "beta"], k=2, n_candidates=2)
     rows = out.collect()
     assert rows[0]["doc_id"] == 2 and rows[0]["rank"] == 1
+
+
+# -------------------------------------------------------- top_terms_by_group
+
+
+def test_top_terms_distinctive_term_ranks_first(spark):
+    from beis_orp_data_service_spark.operators import ranking as rk
+
+    # "zebra" appears only in group g1; "the" is everywhere — c-TF-IDF
+    # must rank the distinctive term above the ubiquitous one
+    df = spark.createDataFrame(
+        [
+            ("g1", "the zebra zebra runs"),
+            ("g1", "the zebra sleeps"),
+            ("g2", "the cat sits"),
+            ("g2", "the cat purrs the"),
+        ],
+        "grp string, text string",
+    )
+    out = rk.top_terms_by_group(df, "grp", "text", k=2).collect()
+    top = {r["grp"]: [] for r in out}
+    for r in sorted(out, key=lambda r: (r["grp"], r["rank"])):
+        top[r["grp"]].append(r["term"])
+    assert top["g1"][0] == "zebra"
+    assert top["g2"][0] == "cat"
+
+
+def test_top_terms_deterministic_tiebreak(spark):
+    from beis_orp_data_service_spark.operators import ranking as rk
+
+    # two terms with identical counts everywhere: alphabetical wins
+    df = spark.createDataFrame(
+        [("g", "aaa bbb"), ("g", "aaa bbb")], "grp string, text string"
+    )
+    out = sorted(
+        rk.top_terms_by_group(df, "grp", "text", k=2).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["term"] for r in out] == ["aaa", "bbb"]
