@@ -5429,6 +5429,42 @@ def top_terms_by_source(spark, sf_dir):
     return rank_ops.top_terms_by_group(docs, "source", "text", k=5)
 
 
+@declared(
+    "q_window_suite",
+    """
+    SELECT o_orderkey, o_custkey,
+           lag(o_orderkey)  OVER w2 AS prev_order,
+           lead(o_orderkey) OVER w2 AS next_order,
+           CAST(rank()       OVER w1 AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w1 AS BIGINT) AS drnk,
+           cume_dist() OVER w1 AS cd
+    FROM orders
+    WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_suite(spark, sf_dir):
+    # ranking/navigation window coverage in one key-partitioned pass:
+    # rank family over the tie-bearing date ordering (values depend
+    # only on peer counts — deterministic under ties), lag/lead over
+    # the fully-tiebroken ordering. Both windows share the partition
+    # key, so Catalyst computes them in one shuffle.
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    w1 = W.partitionBy("o_custkey").orderBy("o_orderdate")
+    w2 = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_orderkey").over(w2).alias("prev_order"),
+        F.lead("o_orderkey").over(w2).alias("next_order"),
+        F.rank().over(w1).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w1).cast("bigint").alias("drnk"),
+        F.cume_dist().over(w1).alias("cd"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------
