@@ -5465,6 +5465,23 @@ def q_window_suite(spark, sf_dir):
     )
 
 
+@declared(
+    "length_quartiles",
+    """
+    SELECT lang, doc_id, n_chars,
+           CAST(ntile(4) OVER (PARTITION BY lang
+                               ORDER BY n_chars, doc_id) AS BIGINT) AS bin
+    FROM documents
+    """,
+)
+def length_quartiles(spark, sf_dir):
+    # per-group equi-depth discretization: ntile over a TOTAL order
+    # (value, id) — SQL-standard fill rule + id tiebreak make the
+    # assignment itself hash-grade, not just the bucket sizes.
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.equi_depth_bins(docs, "lang", "n_chars", "doc_id", 4)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------

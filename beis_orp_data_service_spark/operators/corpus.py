@@ -1992,3 +1992,33 @@ def hll_registers_by_group(
         .alias("_rho"),
     )
     return out.groupBy(group_col, "bucket").agg(F.max("_rho").alias("max_rho"))
+
+
+def equi_depth_bins(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    nbins: int = 4,
+) -> DataFrame:
+    """Per-group equi-depth discretization — quartile/decile labels for
+    feature bucketing and length-balanced batch assembly. ``ntile``
+    over a TOTAL order (value, id): the SQL-standard fill rule (earlier
+    buckets take the remainder) is identical across engines, and the id
+    tiebreak makes the assignment — not just the bucket sizes —
+    deterministic, so the label column is hash-grade.
+
+    One shuffle on the group key; within-group sort state only (the
+    same cost note as group_quantiles: exact form for reproducible
+    gates, percentile_approx for dashboards)."""
+    from pyspark.sql.window import Window
+
+    if nbins < 1:
+        raise ValueError(f"nbins must be >= 1: {nbins}")
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col), F.col(id_col))
+    return df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col(value_col),
+        F.ntile(nbins).over(w).cast("bigint").alias("bin"),
+    )

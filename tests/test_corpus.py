@@ -1039,3 +1039,20 @@ def test_hll_by_group_estimate_per_slice(spark):
     est_b = hll_estimate(regs.filter("grp = 'b'").drop("grp"), p=10)
     assert abs(est_a - 300) / 300 < 0.15
     assert round(est_b) == 1
+
+
+def test_equi_depth_bins_balanced_and_ordered(spark):
+    from beis_orp_data_service_spark.operators.corpus import equi_depth_bins
+
+    rows = [("g", i, float(100 - i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "grp string, id bigint, v double")
+    out = equi_depth_bins(df, "grp", "v", "id", 4).collect()
+    import collections
+
+    sizes = collections.Counter(r["bin"] for r in out)
+    # SQL-standard fill: 10 rows over 4 bins -> 3,3,2,2
+    assert sorted(sizes.values(), reverse=True) == [3, 3, 2, 2]
+    # bin is monotone in value
+    by_v = sorted(out, key=lambda r: (r["v"], r["id"]))
+    bins = [r["bin"] for r in by_v]
+    assert bins == sorted(bins)
