@@ -76,7 +76,10 @@ def main() -> None:
         "reps": reps,
         "stat": "median",
     }
-    local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    local = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+    )
     try:
         with open(local, "w") as f:
             json.dump(record, f, indent=1)

@@ -1,0 +1,60 @@
+"""Driver-parseability contract for bench.py.
+
+The driver captures only the TAIL of bench stdout and parses the last
+line — three rounds of BENCH_r{N}.json came back `parsed: null` before
+the summary-last rule landed. This test runs the real bench CLI
+end-to-end (sf0.001, 1 rep) and pins:
+  - exit 0;
+  - the LAST stdout line is a standalone JSON object with the driver's
+    expected fields;
+  - the full record (with the per-query map) is also present on stdout
+    and in BENCH_LOCAL.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_summary_is_last_stdout_line(tmp_path):
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_REPS="1",
+        SPARK_GRAFT_CPUS="8",
+        # keep the committed sf0.1 BENCH_LOCAL.json out of reach
+        SPARK_GRAFT_BENCH_OUT=str(tmp_path / "BENCH_LOCAL.json"),
+        # Python workers unpickle package UDFs: the repo must be on
+        # PYTHONPATH when bench runs outside the repo cwd
+        PYTHONPATH="/root/repo",
+    )
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/bench.py"],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=str(tmp_path),  # must not depend on repo cwd
+        timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.splitlines() if l.strip()]
+    assert lines, "no stdout"
+    summary = json.loads(lines[-1])  # the driver's tail-parse target
+    assert summary["metric"] == "declared_queries_total_wall"
+    assert summary["unit"] == "sec"
+    assert summary["value"] > 0
+    assert summary["n_queries"] >= 170
+    assert summary["sf"] == 0.001
+    # the tail 2000 chars (the driver's capture window) must contain a
+    # complete parseable line
+    tail = proc.stdout[-2000:]
+    last_tail_line = [l for l in tail.splitlines() if l.strip()][-1]
+    assert json.loads(last_tail_line) == summary
+    # full record precedes it, and the redirected on-disk copy matches
+    full = json.loads(lines[-2])
+    assert len(full["queries"]) == summary["n_queries"]
+    disk = json.loads((tmp_path / "BENCH_LOCAL.json").read_text())
+    assert disk["queries"] == full["queries"]
