@@ -5482,6 +5482,19 @@ def length_quartiles(spark, sf_dir):
     return corpus_ops.equi_depth_bins(docs, "lang", "n_chars", "doc_id", 4)
 
 
+@declared(
+    "linreg_by_lang",
+    an_ops.linreg_by_group_oracle_sql("documents", "lang", "doc_id", "n_chars"),
+)
+def linreg_by_lang(spark, sf_dir):
+    # per-slice OLS trend (is length drifting over ingest order?):
+    # exact decimal moments in one map-side-combined aggregate, float
+    # formulas applied once — slope/intercept/r² all hash-grade.
+    # Integer-valued x and y keep the decimal casts exact.
+    docs = _t(spark, sf_dir, "documents")
+    return an_ops.linreg_by_group(docs, "lang", "doc_id", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------

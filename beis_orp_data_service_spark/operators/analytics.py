@@ -698,3 +698,80 @@ def chi_square_contingency_oracle_sql(
     FROM cells o JOIN row_m r ON o.a = r.a JOIN col_m c ON o.b = c.b
     CROSS JOIN n
     """
+
+
+def linreg_by_group(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group simple linear regression (OLS slope/intercept) — the
+    trend-per-slice question (is doc length drifting per source? value
+    per user over time?). Output ``(group, n, slope_micro,
+    intercept_micro, r2_micro)``.
+
+    Same exactness recipe as :func:`corr_matrix`: one map-side-combined
+    aggregate of DECIMAL moments (sums, sum-squares, cross-sum; left
+    factor decimal(22,8) × right decimal(15,8) → scale-16 products, no
+    truncation on either engine), then the float formulas applied once:
+    slope = cov/varX, intercept = meanY − slope·meanX, r² =
+    cov²/(varX·varY). Groups with zero x-variance yield NULLs.
+    Same preconditions as corr_matrix (|x| < 10^7, ≤ 8 fractional
+    digits, scale-16 sums within 38 digits)."""
+    dn = lambda c: F.col(c).cast("decimal(15,8)")
+    dw = lambda c: F.col(c).cast("decimal(22,8)")
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dn(x_col)).alias("_sx"),
+        F.sum(dn(y_col)).alias("_sy"),
+        F.sum(dw(x_col) * dn(x_col)).alias("_sxx"),
+        F.sum(dw(y_col) * dn(y_col)).alias("_syy"),
+        F.sum(dw(x_col) * dn(y_col)).alias("_sxy"),
+    )
+    n = F.col("n")
+    mx = F.col("_sx").cast("double") / n
+    my = F.col("_sy").cast("double") / n
+    cov = F.col("_sxy").cast("double") / n - mx * my
+    vx = F.col("_sxx").cast("double") / n - mx * mx
+    vy = F.col("_syy").cast("double") / n - my * my
+    slope = cov / vx
+    micro = lambda e: F.round(e * 1_000_000).cast("bigint")
+    return agg.select(
+        F.col(group_col),
+        n,
+        F.when(vx > 0, micro(slope)).alias("slope_micro"),
+        F.when(vx > 0, micro(my - slope * mx)).alias("intercept_micro"),
+        F.when((vx > 0) & (vy > 0), micro(cov * cov / (vx * vy))).alias(
+            "r2_micro"
+        ),
+    )
+
+
+def linreg_by_group_oracle_sql(
+    table: str, group_col: str, x_col: str, y_col: str
+) -> str:
+    """DuckDB twin — same decimal moments, same float op order (NOT
+    the builtin regr_slope, whose accumulation order is engine-
+    private)."""
+    n = "CAST(COUNT(*) AS BIGINT)"
+    sx = f"CAST(SUM(CAST({x_col} AS DECIMAL(15,8))) AS DOUBLE)"
+    sy = f"CAST(SUM(CAST({y_col} AS DECIMAL(15,8))) AS DOUBLE)"
+    sxx = f"CAST(SUM(CAST({x_col} AS DECIMAL(22,8)) * CAST({x_col} AS DECIMAL(15,8))) AS DOUBLE)"
+    syy = f"CAST(SUM(CAST({y_col} AS DECIMAL(22,8)) * CAST({y_col} AS DECIMAL(15,8))) AS DOUBLE)"
+    sxy = f"CAST(SUM(CAST({x_col} AS DECIMAL(22,8)) * CAST({y_col} AS DECIMAL(15,8))) AS DOUBLE)"
+    mx = f"({sx} / {n})"
+    my = f"({sy} / {n})"
+    cov = f"({sxy} / {n} - {mx} * {my})"
+    vx = f"({sxx} / {n} - {mx} * {mx})"
+    vy = f"({syy} / {n} - {my} * {my})"
+    slope = f"({cov} / {vx})"
+    return f"""
+    SELECT {group_col}, {n} AS n,
+           CASE WHEN {vx} > 0
+                THEN CAST(round({slope} * 1000000) AS BIGINT) END AS slope_micro,
+           CASE WHEN {vx} > 0
+                THEN CAST(round(({my} - {slope} * {mx}) * 1000000) AS BIGINT)
+                END AS intercept_micro,
+           CASE WHEN {vx} > 0 AND {vy} > 0
+                THEN CAST(round({cov} * {cov} / ({vx} * {vy}) * 1000000)
+                          AS BIGINT) END AS r2_micro
+    FROM {table} GROUP BY {group_col}
+    """

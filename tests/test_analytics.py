@@ -446,3 +446,36 @@ def test_chi_square_independent_columns_zero(spark):
     df = spark.createDataFrame(rows, "a string, b string")
     out = an.chi_square_contingency(df, "a", "b").collect()
     assert all(r["chi2_term_micro"] == 0 for r in out)
+
+
+# ------------------------------------------------------------------ linreg
+
+
+def test_linreg_known_line(spark):
+    # y = 2x + 3 exactly: slope 2, intercept 3, r2 = 1
+    rows = [("g", float(x), float(2 * x + 3)) for x in range(1, 6)]
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    r = an.linreg_by_group(df, "grp", "x", "y").collect()[0]
+    assert r["slope_micro"] == 2_000_000
+    assert r["intercept_micro"] == 3_000_000
+    assert r["r2_micro"] == 1_000_000
+
+
+def test_linreg_zero_variance_nulls(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0, 5.0), ("g", 1.0, 9.0)], "grp string, x double, y double"
+    )
+    r = an.linreg_by_group(df, "grp", "x", "y").collect()[0]
+    assert r["slope_micro"] is None and r["r2_micro"] is None
+
+
+def test_linreg_numpy_crosscheck(spark):
+    import numpy as np
+
+    rows = [("g", float(i), float((i * 37) % 11 + i * 0.5)) for i in range(20)]
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    r = an.linreg_by_group(df, "grp", "x", "y").collect()[0]
+    xs = np.array([t[1] for t in rows]); ys = np.array([t[2] for t in rows])
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert abs(r["slope_micro"] / 1e6 - slope) < 1e-4
+    assert abs(r["intercept_micro"] / 1e6 - intercept) < 1e-4
