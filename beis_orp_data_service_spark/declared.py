@@ -5495,6 +5495,30 @@ def linreg_by_lang(spark, sf_dir):
     return an_ops.linreg_by_group(docs, "lang", "doc_id", "n_chars")
 
 
+@declared(
+    "asof_join_fwd",
+    """
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS asof_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def asof_join_fwd(spark, sf_dir):
+    # FORWARD as-of (earliest following error per purchase): the same
+    # tagged-union single window pass as the backward join, traversed
+    # in descending time order — no second implementation.
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select("user_id", "ts")
+    return tmp_ops.asof_join(
+        purchases, errors, key_col="user_id", ts_col="ts",
+        direction_backward=False,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------

@@ -29,13 +29,16 @@ def asof_join(
     ts_col: str = "ts",
     direction_backward: bool = True,
 ) -> DataFrame:
-    """Backward as-of join via tagged union + running last_value.
+    """As-of join via tagged union + running last_value.
 
-    Right rows sort before left rows at equal timestamps, so an exact
-    tie matches (<= semantics, like DuckDB ASOF and pd.merge_asof).
+    Backward (default): latest right row with right.ts <= left.ts.
+    Forward (``direction_backward=False``): EARLIEST right row with
+    right.ts >= left.ts — the same single window pass traversed in
+    descending time order. Either way right rows sort before left rows
+    at equal timestamps, so an exact tie matches (<=/>= semantics,
+    like DuckDB ASOF and pd.merge_asof direction='forward').
     Returns ``left`` columns + ``asof_ts`` (nullable).
     """
-    assert direction_backward, "forward as-of: flip the sort order"
     l_tagged = left.select(
         F.col(key_col), F.col(ts_col), F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
@@ -45,9 +48,10 @@ def asof_join(
         F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
     )
     unioned = l_tagged.unionByName(r_tagged)
+    ts_order = F.col(ts_col) if direction_backward else F.col(ts_col).desc()
     w = (
         Window.partitionBy(key_col)
-        .orderBy(F.col(ts_col), F.col("_side"))
+        .orderBy(ts_order, F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.withColumn(

@@ -247,3 +247,25 @@ def test_merge_intervals_out_of_order_input(spark):
         (r["start"], r["end"]) for r in merge_intervals(df, "k", "s", "e").collect()
     )
     assert out == [(0, 20), (40, 50)]
+
+
+def test_asof_forward_earliest_following_and_tie(spark):
+    import datetime as dt
+
+    from beis_orp_data_service_spark.operators.temporal import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, "a", t(10)), (2, "a", t(30)), (3, "b", t(5))],
+        "id bigint, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("a", t(10)), ("a", t(20)), ("a", t(25))], "k string, ts timestamp"
+    )
+    out = {
+        r["id"]: r["asof_ts"]
+        for r in asof_join(left, right, "k", "ts", direction_backward=False).collect()
+    }
+    assert out[1] == t(10)   # exact tie matches (>= semantics)
+    assert out[2] is None    # nothing follows t30
+    assert out[3] is None    # no right rows for key b
