@@ -5519,6 +5519,29 @@ def asof_join_fwd(spark, sf_dir):
     )
 
 
+@declared(
+    "q_array_agg",
+    """
+    SELECT o_custkey,
+           list_sort(list(o_orderkey))  AS order_keys,
+           CAST(len(list(o_orderkey)) AS INT) AS n_orders,
+           list_sort(list(DISTINCT o_orderpriority)) AS priorities
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_array_agg(spark, sf_dir):
+    # array-aggregation surface: collect_list is ORDER-UNDEFINED under
+    # parallel aggregation, so every array is canonicalized with
+    # sort_array before leaving the operator — the only hash-safe way
+    # to emit an array aggregate from a distributed engine.
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.size(F.collect_list("o_orderkey")).alias("n_orders"),
+        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------
