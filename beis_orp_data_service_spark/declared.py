@@ -5542,6 +5542,19 @@ def q_array_agg(spark, sf_dir):
     )
 
 
+@declared(
+    "extract_entities",
+    ts_ops.extract_entities_oracle_sql("documents"),
+)
+def extract_entities_q(spark, sf_dir):
+    # typed-signal extraction (URLs/dates/amounts/numbers + canonical
+    # sorted-distinct arrays): pure regexp projections in the RE2∩Java
+    # subset — codegen, zero shuffles; unit fixtures carry the
+    # planted-match semantics the synthetic corpus lacks.
+    docs = _t(spark, sf_dir, "documents")
+    return ts_ops.extract_entities(docs)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------

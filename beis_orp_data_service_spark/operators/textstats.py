@@ -143,3 +143,64 @@ def fingerprint_np_table(df, id_col: str, text_col: str):
         return pd.Series(out, dtype="int64")
 
     return df.select(F.col(id_col), _fp(F.col(text_col)).alias("fp"))
+
+
+# RE2 ∩ Java regex subset (the pii_redact posture: no lookarounds, no
+# backrefs — both engines compile these identically)
+URL_RE = r"https?://[a-z0-9.-]+(?:/[a-zA-Z0-9._%/+-]*)?"
+ISO_DATE_RE = r"\b[0-9]{4}-[0-9]{2}-[0-9]{2}\b"
+MONEY_RE = r"[$£€][0-9]+(?:\.[0-9]{2})?"
+NUMBER_RE = r"\b[0-9]+(?:\.[0-9]+)?\b"
+
+
+def extract_entities(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Structured-signal extraction — the typed-column pull every
+    curation pipeline runs before filtering/joining (URLs for
+    crawl-graph joins, dates for recency gates, amounts for PII-ish
+    review): per document the match COUNTS plus the sorted-distinct
+    URL and date lists (sorted: match order is positional and
+    hash-safe, but downstream joins want canonical arrays).
+
+    Pure regexp projections — codegen, zero shuffles at any scale; the
+    patterns live in the RE2∩Java subset so the DuckDB twin compiles
+    the same automata (pii_redact's posture). Returns (id, n_urls,
+    n_dates, n_amounts, n_numbers, urls, dates)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(c, F.lit(URL_RE)).cast("bigint").alias("n_urls"),
+        F.regexp_count(c, F.lit(ISO_DATE_RE)).cast("bigint").alias("n_dates"),
+        F.regexp_count(c, F.lit(MONEY_RE)).cast("bigint").alias("n_amounts"),
+        F.regexp_count(c, F.lit(NUMBER_RE)).cast("bigint").alias("n_numbers"),
+        F.array_sort(
+            F.array_distinct(F.regexp_extract_all(c, F.lit(URL_RE), 0))
+        ).alias("urls"),
+        F.array_sort(
+            F.array_distinct(F.regexp_extract_all(c, F.lit(ISO_DATE_RE), 0))
+        ).alias("dates"),
+    )
+
+
+def extract_entities_oracle_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin — same patterns, same sort-distinct canonical
+    arrays."""
+    return f"""
+    SELECT {id_col},
+           CAST(len(regexp_extract_all({text_col}, '{URL_RE}')) AS BIGINT)
+             AS n_urls,
+           CAST(len(regexp_extract_all({text_col}, '{ISO_DATE_RE}')) AS BIGINT)
+             AS n_dates,
+           CAST(len(regexp_extract_all({text_col}, '{MONEY_RE}')) AS BIGINT)
+             AS n_amounts,
+           CAST(len(regexp_extract_all({text_col}, '{NUMBER_RE}')) AS BIGINT)
+             AS n_numbers,
+           list_sort(list_distinct(regexp_extract_all({text_col}, '{URL_RE}')))
+             AS urls,
+           list_sort(list_distinct(regexp_extract_all({text_col}, '{ISO_DATE_RE}')))
+             AS dates
+    FROM {table}
+    """

@@ -286,3 +286,33 @@ def test_bpe_token_count_known_values_and_duckdb_dialect(spark):
             f"SELECT len(regexp_extract_all('{text.replace(chr(39), chr(39)*2)}', '{pat}')) AS n"
         ).fetchone()[0]
         assert got[doc_id] == want, f"dialect mismatch on doc {doc_id}"
+
+
+# ------------------------------------------------------------ extract_entities
+
+
+def test_extract_entities_planted_matches(spark):
+    from beis_orp_data_service_spark.operators.textstats import extract_entities
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "see https://gov.uk/guidance and http://data.gov.uk/x "
+                "filed 2024-03-01, again 2024-03-01 and 2023-12-31, "
+                "fined £120.50 then $40, refs 7 and 3.14",
+            ),
+            (2, "no entities here at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in extract_entities(df).collect()}
+    r = out[1]
+    assert r["n_urls"] == 2
+    assert r["n_dates"] == 3          # duplicate date counted per match
+    assert r["n_amounts"] == 2
+    assert r["n_numbers"] >= 2
+    assert r["urls"] == ["http://data.gov.uk/x", "https://gov.uk/guidance"]
+    assert r["dates"] == ["2023-12-31", "2024-03-01"]  # sorted distinct
+    r2 = out[2]
+    assert r2["n_urls"] == 0 and r2["urls"] == []
