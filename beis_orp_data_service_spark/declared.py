@@ -5555,6 +5555,33 @@ def extract_entities_q(spark, sf_dir):
     return ts_ops.extract_entities(docs)
 
 
+@declared(
+    "q_grouping_sets",
+    """
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid
+    FROM documents
+    GROUP BY GROUPING SETS ((lang, source), (lang), (source))
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    # explicit GROUPING SETS (the shapes rollup/cube can't express:
+    # an arbitrary subset list) + GROUPING() disambiguation of NULL
+    # group keys vs NULL data — one Expand-planned pass, no N scans.
+    docs = _t(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid
+        FROM {docs}
+        GROUP BY GROUPING SETS ((lang, source), (lang), (source))
+        """,
+        docs=docs,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------
