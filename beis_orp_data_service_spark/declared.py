@@ -5582,6 +5582,32 @@ def q_grouping_sets(spark, sf_dir):
     )
 
 
+@declared(
+    "q_json_extract",
+    """
+    SELECT event_type,
+           COUNT(json_extract_string(props, '$.k')) AS n_with_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    # semi-structured surface: JSON path extraction from a string
+    # column (the SQS message-attribute shape) straight into integer
+    # aggregation — get_json_object is codegen, no UDF, and the
+    # extracted ints aggregate exactly.
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return events.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------
