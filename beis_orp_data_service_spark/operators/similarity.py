@@ -884,6 +884,117 @@ def pq_codebook_deterministic(
     return np.stack([mat[:, s * dsub : (s + 1) * dsub] for s in range(m)])
 
 
+def _lloyd_int(x: np.ndarray, k: int, seed: int, max_iter: int) -> np.ndarray:
+    """Driver-side Lloyd's k-means over a quantized-int sample, returning
+    int64 centroids (rounded means). Deterministic given (sample, seed):
+    seeded-RNG init, stable argmin tie-break (smallest centroid index),
+    empty clusters keep their previous centroid. Distance via the matmul
+    identity (‖x‖²−2x·cᵀ+‖c‖²) so memory is O(n·k), not O(n·k·d)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(x), size=min(k, len(x)), replace=False)
+    cents = x[np.sort(idx)].astype(np.float64)
+    xf = x.astype(np.float64)
+    xsq = (xf**2).sum(axis=1)[:, None]
+    for _ in range(max_iter):
+        d = xsq - 2.0 * (xf @ cents.T) + (cents**2).sum(axis=1)[None, :]
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            mask = assign == c
+            if mask.any():
+                cents[c] = xf[mask].mean(axis=0)
+    return np.rint(cents).astype(np.int64)
+
+
+def pq_codebook_trained(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    seed: int = 7,
+    sample_rows: int = 100_000,
+    max_iter: int = 10,
+    n_rows: int | None = None,
+) -> np.ndarray:
+    """FAISS-grade PQ training (Jégou et al. 2011 §II-C): per-subspace
+    k-means over a BOUNDED, replayable sample of the table — the
+    production upgrade over :func:`pq_codebook_deterministic`'s first-k
+    rows, which ignore the data distribution entirely.
+
+    The sample filter is a partitioning-invariant hash gate
+    (xxhash64(id) mod d < n), so the same rows train the codebook on any
+    cluster layout; the driver pull is ≤ sample_rows vectors (FAISS
+    trains its quantizers on exactly this sample-bounded pattern — fit
+    cost is O(sample·k·iters), independent of table size). Each
+    subspace fits independently on the driver (m tiny Lloyd's runs over
+    the ONE pulled sample — m MLlib jobs would re-scan the table m
+    times for no accuracy gain at these sizes). Centroids are quantized
+    int64 (×1000), so every downstream kernel (:func:`pq_codes`,
+    :func:`pq_adc_topk`) runs the identical exact-int arithmetic as the
+    deterministic path. Returns int64 [m, k, d/m]."""
+    n = n_rows if n_rows is not None else embeddings.count()
+    samp = embeddings.select(id_col, vec_col)
+    if n > sample_rows:
+        denom = 1_000_003
+        num = max(1, int(denom * sample_rows / n))
+        samp = samp.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) < F.lit(num)
+        )
+    rows = samp.limit(sample_rows).collect()
+    if len(rows) < k:
+        raise ValueError(f"need at least k={k} sample rows, got {len(rows)}")
+    mat = np.stack([_quantize_np(r[vec_col], 1000) for r in rows])  # [n, d]
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return np.stack(
+        [
+            _lloyd_int(mat[:, s * dsub : (s + 1) * dsub], k, seed + s, max_iter)
+            for s in range(m)
+        ]
+    )
+
+
+def _pq_codebook_dir(path: str) -> str:
+    # underscore-prefixed like _centroids: invisible to Spark's file index
+    return path.rstrip("/") + "/_pq_codebook"
+
+
+def pq_write_codebook(spark, path: str, codebook: np.ndarray) -> None:
+    """Persist a trained [m, k, d/m] int64 codebook as a versioned JSON
+    sidecar under the code table's directory — same Hadoop-FS
+    rename-commit protocol as the IVF centroid sidecar
+    (:func:`_write_centroids`), so a crash mid-rewrite never leaves the
+    table without a readable codebook and HDFS/S3A/local all work."""
+    import json
+
+    from beis_orp_data_service_spark.sources import hadoop_fs as hfs
+
+    data = json.dumps(
+        [[[int(x) for x in row] for row in sub] for sub in codebook]
+    ).encode()
+    d = _pq_codebook_dir(path)
+    v = hfs.latest_version(spark, d, "codebook-", ".json") + 1
+    hfs.write_new_versioned(spark, d, "codebook-", ".json", v, data)
+
+
+def pq_read_codebook(spark, path: str) -> np.ndarray:
+    """Reload the latest committed codebook sidecar (bounded: m·k·d/m
+    ints — KB-scale). Int64 round-trips JSON exactly, so probes score
+    bit-identically to encode time."""
+    import json
+
+    from beis_orp_data_service_spark.sources import hadoop_fs as hfs
+
+    _, data = hfs.read_latest_versioned(
+        spark, _pq_codebook_dir(path), "codebook-", ".json"
+    )
+    if data is None:
+        raise FileNotFoundError(f"no committed PQ codebook sidecar under {path}")
+    return np.array(json.loads(data.decode()), dtype=np.int64)
+
+
 def pq_codes(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -994,6 +1105,7 @@ def pq_adc_topk(
     m: int = 4,
     k: int = 16,
     codes: DataFrame | None = None,
+    codebook: np.ndarray | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes — the search half
     of FAISS IVF-PQ (Jégou et al. 2011 §IV): queries stay full
@@ -1014,10 +1126,19 @@ def pq_adc_topk(
     Self-matches excluded. Output (query_id, neighbor_id, adist,
     rank). Pass ``codes=pq_codes(...)`` output (e.g. read back from a
     stored code table) to score WITHOUT re-encoding — the production
-    path once codes are materialized."""
+    path once codes are materialized. Pass ``codebook`` (e.g. a
+    :func:`pq_codebook_trained` matrix, or :func:`pq_read_codebook`
+    from a sidecar) to score against trained centroids — it MUST be
+    the codebook the codes were encoded with."""
     import pandas as pd
 
-    cb = pq_codebook_deterministic(embeddings, id_col, vec_col, m, k)
+    if not query_ids:
+        raise ValueError("query_ids must be a non-empty list of vector ids")
+    cb = (
+        codebook
+        if codebook is not None
+        else pq_codebook_deterministic(embeddings, id_col, vec_col, m, k)
+    )
     m_, k_, dsub = cb.shape
     q_rows = (
         embeddings.filter(F.col(id_col).isin(list(query_ids)))

@@ -431,6 +431,85 @@ def test_pq_adc_recall_vs_bruteforce(spark):
     assert hits / total >= 0.2, f"ADC recall@5 collapsed: {hits}/{total}"
 
 
+def _adc_recall_at5(spark, emb, qids, codebook=None):
+    import numpy as np
+
+    from beis_orp_data_service_spark.operators import similarity as sim
+
+    out = sim.pq_adc_topk(
+        emb, query_ids=qids, k_neighbors=5, codebook=codebook
+    ).collect()
+    vecs = {r["vec_id"]: sim._quantize_np(r["embedding"], 1000) for r in emb.collect()}
+    hits = total = 0
+    for qid in qids:
+        d = {
+            nid: int(((v - vecs[qid]) ** 2).sum())
+            for nid, v in vecs.items()
+            if nid != qid
+        }
+        exact5 = set(sorted(d, key=lambda n: (d[n], n))[:5])
+        got5 = {r["neighbor_id"] for r in out if r["query_id"] == qid}
+        hits += len(exact5 & got5)
+        total += 5
+    return hits / total
+
+
+def test_pq_trained_recall_beats_deterministic(spark):
+    # trained per-subspace k-means codebooks (FAISS §II-C) must beat
+    # the deterministic first-k codebook's recall on the SAME query set
+    # — that's the point of training. Both paths are seed-fixed and the
+    # fit is driver-side numpy, so the comparison is exact and
+    # repeatable (measured: 0.15 trained vs 0.08 deterministic over 20
+    # queries on the near-random sf0.001 embeddings — low absolute
+    # recall is the data, m=4 PQ over random 64-dim is genuinely coarse).
+    import numpy as np
+
+    from beis_orp_data_service_spark.catalog import load_table
+    from beis_orp_data_service_spark.operators import similarity as sim
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = list(range(0, 500, 25))  # 20 queries
+    cb = sim.pq_codebook_trained(emb, m=4, k=16, n_rows=500)
+    cb_again = sim.pq_codebook_trained(emb, m=4, k=16, n_rows=500)
+    assert cb.shape == (4, 16, 16) and cb.dtype == np.int64
+    assert (cb == cb_again).all()
+    r_trained = _adc_recall_at5(spark, emb, qids, codebook=cb)
+    r_det = _adc_recall_at5(spark, emb, qids, codebook=None)
+    assert r_trained > r_det, f"training didn't help: {r_trained} <= {r_det}"
+    assert r_trained >= 0.12, f"trained-codebook ADC recall@5 too low: {r_trained}"
+
+
+def test_pq_codebook_sidecar_roundtrip(spark, tmp_path):
+    # versioned JSON sidecar: int64 codebook round-trips exactly, and a
+    # rewrite bumps the version rather than clobbering in place
+    import numpy as np
+
+    from beis_orp_data_service_spark.catalog import load_table
+    from beis_orp_data_service_spark.operators import similarity as sim
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cb = sim.pq_codebook_trained(emb, m=4, k=16, n_rows=500)
+    path = str(tmp_path / "pq_table")
+    sim.pq_write_codebook(spark, path, cb)
+    assert (sim.pq_read_codebook(spark, path) == cb).all()
+    cb2 = cb + 1
+    sim.pq_write_codebook(spark, path, cb2)
+    assert (sim.pq_read_codebook(spark, path) == cb2).all()  # latest wins
+    with pytest.raises(FileNotFoundError):
+        sim.pq_read_codebook(spark, str(tmp_path / "nothing_here"))
+
+
+def test_pq_adc_requires_query_ids(spark):
+    from beis_orp_data_service_spark.catalog import load_table
+    from beis_orp_data_service_spark.operators import similarity as sim
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="query_ids"):
+        sim.pq_adc_topk(emb, query_ids=None)
+    with pytest.raises(ValueError, match="query_ids"):
+        sim.pq_adc_topk(emb, query_ids=[])
+
+
 def test_pq_adc_stored_codes_path_matches_fused(spark):
     # scoring a pre-encoded codes table (the production probe) must
     # equal the fused encode-and-score pass exactly
