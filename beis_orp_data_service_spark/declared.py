@@ -5643,6 +5643,69 @@ def _pq_adc_trained(spark, sf_dir):
 REGISTRY["pq_adc_trained"] = QueryDef(_pq_adc_trained, None, min_rows=25)
 
 
+@declared(
+    "scan_evolving",
+    """
+    WITH gen1 AS (
+      SELECT doc_id, length(text) AS n_chars
+      FROM documents WHERE doc_id % 2 = 0
+    ), gen2 AS (
+      SELECT doc_id, length(text) AS n_chars, substring(text, 1, 8) AS head
+      FROM documents WHERE doc_id % 2 = 1
+    ), merged AS (
+      SELECT doc_id, n_chars, NULL AS head FROM gen1
+      UNION ALL
+      SELECT doc_id, n_chars, head FROM gen2
+    )
+    SELECT doc_id % 10 AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           COUNT(head) AS n_with_head
+    FROM merged WHERE doc_id >= 10 GROUP BY doc_id % 10
+    """,
+)
+def scan_evolving_q(spark, sf_dir):
+    # Schema-evolution scan (S4 variant, VERDICT r4 #2): the query
+    # AUTHORS its own two-generation lake table — generation 1 files
+    # lack the `head` column, generation 2 adds it — then reads the
+    # directory back through scan_parquet_evolving (mergeSchema) and
+    # aggregates. n_with_head counts ONLY gen-2 rows, proving the old
+    # files' merged column is NULL-filled, and the doc_id >= 10
+    # predicate crosses the evolving scan (pushdown asserted in
+    # tests/test_catalog.py). Hash-grade: the oracle re-derives the
+    # merged union straight from `documents`, no fixture access needed.
+    # Stable per-sf path, overwrite-then-append idempotent rewrite.
+    import tempfile
+
+    from beis_orp_data_service_spark.sources import readers as rdr
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_evolving_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    gen1 = docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    gen2 = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.substring("text", 1, 8).alias("head"),
+    )
+    gen1.write.mode("overwrite").parquet(path)
+    gen2.write.mode("append").parquet(path)
+    merged = rdr.scan_parquet_evolving(spark, path)
+    return (
+        merged.where(F.col("doc_id") >= 10)
+        .groupBy((F.col("doc_id") % 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.count("head").alias("n_with_head"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------
