@@ -123,8 +123,12 @@ def parse_pdf(content: bytes) -> Parsed:
     passthrough — each 2-byte code rendered as ``(cid:N)`` (pdfminer's
     public convention for unmapped CIDs) and the row flagged
     ``lossy=true`` instead of erroring. Encrypted PDFs (trailer
-    ``/Encrypt``) raise :class:`PdfEncryptedError`, surfaced as a typed
-    ``parse_error='encrypted'`` row."""
+    ``/Encrypt``) first try standard-security-handler decryption with
+    the EMPTY user password (RC4-40..128 and AES-128/AESV2 — the
+    owner-password-only documents regulators commonly publish, which
+    the reference's library chain opens transparently); only when /U
+    fails to verify do they raise :class:`PdfEncryptedError`, surfaced
+    as a typed ``parse_error='encrypted'`` row."""
     if content.startswith(b"%PDF"):
         import re
 
@@ -149,7 +153,14 @@ def parse_pdf(content: bytes) -> Parsed:
             for m in re.finditer(rb"/Type\s*/XRef\b", content)
         ]
         if any(re.search(enc_key, region) for region in regions):
-            raise PdfEncryptedError(PDF_ENCRYPTED_ERROR)
+            # standard-security-handler documents with only an OWNER
+            # password open with the empty user password (§7.6.3) —
+            # the commonest "encrypted" regulator upload; only a
+            # verification failure stays a typed encrypted row
+            decrypted = _pdf_decrypt_empty(content)
+            if decrypted is None:
+                raise PdfEncryptedError(PDF_ENCRYPTED_ERROR)
+            content = decrypted
         try:
             import pdfplumber
         except ImportError:
@@ -172,6 +183,319 @@ def parse_pdf(content: bytes) -> Parsed:
 
 
 _PDF_STREAM_RE = None  # compiled lazily; module import stays cheap
+
+
+# --------------------------------------------------------------------------
+# Standard-security-handler decryption with the EMPTY user password
+# (ISO 32000-1 §7.6.3, Algorithms 2/4/5) — the commonest "encrypted"
+# regulator uploads are readable-by-anyone PDFs whose producer set only
+# an owner password; the reference's pdfplumber/PyPDF2 fallback chain
+# (glue pdf_to_text.py:12-69) opens these transparently, so the engine
+# must too. Supports /V 1|2 (RC4-40..128) and /V 4 with /CFM V2 (RC4)
+# or /CFM AESV2 (AES-128-CBC); /R 2|3|4. A PDF whose /U entry does NOT
+# verify against the empty password stays a typed 'encrypted' row.
+#
+# Stdlib-only: RC4 is 10 lines; AES-128 inverse cipher is implemented
+# below with precomputed GF(2^8) tables (FIPS-197 §5.3). Cost note:
+# decryption is per-document edge work inside the Arrow batch kernel —
+# pure-Python AES runs ~1 MB/s, fine for the document sizes this
+# pipeline sees; a deployment drowning in AES PDFs wires `cryptography`
+# behind the same function signature.
+# --------------------------------------------------------------------------
+
+_PDF_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+_AES_SBOX = bytes.fromhex(
+    "637c777bf26b6fc53001672bfed7ab76ca82c97dfa5947f0add4a2af9ca472c0"
+    "b7fd9326363ff7cc34a5e5f171d8311504c723c31896059a071280e2eb27b275"
+    "09832c1a1b6e5aa0523bd6b329e32f8453d100ed20fcb15b6acbbe394a4c58cf"
+    "d0efaafb434d338545f9027f503c9fa851a3408f929d38f5bcb6da2110fff3d2"
+    "cd0c13ec5f974417c4a77e3d645d197360814fdc222a908846eeb814de5e0bdb"
+    "e0323a0a4906245cc2d3ac629195e479e7c8376d8dd54ea96c56f4ea657aae08"
+    "ba78252e1ca6b4c6e8dd741f4bbd8b8a703eb5664803f60e613557b986c11d9e"
+    "e1f8981169d98e949b1e87e9ce5528df8ca1890dbfe6426841992d0fb054bb16"
+)
+_AES_INV_SBOX = bytearray(256)
+for _i, _v in enumerate(_AES_SBOX):
+    _AES_INV_SBOX[_v] = _i
+_AES_INV_SBOX = bytes(_AES_INV_SBOX)
+
+
+def _gmul(a: int, b: int) -> int:
+    p = 0
+    for _ in range(8):
+        if b & 1:
+            p ^= a
+        hi = a & 0x80
+        a = (a << 1) & 0xFF
+        if hi:
+            a ^= 0x1B
+        b >>= 1
+    return p
+
+
+_GM9 = bytes(_gmul(9, x) for x in range(256))
+_GM11 = bytes(_gmul(11, x) for x in range(256))
+_GM13 = bytes(_gmul(13, x) for x in range(256))
+_GM14 = bytes(_gmul(14, x) for x in range(256))
+
+
+def _aes128_expand_key(key: bytes) -> list[bytes]:
+    """FIPS-197 §5.2 key expansion → 11 round keys of 16 bytes."""
+    rcon = 1
+    words = [key[i : i + 4] for i in range(0, 16, 4)]
+    for i in range(4, 44):
+        t = words[i - 1]
+        if i % 4 == 0:
+            t = bytes(
+                [
+                    _AES_SBOX[t[1]] ^ rcon,
+                    _AES_SBOX[t[2]],
+                    _AES_SBOX[t[3]],
+                    _AES_SBOX[t[0]],
+                ]
+            )
+            rcon = _gmul(rcon, 2)
+        words.append(bytes(a ^ b for a, b in zip(words[i - 4], t)))
+    return [b"".join(words[r * 4 : r * 4 + 4]) for r in range(11)]
+
+
+def _aes128_decrypt_block(rks: list[bytes], block: bytes) -> bytes:
+    """FIPS-197 §5.3 inverse cipher, state held as a flat 16-byte
+    column-major list (byte i = row i%4, col i//4 — the spec's layout,
+    so ShiftRows moves within rows = stride-4 positions)."""
+    s = [b ^ k for b, k in zip(block, rks[10])]
+    for rnd in range(9, 0, -1):
+        # InvShiftRows + InvSubBytes fused
+        s = [
+            _AES_INV_SBOX[s[(i - 4 * (i % 4)) % 16]]
+            for i in range(16)
+        ]
+        rk = rks[rnd]
+        s = [b ^ k for b, k in zip(s, rk)]
+        # InvMixColumns
+        ns = [0] * 16
+        for c in range(0, 16, 4):
+            a0, a1, a2, a3 = s[c], s[c + 1], s[c + 2], s[c + 3]
+            ns[c] = _GM14[a0] ^ _GM11[a1] ^ _GM13[a2] ^ _GM9[a3]
+            ns[c + 1] = _GM9[a0] ^ _GM14[a1] ^ _GM11[a2] ^ _GM13[a3]
+            ns[c + 2] = _GM13[a0] ^ _GM9[a1] ^ _GM14[a2] ^ _GM11[a3]
+            ns[c + 3] = _GM11[a0] ^ _GM13[a1] ^ _GM9[a2] ^ _GM14[a3]
+        s = ns
+    s = [_AES_INV_SBOX[s[(i - 4 * (i % 4)) % 16]] for i in range(16)]
+    return bytes(b ^ k for b, k in zip(s, rks[0]))
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """AES-128-CBC with the IV prepended (the PDF AESV2 layout,
+    §7.6.2) and PKCS#5 padding stripped. Truncates a trailing partial
+    block (EOL bytes regex capture can drag in) instead of failing."""
+    if len(key) != 16 or len(data) < 32:
+        raise ValueError("AESV2 needs a 16-byte key and IV + >=1 block")
+    data = data[: len(data) - (len(data) - 16) % 16]
+    rks = _aes128_expand_key(key)
+    prev = data[:16]
+    out = bytearray()
+    for off in range(16, len(data), 16):
+        blk = data[off : off + 16]
+        plain = _aes128_decrypt_block(rks, blk)
+        out += bytes(a ^ b for a, b in zip(plain, prev))
+        prev = blk
+    pad = out[-1] if out else 0
+    if 1 <= pad <= 16:
+        out = out[:-pad]
+    return bytes(out)
+
+
+def _pdf_string_bytes(tok: bytes) -> bytes | None:
+    """A PDF string token — literal ``(...)`` or hex ``<...>`` — to raw
+    bytes (for /O and /U and /ID entries)."""
+    tok = tok.strip()
+    if tok.startswith(b"(") and tok.endswith(b")"):
+        return _pdf_unescape(tok[1:-1])
+    if tok.startswith(b"<") and tok.endswith(b">"):
+        h = b"".join(tok[1:-1].split())
+        if len(h) % 2:
+            h += b"0"
+        try:
+            return bytes.fromhex(h.decode("ascii"))
+        except ValueError:
+            return None
+    return None
+
+
+def _pdf_dict_string(body: bytes, key: bytes) -> bytes | None:
+    import re
+
+    m = re.search(key + rb"\s*(\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)", body, re.S)
+    return _pdf_string_bytes(m.group(1)) if m else None
+
+
+def _pdf_empty_password_key(
+    o: bytes, u: bytes, p: int, id0: bytes, r: int, key_len: int,
+    encrypt_metadata: bool = True,
+) -> bytes | None:
+    """Algorithm 2 with the empty user password, then verify via
+    Algorithm 4 (R=2) / 5 (R>=3) against /U. Returns the file key, or
+    None when the document genuinely needs a password."""
+    import hashlib
+    import struct
+
+    h = hashlib.md5(
+        _PDF_PAD + o[:32] + struct.pack("<i", p) + id0
+    )
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:key_len]).digest()
+    key = key[:key_len]
+    if r == 2:
+        ok = _rc4(key, _PDF_PAD) == u[:32]
+    else:
+        x = hashlib.md5(_PDF_PAD + id0).digest()
+        x = _rc4(key, x)
+        for i in range(1, 20):
+            x = _rc4(bytes(b ^ i for b in key), x)
+        ok = x == u[:16]
+    return key if ok else None
+
+
+def _pdf_object_key(file_key: bytes, num: int, gen: int, aes: bool) -> bytes:
+    """Per-object key (§7.6.2): MD5(file key ‖ objnum[0:3] ‖ gen[0:2]
+    ‖ 'sAlT' for AESV2), truncated to min(len+5, 16)."""
+    import hashlib
+    import struct
+
+    ext = struct.pack("<i", num)[:3] + struct.pack("<i", gen)[:2]
+    d = file_key + ext + (b"sAlT" if aes else b"")
+    return hashlib.md5(d).digest()[: min(len(file_key) + 5, 16)]
+
+
+def _pdf_decrypt_empty(content: bytes) -> bytes | None:
+    """Attempt full-document decryption with the empty user password.
+    Returns a rewritten buffer with every encrypted stream body replaced
+    by plaintext (offsets shift — irrelevant to the regex extractor,
+    which never walks the xref), or None when the handler is not the
+    Standard one, the crypt method is unsupported, or /U fails to
+    verify (a REAL password) — callers then surface the typed
+    'encrypted' row as before. The /Encrypt object itself and xref
+    streams (/Type /XRef — never encrypted, §7.5.8.2) are left alone;
+    dictionary strings (e.g. /Title) stay ciphertext, documented lossy
+    for metadata but complete for text."""
+    import re
+
+    m = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", content)
+    enc_num = None
+    if m is not None:
+        enc_num = int(m.group(1))
+        om = re.search(
+            rb"(?<![0-9])%d\s+%d\s+obj\b(.*?)endobj" % (enc_num, int(m.group(2))),
+            content,
+            re.S,
+        )
+        enc_body = om.group(1) if om else None
+    else:
+        im = re.search(rb"/Encrypt\s*(<<.{0,1200}?>>)", content, re.S)
+        enc_body = im.group(1) if im else None
+    if enc_body is None:
+        return None
+    if not re.search(rb"/Filter\s*/Standard\b", enc_body):
+        return None
+
+    def num_of(key: bytes, default: int | None = None) -> int | None:
+        nm = re.search(key + rb"\s+(-?\d+)", enc_body)
+        return int(nm.group(1)) if nm else default
+
+    v = num_of(rb"/V", 0)
+    r = num_of(rb"/R", 2)
+    p = num_of(rb"/P")
+    length = num_of(rb"/Length", 40)
+    o = _pdf_dict_string(enc_body, rb"/O")
+    u = _pdf_dict_string(enc_body, rb"/U")
+    if p is None or o is None or u is None or r not in (2, 3, 4):
+        return None
+    aes = False
+    if v == 4:
+        cfm = re.search(rb"/CFM\s*/(\w+)", enc_body)
+        if cfm is None:
+            return None
+        if cfm.group(1) == b"AESV2":
+            aes = True
+        elif cfm.group(1) == b"Identity":
+            return content  # no stream encryption after all
+        elif cfm.group(1) != b"V2":
+            return None  # AESV3/R5-6 need /V 5 handling — out of scope
+    elif v not in (1, 2):
+        return None
+    em = re.search(rb"/EncryptMetadata\s+(true|false)", enc_body)
+    encrypt_metadata = em is None or em.group(1) == b"true"
+    # first element of /ID from the trailer (required input to Alg 2;
+    # a handful of broken writers omit it — empty works for those)
+    idm = re.search(
+        rb"/ID\s*\[\s*(<[0-9A-Fa-f\s]*>|\((?:[^()\\]|\\.)*\))", content, re.S
+    )
+    id0 = _pdf_string_bytes(idm.group(1)) if idm else b""
+    key_len = 5 if r == 2 else max(5, min(16, (length or 40) // 8))
+    file_key = _pdf_empty_password_key(
+        o, u, p, id0 or b"", r, key_len, encrypt_metadata
+    )
+    if file_key is None:
+        return None
+
+    stream_re = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
+
+    def decrypt_obj(om: "re.Match[bytes]") -> bytes:
+        num, gen, body = int(om.group(1)), int(om.group(2)), om.group(3)
+        if num == enc_num or re.search(rb"/Type\s*/XRef\b", body):
+            return om.group(0)
+
+        def repl(sm: "re.Match[bytes]") -> bytes:
+            raw = sm.group(1)
+            # EOL before 'endstream' is not stream data (§7.3.8.1)
+            if raw.endswith(b"\r\n"):
+                raw = raw[:-2]
+            elif raw.endswith(b"\n") or raw.endswith(b"\r"):
+                raw = raw[:-1]
+            okey = _pdf_object_key(file_key, num, gen, aes)
+            try:
+                plain = _aes_cbc_decrypt(okey, raw) if aes else _rc4(okey, raw)
+            except ValueError:
+                return sm.group(0)
+            return b"stream\n" + plain + b"\nendstream"
+
+        return om.group(1) + b" " + om.group(2) + b" obj" + stream_re.sub(
+            repl, body
+        ) + b"endobj"
+
+    return re.sub(
+        rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", decrypt_obj, content, flags=re.S
+    )
 
 
 def _pdf_unescape(s: bytes) -> bytes:

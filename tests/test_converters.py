@@ -340,6 +340,179 @@ def test_pdf_encrypted_tight_trailer_serialization():
         conv.parse_pdf(pdf)
 
 
+def test_rc4_known_vector():
+    # classic RC4 test vector: key "Key", plaintext "Plaintext"
+    got = conv._rc4(b"Key", b"Plaintext")
+    assert got.hex() == "bbf316e8d940af0ad3"
+    assert conv._rc4(b"Key", got) == b"Plaintext"  # symmetric
+
+
+def test_aes128_decrypt_fips197_vector():
+    # FIPS-197 appendix C.1: the inverse cipher must invert the spec's
+    # single-block example exactly
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    rks = conv._aes128_expand_key(key)
+    assert conv._aes128_decrypt_block(rks, ct).hex() == (
+        "00112233445566778899aabbccddeeff"
+    )
+
+
+def _aes_cbc_encrypt_for_test(key: bytes, iv: bytes, padded: bytes) -> bytes:
+    """Forward AES-128-CBC written independently in the test (only the
+    module's S-box table is shared) — mutual consistency with the
+    module's inverse cipher plus the FIPS vector pins both."""
+    def gmul2(a):
+        return ((a << 1) ^ (0x1B if a & 0x80 else 0)) & 0xFF
+
+    rks = conv._aes128_expand_key(key)
+
+    def enc_block(b):
+        s = [x ^ k for x, k in zip(b, rks[0])]
+        for rnd in range(1, 10):
+            s = [conv._AES_SBOX[s[(i + 4 * (i % 4)) % 16]] for i in range(16)]
+            ns = [0] * 16
+            for c in range(0, 16, 4):
+                a = s[c : c + 4]
+                for j in range(4):
+                    x, y = a[j], a[(j + 1) % 4]
+                    ns[c + j] = gmul2(x) ^ gmul2(y) ^ y ^ a[(j + 2) % 4] ^ a[(j + 3) % 4]
+            s = [x ^ k for x, k in zip(ns, rks[rnd])]
+        s = [conv._AES_SBOX[s[(i + 4 * (i % 4)) % 16]] for i in range(16)]
+        return bytes(x ^ k for x, k in zip(s, rks[10]))
+
+    out, prev = bytearray(), iv
+    for off in range(0, len(padded), 16):
+        blk = bytes(a ^ b for a, b in zip(padded[off : off + 16], prev))
+        prev = enc_block(blk)
+        out += prev
+    return bytes(out)
+
+
+def test_aes_cbc_roundtrip():
+    key = bytes(range(16))
+    iv = bytes(range(100, 116))
+    msg = b"regulator pdf stream bytes!"  # 27 bytes -> 5 bytes padding
+    pad = 16 - len(msg) % 16
+    ct = iv + _aes_cbc_encrypt_for_test(key, iv, msg + bytes([pad]) * pad)
+    assert conv._aes_cbc_decrypt(key, ct) == msg
+
+
+def pdf_empty_password_fixture(
+    r: int = 3, length: int = 128, aes: bool = False, wrong_password: bool = False
+) -> bytes:
+    """Standard-security-handler PDF encrypted with the EMPTY user
+    password (owner-password-only — the common regulator upload). The
+    builder computes the file key per Algorithm 2 and /U per Algorithm
+    4/5 inline (hashlib only), encrypts the Flate content stream with
+    the per-object key, and emits the /Encrypt dict + trailer /ID."""
+    import hashlib
+    import struct
+    import zlib
+
+    ops = b"BT /F1 12 Tf 72 700 Td (Secret regulator text) Tj ET"
+    body_plain = zlib.compress(ops)
+    o = bytes(range(32))
+    p = -44
+    id0 = bytes.fromhex("0123456789abcdef0123456789abcdef")
+    key_len = 5 if r == 2 else length // 8
+    key = hashlib.md5(
+        conv._PDF_PAD + o + struct.pack("<i", p) + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:key_len]).digest()
+    key = key[:key_len]
+    if r == 2:
+        u = conv._rc4(key, conv._PDF_PAD)
+    else:
+        x = hashlib.md5(conv._PDF_PAD + id0).digest()
+        x = conv._rc4(key, x)
+        for i in range(1, 20):
+            x = conv._rc4(bytes(b ^ i for b in key), x)
+        u = x + bytes(16)
+    if wrong_password:
+        u = bytes(32)
+    okey = conv._pdf_object_key(key, 4, 0, aes)
+    if aes:
+        iv = bytes(range(16))
+        pad = 16 - len(body_plain) % 16
+        body = iv + _aes_cbc_encrypt_for_test(
+            okey, iv, body_plain + bytes([pad]) * pad
+        )
+    else:
+        body = conv._rc4(okey, body_plain)
+    if aes:
+        enc_dict = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P -44"
+            b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> >>"
+            b" /StmF /StdCF /StrF /StdCF"
+            b" /O <" + o.hex().encode() + b"> /U <" + u.hex().encode() + b"> >>"
+        )
+    else:
+        enc_dict = (
+            b"<< /Filter /Standard /V 2 /R " + str(r).encode()
+            + b" /Length " + str(length).encode() + b" /P -44"
+            b" /O <" + o.hex().encode() + b"> /U <" + u.hex().encode() + b"> >>"
+        )
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Filter /FlateDecode /Length "
+        + str(len(body)).encode() + b" >>\nstream\n"
+        + body
+        + b"\nendstream endobj\n"
+        b"5 0 obj " + enc_dict + b" endobj\n"
+        b"trailer << /Size 6 /Root 1 0 R /Encrypt 5 0 R"
+        b" /ID [<" + id0.hex().encode() + b"> <" + id0.hex().encode() + b">] >>\n"
+        b"startxref\n0\n"
+        b"%%EOF\n"
+    )
+
+
+def test_pdf_empty_password_rc4_r3_decrypts():
+    got = conv.parse_pdf(pdf_empty_password_fixture(r=3, length=128))
+    assert "Secret regulator text" in got.text
+    assert got.lossy is False
+
+
+def test_pdf_empty_password_rc4_r2_40bit_decrypts():
+    got = conv.parse_pdf(pdf_empty_password_fixture(r=2, length=40))
+    assert "Secret regulator text" in got.text
+
+
+def test_pdf_empty_password_aesv2_decrypts():
+    got = conv.parse_pdf(pdf_empty_password_fixture(aes=True))
+    assert "Secret regulator text" in got.text
+
+
+def test_pdf_real_password_stays_typed_encrypted():
+    # /U does not verify against the empty password -> a REAL user
+    # password protects the document; must stay the typed row, never
+    # emit ciphertext garbage
+    with pytest.raises(conv.PdfEncryptedError):
+        conv.parse_pdf(pdf_empty_password_fixture(wrong_password=True))
+
+
+def test_convert_stats_empty_password_moves_encrypted_to_ok(spark):
+    rows = [
+        (1, "PDF", bytearray(pdf_empty_password_fixture(r=3))),
+        (2, "PDF", bytearray(pdf_empty_password_fixture(aes=True))),
+        (3, "PDF", bytearray(pdf_empty_password_fixture(wrong_password=True))),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id bigint, document_format string, content binary"
+    )
+    out = {r.media_id: r for r in conv.convert_documents(df).collect()}
+    assert out[1].parse_error is None and "Secret" in out[1].text
+    assert out[2].parse_error is None and "Secret" in out[2].text
+    assert out[3].parse_error == conv.PDF_ENCRYPTED_ERROR
+    stats = conv.conversion_stats(conv.convert_documents(df)).collect()[0]
+    assert stats.n_encrypted == 1
+
+
 def test_convert_stats_distinguish_ok_lossy_encrypted(spark):
     rows = [
         (1, "PDF", bytearray(pdf_fixture(True))),            # ok
