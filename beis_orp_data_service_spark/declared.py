@@ -5706,6 +5706,90 @@ def scan_evolving_q(spark, sf_dir):
     )
 
 
+def _stream_ingest_e2e(spark, sf_dir):
+    # The reference's WHOLE §3.1 lifecycle as ONE streaming job
+    # (VERDICT r4 #4): message source → convert/clean → enrich → LSH
+    # near-dup admission → SCD-2 versioned store, driven availableNow
+    # over two authored micro-batch files (batch 2 carries planted
+    # near-dups of batch-1 docs, which the persistent index must
+    # reject). Rows-only: side-effecting streaming pipeline; the
+    # restart/no-dup/no-loss contract is pinned by
+    # tests/test_streaming.py::test_ingest_stream_e2e_restart_no_dup_no_loss.
+    # Driver-side work is the bounded 60-row message authoring pull.
+    # Fresh state per run: the stable per-sf root is wiped first (a
+    # stream checkpoint is stateful — replaying onto stale state would
+    # make the result depend on run count).
+    import json as _json
+    import shutil
+    import tempfile
+
+    from beis_orp_data_service_spark.streaming import pipeline as stp
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_stream_ingest_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "in")
+    os.makedirs(src)
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def msg(eid, key, text, second):
+        return _json.dumps(
+            {
+                "event_id": eid,
+                "ts": f"2024-01-01T00:{second // 60:02d}:{second % 60:02d}",
+                "user_id": key,
+                "event_type": "HTML",
+                "value": 0.0,
+                "props": text,
+            }
+        )
+
+    b0 = [msg(i, i, docs[i], i) for i in sorted(docs) if i < 30]
+    b1 = [msg(i, i, docs[i], 60 + i) for i in sorted(docs) if i >= 30]
+    # planted near-dups of batch-0 docs: same text + short suffix —
+    # the LSH index must flag these and keep them OUT of the store
+    b1 += [
+        msg(1000 + i, 500 + i, docs[i] + " planted near duplicate suffix", 200 + i)
+        for i in sorted(docs)[:5]
+    ]
+    for name, lines, mtime in (("b0.json", b0, 1_700_000_000),
+                               ("b1.json", b1, 1_700_000_060)):
+        p = os.path.join(src, name)
+        with open(p, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.utime(p, (mtime, mtime))  # deterministic batch order
+    q = stp.run_ingest_stream(
+        spark,
+        src,
+        os.path.join(root, "chk"),
+        os.path.join(root, "idx"),
+        os.path.join(root, "store"),
+        os.path.join(root, "flags"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    flags = spark.read.parquet(os.path.join(root, "flags")).select(
+        "media_id", "is_near_dup"
+    )
+    store = stp.read_scd_store(spark, os.path.join(root, "store")).select(
+        "media_id", "doc_key", "version", "status", "language"
+    )
+    return flags.join(store, "media_id", "left")
+
+
+REGISTRY["stream_ingest_e2e"] = QueryDef(_stream_ingest_e2e, None, min_rows=50)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------

@@ -617,6 +617,116 @@ def lsh_dedup_batch(
     rows.unpersist()
 
 
+def ingest_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_path: str,
+    store_path: str,
+    flagged_out: str,
+    epoch: int,
+    n_buckets: int = 16,
+) -> None:
+    """One micro-batch of the FULL reference ingest lifecycle (§3.1) —
+    the foreachBatch body composing the engine's existing stages:
+
+    1. **convert + clean** (pipelines.ingestion.convert_stage): binary
+       payload → text, parse failures kept as typed error rows;
+    2. **enrich** (enrich_stage): model-fake title/keywords/summary/
+       language + node-id derivation — all lazy column stages;
+    3. **near-dup admission** (:func:`lsh_dedup_batch`): sign the batch
+       once, probe the persistent band-partitioned LSH index, append
+       the batch's bands; verdicts land in ``flagged_out`` partitioned
+       by epoch (replay-idempotent dynamic overwrite);
+    4. **SCD-2 upsert** (:class:`ParquetScdSink`): messages that
+       converted cleanly AND are not near-dups of already-admitted
+       documents merge into the versioned store — re-uploads of the
+       same ``doc_key`` become version+1 rows, redelivered message ids
+       dedupe inside the merge.
+
+    Message contract (the SQS stand-in of :func:`stream_events`):
+    ``event_id`` = unique message id → media_id, ``user_id`` = logical
+    document key (re-uploads share it), ``props`` = binary payload
+    (utf-8), ``ts`` = upload time (SCD ordering), ``event_type`` =
+    document format. Work per batch is O(batch) convert/enrich/sign +
+    one band equi-join + O(touched buckets) store merge — no stage
+    re-reads the whole store or index."""
+    from beis_orp_data_service_spark.pipelines import ingestion as ing
+
+    if not batch.take(1):
+        return
+    msgs = batch.select(
+        F.col("event_id").alias("media_id"),
+        F.col("user_id").alias("doc_key"),
+        F.col("ts"),
+        F.upper(F.col("event_type")).alias("document_format"),
+        F.encode(F.col("props"), "utf-8").alias("content"),
+        F.col("props").alias("raw_text"),
+    ).persist()
+    converted = ing.convert_stage(
+        msgs.select("media_id", "document_format", "content")
+    )
+    enriched = ing.enrich_stage(converted)
+    # near-dup admission over the RAW payload (signatures must match
+    # what earlier batches indexed, independent of enrichment changes)
+    lsh_dedup_batch(
+        spark,
+        index_path,
+        msgs.select("media_id", F.col("raw_text").alias("text")),
+        flagged_out,
+        id_col="media_id",
+        epoch=epoch,
+    )
+    flags = spark.read.parquet(flagged_out).where(F.col("_epoch") == epoch)
+    admitted = (
+        enriched.where(F.col("parse_error").isNull())
+        .join(flags.where(~F.col("is_near_dup")).select("media_id"), "media_id")
+        .join(msgs.select("media_id", "doc_key", "ts"), "media_id")
+        .select(
+            "media_id", "doc_key", "ts", "document_format",
+            "title", "language", "node_id",
+        )
+    )
+    sink = ParquetScdSink(
+        spark, store_path, key_col="doc_key", order_col="ts",
+        id_col="media_id", n_buckets=n_buckets,
+    )
+    sink(admitted, epoch)
+    msgs.unpersist()
+
+
+def run_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint: str,
+    index_path: str,
+    store_path: str,
+    flagged_out: str,
+    max_files_per_trigger: int = 1,
+):
+    """The reference's WHOLE §3.1 lifecycle as ONE streaming job:
+    message source → convert/clean → enrich → LSH near-dup admission →
+    SCD-2 versioned store. One file = one micro-batch (the SQS
+    batch-per-transaction boundary); both the LSH index and the SCD
+    manifest survive restarts, and every per-batch write is
+    replay-idempotent, so a kill at any point loses nothing and
+    duplicates nothing (restart test in tests/test_streaming.py)."""
+    src = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def _batch(b: DataFrame, epoch: int) -> None:
+        ingest_batch(spark, b, index_path, store_path, flagged_out, epoch)
+
+    return (
+        src.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_lsh_dedup_stream(
     spark: SparkSession,
     source_dir: str,

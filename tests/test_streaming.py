@@ -5,6 +5,7 @@ redelivery idempotency (SURVEY §7 Phase 5)."""
 from __future__ import annotations
 
 import json
+import os
 import shutil
 
 import pytest
@@ -491,3 +492,99 @@ def test_lsh_dedup_batch_replay_is_idempotent(spark, tmp_path):
     second = sorted(map(tuple, spark.read.parquet(out).drop("_epoch").collect()))
     assert first == second
     assert all(r.is_near_dup is False for r in spark.read.parquet(out).collect())
+
+
+def _ingest_msg(eid, key, text, fmt="HTML", ts="2024-01-01T00:00:00"):
+    return {
+        "event_id": eid,
+        "ts": ts,
+        "user_id": key,
+        "event_type": fmt,
+        "value": 0.0,
+        "props": text,
+    }
+
+
+def test_ingest_stream_e2e_restart_no_dup_no_loss(spark, tmp_path):
+    """The WHOLE ingest lifecycle as one streaming job (convert ->
+    enrich -> LSH admission -> SCD store), killed between batches and
+    restarted on the same checkpoint: every admitted message lands in
+    the store exactly once, near-dups of earlier-admitted docs are
+    rejected, re-uploads of the same doc_key become version+1."""
+    import json as _json
+
+    d = tmp_path / "in"
+    d.mkdir()
+    chk = str(tmp_path / "chk")
+    idx = str(tmp_path / "idx")
+    store = str(tmp_path / "store")
+    flags = str(tmp_path / "flags")
+
+    t1 = "first unique regulatory document about emissions standards " * 3
+    t2 = "second distinct document concerning workplace safety rules " * 3
+    t3 = "third standalone text on financial conduct requirements " * 3
+
+    def write_batch(name, msgs, mtime):
+        with open(d / name, "w") as f:
+            for m in msgs:
+                f.write(_json.dumps(m) + "\n")
+        # the file source batches oldest-mtime-first: pin distinct
+        # mtimes so batch order is deterministic
+        os.utime(d / name, (mtime, mtime))
+
+    # run 1: two files -> two micro-batches (maxFilesPerTrigger=1)
+    write_batch("b0.json", [_ingest_msg(1, 100, t1), _ingest_msg(2, 200, t2)],
+                1_700_000_000)
+    write_batch(
+        "b1.json",
+        [
+            _ingest_msg(3, 100, t1 + " v2 tail", ts="2024-01-02T00:00:00"),
+            _ingest_msg(4, 300, t3),
+        ],
+        1_700_000_060,
+    )
+    q = st.run_ingest_stream(spark, str(d), chk, idx, store, flags)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r.media_id: r for r in st.read_scd_store(spark, store).collect()}
+    # msg 3 is a near-dup of msg 1 (same text + tail) -> rejected
+    assert set(got) == {1, 2, 4}
+    assert all(r.version == 1 and r.status == "published" for r in got.values())
+
+    # kill happened; new messages arrive; restart on the SAME checkpoint
+    write_batch(
+        "b2.json",
+        [
+            # re-upload of doc_key 200 with DIFFERENT text -> version 2
+            _ingest_msg(5, 200, "entirely rewritten safety rules text " * 4,
+                        ts="2024-01-03T00:00:00"),
+            _ingest_msg(6, 400, "fresh fourth document about data rights " * 3),
+        ],
+        1_700_000_120,
+    )
+    q = st.run_ingest_stream(spark, str(d), chk, idx, store, flags)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = st.read_scd_store(spark, store).collect()
+    by_id = {r.media_id: r for r in rows}
+    # no loss: all four admitted docs + the re-upload; no dup: 5 rows total
+    assert sorted(by_id) == [1, 2, 4, 5, 6]
+    assert len(rows) == 5
+    # SCD: doc_key 200 now has two versions, only the newest published
+    k200 = sorted(
+        (r for r in rows if r.doc_key == 200), key=lambda r: r.version
+    )
+    assert [(r.media_id, r.version, r.status) for r in k200] == [
+        (2, 1, "archive"), (5, 2, "published"),
+    ]
+    # flags recorded the near-dup rejection
+    fl = {r.media_id: r.is_near_dup for r in spark.read.parquet(flags).collect()}
+    assert fl[3] is True and fl[1] is False and fl[6] is False
+    # enrichment ran: every stored row carries language + title + node_id
+    assert all(r.language is not None and r.node_id is not None for r in rows)
