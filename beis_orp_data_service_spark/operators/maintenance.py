@@ -111,3 +111,151 @@ def read_current(spark: SparkSession, root: str) -> DataFrame:
     if cur is None:
         raise FileNotFoundError(f"no {CURRENT} pointer under {root}")
     return spark.read.parquet(cur)
+
+
+# ---------------------------------------------------------------------------
+# Compaction for the engine's two long-running bucketed stores
+# (VERDICT r4 #5): streaming appends accumulate one file per
+# micro-batch per partition; both compactors below restore ~target-size
+# files WITHOUT changing the store layout, so every reader's partition
+# pruning keeps working unchanged.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PartitionCompactionStats:
+    partitions_seen: int
+    partitions_compacted: int
+    files_before: int
+    files_after: int
+
+
+def recover_lsh_compaction(spark: SparkSession, path: str) -> int:
+    """Crash recovery for :func:`compact_lsh_index`'s per-band swap: a
+    band whose live directory is missing while its ``_pre_compact``
+    copy survives is restored. Runs automatically at the start of
+    every compaction; returns the number of bands restored."""
+    from beis_orp_data_service_spark.sources import hadoop_fs as hfs
+
+    pre_root = f"{path.rstrip('/')}/_pre_compact"
+    if not hfs.exists(spark, pre_root):
+        return 0
+    restored = 0
+    for name in hfs.list_names(spark, pre_root):
+        if not name.startswith("band="):
+            continue
+        live = f"{path.rstrip('/')}/{name}"
+        if not hfs.exists(spark, live):
+            hfs.rename(spark, f"{pre_root}/{name}", live)
+            restored += 1
+    hfs.delete(spark, pre_root, recursive=True)
+    return restored
+
+
+def compact_lsh_index(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 << 20,
+    min_files: int = 4,
+    dedupe: bool = True,
+) -> PartitionCompactionStats:
+    """Compact a band-partitioned LSH index
+    (``operators.dedup.lsh_index_write`` layout: ``band=N`` dirs that
+    streaming admission appends one file per micro-batch to).
+
+    Per band with more than ``min_files`` files: read that band's
+    directory only, drop the duplicate (band_key, id) rows that
+    at-least-once replays appended (probe's ``distinct`` tolerates
+    them, but they cost scan bytes forever), coalesce to
+    ceil(bytes/target) files, write to an underscore-prefixed staging
+    dir (invisible to Spark's file index — readers never see partial
+    output), then swap the band directory in two renames. The crash
+    window between the renames is ONE band wide and self-healing:
+    :func:`recover_lsh_compaction` (run first) restores any band whose
+    swap died halfway. Bands below the threshold are untouched — I/O
+    is proportional to the fragmented fraction, not the index size.
+    Partition layout (``band=N``) is preserved exactly, so probe-side
+    partition pruning and ``mode="append"`` ingest are unaffected.
+    Single-writer assumption: run in the maintenance window, not
+    concurrently with ingest appends (Delta/Iceberg get concurrency
+    from manifest logs; this is the plain-parquet discipline)."""
+    from beis_orp_data_service_spark.sources import hadoop_fs as hfs
+
+    recover_lsh_compaction(spark, path)
+    root = path.rstrip("/")
+    stats = PartitionCompactionStats(0, 0, 0, 0)
+    for name in sorted(hfs.list_names(spark, root)):
+        if not name.startswith("band="):
+            continue
+        stats.partitions_seen += 1
+        band_dir = f"{root}/{name}"
+        files = list_data_files(spark, band_dir)
+        stats.files_before += len(files)
+        if len(files) <= min_files:
+            stats.files_after += len(files)
+            continue
+        total = sum(sz for _, sz in files)
+        n_out = max(1, math.ceil(total / target_bytes))
+        df = spark.read.parquet(band_dir)
+        if dedupe:
+            df = df.dropDuplicates()
+        staged = f"{root}/_compacting/{name}"
+        hfs.delete(spark, staged, recursive=True)
+        df.coalesce(n_out).write.mode("overwrite").parquet(staged)
+        pre = f"{root}/_pre_compact/{name}"
+        hfs.mkdirs(spark, f"{root}/_pre_compact")
+        hfs.rename(spark, band_dir, pre)
+        hfs.rename(spark, staged, band_dir)
+        hfs.delete(spark, pre, recursive=True)
+        stats.partitions_compacted += 1
+        stats.files_after += len(list_data_files(spark, band_dir))
+    hfs.delete(spark, f"{root}/_compacting", recursive=True)
+    hfs.delete(spark, f"{root}/_pre_compact", recursive=True)
+    return stats
+
+
+def compact_scd_store(
+    spark: SparkSession, path: str, files_per_bucket: int = 1
+) -> PartitionCompactionStats:
+    """Compact a ``streaming.pipeline.ParquetScdSink`` store: its
+    manifest protocol already IS a snapshot commit, so compaction is
+    just one more transaction — read the live buckets (manifest-pruned,
+    exactly like any reader), rewrite them into a SINGLE new epoch
+    directory with ``files_per_bucket`` files per bucket, commit a
+    manifest pointing every bucket at it, then GC the superseded epoch
+    directories. A crash before the manifest rename leaves the old
+    state fully live (the sink's own atomicity argument, verbatim); a
+    crash during GC leaves unreferenced garbage only. Readers keep
+    static (epoch, bucket) partition pruning; the stream keeps
+    appending epochs after compaction with no special casing — commit
+    ids are shared, so the next micro-batch just becomes the next
+    epoch."""
+    from beis_orp_data_service_spark.sources import hadoop_fs as hfs
+    from beis_orp_data_service_spark.streaming.pipeline import ParquetScdSink
+    from pyspark.sql import functions as F
+
+    sink = ParquetScdSink(spark, path, key_col="", order_col="", id_col="")
+    prev_id, mapping = sink._current_manifest()
+    if not mapping:
+        raise FileNotFoundError(f"no committed SCD store at {path}")
+    files_before = len(list_data_files(spark, sink._data_root))
+    store = sink._store_df(mapping)
+    commit_id = prev_id + 1
+    (
+        store.repartition(
+            max(1, len(mapping) * files_per_bucket), F.col(ParquetScdSink.BUCKET)
+        )
+        .write.mode("overwrite")
+        .partitionBy(ParquetScdSink.BUCKET)
+        .parquet(f"{sink._data_root}/epoch={commit_id}")
+    )
+    sink._commit_manifest(commit_id, {b: commit_id for b in mapping})
+    for name in hfs.list_names(spark, sink._data_root):
+        if name.startswith("epoch=") and name != f"epoch={commit_id}":
+            hfs.delete(spark, f"{sink._data_root}/{name}", recursive=True)
+    return PartitionCompactionStats(
+        partitions_seen=len(mapping),
+        partitions_compacted=len(mapping),
+        files_before=files_before,
+        files_after=len(list_data_files(spark, sink._data_root)),
+    )

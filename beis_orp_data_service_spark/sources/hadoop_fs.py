@@ -68,6 +68,15 @@ def write_bytes_rename(spark, path: str, data: bytes) -> None:
         raise OSError(f"atomic rename failed: {path}")
 
 
+def rename(spark, src: str, dst: str) -> None:
+    """Hadoop FS rename (atomic on HDFS/local; atomic PUT-copy on S3A
+    committers). Does NOT overwrite — the destination must not exist."""
+    jvm, s, fs = fs_for(spark, src)
+    d = jvm.org.apache.hadoop.fs.Path(dst)
+    if not fs.rename(s, d):
+        raise OSError(f"rename failed: {src} -> {dst}")
+
+
 def delete(spark, path: str, recursive: bool = False) -> None:
     _, p, fs = fs_for(spark, path)
     fs.delete(p, recursive)

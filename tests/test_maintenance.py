@@ -56,3 +56,146 @@ def test_recompaction_commits_new_snapshot_atomically(spark, tmp_path):
     # previous snapshot retained for in-flight readers
     assert os.path.isdir(s1.snapshot)
     assert mt.read_current(spark, root).count() == 3000
+
+
+# ------------------------------------------------- bucketed-store compaction
+
+
+def _texts(n, salt=""):
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa"]
+    return [
+        (i, " ".join(words[(i + j) % 10] + salt for j in range(12)) * 2)
+        for i in range(n)
+    ]
+
+
+def test_compact_lsh_index_preserves_probe_and_drops_files(spark, tmp_path):
+    from beis_orp_data_service_spark.operators import dedup as dd
+
+    idx = str(tmp_path / "lsh_idx")
+    # seed + 5 appends = one file per band per append (fragmentation)
+    batches = [_texts(6, salt=str(b)) for b in range(6)]
+    dd.lsh_index_write(
+        spark.createDataFrame(
+            [(i + 0 * 100, t) for i, t in batches[0]], "doc_id bigint, text string"
+        ),
+        idx,
+    )
+    for b in range(1, 6):
+        dd.lsh_index_write(
+            spark.createDataFrame(
+                [(i + b * 100, t) for i, t in batches[b]],
+                "doc_id bigint, text string",
+            ),
+            idx,
+            mode="append",
+        )
+    probe_docs = spark.createDataFrame(
+        [(9000 + i, t) for i, t in _texts(4, salt="0")], "doc_id bigint, text string"
+    )
+    before = sorted(
+        map(tuple, dd.lsh_index_probe(spark, idx, probe_docs).collect())
+    )
+    files_before = len(mt.list_data_files(spark, idx))
+
+    stats = mt.compact_lsh_index(spark, idx, min_files=1)
+    assert stats.partitions_compacted > 0
+    assert stats.files_after < stats.files_before == files_before
+    # band-partition layout intact (pruning + future appends unaffected)
+    bands = [n for n in os.listdir(idx) if n.startswith("band=")]
+    assert bands and not any(n.startswith("_compacting") for n in os.listdir(idx))
+    after = sorted(map(tuple, dd.lsh_index_probe(spark, idx, probe_docs).collect()))
+    assert before == after
+    # appends keep working after compaction
+    dd.lsh_index_write(
+        spark.createDataFrame([(7777, _texts(1, "0")[0][1])], "doc_id bigint, text string"),
+        idx,
+        mode="append",
+    )
+    assert len(dd.lsh_index_probe(spark, idx, probe_docs).collect()) >= len(after)
+
+
+def test_compact_lsh_index_dedupes_replayed_band_rows(spark, tmp_path):
+    from beis_orp_data_service_spark.operators import dedup as dd
+
+    idx = str(tmp_path / "lsh_idx2")
+    docs = spark.createDataFrame(_texts(5), "doc_id bigint, text string")
+    dd.lsh_index_write(docs, idx)
+    dd.lsh_index_write(docs, idx, mode="append")  # at-least-once replay
+    n_before = spark.read.parquet(idx).count()
+    mt.compact_lsh_index(spark, idx, min_files=1)
+    n_after = spark.read.parquet(idx).count()
+    assert n_after == n_before // 2  # exact duplicate rows dropped
+
+
+def test_recover_lsh_compaction_restores_half_swapped_band(spark, tmp_path):
+    from beis_orp_data_service_spark.operators import dedup as dd
+    from beis_orp_data_service_spark.sources import hadoop_fs as hfs
+
+    idx = str(tmp_path / "lsh_idx3")
+    docs = spark.createDataFrame(_texts(5), "doc_id bigint, text string")
+    dd.lsh_index_write(docs, idx)
+    total = spark.read.parquet(idx).count()
+    band = sorted(n for n in os.listdir(idx) if n.startswith("band="))[0]
+    # simulate a crash between the two swap renames: live dir moved to
+    # _pre_compact, replacement never landed
+    hfs.mkdirs(spark, f"{idx}/_pre_compact")
+    hfs.rename(spark, f"{idx}/{band}", f"{idx}/_pre_compact/{band}")
+    assert mt.recover_lsh_compaction(spark, idx) == 1
+    assert spark.read.parquet(idx).count() == total
+
+
+def test_compact_scd_store_single_epoch_stream_continues(spark, tmp_path):
+    from beis_orp_data_service_spark.streaming import pipeline as st
+
+    store = str(tmp_path / "scd_store")
+    # n_buckets=5 deliberately NOT equal to the test session's 8
+    # shuffle partitions: pmod(hash(key), n) with n == shuffle
+    # partitions accidentally co-partitions every bucket into one
+    # task (one file per bucket, nothing to compact)
+    sink = st.ParquetScdSink(spark, store, "user_id", "ts", "event_id", n_buckets=5)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts string, payload string"
+    )
+    # three micro-batches -> three epoch dirs; AQE's partition
+    # coalescing is disabled for batch 0 so the 32-partition merge
+    # shuffle leaves SEVERAL part files per bucket dir — the
+    # production-scale fragmentation compaction exists to fix (at toy
+    # row counts AQE otherwise collapses everything to one file)
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        sink(mk([(i, i % 20, f"a{i:03d}", "x") for i in range(200)]), 0)
+    finally:
+        spark.conf.set(coalesce_key, old)
+    sink(mk([(300, 100, "b", "x2"), (301, 101, "b", "z")]), 1)
+    sink(mk([(302, 102, "b", "y2")]), 2)
+    before = sorted(map(tuple, st.read_scd_store(spark, store).collect()))
+    epochs_before = [
+        n for n in os.listdir(os.path.join(store, "data")) if n.startswith("epoch=")
+    ]
+    assert len(epochs_before) == 3
+
+    stats = mt.compact_scd_store(spark, store)
+    assert stats.files_after < stats.files_before
+    epochs = [
+        n for n in os.listdir(os.path.join(store, "data")) if n.startswith("epoch=")
+    ]
+    assert len(epochs) == 1  # every live bucket in ONE epoch dir
+    after = sorted(map(tuple, st.read_scd_store(spark, store).collect()))
+    assert before == after
+    # manifest-pruned read still static-prunes on the partition columns
+    sink2 = st.ParquetScdSink(spark, store, "user_id", "ts", "event_id", n_buckets=5)
+    _, mapping = sink2._current_manifest()
+    plan = (
+        sink2._store_df(mapping)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "epoch" in plan
+
+    # the stream keeps going: next micro-batch = next epoch, SCD intact
+    sink(mk([(303, 100, "c", "x3")]), 3)
+    rows = st.read_scd_store(spark, store).collect()
+    k100 = sorted((r.version, r.status) for r in rows if r.user_id == 100)
+    assert k100 == [(1, "archive"), (2, "published")]
