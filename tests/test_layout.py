@@ -71,3 +71,57 @@ def test_interleave_orders_close_points_together(spark):
     assert got[0] == 0
     assert got[1] == 3                # bits interleave: 1,1 -> 0b11
     assert got[2] == (1 << 16) - 1    # 255,255 -> all 16 bits set
+
+
+def test_zorder_physical_footer_skipping_beats_linear(spark, tmp_path):
+    """The measurable claim: after a REAL write, the parquet footer
+    min/max statistics of the z-ordered files let a predicate on the
+    non-leading column skip most files, while the single-key-sorted
+    layout can skip none. Footers read with pyarrow — the exact
+    metadata a Spark scan prunes row groups/files on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    # x = low digits, y = high digits: independent, so a single-key
+    # sort on x gives y no locality at all
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 128).alias("x"),
+        ((F.col("id") / 128).cast("bigint") % 128).alias("y"),
+    )
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "linear")
+    layout.zorder_layout(df, ["x", "y"], bits=7, n_files=16).write.mode(
+        "overwrite"
+    ).parquet(zpath)
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def files_scanned_for_y(path, y):
+        scanned = total = 0
+        for f in glob.glob(path + "/part-*.parquet"):
+            md = pq.read_metadata(f)
+            col_idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }["y"]
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            total += 1
+            if min(mins) <= y <= max(maxs):
+                scanned += 1
+        return scanned, total
+
+    z_scan, z_total = files_scanned_for_y(zpath, 7)
+    l_scan, l_total = files_scanned_for_y(lpath, 7)
+    assert z_total >= 8 and l_total >= 8
+    # linear layout: y is uniform within every x range -> no skipping
+    assert l_scan == l_total
+    # z-order: most files' y range excludes 7 entirely
+    assert z_scan <= z_total // 2, (z_scan, z_total)
