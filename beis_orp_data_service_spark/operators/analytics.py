@@ -349,6 +349,10 @@ def value_histogram(
     The clamp happens on the DOUBLE, before any integral narrowing —
     ±infinity and magnitudes past 2^63 land in the edge bins instead
     of raising CAST_OVERFLOW under ANSI mode."""
+    if nbins < 1:
+        raise ValueError(f"nbins must be >= 1, got {nbins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got lo={lo} hi={hi}")
     raw = (
         (F.col(value_col) - F.lit(float(lo)))
         * F.lit(float(nbins))

@@ -133,12 +133,34 @@ def bm25_topk(
             + F.lit(k1_pct * (100 - b_pct)) * F.col("sumdl")
             + F.lit(k1_pct * b_pct) * F.col("dl") * F.col("n_docs")
         )
+        # Runtime headroom guard (ADVICE r4): the documented int64
+        # precondition (idf·tf·sumdl products < 2^63) is now CHECKED in
+        # the plan — a double-precision estimate with slack below 2^63
+        # trips a clear raise_error naming the escape hatch instead of
+        # an opaque ANSI overflow. Costs one codegen comparison per
+        # (doc, term) hit; no extra job.
+        approx_n = (
+            F.col("idf_micro").cast("double")
+            * F.col("tf").cast("double")
+            * F.lit(float((100 + k1_pct) * 100))
+            * F.col("sumdl").cast("double")
+        )
+        guarded_n = F.when(
+            approx_n > 8.5e18,
+            F.raise_error(
+                F.lit(
+                    "bm25_topk score_mode='int' exceeds the int64 headroom "
+                    "(idf*tf*sumdl too large for exact integer scoring at "
+                    "this corpus size) - use score_mode='float'"
+                )
+            ).cast("bigint"),
+        ).otherwise(F.col("idf_micro") * num)
         # DIV needs SQL-expr form; alias the two exact int64 operands
         # first so the expression stays readable.
         scored = scored.select(
             "_id",
             "term",
-            (F.col("idf_micro") * num).alias("_n"),
+            guarded_n.alias("_n"),
             den.alias("_d"),
         ).select("_id", "term", F.expr("_n DIV _d").alias("term_score"))
     else:

@@ -67,6 +67,12 @@ def main() -> None:
         "reps": reps,
         "stat": "median",
     }
+    # slowest10 rides INSIDE the summary line so per-query regressions
+    # survive captures that keep only the tail of stdout (the full map
+    # above scrolls off) — VERDICT r4 defect #1.
+    slowest10 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
     summary = {
         "metric": record["metric"],
         "value": record["value"],
@@ -75,6 +81,10 @@ def main() -> None:
         "sf": sf,
         "reps": reps,
         "stat": "median",
+        "slowest10": slowest10,
+        # no-silent-caps: queries whose declared form samples their input
+        # to bound bench cost (the OPERATORS are unsampled)
+        "sampled": {"dup_clusters": "doc_id % 10", "canonical_docs": "doc_id % 10"},
     }
     local = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
