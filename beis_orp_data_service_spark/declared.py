@@ -5862,6 +5862,135 @@ def zorder_skipping(spark, sf_dir):
     return z.unionByName(lin)
 
 
+@declared("readability", ts_ops.readability_oracle_sql("documents"))
+def readability_q(spark, sf_dir):
+    # Training-data op — Flesch reading-ease quality gate: words /
+    # sentence-runs / vowel-group syllables, integer per-mille ratios,
+    # flesch_milli via floor DIV over non-negative operands (truncate
+    # == floor, so Spark and DuckDB agree bit-for-bit). One codegen
+    # projection, no shuffle, no UDF.
+    return ts_ops.readability(_t(spark, sf_dir, "documents"))
+
+
+@declared(
+    "agg_delta",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user_id
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_delta_q(spark, sf_dir):
+    # IVM for grouped aggregates (sibling of join_delta): the old view
+    # is maintained COMBINED STATE — the delta aggregates alone
+    # (O(|delta|), map-side combined) and merges by key; the oracle is
+    # the full recount, so the hash check IS the IVM correctness proof
+    # (merge(V_old, gamma(delta)) == gamma(base union delta)).
+    events = _t(spark, sf_dir, "events")
+    old = events.where(F.col("event_id") % 5 != 0)
+    delta = events.where(F.col("event_id") % 5 == 0)
+    old_agg = old.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("user_id").alias("sum_user_id")
+    )
+    return tmp_ops.agg_delta(
+        old_agg, delta, keys=["event_type"], count_col="n",
+        sum_cols=["user_id"],
+    )
+
+
+@declared(
+    "dq_report",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ), low AS (
+      SELECT *, row_number() OVER (ORDER BY o_orderkey) AS rn
+      FROM (SELECT * FROM base ORDER BY o_orderkey LIMIT 3)
+    ), bad AS (
+      SELECT o_orderkey, CAST(NULL AS BIGINT) AS o_custkey, o_totalprice
+      FROM low WHERE rn = 1
+      UNION ALL
+      SELECT o_orderkey, o_custkey, CAST(-1.0 AS DOUBLE) FROM low WHERE rn = 2
+      UNION ALL
+      SELECT o_orderkey, -o_custkey - 999, o_totalprice FROM low WHERE rn = 3
+    ), t AS (
+      SELECT * FROM base UNION ALL SELECT * FROM bad
+    )
+    SELECT 'not_null(o_custkey)' AS check_name,
+           CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT)
+             AS n_violations
+    FROM t
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM t
+    UNION ALL
+    SELECT 'range(o_totalprice)',
+           CAST(COUNT(CASE WHEN o_totalprice < 0.0
+                           OR o_totalprice > 10000000000.0 THEN 1 END)
+                AS BIGINT)
+    FROM t
+    UNION ALL
+    SELECT 'fk(o_custkey)', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT o_custkey FROM t
+          WHERE o_custkey IS NOT NULL
+            AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+    """,
+)
+def dq_report_q(spark, sf_dir):
+    # Data-quality constraint verification (Deequ pattern): null /
+    # uniqueness / range checks fused into ONE map-side-combined
+    # aggregate over one scan + a left-anti FK probe; three violations
+    # are planted (NULL key, negative price, orphan FK) so every
+    # counter is exercised, not vacuously zero. stack() pivots the
+    # 1-row aggregate to long form — codegen, no extra shuffle.
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = _t(spark, sf_dir, "customer")
+    low = (
+        orders.orderBy("o_orderkey")
+        .limit(3)
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy("o_orderkey"))
+        )
+    )
+    bad = (
+        low.where("rn = 1").select(
+            "o_orderkey",
+            F.lit(None).cast("bigint").alias("o_custkey"),
+            "o_totalprice",
+        )
+        .unionByName(
+            low.where("rn = 2").select(
+                "o_orderkey",
+                "o_custkey",
+                F.lit(-1.0).cast("double").alias("o_totalprice"),
+            )
+        )
+        .unionByName(
+            low.where("rn = 3").select(
+                "o_orderkey",
+                # data-derived orphan key (negative, so outside the dim):
+                # a foldable literal here constant-folds the FK join key
+                # and degrades the anti-join to a nested-loop plan
+                (-F.col("o_custkey") - 999).alias("o_custkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    t = orders.unionByName(bad)
+    return an_ops.dq_report(
+        t,
+        not_null=["o_custkey"],
+        unique=["o_orderkey"],
+        ranges={"o_totalprice": (0.0, 10_000_000_000.0)},
+        fk=(customer, "o_custkey", "c_custkey"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------

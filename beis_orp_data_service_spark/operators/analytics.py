@@ -779,3 +779,81 @@ def linreg_by_group_oracle_sql(
                           AS BIGINT) END AS r2_micro
     FROM {table} GROUP BY {group_col}
     """
+
+
+def dq_report(
+    df: DataFrame,
+    not_null: list[str] | None = None,
+    unique: list[str] | None = None,
+    ranges: dict[str, tuple[float, float]] | None = None,
+    fk: tuple[DataFrame, str, str] | None = None,
+) -> DataFrame:
+    """Data-quality constraint report (the Deequ/Great-Expectations
+    verification pattern as ONE plan): ``(check_name, n_violations)`` rows for
+
+    - ``not_null``: NULL count per named column;
+    - ``unique``: rows minus distinct count per named column;
+    - ``ranges``: count outside [lo, hi] per column (NULLs are counted
+      by their not_null check, not double-counted here);
+    - ``fk``: (dim_df, local_col, dim_col) — child keys with no parent
+      (left-anti count; the dim side broadcasts when small).
+
+    Everything except the FK check computes in a SINGLE map-side-
+    combined aggregate over one scan — at 100 TB the report costs one
+    pass regardless of how many constraints it verifies — then pivots
+    to long form with ``stack`` (codegen, no shuffle beyond the 1-row
+    aggregate). A green report is all-zeros; alert on any row > 0."""
+    not_null = not_null or []
+    unique = unique or []
+    ranges = ranges or {}
+    aggs = []
+    labels = []
+    for c in not_null:
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"nn_{c}")
+        )
+        labels.append((f"not_null({c})", f"nn_{c}"))
+    for c in unique:
+        aggs.append(
+            (F.count(F.col(c)) - F.count_distinct(F.col(c))).alias(f"uq_{c}")
+        )
+        labels.append((f"unique({c})", f"uq_{c}"))
+    for c, (lo, hi) in ranges.items():
+        aggs.append(
+            F.count(
+                F.when((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi)), 1)
+            ).alias(f"rg_{c}")
+        )
+        labels.append((f"range({c})", f"rg_{c}"))
+    if not aggs and fk is None:
+        raise ValueError("no checks requested")
+    parts = []
+    if aggs:
+        one = df.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{label}', cast({col} as bigint)" for label, col in labels
+        )
+        parts.append(
+            one.select(
+                F.expr(
+                    f"stack({len(labels)}, {stack_args}) as (check_name, n_violations)"
+                )
+            )
+        )
+    if fk is not None:
+        dim, local_col, dim_col = fk
+        orphans = df.select(F.col(local_col)).where(
+            F.col(local_col).isNotNull()
+        ).join(
+            dim.select(F.col(dim_col).alias(local_col)), local_col, "left_anti"
+        )
+        parts.append(
+            orphans.agg(
+                F.lit(f"fk({local_col})").alias("check_name"),
+                F.count(F.lit(1)).alias("n_violations"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -309,6 +309,43 @@ def join_delta(
     )
 
 
+def agg_delta(
+    old_agg: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    count_col: str = "n",
+    sum_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incremental view maintenance for a grouped COUNT/SUM aggregate
+    under insert-only deltas — the aggregate sibling of
+    :func:`join_delta`:
+
+        V_new = merge_by_key(V_old, γ(Δ))
+
+    ``old_agg`` is the maintained view ``(keys..., count_col,
+    sum_<c>...)``; ``delta`` is the RAW new rows. The delta is
+    aggregated alone (map-side combined, O(|Δ|)), unioned with the old
+    state, and merged with one groupBy SUM — the old view is combined
+    state, never re-derived from base rows, so maintenance cost is
+    O(|Δ| + |touched keys|), not a base-table rescan. COUNT and SUM are
+    the self-mergeable algebra (AVG = merged SUM/COUNT downstream;
+    MIN/MAX also merge; quantiles/distincts need sketches —
+    corpus.hll_registers / cms_sketch are the engine's mergeable forms).
+    """
+    sum_cols = sum_cols or []
+    d = delta.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias(count_col),
+        *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+    )
+    merged_cols = [count_col] + [f"sum_{c}" for c in sum_cols]
+    return (
+        old_agg.select(*keys, *merged_cols)
+        .unionByName(d.select(*keys, *merged_cols))
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in merged_cols])
+    )
+
+
 def merge_intervals(
     df: DataFrame,
     key_col: str,

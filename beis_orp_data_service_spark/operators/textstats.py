@@ -204,3 +204,96 @@ def extract_entities_oracle_sql(
              AS dates
     FROM {table}
     """
+
+
+def readability_components(text_col: Column | str) -> list[Column]:
+    """Flesch reading-ease components (Flesch 1948; the standard
+    document-quality readability gate in training-data pipelines) as
+    pure codegen expressions — integer-exact so the score is
+    hash-oracle-checkable:
+
+    - ``n_words``: whitespace tokens (the :func:`token_count` spec);
+    - ``n_sentences``: maximal ``[.!?]+`` runs, floored at 1;
+    - ``n_syllables``: maximal vowel-group runs ``[aeiouy]+`` of the
+      lowercased text, floored at n_words (every word has >= 1
+      syllable — the cheap engine-portable stand-in for dictionary
+      syllabification);
+    - ``wps_milli`` / ``spw_milli``: words-per-sentence and
+      syllables-per-word in exact per-mille (integer DIV);
+    - ``flesch_centi``: 100 * (206.835 - 1.015*wps - 84.6*spw) from
+      the per-mille components with truncating integer division —
+      bit-identical on any engine with floor division.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_words = token_count(c)
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), 0)).cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
+    n_syll = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.lower(c), F.lit(r"[aeiouy]+"), 0)
+        ).cast("bigint"),
+        n_words,
+    )
+    return [n_words, n_sent, n_syll]
+
+
+def readability(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document Flesch reading-ease report: (id, n_words,
+    n_sentences, n_syllables, wps_milli, spw_milli, flesch_milli).
+    ``flesch_milli = 206835 - (1015*wps_milli) DIV 1000 -
+    (84600*spw_milli) DIV 1000`` — every division is an integer DIV
+    over NON-NEGATIVE operands, where Spark's truncation and DuckDB's
+    floor agree, so the score hashes identically cross-engine. One
+    codegen projection, no shuffle, no UDF."""
+    n_words, n_sent, n_syll = readability_components(text_col)
+    base = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    )
+    return base.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr("(n_words * 1000) DIV n_sentences").alias("wps_milli"),
+        F.expr("(n_syllables * 1000) DIV n_words").alias("spw_milli"),
+    ).withColumn(
+        "flesch_milli",
+        F.expr(
+            "206835 - (1015 * wps_milli) DIV 1000 - (84600 * spw_milli) DIV 1000"
+        ),
+    )
+
+
+def readability_oracle_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`readability` — same regex runs, same
+    floors, same integer floor-divisions."""
+    return f"""
+    WITH comp AS (
+      SELECT {id_col},
+             CAST(len(string_split_regex(trim({text_col}), '\\s+')) AS BIGINT)
+               AS n_words,
+             GREATEST(CAST(len(regexp_extract_all({text_col}, '[.!?]+'))
+                           AS BIGINT), 1) AS n_sentences,
+             GREATEST(CAST(len(regexp_extract_all(lower({text_col}),
+                                                  '[aeiouy]+')) AS BIGINT),
+                      CAST(len(string_split_regex(trim({text_col}), '\\s+'))
+                           AS BIGINT)) AS n_syllables
+      FROM {table}
+    ), ratios AS (
+      SELECT {id_col}, n_words, n_sentences, n_syllables,
+             (n_words * 1000) // n_sentences AS wps_milli,
+             (n_syllables * 1000) // n_words AS spw_milli
+      FROM comp
+    )
+    SELECT {id_col}, n_words, n_sentences, n_syllables, wps_milli, spw_milli,
+           206835 - (1015 * wps_milli) // 1000 - (84600 * spw_milli) // 1000
+             AS flesch_milli
+    FROM ratios
+    """

@@ -624,7 +624,7 @@ def ingest_batch(
     store_path: str,
     flagged_out: str,
     epoch: int,
-    n_buckets: int = 16,
+    n_buckets: int = 8,
 ) -> None:
     """One micro-batch of the FULL reference ingest lifecycle (§3.1) —
     the foreachBatch body composing the engine's existing stages:

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from beis_orp_data_service_spark.operators import analytics as an
@@ -479,3 +481,41 @@ def test_linreg_numpy_crosscheck(spark):
     slope, intercept = np.polyfit(xs, ys, 1)
     assert abs(r["slope_micro"] / 1e6 - slope) < 1e-4
     assert abs(r["intercept_micro"] / 1e6 - intercept) < 1e-4
+
+
+def test_dq_report_counts_each_violation_kind(spark):
+    from beis_orp_data_service_spark.operators import analytics as an
+
+    rows = [
+        (1, 10, 5.0),
+        (2, None, 6.0),     # null key
+        (2, 11, 7.0),       # duplicate id 2
+        (3, 12, -2.0),      # out of range
+        (4, 999, 8.0),      # orphan fk
+    ]
+    df = spark.createDataFrame(rows, "id bigint, fk bigint, v double")
+    dim = spark.createDataFrame([(10,), (11,), (12,)], "pk bigint")
+    got = {
+        r.check_name: r.n_violations
+        for r in an.dq_report(
+            df,
+            not_null=["fk"],
+            unique=["id"],
+            ranges={"v": (0.0, 100.0)},
+            fk=(dim, "fk", "pk"),
+        ).collect()
+    }
+    assert got == {
+        "not_null(fk)": 1,
+        "unique(id)": 1,
+        "range(v)": 1,
+        "fk(fk)": 1,
+    }
+
+
+def test_dq_report_requires_checks(spark):
+    from beis_orp_data_service_spark.operators import analytics as an
+
+    df = spark.createDataFrame([(1,)], "id bigint")
+    with pytest.raises(ValueError):
+        an.dq_report(df)

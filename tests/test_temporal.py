@@ -269,3 +269,46 @@ def test_asof_forward_earliest_following_and_tie(spark):
     assert out[1] == t(10)   # exact tie matches (>= semantics)
     assert out[2] is None    # nothing follows t30
     assert out[3] is None    # no right rows for key b
+
+
+def test_agg_delta_merge_equals_recompute(spark):
+    from beis_orp_data_service_spark.operators import temporal as tmp
+
+    base = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], i * 10) for i in range(60)],
+        "id bigint, k string, v bigint",
+    )
+    old = base.where("id % 4 != 0")
+    delta = base.where("id % 4 = 0")
+    old_agg = old.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v")
+    )
+    got = sorted(
+        map(tuple, tmp.agg_delta(old_agg, delta, ["k"], "n", ["v"]).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            base.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_agg_delta_new_keys_and_empty_delta(spark):
+    from beis_orp_data_service_spark.operators import temporal as tmp
+
+    old = spark.createDataFrame([(5, "x", 50)], "id bigint, k string, v bigint")
+    old_agg = old.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v")
+    )
+    # delta introduces a brand-new key
+    delta = spark.createDataFrame([(6, "y", 7)], "id bigint, k string, v bigint")
+    got = {r.k: (r.n, r.sum_v) for r in tmp.agg_delta(old_agg, delta, ["k"], "n", ["v"]).collect()}
+    assert got == {"x": (1, 50), "y": (1, 7)}
+    # empty delta is the identity
+    empty = delta.where("1 = 0")
+    got2 = {r.k: (r.n, r.sum_v) for r in tmp.agg_delta(old_agg, empty, ["k"], "n", ["v"]).collect()}
+    assert got2 == {"x": (1, 50)}

@@ -316,3 +316,28 @@ def test_extract_entities_planted_matches(spark):
     assert r["dates"] == ["2023-12-31", "2024-03-01"]  # sorted distinct
     r2 = out[2]
     assert r2["n_urls"] == 0 and r2["urls"] == []
+
+
+def test_readability_golden(spark):
+    from beis_orp_data_service_spark.operators import textstats as ts
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!")], "doc_id bigint, text string"
+    )
+    r = ts.readability(df).collect()[0]
+    assert r.n_words == 6
+    assert r.n_sentences == 2       # '.' and '!' runs
+    assert r.n_syllables == 6       # one vowel group per word here
+    assert r.wps_milli == 3000 and r.spw_milli == 1000
+    assert r.flesch_milli == 206835 - 3045 - 84600
+
+
+def test_readability_floors(spark):
+    from beis_orp_data_service_spark.operators import textstats as ts
+
+    # no sentence punctuation -> sentences floored at 1; consonant-only
+    # words -> syllables floored at n_words
+    df = spark.createDataFrame([(1, "tsk tsk brr")], "doc_id bigint, text string")
+    r = ts.readability(df).collect()[0]
+    assert r.n_sentences == 1
+    assert r.n_words == 3 and r.n_syllables == 3
