@@ -5991,6 +5991,47 @@ def dq_report_q(spark, sf_dir):
     )
 
 
+@declared(
+    "search_facets",
+    """
+    WITH hits AS (
+      SELECT lang, source FROM documents WHERE n_chars >= 200
+    )
+    SELECT 'lang' AS facet,
+           COALESCE(CAST(lang AS VARCHAR), '(null)') AS value,
+           COUNT(*) AS n
+    FROM hits GROUP BY lang
+    UNION ALL
+    SELECT 'source', COALESCE(CAST(source AS VARCHAR), '(null)'), COUNT(*)
+    FROM hits GROUP BY source
+    """,
+)
+def search_facets_q(spark, sf_dir):
+    # Faceted-search sidebar: per-value hit counts of every facet
+    # dimension for the current query's result set, in ONE GROUPING
+    # SETS pass (Expand, partially aggregated map-side) — the filtered
+    # scan is paid once no matter how many facets the UI shows. NULL
+    # metadata surfaces as the literal '(null)' bucket, disambiguated
+    # from grouping NULLs via GROUPING().
+    docs = _t(spark, sf_dir, "documents")
+    return search_ops.search_facets(
+        docs, ["lang", "source"], predicate=F.col("n_chars") >= 200
+    )
+
+
+@declared(
+    "sq8_codes",
+    sim.sq8_codes_oracle_sql("embeddings", "vec_id", "embedding"),
+)
+def sq8_codes_q(spark, sf_dir):
+    # FAISS SQ8 scalar quantization (the per-dimension compression
+    # sibling of pq_codes): per-dim [min,max] from one long-form
+    # aggregate, 8-bit codes + exact-int reconstruction error in one
+    # Arrow pass — integer floor-division rounding makes an ANN
+    # compression operator hash-checkable.
+    return sim.sq8_codes(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------

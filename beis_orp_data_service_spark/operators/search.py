@@ -184,3 +184,49 @@ def grouped_topk(
         .withColumnRenamed("_rk", "rank_in_group")
         .withColumn("rank_in_group", F.col("rank_in_group").cast("bigint"))
     )
+
+
+def search_facets(
+    df: DataFrame,
+    facet_cols: list[str],
+    predicate: Column | None = None,
+) -> DataFrame:
+    """Faceted-search sidebar counts: for the documents matching the
+    current query, the per-value hit count of EVERY facet dimension in
+    one pass — ``(facet, value, n)``, values cast to string for the
+    uniform report schema.
+
+    One ``GROUPING SETS`` aggregate (one Expand of rows x facets,
+    partially aggregated map-side) instead of one groupBy per facet —
+    the filtered scan happens ONCE however many facets the UI shows.
+    The filter is pushed beneath the Expand, so at 100 TB the facet
+    panel costs the same scan the result page already paid. NULL facet
+    values are real data (missing metadata) and are reported as the
+    literal '(null)' bucket, distinguished from the grouping NULL via
+    GROUPING()."""
+    if not facet_cols:
+        raise ValueError("need at least one facet column")
+    if predicate is not None:
+        df = df.filter(predicate)
+    sets = ", ".join(f"({c})" for c in facet_cols)
+    facet_case = (
+        "CASE "
+        + " ".join(f"WHEN GROUPING({c}) = 0 THEN '{c}'" for c in facet_cols)
+        + " END"
+    )
+    value_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN GROUPING({c}) = 0 "
+            f"THEN COALESCE(CAST({c} AS STRING), '(null)')"
+            for c in facet_cols
+        )
+        + " END"
+    )
+    return df.sparkSession.sql(
+        f"""
+        SELECT {facet_case} AS facet, {value_case} AS value, COUNT(*) AS n
+        FROM {{df}} GROUP BY GROUPING SETS ({sets})
+        """,
+        df=df,
+    )

@@ -1275,6 +1275,118 @@ def pq_adc_topk_oracle_sql(
     """
 
 
+def sq8_codes(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar quantization to 8-bit codes (FAISS ``SQ8`` — the OTHER
+    standard embedding-compression half next to PQ): per-dimension
+    [min, max] trained in ONE long-form aggregate (posexplode →
+    groupBy(dim), map-side combined), then each component encoded as
+    ``code = round((q - mn) * 255 / rng)`` in EXACT integer arithmetic
+    — ``((q - mn) * 510 + rng) DIV (2 * rng)`` over non-negative
+    operands, so truncation == floor == round-half-up and the result
+    is hash-checkable cross-engine. Constant dimensions (rng = 0)
+    encode 0.
+
+    4x memory cut vs float32 with per-dim fidelity (PQ trades more
+    compression for subspace codebooks; both feed the same rerank
+    pattern). The per-dim stats are a DIM-row driver pull (the
+    centroid-pull cost class) riding the Arrow kernel's closure; the
+    encode is one map-only pass. Returns (id, codes_text '_'-joined,
+    recon_err) where recon_err = Σ (dequant_i − q_i)² with
+    ``dequant = mn + (code * rng + 127) DIV 255``."""
+    import pandas as pd
+
+    q_expr = F.round(F.col("x").cast("double") * 1000).cast("bigint")
+    stats = (
+        embeddings.select(F.posexplode(vec_col).alias("i", "x"))
+        .select(F.col("i"), q_expr.alias("q"))
+        .groupBy("i")
+        .agg(F.min("q").alias("mn"), F.max("q").alias("mx"))
+        .collect()
+    )
+    dim = len(stats)
+    mn = np.empty(dim, dtype=np.int64)
+    mx = np.empty(dim, dtype=np.int64)
+    for r in stats:
+        mn[r["i"]] = r["mn"]
+        mx[r["i"]] = r["mx"]
+    rng = mx - mn
+
+    def _encode(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=[id_col, "codes_text", "recon_err"])
+                continue
+            x = np.stack([_quantize_np(v, 1000) for v in pdf[vec_col]])
+            d = x - mn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                codes = np.where(
+                    rng[None, :] == 0,
+                    0,
+                    (d * 510 + rng[None, :]) // np.maximum(2 * rng[None, :], 1),
+                ).astype(np.int64)
+                recon = mn[None, :] + np.where(
+                    rng[None, :] == 0,
+                    0,
+                    (codes * rng[None, :] + 127) // 255,
+                )
+            err = ((recon - x) ** 2).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "codes_text": ["_".join(map(str, c)) for c in codes],
+                    "recon_err": err,
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        _encode, f"{id_col} bigint, codes_text string, recon_err bigint"
+    )
+
+
+def sq8_codes_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`sq8_codes` — same quantization, same
+    per-dim min/max, same integer floor-division rounding."""
+    qv = (
+        f"[CAST(round(CAST({vec_col}[i] AS DOUBLE) * 1000) AS BIGINT) "
+        f"for i in range(1, {dim} + 1)]"
+    )
+    return f"""
+    WITH q AS (
+      SELECT {id_col}, {qv} AS qv FROM {table}
+    ), dims AS (
+      SELECT unnest(range(1, {dim} + 1)) AS i
+    ), stats AS (
+      SELECT i, MIN(qv[i]) AS mn, MAX(qv[i]) AS mx
+      FROM q CROSS JOIN dims GROUP BY i
+    ), enc AS (
+      SELECT q.{id_col}, s.i,
+             CASE WHEN s.mx - s.mn = 0 THEN 0
+                  ELSE ((q.qv[s.i] - s.mn) * 510 + (s.mx - s.mn))
+                       // (2 * (s.mx - s.mn)) END AS code,
+             s.mn, s.mx - s.mn AS rng, q.qv[s.i] AS qi
+      FROM q CROSS JOIN stats s
+    ), rec AS (
+      SELECT {id_col}, i, code,
+             mn + CASE WHEN rng = 0 THEN 0
+                       ELSE (code * rng + 127) // 255 END - qi AS d
+      FROM enc
+    )
+    SELECT {id_col},
+           string_agg(CAST(code AS VARCHAR), '_' ORDER BY i) AS codes_text,
+           CAST(SUM(d * d) AS BIGINT) AS recon_err
+    FROM rec GROUP BY {id_col}
+    """
+
+
 def embedding_mean_by_group(
     embeddings: DataFrame,
     group_col,

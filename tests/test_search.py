@@ -155,3 +155,31 @@ class TestGroupedTopK:
         df = spark.createDataFrame([("a", 1)], "g string, id bigint")
         with pytest.raises(ValueError):
             grouped_topk(df, ["g"], [], 0)
+
+
+def test_search_facets_null_bucket_and_single_pass(spark):
+    from beis_orp_data_service_spark.operators import search as so
+
+    df = spark.createDataFrame(
+        [(1, "en", "web"), (2, "en", "pdf"), (3, None, "web"), (4, "fr", None)],
+        "id bigint, lang string, src string",
+    )
+    out = so.search_facets(df, ["lang", "src"])
+    got = {(r.facet, r.value): r.n for r in out.collect()}
+    assert got == {
+        ("lang", "en"): 2,
+        ("lang", "fr"): 1,
+        ("lang", "(null)"): 1,
+        ("src", "web"): 2,
+        ("src", "pdf"): 1,
+        ("src", "(null)"): 1,
+    }
+    # ONE Expand pass, not one aggregate per facet (AQE repeats the
+    # tree under '== Initial Plan ==' — inspect the final section only)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Expand") == 1
+    assert final.count("Scan") == 1  # the facet panel costs one scan
+
+    with pytest.raises(ValueError):
+        so.search_facets(df, [])

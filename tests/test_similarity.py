@@ -544,3 +544,40 @@ def test_embedding_mean_by_group_known_values(spark):
     assert out[(0, 1)] == (2, 500_000)
     assert out[(1, 0)] == (1, 5_000_000)
     assert out[(1, 1)] == (1, 500_000)
+
+
+def test_sq8_codes_range_and_reconstruction(spark):
+    import numpy as np
+
+    from beis_orp_data_service_spark.catalog import load_table
+    from beis_orp_data_service_spark.operators import similarity as sim
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = {r.vec_id: r for r in sim.sq8_codes(emb).collect()}
+    assert len(out) == 500
+    vecs = {r["vec_id"]: sim._quantize_np(r["embedding"], 1000) for r in emb.collect()}
+    allq = np.stack(list(vecs.values()))
+    rng = allq.max(axis=0) - allq.min(axis=0)
+    for vid in (0, 250, 499):
+        codes = [int(t) for t in out[vid].codes_text.split("_")]
+        assert len(codes) == 64
+        assert all(0 <= c <= 255 for c in codes)
+        # per-dim quantization error is at most ~rng/255 + 1, so the
+        # total squared error is bounded by dim * (rng/255 + 1)^2
+        bound = sum((int(r) / 255 + 1.0) ** 2 for r in rng)
+        assert out[vid].recon_err <= bound
+
+
+def test_sq8_codes_constant_dim_encodes_zero_with_zero_error(spark):
+    from beis_orp_data_service_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(1, [0.5, 1.0]), (2, [0.5, 2.0]), (3, [0.5, 3.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in sim.sq8_codes(df).collect()}
+    for vid, r in out.items():
+        c0, c1 = (int(t) for t in r.codes_text.split("_"))
+        assert c0 == 0  # constant dimension
+    assert out[1].codes_text.startswith("0_") and out[1].recon_err == 0
+    assert out[3].recon_err == 0  # max endpoint reconstructs exactly
