@@ -6032,6 +6032,52 @@ def sq8_codes_q(spark, sf_dir):
     return sim.sq8_codes(_t(spark, sf_dir, "embeddings"))
 
 
+def _lsh_index_compact_probe(spark, sf_dir):
+    # Compaction invisibility, hash-checked: the SAME corpus split and
+    # oracle as lsh_index_probe, but the index is written FRAGMENTED
+    # (two appends) and compact_lsh_index runs before the probe — the
+    # probe result must be bit-identical to the uncompacted spelling,
+    # proving the rewrite changes file layout only. (Oracle reused
+    # verbatim from lsh_index_probe at registration time.)
+    import tempfile
+
+    from beis_orp_data_service_spark.operators import maintenance as mt
+
+    docs = _t(spark, sf_dir, "documents")
+    even = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    planted = (
+        even.orderBy("doc_id")
+        .limit(3)
+        .select(
+            (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" planted near duplicate suffix")).alias(
+                "text"
+            ),
+        )
+    )
+    batch = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_lsh_cidx_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    # fragment: the even half lands in two appends (one file set each)
+    dd.lsh_index_write(even.where(F.col("doc_id") % 4 == 0), path)
+    dd.lsh_index_write(
+        even.where(F.col("doc_id") % 4 == 2), path, mode="append"
+    )
+    mt.compact_lsh_index(spark, path, min_files=1)
+    return dd.lsh_index_probe(spark, path, batch)
+
+
+REGISTRY["lsh_index_compact_probe"] = QueryDef(
+    _lsh_index_compact_probe, REGISTRY["lsh_index_probe"].sql
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------

@@ -36,8 +36,10 @@ from beis_orp_data_service_spark.session import get_spark  # noqa: E402
 ALLOW_ARROW = {"ann_ivf_kmeans": 2, "ann_ivf_topk": 2, "ann_topk": 2, "ann_index_probe": 2,
                # probe batch = union(odd half, planted rows): the signing
                # projection pushes through the Union, one Arrow node per
-               # branch — every row still signed exactly once.
+               # branch — every row still signed exactly once.  The
+               # compacted variant probes the identical batch.
                "lsh_index_probe": 2,
+               "lsh_index_compact_probe": 2,
                # trained-PQ lifecycle: ONE encode pass (pq_codes) chained
                # into ONE stored-codes ADC scoring pass — two sequential
                # kernels, every row visits each exactly once (production
