@@ -6078,6 +6078,28 @@ REGISTRY["lsh_index_compact_probe"] = QueryDef(
 )
 
 
+def _ann_ivfpq(spark, sf_dir):
+    # Full FAISS IVF-PQ: coarse k-means cells + RESIDUAL product
+    # quantization, probe nprobe cells, ADC-score stored codes against
+    # per-(query, cell) residual LUTs. Rows-only: trained quantizers
+    # (no SQL replay); recall floor + stored-codes==inline bit-equality
+    # asserted in tests/test_similarity.py::TestIvfPq. Same %50 query
+    # predicate as pq_adc_trained: 10 queries at every sf.
+    emb = _t(spark, sf_dir, "embeddings")
+    n = _n_rows(spark, sf_dir, "embeddings")
+    qids = [
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") % 50 == 0).select("vec_id").collect()
+    ]
+    return sim.ivfpq_topk(
+        emb, query_ids=qids, k_neighbors=5, n_centroids="auto", nprobe=4,
+        m=4, k=16, n_rows=n,
+    )
+
+
+REGISTRY["ann_ivfpq"] = QueryDef(_ann_ivfpq, None, min_rows=25)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------

@@ -1446,3 +1446,251 @@ def embedding_mean_by_group_oracle_sql(
     CROSS JOIN (SELECT unnest(range(1, {dim} + 1)) AS i) r
     GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer + residual product quantization (FAISS IVFPQ)
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_train(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 4,
+    k: int = 16,
+    seed: int = 7,
+    sample_rows: int = 100_000,
+    max_iter: int = 10,
+    n_rows: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the full FAISS ``IVFx,PQm`` quantizer pair (Jégou et al.
+    2011 §V): a coarse k-means quantizer over the vectors, then a
+    product quantizer over the RESIDUALS (x − coarse_centroid(x)) —
+    residual PQ is what separates IVF-PQ from running the two stages
+    independently, because residual energy is much smaller than vector
+    energy, so the same m·k codebook budget buys far lower
+    reconstruction error.
+
+    Both stages fit driver-side over ONE bounded, replayable,
+    partitioning-invariant hash-gated sample (the
+    :func:`pq_codebook_trained` pattern — fit cost is O(sample),
+    independent of table size), with the repo's quantized-int64
+    arithmetic so encode/score kernels are exactly replayable.
+    Returns ``(coarse [C, d] int64, codebook [m, k, d/m] int64)``."""
+    n = n_rows if n_rows is not None else embeddings.count()
+    samp = embeddings.select(id_col, vec_col)
+    if n > sample_rows:
+        denom = 1_000_003
+        num = max(1, int(denom * sample_rows / n))
+        samp = samp.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) < F.lit(num)
+        )
+    rows = samp.limit(sample_rows).collect()
+    if len(rows) < max(k, n_centroids):
+        raise ValueError(
+            f"need >= max(k={k}, n_centroids={n_centroids}) sample rows, "
+            f"got {len(rows)}"
+        )
+    mat = np.stack([_quantize_np(r[vec_col], 1000) for r in rows])  # [n, d]
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    coarse = _lloyd_int(mat, n_centroids, seed, max_iter)  # [C, d]
+    # residuals against the assigned (nearest, stable-tie) coarse centroid
+    xf = mat.astype(np.float64)
+    cf = coarse.astype(np.float64)
+    dist = (
+        (xf**2).sum(axis=1)[:, None]
+        - 2.0 * (xf @ cf.T)
+        + (cf**2).sum(axis=1)[None, :]
+    )
+    res = mat - coarse[dist.argmin(axis=1)]
+    cb = np.stack(
+        [
+            _lloyd_int(res[:, s * dsub : (s + 1) * dsub], k, seed + 1000 + s, max_iter)
+            for s in range(m)
+        ]
+    )
+    return coarse, cb
+
+
+def _assign_coarse_int(x: np.ndarray, coarse: np.ndarray) -> np.ndarray:
+    """Nearest coarse centroid per row, exact int64 L2, stable first-hit
+    tie-break (smallest centroid id) — the kernel twin of the training
+    assignment above. [n, d] int64 -> [n] int64 bucket ids."""
+    xf = x.astype(np.float64)
+    cf = coarse.astype(np.float64)
+    d = (
+        (xf**2).sum(axis=1)[:, None]
+        - 2.0 * (xf @ cf.T)
+        + (cf**2).sum(axis=1)[None, :]
+    )
+    return d.argmin(axis=1).astype(np.int64)
+
+
+def ivfpq_encode(
+    embeddings: DataFrame,
+    coarse: np.ndarray,
+    codebook: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ encode: ONE map-only Arrow pass emitting ``(id, bucket,
+    codes_text)`` — coarse cell assignment plus per-subspace residual
+    code, both exact int64 with smallest-id tie-breaks. At 100 TB the
+    output is written partitioned by ``bucket`` (the persistent-index
+    layout of :func:`ann_index_write`) so probes scan only probed-cell
+    directories."""
+    import pandas as pd
+
+    m_, k_, dsub = codebook.shape
+
+    def _encode(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=[id_col, "bucket", "codes_text"])
+                continue
+            x = np.stack([_quantize_np(v, 1000) for v in pdf[vec_col]])
+            buckets = _assign_coarse_int(x, coarse)
+            res = x - coarse[buckets]
+            codes = np.empty((len(pdf), m_), dtype=np.int64)
+            for s in range(m_):
+                sub = res[:, s * dsub : (s + 1) * dsub]
+                dist = ((sub[:, None, :] - codebook[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = dist.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "bucket": buckets,
+                    "codes_text": ["_".join(map(str, c)) for c in codes],
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        _encode, f"{id_col} bigint, bucket bigint, codes_text string"
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_neighbors: int = 5,
+    n_centroids: int | str = "auto",
+    nprobe: int = 4,
+    m: int = 4,
+    k: int = 16,
+    seed: int = 7,
+    n_rows: int | None = None,
+    coarse: np.ndarray | None = None,
+    codebook: np.ndarray | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Full FAISS IVF-PQ search (Jégou et al. 2011 §V): probe the
+    ``nprobe`` nearest coarse cells per query, score ONLY rows in
+    probed cells by asymmetric distance against per-(query, cell)
+    LUTs built on the query's residual to THAT cell's centroid:
+    ``adist(q, x) = Σ_s ‖(q − c_bucket)_s − codebook[s][code_s]‖²``.
+
+    Scale shape: the cell filter is a ``bucket IN (probed)`` predicate
+    — over a bucket-partitioned stored code table (pass ``codes=``)
+    that is partition pruning, so the scan cost is
+    (nprobe / n_centroids) of the table and SHRINKS with √N cell
+    sizing; the LUT pack is queries·nprobe·m·k ints riding the kernel
+    closure; one Arrow scoring pass emits per-partition local top-k
+    before the final per-query window. Recall < 1 by construction
+    (floor-tested vs exact quantized L2 in tests/test_similarity.py).
+    Output (query_id, neighbor_id, adist, rank)."""
+    import math
+
+    import pandas as pd
+
+    if not query_ids:
+        raise ValueError("query_ids must be a non-empty list of vector ids")
+    n = n_rows if n_rows is not None else embeddings.count()
+    if n_centroids == "auto":
+        n_centroids = max(4, min(65_536, math.isqrt(n)))
+    if coarse is None or codebook is None:
+        coarse, codebook = ivfpq_train(
+            embeddings, id_col, vec_col, n_centroids, m, k, seed=seed, n_rows=n
+        )
+    m_, k_, dsub = codebook.shape
+    if codes is None:
+        codes = ivfpq_encode(embeddings, coarse, codebook, id_col, vec_col)
+
+    q_rows = (
+        embeddings.filter(F.col(id_col).isin(list(query_ids)))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    # (query, probed cell) -> LUT on the query's residual to that cell
+    luts: dict[tuple[int, int], np.ndarray] = {}
+    cf = coarse.astype(np.float64)
+    c_norm = (cf**2).sum(axis=1)
+    for r in q_rows:
+        qv = _quantize_np(r[vec_col], 1000)
+        qf = qv.astype(np.float64)
+        dist = (qf**2).sum() - 2.0 * (cf @ qf) + c_norm
+        probed = np.argsort(dist, kind="stable")[:nprobe]
+        for b in probed:
+            res = qv - coarse[b]
+            lut = np.empty((m_, k_), dtype=np.int64)
+            for s in range(m_):
+                sub = res[s * dsub : (s + 1) * dsub]
+                lut[s] = ((codebook[s] - sub[None, :]) ** 2).sum(axis=1)
+            luts[(int(r[id_col]), int(b))] = lut
+
+    probed_buckets = sorted({b for (_, b) in luts})
+    by_bucket: dict[int, list[tuple[int, np.ndarray]]] = {}
+    for (qid, b), lut in luts.items():
+        by_bucket.setdefault(b, []).append((qid, lut))
+
+    out_cols = ["query_id", "neighbor_id", "adist"]
+
+    def _score(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            frames = []
+            for b, grp in pdf.groupby("bucket"):
+                pairs = by_bucket.get(int(b))
+                if not pairs:
+                    continue
+                ids = grp[id_col].to_numpy()
+                carr = np.array(
+                    [[int(t) for t in s.split("_")] for s in grp["codes_text"]],
+                    dtype=np.int64,
+                )
+                for qid, lut in pairs:
+                    adist = lut[np.arange(m_)[None, :], carr].sum(axis=1)
+                    keep = ids != qid
+                    order = np.lexsort((ids[keep], adist[keep]))[:k_neighbors]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qid,
+                                "neighbor_id": ids[keep][order],
+                                "adist": adist[keep][order],
+                            }
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames)[out_cols]
+
+    scored = (
+        codes.filter(F.col("bucket").isin(probed_buckets))
+        .select(id_col, "bucket", "codes_text")
+        .mapInPandas(_score, "query_id bigint, neighbor_id bigint, adist bigint")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "adist", "rank")
+    )

@@ -45,7 +45,11 @@ ALLOW_ARROW = {"ann_ivf_kmeans": 2, "ann_ivf_topk": 2, "ann_topk": 2, "ann_index
                # kernels, every row visits each exactly once (production
                # materializes codes between them; the declared query
                # exercises the chain end-to-end).
-               "pq_adc_trained": 2}
+               "pq_adc_trained": 2,
+               # IVF-PQ lifecycle: ONE encode pass chained into ONE
+               # probed-cell ADC scoring pass (same two-kernel chain as
+               # pq_adc_trained, plus the bucket IN (probed) filter).
+               "ann_ivfpq": 2}
 
 RED_FLAGS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
 

@@ -581,3 +581,140 @@ def test_sq8_codes_constant_dim_encodes_zero_with_zero_error(spark):
         assert c0 == 0  # constant dimension
     assert out[1].codes_text.startswith("0_") and out[1].recon_err == 0
     assert out[3].recon_err == 0  # max endpoint reconstructs exactly
+
+
+class TestIvfPq:
+    """FAISS IVF-PQ composite: coarse cells + residual PQ + ADC probe."""
+
+    def _fit(self, spark):
+        from beis_orp_data_service_spark.catalog import load_table
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        coarse, cb = sim.ivfpq_train(
+            emb, n_centroids=16, m=4, k=16, n_rows=500
+        )
+        return emb, coarse, cb
+
+    def test_train_shapes_and_determinism(self, spark):
+        import numpy as np
+
+        from beis_orp_data_service_spark.operators import similarity as sim
+        from beis_orp_data_service_spark.catalog import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        c1, b1 = sim.ivfpq_train(emb, n_centroids=16, m=4, k=16, n_rows=500)
+        c2, b2 = sim.ivfpq_train(emb, n_centroids=16, m=4, k=16, n_rows=500)
+        assert c1.shape == (16, 64) and c1.dtype == np.int64
+        assert b1.shape == (4, 16, 16) and b1.dtype == np.int64
+        assert (c1 == c2).all() and (b1 == b2).all()
+        # residual quantization must cut reconstruction error vs coarse
+        # alone: encoding residuals against the PQ codebook brings every
+        # vector closer than its coarse centroid does
+        vecs = [
+            sim._quantize_np(r["embedding"], 1000) for r in emb.collect()
+        ]
+        x = np.stack(vecs)
+        buckets = sim._assign_coarse_int(x, c1)
+        res = x - c1[buckets]
+        coarse_err = (res.astype(np.float64) ** 2).sum()
+        dsub = 16
+        pq_err = 0.0
+        for s in range(4):
+            sub = res[:, s * dsub : (s + 1) * dsub]
+            d = ((sub[:, None, :] - b1[s][None, :, :]) ** 2).sum(axis=2)
+            pq_err += d.min(axis=1).astype(np.float64).sum()
+        assert pq_err < coarse_err
+
+    def test_encode_assigns_every_row_once(self, spark):
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        emb, coarse, cb = self._fit(spark)
+        codes = sim.ivfpq_encode(emb, coarse, cb).collect()
+        assert len(codes) == 500
+        assert len({r["vec_id"] for r in codes}) == 500
+        for r in codes[:20]:
+            assert 0 <= r["bucket"] < 16
+            parts = r["codes_text"].split("_")
+            assert len(parts) == 4 and all(0 <= int(p) < 16 for p in parts)
+
+    def test_topk_recall_floor_and_probed_cells_only(self, spark):
+        import numpy as np
+
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        emb, coarse, cb = self._fit(spark)
+        qids = list(range(0, 500, 25))  # 20 queries
+        out = sim.ivfpq_topk(
+            emb, query_ids=qids, k_neighbors=5, n_centroids=16, nprobe=4,
+            n_rows=500, coarse=coarse, codebook=cb,
+        ).collect()
+        # structural: <= 5 per query, ranks contiguous from 1, no self
+        per_q = {}
+        for r in out:
+            per_q.setdefault(r["query_id"], []).append(r)
+            assert r["neighbor_id"] != r["query_id"]
+        for qid, rows in per_q.items():
+            ranks = sorted(x["rank"] for x in rows)
+            assert ranks == list(range(1, len(rows) + 1))
+            assert len(rows) <= 5
+        # every neighbor lies in one of the query's nprobe probed cells
+        vecs = {
+            r["vec_id"]: sim._quantize_np(r["embedding"], 1000)
+            for r in emb.collect()
+        }
+        buckets = {
+            vid: int(sim._assign_coarse_int(v[None, :], coarse)[0])
+            for vid, v in vecs.items()
+        }
+        cf = coarse.astype(np.float64)
+        c_norm = (cf**2).sum(axis=1)
+        hits = total = 0
+        for qid in qids:
+            qf = vecs[qid].astype(np.float64)
+            probed = set(
+                np.argsort((qf**2).sum() - 2.0 * (cf @ qf) + c_norm,
+                           kind="stable")[:4].tolist()
+            )
+            for r in per_q.get(qid, []):
+                assert buckets[r["neighbor_id"]] in probed
+            d = {
+                nid: int(((v - vecs[qid]) ** 2).sum())
+                for nid, v in vecs.items() if nid != qid
+            }
+            exact5 = set(sorted(d, key=lambda n: (d[n], n))[:5])
+            got5 = {r["neighbor_id"] for r in per_q.get(qid, [])}
+            hits += len(exact5 & got5)
+            total += 5
+        # near-random 64-dim data + 4 of 16 cells probed: modest floor,
+        # but it must catch a broken LUT/assignment (which scores ~0)
+        assert hits / total >= 0.05, f"IVF-PQ recall collapsed: {hits}/{total}"
+
+    def test_stored_codes_path_bit_identical(self, spark):
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        emb, coarse, cb = self._fit(spark)
+        qids = [0, 50, 100]
+        inline = sim.ivfpq_topk(
+            emb, query_ids=qids, n_rows=500, coarse=coarse, codebook=cb
+        ).collect()
+        stored = sim.ivfpq_encode(emb, coarse, cb)
+        via_codes = sim.ivfpq_topk(
+            emb, query_ids=qids, n_rows=500, coarse=coarse, codebook=cb,
+            codes=stored,
+        ).collect()
+        key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+        assert sorted(map(tuple, inline), key=lambda t: (t[0], t[3])) == sorted(
+            map(tuple, via_codes), key=lambda t: (t[0], t[3])
+        )
+
+    def test_bad_args_raise(self, spark):
+        import pytest
+
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        emb, coarse, cb = self._fit(spark)
+        with pytest.raises(ValueError, match="query_ids"):
+            sim.ivfpq_topk(emb, query_ids=[], n_rows=500)
+        with pytest.raises(ValueError, match="divisible"):
+            sim.ivfpq_train(emb, n_centroids=8, m=7, k=8, n_rows=500)
