@@ -6078,6 +6078,15 @@ REGISTRY["lsh_index_compact_probe"] = QueryDef(
 )
 
 
+@declared("heavy_hitters", corpus_ops.heavy_hitters_oracle_sql(k=50))
+def _heavy_hitters(spark, sf_dir):
+    # Exact φ-frequent tokens via the two-pass Misra-Gries pattern:
+    # per-partition bounded summaries prune the vocabulary BEFORE the
+    # only shuffle; the exact verify pass makes the output hash-grade
+    # identical to the naive full groupBy the oracle runs.
+    return corpus_ops.heavy_hitters(_t(spark, sf_dir, "documents"), k=50)
+
+
 def _ann_ivfpq(spark, sf_dir):
     # Full FAISS IVF-PQ: coarse k-means cells + RESIDUAL product
     # quantization, probe nprobe cells, ADC-score stored codes against

@@ -2022,3 +2022,95 @@ def equi_depth_bins(
         F.col(value_col),
         F.ntile(nbins).over(w).cast("bigint").alias("bin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidate pass + exact verification
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+    counters: int | None = None,
+) -> DataFrame:
+    """Exact φ-frequent tokens (freq · k > N) WITHOUT shuffling the full
+    vocabulary — the two-pass distributed frequent-items pattern
+    (Misra-Gries 1982; mergeable-summaries form of Agarwal et al. 2013):
+
+    Pass 1 builds a Misra-Gries summary with ``counters`` slots PER
+    PARTITION (one Arrow pass, batch histograms MG-merged: add the
+    batch's value_counts, then subtract the (counters+1)-st largest
+    count from every slot and drop the non-positive). Pigeonhole over
+    partition-local token counts guarantees any token with global
+    freq > N/(counters+1) survives in at least one partition's summary
+    — a SUPERSET of the freq·k > N answer whenever counters ≥ k. Each
+    partition emits ≤ counters candidate rows, so the candidate set is
+    ≤ counters·P — broadcast-sized at any corpus scale.
+
+    Pass 2 re-scans, LEFT-SEMI filters to broadcast candidates BEFORE
+    the shuffle (only candidate tokens shuffle — the vocabulary never
+    does), counts exactly, and keeps freq·k > N (strict, exact int).
+    The MG approximation never reaches the output: false positives die
+    in the exact pass, false negatives can't exist — so the result is
+    hash-grade deterministic and identical to the naive full groupBy.
+
+    N comes from a 1-row aggregate crossJoined (broadcast — the bm25
+    corpus-stats pattern). Output (token, freq), freq exact."""
+    import pandas as pd
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    c = counters if counters is not None else max(4 * k, k + 1)
+    if c < k:
+        raise ValueError(f"counters ({c}) must be >= k ({k})")
+
+    toks = docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("token")
+    ).filter(F.col("token") != "")
+
+    def _mg(it):
+        counts: dict[str, int] = {}
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            for t, n in pdf["token"].value_counts().items():
+                counts[t] = counts.get(t, 0) + int(n)
+            if len(counts) > c:
+                cut = sorted(counts.values(), reverse=True)[c]
+                counts = {t: n - cut for t, n in counts.items() if n > cut}
+        yield pd.DataFrame({"token": list(counts)})
+
+    candidates = toks.mapInPandas(_mg, "token string").distinct()
+    n_total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        toks.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .crossJoin(F.broadcast(n_total))
+        .filter(F.col("freq") * k > F.col("n_total"))
+        .select("token", "freq")
+    )
+
+
+def heavy_hitters_oracle_sql(
+    table: str = "documents", text_col: str = "text", k: int = 50
+) -> str:
+    """DuckDB twin: the naive full groupBy — same tokenization, same
+    strict freq·k > N cut. Equality with the engine's two-pass MG form
+    IS the correctness claim (the summary is only a pruning device)."""
+    return f"""
+    WITH t AS (
+      SELECT unnest(list_filter(
+               string_split_regex(trim(lower({text_col})), '\\s+'),
+               x -> x <> '')) AS token
+      FROM {table}
+    ), n AS (SELECT COUNT(*) AS n_total FROM t)
+    SELECT token, COUNT(*) AS freq
+    FROM t CROSS JOIN n
+    GROUP BY token, n.n_total
+    HAVING COUNT(*) * {k} > n.n_total
+    """

@@ -71,6 +71,7 @@ ALLOW_BNLJ = {
     "top_terms_by_source",  # 1-row average-tokens-per-group aggregate crossJoined
     "lm_perplexity", # 1-row vocab-size aggregate crossJoined (broadcast)
     "token_kl",      # 1-row corpus-total aggregate crossJoined (broadcast)
+    "heavy_hitters", # 1-row total-token-count aggregate crossJoined (broadcast)
     "tfidf_vectors", # 1-row n_docs aggregate crossJoined (broadcast)
     "q_tpch22",      # 1-row scalar-aggregate subquery (avg balance)
     "dsir_weights",  # 1-row normalization-constant subquery

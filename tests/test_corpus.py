@@ -1056,3 +1056,87 @@ def test_equi_depth_bins_balanced_and_ordered(spark):
     by_v = sorted(out, key=lambda r: (r["v"], r["id"]))
     bins = [r["bin"] for r in by_v]
     assert bins == sorted(bins)
+
+
+class TestHeavyHitters:
+    """Two-pass Misra-Gries frequent items: pruning is invisible
+    (output == naive exact groupBy) and the candidate set is bounded."""
+
+    def _skewed(self, spark):
+        # 5000-token tail vocabulary + 3 planted heavy tokens: only the
+        # planted ones cross freq*k > N for k=10
+        rows = []
+        doc = 0
+        for h, reps in (("alpha", 4000), ("beta", 3000), ("gamma", 2500)):
+            for i in range(reps // 50):
+                rows.append((doc, " ".join([h] * 50)))
+                doc += 1
+        for i in range(5000):
+            rows.append((doc, f"tail{i} tail{(i * 7) % 5000}"))
+            doc += 1
+        return spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    def test_matches_exact_groupby_on_skewed(self, spark):
+        import pyspark.sql.functions as F
+
+        from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+        docs = self._skewed(spark)
+        got = {
+            (r["token"], r["freq"])
+            for r in corpus_ops.heavy_hitters(docs, k=10, counters=32).collect()
+        }
+        toks = docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t")
+        ).filter(F.col("t") != "")
+        n = toks.count()
+        exact = {
+            (r["t"], r["c"])
+            for r in toks.groupBy("t").agg(F.count(F.lit(1)).alias("c")).collect()
+            if r["c"] * 10 > n
+        }
+        assert got == exact
+        assert {t for t, _ in got} == {"alpha", "beta", "gamma"}
+
+    def test_candidate_pass_bounded_below_vocab(self, spark):
+        import pyspark.sql.functions as F
+
+        from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+        docs = self._skewed(spark)
+        toks = docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+        ).filter(F.col("token") != "")
+        vocab = toks.distinct().count()
+        assert vocab > 5000
+        # replicate the internal candidate pass at counters=32: per
+        # partition <= 32 rows, so the whole candidate set stays far
+        # below the vocabulary the naive plan would shuffle
+        import pandas as pd
+
+        def _mg(it, c=32):
+            counts = {}
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                for t, n in pdf["token"].value_counts().items():
+                    counts[t] = counts.get(t, 0) + int(n)
+                if len(counts) > c:
+                    cut = sorted(counts.values(), reverse=True)[c]
+                    counts = {t: n - cut for t, n in counts.items() if n > cut}
+            yield pd.DataFrame({"token": list(counts)})
+
+        n_parts = toks.rdd.getNumPartitions()
+        cands = toks.mapInPandas(_mg, "token string").count()
+        assert cands <= 32 * n_parts < vocab
+
+    def test_bad_params_raise(self, spark):
+        import pytest
+
+        from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+        docs = self._skewed(spark)
+        with pytest.raises(ValueError, match="k must be"):
+            corpus_ops.heavy_hitters(docs, k=1)
+        with pytest.raises(ValueError, match="counters"):
+            corpus_ops.heavy_hitters(docs, k=10, counters=5)
