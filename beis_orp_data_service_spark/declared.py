@@ -6078,6 +6078,19 @@ REGISTRY["lsh_index_compact_probe"] = QueryDef(
 )
 
 
+@declared(
+    "phrase_search",
+    search_ops.phrase_match_oracle_sql("slow hash batch"),
+)
+def _phrase_search(spark, sf_dir):
+    # Positional-index phrase query: slot-vote counting over the
+    # (doc, pos, token) stream — one groupBy, no n-way self-join; the
+    # oracle is an independent list-slice window compare.
+    return search_ops.phrase_match(
+        _t(spark, sf_dir, "documents"), "slow hash batch"
+    )
+
+
 @declared("heavy_hitters", corpus_ops.heavy_hitters_oracle_sql(k=50))
 def _heavy_hitters(spark, sf_dir):
     # Exact φ-frequent tokens via the two-pass Misra-Gries pattern:

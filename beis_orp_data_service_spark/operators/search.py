@@ -230,3 +230,84 @@ def search_facets(
         """,
         df=df,
     )
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase occurrences over a positional token index — the
+    inverted-index phrase query (the half of a search engine the
+    substring filter Q6 can't express: token-boundary-exact, any
+    whitespace between words).
+
+    Shape: posexplode the token stream to (doc, pos, token), keep ONLY
+    rows whose token appears in the phrase (the pruning predicate sits
+    before the shuffle, so the full vocabulary never moves), emit one
+    (doc, candidate_start = pos − i) vote per phrase slot i the token
+    could fill, and count votes per (doc, start): a start with
+    exactly len(phrase) votes matched every slot — a full occurrence.
+    ONE groupBy, NO n-way self-join, repeated phrase tokens handled
+    (each slot votes independently). At 100 TB the (token, doc, pos)
+    stream is the materialized positional index; the isin filter is
+    the posting-list fetch.
+
+    Returns (doc_id, start, n_tokens) — one row per occurrence, start
+    = 0-based token offset."""
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    n = len(terms)
+    slots = [(t, i) for i, t in enumerate(terms)]
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("pos", "token"),
+    ).filter(F.col("token").isin(terms))
+    slot_df = toks.sparkSession.createDataFrame(slots, "token string, i int")
+    votes = toks.join(F.broadcast(slot_df), "token").select(
+        id_col, (F.col("pos") - F.col("i")).alias("start")
+    )
+    return (
+        votes.filter(F.col("start") >= 0)
+        .groupBy(id_col, "start")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .filter(F.col("votes") == n)
+        .select(
+            F.col(id_col),
+            F.col("start").cast("bigint").alias("start"),
+            F.lit(n).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def phrase_match_oracle_sql(
+    phrase: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin: list-slice equality at every candidate start —
+    an INDEPENDENT spelling (direct window compare, not vote
+    counting), so agreement checks the algorithm, not the
+    transcription."""
+    terms = [t for t in phrase.lower().split() if t]
+    lit = "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in terms) + "]"
+    n = len(terms)
+    return f"""
+    WITH toks AS (
+      SELECT {id_col},
+             string_split_regex(trim(lower({text_col})), '\\s+') AS w
+      FROM {table}
+    ), starts AS (
+      SELECT {id_col}, unnest(range(1, len(w) - {n} + 2)) AS s, w
+      FROM toks WHERE len(w) >= {n}
+    )
+    SELECT {id_col}, CAST(s - 1 AS BIGINT) AS start,
+           CAST({n} AS BIGINT) AS n_tokens
+    FROM starts
+    WHERE list_slice(w, s, s + {n} - 1) = {lit}
+    """

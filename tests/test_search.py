@@ -183,3 +183,51 @@ def test_search_facets_null_bucket_and_single_pass(spark):
 
     with pytest.raises(ValueError):
         so.search_facets(df, [])
+
+
+class TestPhraseMatch:
+    def test_finds_exact_occurrences_with_offsets(self, spark):
+        from beis_orp_data_service_spark.operators import search as so
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps"),
+                (2, "quick brown  fox and quick brown fox again"),
+                (3, "brown quick fox"),          # wrong order
+                (4, "quick brownish fox"),       # token-boundary exact
+                (5, "Quick BROWN Fox"),          # case-folded
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            (r["doc_id"], r["start"])
+            for r in so.phrase_match(docs, "quick brown fox").collect()
+        }
+        assert out == {(1, 1), (2, 0), (2, 4), (5, 0)}
+
+    def test_repeated_token_phrase(self, spark):
+        from beis_orp_data_service_spark.operators import search as so
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b a"), (2, "a b b a"), (3, "b a b a b")],
+            "doc_id long, text string",
+        )
+        out = {
+            (r["doc_id"], r["start"])
+            for r in so.phrase_match(docs, "a b a").collect()
+        }
+        assert out == {(1, 0), (1, 2), (3, 1)}
+
+    def test_single_token_and_empty_phrase(self, spark):
+        import pytest
+
+        from beis_orp_data_service_spark.operators import search as so
+
+        docs = spark.createDataFrame([(1, "x y x")], "doc_id long, text string")
+        out = {
+            (r["doc_id"], r["start"])
+            for r in so.phrase_match(docs, "x").collect()
+        }
+        assert out == {(1, 0), (1, 2)}
+        with pytest.raises(ValueError, match="phrase"):
+            so.phrase_match(docs, "   ")
