@@ -6079,6 +6079,25 @@ REGISTRY["lsh_index_compact_probe"] = QueryDef(
 
 
 @declared(
+    "mad_outliers",
+    an_ops.mad_outliers_oracle_sql(
+        "events", "event_type", "round(value * 100)", "event_id", n_mads=3
+    ),
+)
+def _mad_outliers(spark, sf_dir):
+    # Hampel-rule robust outliers: exact discrete per-group median and
+    # MAD (group_quantiles rank convention), integer cut — hash-grade
+    # where mean/stddev z-scores would drift across engines.
+    return an_ops.mad_outliers(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        F.round(F.col("value") * 100),
+        "event_id",
+        n_mads=3,
+    )
+
+
+@declared(
     "phrase_search",
     search_ops.phrase_match_oracle_sql("slow hash batch"),
 )

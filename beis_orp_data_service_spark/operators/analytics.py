@@ -857,3 +857,111 @@ def dq_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    id_col: str,
+    n_mads: int = 3,
+) -> DataFrame:
+    """Robust per-group outlier detection: |x − median| > n·MAD
+    (median absolute deviation — the robust-statistics replacement for
+    the z-score's mean/stddev, which outliers themselves corrupt;
+    Hampel's rule). Medians are EXACT DISCRETE (value at rank
+    ceil(n/2) under a total order — the :func:`group_quantiles` rank
+    convention), and with integer inputs the cut ``dev > n·mad`` is
+    exact integer arithmetic, so the flagged set hash-matches any
+    engine.
+
+    Shape: one shuffle on the group key; the two median passes are
+    windows over that same partitioning (Catalyst reuses the
+    exchange, the second pass adds only an in-partition sort), and
+    each per-group median table joins back broadcast. Same 100 TB
+    caveat as group_quantiles: exact in-group sort — reserve for
+    reproducible gates, use approx quantiles for dashboards.
+
+    Output: outlier rows (group, id, value, med, mad, dev)."""
+    from pyspark.sql import Window
+
+    if n_mads < 1:
+        raise ValueError(f"n_mads must be >= 1, got {n_mads}")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        v.cast("bigint").alias("value"),
+    )
+
+    def _median(rows: DataFrame, col: str) -> DataFrame:
+        w = Window.partitionBy("grp").orderBy(F.col(col), F.col("id"))
+        wn = Window.partitionBy("grp")
+        return (
+            rows.select(
+                "grp",
+                F.col(col),
+                F.row_number().over(w).alias("rn"),
+                F.count("*").over(wn).alias("n"),
+            )
+            .groupBy("grp")
+            .agg(
+                F.max(
+                    F.when(
+                        F.col("rn") == F.expr("(n * 50 + 99) div 100"),
+                        F.col(col),
+                    )
+                ).alias(f"_med_{col}")
+            )
+        )
+
+    med = _median(base, "value").withColumnRenamed("_med_value", "med")
+    devs = base.join(F.broadcast(med), "grp").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = _median(
+        devs.select("grp", "id", "dev"), "dev"
+    ).withColumnRenamed("_med_dev", "mad")
+    return (
+        devs.join(F.broadcast(mad), "grp")
+        .filter(F.col("dev") > n_mads * F.col("mad"))
+        .select("grp", "id", "value", "med", "mad", "dev")
+    )
+
+
+def mad_outliers_oracle_sql(
+    table: str,
+    group_col: str,
+    value_expr: str,
+    id_col: str,
+    n_mads: int = 3,
+) -> str:
+    """DuckDB twin of :func:`mad_outliers` — same discrete-rank
+    medians, same integer cut."""
+    return f"""
+    WITH base AS (
+      SELECT {group_col} AS grp, {id_col} AS id,
+             CAST({value_expr} AS BIGINT) AS value
+      FROM {table}
+    ), r1 AS (
+      SELECT *, row_number() OVER (PARTITION BY grp ORDER BY value, id) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM base
+    ), med AS (
+      SELECT grp, MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS med
+      FROM r1 GROUP BY grp
+    ), devs AS (
+      SELECT b.grp, b.id, b.value, m.med, ABS(b.value - m.med) AS dev
+      FROM base b JOIN med m USING (grp)
+    ), r2 AS (
+      SELECT *, row_number() OVER (PARTITION BY grp ORDER BY dev, id) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM devs
+    ), mad AS (
+      SELECT grp, MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN dev END) AS mad
+      FROM r2 GROUP BY grp
+    )
+    SELECT d.grp, d.id, d.value, d.med, a.mad, d.dev
+    FROM devs d JOIN mad a USING (grp)
+    WHERE d.dev > {n_mads} * a.mad
+    """

@@ -519,3 +519,42 @@ def test_dq_report_requires_checks(spark):
     df = spark.createDataFrame([(1,)], "id bigint")
     with pytest.raises(ValueError):
         an.dq_report(df)
+
+
+class TestMadOutliers:
+    def test_flags_planted_outliers_only(self, spark):
+        from beis_orp_data_service_spark.operators import analytics as an
+
+        rows = [("a", i, 100 + (i % 5)) for i in range(20)]
+        rows += [("a", 100, 10_000), ("a", 101, -10_000)]   # planted
+        rows += [("b", i, 50) for i in range(200, 210)]      # MAD=0 group
+        rows += [("b", 300, 51)]                             # any dev > 0 flags
+        df = spark.createDataFrame(rows, "g string, id long, v long")
+        out = an.mad_outliers(df, "g", "v", "id", n_mads=3).collect()
+        flagged = {(r["grp"], r["id"]) for r in out}
+        assert flagged == {("a", 100), ("a", 101), ("b", 300)}
+        by_id = {r["id"]: r for r in out}
+        assert by_id[100]["med"] == 102 and by_id[100]["dev"] == 9898
+        assert by_id[300]["mad"] == 0
+
+    def test_median_rank_convention_even_group(self, spark):
+        # even n: rank ceil(n/2) -> the LOWER middle value, matching
+        # group_quantiles' (n*50+99) div 100
+        from beis_orp_data_service_spark.operators import analytics as an
+
+        df = spark.createDataFrame(
+            [("g", 1, 10), ("g", 2, 20), ("g", 3, 30), ("g", 4, 1000)],
+            "g string, id long, v long",
+        )
+        out = an.mad_outliers(df, "g", "v", "id", n_mads=3).collect()
+        assert all(r["med"] == 20 for r in out)
+        assert {r["id"] for r in out} == {4}
+
+    def test_bad_params(self, spark):
+        import pytest
+
+        from beis_orp_data_service_spark.operators import analytics as an
+
+        df = spark.createDataFrame([("g", 1, 1)], "g string, id long, v long")
+        with pytest.raises(ValueError, match="n_mads"):
+            an.mad_outliers(df, "g", "v", "id", n_mads=0)
