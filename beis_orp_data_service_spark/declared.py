@@ -6079,6 +6079,36 @@ REGISTRY["lsh_index_compact_probe"] = QueryDef(
 
 
 @declared(
+    "hard_negatives",
+    f"""
+    WITH q AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+             t.label AS neighbor_label,
+             CAST({_ANN_DUCK_DOT} AS BIGINT) AS score
+      FROM embeddings t JOIN q ON t.label <> q.label
+    ), ranked AS (
+      SELECT query_id, neighbor_id, neighbor_label, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS BIGINT)
+               AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, neighbor_label, score, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def _hard_negatives(spark, sf_dir):
+    # Contrastive-training data prep: top-k most-similar DIFFERENT-label
+    # vectors per query — label mismatch inside the join so ranking is
+    # among negatives only; exact quantized dot, hash-grade.
+    return sim.hard_negatives(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
+    )
+
+
+@declared(
     "mad_outliers",
     an_ops.mad_outliers_oracle_sql(
         "events", "event_type", "round(value * 100)", "event_id", n_mads=3

@@ -1694,3 +1694,51 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k_neighbors)
         .select("query_id", "neighbor_id", "adist", "rank")
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (DPR / SimCSE
+    data prep): for each query vector, the top-k MOST similar vectors
+    carrying a DIFFERENT label — the negatives a contrastive loss
+    learns most from. The label-mismatch predicate is part of the join
+    (ranking happens among negatives only — post-filtering a plain
+    top-k would under-fill and bias the set).
+
+    Shape: bounded query set broadcast against the table (the
+    ``ann_topk`` theta-join pattern; per-query window keeps k), exact
+    quantized-int dot so the output is hash-checkable. At corpus
+    scale, swap the brute-force table side for the IVF probe
+    (:func:`ivf_kmeans_topk` with oversampled k, then label-filter) —
+    negatives stay hard because similar vectors share cells.
+
+    Output (query_id, neighbor_id, neighbor_label, score, rank)."""
+    if not query_ids:
+        raise ValueError("query_ids must be a non-empty list of vector ids")
+    q = embeddings.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("qlabel"),
+    )
+    t = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("tvec"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = t.join(
+        F.broadcast(q), F.col("neighbor_label") != F.col("qlabel")
+    ).withColumn("score", dot_q(F.col("qvec"), F.col("tvec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neighbor_label", "score", "rank")
+    )

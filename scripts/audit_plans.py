@@ -63,6 +63,7 @@ ALLOW_BNLJ = {
     "cos_sim",       # broadcast signature pairs, != self predicate
     "dup_classify",  # broadcast candidate set, theta dup-rule predicate
     "ann_topk",      # broadcast query vectors (10), != self predicate
+    "hard_negatives",  # broadcast query vectors (10), label-mismatch predicate
     "lo_join",       # broadcast legislation dim, theta title-match
     "q_tpch11",      # 1-row scalar-aggregate subquery (HAVING threshold)
     "bm25_topk",     # 1-row corpus-stats aggregate crossJoined (broadcast)

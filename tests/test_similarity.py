@@ -718,3 +718,54 @@ class TestIvfPq:
             sim.ivfpq_topk(emb, query_ids=[], n_rows=500)
         with pytest.raises(ValueError, match="divisible"):
             sim.ivfpq_train(emb, n_centroids=8, m=7, k=8, n_rows=500)
+
+
+class TestHardNegatives:
+    def test_negatives_only_and_ranked_by_similarity(self, spark):
+        from beis_orp_data_service_spark.catalog import load_table
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        out = sim.hard_negatives(emb, query_ids=[0, 1, 2], k=5).collect()
+        labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+        per_q = {}
+        for r in out:
+            per_q.setdefault(r["query_id"], []).append(r)
+            assert r["neighbor_label"] != labels[r["query_id"]]
+            assert r["neighbor_label"] == labels[r["neighbor_id"]]
+        for qid, rows in per_q.items():
+            rows.sort(key=lambda r: r["rank"])
+            scores = [r["score"] for r in rows]
+            assert scores == sorted(scores, reverse=True)
+            assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        assert set(per_q) == {0, 1, 2}
+
+    def test_matches_bruteforce_filtered(self, spark):
+        import numpy as np
+
+        from beis_orp_data_service_spark.catalog import load_table
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        rows = emb.collect()
+        vecs = {r["vec_id"]: sim._quantize_np(r["embedding"], 1000) for r in rows}
+        labels = {r["vec_id"]: r["label"] for r in rows}
+        out = sim.hard_negatives(emb, query_ids=[7], k=5).collect()
+        d = {
+            nid: int(np.dot(v, vecs[7]))
+            for nid, v in vecs.items()
+            if labels[nid] != labels[7]
+        }
+        exact = sorted(d, key=lambda n: (-d[n], n))[:5]
+        got = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+        assert got == exact
+
+    def test_empty_queries_raise(self, spark):
+        import pytest
+
+        from beis_orp_data_service_spark.catalog import load_table
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        with pytest.raises(ValueError, match="query_ids"):
+            sim.hard_negatives(emb, query_ids=[])
