@@ -6079,6 +6079,27 @@ REGISTRY["lsh_index_compact_probe"] = QueryDef(
 
 
 @declared(
+    "quantile_sketch",
+    corpus_ops.quantile_sketch_oracle_sql(
+        "events", "round(value * 100)", "event_id", k=256
+    ),
+)
+def _quantile_sketch(spark, sf_dir):
+    # Bottom-k (KMV) mergeable quantile sketch: md5-keyed bottom-256
+    # sample (TakeOrderedAndProject — no global sort), discrete-rank
+    # estimates. Completes the mergeable-sketch family (HLL/Bloom/CMS)
+    # with ranks; merge==build and error-bound tested in
+    # tests/test_corpus.py::TestQuantileSketch.
+    sk = corpus_ops.quantile_sketch(
+        _t(spark, sf_dir, "events"),
+        F.round(F.col("value") * 100),
+        "event_id",
+        k=256,
+    )
+    return corpus_ops.sketch_quantiles(sk, qs=(50, 90, 99))
+
+
+@declared(
     "hard_negatives",
     f"""
     WITH q AS (

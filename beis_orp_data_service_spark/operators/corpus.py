@@ -2114,3 +2114,106 @@ def heavy_hitters_oracle_sql(
     GROUP BY token, n.n_total
     HAVING COUNT(*) * {k} > n.n_total
     """
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k (KMV) quantile sketch — mergeable, replayable, oracle-exact
+# ---------------------------------------------------------------------------
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col,
+    id_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Mergeable quantile sketch: the k rows with the SMALLEST
+    md5-derived key — a bottom-k (KMV) uniform sample. Because the
+    inclusion rule is a pure function of the row id, the sketch is
+    deterministic, partitioning-invariant, and MERGEABLE (bottom-k of
+    a union == bottom-k of the parts' bottom-ks), the property HLL /
+    CMS / Bloom give counts and membership and this gives ranks
+    (Agarwal et al. 2013). Quantile estimates off a k-sample carry
+    O(1/√k) rank error — the monitoring-dashboard tier;
+    :func:`group_quantiles` remains the exact gate.
+
+    Plan shape: TakeOrderedAndProject — each partition keeps its local
+    bottom-k, the driver merges P·k candidate rows; the table never
+    globally sorts or shuffles. Completes the mergeable-sketch family
+    as bounded-row sketch TABLES (≤ k rows).
+
+    Output (id, value, hkey), the sketch rows."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    c = F.col(id_col).cast("string")
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            v.cast("bigint").alias("value"),
+            md5_int60(c).alias("hkey"),
+        )
+        .orderBy("hkey", "id")
+        .limit(k)
+    )
+
+
+def merge_quantile_sketches(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Merge two bottom-k sketches: union, keep the k smallest keys —
+    exactly the sketch of the concatenated inputs (tested)."""
+    return a.unionByName(b).orderBy("hkey", "id").limit(k)
+
+
+def sketch_quantiles(sketch: DataFrame, qs: tuple[int, ...] = (50, 90, 99)) -> DataFrame:
+    """Quantile estimates from a bottom-k sketch: value at rank
+    ceil(q·n/100) over the ≤ k sketch rows (the group_quantiles rank
+    convention — the same number every engine returns). The
+    unpartitioned window is benign: it runs on ≤ k rows."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("value", "id")
+    ranked = sketch.select(
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    aggs = [
+        F.max(
+            F.when(F.col("rn") == F.expr(f"(n * {q} + 99) div 100"), F.col("value"))
+        )
+        .cast("bigint")
+        .alias(f"p{q}")
+        for q in qs
+    ]
+    return ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n_sample"), *aggs)
+
+
+def quantile_sketch_oracle_sql(
+    table: str,
+    value_expr: str,
+    id_col: str,
+    k: int = 256,
+    qs: tuple[int, ...] = (50, 90, 99),
+) -> str:
+    """DuckDB twin: same md5 bottom-k, same discrete rank — exact."""
+    hexfold = DUCK_MD5_HEXFOLD
+    sels = ", ".join(
+        f"MAX(CASE WHEN rn = (n * {q} + 99) // 100 THEN value END) AS p{q}"
+        for q in qs
+    )
+    return f"""
+    WITH keyed AS (
+      SELECT id, value, {hexfold} AS hkey
+      FROM (
+        SELECT {id_col} AS id, CAST({value_expr} AS BIGINT) AS value,
+               substr(md5(CAST({id_col} AS VARCHAR)), 1, 15) AS h
+        FROM {table})
+    ), sk AS (
+      SELECT * FROM keyed ORDER BY hkey, id LIMIT {k}
+    ), r AS (
+      SELECT value, row_number() OVER (ORDER BY value, id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM sk
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sample, {sels} FROM r
+    """

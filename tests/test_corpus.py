@@ -1140,3 +1140,56 @@ class TestHeavyHitters:
             corpus_ops.heavy_hitters(docs, k=1)
         with pytest.raises(ValueError, match="counters"):
             corpus_ops.heavy_hitters(docs, k=10, counters=5)
+
+
+class TestQuantileSketch:
+    def test_merge_equals_build(self, spark):
+        import pyspark.sql.functions as F
+
+        from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+        df = spark.createDataFrame(
+            [(i, (i * 37) % 1000) for i in range(2000)], "id long, v long"
+        )
+        whole = corpus_ops.quantile_sketch(df, "v", "id", k=64).collect()
+        a = corpus_ops.quantile_sketch(df.filter(F.col("id") < 900), "v", "id", k=64)
+        b = corpus_ops.quantile_sketch(df.filter(F.col("id") >= 900), "v", "id", k=64)
+        merged = corpus_ops.merge_quantile_sketches(a, b, k=64).collect()
+        assert sorted(map(tuple, whole)) == sorted(map(tuple, merged))
+        assert len(whole) == 64
+
+    def test_estimates_within_kmv_error(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+        # uniform 0..9999 over 10k rows: exact pq = q*100-ish; a k=256
+        # sample has rank stddev ~ sqrt(q%(100-q%)/k) -> tolerate 5 sigma
+        df = spark.createDataFrame(
+            [(i, (i * 7919) % 10_000) for i in range(10_000)], "id long, v long"
+        )
+        sk = corpus_ops.quantile_sketch(df, "v", "id", k=256)
+        row = corpus_ops.sketch_quantiles(sk, qs=(50, 90, 99)).collect()[0]
+        assert row["n_sample"] == 256
+        for q, exact in ((50, 5000), (90, 9000), (99, 9900)):
+            sigma = (q / 100 * (1 - q / 100) / 256) ** 0.5 * 10_000
+            assert abs(row[f"p{q}"] - exact) <= 5 * sigma + 100, (
+                q, row[f"p{q}"], exact
+            )
+
+    def test_partitioning_invariant(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+        df = spark.createDataFrame(
+            [(i, i % 113) for i in range(3000)], "id long, v long"
+        )
+        s1 = corpus_ops.quantile_sketch(df.repartition(3), "v", "id", k=32).collect()
+        s2 = corpus_ops.quantile_sketch(df.repartition(17), "v", "id", k=32).collect()
+        assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+
+    def test_bad_k(self, spark):
+        import pytest
+
+        from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+        df = spark.createDataFrame([(1, 1)], "id long, v long")
+        with pytest.raises(ValueError, match="k must be"):
+            corpus_ops.quantile_sketch(df, "v", "id", k=0)
