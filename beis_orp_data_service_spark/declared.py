@@ -6170,6 +6170,23 @@ def _heavy_hitters(spark, sf_dir):
     return corpus_ops.heavy_hitters(_t(spark, sf_dir, "documents"), k=50)
 
 
+def _emb_clusters(spark, sf_dir):
+    # Embedding-space clustering: thresholded approximate kNN edges
+    # (trained-IVF cell equi-join — every vector queries only its
+    # nprobe probed cells) + min-label connected components. Rows-only:
+    # one row per vector always (singletons keep themselves), recall
+    # and planted-structure asserted in
+    # tests/test_similarity.py::TestKnnClusters.
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.embedding_clusters(
+        emb, k=5, sim2_milli_threshold=250,
+        n_rows=_n_rows(spark, sf_dir, "embeddings"),
+    )
+
+
+REGISTRY["emb_clusters"] = QueryDef(_emb_clusters, None, min_rows=400)
+
+
 def _ann_ivfpq(spark, sf_dir):
     # Full FAISS IVF-PQ: coarse k-means cells + RESIDUAL product
     # quantization, probe nprobe cells, ADC-score stored codes against

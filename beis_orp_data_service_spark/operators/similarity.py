@@ -1742,3 +1742,190 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "neighbor_label", "score", "rank")
     )
+
+
+def knn_edges(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    sim2_milli_threshold: int = 0,
+    n_centroids: int | str = "auto",
+    nprobe: int = 4,
+    seed: int = 7,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor edge list over ALL vectors —
+    every vector is a query against the trained-IVF cell structure
+    (image/embedding dedup pipelines build exactly this graph before
+    clustering). Unlike :func:`ivf_kmeans_topk` (bounded broadcast
+    query set), the query side here is the whole table, so the probe
+    is an equi-JOIN on the cell id — each vector meets only the
+    vectors in its nprobe probed cells; nothing meets outside a cell.
+
+    Kernel shape: each side runs ONE fused Arrow pass (cell
+    assignment + quantized self-norm — the probe side emits its
+    nprobe cell rows directly, no separate explode stage), the
+    equi-join carries the vectors, and the pair dot is ONE vectorized
+    Arrow kernel; the sim²·1000 ratio is then plain codegen over
+    (dot, na, nb). The interpreted higher-order dot (``dot_q``) is
+    deliberately NOT used here — fine over a bounded broadcast query
+    set, pathological over all-pairs-in-cell.
+
+    Edges are kept when quantized sign-aware cos²·1000 ≥ threshold
+    (the :func:`embedding_dup_pairs` scoring), canonicalized a<b and
+    deduped. Recall < 1 (probed cells only) — planted-structure tested.
+    Output (a_id, b_id, sim2_milli)."""
+    import math
+
+    import pandas as pd
+
+    n = n_rows if n_rows is not None else embeddings.count()
+    if n_centroids == "auto":
+        n_centroids = max(4, min(65_536, math.isqrt(n)))
+    # coarse quantizer: driver-side Lloyd's over the replayable
+    # hash-gated sample (the ivfpq_train pattern) — int64 centroids in
+    # the same x1000-quantized scale the kernels score in, and no
+    # MLlib fit job on the critical path
+    sample_rows = 100_000
+    samp = embeddings.select(id_col, vec_col)
+    if n > sample_rows:
+        denom = 1_000_003
+        num = max(1, int(denom * sample_rows / n))
+        samp = samp.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) < F.lit(num)
+        )
+    mat = np.stack(
+        [_quantize_np(r[vec_col], 1000) for r in samp.limit(sample_rows).collect()]
+    )
+    cents_q = _lloyd_int(mat, n_centroids, seed, max_iter=10)
+
+    def _side(nprobe_side: int, prefix: str):
+        def _pass(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                x = np.stack([_quantize_np(v, 1000) for v in pdf[vec_col]])
+                norms = (x * x).sum(axis=1)
+                buckets = _probe_cells_int(x, cents_q, nprobe_side)  # [n, p]
+                frames = []
+                for j in range(nprobe_side):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                f"{prefix}_id": pdf[id_col].values,
+                                f"{prefix}vec": pdf[vec_col].values,
+                                "bucket": buckets[:, j],
+                                f"n{prefix}": norms,
+                            }
+                        )
+                    )
+                yield pd.concat(frames)
+
+        return _pass
+
+    vec_t = embeddings.schema[vec_col].dataType.simpleString()
+    t = embeddings.select(id_col, vec_col).mapInPandas(
+        _side(1, "b"), f"b_id bigint, bvec {vec_t}, bucket bigint, nb bigint"
+    )
+    q = embeddings.select(id_col, vec_col).mapInPandas(
+        _side(nprobe, "a"), f"a_id bigint, avec {vec_t}, bucket bigint, na bigint"
+    )
+
+    @F.pandas_udf("bigint")
+    def dot_pd(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack([_quantize_np(v, 1000) for v in a])
+        mb = np.stack([_quantize_np(v, 1000) for v in b])
+        return pd.Series((ma * mb).sum(axis=1))
+
+    pairs = (
+        t.join(q, "bucket")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .withColumn("dot", dot_pd(F.col("avec"), F.col("bvec")))
+    )
+    sim2 = F.when(
+        (F.col("dot") > 0) & (F.col("na") > 0) & (F.col("nb") > 0),
+        ((F.col("dot") * F.col("dot") * F.lit(1_000)) / (F.col("na") * F.col("nb")))
+        .cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    w = Window.partitionBy("a_id").orderBy(
+        F.col("sim2_milli").desc(), F.col("b_id").asc()
+    )
+    ranked = (
+        pairs.select("a_id", "b_id", sim2.alias("sim2_milli"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(
+            (F.col("rank") <= k)
+            & (F.col("sim2_milli") >= sim2_milli_threshold)
+        )
+    )
+    return (
+        ranked.select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+            "sim2_milli",
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.max("sim2_milli").alias("sim2_milli"))
+    )
+
+
+def _probe_cells_int(x: np.ndarray, cents: np.ndarray, nprobe: int) -> np.ndarray:
+    """nprobe nearest centroids per row (L2 on the float centroid
+    matrix, stable argsort tie-break) — the numpy twin of
+    :func:`_nearest_centroids_udf` for use inside fused kernels.
+    [n, d] -> [n, nprobe] int64."""
+    xf = x.astype(np.float64)
+    cf = cents.astype(np.float64)
+    d = -2.0 * (xf @ cf.T) + (cf**2).sum(axis=1)[None, :]
+    return np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype(np.int64)
+
+
+def embedding_clusters(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    k: int = 5,
+    sim2_milli_threshold: int = 500,
+    n_centroids: int | str = "auto",
+    nprobe: int = 4,
+    seed: int = 7,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Embedding-space clustering for dedup/curation: thresholded
+    approximate kNN edges (:func:`knn_edges`) + min-label connected
+    components (the corpus CC kernel — O(log diameter) pointer-doubling
+    rounds). The graph-side alternative to centroid-scoped SemDeDup:
+    transitive — A≈B≈C clusters even when A·C is below threshold.
+    Output (vec_id, cluster_id = min reachable id)."""
+    from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+    edges = knn_edges(
+        embeddings,
+        id_col=id_col,
+        k=k,
+        sim2_milli_threshold=sim2_milli_threshold,
+        n_centroids=n_centroids,
+        nprobe=nprobe,
+        seed=seed,
+        n_rows=n_rows,
+    ).localCheckpoint()  # three consumers below — compute the kNN join once
+    # CC only over edge-incident nodes — near-dup graphs are sparse, so
+    # this keeps every propagation round proportional to the EDGE set,
+    # not the corpus; untouched vectors join back as label-self
+    # singletons with one anti-join, exactly what the self-loop rounds
+    # would have concluded about them.
+    touched = (
+        edges.select(F.col("a_id").alias(id_col))
+        .union(edges.select(F.col("b_id").alias(id_col)))
+        .distinct()
+    )
+    clustered = corpus_ops.dup_clusters(edges, touched, id_col=id_col)
+    singletons = (
+        embeddings.select(F.col(id_col))
+        .join(touched, id_col, "left_anti")
+        .select(
+            F.col(id_col).cast("bigint"),
+            F.col(id_col).cast("bigint").alias("cluster_id"),
+        )
+    )
+    return clustered.unionByName(singletons)

@@ -769,3 +769,73 @@ class TestHardNegatives:
         emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
         with pytest.raises(ValueError, match="query_ids"):
             sim.hard_negatives(emb, query_ids=[])
+
+
+class TestKnnClusters:
+    def _planted(self, spark):
+        # two tight planted clusters + isolated noise vectors
+        import random
+
+        rnd = random.Random(3)
+        rows = []
+        base_a = [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]
+        base_b = [0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+        for i in range(5):
+            rows.append((i, [x + rnd.uniform(-0.01, 0.01) for x in base_a]))
+        for i in range(5, 10):
+            rows.append((i, [x + rnd.uniform(-0.01, 0.01) for x in base_b]))
+        for i in range(10, 30):
+            v = [rnd.uniform(-1, 1) for _ in range(8)]
+            rows.append((i, v))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_planted_clusters_recovered(self, spark):
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        emb = self._planted(spark)
+        out = {
+            r["vec_id"]: r["cluster_id"]
+            for r in sim.embedding_clusters(
+                emb, k=3, sim2_milli_threshold=950, n_centroids=4, nprobe=2,
+                n_rows=30,
+            ).collect()
+        }
+        assert len(out) == 30
+        assert {out[i] for i in range(5)} == {0}
+        assert {out[i] for i in range(5, 10)} == {5}
+
+    def test_transitive_chain_single_cluster(self, spark):
+        # A~B and B~C above threshold, A~C below: CC must still unite them
+        import math
+
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        def unit(theta):
+            return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+        rows = [(0, unit(0.0)), (1, unit(0.5)), (2, unit(1.0)),
+                (3, [0.0, 0.0, 1.0, 0.0])]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        # cos(0.5)^2*1000 ~ 770 >= 700; cos(1.0)^2*1000 ~ 291 < 700
+        out = {
+            r["vec_id"]: r["cluster_id"]
+            for r in sim.embedding_clusters(
+                emb, k=3, sim2_milli_threshold=700, n_centroids=4, nprobe=4,
+                n_rows=4,
+            ).collect()
+        }
+        assert out[0] == out[1] == out[2] == 0
+        assert out[3] == 3
+
+    def test_edges_canonical_and_thresholded(self, spark):
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        emb = self._planted(spark)
+        edges = sim.knn_edges(
+            emb, k=3, sim2_milli_threshold=950, n_centroids=4, nprobe=2,
+            n_rows=30,
+        ).collect()
+        assert len(edges) > 0
+        for r in edges:
+            assert r["a_id"] < r["b_id"]
+            assert r["sim2_milli"] >= 950
