@@ -6079,6 +6079,44 @@ REGISTRY["lsh_index_compact_probe"] = QueryDef(
 
 
 @declared(
+    "dataset_split",
+    corpus_ops.dataset_split_oracle_sql(
+        "documents",
+        "doc_id",
+        {"train": 900, "val": 50, "test": 50},
+        cols="doc_id, lang, source",
+    ),
+)
+def _dataset_split(spark, sf_dir):
+    # Deterministic per-mille hash split: same row -> same split across
+    # re-runs, repartitions, and corpus growth (randomSplit is none of
+    # those). Pure per-row expression, zero shuffle.
+    return corpus_ops.dataset_split(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "source"),
+        "doc_id",
+        {"train": 900, "val": 50, "test": 50},
+    )
+
+
+@declared(
+    "group_cap_sample",
+    corpus_ops.group_cap_sample_oracle_sql(
+        "documents", "source", "doc_id", cap=15, cols="doc_id, source"
+    ),
+)
+def _group_cap_sample(spark, sf_dir):
+    # RefinedWeb-style per-domain cap: at most 15 docs per source,
+    # chosen by smallest md5 key — deterministic uniform within-group
+    # down-weighting of over-represented domains.
+    return corpus_ops.group_cap_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        "source",
+        "doc_id",
+        cap=15,
+    )
+
+
+@declared(
     "quantile_sketch",
     corpus_ops.quantile_sketch_oracle_sql(
         "events", "round(value * 100)", "event_id", k=256

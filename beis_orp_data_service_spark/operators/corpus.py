@@ -2217,3 +2217,114 @@ def quantile_sketch_oracle_sql(
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_sample, {sels} FROM r
     """
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str,
+    ratios_pm: dict[str, int],
+) -> DataFrame:
+    """Deterministic train/val/test assignment: ``md5_int60(id) % 1000``
+    lands each row in a per-mille bucket, and cumulative ratio ranges
+    map buckets to split names. Pure per-row expression — no shuffle,
+    no RNG state, stable under any partitioning, repartition, or
+    re-run (the property ``df.randomSplit`` lacks), and the SAME row
+    keeps the SAME split as the corpus grows — the invariant that
+    stops eval contamination when a pipeline re-runs on appended data.
+
+    ``ratios_pm`` maps split name → per-mille share, summing to 1000.
+    Output: df columns + ``split``."""
+    total = sum(ratios_pm.values())
+    if total != 1000:
+        raise ValueError(f"ratios_pm must sum to 1000, got {total}")
+    if any(v < 0 for v in ratios_pm.values()):
+        raise ValueError("ratios_pm values must be non-negative")
+    bucket = md5_int60(F.col(id_col).cast("string")) % 1000
+    expr = None
+    lo = 0
+    for name, share in ratios_pm.items():
+        cond = (bucket >= lo) & (bucket < lo + share)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += share
+    return df.withColumn("split", expr)
+
+
+def dataset_split_oracle_sql(
+    table: str,
+    id_col: str,
+    ratios_pm: dict[str, int],
+    cols: str = "*",
+) -> str:
+    """DuckDB twin — same md5 fold, same cumulative ranges."""
+    hexfold = DUCK_MD5_HEXFOLD
+    cases = []
+    lo = 0
+    for name, share in ratios_pm.items():
+        cases.append(f"WHEN bucket >= {lo} AND bucket < {lo + share} THEN '{name}'")
+        lo += share
+    case = "CASE " + " ".join(cases) + " END"
+    return f"""
+    WITH keyed AS (
+      SELECT {cols}, {hexfold} % 1000 AS bucket
+      FROM (SELECT {cols}, substr(md5(CAST({id_col} AS VARCHAR)), 1, 15) AS h
+            FROM {table})
+    )
+    SELECT {cols}, {case} AS split FROM keyed
+    """
+
+
+def group_cap_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Per-group document cap (RefinedWeb/C4-style per-domain limits):
+    keep at most ``cap`` rows per group, chosen by the smallest
+    md5-derived key — a deterministic uniform within-group sample, so
+    over-represented domains are down-weighted without biasing toward
+    any document property. Replayable and partitioning-invariant like
+    every sampler in this module.
+
+    One shuffle on the group key; within a group the window keeps cap
+    rows. Skew note: a pathologically hot group serializes through one
+    task's sort — for web-scale domain caps pre-aggregate with a
+    two-level cap (salted local cap ≥ cap, then exact) if one group
+    outweighs an executor.
+
+    Output: df columns + ``keep_rank`` (1..cap)."""
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    h = md5_int60(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("keep_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("keep_rank") <= cap)
+    )
+
+
+def group_cap_sample_oracle_sql(
+    table: str,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    cols: str = "*",
+) -> str:
+    """DuckDB twin — same md5 order, same within-group row_number."""
+    hexfold = DUCK_MD5_HEXFOLD
+    return f"""
+    WITH keyed AS (
+      SELECT {cols}, {hexfold} AS hkey
+      FROM (SELECT {cols}, substr(md5(CAST({id_col} AS VARCHAR)), 1, 15) AS h
+            FROM {table})
+    ), ranked AS (
+      SELECT {cols},
+             CAST(row_number() OVER (PARTITION BY {group_col}
+                                     ORDER BY hkey ASC, {id_col} ASC) AS BIGINT)
+               AS keep_rank
+      FROM keyed
+    )
+    SELECT {cols}, keep_rank FROM ranked WHERE keep_rank <= {cap}
+    """

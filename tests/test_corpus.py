@@ -1193,3 +1193,65 @@ class TestQuantileSketch:
         df = spark.createDataFrame([(1, 1)], "id long, v long")
         with pytest.raises(ValueError, match="k must be"):
             corpus_ops.quantile_sketch(df, "v", "id", k=0)
+
+
+class TestDatasetSplit:
+    def test_ratios_and_determinism(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+        df = spark.createDataFrame([(i,) for i in range(10_000)], "id long")
+        out = corpus_ops.dataset_split(df, "id", {"train": 800, "val": 100, "test": 100})
+        counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+            __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+        ).collect()}
+        assert set(counts) == {"train", "val", "test"}
+        assert abs(counts["train"] - 8000) < 300
+        assert abs(counts["val"] - 1000) < 150
+        # same row -> same split on a grown corpus
+        small = {
+            r["id"]: r["split"]
+            for r in corpus_ops.dataset_split(
+                df.filter("id < 100"), "id", {"train": 800, "val": 100, "test": 100}
+            ).collect()
+        }
+        big = {
+            r["id"]: r["split"]
+            for r in out.filter("id < 100").collect()
+        }
+        assert small == big
+
+    def test_bad_ratios(self, spark):
+        import pytest
+
+        from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError, match="sum to 1000"):
+            corpus_ops.dataset_split(df, "id", {"a": 500, "b": 499})
+
+
+class TestGroupCapSample:
+    def test_cap_enforced_and_deterministic(self, spark):
+        import pyspark.sql.functions as F
+
+        from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+        rows = [(g * 1000 + i, f"g{g}") for g in range(3) for i in range((g + 1) * 30)]
+        df = spark.createDataFrame(rows, "id long, grp string")
+        out = corpus_ops.group_cap_sample(df, "grp", "id", cap=25)
+        sizes = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+        assert sizes == {"g0": 25, "g1": 25, "g2": 25}
+        a = sorted(r["id"] for r in out.collect())
+        b = sorted(
+            r["id"]
+            for r in corpus_ops.group_cap_sample(df.repartition(13), "grp", "id", cap=25).collect()
+        )
+        assert a == b
+
+    def test_small_groups_untouched(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+        df = spark.createDataFrame([(1, "g"), (2, "g")], "id long, grp string")
+        out = corpus_ops.group_cap_sample(df, "grp", "id", cap=10).collect()
+        assert {r["id"] for r in out} == {1, 2}
+        assert sorted(r["keep_rank"] for r in out) == [1, 2]
