@@ -6078,6 +6078,43 @@ REGISTRY["lsh_index_compact_probe"] = QueryDef(
 )
 
 
+_CONTAINMENT_SRC = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000000 AS doc_id,
+       array_to_string(list_slice(list_filter(
+         string_split_regex(lower(text), '\\s+'), x -> x <> ''), 1, 25), ' ')
+         AS text
+FROM documents WHERE doc_id % 100 = 0
+"""
+
+
+@declared(
+    "containment_join",
+    dd.containment_prefix_join_oracle_sql(
+        "documents", "doc_id", "text", threshold_milli=800, ngram=3,
+        source_sql=_CONTAINMENT_SRC,
+    ),
+)
+def _containment_join(spark, sf_dir):
+    # Asymmetric excerpt detection: trigram-shingle containment ≥ 0.8
+    # via the contained-side prefix filter; planted 25-token excerpts
+    # (first tokens of every doc_id%100==0 doc) must surface with
+    # containment 1000. The oracle is the NAIVE all-pairs spelling —
+    # agreement proves the blocking is recall-1.0.
+    from beis_orp_data_service_spark.functions.text import lc_tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = docs.where(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+        F.concat_ws(" ", F.slice(lc_tokens("text"), 1, 25)).alias("text"),
+    )
+    return dd.containment_prefix_join(
+        docs.unionByName(excerpts), "doc_id", "text",
+        threshold_milli=800, ngram=3,
+    )
+
+
 @declared(
     "dataset_split",
     corpus_ops.dataset_split_oracle_sql(

@@ -420,3 +420,65 @@ class TestJaccardPrefixJoin:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestContainmentJoin:
+    def test_planted_excerpt_found_asymmetric(self, spark):
+        from beis_orp_data_service_spark.operators import dedup as dd
+
+        long_a = " ".join(f"w{i}" for i in range(60))
+        excerpt = " ".join(f"w{i}" for i in range(10, 30))  # inside long_a
+        other = " ".join(f"z{i}" for i in range(40))
+        docs = spark.createDataFrame(
+            [(1, long_a), (2, excerpt), (3, other)], "doc_id long, text string"
+        )
+        out = {
+            (r["a_id"], r["b_id"]): r["containment_milli"]
+            for r in dd.containment_prefix_join(
+                docs, "doc_id", "text", threshold_milli=800, ngram=3
+            ).collect()
+        }
+        assert out == {(2, 1): 1000}  # excerpt contained; NOT the reverse
+
+    def test_recall_matches_bruteforce(self, spark):
+        import itertools
+
+        from beis_orp_data_service_spark.operators import dedup as dd
+
+        import random
+        rnd = random.Random(11)
+        vocab = [f"t{i}" for i in range(30)]
+        rows = []
+        for i in range(40):
+            n = rnd.randint(5, 25)
+            rows.append((i, " ".join(rnd.choice(vocab) for _ in range(n))))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["a_id"], r["b_id"]): r["containment_milli"]
+            for r in dd.containment_prefix_join(
+                docs, "doc_id", "text", threshold_milli=700, ngram=2
+            ).collect()
+        }
+
+        def bigrams(text):
+            t = text.lower().split()
+            if len(t) < 2:
+                return {" ".join(t)}
+            return {" ".join(t[i : i + 2]) for i in range(len(t) - 1)}
+
+        sets = {i: bigrams(txt) for i, txt in rows}
+        exact = {}
+        for a, b in itertools.permutations(sets, 2):
+            c = 1000 * len(sets[a] & sets[b]) // len(sets[a])
+            if c >= 700:
+                exact[(a, b)] = c
+        assert got == exact
+
+    def test_bad_ngram(self, spark):
+        import pytest
+
+        from beis_orp_data_service_spark.operators import dedup as dd
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="ngram"):
+            dd.containment_prefix_join(docs, "doc_id", "text", ngram=0)
