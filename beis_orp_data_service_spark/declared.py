@@ -6078,6 +6078,48 @@ REGISTRY["lsh_index_compact_probe"] = QueryDef(
 )
 
 
+@declared(
+    "temperature_mixture",
+    corpus_ops.temperature_mixture_oracle_sql(
+        "documents", "source", "doc_id", target_rows=200, alpha_pct=50,
+        cols="doc_id",
+    ),
+)
+def _temperature_mixture(spark, sf_dir):
+    # XLM-R-style α=0.5 temperature rebalance: per-source admit rates
+    # computed in-plan from observed counts (sqrt-smoothed shares),
+    # applied through the replayable md5 per-mille gate. Every float
+    # step is one correctly-rounded IEEE op — hash-grade.
+    return corpus_ops.temperature_mixture(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        "source",
+        "doc_id",
+        target_rows=200,
+        alpha_pct=50,
+    )
+
+
+@declared(
+    "winsorize",
+    an_ops.winsorize_oracle_sql(
+        "events", "event_type", "round(value * 100)", "event_id",
+        lo_pct=5, hi_pct=95,
+    ),
+)
+def _winsorize(spark, sf_dir):
+    # Per-group clamp to the exact discrete [p5, p95] band — the
+    # robust-feature-prep step; group_quantiles rank convention keeps
+    # the bounds hash-identical across engines.
+    return an_ops.winsorize(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        F.round(F.col("value") * 100),
+        "event_id",
+        lo_pct=5,
+        hi_pct=95,
+    )
+
+
 _CONTAINMENT_SRC = """
 SELECT doc_id, text FROM documents
 UNION ALL

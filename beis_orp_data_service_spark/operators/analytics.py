@@ -965,3 +965,90 @@ def mad_outliers_oracle_sql(
     FROM devs d JOIN mad a USING (grp)
     WHERE d.dev > {n_mads} * a.mad
     """
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    id_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Per-group winsorization: clamp values to the exact discrete
+    [p_lo, p_hi] band (outlier-robust feature prep — the clip step
+    before scaling/aggregating heavy-tailed metrics). Bounds use the
+    :func:`group_quantiles` rank convention (value at rank
+    ceil(q·n/100) under a total order), so with integer inputs every
+    engine clamps to the identical bounds — hash-grade, where
+    interpolating percentiles are not.
+
+    One shuffle on the group key (window rank), bounds join back
+    broadcast. Output: (grp, id, value, lo, hi, clipped)."""
+    from pyspark.sql import Window
+
+    if not (0 < lo_pct < hi_pct <= 100):
+        raise ValueError(
+            f"need 0 < lo_pct < hi_pct <= 100, got {lo_pct}, {hi_pct}"
+        )
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        v.cast("bigint").alias("value"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("value"), F.col("id"))
+    wn = Window.partitionBy("grp")
+    ranked = base.select(
+        "grp",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("grp").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr(f"(n * {lo_pct} + 99) div 100"), F.col("value"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.expr(f"(n * {hi_pct} + 99) div 100"), F.col("value"))
+        ).alias("hi"),
+    )
+    return base.join(F.broadcast(bounds), "grp").select(
+        "grp",
+        "id",
+        "value",
+        "lo",
+        "hi",
+        F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value"))).alias("clipped"),
+    )
+
+
+def winsorize_oracle_sql(
+    table: str,
+    group_col: str,
+    value_expr: str,
+    id_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> str:
+    """DuckDB twin — same discrete-rank bounds, same clamp."""
+    return f"""
+    WITH base AS (
+      SELECT {group_col} AS grp, {id_col} AS id,
+             CAST({value_expr} AS BIGINT) AS value
+      FROM {table}
+    ), r AS (
+      SELECT grp, value,
+             row_number() OVER (PARTITION BY grp ORDER BY value, id) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM base
+    ), bounds AS (
+      SELECT grp,
+             MAX(CASE WHEN rn = (n * {lo_pct} + 99) // 100 THEN value END) AS lo,
+             MAX(CASE WHEN rn = (n * {hi_pct} + 99) // 100 THEN value END) AS hi
+      FROM r GROUP BY grp
+    )
+    SELECT b.grp, b.id, b.value, d.lo, d.hi,
+           GREATEST(d.lo, LEAST(d.hi, b.value)) AS clipped
+    FROM base b JOIN bounds d USING (grp)
+    """

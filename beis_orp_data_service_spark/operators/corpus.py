@@ -2328,3 +2328,99 @@ def group_cap_sample_oracle_sql(
     )
     SELECT {cols}, keep_rank FROM ranked WHERE keep_rank <= {cap}
     """
+
+
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    target_rows: int,
+    alpha_pct: int = 50,
+) -> DataFrame:
+    """Temperature-smoothed source mixture (the multilingual-LM
+    rebalance rule, XLM-R §3.1 / mT5: sample source s with probability
+    ∝ p_s^α): small sources are up-weighted, dominant sources
+    down-weighted, α=100 keeps natural proportions, α→0 approaches
+    uniform. This computes per-source admit rates IN-PLAN from the
+    observed counts and applies the module's replayable md5 per-mille
+    gate — deterministic, partitioning-invariant, and hash-checkable
+    because every float step (one sqrt-based pow, one division) is a
+    single correctly-rounded IEEE op on both engines.
+
+    α is expressed in percent; only α=50 (sqrt) and α=100 (identity)
+    are exposed — they cover the published settings and keep the
+    arithmetic to correctly-rounded primitives (a general pow() is NOT
+    cross-engine bit-stable).
+
+    rate_pm(s) = min(1000, 1000·target·w_s / (Σw · c_s)) with
+    w_s = c_s^α — expected admitted ≈ target_rows distributed by the
+    smoothed shares, capped at each source's full size.
+
+    One scan for counts (map-side combined, |sources| rows), the
+    rates broadcast back, gate is a per-row expression. Output: df
+    columns (admitted rows only)."""
+    if alpha_pct not in (50, 100):
+        raise ValueError(f"alpha_pct must be 50 or 100, got {alpha_pct}")
+    if target_rows < 1:
+        raise ValueError(f"target_rows must be >= 1, got {target_rows}")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_c"))
+    w = F.sqrt(F.col("_c").cast("double")) if alpha_pct == 50 else F.col(
+        "_c"
+    ).cast("double")
+    weighted = counts.select(source_col, "_c", w.alias("_w"))
+    tot = weighted.agg(F.sum("_w").alias("_tw"))
+    rates = (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            F.least(
+                F.lit(1000),
+                F.floor(
+                    F.lit(1000.0) * F.lit(float(target_rows)) * F.col("_w")
+                    / (F.col("_tw") * F.col("_c").cast("double"))
+                ).cast("bigint"),
+            ).alias("_rate_pm"),
+        )
+    )
+    gate = md5_int60(F.col(id_col).cast("string")) % 1000
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .where(gate < F.col("_rate_pm"))
+        .drop("_rate_pm")
+    )
+
+
+def temperature_mixture_oracle_sql(
+    table: str,
+    source_col: str,
+    id_col: str,
+    target_rows: int,
+    alpha_pct: int = 50,
+    cols: str = "*",
+) -> str:
+    """DuckDB twin — same counts, same sqrt/identity weight, same
+    floor'd per-mille rate, same md5 gate."""
+    hexfold = DUCK_MD5_HEXFOLD
+    w = "sqrt(CAST(_c AS DOUBLE))" if alpha_pct == 50 else "CAST(_c AS DOUBLE)"
+    return f"""
+    WITH counts AS (
+      SELECT {source_col}, COUNT(*) AS _c FROM {table} GROUP BY {source_col}
+    ), weighted AS (
+      SELECT {source_col}, _c, {w} AS _w FROM counts
+    ), tot AS (SELECT SUM(_w) AS _tw FROM weighted),
+    rates AS (
+      SELECT {source_col},
+             LEAST(1000, CAST(floor(1000.0 * {float(target_rows)} * _w
+                                    / (_tw * CAST(_c AS DOUBLE))) AS BIGINT))
+               AS _rate_pm
+      FROM weighted CROSS JOIN tot
+    ), keyed AS (
+      SELECT {cols}, {source_col} AS _src, {hexfold} % 1000 AS _gate
+      FROM (SELECT {cols}, {source_col},
+                   substr(md5(CAST({id_col} AS VARCHAR)), 1, 15) AS h
+            FROM {table})
+    )
+    SELECT {cols}, k._src AS {source_col}
+    FROM keyed k JOIN rates r ON k._src = r.{source_col}
+    WHERE k._gate < r._rate_pm
+    """

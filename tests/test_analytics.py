@@ -558,3 +558,27 @@ class TestMadOutliers:
         df = spark.createDataFrame([("g", 1, 1)], "g string, id long, v long")
         with pytest.raises(ValueError, match="n_mads"):
             an.mad_outliers(df, "g", "v", "id", n_mads=0)
+
+
+class TestWinsorize:
+    def test_clamps_to_exact_band(self, spark):
+        from beis_orp_data_service_spark.operators import analytics as an
+
+        # group of 100 values 1..100: p5 -> rank 5 (value 5), p95 -> rank 95
+        rows = [("g", i, i) for i in range(1, 101)]
+        df = spark.createDataFrame(rows, "g string, id long, v long")
+        out = {r["id"]: r for r in an.winsorize(df, "g", "v", "id", 5, 95).collect()}
+        assert len(out) == 100
+        assert out[1]["lo"] == 5 and out[1]["hi"] == 95
+        assert out[1]["clipped"] == 5          # below band
+        assert out[100]["clipped"] == 95       # above band
+        assert out[50]["clipped"] == 50        # inside untouched
+
+    def test_bad_band(self, spark):
+        import pytest
+
+        from beis_orp_data_service_spark.operators import analytics as an
+
+        df = spark.createDataFrame([("g", 1, 1)], "g string, id long, v long")
+        with pytest.raises(ValueError, match="lo_pct"):
+            an.winsorize(df, "g", "v", "id", 95, 5)

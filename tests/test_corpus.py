@@ -1255,3 +1255,56 @@ class TestGroupCapSample:
         out = corpus_ops.group_cap_sample(df, "grp", "id", cap=10).collect()
         assert {r["id"] for r in out} == {1, 2}
         assert sorted(r["keep_rank"] for r in out) == [1, 2]
+
+
+class TestTemperatureMixture:
+    def test_rebalances_toward_small_sources(self, spark):
+        import pyspark.sql.functions as F
+
+        from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+        # 9000-row giant + 1000-row minor source; alpha=0.5 boosts the
+        # minor source's share well above its natural 10%
+        rows = [(i, "big") for i in range(9000)] + [
+            (i, "small") for i in range(9000, 10_000)
+        ]
+        df = spark.createDataFrame(rows, "id long, src string")
+        out = corpus_ops.temperature_mixture(df, "src", "id", target_rows=2000)
+        sizes = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+        # smoothed shares: sqrt(9000):sqrt(1000) = 3:1 -> small gets ~25%
+        # of the 2000 target vs its natural 10%
+        assert sizes["small"] > 0.18 * (sizes["small"] + sizes["big"])
+        total = sizes["small"] + sizes["big"]
+        assert abs(total - 2000) < 300
+
+    def test_alpha_100_keeps_natural_shares(self, spark):
+        import pyspark.sql.functions as F
+
+        from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+        rows = [(i, "a") for i in range(8000)] + [(i, "b") for i in range(8000, 10_000)]
+        df = spark.createDataFrame(rows, "id long, src string")
+        out = corpus_ops.temperature_mixture(df, "src", "id", target_rows=1000, alpha_pct=100)
+        sizes = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+        share_a = sizes["a"] / (sizes["a"] + sizes["b"])
+        assert abs(share_a - 0.8) < 0.08
+
+    def test_small_source_capped_at_full(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+        rows = [(i, "big") for i in range(5000)] + [(5000, "tiny")]
+        df = spark.createDataFrame(rows, "id long, src string")
+        out = corpus_ops.temperature_mixture(df, "src", "id", target_rows=4000)
+        # rate caps at 1000 pm — the tiny source can at most fully appear
+        assert out.filter("src = 'tiny'").count() <= 1
+
+    def test_bad_params(self, spark):
+        import pytest
+
+        from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+        df = spark.createDataFrame([(1, "a")], "id long, src string")
+        with pytest.raises(ValueError, match="alpha_pct"):
+            corpus_ops.temperature_mixture(df, "src", "id", 10, alpha_pct=75)
+        with pytest.raises(ValueError, match="target_rows"):
+            corpus_ops.temperature_mixture(df, "src", "id", 0)
