@@ -6326,6 +6326,30 @@ def _ann_ivfpq(spark, sf_dir):
 REGISTRY["ann_ivfpq"] = QueryDef(_ann_ivfpq, None, min_rows=25)
 
 
+def _ann_ivfpq_index(spark, sf_dir):
+    # Persistent IVF-PQ lake index: bucket-partitioned residual-code
+    # parquet + BOTH quantizer sidecars written, then probed via
+    # bucket-IN partition pruning — the stored-index lifecycle of the
+    # FAISS IVFPQ story (ann_index_probe is the IVF-Flat sibling).
+    # One STABLE path per sf dir, idempotently overwritten.
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivfpq_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    sim.ivfpq_index_write(
+        spark, emb, path, n_centroids="auto", m=4, k=16,
+        n_rows=_n_rows(spark, sf_dir, "embeddings"),
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.ivfpq_index_probe(spark, path, queries, k_neighbors=5, nprobe=4)
+
+
+REGISTRY["ann_ivfpq_index"] = QueryDef(_ann_ivfpq_index, None, min_rows=25)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract adapters
 # ---------------------------------------------------------------------------

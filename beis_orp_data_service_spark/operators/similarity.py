@@ -1929,3 +1929,95 @@ def embedding_clusters(
         )
     )
     return clustered.unionByName(singletons)
+
+
+def ivfpq_index_write(
+    spark,
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | str = "auto",
+    m: int = 4,
+    k: int = 16,
+    seed: int = 7,
+    n_rows: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Materialize the full FAISS IVF-PQ index in lake form: train both
+    quantizers (:func:`ivfpq_train`), encode every vector to (bucket,
+    m residual codes) in one Arrow pass, write parquet PARTITIONED BY
+    bucket (probes scan only probed-cell directories — the
+    :func:`ann_index_write` layout, but each row is m code ids instead
+    of the raw vector: the 64× memory cut at 100 TB), and persist BOTH
+    quantizers as versioned sidecars (coarse centroids under
+    ``_centroids/``, PQ codebook under ``_pq_codebook/`` — the same
+    rename-commit Hadoop-FS protocol, crash-safe, no Spark job).
+
+    Returns (coarse, codebook) for immediate probing; a later session
+    reloads them with :func:`ann_index_centroids` /
+    :func:`pq_read_codebook`."""
+    import math
+
+    n = n_rows if n_rows is not None else embeddings.count()
+    if n_centroids == "auto":
+        n_centroids = max(4, min(65_536, math.isqrt(n)))
+    coarse, cb = ivfpq_train(
+        embeddings, id_col, vec_col, n_centroids, m, k, seed=seed, n_rows=n
+    )
+    (
+        ivfpq_encode(embeddings, coarse, cb, id_col, vec_col)
+        .withColumn("bucket", F.col("bucket").cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    _write_centroids(spark, path, coarse)
+    pq_write_codebook(spark, path, cb)
+    return coarse, cb
+
+
+def ivfpq_index_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_neighbors: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe a stored IVF-PQ index: reload both quantizer sidecars,
+    compute each query's nprobe cells and residual LUTs driver-side
+    (bounded query set), and ADC-score ONLY the probed cell
+    directories of the code table — ``bucket IN (probed)`` over the
+    partitioned layout is partition pruning, so scan cost is
+    nprobe/n_centroids of the index. Same scoring kernel contract as
+    :func:`ivfpq_topk` with ``codes=`` (bit-identical results for the
+    same quantizers). Output (query_id, neighbor_id, adist, rank)."""
+    coarse = ann_index_centroids(spark, path).astype(np.int64)
+    cb = pq_read_codebook(spark, path)
+    codes = spark.read.parquet(path).withColumn(
+        "bucket", F.col("bucket").cast("bigint")
+    )
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        raise ValueError("queries must contain at least one row")
+    query_ids = [int(r[id_col]) for r in q_rows]
+    # delegate to ivfpq_topk's scoring via the codes= path: pass the
+    # query rows through a dataframe carrying only them so the LUT pull
+    # touches exactly the bounded query set
+    qdf = queries.select(id_col, vec_col)
+    return ivfpq_topk(
+        qdf,
+        query_ids=query_ids,
+        id_col=id_col,
+        vec_col=vec_col,
+        k_neighbors=k_neighbors,
+        n_centroids=coarse.shape[0],
+        nprobe=nprobe,
+        m=cb.shape[0],
+        k=cb.shape[1],
+        n_rows=len(query_ids),
+        coarse=coarse,
+        codebook=cb,
+        codes=codes,
+    )

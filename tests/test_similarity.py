@@ -839,3 +839,54 @@ class TestKnnClusters:
         for r in edges:
             assert r["a_id"] < r["b_id"]
             assert r["sim2_milli"] >= 950
+
+
+class TestIvfPqIndex:
+    def test_write_probe_matches_inline_and_prunes(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from beis_orp_data_service_spark.catalog import load_table
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        path = str(tmp_path / "ivfpq_idx")
+        coarse, cb = sim.ivfpq_index_write(
+            spark, emb, path, n_centroids=16, m=4, k=16, n_rows=500
+        )
+        queries = emb.filter(F.col("vec_id").isin([0, 100, 200]))
+        probe = sim.ivfpq_index_probe(spark, path, queries, k_neighbors=5, nprobe=4)
+        got = sorted(map(tuple, probe.collect()))
+        inline = sim.ivfpq_topk(
+            emb, query_ids=[0, 100, 200], k_neighbors=5, n_centroids=16,
+            nprobe=4, n_rows=500, coarse=coarse, codebook=cb,
+        )
+        assert got == sorted(map(tuple, inline.collect()))
+        # partition pruning: the probe plan must carry the bucket filter
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "bucket" in plan
+
+    def test_sidecars_reload_across_sessions(self, spark, tmp_path):
+        import numpy as np
+
+        from beis_orp_data_service_spark.catalog import load_table
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        path = str(tmp_path / "ivfpq_idx2")
+        coarse, cb = sim.ivfpq_index_write(
+            spark, emb, path, n_centroids=8, m=4, k=8, n_rows=500
+        )
+        assert (sim.ann_index_centroids(spark, path).astype(np.int64) == coarse).all()
+        assert (sim.pq_read_codebook(spark, path) == cb).all()
+
+    def test_empty_queries_raise(self, spark, tmp_path):
+        import pytest
+
+        from beis_orp_data_service_spark.catalog import load_table
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        path = str(tmp_path / "ivfpq_idx3")
+        sim.ivfpq_index_write(spark, emb, path, n_centroids=8, m=4, k=8, n_rows=500)
+        with pytest.raises(ValueError, match="queries"):
+            sim.ivfpq_index_probe(spark, path, emb.filter("vec_id < 0"))
