@@ -6287,6 +6287,26 @@ def _heavy_hitters(spark, sf_dir):
     return corpus_ops.heavy_hitters(_t(spark, sf_dir, "documents"), k=50)
 
 
+def _decontaminate_fuzzy(spark, sf_dir):
+    # Fuzzy benchmark-leakage screen: perturbed copies of every
+    # doc_id%100==0 doc (a stand-in benchmark set) probed against the
+    # corpus through the bipartite MinHash-LSH join — paraphrased
+    # near-matches the exact n-gram decontaminate can't see. Rows-only
+    # (MLlib hash family); each planted probe must rediscover its
+    # source, floor-checked.
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    probes = docs.where(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" benchmark answer suffix")).alias("text"),
+    )
+    return dd.minhash_lsh_join_mllib(
+        docs, probes, "doc_id", "text", jaccard_distance_threshold=0.5
+    )
+
+
+REGISTRY["decontaminate_fuzzy"] = QueryDef(_decontaminate_fuzzy, None, min_rows=5)
+
+
 def _emb_clusters(spark, sf_dir):
     # Embedding-space clustering: thresholded approximate kNN edges
     # (trained-IVF cell equi-join — every vector queries only its

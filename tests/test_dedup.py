@@ -482,3 +482,46 @@ class TestContainmentJoin:
         docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError, match="ngram"):
             dd.containment_prefix_join(docs, "doc_id", "text", ngram=0)
+
+
+class TestMinhashLshJoin:
+    def test_planted_perturbed_probes_hit_sources(self, spark):
+        from beis_orp_data_service_spark.catalog import load_table
+        from beis_orp_data_service_spark.operators import dedup as dd
+
+        import pyspark.sql.functions as F
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+            "doc_id", "text"
+        )
+        probes = docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tiny suffix")).alias("text"),
+        )
+        out = dd.minhash_lsh_join_mllib(
+            docs, probes, "doc_id", "text", jaccard_distance_threshold=0.5
+        ).collect()
+        hits = {(r["probe_id"], r["corpus_id"]) for r in out}
+        expected_sources = {
+            r["doc_id"] for r in docs.where(F.col("doc_id") % 10 == 0).collect()
+        }
+        for src in expected_sources:
+            assert (src + 1_000_000, src) in hits, f"probe missed source {src}"
+        for p, c in hits:
+            assert p >= 1_000_000 and c < 1_000_000  # bipartite orientation
+
+    def test_disjoint_probe_finds_nothing(self, spark):
+        from beis_orp_data_service_spark.catalog import load_table
+        from beis_orp_data_service_spark.operators import dedup as dd
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+            "doc_id", "text"
+        )
+        probes = spark.createDataFrame(
+            [(9_000_000, "zzzz qqqq xxxx completely unrelated glyph soup 12345")],
+            "doc_id long, text string",
+        )
+        out = dd.minhash_lsh_join_mllib(
+            docs, probes, "doc_id", "text", jaccard_distance_threshold=0.3
+        ).collect()
+        assert out == []
