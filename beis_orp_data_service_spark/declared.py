@@ -6079,6 +6079,20 @@ REGISTRY["lsh_index_compact_probe"] = QueryDef(
 
 
 @declared(
+    "wds_shards",
+    corpus_ops.wds_tar_shards_oracle_sql("documents", "doc_id", "text", n_shards=8),
+)
+def _wds_shards(spark, sf_dir):
+    # WebDataset-style tar shard export: the SQL-verifiable stats
+    # (shard assignment, member count, payload bytes, exact USTAR
+    # length arithmetic) are hash-checked; the tar container bytes are
+    # pinned by round-trip tests (tests/test_corpus.py::TestWdsShards).
+    return corpus_ops.wds_tar_shards(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n_shards=8
+    ).select("shard_id", "n_members", "payload_bytes", "tar_len")
+
+
+@declared(
     "temperature_mixture",
     corpus_ops.temperature_mixture_oracle_sql(
         "documents", "source", "doc_id", target_rows=200, alpha_pct=50,

@@ -2424,3 +2424,112 @@ def temperature_mixture_oracle_sql(
     FROM keyed k JOIN rates r ON k._src = r.{source_col}
     WHERE k._gate < r._rate_pm
     """
+
+
+# ---------------------------------------------------------------------------
+# WebDataset-style tar shard export
+# ---------------------------------------------------------------------------
+
+
+def wds_tar_shards(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shards: int = 8,
+) -> DataFrame:
+    """WebDataset-style export: pack each hash-assigned shard of the
+    corpus into ONE in-memory ``.tar`` blob (the sample-per-member
+    layout sequential trainers stream) — deterministic bytes: members
+    ordered by id, USTAR format, zeroed mtime/uid/gid, fixed mode, so
+    the same corpus yields bit-identical shards under any partitioning
+    (tested). Shard assignment is the module's replayable md5 per-mille
+    family (``md5_int60(id) % n_shards``).
+
+    One shuffle (groupBy shard); each shard materializes in its task —
+    size shards accordingly (the WebDataset convention is ~1 GB; at
+    100 TB that's ~100k shards, each a bounded single-task build).
+
+    The tar length is pure arithmetic over member sizes —
+    Σ(512 + ceil(size/512)·512) + 1024, padded to the 10240-byte
+    record — so the DECLARED stats (n_members, payload_bytes,
+    tar_len) are SQL-verifiable while the byte-level container is
+    pinned by round-trip tests. Returns (shard_id, n_members,
+    payload_bytes, tar_len, tar_bytes)."""
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id", ignore_index=True)
+        buf = io.BytesIO()
+        payload = 0
+        with tarfile.open(
+            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+        ) as tf:
+            for _id, text in zip(pdf["_id"], pdf["_text"]):
+                data = (text or "").encode("utf-8")
+                info = tarfile.TarInfo(name=f"{_id}.txt")
+                info.size = len(data)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                info.mode = 0o644
+                tf.addfile(info, io.BytesIO(data))
+                payload += len(data)
+        blob = buf.getvalue()
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["_shard"].iloc[0])],
+                "n_members": [len(pdf)],
+                "payload_bytes": [payload],
+                "tar_len": [len(blob)],
+                "tar_bytes": [blob],
+            }
+        )
+
+    keyed = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        (md5_int60(F.col(id_col).cast("string")) % n_shards).alias("_shard"),
+    )
+    return keyed.groupBy("_shard").applyInPandas(
+        _pack,
+        "shard_id bigint, n_members bigint, payload_bytes bigint, "
+        "tar_len bigint, tar_bytes binary",
+    )
+
+
+def wds_tar_shards_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n_shards: int = 8,
+) -> str:
+    """DuckDB twin of the SQL-verifiable HALF of :func:`wds_tar_shards`
+    (shard assignment + member counts + payload bytes + the USTAR
+    length arithmetic); the tar container bytes themselves are pinned
+    by round-trip tests, not SQL."""
+    hexfold = DUCK_MD5_HEXFOLD
+    return f"""
+    WITH keyed AS (
+      SELECT id, octet_length(encode(txt)) AS sz, {hexfold} % {n_shards} AS shard_id
+      FROM (SELECT {id_col} AS id, {text_col} AS txt,
+                   substr(md5(CAST({id_col} AS VARCHAR)), 1, 15) AS h
+            FROM {table})
+    ), per_shard AS (
+      SELECT shard_id,
+             COUNT(*) AS n_members,
+             SUM(sz) AS payload_bytes,
+             SUM(512 + ((sz + 511) // 512) * 512) AS member_blocks
+      FROM keyed GROUP BY shard_id
+    )
+    SELECT shard_id, n_members,
+           CAST(payload_bytes AS BIGINT) AS payload_bytes,
+           CAST((((member_blocks + 1024) + 10239) // 10240) * 10240 AS BIGINT)
+             AS tar_len
+    FROM per_shard
+    """

@@ -1308,3 +1308,61 @@ class TestTemperatureMixture:
             corpus_ops.temperature_mixture(df, "src", "id", 10, alpha_pct=75)
         with pytest.raises(ValueError, match="target_rows"):
             corpus_ops.temperature_mixture(df, "src", "id", 0)
+
+
+class TestWdsShards:
+    def test_tar_roundtrip_and_length_arithmetic(self, spark):
+        import io
+        import tarfile
+
+        from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+        rows = [(i, f"document body {i} " * (i % 7 + 1)) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = corpus_ops.wds_tar_shards(df, "doc_id", "text", n_shards=4).collect()
+        assert sum(r["n_members"] for r in out) == 50
+        texts = dict(rows)
+        for r in out:
+            assert r["tar_len"] == len(r["tar_bytes"])
+            # length arithmetic: per-member 512 header + padded payload,
+            # + 1024 end marker, padded to the 10240 record
+            with tarfile.open(fileobj=io.BytesIO(bytes(r["tar_bytes"]))) as tf:
+                members = tf.getmembers()
+                assert len(members) == r["n_members"]
+                blocks = sum(512 + ((m.size + 511) // 512) * 512 for m in members)
+                assert r["tar_len"] == ((blocks + 1024 + 10239) // 10240) * 10240
+                # members ordered by id; content round-trips exactly
+                names = [m.name for m in members]
+                assert names == sorted(names, key=lambda n: int(n[:-4]))
+                for m in members:
+                    got = tf.extractfile(m).read().decode("utf-8")
+                    assert got == texts[int(m.name[:-4])]
+                    assert m.mtime == 0 and m.uid == 0 and m.mode == 0o644
+
+    def test_bytes_partitioning_invariant(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+        rows = [(i, f"text {i}") for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = {
+            r["shard_id"]: bytes(r["tar_bytes"])
+            for r in corpus_ops.wds_tar_shards(
+                df.repartition(3), "doc_id", "text", n_shards=4
+            ).collect()
+        }
+        b = {
+            r["shard_id"]: bytes(r["tar_bytes"])
+            for r in corpus_ops.wds_tar_shards(
+                df.repartition(17), "doc_id", "text", n_shards=4
+            ).collect()
+        }
+        assert a == b  # bit-identical shards under any layout
+
+    def test_bad_shards(self, spark):
+        import pytest
+
+        from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="n_shards"):
+            corpus_ops.wds_tar_shards(df, "doc_id", "text", n_shards=0)
