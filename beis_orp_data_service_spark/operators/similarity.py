@@ -1754,27 +1754,28 @@ def knn_edges(
     nprobe: int = 4,
     seed: int = 7,
     n_rows: int | None = None,
+    block_size: int = 2048,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor edge list over ALL vectors —
     every vector is a query against the trained-IVF cell structure
     (image/embedding dedup pipelines build exactly this graph before
     clustering). Unlike :func:`ivf_kmeans_topk` (bounded broadcast
     query set), the query side here is the whole table, so the probe
-    is an equi-JOIN on the cell id — each vector meets only the
-    vectors in its nprobe probed cells; nothing meets outside a cell.
+    is a cell-keyed COGROUP — each vector meets only the vectors in
+    its nprobe probed cells; nothing meets outside a cell.
 
-    Kernel shape: each side runs ONE fused Arrow pass (cell
-    assignment + quantized self-norm — the probe side emits its
-    nprobe cell rows directly, no separate explode stage), the
-    equi-join carries the vectors, and the pair dot is ONE vectorized
-    Arrow kernel; the sim²·1000 ratio is then plain codegen over
-    (dot, na, nb). The interpreted higher-order dot (``dot_q``) is
-    deliberately NOT used here — fine over a bounded broadcast query
-    set, pathological over all-pairs-in-cell.
+    Kernel shape: each side runs ONE fused Arrow pass (cell assignment
+    via driver-trained Lloyd centroids + the probe side emitting its
+    nprobe cell rows directly), then ONE cogrouped per-cell Gram
+    kernel scores probers×members with tiled matmuls and emits each
+    prober's local top-k — every vector crosses Arrow once per side
+    (probers nprobe times), never once per PAIR, which is what a
+    join-then-score spelling would ship. Scoring is the
+    :func:`embedding_dup_pairs` integer convention (quantized ×100,
+    sign-aware cos²·1000 floor-div) — exact and overflow-safe.
 
-    Edges are kept when quantized sign-aware cos²·1000 ≥ threshold
-    (the :func:`embedding_dup_pairs` scoring), canonicalized a<b and
-    deduped. Recall < 1 (probed cells only) — planted-structure tested.
+    Edges kept at sim2_milli ≥ threshold, canonicalized a<b, deduped.
+    Recall < 1 (probed cells only) — planted-structure tested.
     Output (a_id, b_id, sim2_milli)."""
     import math
 
@@ -1785,8 +1786,7 @@ def knn_edges(
         n_centroids = max(4, min(65_536, math.isqrt(n)))
     # coarse quantizer: driver-side Lloyd's over the replayable
     # hash-gated sample (the ivfpq_train pattern) — int64 centroids in
-    # the same x1000-quantized scale the kernels score in, and no
-    # MLlib fit job on the critical path
+    # the kernels' quantized scale, no MLlib fit job
     sample_rows = 100_000
     samp = embeddings.select(id_col, vec_col)
     if n > sample_rows:
@@ -1796,27 +1796,25 @@ def knn_edges(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) < F.lit(num)
         )
     mat = np.stack(
-        [_quantize_np(r[vec_col], 1000) for r in samp.limit(sample_rows).collect()]
+        [_quantize_np(r[vec_col], 100) for r in samp.limit(sample_rows).collect()]
     )
     cents_q = _lloyd_int(mat, n_centroids, seed, max_iter=10)
 
-    def _side(nprobe_side: int, prefix: str):
+    def _side(nprobe_side: int):
         def _pass(it):
             for pdf in it:
                 if len(pdf) == 0:
                     continue
-                x = np.stack([_quantize_np(v, 1000) for v in pdf[vec_col]])
-                norms = (x * x).sum(axis=1)
+                x = np.stack([_quantize_np(v, 100) for v in pdf[vec_col]])
                 buckets = _probe_cells_int(x, cents_q, nprobe_side)  # [n, p]
                 frames = []
                 for j in range(nprobe_side):
                     frames.append(
                         pd.DataFrame(
                             {
-                                f"{prefix}_id": pdf[id_col].values,
-                                f"{prefix}vec": pdf[vec_col].values,
+                                "_id": pdf[id_col].values,
+                                "_vec": pdf[vec_col].values,
                                 "bucket": buckets[:, j],
-                                f"n{prefix}": norms,
                             }
                         )
                     )
@@ -1825,39 +1823,82 @@ def knn_edges(
         return _pass
 
     vec_t = embeddings.schema[vec_col].dataType.simpleString()
-    t = embeddings.select(id_col, vec_col).mapInPandas(
-        _side(1, "b"), f"b_id bigint, bvec {vec_t}, bucket bigint, nb bigint"
-    )
-    q = embeddings.select(id_col, vec_col).mapInPandas(
-        _side(nprobe, "a"), f"a_id bigint, avec {vec_t}, bucket bigint, na bigint"
-    )
+    schema = f"_id bigint, _vec {vec_t}, bucket bigint"
+    t = embeddings.select(id_col, vec_col).mapInPandas(_side(1), schema)
+    q = embeddings.select(id_col, vec_col).mapInPandas(_side(nprobe), schema)
 
-    @F.pandas_udf("bigint")
-    def dot_pd(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma = np.stack([_quantize_np(v, 1000) for v in a])
-        mb = np.stack([_quantize_np(v, 1000) for v in b])
-        return pd.Series((ma * mb).sum(axis=1))
+    def _score(members: pd.DataFrame, probers: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a_id": np.array([], dtype=np.int64),
+                "b_id": np.array([], dtype=np.int64),
+                "sim2_milli": np.array([], dtype=np.int64),
+            }
+        )
+        if len(members) == 0 or len(probers) == 0:
+            return empty
+        mids = members["_id"].to_numpy()
+        mx = np.stack([_quantize_np(v, 100) for v in members["_vec"]])
+        mn2 = (mx * mx).sum(axis=1)
+        outs = []
+        for p0 in range(0, len(probers), block_size):
+            pp = probers.iloc[p0 : p0 + block_size]
+            px = np.stack([_quantize_np(v, 100) for v in pp["_vec"]])
+            pids = pp["_id"].to_numpy()
+            pn2 = (px * px).sum(axis=1)
+            # per-prober best-k accumulated across member tiles
+            best: list[list[tuple[int, int, int]]] = [[] for _ in range(len(pp))]
+            for m0 in range(0, len(mids), block_size):
+                g = px @ mx[m0 : m0 + block_size].T
+                denom = pn2[:, None] * mn2[None, m0 : m0 + block_size]
+                ok = (g > 0) & (denom > 0)
+                sim2 = np.zeros_like(g)
+                sim2[ok] = (g[ok] * g[ok] * 1000) // denom[ok]
+                tile_ids = mids[m0 : m0 + block_size]
+                for r in range(sim2.shape[0]):
+                    row = sim2[r]
+                    keep = (row >= sim2_milli_threshold) & (tile_ids != pids[r])
+                    if not keep.any():
+                        continue
+                    cand_ids = tile_ids[keep]
+                    cand_sims = row[keep]
+                    order = np.lexsort((cand_ids, -cand_sims))[:k]
+                    best[r].extend(
+                        (int(cand_sims[o]), int(cand_ids[o]), 0) for o in order
+                    )
+            for r, cands in enumerate(best):
+                if not cands:
+                    continue
+                cands.sort(key=lambda t3: (-t3[0], t3[1]))
+                top = cands[:k]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "a_id": np.full(len(top), pids[r], dtype=np.int64),
+                            "b_id": np.array([c[1] for c in top], dtype=np.int64),
+                            "sim2_milli": np.array(
+                                [c[0] for c in top], dtype=np.int64
+                            ),
+                        }
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
-    pairs = (
-        t.join(q, "bucket")
-        .filter(F.col("a_id") != F.col("b_id"))
-        .withColumn("dot", dot_pd(F.col("avec"), F.col("bvec")))
+    scored = (
+        t.groupby("bucket")
+        .cogroup(q.groupby("bucket"))
+        .applyInPandas(
+            lambda m, p: _score(m, p),
+            "a_id bigint, b_id bigint, sim2_milli bigint",
+        )
     )
-    sim2 = F.when(
-        (F.col("dot") > 0) & (F.col("na") > 0) & (F.col("nb") > 0),
-        ((F.col("dot") * F.col("dot") * F.lit(1_000)) / (F.col("na") * F.col("nb")))
-        .cast("bigint"),
-    ).otherwise(F.lit(0).cast("bigint"))
+    # global per-source top-k across the nprobe probed cells (each cell
+    # contributed at most k local candidates per prober)
     w = Window.partitionBy("a_id").orderBy(
         F.col("sim2_milli").desc(), F.col("b_id").asc()
     )
-    ranked = (
-        pairs.select("a_id", "b_id", sim2.alias("sim2_milli"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(
-            (F.col("rank") <= k)
-            & (F.col("sim2_milli") >= sim2_milli_threshold)
-        )
+    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
     return (
         ranked.select(
