@@ -6079,6 +6079,69 @@ REGISTRY["lsh_index_compact_probe"] = QueryDef(
 
 
 @declared(
+    "scd_time_travel",
+    """
+    WITH b1 AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 0
+    ), allb AS (
+      SELECT event_id, user_id, ts FROM events
+    ), v0 AS (
+      SELECT event_id, user_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT) AS version,
+             count(*) OVER (PARTITION BY user_id) AS _n
+      FROM b1
+    ), v1 AS (
+      SELECT event_id, user_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT) AS version,
+             count(*) OVER (PARTITION BY user_id) AS _n
+      FROM allb
+    )
+    SELECT 'asof0' AS snapshot, event_id, user_id, version,
+           CASE WHEN version = _n THEN 'published' ELSE 'archive' END AS status
+    FROM v0
+    UNION ALL
+    SELECT 'latest' AS snapshot, event_id, user_id, version,
+           CASE WHEN version = _n THEN 'published' ELSE 'archive' END AS status
+    FROM v1
+    """,
+)
+def _scd_time_travel(spark, sf_dir):
+    # Time travel on the epoch/manifest SCD store (VERSION AS OF): two
+    # sequential commits into a retain_history store, then BOTH
+    # snapshots read back — asof commit 0 must equal the SCD of batch 1
+    # alone, the latest state the SCD of everything. The oracle
+    # recomputes both states straight from events; agreement proves the
+    # store's immutable-epoch + manifest protocol preserves history
+    # bit-exactly. Store rebuilt fresh each run (stable path, wiped).
+    import tempfile
+
+    from beis_orp_data_service_spark.sources import hadoop_fs as hfs
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_scd_tt_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    hfs.delete(spark, path, recursive=True)
+    sink = st_ops.ParquetScdSink(
+        spark, path, key_col="user_id", order_col="ts", id_col="event_id",
+        n_buckets=8, retain_history=True,
+    )
+    sink(events.where(F.col("event_id") % 2 == 0), 0)
+    sink(events.where(F.col("event_id") % 2 == 1), 1)
+    cols = ["event_id", "user_id", "version", "status"]
+    asof0 = st_ops.read_scd_store_asof(spark, path, 0).select(
+        F.lit("asof0").alias("snapshot"), *cols
+    )
+    latest = st_ops.read_scd_store(spark, path).select(
+        F.lit("latest").alias("snapshot"), *cols
+    )
+    return asof0.unionByName(latest)
+
+
+@declared(
     "wds_shards",
     corpus_ops.wds_tar_shards_oracle_sql("documents", "doc_id", "text", n_shards=8),
 )

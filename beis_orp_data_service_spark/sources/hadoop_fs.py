@@ -115,21 +115,24 @@ def write_new_versioned(
     suffix: str,
     version: int,
     data: bytes,
-    keep: int = 10,
+    keep: int | None = 10,
 ) -> None:
     """Commit ``data`` as version ``version``: temp write + atomic
     rename to the FRESH ``<prefix><020d-version><suffix>`` name (no
     delete-then-rename crash window — the previous version stays
     readable until the new one is committed). Afterwards best-effort
     GC: versions older than the newest ``keep`` are deleted — a crash
-    mid-GC leaves unreferenced garbage, never damage."""
-    if keep < 1:
+    mid-GC leaves unreferenced garbage, never damage. ``keep=None``
+    retains every version (time-travel stores)."""
+    if keep is not None and keep < 1:
         # keep=0 would make versions[:-keep] the EMPTY slice — a silent
         # GC no-op, the opposite of "retain nothing old"
         raise ValueError(f"keep must be >= 1: {keep}")
     mkdirs(spark, dir_path)
     name = f"{prefix}{version:020d}{suffix}"
     write_bytes_rename(spark, f"{dir_path}/{name}", data)
+    if keep is None:
+        return
     versions = sorted(
         v
         for n in list_names(spark, dir_path)

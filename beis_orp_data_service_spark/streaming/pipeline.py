@@ -131,6 +131,7 @@ class ParquetScdSink:
         order_col: str,
         id_col: str,
         n_buckets: int = 64,
+        retain_history: bool = False,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -138,6 +139,12 @@ class ParquetScdSink:
         self.order_col = order_col
         self.id_col = id_col
         self.n_buckets = n_buckets
+        # retain_history=True turns the store into a time-travel table:
+        # superseded bucket directories and old manifests are KEPT, so
+        # read_scd_store_asof() can reconstruct any committed snapshot
+        # (the Delta/Iceberg VERSION AS OF semantics; storage grows with
+        # history until compact_scd_store GCs it)
+        self.retain_history = retain_history
 
     # --- store metadata (Hadoop FS via sources.hadoop_fs: HDFS/S3A/local) --
 
@@ -171,7 +178,7 @@ class ParquetScdSink:
             ".json",
             commit_id,
             json.dumps({str(k): v for k, v in mapping.items()}).encode(),
-            keep=10,
+            keep=None if self.retain_history else 10,
         )
 
     def _store_df(self, mapping: dict[int, int]) -> DataFrame:
@@ -230,13 +237,16 @@ class ParquetScdSink:
             mapping[b] = commit_id
         self._commit_manifest(commit_id, mapping)
         # best-effort GC after the commit point: superseded bucket dirs
-        # are unreferenced now; a crash here leaves garbage, not damage
-        for b, old_epoch in superseded:
-            hfs.delete(
-                self.spark,
-                f"{self._data_root}/epoch={old_epoch}/{self.BUCKET}={b}",
-                recursive=True,
-            )
+        # are unreferenced now; a crash here leaves garbage, not damage.
+        # A time-travel store keeps them — older manifests still
+        # reference them for VERSION AS OF reads.
+        if not self.retain_history:
+            for b, old_epoch in superseded:
+                hfs.delete(
+                    self.spark,
+                    f"{self._data_root}/epoch={old_epoch}/{self.BUCKET}={b}",
+                    recursive=True,
+                )
 
 
 def read_scd_store(spark: SparkSession, path: str) -> DataFrame:
@@ -244,6 +254,31 @@ def read_scd_store(spark: SparkSession, path: str) -> DataFrame:
     latest committed manifest's buckets)."""
     sink = ParquetScdSink(spark, path, key_col="", order_col="", id_col="")
     _, mapping = sink._current_manifest()
+    return sink._store_df(mapping).drop(ParquetScdSink.BUCKET)
+
+
+def read_scd_store_asof(
+    spark: SparkSession, path: str, commit_id: int
+) -> DataFrame:
+    """Time travel: read the store exactly as committed at
+    ``commit_id`` (Delta/Iceberg ``VERSION AS OF``). Requires the
+    store to have been written with ``retain_history=True`` — the
+    named manifest AND every bucket directory it references must still
+    exist (the default store GCs both). Raises ``FileNotFoundError``
+    for an unknown or GC'd commit."""
+    import json as _json
+
+    manifest = f"{path.rstrip('/')}/_manifest/manifest-{commit_id:020d}.json"
+    if not hfs.exists(spark, manifest):
+        raise FileNotFoundError(
+            f"no committed manifest {commit_id} under {path} "
+            "(not yet committed, or GC'd — write with retain_history=True)"
+        )
+    mapping = {
+        int(k): int(v)
+        for k, v in _json.loads(hfs.read_bytes(spark, manifest).decode()).items()
+    }
+    sink = ParquetScdSink(spark, path, key_col="", order_col="", id_col="")
     return sink._store_df(mapping).drop(ParquetScdSink.BUCKET)
 
 
