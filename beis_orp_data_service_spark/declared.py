@@ -6142,6 +6142,78 @@ def _scd_time_travel(spark, sf_dir):
 
 
 @declared(
+    "scd_changes",
+    """
+    WITH b1 AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 0
+    ), allb AS (
+      SELECT event_id, user_id, ts FROM events
+    ), v0 AS (
+      SELECT event_id, user_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT) AS version,
+             count(*) OVER (PARTITION BY user_id) AS _n
+      FROM b1
+    ), v1 AS (
+      SELECT event_id, user_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT) AS version,
+             count(*) OVER (PARTITION BY user_id) AS _n
+      FROM allb
+    ), s0 AS (
+      SELECT event_id, version,
+             CASE WHEN version = _n THEN 'published' ELSE 'archive' END AS status
+      FROM v0
+    ), s1 AS (
+      SELECT event_id, version,
+             CASE WHEN version = _n THEN 'published' ELSE 'archive' END AS status
+      FROM v1
+    ), j AS (
+      SELECT COALESCE(s0.event_id, s1.event_id) AS id,
+             s0.version AS vo, s0.status AS so,
+             s1.version AS vn, s1.status AS sn
+      FROM s0 FULL OUTER JOIN s1 ON s0.event_id = s1.event_id
+    )
+    SELECT 'insert' AS change_type, id, vn AS version, sn AS status
+    FROM j WHERE vo IS NULL
+    UNION ALL
+    SELECT 'delete', id, vo, so FROM j WHERE vn IS NULL
+    UNION ALL
+    SELECT 'update_pre', id, vo, so
+    FROM j WHERE vo IS NOT NULL AND vn IS NOT NULL
+      AND (vo <> vn OR so <> sn)
+    UNION ALL
+    SELECT 'update_post', id, vn, sn
+    FROM j WHERE vo IS NOT NULL AND vn IS NOT NULL
+      AND (vo <> vn OR so <> sn)
+    """,
+)
+def _scd_changes(spark, sf_dir):
+    # Change data feed between two committed snapshots (Delta
+    # table_changes on the plain-parquet store): inserts from commit 1
+    # plus update_pre/update_post pairs where later arrivals restamped
+    # version/status. The oracle recomputes both SCD states from events
+    # and diffs them directly.
+    import tempfile
+
+    from beis_orp_data_service_spark.sources import hadoop_fs as hfs
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_scd_cdf_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    hfs.delete(spark, path, recursive=True)
+    sink = st_ops.ParquetScdSink(
+        spark, path, key_col="user_id", order_col="ts", id_col="event_id",
+        n_buckets=8, retain_history=True,
+    )
+    sink(events.where(F.col("event_id") % 2 == 0), 0)
+    sink(events.where(F.col("event_id") % 2 == 1), 1)
+    return st_ops.scd_store_changes(spark, path, 0, 1)
+
+
+@declared(
     "wds_shards",
     corpus_ops.wds_tar_shards_oracle_sql("documents", "doc_id", "text", n_shards=8),
 )

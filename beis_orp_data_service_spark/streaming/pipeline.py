@@ -787,3 +787,119 @@ def run_lsh_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def scd_store_changes(
+    spark: SparkSession,
+    path: str,
+    from_commit: int,
+    to_commit: int,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Change data feed between two committed snapshots (Delta
+    ``table_changes`` semantics on the plain-parquet store): diff the
+    ``from_commit`` and ``to_commit`` states row-by-row on ``id_col``
+    and type every difference — ``insert`` (only in the newer state),
+    ``delete`` (only in the older), ``update_pre``/``update_post``
+    (both present, any tracked column changed — SCD restamps version/
+    status as later arrivals land, so an unchanged stored row can
+    still change state).
+
+    Requires ``retain_history=True`` commits (both manifests must be
+    readable). One full-outer join keyed on id; each side is a
+    manifest-pruned store read. Output: (change_type, id, version,
+    status) with pre/post image rows for updates."""
+    old = read_scd_store_asof(spark, path, from_commit)
+    new = read_scd_store_asof(spark, path, to_commit)
+    o = old.select(
+        F.col(id_col).alias("id"),
+        F.col("version").alias("_vo"),
+        F.col("status").alias("_so"),
+    )
+    n = new.select(
+        F.col(id_col).alias("id"),
+        F.col("version").alias("_vn"),
+        F.col("status").alias("_sn"),
+    )
+    j = o.join(n, "id", "full_outer")
+    inserts = j.where(F.col("_vo").isNull()).select(
+        F.lit("insert").alias("change_type"),
+        "id",
+        F.col("_vn").alias("version"),
+        F.col("_sn").alias("status"),
+    )
+    deletes = j.where(F.col("_vn").isNull()).select(
+        F.lit("delete").alias("change_type"),
+        "id",
+        F.col("_vo").alias("version"),
+        F.col("_so").alias("status"),
+    )
+    changed = j.where(
+        F.col("_vo").isNotNull()
+        & F.col("_vn").isNotNull()
+        & (
+            (F.col("_vo") != F.col("_vn")) | (F.col("_so") != F.col("_sn"))
+        )
+    )
+    pre = changed.select(
+        F.lit("update_pre").alias("change_type"),
+        "id",
+        F.col("_vo").alias("version"),
+        F.col("_so").alias("status"),
+    )
+    post = changed.select(
+        F.lit("update_post").alias("change_type"),
+        "id",
+        F.col("_vn").alias("version"),
+        F.col("_sn").alias("status"),
+    )
+    return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+
+
+def scd_vacuum_history(
+    spark: SparkSession, path: str, keep_from: int
+) -> dict[str, int]:
+    """Reclaim time-travel storage: delete manifests OLDER than
+    ``keep_from`` and every bucket directory referenced by NO surviving
+    manifest — commits ≥ keep_from stay exactly readable, older
+    VERSION AS OF reads stop resolving (the Delta ``VACUUM`` contract).
+    Deletion order is safe-by-construction: manifests first (the
+    pointer disappears before its data), then unreferenced data — a
+    crash mid-vacuum leaves extra retained history, never a readable
+    manifest with missing buckets. Returns counts for observability
+    (no-silent-caps: the caller sees what was reclaimed)."""
+    import json as _json
+
+    mdir = f"{path.rstrip('/')}/_manifest"
+    droot = f"{path.rstrip('/')}/data"
+    versions = sorted(
+        int(n[len("manifest-") : -len(".json")])
+        for n in hfs.list_names(spark, mdir)
+        if n.startswith("manifest-") and n.endswith(".json")
+    )
+    if not versions or keep_from > versions[-1]:
+        raise ValueError(
+            f"keep_from={keep_from} would delete every manifest (have {versions})"
+        )
+    doomed = [v for v in versions if v < keep_from]
+    survivors = [v for v in versions if v >= keep_from]
+    for v in doomed:
+        hfs.delete(spark, f"{mdir}/manifest-{v:020d}.json")
+    referenced: set[tuple[int, int]] = set()
+    for v in survivors:
+        data = hfs.read_bytes(spark, f"{mdir}/manifest-{v:020d}.json")
+        for b, e in _json.loads(data.decode()).items():
+            referenced.add((int(e), int(b)))
+    n_dirs = 0
+    for epoch_name in hfs.list_names(spark, droot):
+        if not epoch_name.startswith("epoch="):
+            continue
+        e = int(epoch_name.split("=", 1)[1])
+        for bname in hfs.list_names(spark, f"{droot}/{epoch_name}"):
+            if not bname.startswith(f"{ParquetScdSink.BUCKET}="):
+                continue
+            b = int(bname.split("=", 1)[1])
+            if (e, b) not in referenced:
+                hfs.delete(spark, f"{droot}/{epoch_name}/{bname}", recursive=True)
+                n_dirs += 1
+    return {"manifests_deleted": len(doomed), "bucket_dirs_deleted": n_dirs}

@@ -680,3 +680,64 @@ class TestScdTimeTravel:
         sink(df, 0)
         with pytest.raises(FileNotFoundError, match="manifest 7"):
             st.read_scd_store_asof(spark, path, 7)
+
+
+class TestScdChangesAndVacuum:
+    def _store(self, spark, tmp_path, retain=True):
+        import pyspark.sql.functions as F
+
+        from beis_orp_data_service_spark.streaming import pipeline as st
+
+        rows = [
+            (1, "u1", "2024-01-01 10:00:00"),
+            (2, "u1", "2024-01-02 10:00:00"),
+            (3, "u2", "2024-01-01 10:00:00"),
+            (4, "u1", "2024-01-03 10:00:00"),
+            (5, "u3", "2024-01-04 10:00:00"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id string, ts string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        path = str(tmp_path / "cdf_store")
+        sink = st.ParquetScdSink(
+            spark, path, "user_id", "ts", "event_id", n_buckets=4,
+            retain_history=retain,
+        )
+        sink(df.where("event_id <= 3"), 0)
+        sink(df.where("event_id > 3"), 1)
+        return path
+
+    def test_change_feed_types(self, spark, tmp_path):
+        from beis_orp_data_service_spark.streaming import pipeline as st
+
+        path = self._store(spark, tmp_path)
+        changes = {
+            (r["change_type"], r["id"], r["version"], r["status"])
+            for r in st.scd_store_changes(spark, path, 0, 1).collect()
+        }
+        assert changes == {
+            ("insert", 4, 3, "published"),
+            ("insert", 5, 1, "published"),
+            # event 2 was u1's published head at commit 0; event 4 takes it
+            ("update_pre", 2, 2, "published"),
+            ("update_post", 2, 2, "archive"),
+        }
+
+    def test_vacuum_drops_old_keeps_new(self, spark, tmp_path):
+        import pytest
+
+        from beis_orp_data_service_spark.streaming import pipeline as st
+
+        path = self._store(spark, tmp_path)
+        latest_before = sorted(
+            map(tuple, st.read_scd_store(spark, path).collect())
+        )
+        stats = st.scd_vacuum_history(spark, path, keep_from=1)
+        assert stats["manifests_deleted"] == 1
+        with pytest.raises(FileNotFoundError):
+            st.read_scd_store_asof(spark, path, 0)
+        assert sorted(
+            map(tuple, st.read_scd_store_asof(spark, path, 1).collect())
+        ) == latest_before
+        with pytest.raises(ValueError, match="every manifest"):
+            st.scd_vacuum_history(spark, path, keep_from=99)
