@@ -6396,6 +6396,19 @@ def _hard_negatives(spark, sf_dir):
 
 
 @declared(
+    "search_suggest",
+    search_ops.suggest_index_oracle_sql("documents", "text", 2, 6, 5),
+)
+def _search_suggest(spark, sf_dir):
+    # Autocomplete index: per token-prefix top-5 completions by corpus
+    # frequency; the prefix fan-out runs on the VOCABULARY, not the
+    # corpus — index cost tracks distinct tokens.
+    return search_ops.suggest_index(
+        _t(spark, sf_dir, "documents"), "text", 2, 6, 5
+    )
+
+
+@declared(
     "mad_outliers",
     an_ops.mad_outliers_oracle_sql(
         "events", "event_type", "round(value * 100)", "event_id", n_mads=3

@@ -311,3 +311,95 @@ def phrase_match_oracle_sql(
     FROM starts
     WHERE list_slice(w, s, s + {n} - 1) = {lit}
     """
+
+
+def suggest_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_prefix: int = 2,
+    max_prefix: int = 6,
+    k: int = 5,
+) -> DataFrame:
+    """Autocomplete suggestion index: for every token prefix of length
+    ``min_prefix..max_prefix``, the top-k completions by corpus
+    frequency (ties to the lexicographically smaller token) — the
+    type-ahead surface a search API serves from a KV store.
+
+    Shape: tokenize → token frequency (map-side combined — the only
+    corpus-scale shuffle) → explode each DISTINCT token into its ≤
+    (max−min+1) prefixes → per-prefix top-k window. The prefix fan-out
+    runs on the VOCABULARY, not the corpus, so index cost tracks
+    distinct tokens. Serve-side this table is broadcast/KV-loaded;
+    at 100 TB only the vocabulary stage grows.
+
+    Output (prefix, token, freq, rank)."""
+    if not (1 <= min_prefix <= max_prefix):
+        raise ValueError(
+            f"need 1 <= min_prefix <= max_prefix, got {min_prefix}, {max_prefix}"
+        )
+    toks = docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("token")
+    ).filter(F.col("token") != "")
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    prefixes = (
+        freq.where(F.length("token") >= min_prefix)  # before explode: a
+        # shorter token would make sequence(min, len) DESCEND
+        .select(
+            "token",
+            "freq",
+            F.explode(
+                F.sequence(
+                    F.lit(min_prefix),
+                    F.least(F.length("token"), F.lit(max_prefix)),
+                )
+            ).alias("_plen"),
+        )
+        .select(
+            F.col("token").substr(F.lit(1), F.col("_plen")).alias("prefix"),
+            "token",
+            "freq",
+        )
+    )
+    w = Window.partitionBy("prefix").orderBy(
+        F.col("freq").desc(), F.col("token").asc()
+    )
+    return (
+        prefixes.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("prefix", "token", "freq", "rank")
+    )
+
+
+def suggest_index_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    min_prefix: int = 2,
+    max_prefix: int = 6,
+    k: int = 5,
+) -> str:
+    """DuckDB twin — same tokenization, frequency, prefix fan-out and
+    tiebreak."""
+    return f"""
+    WITH t AS (
+      SELECT unnest(list_filter(
+               string_split_regex(trim(lower({text_col})), '\\s+'),
+               x -> x <> '')) AS token
+      FROM {table}
+    ), freq AS (
+      SELECT token, COUNT(*) AS freq FROM t GROUP BY token
+    ), pre AS (
+      SELECT substr(token, 1, p) AS prefix, token, freq
+      FROM freq
+      CROSS JOIN (SELECT unnest(range({min_prefix}, {max_prefix} + 1)) AS p) ps
+      WHERE len(token) >= p
+    ), ranked AS (
+      SELECT prefix, token, freq,
+             CAST(row_number() OVER (PARTITION BY prefix
+                                     ORDER BY freq DESC, token ASC) AS BIGINT)
+               AS rank
+      FROM pre
+    )
+    SELECT prefix, token, freq, rank FROM ranked WHERE rank <= {k}
+    """

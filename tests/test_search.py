@@ -231,3 +231,47 @@ class TestPhraseMatch:
         assert out == {(1, 0), (1, 2)}
         with pytest.raises(ValueError, match="phrase"):
             so.phrase_match(docs, "   ")
+
+
+class TestSuggestIndex:
+    def test_prefixes_ranked_by_frequency(self, spark):
+        from beis_orp_data_service_spark.operators import search as so
+
+        docs = spark.createDataFrame(
+            [
+                (1, "scan scan scan scale scale scatter"),
+                (2, "scan table scale"),
+            ],
+            "doc_id long, text string",
+        )
+        out = so.suggest_index(docs, "text", min_prefix=2, max_prefix=4, k=2)
+        rows = {(r["prefix"], r["rank"]): (r["token"], r["freq"]) for r in out.collect()}
+        # 'sc' prefix: scan(4) > scale(3) > scatter(1); k=2 keeps two
+        assert rows[("sc", 1)] == ("scan", 4)
+        assert rows[("sc", 2)] == ("scale", 3)
+        assert ("sc", 3) not in rows
+        # full-length prefix capped at max_prefix=4
+        assert ("scan", 1) in rows and ("scatt", 1) not in rows
+        # no prefix shorter than min
+        assert all(len(p) >= 2 for p, _ in rows)
+
+    def test_tie_breaks_lexicographic(self, spark):
+        from beis_orp_data_service_spark.operators import search as so
+
+        docs = spark.createDataFrame(
+            [(1, "alpha alps")], "doc_id long, text string"
+        )
+        out = {
+            (r["prefix"], r["rank"]): r["token"]
+            for r in so.suggest_index(docs, "text", 2, 4, 5).collect()
+        }
+        assert out[("al", 1)] == "alpha" and out[("al", 2)] == "alps"
+
+    def test_bad_bounds(self, spark):
+        import pytest
+
+        from beis_orp_data_service_spark.operators import search as so
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="min_prefix"):
+            so.suggest_index(docs, "text", 5, 2)
