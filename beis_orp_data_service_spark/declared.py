@@ -6449,6 +6449,23 @@ def _heavy_hitters(spark, sf_dir):
     return corpus_ops.heavy_hitters(_t(spark, sf_dir, "documents"), k=50)
 
 
+def _pq_opq(spark, sf_dir):
+    # FAISS index-factory pre-transform chain (PCAR,PQ4x16): PCA
+    # rotation trained on the replayable sample, applied as one Arrow
+    # pass, trained PQ over the ROTATED table. Rows-only (eigh floats);
+    # the rotation-reduces-reconstruction-error claim is asserted on
+    # correlated data in tests/test_similarity.py::TestPcaRotation.
+    emb = _t(spark, sf_dir, "embeddings")
+    n = _n_rows(spark, sf_dir, "embeddings")
+    r = sim.pca_rotation(emb, n_rows=n)
+    rot = sim.rotate_embeddings(emb, r)
+    cb = sim.pq_codebook_trained(rot, m=4, k=16, n_rows=n)
+    return sim.pq_codes(rot, m=4, k=16, codebook=cb)
+
+
+REGISTRY["pq_opq"] = QueryDef(_pq_opq, None, min_rows=400)
+
+
 def _decontaminate_fuzzy(spark, sf_dir):
     # Fuzzy benchmark-leakage screen: perturbed copies of every
     # doc_id%100==0 doc (a stand-in benchmark set) probed against the

@@ -2062,3 +2062,100 @@ def ivfpq_index_probe(
         codebook=cb,
         codes=codes,
     )
+
+
+def pca_rotation(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    sample_rows: int = 100_000,
+    n_rows: int | None = None,
+) -> np.ndarray:
+    """Train the OPQ-parametric rotation (Ge et al. 2013 §4): PCA onto
+    the principal axes PLUS eigenvalue allocation — principal axes are
+    dealt greedily to the ``m`` product-quantizer subspaces so each
+    subspace carries a balanced share of the variance (each new axis
+    goes to the non-full subspace with the smallest eigenvalue product).
+    Raw PCA alone CONCENTRATES variance into the first subspace and
+    makes PQ strictly worse — the balancing is the point (and what
+    FAISS's ``OPQ`` pre-transform approximates iteratively).
+
+    Driver-side over the bounded replayable hash-gated sample:
+    covariance → ``eigh`` → allocation → sign-normalized columns
+    (largest-|component| positive) so the result is deterministic up
+    to BLAS. Returns the orthonormal [d, d] float64 rotation R
+    (apply as x @ R; subspace s = output dims [s·d/m, (s+1)·d/m))."""
+    import math
+
+    n = n_rows if n_rows is not None else embeddings.count()
+    samp = embeddings.select(id_col, vec_col)
+    if n > sample_rows:
+        denom = 1_000_003
+        num = max(1, int(denom * sample_rows / n))
+        samp = samp.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) < F.lit(num)
+        )
+    rows = samp.limit(sample_rows).collect()
+    if len(rows) < 2:
+        raise ValueError(f"need at least 2 sample rows, got {len(rows)}")
+    x = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    xc = x - x.mean(axis=0)
+    cov = (xc.T @ xc) / (len(x) - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    # eigenvalue allocation: deal axes (descending eigenvalue) to the
+    # non-full subspace with the smallest log-eigenvalue sum
+    slots: list[list[int]] = [[] for _ in range(m)]
+    logsum = [0.0] * m
+    eps = max(float(evals[0]), 1.0) * 1e-12
+    for i in range(d):
+        cands = [s for s in range(m) if len(slots[s]) < dsub]
+        s = min(cands, key=lambda c: (logsum[c], c))
+        slots[s].append(i)
+        logsum[s] += math.log(max(float(evals[i]), eps))
+    perm = [i for s in range(m) for i in slots[s]]
+    r = evecs[:, perm]
+    # deterministic sign: the largest-|component| of each axis positive
+    flip = np.sign(r[np.abs(r).argmax(axis=0), np.arange(r.shape[1])])
+    flip[flip == 0] = 1.0
+    return r * flip[None, :]
+
+
+def rotate_embeddings(
+    embeddings: DataFrame,
+    rotation: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply a trained rotation as ONE map-only Arrow pass — the
+    pre-transform stage in a FAISS-style index factory chain
+    (``PCAR,PQmx…``): downstream quantizers (:func:`pq_codes`,
+    :func:`sq8_codes`, :func:`ivfpq_encode`) consume the rotated table
+    unchanged. Rotation rides the kernel closure (d² floats).
+    Output (id, rotated vec)."""
+    import pandas as pd
+
+    r = rotation.astype(np.float64)
+
+    def _rot(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=[id_col, vec_col])
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            out = x @ r
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, vec_col: list(out)}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        _rot, f"{id_col} bigint, {vec_col} array<double>"
+    )

@@ -49,7 +49,10 @@ ALLOW_ARROW = {"ann_ivf_kmeans": 2, "ann_ivf_topk": 2, "ann_topk": 2, "ann_index
                # IVF-PQ lifecycle: ONE encode pass chained into ONE
                # probed-cell ADC scoring pass (same two-kernel chain as
                # pq_adc_trained, plus the bucket IN (probed) filter).
-               "ann_ivfpq": 2}
+               "ann_ivfpq": 2,
+               # OPQ chain: ONE rotation pass into ONE PQ encode pass —
+               # every row visits each kernel exactly once.
+               "pq_opq": 2}
 
 RED_FLAGS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
 

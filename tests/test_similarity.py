@@ -890,3 +890,76 @@ class TestIvfPqIndex:
         sim.ivfpq_index_write(spark, emb, path, n_centroids=8, m=4, k=8, n_rows=500)
         with pytest.raises(ValueError, match="queries"):
             sim.ivfpq_index_probe(spark, path, emb.filter("vec_id < 0"))
+
+
+class TestPcaRotation:
+    def test_rotation_orthonormal_and_deterministic(self, spark):
+        import numpy as np
+
+        from beis_orp_data_service_spark.catalog import load_table
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        r1 = sim.pca_rotation(emb, n_rows=500)
+        r2 = sim.pca_rotation(emb, n_rows=500)
+        assert r1.shape == (64, 64)
+        assert np.allclose(r1 @ r1.T, np.eye(64), atol=1e-9)
+        assert (r1 == r2).all()
+
+    def test_rotate_preserves_norms_and_dots(self, spark):
+        import numpy as np
+
+        from beis_orp_data_service_spark.catalog import load_table
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        r = sim.pca_rotation(emb, n_rows=500)
+        orig = {x["vec_id"]: np.array(x["embedding"]) for x in emb.collect()}
+        rot = {
+            x["vec_id"]: np.array(x["embedding"])
+            for x in sim.rotate_embeddings(emb, r).collect()
+        }
+        assert set(rot) == set(orig)
+        for vid in list(orig)[:20]:
+            assert abs(
+                np.linalg.norm(rot[vid]) - np.linalg.norm(orig[vid])
+            ) < 1e-9
+
+    def test_rotation_cuts_pq_error_on_correlated_data(self, spark):
+        import numpy as np
+
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        # strongly correlated 8-dim data: two latent factors mixed across
+        # all dims — exactly where subspace decorrelation pays
+        rng = np.random.default_rng(5)
+        z = rng.normal(size=(600, 2))
+        mix = rng.normal(size=(2, 8))
+        x = z @ mix + 0.01 * rng.normal(size=(600, 8))
+        df = spark.createDataFrame(
+            [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+            "vec_id long, embedding array<double>",
+        )
+        cb_plain = sim.pq_codebook_trained(df, m=4, k=8, n_rows=600)
+        err_plain = sum(
+            r["recon_err"]
+            for r in sim.pq_codes(df, m=4, k=8, codebook=cb_plain).collect()
+        )
+        rot = sim.rotate_embeddings(df, sim.pca_rotation(df, n_rows=600))
+        cb_rot = sim.pq_codebook_trained(rot, m=4, k=8, n_rows=600)
+        err_rot = sum(
+            r["recon_err"]
+            for r in sim.pq_codes(rot, m=4, k=8, codebook=cb_rot).collect()
+        )
+        assert err_rot < err_plain, (err_rot, err_plain)
+
+    def test_too_few_rows_raise(self, spark):
+        import pytest
+
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        df = spark.createDataFrame(
+            [(1, [0.0] * 4)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="sample rows"):
+            sim.pca_rotation(df, n_rows=1)
