@@ -71,7 +71,11 @@ ALLOW_BNLJ = {
     "q_tpch11",      # 1-row scalar-aggregate subquery (HAVING threshold)
     "bm25_topk",     # 1-row corpus-stats aggregate crossJoined (broadcast)
     "search_rerank", # same bm25 1-row stats broadcast inside the candidate stage
-    "chi2_lang_source",  # |A|x|B| marginal cross join (bounded by category counts)
+    # |A|x|B| marginal cross join. CARDINALITY ASSUMPTION: both sides are
+    # CATEGORY marginals (langs x sources, ~10x20 here); reusing this
+    # exemption for a high-cardinality pair (users, documents, ...) is
+    # wrong — such a contingency table needs an equi-join on cell keys.
+    "chi2_lang_source",
     "top_terms_by_source",  # 1-row average-tokens-per-group aggregate crossJoined
     "lm_perplexity", # 1-row vocab-size aggregate crossJoined (broadcast)
     "token_kl",      # 1-row corpus-total aggregate crossJoined (broadcast)
