@@ -6345,6 +6345,24 @@ def _group_cap_sample(spark, sf_dir):
 
 
 @declared(
+    "quantile_sketch_grouped",
+    corpus_ops.quantile_sketch_grouped_oracle_sql(
+        "events", "event_type", "round(value * 100)", "event_id", k=64
+    ),
+)
+def _quantile_sketch_grouped(spark, sf_dir):
+    # Per-group bottom-k sketch: |groups|·k mergeable sample rows, one
+    # group-keyed shuffle — the per-slice quantile-monitoring tier.
+    return corpus_ops.quantile_sketch_grouped(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        F.round(F.col("value") * 100),
+        "event_id",
+        k=64,
+    )
+
+
+@declared(
     "quantile_sketch",
     corpus_ops.quantile_sketch_oracle_sql(
         "events", "round(value * 100)", "event_id", k=256

@@ -2533,3 +2533,62 @@ def wds_tar_shards_oracle_sql(
              AS tar_len
     FROM per_shard
     """
+
+
+def quantile_sketch_grouped(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    id_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group bottom-k quantile sketch — the grouped sibling of
+    :func:`quantile_sketch` (as :func:`hll_registers_by_group` is to
+    the solo HLL): each group keeps its k smallest md5 keys, a
+    mergeable uniform per-group sample for rank/quantile estimates,
+    ≤ |groups|·k rows total. One shuffle on the group key; the window
+    keeps k per group (group-partitioned — no global sort).
+    Output (grp, id, value, hkey)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    keyed = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        v.cast("bigint").alias("value"),
+        md5_int60(F.col(id_col).cast("string")).alias("hkey"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("hkey").asc(), F.col("id").asc())
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def quantile_sketch_grouped_oracle_sql(
+    table: str,
+    group_col: str,
+    value_expr: str,
+    id_col: str,
+    k: int = 64,
+) -> str:
+    """DuckDB twin — same md5 order, same per-group row_number cut."""
+    hexfold = DUCK_MD5_HEXFOLD
+    return f"""
+    WITH keyed AS (
+      SELECT grp, id, value, {hexfold} AS hkey
+      FROM (SELECT {group_col} AS grp, {id_col} AS id,
+                   CAST({value_expr} AS BIGINT) AS value,
+                   substr(md5(CAST({id_col} AS VARCHAR)), 1, 15) AS h
+            FROM {table})
+    ), ranked AS (
+      SELECT grp, id, value, hkey,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY hkey ASC, id ASC) AS _rn
+      FROM keyed
+    )
+    SELECT grp, id, value, hkey FROM ranked WHERE _rn <= {k}
+    """

@@ -1366,3 +1366,31 @@ class TestWdsShards:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError, match="n_shards"):
             corpus_ops.wds_tar_shards(df, "doc_id", "text", n_shards=0)
+
+
+class TestQuantileSketchGrouped:
+    def test_per_group_k_and_merge_property(self, spark):
+        import pyspark.sql.functions as F
+
+        from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+        rows = [(i, f"g{i % 3}", i % 500) for i in range(3000)]
+        df = spark.createDataFrame(rows, "id long, grp string, v long")
+        sk = corpus_ops.quantile_sketch_grouped(df, "grp", "v", "id", k=32)
+        sizes = {r["grp"]: r["n"] for r in sk.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+        assert sizes == {"g0": 32, "g1": 32, "g2": 32}
+        # per-group rows equal the solo sketch run on that group alone
+        solo = corpus_ops.quantile_sketch(
+            df.filter("grp = 'g1'").select("id", "v"), "v", "id", k=32
+        ).collect()
+        grp1 = sk.filter("grp = 'g1'").select("id", "value", "hkey").collect()
+        assert sorted(map(tuple, solo)) == sorted(map(tuple, grp1))
+
+    def test_bad_k(self, spark):
+        import pytest
+
+        from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+        df = spark.createDataFrame([(1, "g", 1)], "id long, grp string, v long")
+        with pytest.raises(ValueError, match="k must be"):
+            corpus_ops.quantile_sketch_grouped(df, "grp", "v", "id", k=0)
