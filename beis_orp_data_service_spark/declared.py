@@ -6249,6 +6249,19 @@ def _temperature_mixture(spark, sf_dir):
 
 
 @declared(
+    "bootstrap_ci",
+    an_ops.bootstrap_means_oracle_sql("events", "value", "event_id", 32),
+)
+def _bootstrap_ci(spark, sf_dir):
+    # Poisson bootstrap (Chamandy et al. 2012): 32 deterministic
+    # hash-weighted replicates in ONE scan + one aggregate — the
+    # massive-data CI machinery, replayable and hash-grade.
+    return an_ops.bootstrap_means(
+        _t(spark, sf_dir, "events"), "value", "event_id", 32
+    )
+
+
+@declared(
     "winsorize",
     an_ops.winsorize_oracle_sql(
         "events", "event_type", "round(value * 100)", "event_id",

@@ -1052,3 +1052,100 @@ def winsorize_oracle_sql(
            GREATEST(d.lo, LEAST(d.hi, b.value)) AS clipped
     FROM base b JOIN bounds d USING (grp)
     """
+
+
+# Poisson(1) inverse-CDF thresholds on a 10^6 grid (k = number of
+# thresholds the uniform draw clears). Shared verbatim with the oracle.
+_POISSON1_THRESHOLDS = (
+    367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990
+)
+
+
+def bootstrap_means(
+    df: DataFrame,
+    value_col,
+    id_col: str,
+    n_replicates: int = 32,
+) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al. 2012, "Estimating uncertainty
+    for massive data streams" — Google's large-scale bootstrap): each
+    row enters replicate r with weight ~ Poisson(1), approximating the
+    multinomial resample without coordination, so the whole bootstrap
+    is ONE scan + one aggregate whatever the data size. Weights are
+    DETERMINISTIC — an md5-derived uniform per (replicate, row) pushed
+    through the Poisson(1) inverse CDF on a 10^6 grid — so replicates
+    are replayable, partitioning-invariant, and hash-checkable
+    cross-engine (an RNG bootstrap is none of those).
+
+    Values quantize to micro-ints before the weighted sum (order-free
+    integer addition); each replicate's mean is ONE IEEE division,
+    micro-rounded. Output (replicate, n_eff, mean_micro) — feed the
+    replicate spread into any CI rule driver-side (B rows)."""
+    if n_replicates < 1:
+        raise ValueError(f"n_replicates must be >= 1, got {n_replicates}")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    from beis_orp_data_service_spark.operators.corpus import md5_int60
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.round(v.cast("double") * 1_000_000).cast("bigint").alias("q"),
+    )
+    rep = base.select(
+        "id", "q", F.explode(F.sequence(F.lit(1), F.lit(n_replicates))).alias("r")
+    )
+    u = md5_int60(
+        F.concat(F.col("r").cast("string"), F.lit(":"), F.col("id").cast("string"))
+    ) % 1_000_000
+    w = sum(
+        (u >= F.lit(t)).cast("bigint") for t in _POISSON1_THRESHOLDS
+    )
+    return (
+        rep.select("r", "q", w.alias("w"))
+        .groupBy("r")
+        .agg(
+            F.sum("w").cast("bigint").alias("n_eff"),
+            F.round(
+                F.sum(F.col("w") * F.col("q")).cast("double") / F.sum("w")
+            )
+            .cast("bigint")
+            .alias("mean_micro"),
+        )
+        .select(F.col("r").cast("bigint").alias("replicate"), "n_eff", "mean_micro")
+    )
+
+
+def bootstrap_means_oracle_sql(
+    table: str,
+    value_expr: str,
+    id_col: str,
+    n_replicates: int = 32,
+) -> str:
+    """DuckDB twin — same md5 uniform, same inverse-CDF thresholds,
+    same quantize-then-sum arithmetic."""
+    from beis_orp_data_service_spark.operators.corpus import DUCK_MD5_HEXFOLD
+
+    th = " + ".join(
+        f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in _POISSON1_THRESHOLDS
+    )
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS id,
+             CAST(round(CAST({value_expr} AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM {table}
+    ), rep AS (
+      SELECT id, q, unnest(range(1, {n_replicates} + 1)) AS r FROM base
+    ), keyed AS (
+      SELECT r, q, {DUCK_MD5_HEXFOLD} % 1000000 AS u
+      FROM (SELECT r, q,
+                   substr(md5(CAST(r AS VARCHAR) || ':' || CAST(id AS VARCHAR)),
+                          1, 15) AS h
+            FROM rep)
+    ), weighted AS (
+      SELECT r, q, ({th}) AS w FROM keyed
+    )
+    SELECT CAST(r AS BIGINT) AS replicate,
+           CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(round(CAST(SUM(w * q) AS DOUBLE) / SUM(w)) AS BIGINT)
+             AS mean_micro
+    FROM weighted GROUP BY r
+    """

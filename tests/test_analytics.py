@@ -582,3 +582,39 @@ class TestWinsorize:
         df = spark.createDataFrame([("g", 1, 1)], "g string, id long, v long")
         with pytest.raises(ValueError, match="lo_pct"):
             an.winsorize(df, "g", "v", "id", 95, 5)
+
+
+class TestBootstrapMeans:
+    def test_replicates_cluster_around_true_mean(self, spark):
+        from beis_orp_data_service_spark.operators import analytics as an
+
+        rows = [(i, float(100 + (i % 21) - 10)) for i in range(2000)]  # mean 100
+        df = spark.createDataFrame(rows, "id long, v double")
+        out = an.bootstrap_means(df, "v", "id", n_replicates=16).collect()
+        assert len(out) == 16
+        means = [r["mean_micro"] / 1e6 for r in out]
+        # Poisson bootstrap: replicate means scatter ~ sd/sqrt(n) around
+        # the sample mean; sd ~ 6, n ~ 2000 -> sigma ~ 0.14
+        assert all(abs(m - 100) < 1.0 for m in means)
+        assert len(set(r["mean_micro"] for r in out)) > 1  # replicates differ
+        # effective n per replicate ~ Poisson-thinned full n
+        for r in out:
+            assert 1700 < r["n_eff"] < 2300
+
+    def test_deterministic_and_partitioning_invariant(self, spark):
+        from beis_orp_data_service_spark.operators import analytics as an
+
+        rows = [(i, float(i % 7)) for i in range(500)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        a = sorted(map(tuple, an.bootstrap_means(df.repartition(3), "v", "id", 8).collect()))
+        b = sorted(map(tuple, an.bootstrap_means(df.repartition(11), "v", "id", 8).collect()))
+        assert a == b
+
+    def test_bad_replicates(self, spark):
+        import pytest
+
+        from beis_orp_data_service_spark.operators import analytics as an
+
+        df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+        with pytest.raises(ValueError, match="n_replicates"):
+            an.bootstrap_means(df, "v", "id", 0)
