@@ -128,3 +128,68 @@ def test_probe_media_header_roundtrip_dims(w, h):
         assert mm.probe_media_header(jpeg) == {
             "container": "jpeg", "width": w, "height": h,
         }
+
+
+def test_phrase_match_equals_python_reference_on_random_batch(spark):
+    # one Spark job over a pseudo-random token corpus, every doc checked
+    # against a pure-Python sliding-window reference
+    import random
+
+    from beis_orp_data_service_spark.operators import search as so
+
+    rnd = random.Random(17)
+    vocab = ["aa", "bb", "cc", "dd"]
+    rows = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(0, 25))))
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for phrase in ("aa bb", "bb bb", "aa bb aa", "cc"):
+        got = {
+            (r["doc_id"], r["start"])
+            for r in so.phrase_match(docs, phrase).collect()
+        }
+        terms = phrase.split()
+        want = set()
+        for i, text in rows:
+            toks = text.lower().split()
+            for s in range(len(toks) - len(terms) + 1):
+                if toks[s : s + len(terms)] == terms:
+                    want.add((i, s))
+        assert got == want, phrase
+
+
+def test_heavy_hitters_equals_exact_on_random_zipf_batch(spark):
+    # zipf-ish random corpus: two-pass MG output must equal the naive
+    # exact groupBy for several k, at a counter budget far below vocab
+    import random
+
+    import pyspark.sql.functions as F
+
+    from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+    rnd = random.Random(23)
+    vocab = [f"w{i}" for i in range(400)]
+    weights = [1.0 / (i + 1) for i in range(400)]
+    rows = [
+        (i, " ".join(rnd.choices(vocab, weights=weights, k=30)))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t")
+    ).filter(F.col("t") != "")
+    n = toks.count()
+    freqs = {
+        r["t"]: r["c"]
+        for r in toks.groupBy("t").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    for k, counters in ((20, 64), (60, 64), (150, None)):
+        got = {
+            (r["token"], r["freq"])
+            for r in corpus_ops.heavy_hitters(
+                docs, k=k, counters=counters
+            ).collect()
+        }
+        want = {(t, c) for t, c in freqs.items() if c * k > n}
+        assert got == want, k
