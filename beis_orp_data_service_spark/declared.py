@@ -6249,6 +6249,27 @@ def _temperature_mixture(spark, sf_dir):
 
 
 @declared(
+    "ks_drift",
+    an_ops.ks_statistic_oracle_sql(
+        "events", "event_type", "round(value * 100)", "event_id",
+        "click", "view",
+    ),
+)
+def _ks_drift(spark, sf_dir):
+    # Exact two-sample Kolmogorov-Smirnov drift statistic: integer
+    # rational D over the distinct-value grid (window bounded by value
+    # cardinality, not rows) — hash-grade where float ECDFs are not.
+    return an_ops.ks_statistic(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        F.round(F.col("value") * 100),
+        "event_id",
+        "click",
+        "view",
+    )
+
+
+@declared(
     "bootstrap_ci",
     an_ops.bootstrap_means_oracle_sql("events", "value", "event_id", 32),
 )

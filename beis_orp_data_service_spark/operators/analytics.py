@@ -1149,3 +1149,105 @@ def bootstrap_means_oracle_sql(
              AS mean_micro
     FROM weighted GROUP BY r
     """
+
+
+def ks_statistic(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    id_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic — the standard
+    distribution-drift test (train/serve skew, A/B sanity) at corpus
+    scale. D = max_x |ECDF_a(x) − ECDF_b(x)| evaluated EXACTLY in
+    integer arithmetic: at each distinct value, the running counts
+    give |cum_a·n_b − cum_b·n_a| and D = max of that over n_a·n_b —
+    no float ECDFs, so the result hash-matches any engine.
+
+    Shape: filter to the two groups, count per (group, value) — the
+    only corpus-scale shuffle, map-side combined — then ONE ordered
+    window over the DISTINCT-value table (bounded by value
+    cardinality, not rows; same caveat class as group_quantiles for
+    pathological all-distinct columns). Output one row:
+    (n_a, n_b, d_num, d_den, d_milli) with d_num/d_den the exact
+    rational and d_milli = 1000·d_num DIV d_den."""
+    from pyspark.sql import Window
+
+    if group_a == group_b:
+        raise ValueError("group_a and group_b must differ")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    base = df.select(
+        F.col(group_col).alias("grp"), v.cast("bigint").alias("value")
+    ).where(F.col("grp").isin([group_a, group_b]))
+    per_val = base.groupBy("value").agg(
+        F.sum(F.when(F.col("grp") == group_a, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("grp") == group_b, 1).otherwise(0)).alias("cb"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_val.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    totals = base.groupBy().agg(
+        F.sum(F.when(F.col("grp") == group_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("grp") == group_b, 1).otherwise(0)).alias("n_b"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.max(
+                F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+            ).alias("d_num")
+        )
+        .select(
+            F.col("n_a").cast("bigint"),
+            F.col("n_b").cast("bigint"),
+            F.col("d_num").cast("bigint"),
+            (F.col("n_a") * F.col("n_b")).cast("bigint").alias("d_den"),
+            F.expr("1000 * d_num DIV (n_a * n_b)").alias("d_milli"),
+        )
+    )
+
+
+def ks_statistic_oracle_sql(
+    table: str,
+    group_col: str,
+    value_expr: str,
+    id_col: str,
+    group_a: str,
+    group_b: str,
+) -> str:
+    """DuckDB twin — same per-value counts, running sums, and exact
+    rational maximum."""
+    return f"""
+    WITH base AS (
+      SELECT {group_col} AS grp, CAST({value_expr} AS BIGINT) AS value
+      FROM {table}
+      WHERE {group_col} IN ('{group_a}', '{group_b}')
+    ), per_val AS (
+      SELECT value,
+             SUM(CASE WHEN grp = '{group_a}' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN grp = '{group_b}' THEN 1 ELSE 0 END) AS cb
+      FROM base GROUP BY value
+    ), cum AS (
+      SELECT SUM(ca) OVER (ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) AS cum_a,
+             SUM(cb) OVER (ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) AS cum_b
+      FROM per_val
+    ), totals AS (
+      SELECT SUM(CASE WHEN grp = '{group_a}' THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN grp = '{group_b}' THEN 1 ELSE 0 END) AS n_b
+      FROM base
+    )
+    SELECT CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
+           CAST(MAX(ABS(c.cum_a * t.n_b - c.cum_b * t.n_a)) AS BIGINT) AS d_num,
+           CAST(t.n_a * t.n_b AS BIGINT) AS d_den,
+           CAST(1000 * MAX(ABS(c.cum_a * t.n_b - c.cum_b * t.n_a))
+                // (t.n_a * t.n_b) AS BIGINT) AS d_milli
+    FROM cum c CROSS JOIN totals t
+    GROUP BY t.n_a, t.n_b
+    """

@@ -81,6 +81,7 @@ ALLOW_BNLJ = {
     "token_kl",      # 1-row corpus-total aggregate crossJoined (broadcast)
     "heavy_hitters", # 1-row total-token-count aggregate crossJoined (broadcast)
     "temperature_mixture",  # 1-row sum-of-weights aggregate crossJoined (broadcast)
+    "ks_drift",      # 1-row (n_a, n_b) totals aggregate crossJoined (broadcast)
     "tfidf_vectors", # 1-row n_docs aggregate crossJoined (broadcast)
     "q_tpch22",      # 1-row scalar-aggregate subquery (avg balance)
     "dsir_weights",  # 1-row normalization-constant subquery

@@ -618,3 +618,62 @@ class TestBootstrapMeans:
         df = spark.createDataFrame([(1, 1.0)], "id long, v double")
         with pytest.raises(ValueError, match="n_replicates"):
             an.bootstrap_means(df, "v", "id", 0)
+
+
+class TestKsStatistic:
+    def test_identical_distributions_zero(self, spark):
+        from beis_orp_data_service_spark.operators import analytics as an
+
+        rows = [(i, "a", i % 10) for i in range(100)] + [
+            (i + 100, "b", i % 10) for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "id long, g string, v long")
+        r = an.ks_statistic(df, "g", "v", "id", "a", "b").collect()[0]
+        assert r["d_num"] == 0 and r["d_milli"] == 0
+        assert r["n_a"] == 100 and r["n_b"] == 100
+
+    def test_disjoint_distributions_one(self, spark):
+        from beis_orp_data_service_spark.operators import analytics as an
+
+        rows = [(i, "a", i % 5) for i in range(50)] + [
+            (i + 50, "b", 100 + i % 5) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "id long, g string, v long")
+        r = an.ks_statistic(df, "g", "v", "id", "a", "b").collect()[0]
+        assert r["d_num"] == r["d_den"]  # D = 1 exactly
+        assert r["d_milli"] == 1000
+
+    def test_matches_scipy_style_reference(self, spark):
+        from beis_orp_data_service_spark.operators import analytics as an
+
+        import random
+
+        rnd = random.Random(9)
+        a = [rnd.randint(0, 50) for _ in range(300)]
+        b = [rnd.randint(10, 60) for _ in range(200)]
+        rows = [(i, "a", v) for i, v in enumerate(a)] + [
+            (1000 + i, "b", v) for i, v in enumerate(b)
+        ]
+        df = spark.createDataFrame(rows, "id long, g string, v long")
+        r = an.ks_statistic(df, "g", "v", "id", "a", "b").collect()[0]
+        # pure-python exact D
+        vals = sorted(set(a) | set(b))
+        best = 0
+        ca = cb = 0
+        from collections import Counter
+
+        fa, fb = Counter(a), Counter(b)
+        for x in vals:
+            ca += fa.get(x, 0)
+            cb += fb.get(x, 0)
+            best = max(best, abs(ca * len(b) - cb * len(a)))
+        assert r["d_num"] == best and r["d_den"] == len(a) * len(b)
+
+    def test_same_group_raises(self, spark):
+        import pytest
+
+        from beis_orp_data_service_spark.operators import analytics as an
+
+        df = spark.createDataFrame([(1, "a", 1)], "id long, g string, v long")
+        with pytest.raises(ValueError, match="differ"):
+            an.ks_statistic(df, "g", "v", "id", "a", "a")
