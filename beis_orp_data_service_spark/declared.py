@@ -6270,6 +6270,26 @@ def _ks_drift(spark, sf_dir):
 
 
 @declared(
+    "mannwhitney_ab",
+    an_ops.mannwhitney_u_oracle_sql(
+        "events", "event_type", "round(value * 100)", "event_id",
+        "click", "purchase",
+    ),
+)
+def _mannwhitney_ab(spark, sf_dir):
+    # Exact Mann-Whitney U via doubled tie-average ranks (integers end
+    # to end) — the nonparametric A/B test next to ks_drift.
+    return an_ops.mannwhitney_u(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        F.round(F.col("value") * 100),
+        "event_id",
+        "click",
+        "purchase",
+    )
+
+
+@declared(
     "bootstrap_ci",
     an_ops.bootstrap_means_oracle_sql("events", "value", "event_id", 32),
 )

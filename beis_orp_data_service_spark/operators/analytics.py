@@ -1251,3 +1251,117 @@ def ks_statistic_oracle_sql(
     FROM cum c CROSS JOIN totals t
     GROUP BY t.n_a, t.n_b
     """
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    id_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Exact Mann–Whitney U (Wilcoxon rank-sum) — the nonparametric
+    A/B location test, tie-exact: with per-value counts, a tie group
+    spanning ranks [s+1, s+t] has average rank (2s+t+1)/2, so DOUBLED
+    ranks are integers and the whole statistic is exact int64 —
+    hash-grade where float mid-ranks drift.
+
+    Same shape as :func:`ks_statistic`: one map-side-combined count
+    per distinct value, one ordered window over the value grid
+    (bounded by value cardinality), totals broadcast. Output one row:
+    (n_a, n_b, u2x_a, u2x_b, auc_milli) where u2x_* are 2·U and
+    auc_milli = 1000·U_a DIV (n_a·n_b) — the common-language effect
+    size (P(a > b) + ½P(a = b))."""
+    from pyspark.sql import Window
+
+    if group_a == group_b:
+        raise ValueError("group_a and group_b must differ")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    base = df.select(
+        F.col(group_col).alias("grp"), v.cast("bigint").alias("value")
+    ).where(F.col("grp").isin([group_a, group_b]))
+    per_val = base.groupBy("value").agg(
+        F.sum(F.when(F.col("grp") == group_a, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("grp") == group_b, 1).otherwise(0)).alias("cb"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    # doubled average rank of this tie group = 2·(rows before) + t + 1
+    ranked = per_val.select(
+        "ca",
+        "cb",
+        (
+            2 * F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0))
+            + F.col("ca")
+            + F.col("cb")
+            + 1
+        ).alias("rank2x"),
+    )
+    totals = base.groupBy().agg(
+        F.sum(F.when(F.col("grp") == group_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("grp") == group_b, 1).otherwise(0)).alias("n_b"),
+    )
+    return (
+        ranked.groupBy()
+        .agg(F.sum(F.col("ca") * F.col("rank2x")).alias("r2x_a"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("n_a").cast("bigint"),
+            F.col("n_b").cast("bigint"),
+            (F.col("r2x_a") - F.col("n_a") * (F.col("n_a") + 1))
+            .cast("bigint")
+            .alias("u2x_a"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "u2x_a",
+            (2 * F.col("n_a") * F.col("n_b") - F.col("u2x_a"))
+            .cast("bigint")
+            .alias("u2x_b"),
+            F.expr("1000 * u2x_a DIV (2 * n_a * n_b)").alias("auc_milli"),
+        )
+    )
+
+
+def mannwhitney_u_oracle_sql(
+    table: str,
+    group_col: str,
+    value_expr: str,
+    id_col: str,
+    group_a: str,
+    group_b: str,
+) -> str:
+    """DuckDB twin — same doubled tie-average ranks, same exact ints."""
+    return f"""
+    WITH base AS (
+      SELECT {group_col} AS grp, CAST({value_expr} AS BIGINT) AS value
+      FROM {table}
+      WHERE {group_col} IN ('{group_a}', '{group_b}')
+    ), per_val AS (
+      SELECT value,
+             SUM(CASE WHEN grp = '{group_a}' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN grp = '{group_b}' THEN 1 ELSE 0 END) AS cb
+      FROM base GROUP BY value
+    ), ranked AS (
+      SELECT ca, cb,
+             2 * COALESCE(SUM(ca + cb) OVER (ORDER BY value
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0)
+               + ca + cb + 1 AS rank2x
+      FROM per_val
+    ), totals AS (
+      SELECT SUM(CASE WHEN grp = '{group_a}' THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN grp = '{group_b}' THEN 1 ELSE 0 END) AS n_b
+      FROM base
+    ), agg AS (
+      SELECT SUM(ca * rank2x) AS r2x_a FROM ranked
+    )
+    SELECT CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
+           CAST(a.r2x_a - t.n_a * (t.n_a + 1) AS BIGINT) AS u2x_a,
+           CAST(2 * t.n_a * t.n_b - (a.r2x_a - t.n_a * (t.n_a + 1))
+                AS BIGINT) AS u2x_b,
+           CAST((a.r2x_a - t.n_a * (t.n_a + 1)) * 1000
+                // (2 * t.n_a * t.n_b) AS BIGINT) AS auc_milli
+    FROM agg a CROSS JOIN totals t
+    """

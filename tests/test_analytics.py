@@ -677,3 +677,43 @@ class TestKsStatistic:
         df = spark.createDataFrame([(1, "a", 1)], "id long, g string, v long")
         with pytest.raises(ValueError, match="differ"):
             an.ks_statistic(df, "g", "v", "id", "a", "a")
+
+
+class TestMannWhitneyU:
+    def test_matches_pairwise_reference_with_ties(self, spark):
+        import random
+
+        from beis_orp_data_service_spark.operators import analytics as an
+
+        rnd = random.Random(31)
+        a = [rnd.randint(0, 20) for _ in range(150)]
+        b = [rnd.randint(5, 25) for _ in range(120)]
+        rows = [(i, "a", v) for i, v in enumerate(a)] + [
+            (1000 + i, "b", v) for i, v in enumerate(b)
+        ]
+        df = spark.createDataFrame(rows, "id long, g string, v long")
+        r = an.mannwhitney_u(df, "g", "v", "id", "a", "b").collect()[0]
+        greater = sum(1 for x in a for y in b if x > y)
+        ties = sum(1 for x in a for y in b if x == y)
+        assert r["u2x_a"] == 2 * greater + ties
+        assert r["u2x_a"] + r["u2x_b"] == 2 * len(a) * len(b)
+        assert r["auc_milli"] == (2 * greater + ties) * 1000 // (2 * len(a) * len(b))
+
+    def test_stochastic_dominance_extremes(self, spark):
+        from beis_orp_data_service_spark.operators import analytics as an
+
+        rows = [(i, "a", 100 + i) for i in range(20)] + [
+            (100 + i, "b", i) for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "id long, g string, v long")
+        r = an.mannwhitney_u(df, "g", "v", "id", "a", "b").collect()[0]
+        assert r["u2x_a"] == 2 * 20 * 20 and r["auc_milli"] == 1000
+
+    def test_same_group_raises(self, spark):
+        import pytest
+
+        from beis_orp_data_service_spark.operators import analytics as an
+
+        df = spark.createDataFrame([(1, "a", 1)], "id long, g string, v long")
+        with pytest.raises(ValueError, match="differ"):
+            an.mannwhitney_u(df, "g", "v", "id", "a", "a")
