@@ -4563,6 +4563,18 @@ def q_communities(spark, sf_dir):
     return graph_ops.label_propagation(edges, nodes, iterations=3)
 
 
+@declared("q_kcore", graph_ops.kcore_oracle_sql(_TRI_EDGES_CTE, k=3, rounds=4))
+def q_kcore(spark, sf_dir):
+    # k-core peeling (k=3, 4 synchronous rounds — fixed and lazily
+    # planned, replayed as 4 unrolled CTE rounds by the oracle) over
+    # the same sequential co-activity graph as q_triangles.
+    events = _t(spark, sf_dir, "events")
+    edges = graph_ops.sequential_edges(
+        events, "event_type", ["event_id"], "user_id"
+    )
+    return graph_ops.kcore(edges, k=3, rounds=4)
+
+
 @declared("q_triangles", graph_ops.triangle_counts_oracle_sql(_TRI_EDGES_CTE))
 def q_triangles(spark, sf_dir):
     # Per-node triangle counts (triadic closure) over the sequential

@@ -504,3 +504,80 @@ def label_propagation_oracle_sql(edges_cte: str, iterations: int = 3) -> str:
     ), {joined}
     SELECT node, label FROM {prev}
     """
+
+
+def kcore(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
+    """k-core peeling (Seidman 1983; the standard cohesion filter for
+    interaction graphs — spam rings and scrape farms survive high-k
+    cores, organic users don't): repeatedly drop nodes of degree < k
+    and re-filter the edge set. Runs a FIXED ``rounds`` of synchronous
+    peels — deterministic and exactly replayable as ``rounds`` chained
+    SQL CTEs (the unrolled-oracle convention of pagerank/
+    label_propagation). Peeling is monotone, so extra rounds past
+    convergence are no-ops; the true k-core needs rounds ≥ peel depth
+    (tested on planted clique/chain graphs).
+
+    Each round ``localCheckpoint``s the surviving edge set (the
+    dup_clusters convention): every round consumes the previous one
+    THREE times (degree count + two semi-joins), so a lazy spelling is
+    a 3^rounds plan-tree blow-up.
+
+    Per round: one explode + map-side-combined degree aggregate and
+    two semi-joins — every stage keyed on the node, no window funnel.
+    Input (a, b) canonical undirected edges. Output (node, degree):
+    degrees within the ``rounds``-peeled edge set."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+
+    def _degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+
+    e = edges.localCheckpoint()
+    for _ in range(rounds):
+        keep = _degrees(e).where(F.col("degree") >= k).select("node")
+        e = (
+            e.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .localCheckpoint()
+        )
+    return _degrees(e).select(
+        F.col("node").cast("bigint"), F.col("degree").cast("bigint")
+    )
+
+
+def kcore_oracle_sql(edges_cte: str, k: int, rounds: int = 4) -> str:
+    """DuckDB twin of :func:`kcore` — the same ``rounds`` peels
+    unrolled as chained CTEs over the caller's edge CTE."""
+    parts = [f"e0 AS ({edges_cte})"]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""d{r} AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT a AS node FROM e{r - 1}
+        UNION ALL SELECT b AS node FROM e{r - 1})
+      GROUP BY node HAVING COUNT(*) >= {k}
+    )"""
+        )
+        parts.append(
+            f"""e{r} AS (
+      SELECT e.a, e.b FROM e{r - 1} e
+      JOIN d{r} da ON e.a = da.node
+      JOIN d{r} db ON e.b = db.node
+    )"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM (
+      SELECT a AS node FROM e{rounds}
+      UNION ALL SELECT b AS node FROM e{rounds})
+    GROUP BY node
+    """

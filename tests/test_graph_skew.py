@@ -370,3 +370,48 @@ class TestLabelPropagation:
             for r in label_propagation(edges, nodes, iterations=2).collect()
         }
         assert got[99] == 99
+
+
+class TestKCore:
+    def test_clique_survives_chain_dies(self, spark):
+        from beis_orp_data_service_spark.operators import graph as g
+
+        # K4 clique (each deg 3) + a chain hanging off it
+        edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                 (4, 5), (5, 6), (6, 7)]
+        df = spark.createDataFrame(edges, "a long, b long")
+        out = {r["node"]: r["degree"] for r in g.kcore(df, k=3, rounds=6).collect()}
+        assert set(out) == {1, 2, 3, 4}
+        assert all(d == 3 for d in out.values())
+
+    def test_extra_rounds_are_noops_after_convergence(self, spark):
+        from beis_orp_data_service_spark.operators import graph as g
+
+        edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+        df = spark.createDataFrame(edges, "a long, b long")
+        a = sorted(map(tuple, g.kcore(df, k=2, rounds=3).collect()))
+        b = sorted(map(tuple, g.kcore(df, k=2, rounds=8).collect()))
+        assert a == b
+        assert {n for n, _ in a} == {1, 2, 3}  # triangle is the 2-core
+
+    def test_deep_peel_needs_rounds(self, spark):
+        from beis_orp_data_service_spark.operators import graph as g
+
+        # path graph: 1-core is everything, 2-core empty but only after
+        # peeling inward from both ends (depth ~ n/2)
+        edges = [(i, i + 1) for i in range(1, 9)]
+        df = spark.createDataFrame(edges, "a long, b long")
+        assert g.kcore(df, k=2, rounds=6).collect() == []
+        partial = g.kcore(df, k=2, rounds=1).collect()
+        assert len(partial) > 0  # one round hasn't finished peeling
+
+    def test_bad_params(self, spark):
+        import pytest
+
+        from beis_orp_data_service_spark.operators import graph as g
+
+        df = spark.createDataFrame([(1, 2)], "a long, b long")
+        with pytest.raises(ValueError, match="k must"):
+            g.kcore(df, k=0)
+        with pytest.raises(ValueError, match="rounds"):
+            g.kcore(df, k=2, rounds=0)
