@@ -6260,6 +6260,39 @@ def _temperature_mixture(spark, sf_dir):
     )
 
 
+_CUPED_UNITS_SQL = """
+SELECT user_id % 2 AS variant,
+       COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-25'
+                         THEN CAST(round(value * 100) AS BIGINT) END), 0) AS x,
+       COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-25'
+                         THEN CAST(round(value * 100) AS BIGINT) END), 0) AS y
+FROM events GROUP BY user_id
+"""
+
+
+@declared(
+    "cuped_ab",
+    an_ops.cuped_adjust_oracle_sql(_CUPED_UNITS_SQL, "variant", "x", "y"),
+)
+def _cuped_ab(spark, sf_dir):
+    # CUPED variance-reduced A/B readout (Deng et al. 2013): per-user
+    # pre-period covariate, theta from ONE global decimal-moment
+    # aggregate, adjusted variant means from (n, Σx, Σy) only.
+    events = _t(spark, sf_dir, "events")
+    q = F.round(F.col("value") * 100).cast("bigint")
+    units = events.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < F.lit("2024-01-25").cast("timestamp"), q)),
+            F.lit(0),
+        ).alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= F.lit("2024-01-25").cast("timestamp"), q)),
+            F.lit(0),
+        ).alias("y"),
+    ).select((F.col("user_id") % 2).alias("variant"), "x", "y")
+    return an_ops.cuped_adjust(units, "variant", "x", "y")
+
+
 @declared(
     "ks_drift",
     an_ops.ks_statistic_oracle_sql(

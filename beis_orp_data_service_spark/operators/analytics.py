@@ -1365,3 +1365,116 @@ def mannwhitney_u_oracle_sql(
                 // (2 * t.n_a * t.n_b) AS BIGINT) AS auc_milli
     FROM agg a CROSS JOIN totals t
     """
+
+
+def cuped_adjust(
+    units: DataFrame,
+    variant_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013):
+    adjust each unit's metric by its PRE-experiment covariate,
+    ``y − θ·(x − x̄)`` with ``θ = cov(x, y)/var(x)`` fitted on ALL
+    units — same expectation per variant, (1 − ρ²)× the variance, so
+    the experiment needs fewer units for the same power.
+
+    Input is a UNIT-level table (variant, x = pre metric, y =
+    experiment metric). θ comes from one global aggregate of exact
+    DECIMAL moments (the :func:`linreg_by_group` recipe — float
+    formula applied once, hash-grade); per-variant means need only
+    (n, Σx, Σy), so the adjusted mean is
+    ȳ_v − θ·(x̄_v − x̄_global) — no second pass over units. Output
+    (variant, n, mean_y_micro, mean_adj_micro, theta_micro,
+    var_reduction_milli = 1000·ρ²)."""
+    dn = lambda c: F.col(c).cast("decimal(15,8)")
+    dw = lambda c: F.col(c).cast("decimal(22,8)")
+    g = units.groupBy().agg(
+        F.count(F.lit(1)).alias("gn"),
+        F.sum(dn(x_col)).alias("_gsx"),
+        F.sum(dn(y_col)).alias("_gsy"),
+        F.sum(dw(x_col) * dn(x_col)).alias("_gsxx"),
+        F.sum(dw(y_col) * dn(y_col)).alias("_gsyy"),
+        F.sum(dw(x_col) * dn(y_col)).alias("_gsxy"),
+    )
+    per_v = units.groupBy(variant_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dn(x_col)).alias("_sx"),
+        F.sum(dn(y_col)).alias("_sy"),
+    )
+    gn = F.col("gn")
+    gmx = F.col("_gsx").cast("double") / gn
+    gmy = F.col("_gsy").cast("double") / gn
+    cov = F.col("_gsxy").cast("double") / gn - gmx * gmy
+    vx = F.col("_gsxx").cast("double") / gn - gmx * gmx
+    vy = F.col("_gsyy").cast("double") / gn - gmy * gmy
+    theta = cov / vx
+    my = F.col("_sy").cast("double") / F.col("n")
+    mx = F.col("_sx").cast("double") / F.col("n")
+    micro = lambda e: F.round(e * 1_000_000).cast("bigint")
+    return (
+        per_v.crossJoin(F.broadcast(g))
+        .select(
+            F.col(variant_col),
+            F.col("n").cast("bigint"),
+            micro(my).alias("mean_y_micro"),
+            F.when(vx > 0, micro(my - theta * (mx - gmx))).alias(
+                "mean_adj_micro"
+            ),
+            F.when(vx > 0, micro(theta)).alias("theta_micro"),
+            F.when(
+                (vx > 0) & (vy > 0),
+                F.round(cov * cov / (vx * vy) * 1000).cast("bigint"),
+            ).alias("var_reduction_milli"),
+        )
+    )
+
+
+def cuped_adjust_oracle_sql(
+    units_sql: str,
+    variant_col: str,
+    x_col: str,
+    y_col: str,
+) -> str:
+    """DuckDB twin — same decimal moments, same float op order.
+    ``units_sql`` must yield (variant, x, y) unit rows."""
+    gn = "CAST(COUNT(*) AS BIGINT)"
+    gsx = f"CAST(SUM(CAST({x_col} AS DECIMAL(15,8))) AS DOUBLE)"
+    gsy = f"CAST(SUM(CAST({y_col} AS DECIMAL(15,8))) AS DOUBLE)"
+    gsxx = f"CAST(SUM(CAST({x_col} AS DECIMAL(22,8)) * CAST({x_col} AS DECIMAL(15,8))) AS DOUBLE)"
+    gsyy = f"CAST(SUM(CAST({y_col} AS DECIMAL(22,8)) * CAST({y_col} AS DECIMAL(15,8))) AS DOUBLE)"
+    gsxy = f"CAST(SUM(CAST({x_col} AS DECIMAL(22,8)) * CAST({y_col} AS DECIMAL(15,8))) AS DOUBLE)"
+    return f"""
+    WITH units AS ({units_sql}),
+    g AS (
+      SELECT {gn} AS gn, {gsx} AS gsx, {gsy} AS gsy,
+             {gsxx} AS gsxx, {gsyy} AS gsyy, {gsxy} AS gsxy
+      FROM units
+    ), v AS (
+      SELECT {variant_col}, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST({x_col} AS DECIMAL(15,8))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST({y_col} AS DECIMAL(15,8))) AS DOUBLE) AS sy
+      FROM units GROUP BY {variant_col}
+    )
+    SELECT v.{variant_col}, v.n,
+           CAST(round(v.sy / v.n * 1000000) AS BIGINT) AS mean_y_micro,
+           CASE WHEN (g.gsxx / g.gn - (g.gsx / g.gn) * (g.gsx / g.gn)) > 0
+                THEN CAST(round((v.sy / v.n
+                       - ((g.gsxy / g.gn - (g.gsx / g.gn) * (g.gsy / g.gn))
+                          / (g.gsxx / g.gn - (g.gsx / g.gn) * (g.gsx / g.gn)))
+                         * (v.sx / v.n - g.gsx / g.gn)) * 1000000) AS BIGINT)
+                END AS mean_adj_micro,
+           CASE WHEN (g.gsxx / g.gn - (g.gsx / g.gn) * (g.gsx / g.gn)) > 0
+                THEN CAST(round(((g.gsxy / g.gn - (g.gsx / g.gn) * (g.gsy / g.gn))
+                          / (g.gsxx / g.gn - (g.gsx / g.gn) * (g.gsx / g.gn)))
+                         * 1000000) AS BIGINT) END AS theta_micro,
+           CASE WHEN (g.gsxx / g.gn - (g.gsx / g.gn) * (g.gsx / g.gn)) > 0
+                 AND (g.gsyy / g.gn - (g.gsy / g.gn) * (g.gsy / g.gn)) > 0
+                THEN CAST(round(
+                       (g.gsxy / g.gn - (g.gsx / g.gn) * (g.gsy / g.gn))
+                       * (g.gsxy / g.gn - (g.gsx / g.gn) * (g.gsy / g.gn))
+                       / ((g.gsxx / g.gn - (g.gsx / g.gn) * (g.gsx / g.gn))
+                          * (g.gsyy / g.gn - (g.gsy / g.gn) * (g.gsy / g.gn)))
+                       * 1000) AS BIGINT) END AS var_reduction_milli
+    FROM v CROSS JOIN g
+    """

@@ -717,3 +717,38 @@ class TestMannWhitneyU:
         df = spark.createDataFrame([(1, "a", 1)], "id long, g string, v long")
         with pytest.raises(ValueError, match="differ"):
             an.mannwhitney_u(df, "g", "v", "id", "a", "a")
+
+
+class TestCuped:
+    def test_variance_reduction_on_correlated_units(self, spark):
+        import random
+
+        from beis_orp_data_service_spark.operators import analytics as an
+
+        # y strongly tracks x (user base rate); tiny variant lift on B
+        rnd = random.Random(41)
+        rows = []
+        for u in range(2000):
+            base = rnd.randint(0, 200)
+            lift = 5 if u % 2 else 0
+            rows.append((u % 2, base, base + rnd.randint(-10, 10) + lift))
+        df = spark.createDataFrame(rows, "variant int, x long, y long")
+        out = {r["variant"]: r for r in an.cuped_adjust(df, "variant", "x", "y").collect()}
+        assert set(out) == {0, 1}
+        # theta ~ 1 for y = x + noise
+        for r in out.values():
+            assert 0.8e6 < r["theta_micro"] < 1.2e6
+            assert r["var_reduction_milli"] > 900  # rho^2 >> 0.9
+        # adjusted difference still shows the lift (~5e6 micro)
+        diff = out[1]["mean_adj_micro"] - out[0]["mean_adj_micro"]
+        assert 3e6 < diff < 7e6
+
+    def test_no_covariance_leaves_means_alone(self, spark):
+        from beis_orp_data_service_spark.operators import analytics as an
+
+        rows = [(i % 2, 7, 10 + (i % 3)) for i in range(60)]  # x constant
+        df = spark.createDataFrame(rows, "variant int, x long, y long")
+        out = an.cuped_adjust(df, "variant", "x", "y").collect()
+        for r in out:
+            assert r["mean_adj_micro"] is None  # zero x-variance -> NULL
+            assert r["mean_y_micro"] is not None
