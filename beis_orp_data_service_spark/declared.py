@@ -6260,6 +6260,27 @@ def _temperature_mixture(spark, sf_dir):
     )
 
 
+@declared(
+    "srm_check",
+    an_ops.srm_check_oracle_sql(
+        "SELECT user_id % 2 AS variant FROM events GROUP BY user_id",
+        "variant",
+        {0: 500, 1: 500},
+    ),
+)
+def _srm_check(spark, sf_dir):
+    # Sample-ratio-mismatch guardrail: chi-square goodness-of-fit of
+    # the observed user split vs the designed 500/500 per-mille —
+    # exact integer expected-milli, one float division per term.
+    units = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select((F.col("user_id") % 2).alias("variant"))
+    )
+    return an_ops.srm_check(units, "variant", {0: 500, 1: 500})
+
+
 _CUPED_UNITS_SQL = """
 SELECT user_id % 2 AS variant,
        COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-25'

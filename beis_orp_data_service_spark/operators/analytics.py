@@ -1478,3 +1478,76 @@ def cuped_adjust_oracle_sql(
                        * 1000) AS BIGINT) END AS var_reduction_milli
     FROM v CROSS JOIN g
     """
+
+
+def srm_check(
+    units: DataFrame,
+    variant_col: str,
+    expected_pm: dict[str, int] | dict[int, int],
+) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (the first check any experiment
+    readout must pass — Fabijan et al. 2019: a traffic split that
+    deviates from its design invalidates every downstream metric):
+    Pearson χ² goodness-of-fit of observed variant counts against the
+    DESIGNED per-mille split. One map-side-combined count per variant;
+    χ² terms are one float division each from exact ints — hash-grade.
+    Output (variant, n_observed, n_expected_milli, chi2_term_micro)
+    plus the caller sums chi2 terms / compares d.f. driver-side."""
+    total_pm = sum(expected_pm.values())
+    if total_pm != 1000:
+        raise ValueError(f"expected_pm must sum to 1000, got {total_pm}")
+    items = sorted(expected_pm.items(), key=lambda kv: str(kv[0]))
+    mapping = F.create_map(
+        *[x for k, v in items for x in (F.lit(k), F.lit(v))]
+    )
+    counts = units.groupBy(variant_col).agg(F.count(F.lit(1)).alias("n_observed"))
+    tot = units.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    e_milli = F.col("n_total") * mapping[F.col(variant_col)]
+    # chi2 term = (O - E)^2 / E with E = n_total * pm / 1000:
+    # (O*1000 - n*pm)^2 / (1000 * n * pm) — exact ints, ONE division
+    num = (F.col("n_observed") * 1000 - e_milli) * (
+        F.col("n_observed") * 1000 - e_milli
+    )
+    den = F.lit(1000) * e_milli
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col(variant_col),
+            F.col("n_observed").cast("bigint"),
+            e_milli.cast("bigint").alias("n_expected_milli"),
+            F.round(num.cast("double") / den * 1_000_000)
+            .cast("bigint")
+            .alias("chi2_term_micro"),
+        )
+    )
+
+
+def srm_check_oracle_sql(
+    units_sql: str,
+    variant_col: str,
+    expected_pm: dict,
+) -> str:
+    """DuckDB twin — same integer expected-milli arithmetic and single
+    float division."""
+    cases = " ".join(
+        f"WHEN {variant_col} = {k!r} THEN {v}"
+        if isinstance(k, str)
+        else f"WHEN {variant_col} = {k} THEN {v}"
+        for k, v in expected_pm.items()
+    )
+    return f"""
+    WITH units AS ({units_sql}),
+    counts AS (
+      SELECT {variant_col}, CAST(COUNT(*) AS BIGINT) AS n_observed
+      FROM units GROUP BY {variant_col}
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM units)
+    SELECT c.{variant_col}, c.n_observed,
+           CAST(t.n_total * (CASE {cases} END) AS BIGINT) AS n_expected_milli,
+           CAST(round(
+             CAST((c.n_observed * 1000 - t.n_total * (CASE {cases} END))
+                  * (c.n_observed * 1000 - t.n_total * (CASE {cases} END))
+                  AS DOUBLE)
+             / (1000 * t.n_total * (CASE {cases} END)) * 1000000) AS BIGINT)
+             AS chi2_term_micro
+    FROM counts c CROSS JOIN tot t
+    """

@@ -84,6 +84,7 @@ ALLOW_BNLJ = {
     "ks_drift",      # 1-row (n_a, n_b) totals aggregate crossJoined (broadcast)
     "mannwhitney_ab",  # 1-row totals + 1-row rank-sum aggregates crossJoined
     "cuped_ab",      # 1-row global-moments aggregate crossJoined (broadcast)
+    "srm_check",     # 1-row total-units aggregate crossJoined (broadcast)
     "tfidf_vectors", # 1-row n_docs aggregate crossJoined (broadcast)
     "q_tpch22",      # 1-row scalar-aggregate subquery (avg balance)
     "dsir_weights",  # 1-row normalization-constant subquery

@@ -752,3 +752,34 @@ class TestCuped:
         for r in out:
             assert r["mean_adj_micro"] is None  # zero x-variance -> NULL
             assert r["mean_y_micro"] is not None
+
+
+class TestSrmCheck:
+    def test_balanced_split_near_zero_chi2(self, spark):
+        from beis_orp_data_service_spark.operators import analytics as an
+
+        rows = [(i % 2,) for i in range(1000)]
+        df = spark.createDataFrame(rows, "variant int")
+        out = {r["variant"]: r for r in an.srm_check(df, "variant", {0: 500, 1: 500}).collect()}
+        for r in out.values():
+            assert r["chi2_term_micro"] == 0
+            assert r["n_expected_milli"] == 1000 * 500
+
+    def test_mismatch_blows_up_chi2(self, spark):
+        from beis_orp_data_service_spark.operators import analytics as an
+
+        rows = [(0,)] * 700 + [(1,)] * 300
+        df = spark.createDataFrame(rows, "variant int")
+        out = {r["variant"]: r for r in an.srm_check(df, "variant", {0: 500, 1: 500}).collect()}
+        # (700-500)^2/500 = 80 per side
+        assert out[0]["chi2_term_micro"] == 80_000_000
+        assert out[1]["chi2_term_micro"] == 80_000_000
+
+    def test_bad_split(self, spark):
+        import pytest
+
+        from beis_orp_data_service_spark.operators import analytics as an
+
+        df = spark.createDataFrame([(0,)], "variant int")
+        with pytest.raises(ValueError, match="sum to 1000"):
+            an.srm_check(df, "variant", {0: 400, 1: 500})
