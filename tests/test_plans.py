@@ -250,3 +250,52 @@ def test_setops_rewrite_to_semi_anti_joins(spark):
     plan = plan_of("q_setops", spark)
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_phrase_search_broadcasts_slots_one_groupby(spark):
+    # the slot table (|phrase| rows) must broadcast; vote counting is
+    # ONE hash aggregate — no n-way self-join of the token stream
+    plan = plan_of("phrase_search", spark)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_semi_join_prunes_before_shuffle(spark):
+    # the MG candidate set must reach the exact pass as a broadcast
+    # LEFT-SEMI filter — the vocabulary never shuffles
+    plan = plan_of("heavy_hitters", spark)
+    assert "LeftSemi" in plan
+    assert "MapInPandas" in plan  # the bounded candidate pass
+
+
+def test_quantile_sketch_is_takeordered_not_global_sort(spark):
+    plan = plan_of("quantile_sketch", spark)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dataset_split_zero_shuffle(spark):
+    # pure per-row expression: no Exchange anywhere in the final plan
+    plan = plan_of("dataset_split", spark)
+    final = plan.split("== Initial Plan ==")[0]  # AQE repeats the tree
+    assert "Exchange" not in final
+
+
+def test_winsorize_bounds_join_is_broadcast(spark):
+    plan = plan_of("winsorize", spark)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_group_cap_sample_single_group_shuffle(spark):
+    # one hash-partitioning Exchange on the group key feeds the window
+    plan = plan_of("group_cap_sample", spark)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 1
+    assert "Window" in final
+
+
+def test_containment_prefix_never_cartesian(spark):
+    plan = plan_of("containment_join", spark)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
