@@ -6265,20 +6265,24 @@ def _temperature_mixture(spark, sf_dir):
     an_ops.srm_check_oracle_sql(
         "SELECT user_id % 2 AS variant FROM events GROUP BY user_id",
         "variant",
-        {0: 500, 1: 500},
+        {0: 450, 1: 450, 2: 100},
     ),
 )
 def _srm_check(spark, sf_dir):
     # Sample-ratio-mismatch guardrail: chi-square goodness-of-fit of
-    # the observed user split vs the designed 500/500 per-mille —
+    # the observed user split vs a designed 450/450/100 per-mille —
     # exact integer expected-milli, one float division per term.
+    # Variant 2 is designed but receives ZERO traffic (user_id % 2
+    # is never 2): the dark-variant row with its full (0-E)^2/E term
+    # must still appear — the extreme-SRM case the guardrail exists
+    # to catch (round-5 ADVICE fix, hash-checked here).
     units = (
         _t(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("_n"))
         .select((F.col("user_id") % 2).alias("variant"))
     )
-    return an_ops.srm_check(units, "variant", {0: 500, 1: 500})
+    return an_ops.srm_check(units, "variant", {0: 450, 1: 450, 2: 100})
 
 
 _CUPED_UNITS_SQL = """

@@ -1492,17 +1492,34 @@ def srm_check(
     DESIGNED per-mille split. One map-side-combined count per variant;
     χ² terms are one float division each from exact ints — hash-grade.
     Output (variant, n_observed, n_expected_milli, chi2_term_micro)
-    plus the caller sums chi2 terms / compares d.f. driver-side."""
+    plus the caller sums chi2 terms / compares d.f. driver-side.
+
+    Every DESIGNED variant emits a row even with ZERO observed traffic
+    (n_observed=0 and its full (0−E)²/E term) — a dark variant is the
+    most extreme sample-ratio mismatch and must not vanish from the
+    statistic (round-5 ADVICE). Conversely an OBSERVED variant absent
+    from the design is kept with NULL expectation/term, surfacing the
+    complementary bug (traffic routed to an undesigned arm)."""
     total_pm = sum(expected_pm.values())
     if total_pm != 1000:
         raise ValueError(f"expected_pm must sum to 1000, got {total_pm}")
     items = sorted(expected_pm.items(), key=lambda kv: str(kv[0]))
-    mapping = F.create_map(
-        *[x for k, v in items for x in (F.lit(k), F.lit(v))]
+    spark = units.sparkSession
+    designed = spark.createDataFrame(
+        [(k, v) for k, v in items], [variant_col, "_pm"]
     )
     counts = units.groupBy(variant_col).agg(F.count(F.lit(1)).alias("n_observed"))
     tot = units.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
-    e_milli = F.col("n_total") * mapping[F.col(variant_col)]
+    # full outer: designed-but-dark variants get n_observed=0; observed-
+    # but-undesigned variants get NULL pm. Both sides are variant-count
+    # sized (tiny; no broadcast hint — unsupported for full outer),
+    # then the 1-row total crossJoins on.
+    both = counts.join(designed, variant_col, "full_outer").select(
+        variant_col,
+        F.coalesce("n_observed", F.lit(0)).alias("n_observed"),
+        "_pm",
+    )
+    e_milli = F.col("n_total") * F.col("_pm")
     # chi2 term = (O - E)^2 / E with E = n_total * pm / 1000:
     # (O*1000 - n*pm)^2 / (1000 * n * pm) — exact ints, ONE division
     num = (F.col("n_observed") * 1000 - e_milli) * (
@@ -1510,7 +1527,7 @@ def srm_check(
     )
     den = F.lit(1000) * e_milli
     return (
-        counts.crossJoin(F.broadcast(tot))
+        both.crossJoin(F.broadcast(tot))
         .select(
             F.col(variant_col),
             F.col("n_observed").cast("bigint"),
@@ -1528,26 +1545,33 @@ def srm_check_oracle_sql(
     expected_pm: dict,
 ) -> str:
     """DuckDB twin — same integer expected-milli arithmetic and single
-    float division."""
-    cases = " ".join(
-        f"WHEN {variant_col} = {k!r} THEN {v}"
-        if isinstance(k, str)
-        else f"WHEN {variant_col} = {k} THEN {v}"
-        for k, v in expected_pm.items()
+    float division, and the same full-outer designed⟗observed join so
+    zero-traffic designed variants emit their (0−E)²/E term."""
+    values = ", ".join(
+        f"({k!r}, {v})" if isinstance(k, str) else f"({k}, {v})"
+        for k, v in sorted(expected_pm.items(), key=lambda kv: str(kv[0]))
     )
     return f"""
     WITH units AS ({units_sql}),
+    designed({variant_col}, pm) AS (VALUES {values}),
     counts AS (
       SELECT {variant_col}, CAST(COUNT(*) AS BIGINT) AS n_observed
       FROM units GROUP BY {variant_col}
+    ),
+    merged AS (
+      SELECT COALESCE(c.{variant_col}, d.{variant_col}) AS {variant_col},
+             COALESCE(c.n_observed, 0) AS n_observed,
+             d.pm AS pm
+      FROM counts c FULL OUTER JOIN designed d
+        ON c.{variant_col} = d.{variant_col}
     ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM units)
-    SELECT c.{variant_col}, c.n_observed,
-           CAST(t.n_total * (CASE {cases} END) AS BIGINT) AS n_expected_milli,
+    SELECT m.{variant_col}, m.n_observed,
+           CAST(t.n_total * m.pm AS BIGINT) AS n_expected_milli,
            CAST(round(
-             CAST((c.n_observed * 1000 - t.n_total * (CASE {cases} END))
-                  * (c.n_observed * 1000 - t.n_total * (CASE {cases} END))
+             CAST((m.n_observed * 1000 - t.n_total * m.pm)
+                  * (m.n_observed * 1000 - t.n_total * m.pm)
                   AS DOUBLE)
-             / (1000 * t.n_total * (CASE {cases} END)) * 1000000) AS BIGINT)
+             / (1000 * t.n_total * m.pm) * 1000000) AS BIGINT)
              AS chi2_term_micro
-    FROM counts c CROSS JOIN tot t
+    FROM merged m CROSS JOIN tot t
     """

@@ -17,6 +17,7 @@ the same code paths work against HDFS / S3A / local on a real cluster.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 from dataclasses import dataclass
@@ -215,26 +216,51 @@ def compact_lsh_index(
 
 
 def compact_scd_store(
-    spark: SparkSession, path: str, files_per_bucket: int = 1
+    spark: SparkSession,
+    path: str,
+    files_per_bucket: int = 1,
+    retain_history: bool = False,
 ) -> PartitionCompactionStats:
     """Compact a ``streaming.pipeline.ParquetScdSink`` store: its
     manifest protocol already IS a snapshot commit, so compaction is
     just one more transaction — read the live buckets (manifest-pruned,
     exactly like any reader), rewrite them into a SINGLE new epoch
     directory with ``files_per_bucket`` files per bucket, commit a
-    manifest pointing every bucket at it, then GC the superseded epoch
-    directories. A crash before the manifest rename leaves the old
-    state fully live (the sink's own atomicity argument, verbatim); a
-    crash during GC leaves unreferenced garbage only. Readers keep
-    static (epoch, bucket) partition pruning; the stream keeps
-    appending epochs after compaction with no special casing — commit
-    ids are shared, so the next micro-batch just becomes the next
-    epoch."""
+    manifest pointing every bucket at it, then GC. A crash before the
+    manifest rename leaves the old state fully live (the sink's own
+    atomicity argument, verbatim); a crash during GC leaves
+    unreferenced garbage only. Readers keep static (epoch, bucket)
+    partition pruning; the stream keeps appending epochs after
+    compaction with no special casing — commit ids are shared, so the
+    next micro-batch just becomes the next epoch.
+
+    GC honours the store's history mode (round-5 ADVICE: the old
+    delete-everything GC broke the manifest invariant — superseded
+    manifests stayed readable while the epoch dirs they referenced
+    were deleted, so ``read_scd_store_asof`` died with a raw parquet
+    path error):
+
+    - ``retain_history=False`` (default sink): every superseded
+      MANIFEST is deleted along with every superseded epoch directory,
+      so no readable pointer can reference deleted data — time travel
+      on a non-retain store fails with the typed FileNotFoundError,
+      never a dangling read.
+    - ``retain_history=True`` (time-travel store): all manifests are
+      kept and only (epoch, bucket) directories referenced by NO
+      manifest are deleted — every committed ``VERSION AS OF`` stays
+      exactly readable across the compaction boundary. Compaction then
+      speeds up the LIVE read path (one epoch, few files); history
+      storage is reclaimed separately and explicitly by
+      ``streaming.pipeline.scd_vacuum_history``.
+    """
     from beis_orp_data_service_spark.sources import hadoop_fs as hfs
     from beis_orp_data_service_spark.streaming.pipeline import ParquetScdSink
     from pyspark.sql import functions as F
 
-    sink = ParquetScdSink(spark, path, key_col="", order_col="", id_col="")
+    sink = ParquetScdSink(
+        spark, path, key_col="", order_col="", id_col="",
+        retain_history=retain_history,
+    )
     prev_id, mapping = sink._current_manifest()
     if not mapping:
         raise FileNotFoundError(f"no committed SCD store at {path}")
@@ -250,9 +276,45 @@ def compact_scd_store(
         .parquet(f"{sink._data_root}/epoch={commit_id}")
     )
     sink._commit_manifest(commit_id, {b: commit_id for b in mapping})
-    for name in hfs.list_names(spark, sink._data_root):
-        if name.startswith("epoch=") and name != f"epoch={commit_id}":
-            hfs.delete(spark, f"{sink._data_root}/{name}", recursive=True)
+    mdir = f"{path.rstrip('/')}/_manifest"
+    if not retain_history:
+        # drop superseded manifests FIRST (pointer disappears before its
+        # data — the vacuum ordering), then superseded epoch dirs
+        for name in hfs.list_names(spark, mdir):
+            if (
+                name.startswith("manifest-")
+                and name.endswith(".json")
+                and name != f"manifest-{commit_id:020d}.json"
+            ):
+                hfs.delete(spark, f"{mdir}/{name}")
+        for name in hfs.list_names(spark, sink._data_root):
+            if name.startswith("epoch=") and name != f"epoch={commit_id}":
+                hfs.delete(spark, f"{sink._data_root}/{name}", recursive=True)
+    else:
+        # delete only (epoch, bucket) dirs no surviving manifest
+        # references — orphans from crashed writes; every committed
+        # snapshot stays reconstructible
+        referenced: set[tuple[int, int]] = set()
+        for name in hfs.list_names(spark, mdir):
+            if not (name.startswith("manifest-") and name.endswith(".json")):
+                continue
+            data = hfs.read_bytes(spark, f"{mdir}/{name}")
+            for b, e in json.loads(data.decode()).items():
+                referenced.add((int(e), int(b)))
+        for epoch_name in hfs.list_names(spark, sink._data_root):
+            if not epoch_name.startswith("epoch="):
+                continue
+            e = int(epoch_name.split("=", 1)[1])
+            for bname in hfs.list_names(spark, f"{sink._data_root}/{epoch_name}"):
+                if not bname.startswith(f"{ParquetScdSink.BUCKET}="):
+                    continue
+                b = int(bname.split("=", 1)[1])
+                if (e, b) not in referenced:
+                    hfs.delete(
+                        spark,
+                        f"{sink._data_root}/{epoch_name}/{bname}",
+                        recursive=True,
+                    )
     return PartitionCompactionStats(
         partitions_seen=len(mapping),
         partitions_compacted=len(mapping),

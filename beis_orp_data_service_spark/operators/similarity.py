@@ -884,6 +884,34 @@ def pq_codebook_deterministic(
     return np.stack([mat[:, s * dsub : (s + 1) * dsub] for s in range(m)])
 
 
+def _replayable_sample(
+    df: DataFrame, id_col: str, vec_col: str, sample_rows: int, n: int
+) -> list:
+    """Bounded, layout-independent, ORDER-deterministic training pull:
+    hash-gate to ~``sample_rows`` candidates (partitioning-invariant
+    membership), then keep the ``sample_rows`` smallest
+    ``(xxhash64(id), id)`` keys via top-K — plans as
+    TakeOrderedAndProject (per-partition heaps + a k-row driver merge),
+    never a full sort. Both the subset AND the collected row order are
+    functions of the ids alone, so k-means init / mean accumulation /
+    OPQ covariance see an identical matrix on any cluster layout or
+    core count (round-5 ADVICE: a bare ``.limit()`` after the gate
+    kept an arbitrary partition-order-dependent subset)."""
+    samp = df.select(id_col, vec_col)
+    if n > sample_rows:
+        denom = 1_000_003
+        num = max(1, int(denom * sample_rows / n))
+        samp = samp.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) < F.lit(num)
+        )
+    return (
+        samp.withColumn("_hk", F.xxhash64(F.col(id_col)))
+        .orderBy("_hk", id_col)
+        .limit(sample_rows)
+        .collect()
+    )
+
+
 def _lloyd_int(x: np.ndarray, k: int, seed: int, max_iter: int) -> np.ndarray:
     """Driver-side Lloyd's k-means over a quantized-int sample, returning
     int64 centroids (rounded means). Deterministic given (sample, seed):
@@ -933,14 +961,7 @@ def pq_codebook_trained(
     :func:`pq_adc_topk`) runs the identical exact-int arithmetic as the
     deterministic path. Returns int64 [m, k, d/m]."""
     n = n_rows if n_rows is not None else embeddings.count()
-    samp = embeddings.select(id_col, vec_col)
-    if n > sample_rows:
-        denom = 1_000_003
-        num = max(1, int(denom * sample_rows / n))
-        samp = samp.filter(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) < F.lit(num)
-        )
-    rows = samp.limit(sample_rows).collect()
+    rows = _replayable_sample(embeddings, id_col, vec_col, sample_rows, n)
     if len(rows) < k:
         raise ValueError(f"need at least k={k} sample rows, got {len(rows)}")
     mat = np.stack([_quantize_np(r[vec_col], 1000) for r in rows])  # [n, d]
@@ -1480,14 +1501,7 @@ def ivfpq_train(
     arithmetic so encode/score kernels are exactly replayable.
     Returns ``(coarse [C, d] int64, codebook [m, k, d/m] int64)``."""
     n = n_rows if n_rows is not None else embeddings.count()
-    samp = embeddings.select(id_col, vec_col)
-    if n > sample_rows:
-        denom = 1_000_003
-        num = max(1, int(denom * sample_rows / n))
-        samp = samp.filter(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) < F.lit(num)
-        )
-    rows = samp.limit(sample_rows).collect()
+    rows = _replayable_sample(embeddings, id_col, vec_col, sample_rows, n)
     if len(rows) < max(k, n_centroids):
         raise ValueError(
             f"need >= max(k={k}, n_centroids={n_centroids}) sample rows, "
@@ -1788,15 +1802,11 @@ def knn_edges(
     # hash-gated sample (the ivfpq_train pattern) — int64 centroids in
     # the kernels' quantized scale, no MLlib fit job
     sample_rows = 100_000
-    samp = embeddings.select(id_col, vec_col)
-    if n > sample_rows:
-        denom = 1_000_003
-        num = max(1, int(denom * sample_rows / n))
-        samp = samp.filter(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) < F.lit(num)
-        )
     mat = np.stack(
-        [_quantize_np(r[vec_col], 100) for r in samp.limit(sample_rows).collect()]
+        [
+            _quantize_np(r[vec_col], 100)
+            for r in _replayable_sample(embeddings, id_col, vec_col, sample_rows, n)
+        ]
     )
     cents_q = _lloyd_int(mat, n_centroids, seed, max_iter=10)
 
@@ -2089,14 +2099,7 @@ def pca_rotation(
     import math
 
     n = n_rows if n_rows is not None else embeddings.count()
-    samp = embeddings.select(id_col, vec_col)
-    if n > sample_rows:
-        denom = 1_000_003
-        num = max(1, int(denom * sample_rows / n))
-        samp = samp.filter(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) < F.lit(num)
-        )
-    rows = samp.limit(sample_rows).collect()
+    rows = _replayable_sample(embeddings, id_col, vec_col, sample_rows, n)
     if len(rows) < 2:
         raise ValueError(f"need at least 2 sample rows, got {len(rows)}")
     x = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])

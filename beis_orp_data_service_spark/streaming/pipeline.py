@@ -279,6 +279,25 @@ def read_scd_store_asof(
         for k, v in _json.loads(hfs.read_bytes(spark, manifest).decode()).items()
     }
     sink = ParquetScdSink(spark, path, key_col="", order_col="", id_col="")
+    # verify every referenced (epoch, bucket) directory still exists
+    # BEFORE building the DataFrame: a manifest that outlived its data
+    # (e.g. GC'd by a non-retain compaction) must fail with the typed
+    # error, not a confusing parquet path-not-found mid-scan
+    missing = [
+        f"epoch={e}/{ParquetScdSink.BUCKET}={b}"
+        for b, e in sorted(mapping.items())
+        if not hfs.exists(
+            spark, f"{sink._data_root}/epoch={e}/{ParquetScdSink.BUCKET}={b}"
+        )
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"commit {commit_id} of {path} references GC'd data "
+            f"(missing {missing[:3]}{'...' if len(missing) > 3 else ''}); "
+            "time travel requires a retain_history=True store and "
+            "history-preserving maintenance (compact_scd_store("
+            "retain_history=True) / scd_vacuum_history keep_from <= this commit)"
+        )
     return sink._store_df(mapping).drop(ParquetScdSink.BUCKET)
 
 
@@ -582,7 +601,12 @@ def lsh_dedup_batch(
     Work per batch is O(batch) signing + one join against colliding
     band keys — the store is never re-hashed. Probe-before-append
     means a batch does not flag against itself (within-batch dups are
-    the batch's own lsh_band_pairs job if wanted).
+    the batch's own lsh_band_pairs job if wanted) — and that stays
+    true under at-least-once REPLAY: appended band rows are stamped
+    with the writing epoch and the probe excludes its own epoch's
+    rows, so a crash between the index append and the checkpoint
+    commit cannot make two same-batch near-dup docs flag each other
+    on the re-run (same-id exclusion alone misses that pair).
     """
     from beis_orp_data_service_spark.operators import dedup as dd
     from beis_orp_data_service_spark.sources import hadoop_fs as hfs
@@ -592,11 +616,13 @@ def lsh_dedup_batch(
     # the index append (signing is the per-batch dominant cost)
     rows = dd.lsh_band_rows(docs, id_col, text_col, 4, None).persist()
     if hfs.exists(spark, index_path):
-        # exclude_same_id: under at-least-once replay the batch's own
-        # rows are already in the index; a doc must not flag against
-        # itself, and the probe's distinct ignores the duplicate band
-        # rows a replayed append leaves behind — so verdicts really are
-        # stable across replays.
+        # replay stability: exclude_epoch drops every index row this
+        # same epoch's crashed first attempt may have appended (the
+        # within-batch near-dup guard); exclude_same_id additionally
+        # drops self-matches from a LATER redelivery of the same id;
+        # the probe's distinct ignores duplicate band rows a replayed
+        # append leaves behind — so verdicts really are stable across
+        # replays.
         hits = (
             dd.lsh_index_probe(
                 spark,
@@ -606,6 +632,7 @@ def lsh_dedup_batch(
                 text_col,
                 band_rows=rows,
                 exclude_same_id=True,
+                exclude_epoch=epoch,
             )
             .where(F.col("n_bands") >= min_bands)
             .groupBy("probe_id")
@@ -647,7 +674,8 @@ def lsh_dedup_batch(
     else:
         out.write.mode("append").parquet(flagged_out)
     dd.lsh_index_write(
-        docs, index_path, id_col, text_col, mode="append", band_rows=rows
+        docs, index_path, id_col, text_col, mode="append", band_rows=rows,
+        epoch=epoch,
     )
     rows.unpersist()
 

@@ -783,3 +783,40 @@ class TestSrmCheck:
         df = spark.createDataFrame([(0,)], "variant int")
         with pytest.raises(ValueError, match="sum to 1000"):
             an.srm_check(df, "variant", {0: 400, 1: 500})
+
+    def test_zero_traffic_designed_variant_emits_full_term(self, spark):
+        """A designed arm with NO observed traffic is the most extreme
+        SRM; it must emit n_observed=0 and its full (0-E)^2/E term
+        rather than silently vanish (round-5 ADVICE fix)."""
+        from beis_orp_data_service_spark.operators import analytics as an
+
+        rows = [(0,)] * 500 + [(1,)] * 500  # variant 2 gets nothing
+        df = spark.createDataFrame(rows, "variant int")
+        out = {
+            r["variant"]: r
+            for r in an.srm_check(
+                df, "variant", {0: 400, 1: 400, 2: 200}
+            ).collect()
+        }
+        assert set(out) == {0, 1, 2}
+        assert out[2]["n_observed"] == 0
+        assert out[2]["n_expected_milli"] == 1000 * 200
+        # (0*1000 - 1000*200)^2 / (1000*1000*200) = 200 -> 200e6 micro
+        assert out[2]["chi2_term_micro"] == 200_000_000
+
+    def test_undesigned_observed_variant_surfaces_with_null_term(self, spark):
+        """Traffic routed to an arm absent from the design is the
+        complementary bug: the row is kept with NULL expectation/term
+        instead of being dropped by the designed-side join."""
+        from beis_orp_data_service_spark.operators import analytics as an
+
+        rows = [(0,)] * 400 + [(1,)] * 400 + [(9,)] * 200
+        df = spark.createDataFrame(rows, "variant int")
+        out = {
+            r["variant"]: r
+            for r in an.srm_check(df, "variant", {0: 500, 1: 500}).collect()
+        }
+        assert set(out) == {0, 1, 9}
+        assert out[9]["n_observed"] == 200
+        assert out[9]["n_expected_milli"] is None
+        assert out[9]["chi2_term_micro"] is None

@@ -473,6 +473,21 @@ def test_pq_trained_recall_beats_deterministic(spark):
     cb_again = sim.pq_codebook_trained(emb, m=4, k=16, n_rows=500)
     assert cb.shape == (4, 16, 16) and cb.dtype == np.int64
     assert (cb == cb_again).all()
+    # layout independence (round-5 ADVICE): the trained centroids are a
+    # function of (ids, seed) only — identical under any partitioning /
+    # row order, because the sample pull is top-K by (xxhash64(id), id),
+    # not an arbitrary-partition-order limit()
+    for parts in (1, 7):
+        shuffled = emb.repartition(parts, "vec_id")
+        cb_p = sim.pq_codebook_trained(shuffled, m=4, k=16, n_rows=500)
+        assert (cb == cb_p).all(), f"codebook changed under {parts} partitions"
+    cb_small = sim.pq_codebook_trained(
+        emb.repartition(13), m=4, k=16, n_rows=500, sample_rows=200
+    )
+    cb_small2 = sim.pq_codebook_trained(
+        emb.coalesce(1), m=4, k=16, n_rows=500, sample_rows=200
+    )
+    assert (cb_small == cb_small2).all(), "sub-sample subset is layout-dependent"
     r_trained = _adc_recall_at5(spark, emb, qids, codebook=cb)
     r_det = _adc_recall_at5(spark, emb, qids, codebook=None)
     assert r_trained > r_det, f"training didn't help: {r_trained} <= {r_det}"

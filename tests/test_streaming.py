@@ -494,6 +494,83 @@ def test_lsh_dedup_batch_replay_is_idempotent(spark, tmp_path):
     assert all(r.is_near_dup is False for r in spark.read.parquet(out).collect())
 
 
+def test_lsh_dedup_batch_replay_within_batch_neardup_pair(spark, tmp_path):
+    """Mid-batch-crash replay with a planted WITHIN-batch near-dup
+    pair (the round-5 ADVICE window): epoch 1's first attempt appends
+    its bands to the index and crashes before the checkpoint commit;
+    the replayed epoch 1 probes an index that already holds its own
+    rows. Same-id exclusion does not cover the (A, B) pair, so without
+    the epoch stamp both docs would flip to is_near_dup=True on replay
+    — verdicts must instead be bit-identical to the first run."""
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "flags")
+    seed = spark.createDataFrame(
+        [(1, "totally unrelated seed corpus text sentence " * 5)],
+        "doc_id bigint, text string",
+    )
+    st.lsh_dedup_batch(spark, idx, seed, out, epoch=0)
+    pair_text = "the quick brown fox jumps over the lazy dog once more " * 4
+    batch = spark.createDataFrame(
+        [(10, pair_text), (11, pair_text + " tail")],
+        "doc_id bigint, text string",
+    )
+    st.lsh_dedup_batch(spark, idx, batch, out, epoch=1)
+    first = {
+        r.doc_id: (r.is_near_dup, r.n_index_matches)
+        for r in spark.read.parquet(out).where("_epoch = 1").collect()
+    }
+    # within-batch pairs are by contract NOT flagged against each other
+    assert first == {10: (False, 0), 11: (False, 0)}
+    # crash after the index append, before the checkpoint commit:
+    # the stream replays epoch 1 against an index holding its own bands
+    st.lsh_dedup_batch(spark, idx, batch, out, epoch=1)
+    replay = {
+        r.doc_id: (r.is_near_dup, r.n_index_matches)
+        for r in spark.read.parquet(out).where("_epoch = 1").collect()
+    }
+    assert replay == first
+    # and a genuinely LATER epoch still flags against the pair's bands
+    later = spark.createDataFrame([(20, pair_text)], "doc_id bigint, text string")
+    st.lsh_dedup_batch(spark, idx, later, out, epoch=2)
+    flags2 = {
+        r.doc_id: r.is_near_dup
+        for r in spark.read.parquet(out).where("_epoch = 2").collect()
+    }
+    assert flags2[20] is True
+
+
+def test_ingest_batch_replay_within_batch_neardup_pair(spark, tmp_path):
+    """Full ingest_batch replay of an epoch whose index append already
+    committed, with a within-batch near-dup pair: both docs must stay
+    admitted (SCD store holds exactly one row each), not become
+    mutually-flagged and dropped/inconsistent on the re-run."""
+    idx = str(tmp_path / "idx")
+    store = str(tmp_path / "store")
+    flags = str(tmp_path / "flags")
+    pair_text = "shared boilerplate paragraph repeated across uploads " * 4
+    rows = [
+        _ingest_msg(100, 1, "<p>" + pair_text + "</p>"),
+        _ingest_msg(101, 2, "<p>" + pair_text + " extra</p>"),
+    ]
+    batch = spark.createDataFrame(
+        [tuple(m[k] for k in ("event_id", "ts", "user_id", "event_type", "value", "props")) for m in rows],
+        "event_id bigint, ts string, user_id bigint, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    st.ingest_batch(spark, batch, idx, store, flags, epoch=0)
+    first = sorted(
+        (r.media_id, r.doc_key) for r in st.read_scd_store(spark, store).collect()
+    )
+    assert first == [(100, 1), (101, 2)]
+    # replay the same epoch (crash after index append, before commit)
+    st.ingest_batch(spark, batch, idx, store, flags, epoch=0)
+    replay = sorted(
+        (r.media_id, r.doc_key) for r in st.read_scd_store(spark, store).collect()
+    )
+    assert replay == first
+    f = {r.media_id: r.is_near_dup for r in spark.read.parquet(flags).collect()}
+    assert f == {100: False, 101: False}
+
+
 def _ingest_msg(eid, key, text, fmt="HTML", ts="2024-01-01T00:00:00"):
     return {
         "event_id": eid,
