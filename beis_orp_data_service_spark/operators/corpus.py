@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from beis_orp_data_service_spark.checkpointing import stage_checkpoint
 from beis_orp_data_service_spark.functions.text import lc_tokens
 
 # Universal-hash constants for deterministic sampling: Lehmer/Park-Miller
@@ -63,6 +64,7 @@ def dup_clusters(
     nodes: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 15,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Transitive closure of duplicate pairs → (doc_id, cluster_id).
 
@@ -78,8 +80,11 @@ def dup_clusters(
     length each round, so rounds = O(log diameter) — the same
     convergence class as large-star/small-star (Kiveris et al.,
     "Connected Components in MapReduce") with simpler primitives.
-    ``localCheckpoint`` per round truncates lineage so the plan stays
-    flat however many rounds run.
+    The per-round boundary truncates lineage so the plan stays flat
+    however many rounds run. ``checkpoint``: "local" (default) is
+    unreplicated executor state — a lost executor mid-closure kills
+    the job at cluster scale; "reliable" recovers from the
+    distributed checkpoint dir (see ``checkpointing``).
     """
     # Undirected edge list + a self-loop per node, built ONCE outside
     # the loop: with self-loops, "min of self and neighbours" is a
@@ -95,11 +100,11 @@ def dup_clusters(
             )
         )
         .distinct()
-        .localCheckpoint()
+        .transform(stage_checkpoint, label="dup_clusters:edges", strategy=checkpoint)
     )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint()
+    ).transform(stage_checkpoint, label="dup_clusters:labels", strategy=checkpoint)
     for _ in range(max_iter):
         l1 = (
             edges.join(labels, edges.dst == labels.node)
@@ -114,7 +119,9 @@ def dup_clusters(
         new_labels = (
             l1.join(lb, l1.label == lb.node2)
             .select(F.col("node"), F.col("label2").alias("label"))
-            .localCheckpoint()
+            .transform(
+                stage_checkpoint, label="dup_clusters:round", strategy=checkpoint
+            )
         )
         changed = (
             new_labels.toDF("node", "new_label")
@@ -1269,6 +1276,7 @@ def bpe_learn_merges(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_merges: int = 8,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Distributed BPE merge learning (Sennrich et al. 2016): starting
     from the character alphabet, repeatedly (1) count adjacent symbol
@@ -1283,8 +1291,10 @@ def bpe_learn_merges(
     table (O(distinct words)), which is how production BPE trainers
     work too. Per merge: one map-side-combined pair aggregation, a
     1-row argmax collect (the standard driver scalar for iterative
-    algorithms), and one Arrow map pass applying the merge;
-    ``localCheckpoint`` keeps the per-iteration plan flat."""
+    algorithms), and one Arrow map pass applying the merge; the
+    per-iteration stage boundary keeps the plan flat. ``checkpoint``:
+    "local" is unreplicated — an executor loss mid-training kills the
+    job at cluster scale; "reliable" survives it (``checkpointing``)."""
     from pyspark.sql import functions as SF
 
     words = df.select(
@@ -1294,7 +1304,7 @@ def bpe_learn_merges(
         words.groupBy("w")
         .agg(F.count("*").cast("bigint").alias("freq"))
         .select(F.split("w", "").alias("syms"), "freq")
-        .localCheckpoint()
+        .transform(stage_checkpoint, label="bpe:vocab", strategy=checkpoint)
     )
 
     pair_expr = F.explode(
@@ -1339,7 +1349,7 @@ def bpe_learn_merges(
 
         vocab = vocab.select(
             _merge_udf(a, b)(F.col("syms")).alias("syms"), "freq"
-        ).localCheckpoint()
+        ).transform(stage_checkpoint, label="bpe:merge", strategy=checkpoint)
         merges.append((rank, a, b, int(cnt)))
 
     spark = df.sparkSession

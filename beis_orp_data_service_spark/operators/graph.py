@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from beis_orp_data_service_spark.checkpointing import stage_checkpoint
+
 
 def unpivot_eav(df: DataFrame, id_col: str, attrs: list[str]) -> DataFrame:
     """Wide row → EAV rows (the shape TypeDB answers arrive in,
@@ -85,7 +87,10 @@ def related_grouped(
 
 
 def reachability(
-    edges: DataFrame, sources: DataFrame, max_hops: int = 3
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """N-hop reachability with min-hop distances — the multi-hop
     extension of the Q13 1-hop traverse (the reference's TQL can chain
@@ -100,10 +105,15 @@ def reachability(
     the plan flat (every frame a LogicalRDD scan, no lineage growth);
     the per-level emptiness check is a scalar count, the standard
     driver action for iterative closure. Cycles terminate because a
-    revisited node is never re-expanded."""
+    revisited node is never re-expanded.
+
+    ``checkpoint``: stage-boundary strategy (``checkpointing``):
+    ``"local"`` truncates lineage into UNREPLICATED executor blocks —
+    fastest, but one lost executor mid-BFS kills the job;
+    ``"reliable"`` recovers from the distributed checkpoint dir."""
     visited = sources.select(
         F.col("node"), F.lit(0).cast("bigint").alias("hops")
-    ).localCheckpoint()
+    ).transform(stage_checkpoint, label="reachability:init", strategy=checkpoint)
     frontier = visited
     for h in range(1, max_hops + 1):
         nxt = (
@@ -111,17 +121,25 @@ def reachability(
             .select(F.col("dst").alias("node"), F.lit(h).cast("bigint").alias("hops"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
-            .localCheckpoint()
+            .transform(
+                stage_checkpoint, label="reachability:frontier",
+                strategy=checkpoint,
+            )
         )
         if nxt.count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt).transform(
+            stage_checkpoint, label="reachability:visited", strategy=checkpoint
+        )
         frontier = nxt
     return visited
 
 
 def shortest_paths(
-    edges: DataFrame, sources: DataFrame, max_hops: int = 3
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Weighted single/multi-source shortest paths, bounded hops —
     Bellman-Ford relaxation on DataFrames. Input: ``edges (src, dst,
@@ -137,10 +155,12 @@ def shortest_paths(
     (no per-round driver emptiness action, unlike :func:`reachability`
     where early exit pays for itself on shallow graphs);
     ``localCheckpoint`` per round keeps the plan flat. Negative-cycle
-    safety comes free from the hop bound."""
+    safety comes free from the hop bound. ``checkpoint``: "local"
+    dies with a lost executor mid-loop (unreplicated, lineage gone);
+    "reliable" re-reads the distributed checkpoint dir."""
     dist = sources.select(
         F.col("node"), F.lit(0).cast("bigint").alias("dist")
-    ).localCheckpoint()
+    ).transform(stage_checkpoint, label="shortest_paths:init", strategy=checkpoint)
     for _ in range(max_hops):
         relaxed = dist.join(edges, dist.node == edges.src).select(
             F.col("dst").alias("node"),
@@ -150,7 +170,10 @@ def shortest_paths(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .transform(
+                stage_checkpoint, label="shortest_paths:round",
+                strategy=checkpoint,
+            )
         )
     return dist
 
@@ -229,14 +252,14 @@ def pagerank(
             edges.groupBy("src").agg(F.count("*").alias("_deg")), "src"
         )
         .select("src", "dst", "_deg")
-        .localCheckpoint(eager=False)
+        .transform(stage_checkpoint, eager=False, label="pagerank:edges_deg")
     )
     base = (1000 - damping_milli) * scale // 1000
     if sources is None:
         nodes_c = nodes.select(
             "node", F.lit(base).cast("bigint").alias("_base"),
             F.lit(scale).cast("bigint").alias("_init"),
-        ).localCheckpoint(eager=False)
+        ).transform(stage_checkpoint, eager=False, label="pagerank:nodes")
     else:
         src = sources.select("node", F.lit(1).alias("_is_src"))
         nodes_c = (
@@ -252,13 +275,13 @@ def pagerank(
                 .cast("bigint")
                 .alias("_init"),
             )
-            .localCheckpoint(eager=False)
+            .transform(stage_checkpoint, eager=False, label="pagerank:nodes_ppr")
         )
     if init is not None:
         pr = init.select("node", F.col("pr_micro").cast("bigint"))
     else:
         pr = nodes_c.select(F.col("node"), F.col("_init").alias("pr_micro"))
-    pr = pr.localCheckpoint(eager=False)
+    pr = pr.transform(stage_checkpoint, eager=False, label="pagerank:init")
     for _ in range(iterations):
         contrib = (
             edges_deg.join(pr, edges_deg.src == pr.node)
@@ -277,7 +300,7 @@ def pagerank(
                     )
                 ).alias("pr_micro"),
             )
-            .localCheckpoint(eager=False)
+            .transform(stage_checkpoint, eager=False, label="pagerank:round")
         )
     return pr
 
@@ -441,8 +464,10 @@ def label_propagation(
     both = edges.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    both = both.localCheckpoint(eager=False)
-    nodes_c = nodes.select("node").localCheckpoint(eager=False)
+    both = both.transform(stage_checkpoint, eager=False, label="lpa:edges")
+    nodes_c = nodes.select("node").transform(
+        stage_checkpoint, eager=False, label="lpa:nodes"
+    )
     labels = nodes_c.select("node", F.col("node").alias("label"))
     for _ in range(iterations):
         counts = (
@@ -461,7 +486,7 @@ def label_propagation(
             .select(
                 "node", F.coalesce(F.col("_mode"), F.col("node")).alias("label")
             )
-            .localCheckpoint(eager=False)
+            .transform(stage_checkpoint, eager=False, label="lpa:round")
         )
     return labels
 
@@ -506,7 +531,9 @@ def label_propagation_oracle_sql(edges_cte: str, iterations: int = 3) -> str:
     """
 
 
-def kcore(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
+def kcore(
+    edges: DataFrame, k: int, rounds: int = 4, checkpoint: str = "local"
+) -> DataFrame:
     """k-core peeling (Seidman 1983; the standard cohesion filter for
     interaction graphs — spam rings and scrape farms survive high-k
     cores, organic users don't): repeatedly drop nodes of degree < k
@@ -525,7 +552,13 @@ def kcore(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
     Per round: one explode + map-side-combined degree aggregate and
     two semi-joins — every stage keyed on the node, no window funnel.
     Input (a, b) canonical undirected edges. Output (node, degree):
-    degrees within the ``rounds``-peeled edge set."""
+    degrees within the ``rounds``-peeled edge set.
+
+    ``checkpoint``: the boundary MUST truncate lineage here ("local" or
+    "reliable" — "persist" keeps lineage and re-inflates the 3^rounds
+    plan); "local" is unreplicated executor state, so at cluster scale
+    a lost executor mid-peel kills the job where "reliable" recovers
+    from the checkpoint dir."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if rounds < 1:
@@ -539,13 +572,13 @@ def kcore(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("degree"))
         )
 
-    e = edges.localCheckpoint()
+    e = edges.transform(stage_checkpoint, label="kcore:init", strategy=checkpoint)
     for _ in range(rounds):
         keep = _degrees(e).where(F.col("degree") >= k).select("node")
         e = (
             e.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
             .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
-            .localCheckpoint()
+            .transform(stage_checkpoint, label="kcore:round", strategy=checkpoint)
         )
     return _degrees(e).select(
         F.col("node").cast("bigint"), F.col("degree").cast("bigint")

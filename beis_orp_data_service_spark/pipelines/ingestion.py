@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from beis_orp_data_service_spark.checkpointing import stage_checkpoint
+
 from beis_orp_data_service_spark.functions.text import clean_text, hash_id
 from beis_orp_data_service_spark.operators import converters as conv
 from beis_orp_data_service_spark.operators import models
@@ -153,12 +155,17 @@ def ingest(
     # re-executes the converter + model-UDF lineage (2 MapInPandas + 2
     # ArrowEvalPython nodes in the round-2 plan). The reference has the
     # same discipline physically — every Step Functions stage writes to
-    # S3 before the next reads. On a cluster, swap localCheckpoint for a
-    # parquet/Delta stage table; blocks here are MEMORY_AND_DISK and
-    # cleaner-reclaimed when the frames go out of scope.
-    converted = convert_stage(binaries).localCheckpoint(eager=True)
+    # S3 before the next reads. On a cluster, swap the stage boundary
+    # for a parquet/Delta stage table (or checkpoint="reliable");
+    # "local" blocks are MEMORY_AND_DISK and cleaner-reclaimed when
+    # the frames go out of scope.
+    converted = convert_stage(binaries).transform(
+        stage_checkpoint, label="ingest:converted"
+    )
     ok = converted.filter(F.col("parse_error").isNull())
-    signed = signature_stage(enrich_stage(ok)).localCheckpoint(eager=True)
+    signed = signature_stage(enrich_stage(ok)).transform(
+        stage_checkpoint, label="ingest:signed"
+    )
     classified = classify_stage(signed, existing_store)
 
     accepted = classified.filter(F.col("classification") != "duplicate")

@@ -1,4 +1,4 @@
-"""Plan hygiene audit over every declared query.
+"""Plan hygiene audit over every declared query — FULL lineage.
 
 Two defect classes, both scale-killers at 100 TB:
 
@@ -16,6 +16,18 @@ Two defect classes, both scale-killers at 100 TB:
      pagination must plan as TakeOrderedAndProject; sorts under joins/
      windows/partitioned writes are fine and not flagged).
 
+Both checks cover the FULL lineage, not just the final plan (round-5
+VERDICT #1): ``localCheckpoint`` truncates lineage, so kernels executed
+before a stage boundary used to vanish from the audited plan. The audit
+now runs with ``SPARK_GRAFT_AUDIT=1``; ``checkpointing.stage_checkpoint``
+records each boundary's pre-checkpoint physical plan, and every recorded
+fragment is audited with the same rules. Each fragment materializes
+exactly once, so the duplicated-Arrow contract applies PER FRAGMENT
+(the same kernel in two fragments is two iteration rounds, not a
+re-execution); the top-level-sort rule applies only to the final plan
+(fragment ordering is internal). Queries with fragments print a
+``LINEAGE`` line with their whole-lineage kernel count.
+
 Exits non-zero when a query exceeds its allowance.
 
 Usage: python scripts/audit_plans.py [sf_dir]
@@ -28,7 +40,12 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+import os  # noqa: E402
+
+os.environ["SPARK_GRAFT_AUDIT"] = "1"  # before any query builds
+
 import __spark_entry__ as entrymod  # noqa: E402
+from beis_orp_data_service_spark import checkpointing as _ck  # noqa: E402
 from beis_orp_data_service_spark.session import get_spark  # noqa: E402
 
 # Queries with a legitimate >1 Arrow-stage plan: one stage per JOIN SIDE
@@ -53,6 +70,23 @@ ALLOW_ARROW = {"ann_ivf_kmeans": 2, "ann_ivf_topk": 2, "ann_topk": 2, "ann_index
                # OPQ chain: ONE rotation pass into ONE PQ encode pass —
                # every row visits each kernel exactly once.
                "pq_opq": 2}
+
+# Per-FRAGMENT Arrow allowances for checkpoint-hidden lineage (each
+# fragment runs once; >1 Arrow node inside one fragment means the same
+# rows cross Arrow twice in one materialization). Default 1.
+FRAGMENT_ALLOW = {
+    # the kNN edge build joins IVF cell assignments of BOTH sides
+    # (one MapInPandas each) into the per-cell cogrouped Gram kernel —
+    # three kernels, every vector crosses each exactly once
+    "emb_clusters": 3,
+    # the "signed" stage boundary chains FIVE DISTINCT kernels — the
+    # minhash signature pass plus the four enrichment model fakes
+    # (title-gen+postprocess, keywords, summary, lang-id), verified
+    # distinct by node inspection: _sig/_lang/_sum/_kw/_pp(_gen(...)).
+    # Each row crosses each kernel exactly once; a 6th stage would
+    # mean a genuine re-execution.
+    "ingest_e2e": 5,
+}
 
 RED_FLAGS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
 
@@ -116,16 +150,24 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("plan-audit")
     bad = []
+    def _kernels(plan: str) -> tuple[int, int, int, int]:
+        return (
+            plan.count("MapInPandas"),
+            plan.count("ArrowEvalPython"),
+            plan.count("FlatMapGroupsInPandas"),
+            plan.count("FlatMapCoGroupsInPandas"),
+        )
+
     for name, fn in entrymod.queries().items():
+        _ck.drain_audit_fragments()
         try:
             plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # noqa: BLE001
             print(f"ERR  {name}: {str(e)[:100]}")
             bad.append(name)
             continue
-        mp = plan.count("MapInPandas")
-        aep = plan.count("ArrowEvalPython")
-        fg = plan.count("FlatMapGroupsInPandas")
+        frags = _ck.drain_audit_fragments()
+        mp, aep, fg, cg = _kernels(plan)
         allowed_arrow = ALLOW_ARROW.get(name, 1)
         if mp > allowed_arrow or fg > 1 or aep > allowed_arrow:
             print(f"DUP  {name}: MapInPandas={mp} ArrowEvalPython={aep} FlatMapGroups={fg}")
@@ -139,8 +181,29 @@ def main() -> int:
         ]
         if top_level_global_sort(plan):
             flags.append("unbounded global Sort at plan top")
+        # ---- full-lineage pass: every pre-checkpoint fragment ----
+        frag_kernels = 0
+        frag_allow = FRAGMENT_ALLOW.get(name, 1)
+        for label, fplan in frags:
+            fmp, faep, ffg, fcg = _kernels(fplan)
+            frag_kernels += fmp + faep + ffg + fcg
+            if fmp + faep + ffg + fcg > frag_allow:
+                flags.append(
+                    f"fragment {label or '?'}: {fmp + faep + ffg + fcg} Arrow "
+                    f"stages in one materialization (allow {frag_allow})"
+                )
+            for f in RED_FLAGS:
+                if f in fplan and not (
+                    f == "BroadcastNestedLoopJoin" and name in ALLOW_BNLJ
+                ):
+                    flags.append(f"fragment {label or '?'}: {f}")
+        if frags:
+            print(
+                f"LINEAGE {name}: fragments={len(frags)} "
+                f"hidden_kernels={frag_kernels} final_kernels={mp + aep + fg + cg}"
+            )
         if flags:
-            print(f"FLAG {name}: {', '.join(flags)}")
+            print(f"FLAG {name}: {', '.join(sorted(set(flags)))}")
             bad.append(name)
     print("CLEAN" if not bad else f"{len(bad)} flagged")
     return 1 if bad else 0

@@ -4,11 +4,18 @@ Runs every ``queries()`` entry from ``__spark_entry__`` at the given
 scale factor and compares against ``oracle_sql()`` via DuckDB:
 row-count + column names + order-insensitive value comparison.
 
+A FULL run (no query filter) also writes ``CORRECTNESS_LOCAL.json`` at
+the repo root — per-query ``{status, grade, rows, seconds}`` for every
+registry entry (VERDICT r5 #5: the driver's CORRECTNESS window covers
+only the locked first 50; this artifact makes the rest diffable across
+rounds without a judge re-run). Commit it with each refresh.
+
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
@@ -90,6 +97,7 @@ def main() -> int:
     print(f"entry() smoke: {n} rows [{time.time()-t0:.1f}s]")
 
     n_fail = 0
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -98,6 +106,9 @@ def main() -> int:
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
+            record[name] = {"status": "fail", "grade": "error",
+                            "rows": None, "seconds": round(time.time() - t0, 2),
+                            "err": str(e)[:200]}
             n_fail += 1
             continue
         if name not in oracles:
@@ -106,7 +117,13 @@ def main() -> int:
             # from "broken join", so 0 < floor is a hard failure.
             qdef = declared_mod.REGISTRY.get(name)
             floor = qdef.min_rows if qdef is not None else 0
-            if len(spark_pdf) < floor:
+            ok_floor = len(spark_pdf) >= floor
+            record[name] = {
+                "status": "ok" if ok_floor else "fail",
+                "grade": "rows_only", "rows": len(spark_pdf),
+                "min_rows": floor, "seconds": round(time.time() - t0, 2),
+            }
+            if not ok_floor:
                 print(
                     f"FAIL {name}: rows-only floor: {len(spark_pdf)} rows "
                     f"< min_rows={floor} [{time.time()-t0:.1f}s]"
@@ -122,14 +139,33 @@ def main() -> int:
             duck_pdf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
+            record[name] = {"status": "fail", "grade": "hash",
+                            "rows": len(spark_pdf),
+                            "seconds": round(time.time() - t0, 2),
+                            "err": f"duckdb: {str(e)[:200]}"}
             n_fail += 1
             continue
         problems = compare(name, spark_pdf, duck_pdf)
+        record[name] = {
+            "status": "fail" if problems else "ok", "grade": "hash",
+            "rows": len(spark_pdf), "seconds": round(time.time() - t0, 2),
+        }
         if problems:
+            record[name]["err"] = "; ".join(problems)[:200]
             n_fail += 1
             print(f"FAIL {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
         else:
             print(f"ok   {name}: {len(spark_pdf)} rows match [{time.time()-t0:.1f}s]")
+    if not only:
+        out = {
+            "sf_dir": sf_dir,
+            "n_queries": len(record),
+            "n_fail": n_fail,
+            "queries": record,
+        }
+        with open("/root/repo/CORRECTNESS_LOCAL.json", "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        print(f"wrote CORRECTNESS_LOCAL.json ({len(record)} queries)")
     print(f"\n{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
     return 1 if n_fail else 0
 

@@ -1,0 +1,226 @@
+"""Empirical scaling probe (VERDICT r5 #2): measure, don't claim.
+
+Every 100 TB statement in this repo was design + plan-shape until this
+script: it times the slowest bench queries on the base fixture AND on a
+``factor``× self-authored inflation of it, and reports the wall-clock
+ratio per query. For a data-linear (or n·log n) operator the ratio must
+stay ≤ ~1.5 × factor; anything above is a superlinearity the plan
+audit can't see (degenerate hot band keys, accidental all-pairs growth,
+driver pulls scaling with the corpus).
+
+Inflation is deterministic replication with PERTURBED ids/text/vectors
+(same schema). Replica k of a document translates a 9-letter alphabet
+slice through permutation k (distinct permutation per replica, identity
+for k=0), so replicas are NOT near-duplicates of their originals — the
+dedup surfaces keep their candidate densities instead of exploding with
+planted cross-replica duplicates (which would measure output growth,
+not engine scaling). Embedding replicas get per-(dim, k) deterministic
+±25% scaling, events get offset ids/users. Untouched tables are
+symlinked.
+
+Usage: python scripts/scaling_probe.py [base_sf_dir] [factor] [reps]
+Defaults: /root/testdata/sf0.1, 10, 2 (best-of-reps per point).
+Writes SCALING.md at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from beis_orp_data_service_spark import declared  # noqa: E402
+from beis_orp_data_service_spark.catalog import (  # noqa: E402
+    TABLES,
+    load_table,
+    table_path,
+)
+from beis_orp_data_service_spark.session import get_spark  # noqa: E402
+
+STRIDE = 10**12  # replica id offset: keeps % predicates per-replica-stable
+INFLATED = ("documents", "embeddings", "events")
+ALPHA = "aeiounrst"  # ~50% of English letter mass — permuting it drops
+#                      char-5-shingle Jaccard vs the original below any
+#                      dedup threshold in the registry
+
+# Queries whose fixtures are self-built and bounded by design (the
+# ingest/SCD family builds ~60-doc streams regardless of sf) — their
+# ratio is expected ~1 and is reported as sf-independent, not graded.
+SF_INDEPENDENT = {"stream_ingest_e2e", "scd_changes", "scd_time_travel",
+                  "scd_vacuum_history", "lsh_index_compact_probe",
+                  "ingest_e2e", "stream_tumbling", "stream_session"}
+
+
+def _perm(k: int) -> str:
+    chars = list(ALPHA)
+    random.Random(k).shuffle(chars)
+    return "".join(chars)
+
+
+def inflate(spark, src: str, dst: str, factor: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        sp = table_path(src, t)
+        if not os.path.exists(sp):
+            continue
+        dp = table_path(dst, t)
+        if t not in INFLATED:
+            if not os.path.exists(dp):
+                os.symlink(sp, dp)
+            continue
+        if os.path.exists(dp):
+            continue  # reuse a previously built fixture
+        base = load_table(spark, src, t)
+        parts = []
+        for k in range(factor):
+            if t == "documents":
+                text = (
+                    F.col("text") if k == 0
+                    else F.translate(F.col("text"), ALPHA, _perm(k))
+                )
+                parts.append(
+                    base.select(
+                        (F.col("doc_id") + k * STRIDE).alias("doc_id"),
+                        text.alias("text"),
+                        "lang",
+                        "source",
+                        F.length(text).cast("bigint").alias("n_chars"),
+                    )
+                )
+            elif t == "embeddings":
+                vec = (
+                    F.col("embedding") if k == 0
+                    else F.transform(
+                        "embedding",
+                        lambda x, i: (
+                            x
+                            * (
+                                1.0
+                                + (
+                                    F.pmod(
+                                        F.xxhash64(i * 1000 + F.lit(k)),
+                                        F.lit(200),
+                                    ).cast("double")
+                                    - 100.0
+                                )
+                                / 400.0
+                            )
+                        ).cast("float"),
+                    )
+                )
+                parts.append(
+                    base.select(
+                        (F.col("vec_id") + k * STRIDE).alias("vec_id"),
+                        vec.alias("embedding"),
+                        "label",
+                    )
+                )
+            else:  # events
+                parts.append(
+                    base.select(
+                        (F.col("event_id") + k * STRIDE).alias("event_id"),
+                        "ts",
+                        (F.col("user_id") + k * 10_000_000).alias("user_id"),
+                        "event_type",
+                        "value",
+                        "props",
+                    )
+                )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(dp)
+        print(f"inflated {t}: {factor}x -> {dp}")
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    dst = f"/root/repo/.scale/x{factor}"
+
+    with open("/root/repo/BENCH_LOCAL.json") as f:
+        bench = json.load(f)
+    slowest = [
+        k for k, _ in sorted(bench["queries"].items(), key=lambda kv: -kv[1])
+    ][:10]
+
+    spark = get_spark("scaling-probe")
+    inflate(spark, base, dst, factor)
+
+    # warm once per size so footer/JVM costs don't land on query 1
+    materialize(declared.q_search_flagship(spark, base))
+    materialize(declared.q_search_flagship(spark, dst))
+
+    rows = []
+    for name in slowest:
+        fn = declared.REGISTRY[name].fn
+        t = {}
+        for label, d in (("base", base), ("big", dst)):
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.time()
+                materialize(fn(spark, d))
+                best = min(best, time.time() - t0)
+            t[label] = best
+        ratio = t["big"] / t["base"] if t["base"] > 0 else float("inf")
+        rows.append((name, t["base"], t["big"], ratio))
+        print(f"{name}: {t['base']:.2f}s -> {t['big']:.2f}s  ratio {ratio:.2f}")
+
+    lines = [
+        "# SCALING — empirical wall-ratio probe",
+        "",
+        f"Base `{base}` vs self-authored **{factor}×** inflation "
+        f"(`scripts/scaling_probe.py`, best-of-{reps} per point, "
+        "`local[32]`). Inflation = deterministic replication with "
+        "perturbed ids/text/vectors (replicas are NOT near-dups of "
+        "their originals — see the script docstring), so ratios "
+        "measure ENGINE scaling, not output growth.",
+        "",
+        f"Pass bar: ratio ≤ {1.5 * factor:.0f} (≈1.5× the data-growth "
+        "factor, n·log n slack) for every query whose input actually "
+        "inflates; self-built bounded fixtures are reported but not "
+        "graded (their work is sf-independent by design).",
+        "",
+        "| query | base s | {f}× s | ratio | verdict |".format(f=factor),
+        "|---|---|---|---|---|",
+    ]
+    n_bad = 0
+    for name, tb, tg, ratio in rows:
+        if name in SF_INDEPENDENT:
+            verdict = "sf-independent fixture (not graded)"
+        elif ratio <= 1.5 * factor:
+            verdict = "OK"
+        else:
+            verdict = "**OUTLIER** — diagnose plan"
+            n_bad += 1
+        lines.append(
+            f"| {name} | {tb:.2f} | {tg:.2f} | {ratio:.2f} | {verdict} |"
+        )
+    lines += [
+        "",
+        f"Outliers: {n_bad}.",
+        "",
+        "Probe fixture lives under `.scale/` (git-ignored); rebuild by "
+        "deleting it. Timings are machine-dependent — compare ratios, "
+        "not absolute seconds.",
+    ]
+    with open("/root/repo/SCALING.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote SCALING.md ({n_bad} outliers)")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
