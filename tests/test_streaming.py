@@ -818,3 +818,125 @@ class TestScdChangesAndVacuum:
         ) == latest_before
         with pytest.raises(ValueError, match="every manifest"):
             st.scd_vacuum_history(spark, path, keep_from=99)
+
+
+class TestWatermarkLateData:
+    """VERDICT r5 ask #7: pin the exact late-row drop/include boundary.
+
+    Structured-Streaming semantics being encoded: the watermark is
+    (max event time seen by the END of a batch) − delay; rows arriving
+    with ts older than the CURRENT watermark are dropped on input, and
+    an append-mode window emits once the watermark passes its end —
+    after which nothing can reopen it."""
+
+    def _drive(self, spark, tmp_path, agg_fn, batches, name):
+        import json as _json
+
+        d = tmp_path / f"{name}_in"
+        d.mkdir()
+        for i, rows in enumerate(batches):
+            with open(d / f"b{i}.json", "w") as f:
+                for eid, ts, uid in rows:
+                    f.write(
+                        _json.dumps(
+                            {
+                                "event_id": eid,
+                                "ts": f"2024-01-01T{ts}",
+                                "user_id": uid,
+                                "event_type": "x",
+                                "value": 1.0,
+                                "props": "p",
+                            }
+                        )
+                        + "\n"
+                    )
+            os.utime(d / f"b{i}.json", (1_700_000_000 + 60 * i,) * 2)
+        src = (
+            spark.readStream.schema(st.EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+        out = str(tmp_path / f"{name}_out")
+        q = (
+            agg_fn(src)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"{name}_chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(out)
+
+    def test_tumbling_late_row_boundary(self, spark, tmp_path):
+        batches = [
+            # b0: windows 10:00 and 10:30 get one row each;
+            # end-of-b0 watermark = 10:35 - 10min = 10:25
+            [(1, "10:05:00", 1), (2, "10:35:00", 1)],
+            # b1 (input filtered at watermark 10:25):
+            #   10:07 -> OLDER than the watermark: DROPPED (its 10:00
+            #            window finalizes this batch with count 1)
+            #   10:28 -> newer than the watermark: ACCEPTED into the
+            #            still-open 10:20 window
+            #   11:30 -> advances; end-of-b1 watermark = 11:20
+            [(3, "10:07:00", 1), (4, "10:28:00", 1), (5, "11:30:00", 1)],
+            # b2: flush — watermark 11:20 finalizes 10:20 and 10:30
+            [(6, "12:30:00", 1)],
+        ]
+        got = {
+            r.window_start.strftime("%H:%M"): r.n_events
+            for r in self._drive(
+                spark,
+                tmp_path,
+                lambda s: st.tumbling_counts(s, "10 minutes", watermark="10 minutes"),
+                batches,
+                "tumb_late",
+            ).collect()
+        }
+        # the late 10:07 row did NOT land anywhere: 10:00 stays 1
+        assert got["10:00"] == 1
+        # the late-but-within-watermark 10:28 row DID land: 10:20 == 1
+        assert got["10:20"] == 1
+        assert got["10:30"] == 1
+        # open windows (11:30, 12:30) not emitted in append mode
+        assert set(got) == {"10:00", "10:20", "10:30"}
+
+    def test_session_window_late_row_boundary(self, spark, tmp_path):
+        batches = [
+            # u1 session [10:00, 10:15); u2 opens at 10:40;
+            # end-of-b0 watermark = 10:40 - 10min = 10:30
+            [(1, "10:00:00", 1), (2, "10:05:00", 1), (3, "10:40:00", 2)],
+            # b1: u1's 10:06 is older than watermark 10:30 -> DROPPED
+            # (the closed session must not reopen or recount);
+            # u2's 10:45 extends the open session to [10:40, 10:55);
+            # 11:30 advances watermark to 11:20
+            [(4, "10:06:00", 1), (5, "10:45:00", 2), (6, "11:30:00", 3)],
+            # b2: flush
+            [(7, "12:30:00", 3)],
+        ]
+        rows = self._drive(
+            spark,
+            tmp_path,
+            lambda s: st.session_window_counts(
+                s, gap="15 minutes", watermark="10 minutes"
+            ),
+            batches,
+            "sess_late",
+        ).collect()
+        got = {
+            (r.user_id, r.session_start.strftime("%H:%M")): (
+                r.session_end.strftime("%H:%M"),
+                r.n_events,
+            )
+            for r in rows
+        }
+        # u1's session closed with exactly the two pre-watermark rows —
+        # the late 10:06 row neither reopened nor recounted it
+        assert got[(1, "10:00")] == ("10:20", 2)
+        # u2's in-flight session absorbed its second row
+        assert got[(2, "10:40")] == ("11:00", 2)
+        assert set(got) == {(1, "10:00"), (2, "10:40")}
