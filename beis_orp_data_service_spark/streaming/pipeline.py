@@ -322,7 +322,10 @@ def run_scd_upsert_stream(
 
 
 def stream_dedup_first_seen(
-    events: DataFrame, id_col: str = "event_id"
+    events: DataFrame,
+    id_col: str = "event_id",
+    watermark: str | None = None,
+    ttl_seconds: int | None = None,
 ) -> DataFrame:
     """Custom stateful operator — exactly-once admission over an
     at-least-once source (the reference's exists-check insert,
@@ -333,13 +336,34 @@ def stream_dedup_first_seen(
     marks "already emitted"; the first arrival of an id is emitted, every
     redelivery — within a batch, across batches, or across restarts (the
     state store lives in the checkpoint) — is swallowed. State per id is
-    one boolean, so the store grows with distinct ids only; add a state
-    TTL (GroupStateTimeout) when the redelivery horizon is bounded, which
-    it is for SQS (visibility timeout × maxReceiveCount).
+    one boolean, so the store grows with distinct ids only; pass
+    ``watermark`` + ``ttl_seconds`` when the redelivery horizon is
+    bounded, which it is for SQS (visibility timeout × maxReceiveCount):
+    the state cell then carries an event-time timeout of (first-seen ts
+    + ttl), and Spark REMOVES it once the eviction watermark passes that
+    point — bounding the store to ids seen within the horizon.
+
+    TTL tradeoff (pinned by
+    tests/test_streaming.py::test_stream_dedup_state_eviction_after_watermark):
+    an id redelivered AFTER its state was evicted is re-admitted — a
+    duplicate emission the downstream must tolerate (or the TTL must
+    exceed the worst redelivery lag). Eviction follows the same
+    SPARK-24634 two-threshold clock as the windows: timeouts fire in
+    the batch whose EVICTION watermark (one batch behind the newest
+    data) passes the timeout, and the late-row ADMISSION filter lags
+    one further batch behind that.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    ttl = ttl_seconds
+    cols = [f.name for f in EVENTS_STREAM_SCHEMA.fields]
+
     def _first_seen(key, pdfs, state):  # noqa: ANN001 - Spark callback
+        if ttl is not None and state.hasTimedOut:
+            # horizon passed with no redelivery in this batch: forget
+            # the id (Spark removes the cell; emit nothing)
+            state.remove()
+            return
         if state.exists:
             for _ in pdfs:  # drain redeliveries
                 pass
@@ -353,14 +377,27 @@ def stream_dedup_first_seen(
         # first arrival in a later batch would be swallowed unemitted
         if first is not None:
             state.update((True,))
-            yield first[[f.name for f in EVENTS_STREAM_SCHEMA.fields]]
+            if ttl is not None:
+                # fixed horizon from the FIRST arrival (redeliveries do
+                # not extend it): evict once the watermark passes ts+ttl
+                state.setTimeoutTimestamp(
+                    int(first.iloc[0]["ts"].timestamp() * 1000) + ttl * 1000
+                )
+            yield first[cols]
 
+    if ttl is not None:
+        if watermark is None:
+            raise ValueError("ttl_seconds requires a watermark delay")
+        events = events.withWatermark("ts", watermark)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.NoTimeout
     return events.groupBy(F.col(id_col)).applyInPandasWithState(
         _first_seen,
         outputStructType=EVENTS_STREAM_SCHEMA,
         stateStructType="seen boolean",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 
@@ -445,7 +482,15 @@ def tumbling_counts(
     events: DataFrame, window: str = "1 hour", watermark: str | None = None
 ) -> DataFrame:
     """Tumbling event-time windows; pass ``watermark`` in streaming mode
-    to bound state and admit late data up to the delay."""
+    to bound state and admit late data up to the delay.
+
+    Late-data boundary (SPARK-24634 two-threshold watermark, pinned by
+    tests/test_streaming.py TestWatermarkLateData): the admission
+    filter for batch N uses the watermark as of batch N-1 — one batch
+    BEHIND the eviction threshold — so a late row arriving in the very
+    next micro-batch after the threshold-setting event is still
+    admitted; the drop only fires once the lagged admission threshold
+    itself has passed the row's window."""
     src = events.withWatermark("ts", watermark) if watermark else events
     return (
         src.groupBy(F.window("ts", window), "event_type")
@@ -463,11 +508,19 @@ def tumbling_counts(
 
 
 def sliding_counts(
-    events: DataFrame, window: str = "1 hour", slide: str = "30 minutes"
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = None,
 ) -> DataFrame:
-    """Sliding windows — each event contributes to window/slide panes."""
+    """Sliding windows — each event contributes to window/slide panes.
+
+    Pass ``watermark`` in streaming mode to bound state (mirrors the
+    ``tumbling_counts`` signature — without it a stream's pane state
+    grows forever); same SPARK-24634 one-batch-lag admission semantics."""
+    src = events.withWatermark("ts", watermark) if watermark else events
     return (
-        events.groupBy(F.window("ts", window, slide))
+        src.groupBy(F.window("ts", window, slide))
         .agg(F.count("*").alias("n_events"))
         .select(F.col("window.start").alias("window_start"), "n_events")
     )
@@ -491,6 +544,14 @@ def interval_join(
     plan runs in batch mode (no state) and is oracle-checkable there.
     Inner-join matches emit immediately in append mode; the watermark
     governs state cleanup, not emission.
+
+    Late-data boundary (pinned by
+    tests/test_streaming.py::test_interval_join_late_left_row_boundary):
+    the SPARK-24634 admission filter lags eviction by one batch, so a
+    left row arriving in the very next micro-batch after the
+    watermark-advancing event still joins; one further batch and the
+    same row is dropped on input (and the right side's state has been
+    evicted).
     """
     c = left.select(
         F.col("event_id").alias("click_id"),
@@ -557,7 +618,13 @@ def session_window_counts(
     engine-managed counterpart of the lag-gap-cumsum ``sessionize``
     (same sessions; that form is oracle-checkable, this one runs
     incrementally under Structured Streaming with watermark-bounded
-    state). Equivalence is pinned by test."""
+    state). Equivalence is pinned by test.
+
+    Late-data boundary: same SPARK-24634 two-threshold semantics as
+    ``tumbling_counts`` — the admission filter lags eviction by one
+    batch, so a closed session can still absorb a late row that lands
+    in the immediately-following micro-batch (pinned by
+    TestWatermarkLateData.test_session_window_late_row_admitted_one_batch_lag)."""
     src = events.withWatermark("ts", watermark) if watermark else events
     return (
         src.groupBy(F.session_window("ts", gap), F.col(key_col))

