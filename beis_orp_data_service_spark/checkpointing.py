@@ -76,9 +76,20 @@ def drain_audit_fragments() -> list[tuple[str, str]]:
 def _ensure_checkpoint_dir(df: DataFrame) -> None:
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
-        d = os.environ.get("SPARK_GRAFT_CKPT_DIR") or tempfile.mkdtemp(
-            prefix="spark_graft_ckpt_"
-        )
+        d = os.environ.get("SPARK_GRAFT_CKPT_DIR")
+        if d is None:
+            # a tempfile fallback is DRIVER-LOCAL: on a cluster it would
+            # silently defeat the executor-loss fault tolerance that is
+            # the 'reliable' strategy's entire purpose (Spark only
+            # warns). Allow it on local masters only.
+            if not sc.master.startswith("local"):
+                raise ValueError(
+                    "checkpoint strategy 'reliable' on a non-local master "
+                    f"({sc.master}) needs a DISTRIBUTED checkpoint dir: call "
+                    "sc.setCheckpointDir('hdfs://...'|'s3a://...') or set "
+                    "SPARK_GRAFT_CKPT_DIR before the first checkpoint"
+                )
+            d = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
         sc.setCheckpointDir(d)
 
 

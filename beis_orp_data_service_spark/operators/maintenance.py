@@ -252,6 +252,18 @@ def compact_scd_store(
       speeds up the LIVE read path (one epoch, few files); history
       storage is reclaimed separately and explicitly by
       ``streaming.pipeline.scd_vacuum_history``.
+
+    Concurrency (same contract as ``compact_lsh_index``): compaction
+    assumes NO concurrent ingest — the manifest protocol is
+    single-writer, and a micro-batch committing between this
+    function's manifest read and its own commit would collide on the
+    same commit id. As defense-in-depth for the GC half specifically,
+    epoch directories NEWER than the compaction's own commit id are
+    never deleted (an in-flight batch that has written its epoch data
+    but not yet committed its manifest looks exactly like a crash
+    orphan — it is left for the writer to commit or overwrite), but
+    the manifest race itself is not resolved: run compaction in a
+    maintenance window.
     """
     from beis_orp_data_service_spark.sources import hadoop_fs as hfs
     from beis_orp_data_service_spark.streaming.pipeline import ParquetScdSink
@@ -288,7 +300,10 @@ def compact_scd_store(
             ):
                 hfs.delete(spark, f"{mdir}/{name}")
         for name in hfs.list_names(spark, sink._data_root):
-            if name.startswith("epoch=") and name != f"epoch={commit_id}":
+            if (
+                name.startswith("epoch=")
+                and int(name.split("=", 1)[1]) < commit_id
+            ):
                 hfs.delete(spark, f"{sink._data_root}/{name}", recursive=True)
     else:
         # delete only (epoch, bucket) dirs no surviving manifest
@@ -305,6 +320,10 @@ def compact_scd_store(
             if not epoch_name.startswith("epoch="):
                 continue
             e = int(epoch_name.split("=", 1)[1])
+            if e > commit_id:
+                # possibly an in-flight concurrent write (data landed,
+                # manifest not yet committed) — never GC it
+                continue
             for bname in hfs.list_names(spark, f"{sink._data_root}/{epoch_name}"):
                 if not bname.startswith(f"{ParquetScdSink.BUCKET}="):
                     continue

@@ -169,8 +169,11 @@ def main() -> int:
         frags = _ck.drain_audit_fragments()
         mp, aep, fg, cg = _kernels(plan)
         allowed_arrow = ALLOW_ARROW.get(name, 1)
-        if mp > allowed_arrow or fg > 1 or aep > allowed_arrow:
-            print(f"DUP  {name}: MapInPandas={mp} ArrowEvalPython={aep} FlatMapGroups={fg}")
+        if mp > allowed_arrow or fg > 1 or aep > allowed_arrow or cg > allowed_arrow:
+            print(
+                f"DUP  {name}: MapInPandas={mp} ArrowEvalPython={aep} "
+                f"FlatMapGroups={fg} FlatMapCoGroups={cg}"
+            )
             bad.append(name)
             continue
         flags = [

@@ -525,3 +525,64 @@ class TestMinhashLshJoin:
             docs, probes, "doc_id", "text", jaccard_distance_threshold=0.3
         ).collect()
         assert out == []
+
+
+class TestLshIndexEpochGuards:
+    """Round-6 ADVICE: epoch uniqueness validated by construction, and
+    the replay guard surviving mixed legacy/stamped index layouts."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_epoch_regression_raises_replay_passes(self, spark, tmp_path):
+        from beis_orp_data_service_spark.operators import dedup as dd
+
+        path = str(tmp_path / "idx_epoch")
+        t = "epoch guard words flowing through this little document " * 2
+        dd.lsh_index_write(self._docs(spark, [(1, t)]), path, epoch=0)
+        dd.lsh_index_write(
+            self._docs(spark, [(2, t + " more")]), path, mode="append", epoch=1
+        )
+        # at-least-once REPLAY of the current epoch: legitimate
+        dd.lsh_index_write(
+            self._docs(spark, [(2, t + " more")]), path, mode="append", epoch=1
+        )
+        # fresh-checkpoint restart (epoch ids reset) on the SAME index:
+        # would silently exclude the old incarnation's epoch-0 rows
+        # from probes — must raise, not corrupt recall
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="high-water epoch"):
+            dd.lsh_index_write(
+                self._docs(spark, [(3, t)]), path, mode="append", epoch=0
+            )
+
+    def test_exclude_epoch_survives_mixed_legacy_index(self, spark, tmp_path):
+        """An index with a legacy (unstamped) generation plus a stamped
+        append: the probe's replay guard must still see _epoch (merged
+        schema) — and exclude exactly the stamped epoch's rows while
+        legacy rows keep answering."""
+        from beis_orp_data_service_spark.operators import dedup as dd
+
+        path = str(tmp_path / "idx_mixed")
+        t1 = "legacy generation text shared across probe and index " * 2
+        t2 = "stamped generation text shared across probe and index " * 2
+        dd.lsh_index_write(self._docs(spark, [(1, t1)]), path)  # legacy
+        dd.lsh_index_write(
+            self._docs(spark, [(2, t2)]), path, mode="append", epoch=7
+        )
+        probe = self._docs(spark, [(10, t1), (20, t2)])
+        with_guard = {
+            (r.index_id, r.probe_id)
+            for r in dd.lsh_index_probe(
+                spark, path, probe, exclude_epoch=7
+            ).collect()
+        }
+        # epoch-7 rows excluded from probes; legacy rows still answer
+        assert (1, 10) in with_guard
+        assert all(idx != 2 for idx, _ in with_guard)
+        without_guard = {
+            (r.index_id, r.probe_id)
+            for r in dd.lsh_index_probe(spark, path, probe).collect()
+        }
+        assert (2, 20) in without_guard

@@ -322,3 +322,71 @@ def test_asof_dangling_manifest_raises_typed_error(spark, tmp_path):
     shutil.rmtree(os.path.join(store, "data", "epoch=0"))
     with pytest.raises(FileNotFoundError, match="references GC'd data"):
         st.read_scd_store_asof(spark, store, 0)
+
+
+def test_compact_scd_gc_spares_inflight_epoch(spark, tmp_path):
+    """Round-6 ADVICE: an epoch directory NEWER than the compaction's
+    own commit (data written, manifest not yet committed — an in-flight
+    concurrent micro-batch or a crash orphan about to be replayed over)
+    must survive GC in BOTH history modes."""
+    from beis_orp_data_service_spark.streaming import pipeline as st
+
+    for retain in (False, True):
+        store = str(tmp_path / f"scd_inflight_{retain}")
+        sink = st.ParquetScdSink(
+            spark, store, "user_id", "ts", "event_id", retain_history=retain
+        )
+        mk = lambda rows: spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, ts string, payload string"
+        )
+        sink(mk([(1, 1, "a", "x"), (2, 2, "a", "y")]), 0)
+        sink(mk([(3, 3, "b", "z")]), 1)
+        commit_id, _ = sink._current_manifest()
+        # simulate the in-flight writer: epoch data far ahead of any
+        # manifest (compaction will commit commit_id+1; this is newer)
+        inflight = commit_id + 5
+        mk([(9, 9, "c", "w")]).withColumn(
+            st.ParquetScdSink.BUCKET, F.lit(0)
+        ).write.partitionBy(st.ParquetScdSink.BUCKET).parquet(
+            f"{store}/data/epoch={inflight}"
+        )
+        mt.compact_scd_store(spark, store, retain_history=retain)
+        assert os.path.isdir(f"{store}/data/epoch={inflight}"), (
+            f"retain_history={retain}: in-flight epoch GC'd"
+        )
+        # live reads are unaffected by the unreferenced dir
+        assert st.read_scd_store(spark, store).count() == 3
+
+
+def test_reliable_checkpoint_requires_distributed_dir_on_cluster(monkeypatch):
+    """Round-6 ADVICE: the tempdir fallback is driver-local; on a
+    non-local master it silently defeats executor-loss tolerance —
+    _ensure_checkpoint_dir must raise instead."""
+    import types
+
+    import pytest as _pytest
+
+    from beis_orp_data_service_spark import checkpointing as ck
+
+    monkeypatch.delenv("SPARK_GRAFT_CKPT_DIR", raising=False)
+    fake_sc = types.SimpleNamespace(
+        master="spark://cluster:7077", getCheckpointDir=lambda: None
+    )
+    fake_df = types.SimpleNamespace(
+        sparkSession=types.SimpleNamespace(sparkContext=fake_sc)
+    )
+    with _pytest.raises(ValueError, match="DISTRIBUTED checkpoint dir"):
+        ck._ensure_checkpoint_dir(fake_df)
+    # local master keeps the zero-ceremony tmpdir fallback
+    seen = {}
+    fake_sc_local = types.SimpleNamespace(
+        master="local[8]",
+        getCheckpointDir=lambda: None,
+        setCheckpointDir=lambda d: seen.setdefault("dir", d),
+    )
+    ck._ensure_checkpoint_dir(
+        types.SimpleNamespace(
+            sparkSession=types.SimpleNamespace(sparkContext=fake_sc_local)
+        )
+    )
+    assert "dir" in seen
