@@ -144,6 +144,50 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def simhash_bucket_stats(spark, sf_dir: str) -> dict:
+    """Band-bucket occupancy for the simhash_pairs query (round-6 ask
+    #4): is its 10× wall-ratio pair-OUTPUT growth (linear, fine) or a
+    degenerate band bucket (quadratic-in-bucket, needs Manku
+    block-splitting)? Candidate pairs = Σ n·(n−1)/2 over (band_idx,
+    band_val) buckets — the join's actual work."""
+    from beis_orp_data_service_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = dd.simhash_table(docs, "doc_id", "text", n_bits=48)
+    bands = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.expr(
+                            f"(simhash DIV {1 << (12 * i)}) % 4096"
+                        ).alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.band_val")
+    occ = bands.groupBy("band_idx", "band_val").count()
+    s = occ.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("count").alias("max_bucket"),
+        F.expr("percentile_approx(count, 0.99)").alias("p99_bucket"),
+        F.sum(F.expr("count * (count - 1) DIV 2")).alias("cand_pairs"),
+    ).first()
+    n_out = declared.REGISTRY["simhash_pairs"].fn(spark, sf_dir).count()
+    return {
+        "n_docs": docs.count(),
+        "n_buckets": s.n_buckets,
+        "max_bucket": s.max_bucket,
+        "p99_bucket": s.p99_bucket,
+        "cand_pairs": int(s.cand_pairs),
+        "out_pairs": n_out,
+    }
+
+
 def main() -> int:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -152,8 +196,15 @@ def main() -> int:
 
     with open("/root/repo/BENCH_LOCAL.json") as f:
         bench = json.load(f)
-    slowest = [
+    by_cost = [
         k for k, _ in sorted(bench["queries"].items(), key=lambda kv: -kv[1])
+    ]
+    # slowest-10 regardless of kind (round-5 scope), plus the next-10
+    # most expensive DATA-SCALING queries (round-6 ask #5: skip the
+    # sf-independent fixtures when widening — their ratio ~1 is a
+    # design property, not a measurement)
+    slowest = by_cost[:10] + [
+        k for k in by_cost[10:] if k not in SF_INDEPENDENT
     ][:10]
 
     spark = get_spark("scaling-probe")
@@ -208,7 +259,61 @@ def main() -> int:
         lines.append(
             f"| {name} | {tb:.2f} | {tg:.2f} | {ratio:.2f} | {verdict} |"
         )
+    # ---- simhash_pairs diagnosis (round-6 ask #4) ----
+    sh_base = simhash_bucket_stats(spark, base)
+    sh_big = simhash_bucket_stats(spark, dst)
+    cand_ratio = sh_big["cand_pairs"] / max(1, sh_base["cand_pairs"])
+    out_ratio = sh_big["out_pairs"] / max(1, sh_base["out_pairs"])
+    bucket_ratio = sh_big["max_bucket"] / max(1, sh_base["max_bucket"])
+    degenerate = bucket_ratio > 3 * factor  # superlinear occupancy
     lines += [
+        "",
+        "## simhash_pairs: bucket-occupancy diagnosis",
+        "",
+        "Its wall ratio tracks CANDIDATE-PAIR growth (the band join's "
+        "Σ n·(n−1)/2 over (band_idx, band_val) buckets), so the "
+        "question is whether that growth is pair-output-linear or a "
+        "degenerate bucket going quadratic:",
+        "",
+        "| scale | docs | buckets | max bucket | p99 bucket | "
+        "candidate pairs | output pairs |",
+        "|---|---|---|---|---|---|---|",
+        f"| 1× | {sh_base['n_docs']} | {sh_base['n_buckets']} | "
+        f"{sh_base['max_bucket']} | {sh_base['p99_bucket']} | "
+        f"{sh_base['cand_pairs']} | {sh_base['out_pairs']} |",
+        f"| {factor}× | {sh_big['n_docs']} | {sh_big['n_buckets']} | "
+        f"{sh_big['max_bucket']} | {sh_big['p99_bucket']} | "
+        f"{sh_big['cand_pairs']} | {sh_big['out_pairs']} |",
+        "",
+        f"Candidate pairs grew {cand_ratio:.1f}×, output pairs "
+        f"{out_ratio:.1f}×, max bucket {bucket_ratio:.1f}×. "
+        + (
+            "**Max-bucket occupancy is growing superlinearly — a "
+            "degenerate 12-bit band value; apply the Manku block-split "
+            "refinement or widen bands.**"
+            if degenerate
+            else "Bucket occupancy grows ~linearly with replication "
+            "(the 12-bit band values stay spread); the wall-ratio is "
+            "candidate/output-pair growth, i.e. the workload itself — "
+            "not bucket degeneracy. No block-split refinement needed; "
+            "at production scale the planted-hot-key probe "
+            "(`scripts/skew_probe.py`) covers the degenerate-key "
+            "incident this diagnosis rules out here."
+        ),
+        "",
+        "## Planted-hot-key skew probe",
+        "",
+        "`scripts/skew_probe.py` (committed `SKEW_PROBE.json`, "
+        "asserted by `tests/test_skew_probe.py`) manufactures the "
+        "degenerate-band-key incident directly: one boilerplate text "
+        "on 30% of 20k docs, probed through the lsh band join. "
+        "Per-task shuffle-read records, max/median: naive join ~8.3× "
+        "(the incident), AQE skew split ~2.6× over ≥5 tasks, "
+        "replicated-salt join ~1.7×, broadcast 1.0 (no shuffle); "
+        "groupBy(band_key).count() stays ~1.3× even naive — map-side "
+        "partial aggregation already bounds decomposable aggs, and "
+        "`skew.salted_aggregate` is result-identical where planned "
+        "salting is still wanted.",
         "",
         f"Outliers: {n_bad}.",
         "",

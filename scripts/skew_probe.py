@@ -1,0 +1,224 @@
+"""Planted-hot-key skew probe (round-5 ask #8 / round-6 ask #3).
+
+The single most likely 100 TB production incident for the dedup path
+is a DEGENERATE BAND KEY: one boilerplate text (a cookie banner, a
+licence header) shared by a large fraction of documents makes every
+copy hash to the same MinHash band keys, and the band join's reducer
+for that key drags the whole stage. This probe MANUFACTURES that
+incident deterministically and measures it with task metrics, not
+wall time:
+
+1. inflate the sf documents table ``inflate``x with perturbed ids and
+   texts (same recipe as scripts/scaling_probe.py), then plant ONE
+   boilerplate text on 30% of the rows;
+2. sign everything (lsh_band_rows) — the hot rows now share band keys;
+3. probe a 50-doc ingest batch against the corpus band table (the
+   lsh_index_probe join shape) under four strategies, asserting on the
+   per-task shuffle-read record distribution of the join stage
+   (diagnostics.task_shuffle_skew):
+
+   - ``join_naive``    broadcast off, AQE skew-split off, no salt —
+                       the incident: max/median task ratio ~ hot-key
+                       mass over mean partition load (documented, not
+                       bounded);
+   - ``join_aqe``      AQE skew-join split on (thresholds lowered to
+                       toy scale: the hot partition is ~0.5 MB here vs
+                       the 256 MB production default) — Spark splits
+                       the hot partition across tasks by mapper range
+                       and replicates the probe side's partition;
+   - ``join_salted``   operators.skew.replicated_salt_join — the
+                       explicit planned-skew form: fact side salted by
+                       doc_id, probe side replicated x n_salts;
+   - ``join_broadcast``autoBroadcastJoinThreshold restored — the
+                       *default session* answer: a 50-doc probe side
+                       broadcasts, the band table never shuffles at
+                       all (no shuffle stage to skew; reported as
+                       ratio 1.0).
+
+   plus the aggregation half:
+
+   - ``agg_naive``     groupBy(band_key).count() — partial (map-side)
+                       aggregation already bounds the reducer: each
+                       map task emits ONE partial row per band key, so
+                       the hot key reaches its reducer as <= n_map
+                       rows, not n_docs. Measured to document WHY the
+                       decomposable-agg path needs no salting;
+   - ``agg_salted``    operators.skew.salted_aggregate over the same
+                       input — result-equality is checked against the
+                       naive counts (the bound matters only if the
+                       answer is still right).
+
+Run:  python scripts/skew_probe.py [sf_dir] [inflate]
+Writes SKEW_PROBE.json at the repo root and prints one JSON line.
+tests/test_skew_probe.py runs this as a subprocess (it needs its own
+SparkSession with spark.ui.enabled=true for the status REST API) and
+asserts the documented bounds: naive ratio >= 6 (the incident is
+real), every mitigated ratio <= 4, agg results equal.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BOILERPLATE = (
+    "this website uses cookies to ensure you get the best experience "
+    "on our website by continuing to browse you agree to our use of "
+    "cookies and our privacy policy which describes how we process "
+    "personal data learn more in our terms and conditions page "
+)
+
+
+def build(spark, sf_dir: str, inflate: int):
+    from pyspark.sql import functions as F
+
+    from beis_orp_data_service_spark.catalog import load_table
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    reps = spark.range(inflate).select(F.col("id").alias("_rep"))
+    docs = (
+        base.crossJoin(reps)
+        .select(
+            (F.col("doc_id") * inflate + F.col("_rep")).alias("doc_id"),
+            # perturb non-hot copies so inflation does not create its
+            # own near-dups; the hot 30% get the SAME boilerplate
+            F.when(
+                (F.col("doc_id") * inflate + F.col("_rep")) % 10 < 3,
+                F.lit(BOILERPLATE),
+            )
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    F.col("text"),
+                    F.format_string("rep%d", F.col("_rep")),
+                    F.format_string("doc%d", F.col("doc_id")),
+                )
+            )
+            .alias("text"),
+        )
+    )
+    return docs
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    inflate = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+        .appName("skew-probe")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "4049")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from beis_orp_data_service_spark.diagnostics import task_shuffle_skew
+    from beis_orp_data_service_spark.operators import dedup as dd
+    from beis_orp_data_service_spark.operators import skew as sk
+
+    docs = build(spark, sf_dir, inflate)
+    n_docs = docs.count()
+    bands = dd.lsh_band_rows(docs, "doc_id", "text", 4, None).localCheckpoint()
+    probe_docs = docs.where(F.col("doc_id") < 50)
+    probe = (
+        dd.lsh_band_rows(probe_docs, "doc_id", "text", 4, None)
+        .select("band_key", F.col("doc_id").alias("probe_id"))
+        .localCheckpoint()
+    )
+    hot_rows = bands.groupBy("band_key").count().agg(F.max("count")).first()[0]
+
+    conf = spark.conf
+    out: dict = {
+        "sf_dir": sf_dir,
+        "inflate": inflate,
+        "n_docs": n_docs,
+        "n_band_rows": bands.count(),
+        "hot_band_key_rows": hot_rows,
+        "cases": {},
+    }
+
+    def run_case(name, fn):
+        out["cases"][name] = task_shuffle_skew(spark, fn)
+        print(
+            f"{name}: ratio {out['cases'][name]['ratio']:.1f} "
+            f"(max {out['cases'][name]['max_records']} / median "
+            f"{out['cases'][name]['median_records']})",
+            file=sys.stderr,
+        )
+
+    # ---- the incident: plain shuffle join, no mitigation ----
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    run_case("join_naive", lambda: bands.join(probe, "band_key").count())
+
+    # ---- AQE skew-join split (thresholds scaled to the toy data) ----
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+    # minPartitionSize defaults to 1 MB — at toy scale coalescing would
+    # otherwise swallow the whole shuffle into one task and report a
+    # meaningless ratio of 1.0 over a single reader
+    conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+    run_case("join_aqe", lambda: bands.join(probe, "band_key").count())
+    conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    conf.unset("spark.sql.adaptive.coalescePartitions.minPartitionSize")
+
+    # ---- explicit salting (planned skew, no AQE assistance) ----
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    run_case(
+        "join_salted",
+        lambda: sk.replicated_salt_join(
+            bands, probe, "band_key", F.col("doc_id"), n_salts=32
+        ).count(),
+    )
+
+    # ---- the default-session answer: broadcast the 50-doc probe ----
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    joined = bands.join(probe, "band_key")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, "probe side did not broadcast"
+    joined.count()
+    out["cases"]["join_broadcast"] = {
+        "ratio": 1.0,
+        "note": "BroadcastHashJoin - band table never shuffles, no "
+        "reducer to skew (plan-asserted)",
+    }
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    # ---- aggregation half: partial agg already bounds the reducer ----
+    run_case("agg_naive", lambda: bands.groupBy("band_key").count().count())
+    naive_counts = {
+        r.band_key: r["count"]
+        for r in bands.groupBy("band_key").count().collect()
+    }
+    salted = sk.salted_aggregate(
+        bands, ["band_key"], {"n": ("count", "band_key")}, F.col("doc_id"), 32
+    )
+    run_case("agg_salted", lambda: salted.count())
+    salted_counts = {r.band_key: r.n for r in salted.collect()}
+    out["agg_equal"] = naive_counts == salted_counts
+
+    print(json.dumps(out))
+    if sf_dir.rstrip("/").endswith("sf0.01") and inflate == 40:
+        with open(os.path.join(REPO, "SKEW_PROBE.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
