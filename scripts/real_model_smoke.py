@@ -1,0 +1,114 @@
+"""Real-model CPU smoke attempt (round-6 VERDICT ask #6).
+
+Tries the smallest possible real-weights path end-to-end so the gap
+between the deterministic fakes and real inference is EVIDENCED, not
+assumed: import the public libs, resolve a tiny public seq2seq from
+the Hugging Face hub (``sshleifer/tiny-t5`` family, ~1 MB — chosen so
+a successful run costs seconds on CPU), and push one Arrow batch
+through ``operators.models`` real branches.
+
+Prints one JSON line describing exactly how far it got:
+
+    {"steps": {"import_transformers": "...", "import_torch": "...",
+               "hub_reachable": "...", "inference": "..."},
+     "blocked": true/false, "block_stage": "..."}
+
+Run it on any box:  python scripts/real_model_smoke.py
+On a box with network + transformers, all steps report "ok" and the
+env-flagged pytest harness is the full check:
+
+    SPARK_GRAFT_REAL_MODELS=1 python -m pytest \
+        tests/test_model_contracts.py -k pandas_udf_harness -q
+
+Last recorded run in THIS build sandbox (2026-08-14): blocked at the
+first step — ``import transformers`` → ModuleNotFoundError (torch and
+keybert likewise absent), and the hub probe fails DNS resolution
+(``gaierror -2, Name or service not known``), with package
+installation disallowed by the environment contract. The committed
+``REAL_MODEL_SMOKE.json`` holds the full report; the fakes therefore
+remain the tested branch here, with the real branch's loader contract
+pinned by tests/test_model_contracts.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TINY_MODEL = "sshleifer/tiny-t5"  # public tiny seq2seq; seconds on CPU
+
+
+def main() -> int:
+    steps: dict[str, str] = {}
+
+    def record(stage: str, fn, requires: tuple[str, ...] = ()):
+        # probe stages are INDEPENDENT (a missing lib must not hide
+        # whether the hub is reachable); only stages whose declared
+        # prerequisites failed are skipped
+        missing = [r for r in requires if steps.get(r) != "ok"]
+        if missing:
+            steps[stage] = f"skipped (blocked prerequisite: {missing[0]})"
+            return None
+        try:
+            out = fn()
+            steps[stage] = "ok"
+            return out
+        except Exception as e:  # noqa: BLE001 - this IS the report
+            steps[stage] = f"{type(e).__name__}: {str(e)[:160]}"
+            return None
+
+    transformers = record("import_transformers", lambda: __import__("transformers"))
+    record("import_torch", lambda: __import__("torch"))
+
+    def _probe_hub():
+        import urllib.request
+
+        socket.setdefaulttimeout(10)
+        with urllib.request.urlopen(
+            f"https://huggingface.co/api/models/{TINY_MODEL}"
+        ) as r:
+            return r.status
+
+    record("hub_reachable", _probe_hub)
+
+    def _infer():
+        pipe = transformers.pipeline(
+            "text2text-generation", model=TINY_MODEL, device=-1
+        )
+        out = pipe("summarize: a tiny smoke document about regulation.")
+        assert isinstance(out, list) and "generated_text" in out[0]
+        return out
+
+    record(
+        "inference",
+        _infer,
+        requires=("import_transformers", "import_torch", "hub_reachable"),
+    )
+
+    blocked_stages = [
+        k for k, v in steps.items() if v != "ok" and not v.startswith("skipped")
+    ]
+    report = {
+        "model": TINY_MODEL,
+        "steps": steps,
+        "blocked": bool(blocked_stages),
+        "block_stage": blocked_stages[0] if blocked_stages else None,
+        "blocked_stages": blocked_stages,
+        "env": {
+            "python": sys.version.split()[0],
+            "install_allowed": False,
+        },
+    }
+    print(json.dumps(report))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "REAL_MODEL_SMOKE.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
