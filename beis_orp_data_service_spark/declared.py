@@ -41,6 +41,7 @@ from beis_orp_data_service_spark.operators import skew as skew_ops
 from beis_orp_data_service_spark.operators import multimodal as mm
 from beis_orp_data_service_spark.operators import search as search_ops
 from beis_orp_data_service_spark.operators import similarity as sim
+from beis_orp_data_service_spark.operators import behavior as bh_ops
 from beis_orp_data_service_spark.operators import temporal as tmp_ops
 from beis_orp_data_service_spark.operators import textstats as ts_ops
 from beis_orp_data_service_spark.sources import readers
@@ -6714,6 +6715,116 @@ REGISTRY["ann_ivfpq_index"] = QueryDef(_ann_ivfpq_index, None, min_rows=25)
 # the full hash check, not the weaker rows-only one.
 for _name in [n for n, qd in list(REGISTRY.items()) if qd.sql is None]:
     REGISTRY[_name] = REGISTRY.pop(_name)
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics (operators/behavior.py): ordered funnel, cohort
+# retention, last-touch attribution — the classic event-table shapes.
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "funnel_users",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > s2.t2 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                     WHEN s2.user_id IS NOT NULL THEN 2
+                     ELSE 1 END AS INT) AS steps_completed,
+           s1.t1 AS anchor_ts,
+           COALESCE(s3.t3, s2.t2, s1.t1) AS last_step_ts
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def funnel_users(spark, sf_dir):
+    # Ordered funnel view -> click -> purchase, 7-day window anchored
+    # at each user's first view: k-1 user-co-partitioned joins (one
+    # shuffle key reused), earliest-qualifying-event semantics, no UDF.
+    events = _t(spark, sf_dir, "events")
+    return bh_ops.funnel_users(events, ["view", "click", "purchase"], "7 days")
+
+
+@declared(
+    "cohort_retention",
+    """
+    WITH c AS (
+      SELECT user_id,
+             (epoch_us(min(ts)) // 1000000) // 604800 AS cp
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), a AS (
+      SELECT DISTINCT user_id,
+             (epoch_us(ts) // 1000000) // 604800 AS ap
+      FROM events
+    )
+    SELECT make_timestamp(cp * 604800 * 1000000) AS cohort_start,
+           CAST(ap - cp AS INT) AS period_offset,
+           count(DISTINCT user_id) AS n_users
+    FROM c JOIN a USING (user_id)
+    WHERE ap - cp >= 0 AND ap - cp < 8
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    # Cohort triangle: users cohorted by first-signup week (global
+    # epoch-anchored 7-day periods), retained-if-any-event per offset
+    # week; two user_id aggregations + one join.
+    events = _t(spark, sf_dir, "events")
+    return bh_ops.cohort_retention(events, "signup", period_days=7, max_periods=8)
+
+
+@declared(
+    "attribution_last_touch",
+    """
+    WITH conv AS (
+      SELECT event_id AS conversion_id, user_id, ts AS cts, value
+      FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT event_id AS touch_id, user_id, ts AS tts
+      FROM events WHERE event_type = 'click'
+    ), j AS (
+      SELECT conv.conversion_id, conv.user_id, conv.cts, conv.value,
+             t.touch_id, t.tts
+      FROM conv JOIN t
+        ON conv.user_id = t.user_id
+       AND t.tts <= conv.cts
+       AND t.tts >= conv.cts - INTERVAL 7 DAY
+    ), r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY conversion_id ORDER BY tts DESC, touch_id DESC
+      ) AS rn FROM j
+    )
+    SELECT conversion_id, touch_id, user_id,
+           (epoch_us(cts) - epoch_us(tts)) // 1000000 AS lag_s, value
+    FROM r WHERE rn = 1
+    """,
+)
+def attribution_last_touch(spark, sf_dir):
+    # Last-touch attribution: bounded interval join (user, 7-day
+    # lookback) + per-conversion max(struct(ts, id)) pick — an
+    # aggregation keyed on the unique conversion id, not a sort.
+    events = _t(spark, sf_dir, "events")
+    return bh_ops.attribution_last_touch(
+        events, "click", "purchase", "7 days"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

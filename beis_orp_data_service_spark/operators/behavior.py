@@ -1,0 +1,227 @@
+"""Event-sequence (behavioral) analytics over the events stream:
+ordered funnels, cohort retention, last-touch attribution.
+
+Engine extensions (the reference has no event analytics; SURVEY §2's
+events surface covers windows/sessionization/interval joins — these
+are the remaining classic large-scale shapes a 100 TB events table
+gets asked for). All three are pure DataFrame compositions:
+
+- ``funnel_counts``: k−1 user-co-partitioned joins (each step's
+  earliest-qualifying timestamp depends on the previous step's), all
+  shuffling on ``user_id`` — one shuffle key reused across stages, no
+  window over the full table, no UDF.
+- ``cohort_retention``: two aggregations on ``user_id`` and one join —
+  cohort = first-signup period, retention = distinct active periods.
+- ``attribution_last_touch``: the interval join (same state-expirable
+  shape as ``streaming.pipeline.interval_join``, reversed: conversions
+  look BACK at touches) + a per-conversion ``max(struct(...))``
+  pick — an aggregation, not a global sort; ties break on the higher
+  touch id deterministically.
+
+Scale notes: every shuffle is on ``user_id`` (high-cardinality; a
+degenerate power user is bounded by the lookback window) or
+``conversion id`` (unique). Funnel step filters push down to the
+scan; with events partitioned by date, the lookback bounds prune
+partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    within: str = "7 days",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel: how many users completed steps[0..k] IN ORDER,
+    each step strictly after the previous one and the whole chain
+    within ``within`` of the user's FIRST steps[0] event.
+
+    Returns one row per step: (step_idx, step, n_users) — n_users is
+    non-increasing down the funnel. Semantics pinned: the anchor is
+    the earliest steps[0] event per user (not "any qualifying
+    subsequence" — that variant is exponential and answers a different
+    question); each later step takes its EARLIEST event strictly after
+    the previous step's chosen time and no later than anchor+within.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    iv = F.expr(f"INTERVAL {within}")
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+        .withColumn("_anchor", F.col("_t"))
+    )
+    counts = [cur.count()]
+    for s in steps[1:]:
+        nxt = events.where(F.col(type_col) == s).select(
+            user_col, F.col(ts_col).alias("_ts")
+        )
+        cur = (
+            cur.join(nxt, user_col)
+            .where((F.col("_ts") > F.col("_t")) & (F.col("_ts") <= F.col("_anchor") + iv))
+            .groupBy(user_col, "_anchor")
+            .agg(F.min("_ts").alias("_t"))
+        )
+        counts.append(cur.count())
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [(i, s, int(n)) for i, (s, n) in enumerate(zip(steps, counts))],
+        "step_idx int, step string, n_users bigint",
+    )
+
+
+def funnel_users(
+    events: DataFrame,
+    steps: list[str],
+    within: str = "7 days",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user funnel depth: (user_id, steps_completed, anchor_ts,
+    last_step_ts) — the row-level form ``funnel_counts`` aggregates;
+    this one stays fully distributed (no driver-side counts) and is
+    the join-back surface for segmenting converted users."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    iv = F.expr(f"INTERVAL {within}")
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+        .withColumn("_anchor", F.col("_t"))
+        .withColumn("_depth", F.lit(1))
+    )
+    out = cur
+    for s in steps[1:]:
+        nxt = events.where(F.col(type_col) == s).select(
+            user_col, F.col(ts_col).alias("_ts")
+        )
+        cur = (
+            cur.join(nxt, user_col)
+            .where((F.col("_ts") > F.col("_t")) & (F.col("_ts") <= F.col("_anchor") + iv))
+            .groupBy(user_col, "_anchor", "_depth")
+            .agg(F.min("_ts").alias("_t"))
+            .withColumn("_depth", F.col("_depth") + 1)
+        )
+        out = out.unionByName(cur)
+    # deepest row per user
+    return (
+        out.groupBy(user_col)
+        .agg(F.max(F.struct("_depth", "_t", "_anchor")).alias("_m"))
+        .select(
+            user_col,
+            F.col("_m._depth").alias("steps_completed"),
+            F.col("_m._anchor").alias("anchor_ts"),
+            F.col("_m._t").alias("last_step_ts"),
+        )
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    cohort_type: str = "signup",
+    period_days: int = 7,
+    max_periods: int = 8,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention triangle: users are cohorted by the period of
+    their FIRST ``cohort_type`` event; a user counts as retained in
+    offset k if they have ANY event in the k-th ``period_days`` period
+    after their cohort period start. Returns (cohort_start,
+    period_offset, n_users); offset 0 is the cohort's own period, so
+    its n_users equals the cohort size.
+
+    Periods are fixed ``period_days`` windows anchored at the GLOBAL
+    epoch (not per-user), the standard cohort-table convention —
+    cohort rows are comparable because everyone's week boundaries
+    align.
+    """
+    sec = period_days * 86400
+    period = lambda c: (F.unix_timestamp(c) / sec).cast("bigint")  # noqa: E731
+    cohorts = (
+        events.where(F.col(type_col) == cohort_type)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_first"))
+        .select(user_col, period(F.col("_first")).alias("_cp"))
+    )
+    active = events.select(user_col, period(F.col(ts_col)).alias("_ap")).distinct()
+    return (
+        cohorts.join(active, user_col)
+        .withColumn("period_offset", (F.col("_ap") - F.col("_cp")).cast("int"))
+        .where((F.col("period_offset") >= 0) & (F.col("period_offset") < max_periods))
+        .groupBy("_cp", "period_offset")
+        .agg(F.count_distinct(user_col).alias("n_users"))
+        .select(
+            F.timestamp_seconds(F.col("_cp") * sec).alias("cohort_start"),
+            "period_offset",
+            "n_users",
+        )
+    )
+
+
+def attribution_last_touch(
+    events: DataFrame,
+    touch_type: str = "click",
+    conversion_type: str = "purchase",
+    lookback: str = "7 days",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Last-touch attribution: each conversion is credited to the SAME
+    user's latest ``touch_type`` event at or before the conversion,
+    within ``lookback``. Returns (conversion_id, touch_id, user_id,
+    lag_s, value) — one row per ATTRIBUTED conversion (conversions
+    with no qualifying touch are absent; left-join the conversions
+    table to see them as unattributed).
+
+    Shape: bounded interval join on (user, time-range) — the state-
+    expirable stream-stream join reversed — then a per-conversion
+    ``max(struct(touch_ts, touch_id))`` aggregation picks the latest
+    touch (ties → higher touch id), keyed on the unique conversion id
+    so no task holds more than one conversion's candidate touches.
+    """
+    iv = F.expr(f"INTERVAL {lookback}")
+    conv = events.where(F.col(type_col) == conversion_type).select(
+        F.col(id_col).alias("conversion_id"),
+        F.col(user_col),
+        F.col(ts_col).alias("_cts"),
+        F.col(value_col).alias("value"),
+    )
+    touch = events.where(F.col(type_col) == touch_type).select(
+        F.col(id_col).alias("touch_id"),
+        F.col(user_col).alias("_tuser"),
+        F.col(ts_col).alias("_tts"),
+    )
+    joined = conv.join(
+        touch,
+        (F.col(user_col) == F.col("_tuser"))
+        & (F.col("_tts") <= F.col("_cts"))
+        & (F.col("_tts") >= F.col("_cts") - iv),
+    )
+    return (
+        joined.groupBy("conversion_id", user_col, "_cts", "value")
+        .agg(F.max(F.struct(F.col("_tts"), F.col("touch_id"))).alias("_m"))
+        .select(
+            "conversion_id",
+            F.col("_m.touch_id").alias("touch_id"),
+            F.col(user_col),
+            F.expr("(unix_micros(_cts) - unix_micros(_m._tts)) div 1000000")
+            .cast("bigint")
+            .alias("lag_s"),
+            "value",
+        )
+    )

@@ -1,0 +1,166 @@
+"""Behavioral analytics operator semantics (operators/behavior.py):
+crafted micro-fixtures pin exactly the edges the oracle parity at
+sf0.01 exercises only statistically — step ORDER enforcement, the
+anchor-relative window bound, attribution tie-breaks, epoch-anchored
+cohort periods."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beis_orp_data_service_spark.operators import behavior as bh
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, f"2024-01-{d:02d}T{h:02d}:00:00", u, t, v)
+            for i, (d, h, u, t, v) in enumerate(rows)
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+class TestFunnel:
+    def test_order_is_enforced(self, spark):
+        # u1 does view->click->purchase (complete); u2 has the
+        # purchase BEFORE the click: must stop at depth 2
+        ev = _events(
+            spark,
+            [
+                (1, 0, 1, "view", 0.0),
+                (2, 0, 1, "click", 0.0),
+                (3, 0, 1, "purchase", 9.0),
+                (1, 0, 2, "view", 0.0),
+                (2, 0, 2, "purchase", 9.0),
+                (3, 0, 2, "click", 0.0),
+            ],
+        )
+        got = {
+            r.user_id: r.steps_completed
+            for r in bh.funnel_users(ev, ["view", "click", "purchase"]).collect()
+        }
+        assert got == {1: 3, 2: 2}
+
+    def test_window_is_anchored_at_first_step(self, spark):
+        # u1's click lands 8 days after the FIRST view — outside the
+        # 7-day anchor window even though a second view is closer
+        ev = _events(
+            spark,
+            [
+                (1, 0, 1, "view", 0.0),
+                (5, 0, 1, "view", 0.0),
+                (9, 0, 1, "click", 0.0),
+                (1, 0, 2, "view", 0.0),
+                (6, 0, 2, "click", 0.0),
+            ],
+        )
+        got = {
+            r.user_id: r.steps_completed
+            for r in bh.funnel_users(ev, ["view", "click"], "7 days").collect()
+        }
+        assert got == {1: 1, 2: 2}
+
+    def test_counts_aggregate_users(self, spark):
+        ev = _events(
+            spark,
+            [
+                (1, 0, 1, "view", 0.0),
+                (1, 1, 1, "click", 0.0),
+                (1, 0, 2, "view", 0.0),
+                (1, 0, 3, "click", 0.0),  # no view: not in funnel
+            ],
+        )
+        got = {
+            (r.step_idx, r.step): r.n_users
+            for r in bh.funnel_counts(ev, ["view", "click"]).collect()
+        }
+        assert got == {(0, "view"): 2, (1, "click"): 1}
+
+    def test_single_step_rejected(self, spark):
+        with pytest.raises(ValueError):
+            bh.funnel_counts(_events(spark, [(1, 0, 1, "view", 0.0)]), ["view"])
+
+
+class TestCohortRetention:
+    def test_offsets_and_sizes(self, spark):
+        # epoch-anchored 7-day periods: 2024-01-04 starts a new period
+        # (1970-01-01 anchor); u1 signs up then returns two periods
+        # later, u2 signs up and never returns
+        ev = _events(
+            spark,
+            [
+                (4, 0, 1, "signup", 0.0),
+                (18, 0, 1, "view", 0.0),
+                (4, 1, 2, "signup", 0.0),
+            ],
+        )
+        got = {
+            (r.period_offset): r.n_users
+            for r in bh.cohort_retention(ev, "signup", 7, 8).collect()
+        }
+        assert got == {0: 2, 2: 1}
+
+    def test_max_periods_bounds_output(self, spark):
+        ev = _events(
+            spark,
+            [(1, 0, 1, "signup", 0.0), (30, 0, 1, "view", 0.0)],
+        )
+        offs = {
+            r.period_offset
+            for r in bh.cohort_retention(ev, "signup", 7, max_periods=2).collect()
+        }
+        assert offs == {0}  # the day-30 activity (offset 4) is cut
+
+
+class TestAttribution:
+    def test_latest_touch_wins_with_id_tiebreak(self, spark):
+        ev = _events(
+            spark,
+            [
+                (1, 0, 1, "click", 0.0),   # event_id 0
+                (1, 0, 1, "click", 0.0),   # event_id 1, SAME ts: tie
+                (2, 0, 1, "click", 0.0),   # event_id 2, later ts
+                (3, 0, 1, "purchase", 5.0),
+            ],
+        )
+        rows = bh.attribution_last_touch(ev, "click", "purchase", "7 days").collect()
+        assert len(rows) == 1
+        assert rows[0].touch_id == 2  # latest ts beats the tie pair
+        assert rows[0].lag_s == 86400
+        # remove the later click: the tie breaks on HIGHER touch id
+        rows2 = bh.attribution_last_touch(
+            _events(
+                spark,
+                [
+                    (1, 0, 1, "click", 0.0),
+                    (1, 0, 1, "click", 0.0),
+                    (3, 0, 1, "purchase", 5.0),
+                ],
+            ),
+            "click",
+            "purchase",
+            "7 days",
+        ).collect()
+        assert rows2[0].touch_id == 1
+
+    def test_lookback_excludes_stale_touches(self, spark):
+        ev = _events(
+            spark,
+            [
+                (1, 0, 1, "click", 0.0),
+                (20, 0, 1, "purchase", 5.0),  # 19 days later
+            ],
+        )
+        assert (
+            bh.attribution_last_touch(ev, "click", "purchase", "7 days").count() == 0
+        )
+
+    def test_touch_at_conversion_instant_counts(self, spark):
+        ev = _events(
+            spark,
+            [(2, 0, 1, "click", 0.0), (2, 0, 1, "purchase", 5.0)],
+        )
+        rows = bh.attribution_last_touch(ev, "click", "purchase", "7 days").collect()
+        assert len(rows) == 1 and rows[0].lag_s == 0
