@@ -1237,10 +1237,10 @@ _SIMHASH48_CTE = """
              list_transform(
                list_distinct(string_split(trim(text), ' ')),
                s -> list_reduce(
-                      list_prepend(CAST(0 AS BIGINT),
-                                   [CAST(ascii(s[i:i]) AS BIGINT)
-                                    for i in range(1, length(s)+1)]),
-                      (acc, x) -> (acc*31 + x) % 281474976710656)) AS hs
+                      [CAST(strpos('0123456789abcdef',
+                                   substr(md5(s), i, 1)) - 1 AS BIGINT)
+                       for i in range(1, 13)],
+                      (acc, x) -> acc * 16 + x)) AS hs
       FROM documents
     ), fp AS (
       SELECT doc_id,
@@ -6824,6 +6824,31 @@ def attribution_last_touch(spark, sf_dir):
     events = _t(spark, sf_dir, "events")
     return bh_ops.attribution_last_touch(
         events, "click", "purchase", "7 days"
+    )
+
+
+@declared(
+    "join_size_cms",
+    corpus_ops.cms_join_size_oracle_sql("events", "user_id", w=1024, d=4),
+)
+def join_size_cms(spark, sf_dir):
+    # CMS inner-product join-size estimation (Cormode & Muthukrishnan
+    # 2005 §4.3): "will events self-joined on user_id blow up?" —
+    # answered from two d*w-cell sketches without shuffling the data;
+    # the exact sum(f^2) is joined on to calibrate (never an
+    # underestimate by construction).
+    events = _t(spark, sf_dir, "events")
+    est = corpus_ops.cms_join_size(events, events, "user_id", "user_id", 1024, 4)
+    exact = (
+        events.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.sum(F.col("_n") * F.col("_n")).cast("bigint").alias("exact_n"))
+    )
+    return est.crossJoin(exact).select(
+        "cms_est",
+        "exact_n",
+        (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overest"),
     )
 
 

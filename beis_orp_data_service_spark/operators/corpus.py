@@ -1635,6 +1635,72 @@ def cms_probe(
     )
 
 
+def cms_join_size(
+    a: DataFrame,
+    b: DataFrame,
+    a_key: str,
+    b_key: str,
+    w: int = 1024,
+    d: int = 4,
+) -> DataFrame:
+    """Equi-join SIZE estimation from two count-min sketches (Cormode
+    & Muthukrishnan 2005 §4.3 inner product): |A ⋈ B| = Σ_k f_A(k)·
+    f_B(k) ≈ min_j Σ_pos cellA[j][pos]·cellB[j][pos] — never an
+    underestimate, error ≤ e·N_A·N_B/w with probability 1−e^−d.
+
+    The 100 TB planner question this answers: will this join (or
+    self-join — pass the same frame twice) blow up quadratically on a
+    hot key, BEFORE running it? Cost: one map-side-combined pass per
+    side to d×w cells, then a cells-only join (≤ d·w rows each) — the
+    estimate never shuffles the data. Returns a single row
+    ``(cms_est)``; join with an exact Σ f_A·f_B where affordable to
+    calibrate (the declared query does).
+    """
+    sa = cms_sketch(a, a_key, w=w, d=d)
+    sb = cms_sketch(b, b_key, w=w, d=d)
+    return (
+        sa.join(
+            sb.withColumnRenamed("cell", "_cell_b"), ["j", "pos"]
+        )
+        .groupBy("j")
+        .agg(F.sum(F.col("cell") * F.col("_cell_b")).alias("_ip"))
+        .agg(F.min("_ip").cast("bigint").alias("cms_est"))
+    )
+
+
+def cms_join_size_oracle_sql(
+    table: str = "events",
+    key: str = "user_id",
+    w: int = 1024,
+    d: int = 4,
+) -> str:
+    """DuckDB twin of the self-join-size estimate on ``table.key``,
+    with the exact Σ f(k)² and the guaranteed-nonnegative overestimate
+    joined on — same md5-hex fold as the Spark side."""
+    hexfold = DUCK_MD5_HEXFOLD
+    return f"""
+    WITH vals AS (
+      SELECT CAST({key} AS VARCHAR) AS v FROM {table}
+      WHERE {key} IS NOT NULL
+    ), cells AS (
+      SELECT j, {hexfold} % {w} AS pos, count(*) AS cell FROM (
+        SELECT j, substr(md5(j || ':' || v), 1, 15) AS h
+        FROM vals CROSS JOIN (SELECT unnest(range(0, {d})) AS j))
+      GROUP BY j, pos
+    ), ip AS (
+      SELECT j, sum(cell * cell) AS ipj FROM cells GROUP BY j
+    ), est AS (
+      SELECT CAST(min(ipj) AS BIGINT) AS cms_est FROM ip
+    ), exact AS (
+      SELECT CAST(sum(n * n) AS BIGINT) AS exact_n
+      FROM (SELECT count(*) AS n FROM vals GROUP BY v)
+    )
+    SELECT est.cms_est, exact.exact_n,
+           CAST(est.cms_est - exact.exact_n AS BIGINT) AS overest
+    FROM est, exact
+    """
+
+
 def cms_probe_oracle_sql(
     table: str = "documents",
     text_col: str = "text",

@@ -163,16 +163,35 @@ def test_declared_minhash_lsh_recovers_planted_pairs(spark):
         assert (i, i + 1_000_000_000) in pairs
 
 
-def test_simhash_table_generalizes_16_bit(spark):
-    # n_bits=16 must reproduce simhash16_table exactly
+def test_simhash_table_uses_all_bits(spark):
+    """Round-7 scaling-probe regression: the wide fingerprint's token
+    hash must put entropy in EVERY band (the old ×31 polynomial mod
+    2^48 left bits 32-47 permanently zero for ordinary word lengths —
+    one band bucket held the whole corpus and the band join went
+    quadratic). Over 200 distinct single-word docs, every 12-bit band
+    must take many distinct values, and fingerprints are deterministic."""
+    import random
+
+    words = [
+        "".join(random.Random(i).choices("abcdefghijklmnop", k=6))
+        for i in range(200)
+    ]
     df = spark.createDataFrame(
-        [(1, "the quick brown fox"), (2, "jumps over lazy dogs"), (3, "the quick brown fox")],
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    fps = {r.doc_id: r.simhash for r in dd.simhash_table(df, "doc_id", "text", 48).collect()}
+    for band in range(4):
+        vals = {(h >> (12 * band)) & 0xFFF for h in fps.values()}
+        assert len(vals) >= 100, f"band {band} degenerate: {len(vals)} values"
+    again = {r.doc_id: r.simhash for r in dd.simhash_table(df, "doc_id", "text", 48).collect()}
+    assert fps == again  # deterministic
+    # identical text -> identical fingerprint
+    dup = spark.createDataFrame(
+        [(1, "the quick brown fox"), (3, "the quick brown fox")],
         "doc_id long, text string",
     )
-    wide = {r.doc_id: r.simhash for r in dd.simhash_table(df, "doc_id", "text", 16).collect()}
-    narrow = {r.doc_id: r.simhash16 for r in dd.simhash16_table(df, "doc_id", "text").collect()}
-    assert wide == narrow
-    assert wide[1] == wide[3]  # identical text -> identical fingerprint
+    two = {r.doc_id: r.simhash for r in dd.simhash_table(dup, "doc_id", "text", 48).collect()}
+    assert two[1] == two[3]
 
 
 def test_simhash_band_pairs_full_recall_within_guarantee(spark):
