@@ -6852,6 +6852,97 @@ def join_size_cms(spark, sf_dir):
     )
 
 
+@declared(
+    "hll_audience_overlap",
+    """
+    WITH va AS (
+      SELECT CAST(user_id AS VARCHAR) AS v FROM events
+      WHERE event_type = 'click'
+    ), vb AS (
+      SELECT CAST(user_id AS VARCHAR) AS v FROM events
+      WHERE event_type = 'purchase'
+    ), vu AS (
+      SELECT v FROM va UNION ALL SELECT v FROM vb
+    ), ex AS (
+      SELECT count(DISTINCT CASE WHEN event_type = 'click'
+                                 THEN user_id END) AS exact_a,
+             count(DISTINCT CASE WHEN event_type = 'purchase'
+                                 THEN user_id END) AS exact_b,
+             count(DISTINCT CASE WHEN event_type IN ('click', 'purchase')
+                                 THEN user_id END) AS exact_union
+      FROM events
+    )
+    SELECT a.a_est, b.b_est, u.u_est,
+           greatest(0.0, a.a_est + b.b_est - u.u_est) AS est_intersect,
+           a.a_s_total, b.b_s_total, u.u_s_total,
+           ex.exact_a, ex.exact_b, ex.exact_union,
+           CAST(ex.exact_a + ex.exact_b - ex.exact_union AS BIGINT)
+             AS exact_intersect
+    FROM __EST_A__ a, __EST_B__ b, __EST_U__ u, ex
+    """.replace(
+        "__EST_A__", corpus_ops.hll_estimate_oracle_sql("va", 10, "a_")
+    )
+    .replace("__EST_B__", corpus_ops.hll_estimate_oracle_sql("vb", 10, "b_"))
+    .replace("__EST_U__", corpus_ops.hll_estimate_oracle_sql("vu", 10, "u_")),
+)
+def hll_audience_overlap(spark, sf_dir):
+    # HLL set operations: click-audience vs purchase-audience distinct
+    # users, union = lossless register merge (per-bucket max),
+    # intersection = inclusion-exclusion on the estimates — the
+    # "audience overlap across 100 TB of logs from three O(2^p)
+    # sketches" shape. Estimates are hash-grade: integer register sums
+    # (exact in int64) with ONE float division from a shared precomputed
+    # constant (hll_estimate_df); exact counts joined on to calibrate.
+    events = _t(spark, sf_dir, "events")
+    va = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").cast("string").alias("v")
+    )
+    vb = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("string").alias("v")
+    )
+    ra = corpus_ops.hll_registers(va, "v", p=10)
+    rb = corpus_ops.hll_registers(vb, "v", p=10)
+    ru = corpus_ops.hll_merge(ra, rb)
+    ea = corpus_ops.hll_estimate_df(ra, 10, "a_")
+    eb = corpus_ops.hll_estimate_df(rb, 10, "b_")
+    eu = corpus_ops.hll_estimate_df(ru, 10, "u_")
+    exact = events.agg(
+        F.count_distinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("exact_a"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("exact_b"),
+        F.count_distinct(
+            F.when(
+                F.col("event_type").isin("click", "purchase"), F.col("user_id")
+            )
+        ).alias("exact_union"),
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(exact)
+        .select(
+            "a_est",
+            "b_est",
+            "u_est",
+            F.greatest(
+                F.lit(0.0), F.col("a_est") + F.col("b_est") - F.col("u_est")
+            ).alias("est_intersect"),
+            "a_s_total",
+            "b_s_total",
+            "u_s_total",
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_union"))
+            .cast("bigint")
+            .alias("exact_intersect"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.fn for name, qd in REGISTRY.items()}
 

@@ -1460,6 +1460,90 @@ def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.unionByName(b).groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
 
 
+def hll_estimate_df(registers: DataFrame, p: int = 10, prefix: str = "") -> DataFrame:
+    """IN-PLAN scalar HLL estimate: one row ``({prefix}est double,
+    {prefix}n_present bigint, {prefix}s_total bigint)`` — the
+    DataFrame-composable (and hash-gradable) counterpart of the
+    driver-side :func:`hll_estimate`.
+
+    Hash-stability trick: the indicator sum Σ 2^−M_j is NOT computed
+    in floating point (a distributed double sum is partial-agg-order
+    dependent — not even Spark-deterministic). Instead the integer
+    ``s_total = Σ_present 2^(rho_max − M_j) + zeros·2^rho_max`` is
+    summed exactly in int64 (≤ 2^p·2^(60−p) = 2^60), and the float
+    estimate ``alpha·m²·2^rho_max / s_total`` involves exactly one
+    rounding per operation — bit-identical in any IEEE engine, so the
+    DuckDB oracle matches on the double. Small-range linear counting
+    (``m·ln(m/zeros)``) carries the repo's documented 1-ulp ``ln()``
+    cross-engine assumption (as DSIR/BM25 do).
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16]: {p}")
+    m = 1 << p
+    rho_max = 60 - p + 1
+    # alpha·m²·2^rho_max precomputed to ONE double literal shared with
+    # the SQL twin — the runtime then does exactly one division (and
+    # one comparison) in float, identical in any IEEE engine
+    c = (0.7213 / (1 + 1.079 / m)) * float(m) * float(m) * float(1 << rho_max)
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rho_max} - max_rho)")),
+            F.lit(0).cast("bigint"),
+        ).alias("_s"),
+    )
+    zeros = F.lit(m) - F.col("_n")
+    s_total = (F.col("_s") + zeros * F.lit(1 << rho_max).cast("bigint")).cast(
+        "bigint"
+    )
+    raw = F.lit(c) / s_total.cast("double")
+    est = F.when(
+        (zeros > 0) & (raw <= F.lit(2.5 * m)),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        est.alias(f"{prefix}est"),
+        F.col("_n").cast("bigint").alias(f"{prefix}n_present"),
+        s_total.alias(f"{prefix}s_total"),
+    )
+
+
+def hll_estimate_oracle_sql(values_cte: str, p: int, prefix: str = "") -> str:
+    """DuckDB twin of ``hll_registers`` + :func:`hll_estimate_df` over
+    a CTE named ``values_cte`` with one column ``v`` (strings). Emits a
+    one-row SELECT (no trailing FROM) to embed as a subquery."""
+    m = 1 << p
+    rho_max = 60 - p + 1
+    c = (0.7213 / (1 + 1.079 / m)) * float(m) * float(m) * float(1 << rho_max)
+    return f"""
+      (WITH h_{prefix} AS (
+        SELECT (('0x' || substr(md5(v), 1, 15))::BIGINT) AS h60
+        FROM {values_cte} WHERE v IS NOT NULL
+      ), reg_{prefix} AS (
+        SELECT h60 % {m} AS bucket,
+               max(CASE WHEN h60 // {m} = 0 THEN {rho_max}
+                        ELSE {rho_max} - length(bin(h60 // {m})) END) AS max_rho
+        FROM h_{prefix} GROUP BY 1
+      ), a_{prefix} AS (
+        SELECT count(*) AS n,
+               coalesce(sum((1::BIGINT << ({rho_max} - max_rho))), 0) AS s,
+               CAST(coalesce(sum((1::BIGINT << ({rho_max} - max_rho))), 0)
+                    + ({m} - count(*)) * (1::BIGINT << {rho_max}) AS BIGINT)
+                 AS s_total
+        FROM reg_{prefix}
+      )
+      SELECT CASE WHEN ({m} - n) > 0
+                   AND {c!r}::DOUBLE / CAST(s_total AS DOUBLE) <= {2.5 * m}
+             THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE)
+                                           / CAST({m} - n AS DOUBLE))
+             ELSE {c!r}::DOUBLE / CAST(s_total AS DOUBLE)
+             END AS {prefix}est,
+             CAST(n AS BIGINT) AS {prefix}n_present,
+             s_total AS {prefix}s_total
+      FROM a_{prefix})
+    """
+
+
 def hll_estimate(registers: DataFrame, p: int = 10) -> float:
     """Scalar HLL estimate from a register table (driver-side over
     ≤2^p rows — bounded by construction). Standard alpha_m bias

@@ -628,6 +628,34 @@ class TestHllSketch:
         est = co.hll_estimate(co.hll_registers(df, "v", p=10), p=10)
         assert abs(est - 100) / 100 < 0.15
 
+    def test_estimate_df_matches_driver_estimate(self, spark):
+        """The in-plan hll_estimate_df must agree with the driver-side
+        hll_estimate: EXACTLY on the linear-counting branch (integer
+        zeros both sides) and to float tolerance on the raw branch
+        (driver sums 2^-rho in arbitrary float order; the in-plan form
+        sums scaled integers exactly, so tiny rounding differences are
+        expected and bounded)."""
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        for n in (100, 20_000):  # linear-counting branch, raw branch
+            df = spark.range(n).selectExpr("CAST(id AS STRING) AS v")
+            regs = co.hll_registers(df, "v", p=10)
+            want = co.hll_estimate(regs, p=10)
+            row = co.hll_estimate_df(regs, p=10).first()
+            assert abs(row.est - want) <= 1e-9 * max(1.0, want)
+            # s_total integer invariants: present buckets + zeros
+            m, rho_max = 1 << 10, 51
+            assert row.n_present == regs.count()
+            assert row.s_total <= m * (1 << rho_max)
+
+    def test_estimate_df_empty_input(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        df = spark.range(0).selectExpr("CAST(id AS STRING) AS v")
+        row = co.hll_estimate_df(co.hll_registers(df, "v", p=10), p=10).first()
+        # all-zero registers -> linear counting with zeros = m -> ln(1) = 0
+        assert row.est == 0.0 and row.n_present == 0
+
     def test_merge_equals_union_sketch_exactly(self, spark):
         """Mergeable-state property: merge(R(A), R(B)) == R(A ∪ B)
         register-for-register (not approximately)."""
