@@ -122,6 +122,8 @@ ALLOW_BNLJ = {
     "tfidf_vectors", # 1-row n_docs aggregate crossJoined (broadcast)
     "q_tpch22",      # 1-row scalar-aggregate subquery (avg balance)
     "dsir_weights",  # 1-row normalization-constant subquery
+    "join_size_cms",  # 1-row sketch-estimate x 1-row exact-sum crossJoin
+    "hll_audience_overlap",  # four 1-row aggregates (3 estimates + exact) crossJoined
 }
 
 
