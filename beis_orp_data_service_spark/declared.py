@@ -44,6 +44,7 @@ from beis_orp_data_service_spark.operators import similarity as sim
 from beis_orp_data_service_spark.operators import behavior as bh_ops
 from beis_orp_data_service_spark.operators import temporal as tmp_ops
 from beis_orp_data_service_spark.operators import textstats as ts_ops
+from beis_orp_data_service_spark.functions import urlnorm
 from beis_orp_data_service_spark.sources import readers
 from beis_orp_data_service_spark.streaming import pipeline as st_ops
 
@@ -6941,6 +6942,225 @@ def hll_audience_overlap(spark, sf_dir):
             .alias("exact_intersect"),
         )
     )
+
+
+def _mm_phash_dups(spark, sf_dir):
+    # Perceptual-hash image near-dup: documents-as-media payloads →
+    # 64-bit pHash (REAL 2-D DCT over a deterministic fake raster —
+    # only bytes→pixels is stubbed, multimodal.py:_gray32) → banded
+    # Hamming join (4×16-bit bands, max_dist 10), never all-pairs.
+    # DCT isn't ANSI-SQL, so rows-only: 20 planted RE-ENCODED copies
+    # (ids offset 10^9; payload NUL-padded past the 1024-byte raster
+    # window then marked, so the bytes differ but the raster — and
+    # hash — is identical: the "same image, different file" case every
+    # perceptual hash exists for) MUST each pair with their original
+    # at distance 0 — min_rows=20 makes 0 rows a hard failure. The
+    # small-perturbation tolerance lives in
+    # tests/test_multimodal_sources.py on smooth controlled rasters
+    # (byte-noise rasters are intentionally brittle: their AC spectrum
+    # is dense near the median, so pHash there is an exact-raster
+    # matcher — documented, not hidden).
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.documents_as_media(docs)
+    planted = (
+        docs.orderBy("doc_id")
+        .limit(20)
+        .select(
+            (F.col("doc_id") + F.lit(1_000_000_000)).alias("media_id"),
+            F.lit("image").alias("media_type"),
+            F.encode(
+                F.concat(
+                    F.rpad(F.col("text"), 1024, "\x00"), F.lit("reenc-v2")
+                ),
+                "utf-8",
+            ).alias("content"),
+            F.create_map(F.lit("src"), F.col("source")).alias("meta"),
+        )
+    )
+    hashes = mm.phash_media(media.unionByName(planted))
+    return mm.phash_band_pairs(hashes, n_bands=4, max_dist=10)
+
+
+REGISTRY["mm_phash_dups"] = QueryDef(_mm_phash_dups, None, min_rows=20)
+
+
+@declared(
+    "session_paths",
+    bh_ops.session_paths_oracle_sql("events"),
+)
+def session_paths(spark, sf_dir):
+    # Top-20 session paths: ordered event-type sequences per
+    # lag-gap-cumsum session, truncated to the first 5 events before
+    # any collect (bounded aggregation state), counted and
+    # TakeOrderedAndProject'd — the full-sequence counterpart of
+    # first-order `transitions`.
+    events = _t(spark, sf_dir, "events")
+    return bh_ops.session_paths(events)
+
+
+_URL_VARIANT_SQL = """
+      CASE doc_id % 6
+        WHEN 0 THEN 'https://www.Example.com/' || base || '/'
+        WHEN 1 THEN 'https://example.com/' || base
+        WHEN 2 THEN 'https://example.com:443/' || base || '?utm_source=feed'
+        WHEN 3 THEN 'https://example.com//' || base || '#frag'
+        WHEN 4 THEN 'https://EXAMPLE.com./' || base || '?b=2&a=1'
+        ELSE 'https://user:pw@example.com/' || base
+             || '?a=1&utm_campaign=x&b=2'
+      END
+"""
+
+
+@declared(
+    "url_dedup",
+    """
+    WITH raw AS (
+      SELECT doc_id, {variant} AS url
+      FROM (SELECT doc_id,
+                   'docs/item' || CAST(doc_id % 97 AS VARCHAR) AS base
+            FROM documents)
+    )
+    SELECT {canon} AS canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_spellings,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM raw GROUP BY 1
+    """.format(
+        variant=_URL_VARIANT_SQL,
+        canon=urlnorm.canonical_url_sql("url"),
+    ),
+)
+def url_dedup(spark, sf_dir):
+    # Crawl-URL canonical dedup: six deliberately-messy spellings per
+    # logical URL (host case, www, default port, userinfo, trailing
+    # dot/slash, doubled slashes, fragment, utm/gclid params, param
+    # order) synthesized from (source, doc_id), folded by the pure
+    # Catalyst expression chain canonical_url (functions/urlnorm.py —
+    # zero UDFs, whole-stage codegen), then grouped. The first dedup
+    # stage of every web-scale corpus build; at 100 TB it is one
+    # projection + one hash aggregate on the canonical key.
+    from beis_orp_data_service_spark.functions.urlnorm import canonical_url
+
+    docs = _t(spark, sf_dir, "documents")
+    base = F.concat(
+        F.lit("docs/item"), (F.col("doc_id") % 97).cast("string")
+    )
+    url = (
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.lit("https://www.Example.com/"), base, F.lit("/")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 1,
+            F.concat(F.lit("https://example.com/"), base),
+        )
+        .when(
+            F.col("doc_id") % 6 == 2,
+            F.concat(
+                F.lit("https://example.com:443/"),
+                base,
+                F.lit("?utm_source=feed"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(F.lit("https://example.com//"), base, F.lit("#frag")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 4,
+            F.concat(F.lit("https://EXAMPLE.com./"), base, F.lit("?b=2&a=1")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://user:pw@example.com/"),
+                base,
+                F.lit("?a=1&utm_campaign=x&b=2"),
+            )
+        )
+    )
+    return (
+        docs.select(F.col("doc_id"), url.alias("url"))
+        .groupBy(canonical_url("url").alias("canonical_url"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct(F.col("url")).cast("bigint").alias("n_spellings"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        )
+    )
+
+
+@declared(
+    "theta_overlap",
+    """
+    WITH va AS (
+      SELECT CAST(user_id AS VARCHAR) AS v FROM events
+      WHERE event_type = 'click' AND day(ts) <= 6
+        AND user_id IS NOT NULL
+    ), vb AS (
+      SELECT CAST(user_id AS VARCHAR) AS v FROM events
+      WHERE event_type = 'purchase' AND day(ts) >= 25
+        AND user_id IS NOT NULL
+    ), fl AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'click' AND day(ts) <= 6
+                      THEN 1 ELSE 0 END) AS ia,
+             MAX(CASE WHEN event_type = 'purchase' AND day(ts) >= 25
+                      THEN 1 ELSE 0 END) AS ib
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), ex AS (
+      SELECT CAST(SUM(ia) AS BIGINT) AS exact_a,
+             CAST(SUM(ib) AS BIGINT) AS exact_b,
+             CAST(SUM(ia * ib) AS BIGINT) AS exact_intersect
+      FROM fl
+    )
+    SELECT est.*, ex.* FROM (__THETA__) est, ex
+    """.replace(
+        "__THETA__", corpus_ops.theta_set_ops_oracle_sql("va", "vb", 64)
+    ),
+)
+def theta_overlap(spark, sf_dir):
+    # Theta-sketch audience intersection (Dasgupta, Lang, Rhodes 2016):
+    # "which early-month clickers ever purchase?" answered by
+    # intersecting two bottom-64 sketch SAMPLES at a shared threshold —
+    # the direct estimate HLL cannot give (hll_audience_overlap's
+    # inclusion-exclusion compounds three errors; this one samples the
+    # intersection itself). Sketches are O(k) rows, mergeable, built
+    # with one distinct + TakeOrderedAndProject each; exact flag-sums
+    # joined on to calibrate.
+    events = _t(spark, sf_dir, "events")
+    first_half_click = (F.col("event_type") == "click") & (
+        F.dayofmonth("ts") <= 6
+    )
+    late_purchase = (F.col("event_type") == "purchase") & (
+        F.dayofmonth("ts") >= 25
+    )
+    va = events.where(
+        first_half_click & F.col("user_id").isNotNull()
+    ).select(F.col("user_id").cast("string").alias("v"))
+    vb = events.where(
+        late_purchase & F.col("user_id").isNotNull()
+    ).select(F.col("user_id").cast("string").alias("v"))
+    est = corpus_ops.theta_set_ops(
+        corpus_ops.theta_sketch(va, "v", k=64),
+        corpus_ops.theta_sketch(vb, "v", k=64),
+        k=64,
+    )
+    exact = (
+        events.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(first_half_click, 1).otherwise(0)).alias("ia"),
+            F.max(F.when(late_purchase, 1).otherwise(0)).alias("ib"),
+        )
+        .agg(
+            F.sum("ia").cast("bigint").alias("exact_a"),
+            F.sum("ib").cast("bigint").alias("exact_b"),
+            F.sum(F.col("ia") * F.col("ib")).cast("bigint").alias(
+                "exact_intersect"
+            ),
+        )
+    )
+    return est.crossJoin(exact)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

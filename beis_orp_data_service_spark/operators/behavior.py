@@ -225,3 +225,110 @@ def attribution_last_touch(
             "value",
         )
     )
+
+
+def session_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 60,
+    max_len: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k session paths: the most common ordered event-type
+    sequences users follow within a session (lag-gap-cumsum
+    sessionization, same rule as ``streaming.pipeline.sessionize``),
+    truncated to the first ``max_len`` events — the "what do users DO"
+    counterpart of first-order ``transition_counts``, which forgets
+    everything but the previous step.
+
+    Shape at 100 TB: both windows are PARTITIONED BY the user key
+    (never global); the per-session path is bounded to ``max_len``
+    rows BEFORE the collect (row_number filter), so aggregation state
+    per session is O(max_len); the final top-k is a
+    TakeOrderedAndProject, not a global sort. One shuffle key
+    (``user_col``) serves sessionization, truncation and path
+    assembly; only the grouped path counts shuffle again.
+
+    Output: (path, n_sessions), the ``top_k`` most frequent, ties
+    broken by path string ascending (deterministic)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    gapped = events.withColumn(
+        "_new",
+        F.when(
+            F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+            > gap_minutes * 60,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("_session", F.sum("_new").over(w).cast("bigint"))
+    ws = Window.partitionBy(user_col, "_session").orderBy(
+        F.col(ts_col), F.col(id_col)
+    )
+    truncated = gapped.withColumn("_rn", F.row_number().over(ws)).where(
+        F.col("_rn") <= max_len
+    )
+    paths = (
+        truncated.groupBy(user_col, "_session")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("_rn", type_col))
+                    ),
+                    lambda s: s[type_col],
+                ),
+                ">",
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    )
+    return paths.orderBy(F.col("n_sessions").desc(), F.col("path")).limit(
+        top_k
+    )
+
+
+def session_paths_oracle_sql(
+    table: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 60,
+    max_len: int = 5,
+    top_k: int = 20,
+) -> str:
+    """DuckDB twin — same gap rule, same truncation, same tie-break."""
+    return f"""
+    WITH gapped AS (
+      SELECT {user_col} AS u, {type_col} AS t, {ts_col} AS ts,
+             {id_col} AS id,
+             CASE WHEN epoch_us({ts_col}) // 1000000
+                       - lag(epoch_us({ts_col}) // 1000000) OVER (
+                           PARTITION BY {user_col}
+                           ORDER BY {ts_col}, {id_col})
+                       > {gap_minutes * 60}
+                  THEN 1 ELSE 0 END AS _new
+      FROM {table}
+    ), sess AS (
+      SELECT u, t, ts, id,
+             SUM(_new) OVER (PARTITION BY u ORDER BY ts, id
+                             ROWS UNBOUNDED PRECEDING) AS _session
+      FROM gapped
+    ), trunc AS (
+      SELECT u, t, _session,
+             row_number() OVER (PARTITION BY u, _session
+                                ORDER BY ts, id) AS _rn
+      FROM sess QUALIFY _rn <= {max_len}
+    ), p AS (
+      SELECT string_agg(t, '>' ORDER BY _rn) AS path
+      FROM trunc GROUP BY u, _session
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT {top_k}
+    """

@@ -2752,3 +2752,163 @@ def quantile_sketch_grouped_oracle_sql(
     )
     SELECT grp, id, value, hkey FROM ranked WHERE _rn <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Theta sketch — bottom-k distinct sketch with DIRECT set-operation
+# estimates (union / intersection / difference), the capability HLL
+# lacks: inclusion-exclusion on three HLL estimates compounds their
+# errors and goes unusable for small intersections, while the Theta
+# Sketch Framework (Dasgupta, Lang, Rhodes 2016) intersects the sketch
+# SAMPLES themselves at a shared threshold.
+# ---------------------------------------------------------------------------
+
+THETA_ONE = 1 << 60  # hkey domain size == "theta = 1.0" as an integer
+
+
+def theta_sketch(df: DataFrame, value_col, k: int = 64) -> DataFrame:
+    """Bottom-k theta sketch of the DISTINCT values of ``value_col``:
+    the k smallest 60-bit md5 keys, one row each. Deterministic
+    (md5-keyed, no RNG), partitioning-invariant, and mergeable — the
+    bottom-k of a union is the bottom-k of the parts' bottom-ks.
+
+    Plan shape at 100 TB: partial-aggregate distinct map-side, then
+    TakeOrderedAndProject — every partition forwards at most k keys and
+    the driver never holds more than P·k candidates; the value column
+    itself is never globally shuffled beyond the distinct.
+
+    Output: (hkey bigint), ≤ k rows."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    return (
+        df.where(v.isNotNull())
+        .select(md5_int60(v.cast("string")).alias("hkey"))
+        .distinct()
+        .orderBy("hkey")
+        .limit(k)
+    )
+
+
+def _theta_of(sketch: DataFrame, k: int, alias: str) -> DataFrame:
+    """1-row threshold: the max retained key when the sketch is full
+    (saturated), else THETA_ONE (the sketch IS the exact distinct set)."""
+    return sketch.agg(
+        F.when(F.count(F.lit(1)) == k, F.max("hkey"))
+        .otherwise(F.lit(THETA_ONE))
+        .cast("bigint")
+        .alias(alias),
+        F.count(F.lit(1)).cast("bigint").alias(f"n_{alias}"),
+    )
+
+
+def theta_set_ops(sk_a: DataFrame, sk_b: DataFrame, k: int) -> DataFrame:
+    """Union / intersection / a-minus-b estimates from two bottom-k
+    theta sketches. theta_u = min(theta_a, theta_b); every estimate
+    counts sketch keys strictly below theta_u (for a saturated sketch
+    that is the textbook k-1 retained entries) and scales by 1/theta_u:
+
+        est_X = |{h in X : h < theta_u}| * 2^60 / theta_u
+
+    All counting is exact int64; each estimate performs the SAME two
+    double operations in Spark and the DuckDB twin (cast + one
+    division), so results are bit-identical across engines.
+
+    Output: 1 row (theta_long, n_union, n_intersect, n_a_only,
+    est_union, est_intersect, est_a_only)."""
+    a = sk_a.select(F.col("hkey").alias("hkey"), F.lit(1).alias("_a"))
+    b = sk_b.select(F.col("hkey").alias("hkey"), F.lit(1).alias("_b"))
+    ta = _theta_of(sk_a, k, "ta")
+    tb = _theta_of(sk_b, k, "tb")
+    th = ta.crossJoin(tb).select(
+        F.least("ta", "tb").alias("theta_long")
+    )
+    merged = (
+        a.join(b, "hkey", "full_outer")
+        .crossJoin(F.broadcast(th))
+        .where(F.col("hkey") < F.col("theta_long"))
+    )
+    scale = F.lit(float(THETA_ONE)) / F.col("theta_long").cast("double")
+    return (
+        merged.groupBy("theta_long")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_union"),
+            F.sum(
+                F.when(F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_intersect"),
+            F.sum(
+                F.when(F.col("_a").isNotNull() & F.col("_b").isNull(), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_a_only"),
+        )
+        .select(
+            "theta_long",
+            "n_union",
+            "n_intersect",
+            "n_a_only",
+            (F.col("n_union").cast("double") * scale).alias("est_union"),
+            (F.col("n_intersect").cast("double") * scale).alias(
+                "est_intersect"
+            ),
+            (F.col("n_a_only").cast("double") * scale).alias("est_a_only"),
+        )
+    )
+
+
+def theta_set_ops_oracle_sql(
+    values_a_cte: str, values_b_cte: str, k: int
+) -> str:
+    """DuckDB twin: identical md5 bottom-k sketches, identical
+    threshold rule, identical double arithmetic. ``values_*_cte`` are
+    CTE names each exposing one column ``v`` (VARCHAR)."""
+    hexfold = DUCK_MD5_HEXFOLD
+
+    def sk(src: str, name: str) -> str:
+        return f"""{name}_keys AS (
+      SELECT DISTINCT {hexfold} AS hkey
+      FROM (SELECT substr(md5(v), 1, 15) AS h
+            FROM {src} WHERE v IS NOT NULL)
+    ), {name} AS (
+      SELECT hkey FROM {name}_keys ORDER BY hkey LIMIT {k}
+    ), {name}_th AS (
+      SELECT CASE WHEN COUNT(*) = {k} THEN MAX(hkey)
+                  ELSE CAST({THETA_ONE} AS BIGINT) END AS t
+      FROM {name}
+    )"""
+
+    return f"""
+    WITH {sk(values_a_cte, "ska")}, {sk(values_b_cte, "skb")},
+    th AS (
+      SELECT least(ska_th.t, skb_th.t) AS theta_long
+      FROM ska_th, skb_th
+    ), m AS (
+      SELECT COALESCE(ska.hkey, skb.hkey) AS hkey,
+             (ska.hkey IS NOT NULL) AS in_a,
+             (skb.hkey IS NOT NULL) AS in_b
+      FROM ska FULL OUTER JOIN skb ON ska.hkey = skb.hkey
+    ), f AS (
+      SELECT m.*, th.theta_long FROM m, th
+      WHERE m.hkey < th.theta_long
+    )
+    SELECT theta_long,
+           CAST(COUNT(*) AS BIGINT) AS n_union,
+           CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_intersect,
+           CAST(SUM(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_a_only,
+           CAST(COUNT(*) AS DOUBLE)
+             * (CAST({THETA_ONE} AS DOUBLE) / CAST(theta_long AS DOUBLE))
+             AS est_union,
+           CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS DOUBLE)
+             * (CAST({THETA_ONE} AS DOUBLE) / CAST(theta_long AS DOUBLE))
+             AS est_intersect,
+           CAST(SUM(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END) AS DOUBLE)
+             * (CAST({THETA_ONE} AS DOUBLE) / CAST(theta_long AS DOUBLE))
+             AS est_a_only
+    FROM f GROUP BY theta_long
+    """

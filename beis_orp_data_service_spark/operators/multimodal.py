@@ -308,3 +308,168 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         F.encode("text", "utf-8").alias("content"),
         F.create_map(F.lit("src"), F.col("source")).alias("meta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (pHash) + banded Hamming near-dup join
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = "media_id bigint, phash bigint"
+_PHASH_WINDOW = 1024  # bytes of payload mapped onto the 32x32 fake raster
+
+
+def _dct32() -> "np.ndarray":  # noqa: F821 - numpy imported lazily
+    """Orthonormal 32-point DCT-II basis matrix (the real transform —
+    only the pixel DECODE is faked when PIL is absent)."""
+    import numpy as np
+
+    n = 32
+    k = np.arange(n)[:, None]
+    j = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * j + 1) * k / (2 * n))
+    m[0] *= 1.0 / np.sqrt(2.0)
+    return m * np.sqrt(2.0 / n)
+
+
+def _gray32(content: bytes) -> "np.ndarray":  # noqa: F821
+    """32x32 float grayscale raster. Real branch: PIL decode + resize;
+    fake branch: the first ``_PHASH_WINDOW`` payload bytes tiled into
+    the raster (zero-padded) — deterministic, so an identical payload
+    always rasters identically and a one-byte edit moves one pixel."""
+    import numpy as np
+
+    if _have_pil():  # pragma: no cover - lib absent in this container
+        import io
+
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(content)) as im:
+                g = im.convert("L").resize((32, 32))
+                return np.asarray(g, dtype=np.float64)
+        except Exception:  # noqa: BLE001 - not an image: fake below
+            pass
+    buf = (content or b"\x00")[:_PHASH_WINDOW]
+    buf = buf + b"\x00" * (_PHASH_WINDOW - len(buf))
+    return np.frombuffer(buf, dtype=np.uint8).astype(np.float64).reshape(32, 32)
+
+
+def phash64_bytes(content: bytes) -> int:
+    """64-bit perceptual hash (classic pHash): 2-D DCT of the 32x32
+    grayscale raster, keep the 8x8 low-frequency block, threshold each
+    coefficient against the median of the 63 AC coefficients (DC
+    excluded from the median so a brightness shift cannot flip every
+    bit). Returns a SIGNED int64 (two's complement) so the value lands
+    in a Spark/parquet bigint unchanged."""
+    import numpy as np
+
+    d = _DCT32_M @ _gray32(content) @ _DCT32_M.T
+    block = d[:8, :8].flatten()
+    med = float(np.median(block[1:]))
+    bits = block > med
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def phash_media(df: DataFrame) -> DataFrame:
+    """(media_id, phash) via one Arrow-batched mapInPandas kernel —
+    partition-preserving, the binary column never shuffles."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pdf["content"]
+                    .map(lambda b: phash64_bytes(bytes(b or b"")))
+                    .astype("int64"),
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(_batches, PHASH_SCHEMA)
+
+
+def phash_band_pairs(
+    hashes: DataFrame,
+    n_bands: int = 4,
+    max_dist: int = 10,
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Near-duplicate images by banded Hamming join: split the 64-bit
+    phash into ``n_bands`` equal bands; any pair agreeing on at least
+    one band is a candidate (recall is exact for pairs within
+    ``n_bands - 1`` differing bits, pigeonhole; beyond that a pair is
+    found unless its differing bits spread across ALL bands);
+    candidates verified with an exact popcount on the XOR. Never
+    all-pairs: the join key is (band index, band value), the same
+    O(candidates) shape as ``dedup.simhash_band_pairs``.
+
+    The hash table is stage-checkpointed before the self-join so the
+    Arrow kernel (:func:`phash_media`) computes each hash ONCE, not
+    once per join side; a pair agreeing on several bands is kept only
+    at its first agreeing band via an unrolled codegen predicate on
+    the XOR (no dedupe shuffle) — both borrowed from
+    ``dedup.simhash_band_pairs``, with logical shifts instead of
+    DIV/%% because the full 64-bit hash uses the sign bit.
+
+    Output: (id_a, id_b, dist), id_a < id_b, one row per pair."""
+    from beis_orp_data_service_spark.checkpointing import stage_checkpoint
+
+    if 64 % n_bands:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    hashes = stage_checkpoint(
+        hashes, label="phash_media", strategy=checkpoint
+    )
+    banded = hashes.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.expr(
+                            f"shiftrightunsigned(phash, {j * width})"
+                            f" & {mask}"
+                        ).alias("val"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "phash", "b.band", "b.val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    joined = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.band").alias("band"),
+            F.expr("a.phash ^ b.phash").alias("_x"),
+        )
+    )
+    first_band = None
+    for j in range(n_bands - 1):
+        term = (F.col("band") <= j) | (
+            F.expr(f"shiftrightunsigned(_x, {j * width}) & {mask}") != 0
+        )
+        first_band = term if first_band is None else (first_band & term)
+    return (
+        joined.withColumn("dist", F.bit_count(F.col("_x")).cast("bigint"))
+        .where(F.col("dist") <= max_dist)
+        .where(first_band if first_band is not None else F.lit(True))
+        .select("id_a", "id_b", "dist")
+    )
+
+
+_DCT32_M = _dct32()

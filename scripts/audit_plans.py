@@ -124,6 +124,7 @@ ALLOW_BNLJ = {
     "dsir_weights",  # 1-row normalization-constant subquery
     "join_size_cms",  # 1-row sketch-estimate x 1-row exact-sum crossJoin
     "hll_audience_overlap",  # four 1-row aggregates (3 estimates + exact) crossJoined
+    "theta_overlap",  # 1-row theta thresholds x set-op row x exact counts crossJoined
 }
 
 

@@ -164,3 +164,47 @@ class TestAttribution:
         )
         rows = bh.attribution_last_touch(ev, "click", "purchase", "7 days").collect()
         assert len(rows) == 1 and rows[0].lag_s == 0
+
+
+class TestSessionPaths:
+    def test_paths_and_truncation(self, spark):
+        # u1: two sessions (61-min gap): [view,click,purchase] and [view]
+        # u2: one 7-event session -> truncated to first 5
+        rows = [
+            (1, 10, 1, "view", 0.0),
+            (1, 10, 1, "click", 0.0),   # same hour, later event_id
+            (1, 10, 1, "purchase", 0.0),
+            (1, 12, 1, "view", 0.0),    # 2h later: new session
+        ] + [(2, 9, 2, t, 0.0) for t in
+             ["view", "click", "view", "click", "view", "click", "view"]]
+        ev = _events(spark, rows)
+        got = {
+            r["path"]: r["n_sessions"]
+            for r in bh.session_paths(ev, gap_minutes=60, max_len=5).collect()
+        }
+        assert got == {
+            "view>click>purchase": 1,
+            "view": 1,
+            "view>click>view>click>view": 1,
+        }
+
+    def test_top_k_and_tiebreak(self, spark):
+        # 3 distinct single-event paths, each once: top_k=2 keeps the 2
+        # lexicographically-smallest (count ties break on path ASC)
+        rows = [(1, 9, u, t, 0.0) for u, t in
+                [(1, "view"), (2, "click"), (3, "error")]]
+        ev = _events(spark, rows)
+        got = [r["path"] for r in
+               bh.session_paths(ev, top_k=2).collect()]
+        assert got == ["click", "error"]
+
+    def test_event_id_breaks_timestamp_ties(self, spark):
+        # two events at the SAME timestamp: order is by event_id
+        ev = spark.createDataFrame(
+            [(2, "2024-01-01T09:00:00", 1, "b", 0.0),
+             (1, "2024-01-01T09:00:00", 1, "a", 0.0)],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = bh.session_paths(ev).collect()
+        assert got[0]["path"] == "a>b"

@@ -1422,3 +1422,94 @@ class TestQuantileSketchGrouped:
         df = spark.createDataFrame([(1, "g", 1)], "id long, grp string, v long")
         with pytest.raises(ValueError, match="k must be"):
             corpus_ops.quantile_sketch_grouped(df, "grp", "v", "id", k=0)
+
+
+class TestThetaSketch:
+    def _sets(self, spark, n_a, n_b, overlap):
+        a = spark.createDataFrame(
+            [(f"u{i}",) for i in range(n_a)], "v string"
+        )
+        b = spark.createDataFrame(
+            [(f"u{i}",) for i in range(n_a - overlap, n_a - overlap + n_b)],
+            "v string",
+        )
+        return a, b
+
+    def test_unsaturated_is_exact(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+        a, b = self._sets(spark, 30, 25, 10)
+        row = corpus_ops.theta_set_ops(
+            corpus_ops.theta_sketch(a, "v", k=64),
+            corpus_ops.theta_sketch(b, "v", k=64),
+            k=64,
+        ).collect()[0]
+        assert row["theta_long"] == corpus_ops.THETA_ONE
+        assert row["n_union"] == 45
+        assert row["n_intersect"] == 10
+        assert row["n_a_only"] == 20
+        assert row["est_union"] == 45.0
+        assert row["est_intersect"] == 10.0
+        assert row["est_a_only"] == 20.0
+
+    def test_saturated_within_error(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+        n_a = n_b = 4000
+        overlap = 1500
+        a, b = self._sets(spark, n_a, n_b, overlap)
+        k = 256
+        row = corpus_ops.theta_set_ops(
+            corpus_ops.theta_sketch(a, "v", k=k),
+            corpus_ops.theta_sketch(b, "v", k=k),
+            k=k,
+        ).collect()[0]
+        union = n_a + n_b - overlap
+        assert row["theta_long"] < corpus_ops.THETA_ONE
+        # KMV relative error ~ 1/sqrt(k); allow 5 sigma
+        tol = 5 / (k ** 0.5)
+        assert abs(row["est_union"] - union) <= tol * union
+        assert abs(row["est_intersect"] - overlap) <= tol * union, (
+            row["est_intersect"], overlap
+        )
+
+    def test_mergeable_bottom_k(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+        df = spark.createDataFrame(
+            [(f"x{i}",) for i in range(3000)], "v string"
+        )
+        import pyspark.sql.functions as F
+
+        whole = corpus_ops.theta_sketch(df, "v", k=128).collect()
+        lo = corpus_ops.theta_sketch(
+            df.where(F.col("v") < "x5"), "v", k=128
+        )
+        hi = corpus_ops.theta_sketch(
+            df.where(F.col("v") >= "x5"), "v", k=128
+        )
+        merged = (
+            lo.unionByName(hi).distinct().orderBy("hkey").limit(128).collect()
+        )
+        assert sorted(r["hkey"] for r in whole) == sorted(
+            r["hkey"] for r in merged
+        )
+
+    def test_partitioning_invariant(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+        df = spark.createDataFrame(
+            [(f"x{i}",) for i in range(2000)], "v string"
+        )
+        s1 = corpus_ops.theta_sketch(df.repartition(3), "v", k=64).collect()
+        s2 = corpus_ops.theta_sketch(df.repartition(13), "v", k=64).collect()
+        assert sorted(r["hkey"] for r in s1) == sorted(r["hkey"] for r in s2)
+
+    def test_bad_k(self, spark):
+        import pytest
+
+        from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+        df = spark.createDataFrame([("a",)], "v string")
+        with pytest.raises(ValueError, match="k must be"):
+            corpus_ops.theta_sketch(df, "v", k=1)

@@ -320,3 +320,93 @@ def test_real_pdfplumber_contract():  # pragma: no cover - needs pdfplumber
 
     got = conv.parse_pdf(pdf_fixture(True))
     assert got.text and got.n_pages == 1 and got.lossy is False
+
+
+class TestPhash:
+    def test_identical_bytes_identical_hash_distinct_bytes_differ(self):
+        from beis_orp_data_service_spark.operators import multimodal as mm
+
+        a = bytes(range(256)) * 4
+        assert mm.phash64_bytes(a) == mm.phash64_bytes(a)
+        assert mm.phash64_bytes(a) != mm.phash64_bytes(a[::-1])
+
+    def test_numpy_twin(self):
+        # independent recomputation: scipy-free DCT-II from first
+        # principles over the same fake raster
+        import numpy as np
+
+        from beis_orp_data_service_spark.operators import multimodal as mm
+
+        content = b"the quick brown fox jumps over the lazy dog" * 10
+        buf = content[:1024] + b"\x00" * max(0, 1024 - len(content[:1024]))
+        px = np.frombuffer(buf, dtype=np.uint8).astype(float).reshape(32, 32)
+        ref = np.zeros((32, 32))
+        for k in range(8):  # only the 8x8 block is needed
+            for n in range(32):
+                c = (1 / np.sqrt(2)) if k == 0 else 1.0
+                ref[k, n] = c * np.sqrt(2 / 32) * np.cos(
+                    np.pi * (2 * n + 1) * k / 64
+                )
+        d = ref[:8, :32] @ px @ ref[:8, :32].T
+        block = d.flatten()
+        med = float(np.median(block[1:]))
+        h = 0
+        for b in block > med:
+            h = (h << 1) | int(b)
+        if h >= 1 << 63:
+            h -= 1 << 64
+        assert mm.phash64_bytes(content) == h
+
+    def test_smooth_raster_tolerates_small_edit(self):
+        # on a SMOOTH raster (real-image-like), a single-pixel edit
+        # stays within the banded join's max_dist
+        import numpy as np
+
+        from beis_orp_data_service_spark.operators import multimodal as mm
+
+        # a blurred random field has the spread spectrum of a natural
+        # photo (a bare gradient/sawtooth does not: its AC block is
+        # near-zero and sign-fragile — the property that makes pHash an
+        # exact-raster matcher on byte-noise payloads)
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        rng = np.random.default_rng(7)
+        f = rng.integers(0, 256, (40, 40)).astype(float)
+        img = (
+            sliding_window_view(f, (8, 8)).mean(axis=(2, 3))[:32, :32]
+        ).astype(np.uint8)
+        base = img.tobytes()
+        for pos in (100, 500, 900):
+            edited = bytearray(base)
+            edited[pos] = (edited[pos] + 120) % 256
+            d = bin(
+                (mm.phash64_bytes(base) ^ mm.phash64_bytes(bytes(edited)))
+                & ((1 << 64) - 1)
+            ).count("1")
+            assert d <= 10, (pos, d)
+
+    def test_band_pairs_finds_reencode_and_is_bounded(self, spark):
+        from beis_orp_data_service_spark.operators import multimodal as mm
+
+        payloads = [
+            (i, "image", (f"doc {i} " * 40).encode(), None) for i in range(30)
+        ]
+        # re-encode of id 0: NUL-pad past the window, then marker bytes
+        c0 = payloads[0][2]
+        reenc = c0[:1024] + b"\x00" * max(0, 1024 - len(c0)) + b"v2"
+        payloads.append((1000, "image", reenc, None))
+        df = spark.createDataFrame(payloads, mm.MEDIA_SCHEMA)
+        pairs = mm.phash_band_pairs(mm.phash_media(df)).collect()
+        assert any(
+            r["id_a"] == 0 and r["id_b"] == 1000 and r["dist"] == 0
+            for r in pairs
+        )
+
+    def test_bad_bands(self, spark):
+        import pytest
+
+        from beis_orp_data_service_spark.operators import multimodal as mm
+
+        df = spark.createDataFrame([(1, "image", b"x", None)], mm.MEDIA_SCHEMA)
+        with pytest.raises(ValueError, match="n_bands"):
+            mm.phash_band_pairs(mm.phash_media(df), n_bands=5)

@@ -341,3 +341,83 @@ def test_readability_floors(spark):
     r = ts.readability(df).collect()[0]
     assert r.n_sentences == 1
     assert r.n_words == 3 and r.n_syllables == 3
+
+
+URL_CASES = [
+    # (raw, canonical)
+    ("https://www.Example.com/docs/item1/", "https://example.com/docs/item1"),
+    ("https://example.com/docs/item1", "https://example.com/docs/item1"),
+    (
+        "https://example.com:443/docs/item1?utm_source=feed",
+        "https://example.com/docs/item1",
+    ),
+    (
+        "https://example.com//docs//item1#frag",
+        "https://example.com/docs/item1",
+    ),
+    (
+        "https://EXAMPLE.com./docs/item1?b=2&a=1",
+        "https://example.com/docs/item1?a=1&b=2",
+    ),
+    (
+        "https://user:pw@example.com/docs/item1?a=1&utm_campaign=x&b=2",
+        "https://example.com/docs/item1?a=1&b=2",
+    ),
+    ("http://example.com:80/", "http://example.com/"),
+    ("http://example.com:8080/x", "http://example.com:8080/x"),
+    ("https://example.com", "https://example.com/"),
+    (
+        "https://example.com/?utm_source=a&utm_medium=b&gclid=z",
+        "https://example.com/",
+    ),
+    (
+        "https://example.com/a?fbclid=123&z=9&gclid=4&a=1",
+        "https://example.com/a?a=1&z=9",
+    ),
+]
+
+
+class TestCanonicalUrl:
+    def test_cases(self, spark):
+        import pyspark.sql.functions as F
+
+        from beis_orp_data_service_spark.functions.urlnorm import canonical_url
+
+        df = spark.createDataFrame(URL_CASES, "raw string, want string")
+        got = df.select("raw", "want", canonical_url("raw").alias("got")).collect()
+        for r in got:
+            assert r["got"] == r["want"], (r["raw"], r["got"], r["want"])
+
+    def test_idempotent(self, spark):
+        from beis_orp_data_service_spark.functions.urlnorm import canonical_url
+
+        df = spark.createDataFrame(URL_CASES, "raw string, want string")
+        got = df.select(
+            canonical_url("raw").alias("once"),
+        ).select(canonical_url("once").alias("twice"), "once").collect()
+        for r in got:
+            assert r["twice"] == r["once"]
+
+    def test_duckdb_twin(self, spark):
+        import duckdb
+
+        from beis_orp_data_service_spark.functions.urlnorm import (
+            canonical_url,
+            canonical_url_sql,
+        )
+
+        df = spark.createDataFrame(URL_CASES, "raw string, want string")
+        got = {
+            r["raw"]: r["got"]
+            for r in df.select(
+                "raw", canonical_url("raw").alias("got")
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute("SET threads=2")
+        expr = canonical_url_sql("raw")
+        for raw, _ in URL_CASES:
+            duck = con.execute(
+                f"SELECT {expr} AS c FROM (SELECT ? AS raw)", [raw]
+            ).fetchone()[0]
+            assert duck == got[raw], (raw, duck, got[raw])
