@@ -42,6 +42,7 @@ from beis_orp_data_service_spark.operators import multimodal as mm
 from beis_orp_data_service_spark.operators import search as search_ops
 from beis_orp_data_service_spark.operators import similarity as sim
 from beis_orp_data_service_spark.operators import behavior as bh_ops
+from beis_orp_data_service_spark.operators import linkage as lk_ops
 from beis_orp_data_service_spark.operators import temporal as tmp_ops
 from beis_orp_data_service_spark.operators import textstats as ts_ops
 from beis_orp_data_service_spark.functions import urlnorm
@@ -7161,6 +7162,96 @@ def theta_overlap(spark, sf_dir):
         )
     )
     return est.crossJoin(exact)
+
+
+@declared(
+    "psi_drift",
+    an_ops.psi_drift_oracle_sql(
+        "events", "event_type", "round(value * 100)",
+        "ts < TIMESTAMP '2024-01-25'", n_bins=10,
+    ),
+)
+def _psi_drift(spark, sf_dir):
+    # Population Stability Index per event_type between the first
+    # ~3 weeks (reference) and the rest (current): the production
+    # drift gate next to ks_drift. Integer equal-width binning from
+    # reference bounds, per-bin nano-quantized terms summed exactly —
+    # one scan + two grouped aggregates, no windows.
+    events = _t(spark, sf_dir, "events")
+    return an_ops.psi_drift(
+        events,
+        "event_type",
+        F.round(F.col("value") * 100),
+        F.col("ts") < F.lit("2024-01-25").cast("timestamp"),
+        n_bins=10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Record linkage / entity resolution (operators/linkage.py) — blocked
+# field-wise pair scoring (Fellegi-Sunter shape) + transitive entity
+# clusters. Demo entity: the part catalogue ("same brand+type, near-
+# identical name and size" = one real-world product). The oracle CTE is
+# generated by the same builder the operator documents, term for term.
+# ---------------------------------------------------------------------------
+
+_ER_FIELDS: list[tuple[str, str, float]] = [
+    ("p_name", "edit", 0.5),
+    ("p_type", "exact", 0.3),
+    ("p_size", "numeric", 0.2),
+]
+_ER_BLOCKS = ["p_brand", "p_type"]
+
+
+@declared(
+    "er_pairs",
+    "WITH "
+    + lk_ops.linkage_pairs_cte_sql("part", "p_partkey", _ER_BLOCKS, _ER_FIELDS, 0.8)
+    + " SELECT a_id, b_id, score_q FROM er_pairs",
+)
+def er_pairs(spark, sf_dir):
+    # Blocked record-linkage scoring: one shuffle on the block key,
+    # quadratic only within blocks (≤24 rows/block here), every
+    # similarity a codegen built-in (levenshtein/abs/greatest), score
+    # quantized to bigint for exact oracle parity. At 100 TB the block
+    # key must scale with the data; the operator's max_block guard
+    # turns a degenerate key into an immediate error (tested in
+    # tests/test_linkage.py, not set here — sf-proportional data keeps
+    # blocks bounded by construction).
+    return lk_ops.linkage_pairs(
+        _t(spark, sf_dir, "part"), "p_partkey", _ER_BLOCKS, _ER_FIELDS, 0.8
+    )
+
+
+@declared(
+    "er_clusters",
+    "WITH RECURSIVE "
+    + lk_ops.linkage_pairs_cte_sql("part", "p_partkey", _ER_BLOCKS, _ER_FIELDS, 0.9)
+    + """,
+    e AS (
+      SELECT a_id AS src, b_id AS dst FROM er_pairs
+      UNION
+      SELECT b_id, a_id FROM er_pairs
+    ), reach(node, lab) AS (
+      SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey AS BIGINT) FROM part
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node
+    )
+    SELECT node AS p_partkey, CAST(min(lab) AS BIGINT) AS entity_id
+    FROM reach GROUP BY node""",
+)
+def er_clusters(spark, sf_dir):
+    # Entity resolution end-to-end: high-precision linkage pairs
+    # (score >= 0.9) closed transitively into entity ids via the
+    # pointer-doubling min-label propagation (corpus.dup_clusters,
+    # O(log diameter) rounds, checkpoint-truncated lineage). The oracle
+    # states the same closure as a recursive CTE. Singleton parts keep
+    # their own id — output is total over the catalogue.
+    part = _t(spark, sf_dir, "part")
+    pairs = lk_ops.linkage_pairs(part, "p_partkey", _ER_BLOCKS, _ER_FIELDS, 0.9)
+    return corpus_ops.dup_clusters(
+        pairs, part.select("p_partkey"), id_col="p_partkey"
+    ).withColumnRenamed("cluster_id", "entity_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

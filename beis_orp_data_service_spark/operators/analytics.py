@@ -1575,3 +1575,145 @@ def srm_check_oracle_sql(
              AS chi2_term_micro
     FROM merged m CROSS JOIN tot t
     """
+
+
+def psi_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    ref_cond,
+    n_bins: int = 10,
+    eps: float = 1e-4,
+) -> DataFrame:
+    """Population Stability Index per group — THE production drift
+    gate for feature/score distributions between a reference slice and
+    a current slice of the same table (train/serve skew, week-over-week
+    corpus drift; PSI < 0.1 stable, 0.1–0.25 watch, > 0.25 act).
+
+    ``value_col`` must be integer-valued (quantize floats upstream,
+    e.g. ``round(value * 100)``); ``ref_cond`` is a boolean Column
+    marking the reference slice. Bin edges are ``n_bins`` equal-width
+    bins over the REFERENCE min/max per group (the standard
+    fixed-from-reference convention: current rows outside the range
+    clamp into the edge bins); the bin index is pure integer
+    arithmetic, so binning is engine-exact. PSI = Σ_bins
+    (p−q)·ln(p/q) with zero counts replaced by ``eps``; each bin's
+    term is quantized to nano units (``round(term·1e9)`` BIGINT)
+    BEFORE the sum, so the aggregate is an exact integer sum —
+    order-insensitive and hash-comparable (the per-term ``ln`` carries
+    the same 1-ulp cross-engine assumption as dsir_weights, which has
+    held at every sf).
+
+    Shape at 100 TB: one scan; one map-side-combined groupBy on
+    (group, bin) — at most ``n_bins`` rows per group survive — plus a
+    per-group totals aggregate broadcast back. Groups with no
+    reference rows have no bin edges and drop (inner join on bounds);
+    a group with reference rows but no current rows degenerates to
+    every q = eps, which is the loud PSI you want from a vanished
+    slice. No windows, no skew funnel beyond the group key itself.
+
+    Output: one row per group — (group, psi_nano, n_ref, n_cur).
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    c = ref_cond if not isinstance(ref_cond, str) else F.expr(ref_cond)
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        v.cast("bigint").alias("v"),
+        c.cast("int").alias("is_ref"),
+    )
+    bounds = (
+        base.filter(F.col("is_ref") == 1)
+        .groupBy("grp")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    binned = (
+        base.join(F.broadcast(bounds), "grp")
+        .withColumn("vv", F.least(F.greatest(F.col("v"), F.col("mn")), F.col("mx")))
+        .withColumn(
+            "bin",
+            F.floor(
+                (F.col("vv") - F.col("mn"))
+                * F.lit(int(n_bins))
+                / (F.col("mx") - F.col("mn") + F.lit(1))
+            ).cast("bigint"),
+        )
+    )
+    grid = binned.groupBy("grp", "bin").agg(
+        F.sum("is_ref").alias("r_cnt"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("c_cnt"),
+    )
+    totals = binned.groupBy("grp").agg(
+        F.sum("is_ref").alias("r_tot"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("c_tot"),
+    )
+    p = F.when(F.col("r_cnt") > 0, F.col("r_cnt") / F.col("r_tot")).otherwise(
+        F.lit(float(eps))
+    )
+    q = F.when(
+        (F.col("c_cnt") > 0) & (F.col("c_tot") > 0),
+        F.col("c_cnt") / F.col("c_tot"),
+    ).otherwise(F.lit(float(eps)))
+    term = (p - q) * F.log(p / q)
+    return (
+        grid.join(F.broadcast(totals), "grp")
+        .withColumn("term_nano", F.round(term * F.lit(1e9)).cast("bigint"))
+        .groupBy("grp")
+        .agg(
+            F.sum("term_nano").cast("bigint").alias("psi_nano"),
+            F.max("r_tot").cast("bigint").alias("n_ref"),
+            F.max("c_tot").cast("bigint").alias("n_cur"),
+        )
+        .select(F.col("grp").alias(group_col), "psi_nano", "n_ref", "n_cur")
+    )
+
+
+def psi_drift_oracle_sql(
+    table: str,
+    group_col: str,
+    value_expr: str,
+    ref_pred: str,
+    n_bins: int = 10,
+    eps: float = 1e-4,
+) -> str:
+    """DuckDB twin of :func:`psi_drift` — identical integer binning,
+    identical per-bin double term, identical nano quantization."""
+    return f"""
+    WITH base AS (
+      SELECT {group_col} AS grp, CAST({value_expr} AS BIGINT) AS v,
+             CASE WHEN {ref_pred} THEN 1 ELSE 0 END AS is_ref
+      FROM {table}
+    ), bounds AS (
+      SELECT grp, MIN(v) AS mn, MAX(v) AS mx
+      FROM base WHERE is_ref = 1 GROUP BY grp
+    ), binned AS (
+      SELECT b.grp, b.is_ref,
+             CAST(floor((least(greatest(b.v, o.mn), o.mx) - o.mn)
+                        * {int(n_bins)} / (o.mx - o.mn + 1)) AS BIGINT) AS bin
+      FROM base b JOIN bounds o ON b.grp = o.grp
+    ), grid AS (
+      SELECT grp, bin, SUM(is_ref) AS r_cnt, SUM(1 - is_ref) AS c_cnt
+      FROM binned GROUP BY grp, bin
+    ), totals AS (
+      SELECT grp, SUM(is_ref) AS r_tot, SUM(1 - is_ref) AS c_tot
+      FROM binned GROUP BY grp
+    ), terms AS (
+      SELECT g.grp,
+             CAST(round(
+               ((CASE WHEN g.r_cnt > 0 THEN g.r_cnt / t.r_tot
+                      ELSE {float(eps)} END)
+                - (CASE WHEN g.c_cnt > 0 AND t.c_tot > 0
+                        THEN g.c_cnt / t.c_tot ELSE {float(eps)} END))
+               * ln((CASE WHEN g.r_cnt > 0 THEN g.r_cnt / t.r_tot
+                          ELSE {float(eps)} END)
+                    / (CASE WHEN g.c_cnt > 0 AND t.c_tot > 0
+                            THEN g.c_cnt / t.c_tot ELSE {float(eps)} END))
+               * 1e9) AS BIGINT) AS term_nano,
+             t.r_tot, t.c_tot
+      FROM grid g JOIN totals t ON g.grp = t.grp
+    )
+    SELECT grp AS {group_col},
+           CAST(SUM(term_nano) AS BIGINT) AS psi_nano,
+           CAST(MAX(r_tot) AS BIGINT) AS n_ref,
+           CAST(MAX(c_tot) AS BIGINT) AS n_cur
+    FROM terms GROUP BY grp
+    """

@@ -820,3 +820,45 @@ class TestSrmCheck:
         assert out[9]["n_observed"] == 200
         assert out[9]["n_expected_milli"] is None
         assert out[9]["chi2_term_micro"] is None
+
+
+# ---------------------------------------------------------------- psi_drift
+
+
+def test_psi_identical_slices_is_zero(spark):
+    rows = [("m", v, flag) for v in range(20) for flag in (True, False)]
+    df = spark.createDataFrame(rows, "grp string, v bigint, is_ref boolean")
+    out = an.psi_drift(df, "grp", "v", F.col("is_ref"), n_bins=5).collect()
+    assert len(out) == 1
+    assert out[0].psi_nano == 0
+    assert out[0].n_ref == 20 and out[0].n_cur == 20
+
+
+def test_psi_disjoint_slices_is_loud(spark):
+    # reference mass in [0,9], current mass in [90,99]: current clamps
+    # into the top reference bin -> near-total mass shift, PSI >> 0.25
+    rows = [("m", v, True) for v in range(10)] + [
+        ("m", v, False) for v in range(90, 100)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v bigint, is_ref boolean")
+    out = an.psi_drift(df, "grp", "v", F.col("is_ref"), n_bins=5).collect()
+    assert out[0].psi_nano > 250_000_000  # PSI > 0.25
+
+
+def test_psi_group_without_reference_drops(spark):
+    df = spark.createDataFrame(
+        [("a", 1, True), ("a", 2, False), ("b", 5, False)],
+        "grp string, v bigint, is_ref boolean",
+    )
+    got = {r.grp for r in an.psi_drift(df, "grp", "v", F.col("is_ref")).collect()}
+    assert got == {"a"}  # group b has no bin edges
+
+
+def test_psi_vanished_current_slice(spark):
+    # reference-only group: every q falls to eps -> PSI is large, not 0
+    df = spark.createDataFrame(
+        [("a", v, True) for v in range(10)], "grp string, v bigint, is_ref boolean"
+    )
+    out = an.psi_drift(df, "grp", "v", F.col("is_ref"), n_bins=2).collect()
+    assert out[0].n_cur == 0
+    assert out[0].psi_nano > 250_000_000
