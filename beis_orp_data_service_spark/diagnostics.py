@@ -66,15 +66,36 @@ def task_shuffle_skew(spark, action, max_tasks: int = 2000) -> dict:
     sid, att = max(new, key=lambda k: new[k].get("shuffleReadRecords", 0))
     if new[(sid, att)].get("shuffleReadRecords", 0) == 0:
         raise RuntimeError("no new stage read shuffle data")
-    tasks = _get(
-        f"{_api(spark)}/stages/{sid}/{att}/taskList?length={max_tasks}"
-    )
+    # page through the task list — a single capped fetch could drop the
+    # hot reducer, silently understating the exact number this probe
+    # exists to surface (round-7 ADVICE)
+    tasks: list[dict] = []
+    while True:
+        page = _get(
+            f"{_api(spark)}/stages/{sid}/{att}/taskList"
+            f"?offset={len(tasks)}&length={max_tasks}"
+        )
+        tasks.extend(page)
+        if len(page) < max_tasks:
+            break
+    expected = new[(sid, att)].get("numCompleteTasks", 0)
+    if len(tasks) < expected:
+        raise RuntimeError(
+            f"taskList truncated: fetched {len(tasks)} of {expected} "
+            f"completed tasks for stage {sid}.{att}"
+        )
     recs = [
         t["taskMetrics"]["shuffleReadMetrics"]["recordsRead"]
         for t in tasks
         if "taskMetrics" in t
     ]
     nonzero = [r for r in recs if r > 0]
+    if not nonzero:
+        raise RuntimeError(
+            f"stage {sid}.{att} reports shuffleReadRecords > 0 but no "
+            "fetched task carried shuffle-read metrics (metrics not yet "
+            "flushed? re-run the action)"
+        )
     med = statistics.median(nonzero)
     return {
         "stage_id": sid,

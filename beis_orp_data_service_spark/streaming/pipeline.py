@@ -336,7 +336,8 @@ def stream_dedup_first_seen(
     marks "already emitted"; the first arrival of an id is emitted, every
     redelivery — within a batch, across batches, or across restarts (the
     state store lives in the checkpoint) — is swallowed. State per id is
-    one boolean, so the store grows with distinct ids only; pass
+    one (boolean, deadline) cell, so the store grows with distinct ids
+    only; pass
     ``watermark`` + ``ttl_seconds`` when the redelivery horizon is
     bounded, which it is for SQS (visibility timeout × maxReceiveCount):
     the state cell then carries an event-time timeout of (first-seen ts
@@ -358,6 +359,18 @@ def stream_dedup_first_seen(
     ttl = ttl_seconds
     cols = [f.name for f in EVENTS_STREAM_SCHEMA.fields]
 
+    def _arm(state, deadline_ms: int) -> None:
+        # GroupState clears the event-time timer on EVERY function
+        # invocation; it must be re-issued each time or a redelivery
+        # silently disarms eviction and the cell lives forever (the
+        # round-7 ADVICE medium). Clamp to eviction-watermark + 1 —
+        # setTimeoutTimestamp raises below the watermark, which would
+        # kill the query for a legitimately-admitted late first
+        # arrival whose ts + ttl already trails it.
+        state.setTimeoutTimestamp(
+            max(deadline_ms, state.getCurrentWatermarkMs() + 1)
+        )
+
     def _first_seen(key, pdfs, state):  # noqa: ANN001 - Spark callback
         if ttl is not None and state.hasTimedOut:
             # horizon passed with no redelivery in this batch: forget
@@ -367,6 +380,12 @@ def stream_dedup_first_seen(
         if state.exists:
             for _ in pdfs:  # drain redeliveries
                 pass
+            if ttl is not None:
+                # re-arm the ORIGINAL deadline stored in the cell: the
+                # horizon is fixed from the first arrival, redeliveries
+                # neither extend nor (via the cleared-timer semantics)
+                # disarm it
+                _arm(state, state.get[1])
             return
         first = None
         for pdf in pdfs:
@@ -376,26 +395,31 @@ def stream_dedup_first_seen(
         # whose chunks are all empty must not burn the key, or the real
         # first arrival in a later batch would be swallowed unemitted
         if first is not None:
-            state.update((True,))
             if ttl is not None:
-                # fixed horizon from the FIRST arrival (redeliveries do
-                # not extend it): evict once the watermark passes ts+ttl
-                state.setTimeoutTimestamp(
-                    int(first.iloc[0]["ts"].timestamp() * 1000) + ttl * 1000
-                )
+                # deadline computed JVM-side (unix_millis on the plan's
+                # event-time column) — pandas renders timestamps in the
+                # session timezone, so .timestamp() here would skew the
+                # horizon by the tz offset on any non-UTC session
+                deadline = int(first.iloc[0]["_deadline_ms"])
+                state.update((True, deadline))
+                _arm(state, deadline)
+            else:
+                state.update((True, 0))
             yield first[cols]
 
     if ttl is not None:
         if watermark is None:
             raise ValueError("ttl_seconds requires a watermark delay")
-        events = events.withWatermark("ts", watermark)
+        events = events.withWatermark("ts", watermark).withColumn(
+            "_deadline_ms", F.unix_millis(F.col("ts")) + F.lit(ttl * 1000)
+        )
         timeout = GroupStateTimeout.EventTimeTimeout
     else:
         timeout = GroupStateTimeout.NoTimeout
     return events.groupBy(F.col(id_col)).applyInPandasWithState(
         _first_seen,
         outputStructType=EVENTS_STREAM_SCHEMA,
-        stateStructType="seen boolean",
+        stateStructType="seen boolean, deadline long",
         outputMode="append",
         timeoutConf=timeout,
     )

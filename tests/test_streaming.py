@@ -1180,6 +1180,86 @@ class TestWatermarkLateData:
         assert counts[50] == 1
         assert counts[51] == 1
 
+    def test_stream_dedup_redelivery_does_not_disarm_eviction(
+        self, spark, tmp_path
+    ):
+        """Round-7 ADVICE (medium): GroupState clears the event-time
+        timer on every invocation, so a redelivery that merely drains
+        and returns would silently disarm eviction — the cell then
+        lives forever under exactly the at-least-once redelivery the
+        TTL targets. The fix stores the original deadline in the state
+        cell and re-arms it on every invocation; this test redelivers
+        an id WITHIN its horizon (the invocation that used to clear
+        the timer) and then advances the watermark past the horizon —
+        the state must still be evicted, proven by a later redelivery
+        being re-admitted."""
+        import collections
+        import json as _json
+
+        d = tmp_path / "ddr_in"
+        d.mkdir()
+        batches = [
+            # b0: id 1 first seen at 10:00; ttl 600s -> deadline 10:10
+            [(1, "10:00:00")],
+            # b1: id 1 REDELIVERED within the horizon — the invocation
+            # that cleared the timer before the fix; must re-arm 10:10
+            [(1, "10:01:00")],
+            # b2: id 60 at 11:00 advances the max; end-of-b2
+            # watermark = 10:55 (5 min delay) > 10:10
+            [(60, "11:00:00")],
+            # b3: eviction threshold is now 10:55 -> id 1's state
+            # times out and is removed this batch
+            [(61, "11:01:00")],
+            # b4: id 1 redelivered -> state gone -> RE-ADMITTED
+            [(1, "11:02:00")],
+        ]
+        for i, rows in enumerate(batches):
+            with open(d / f"b{i}.json", "w") as f:
+                for eid, ts in rows:
+                    f.write(
+                        _json.dumps(
+                            {
+                                "event_id": eid,
+                                "ts": f"2024-01-01T{ts}",
+                                "user_id": 1,
+                                "event_type": "x",
+                                "value": 1.0,
+                                "props": "p",
+                            }
+                        )
+                        + "\n"
+                    )
+            os.utime(d / f"b{i}.json", (1_700_000_000 + 60 * i,) * 2)
+        src = (
+            spark.readStream.schema(st.EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+        out = str(tmp_path / "ddr_out")
+        q = (
+            st.stream_dedup_first_seen(
+                src, watermark="5 minutes", ttl_seconds=600
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ddr_chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        counts = collections.Counter(
+            r.event_id for r in spark.read.parquet(out).collect()
+        )
+        # the b1 redelivery was swallowed AND did not disarm the timer:
+        # eviction happened, so the b4 redelivery was re-admitted
+        assert counts[1] == 2
+        assert counts[60] == 1
+        assert counts[61] == 1
+
     def test_sliding_counts_watermark_bounds_state(self, spark, tmp_path):
         """VERDICT r6 ask #8: sliding_counts(watermark=...) runs in
         append mode (impossible without the watermark), emits finalized
