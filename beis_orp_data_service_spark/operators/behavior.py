@@ -332,3 +332,63 @@ def session_paths_oracle_sql(
     FROM p GROUP BY path
     ORDER BY n_sessions DESC, path LIMIT {top_k}
     """
+
+
+RECENCY_SCALE = 1_000_000_000  # nano quantization of per-event decay terms
+US_PER_SEC = 1_000_000
+
+
+def recency_scores(
+    events: DataFrame,
+    half_life: str = "7 days",  # documented; tau below is in seconds
+    tau_seconds: int = 604_800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exponential time-decay activity score per user —
+    ``Σ exp(−age/τ)`` over the user's events, aged against the
+    TABLE-WIDE newest event (one 1-row driver pull, so the score is a
+    pure function of the data, not of wall clock). The standard
+    recency feature for churn/engagement models and freshness-weighted
+    sampling.
+
+    Hash-grade: ages are exact BIGINT microseconds; each event's decay
+    term is nano-quantized BEFORE the per-user sum (order-insensitive);
+    one scan, one grouped aggregation — shuffles only on ``user_col``.
+    """
+    t_ref = events.agg(
+        F.max(F.unix_micros(F.col(ts_col))).alias("m")
+    ).collect()[0]["m"]
+    if t_ref is None:
+        raise ValueError("recency_scores: empty input")
+    age_us = F.lit(int(t_ref)) - F.unix_micros(F.col(ts_col))
+    term_q = F.round(
+        F.exp(-(age_us.cast("double") / F.lit(float(tau_seconds * US_PER_SEC))))
+        * RECENCY_SCALE
+    ).cast("bigint")
+    return events.groupBy(user_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(term_q).alias("recency_q"),
+    )
+
+
+def recency_scores_oracle_sql(
+    table: str = "events",
+    tau_seconds: int = 604_800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`recency_scores` — same BIGINT microsecond
+    ages, same double division/exp, same nano quantization before the
+    sum."""
+    t_ref = f"(SELECT max(epoch_us({ts_col})) FROM {table})"
+    return f"""
+    SELECT {user_col},
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(
+             exp(-(CAST({t_ref} - epoch_us({ts_col}) AS DOUBLE)
+                   / {float(tau_seconds * US_PER_SEC)}))
+             * {RECENCY_SCALE}) AS BIGINT)) AS BIGINT) AS recency_q
+    FROM {table}
+    GROUP BY {user_col}
+    """

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SCALE = 1_000_000_000  # nano quantization of per-row gradient terms
@@ -166,4 +166,313 @@ def logreg_oracle_sql(
            {w_out}
     FROM feats CROSS JOIN {last}
     GROUP BY {", ".join(w_terms)}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes — the second classic corpus classifier shape
+# (fastText-style quality/language filters are logreg over dense
+# features; NB is the sparse token-count sibling). Training is TWO
+# grouped aggregations (per-class token counts, class totals), scoring
+# is one join + one grouped aggregation — no iteration, no driver loop.
+# ---------------------------------------------------------------------------
+
+
+def nb_train_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    holdout_mod: int = 5,
+) -> DataFrame:
+    """Train multinomial NB (add-one smoothing) on docs where
+    ``id % holdout_mod != 0``, score the held-out rest; returns one row
+    per held-out doc: (id, true label, predicted label, score_nano of
+    the winning class).
+
+    Hash-grade discipline: every per-occurrence log term
+    ``ln((count(t,c)+1) / (N_c + V))`` is nano-quantized to BIGINT
+    BEFORE the per-document sum, so aggregation order can't move the
+    score; the argmax is ``max(struct(score, label))`` — ties break to
+    the lexicographically larger label, deterministically. Tokens
+    unseen in training (OOV) are dropped for ALL classes symmetrically
+    (the inner join against the vocab×class matrix), the standard
+    multinomial-NB treatment.
+
+    Scale: the vocab×class log-prob matrix is |V|·|C| rows — bounded by
+    vocabulary, not corpus; the scoring join shuffles on token and the
+    final aggregate on (doc, class). Same whitespace tokenization as
+    heavy_hitters (trim → lower → split \\s+ → drop empties).
+    """
+    # explode-then-filter, not F.filter(lambda): higher-order functions
+    # run interpreted (measured footgun in this repo) while the post-
+    # explode predicate stays in whole-stage codegen
+    tok = F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ).alias("token")
+    is_test = F.col(id_col) % holdout_mod == 0
+    train = docs.where(~is_test)
+    test = docs.where(is_test)
+
+    tr_tok = train.select(F.col(label_col).alias("_y"), tok).where(
+        F.col("token") != ""
+    )
+    ctc = tr_tok.groupBy("_y", "token").agg(
+        F.count(F.lit(1)).alias("_ctc")
+    )
+    class_tot = ctc.groupBy("_y").agg(F.sum("_ctc").alias("_nc"))
+    vocab = ctc.select("token").distinct()
+    v = vocab.count()  # scalar: vocab size for the smoothing denominator
+    d_tot = train.count()
+    priors = train.groupBy(F.col(label_col).alias("_y")).agg(
+        F.round(
+            F.log(F.count(F.lit(1)) / F.lit(float(d_tot))) * SCALE
+        )
+        .cast("bigint")
+        .alias("_prior_q")
+    )
+    # full |V|x|C| matrix: a token seen only in class A must still
+    # contribute its smoothing term ln(1/(N_B + V)) to class B
+    matrix = (
+        vocab.crossJoin(class_tot)
+        .join(ctc, ["token", "_y"], "left")
+        .select(
+            "token",
+            "_y",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("_ctc"), F.lit(0)) + F.lit(1))
+                    / (F.col("_nc") + F.lit(v)).cast("double")
+                )
+                * SCALE
+            )
+            .cast("bigint")
+            .alias("_logp_q"),
+        )
+    )
+    te_tok = test.select(
+        F.col(id_col), F.col(label_col).alias("_true"), tok
+    ).where(F.col("token") != "")
+    scored = (
+        te_tok.join(matrix, "token")  # OOV tokens drop for all classes
+        .groupBy(id_col, "_true", "_y")
+        .agg(F.sum("_logp_q").alias("_s"))
+        .join(priors, "_y")
+        .select(
+            id_col,
+            "_true",
+            "_y",
+            (F.col("_s") + F.col("_prior_q")).alias("_score_q"),
+        )
+    )
+    return (
+        scored.groupBy(id_col, "_true")
+        .agg(F.max(F.struct("_score_q", "_y")).alias("_m"))
+        .select(
+            F.col(id_col),
+            F.col("_true").alias("true_label"),
+            F.col("_m._y").alias("pred_label"),
+            F.col("_m._score_q").alias("score_q"),
+        )
+    )
+
+
+def nb_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    holdout_mod: int = 5,
+) -> str:
+    """DuckDB twin of :func:`nb_train_score`, CTE for CTE — same
+    tokenization, same add-one smoothing, same nano quantization of
+    each log term before the sum, same (score, label) argmax."""
+    tok_list = (
+        f"list_filter(string_split_regex(trim(lower({text_col})),"
+        " '\\s+'), x -> x <> '')"
+    )
+    return f"""
+    WITH tr AS (
+      SELECT * FROM {table} WHERE {id_col} % {holdout_mod} <> 0
+    ), te AS (
+      SELECT * FROM {table} WHERE {id_col} % {holdout_mod} = 0
+    ), tr_tok AS (
+      SELECT {label_col} AS y, unnest({tok_list}) AS token FROM tr
+    ), ctc AS (
+      SELECT y, token, COUNT(*) AS c FROM tr_tok GROUP BY y, token
+    ), class_tot AS (
+      SELECT y, SUM(c) AS nc FROM ctc GROUP BY y
+    ), vocab AS (
+      SELECT DISTINCT token FROM ctc
+    ), v AS (
+      SELECT COUNT(*) AS v FROM vocab
+    ), d AS (
+      SELECT COUNT(*) AS d FROM tr
+    ), priors AS (
+      SELECT {label_col} AS y,
+             CAST(round(ln(COUNT(*) / (SELECT CAST(d AS DOUBLE) FROM d))
+                        * {SCALE}) AS BIGINT) AS prior_q
+      FROM tr GROUP BY {label_col}
+    ), matrix AS (
+      SELECT vocab.token, class_tot.y,
+             CAST(round(ln((COALESCE(ctc.c, 0) + 1)
+                           / CAST(class_tot.nc + (SELECT v FROM v)
+                                  AS DOUBLE)) * {SCALE}) AS BIGINT)
+               AS logp_q
+      FROM vocab CROSS JOIN class_tot
+      LEFT JOIN ctc ON ctc.token = vocab.token AND ctc.y = class_tot.y
+    ), te_tok AS (
+      SELECT {id_col}, {label_col} AS true_y, unnest({tok_list}) AS token
+      FROM te
+    ), scored AS (
+      SELECT t.{id_col}, t.true_y, m.y,
+             CAST(SUM(m.logp_q) AS BIGINT) + ANY_VALUE(p.prior_q)
+               AS score_q
+      FROM te_tok t
+      JOIN matrix m ON m.token = t.token
+      JOIN priors p ON p.y = m.y
+      GROUP BY t.{id_col}, t.true_y, m.y
+    )
+    SELECT {id_col},
+           true_y AS true_label,
+           y AS pred_label,
+           score_q
+    FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY {id_col} ORDER BY score_q DESC, y DESC
+    ) = 1
+    """
+
+
+CHI2_SCALE = 1_000_000  # micro quantization of chi² statistics
+
+
+def chi2_tokens(
+    docs: DataFrame,
+    label: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """χ² feature selection: the top-``k`` tokens most associated with
+    a binary document label (presence-based contingency, the classic
+    text-classification feature ranking). Returns
+    ``(token, n_pos_docs, n_neg_docs, chi2_q)`` ordered by χ²
+    descending, token ascending — a deterministic total order.
+
+    Contingency per token over DISTINCT (doc, token) presence:
+    a = positive docs containing it, b = negative docs containing it,
+    c/d the complements; χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)).
+    (ad−bc) is computed exactly in BIGINT, then squared and combined in
+    DOUBLE (overflow-safe at any corpus size) — the same IEEE sequence
+    on both engines — and micro-quantized. Tokens in fewer than
+    ``min_df`` or more than N−``min_df`` docs are excluded (degenerate
+    margins divide by zero and select nothing useful anyway).
+
+    Plan: explode → distinct presence (one shuffle) → per-token counts
+    (second shuffle, vocabulary-sized) → TakeOrderedAndProject. The two
+    class totals are the only driver pull (one 1-row aggregate).
+    """
+    pres = (
+        docs.select(
+            F.col(id_col),
+            label.cast("int").alias("_y"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    tot = docs.agg(
+        F.sum(label.cast("int")).alias("p"),
+        F.sum(F.lit(1) - label.cast("int")).alias("q"),
+    ).collect()[0]
+    p, q = int(tot["p"]), int(tot["q"])
+    n = p + q
+    a = F.col("n_pos_docs")
+    b = F.col("n_neg_docs")
+    c = F.lit(p) - a
+    d = F.lit(q) - b
+    det = (a * d - b * c).cast("bigint")  # exact
+    chi2 = (
+        F.lit(float(n))
+        * det.cast("double")
+        * det.cast("double")
+        / (
+            (a + b).cast("double")
+            * (c + d).cast("double")
+            * (a + c).cast("double")
+            * (b + d).cast("double")
+        )
+    )
+    return (
+        pres.groupBy("token")
+        .agg(
+            F.sum("_y").cast("bigint").alias("n_pos_docs"),
+            F.sum(F.lit(1) - F.col("_y")).cast("bigint").alias("n_neg_docs"),
+        )
+        .where(
+            ((a + b) >= min_df) & ((a + b) <= n - min_df)
+        )
+        .select(
+            "token",
+            "n_pos_docs",
+            "n_neg_docs",
+            F.round(chi2 * CHI2_SCALE).cast("bigint").alias("chi2_q"),
+        )
+        .orderBy(F.col("chi2_q").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def chi2_tokens_oracle_sql(
+    table: str,
+    label_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 5,
+    k: int = 50,
+) -> str:
+    """DuckDB twin of :func:`chi2_tokens` — same presence distinct,
+    same BIGINT determinant, same DOUBLE combination order, same
+    (χ² desc, token asc) total order."""
+    tok_list = (
+        f"list_filter(string_split_regex(trim(lower({text_col})),"
+        " '\\s+'), x -> x <> '')"
+    )
+    return f"""
+    WITH pres AS (
+      SELECT DISTINCT {id_col},
+             CAST({label_sql} AS INT) AS y,
+             unnest({tok_list}) AS token
+      FROM {table}
+    ), tot AS (
+      SELECT CAST(SUM(CAST({label_sql} AS INT)) AS BIGINT) AS p,
+             CAST(SUM(1 - CAST({label_sql} AS INT)) AS BIGINT) AS q
+      FROM {table}
+    ), cnt AS (
+      SELECT token,
+             CAST(SUM(y) AS BIGINT) AS n_pos_docs,
+             CAST(SUM(1 - y) AS BIGINT) AS n_neg_docs
+      FROM pres GROUP BY token
+    )
+    SELECT token, n_pos_docs, n_neg_docs,
+           CAST(round(
+             (CAST(p + q AS DOUBLE)
+              * CAST(n_pos_docs * (q - n_neg_docs)
+                     - n_neg_docs * (p - n_pos_docs) AS DOUBLE)
+              * CAST(n_pos_docs * (q - n_neg_docs)
+                     - n_neg_docs * (p - n_pos_docs) AS DOUBLE)
+              / (CAST(n_pos_docs + n_neg_docs AS DOUBLE)
+                 * CAST((p - n_pos_docs) + (q - n_neg_docs) AS DOUBLE)
+                 * CAST(n_pos_docs + (p - n_pos_docs) AS DOUBLE)
+                 * CAST(n_neg_docs + (q - n_neg_docs) AS DOUBLE)))
+             * {CHI2_SCALE}) AS BIGINT) AS chi2_q
+    FROM cnt CROSS JOIN tot
+    WHERE n_pos_docs + n_neg_docs >= {min_df}
+      AND n_pos_docs + n_neg_docs <= (p + q) - {min_df}
+    ORDER BY chi2_q DESC, token ASC
+    LIMIT {k}
     """

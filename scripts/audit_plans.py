@@ -125,6 +125,11 @@ ALLOW_BNLJ = {
     "join_size_cms",  # 1-row sketch-estimate x 1-row exact-sum crossJoin
     "hll_audience_overlap",  # four 1-row aggregates (3 estimates + exact) crossJoined
     "theta_overlap",  # 1-row theta thresholds x set-op row x exact counts crossJoined
+    # vocab x class-totals smoothing matrix: the broadcast side is ONE
+    # ROW PER CLASS (|C| ~ a handful; the other side is vocabulary-
+    # bounded, never corpus-bounded). Same category-marginal caveat as
+    # chi2_lang_source: do not reuse for a high-cardinality pair.
+    "nb_lang_score",
 }
 
 

@@ -78,6 +78,92 @@ class TestFunnel:
         }
         assert got == {(0, "view"): 2, (1, "click"): 1}
 
+    def test_same_timestamp_tie_is_not_progress(self, spark):
+        """Round-7 verdict ask #6: STRICTLY-after rule. u1's click
+        shares the view's exact timestamp -> not progress (depth 1);
+        u2's click one hour later -> depth 2. Expected rows
+        hand-computed, anchors included."""
+        ev = _events(
+            spark,
+            [
+                (1, 0, 1, "view", 0.0),
+                (1, 0, 1, "click", 0.0),  # tie with the anchor: excluded
+                (1, 0, 2, "view", 0.0),
+                (1, 1, 2, "click", 0.0),
+            ],
+        )
+        rows = {
+            r.user_id: (
+                r.steps_completed,
+                str(r.anchor_ts),
+                str(r.last_step_ts),
+            )
+            for r in bh.funnel_users(ev, ["view", "click"]).collect()
+        }
+        assert rows == {
+            1: (1, "2024-01-01 00:00:00", "2024-01-01 00:00:00"),
+            2: (2, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+        }
+        counts = {
+            r.step: r.n_users
+            for r in bh.funnel_counts(ev, ["view", "click"]).collect()
+        }
+        assert counts == {"view": 2, "click": 1}
+
+    def test_multiple_anchors_earliest_wins(self, spark):
+        """Round-7 verdict ask #6: a user with multiple steps[0] events
+        anchors at the EARLIEST one — a later view cannot re-open the
+        window, and anchor_ts must report the first event even when
+        only a later view is followed by a click (within the window of
+        the first)."""
+        ev = _events(
+            spark,
+            [
+                (1, 0, 1, "view", 0.0),
+                (3, 0, 1, "view", 0.0),
+                (4, 0, 1, "click", 0.0),  # within 7d of day 1: counts
+                (1, 0, 2, "view", 0.0),
+                (6, 0, 2, "view", 0.0),
+                (9, 0, 2, "click", 0.0),  # 8d after the FIRST view: out
+            ],
+        )
+        rows = {
+            r.user_id: (
+                r.steps_completed,
+                str(r.anchor_ts),
+                str(r.last_step_ts),
+            )
+            for r in bh.funnel_users(ev, ["view", "click"]).collect()
+        }
+        assert rows == {
+            1: (2, "2024-01-01 00:00:00", "2024-01-04 00:00:00"),
+            2: (1, "2024-01-01 00:00:00", "2024-01-01 00:00:00"),
+        }
+
+    def test_within_boundary_is_inclusive(self, spark):
+        """Round-7 verdict ask #6: an event landing EXACTLY at
+        anchor + within qualifies (<=, pinned); one second later —
+        approximated here by the next hour — does not."""
+        ev = _events(
+            spark,
+            [
+                (1, 0, 1, "view", 0.0),
+                (8, 0, 1, "click", 0.0),  # exactly anchor + 7 days
+                (1, 0, 2, "view", 0.0),
+                (8, 1, 2, "click", 0.0),  # anchor + 7 days + 1 hour
+            ],
+        )
+        rows = {
+            r.user_id: r.steps_completed
+            for r in bh.funnel_users(ev, ["view", "click"]).collect()
+        }
+        assert rows == {1: 2, 2: 1}
+        counts = {
+            r.step: r.n_users
+            for r in bh.funnel_counts(ev, ["view", "click"]).collect()
+        }
+        assert counts == {"view": 2, "click": 1}
+
     def test_single_step_rejected(self, spark):
         with pytest.raises(ValueError):
             bh.funnel_counts(_events(spark, [(1, 0, 1, "view", 0.0)]), ["view"])
@@ -208,3 +294,36 @@ class TestSessionPaths:
         ).withColumn("ts", F.col("ts").cast("timestamp"))
         got = bh.session_paths(ev).collect()
         assert got[0]["path"] == "a>b"
+
+
+class TestRecencyScores:
+    def test_hand_computed_decay(self, spark):
+        """Two events for u1: at the table max (age 0, term 1e9) and
+        exactly one τ older (term round(e⁻¹·1e9)); u2 only the old
+        one. Exact BIGINT expectations."""
+        import math
+
+        ev = spark.createDataFrame(
+            [
+                (1, "2024-01-08T00:00:00", 1),
+                (2, "2024-01-01T00:00:00", 1),
+                (3, "2024-01-01T00:00:00", 2),
+            ],
+            "event_id long, ts string, user_id long",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {
+            r.user_id: (r.n_events, r.recency_q)
+            for r in bh.recency_scores(ev, tau_seconds=7 * 86400).collect()
+        }
+        e1 = round(math.exp(-1.0) * bh.RECENCY_SCALE)
+        assert got == {
+            1: (2, bh.RECENCY_SCALE + e1),
+            2: (1, e1),
+        }
+
+    def test_empty_input_raises(self, spark):
+        ev = spark.createDataFrame(
+            [], "event_id long, ts timestamp, user_id long"
+        )
+        with pytest.raises(ValueError, match="empty input"):
+            bh.recency_scores(ev)

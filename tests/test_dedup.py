@@ -605,3 +605,57 @@ class TestLshIndexEpochGuards:
             for r in dd.lsh_index_probe(spark, path, probe).collect()
         }
         assert (2, 20) in without_guard
+
+
+class TestRepeatedSpans:
+    def test_shared_prefix_spans_surface(self, spark):
+        """Docs 1 and 2 share an identical 48-char all-'S' prefix
+        (64-char texts): the shared windows at offsets 0 and 16 read
+        the same text, the offset-32 windows differ. Doc 3 is
+        disjoint, doc 4 is shorter than the window width — neither
+        contributes a surviving span."""
+        import hashlib
+
+        from beis_orp_data_service_spark.operators import dedup as dd
+
+        shared = "S" * 48
+        docs = spark.createDataFrame(
+            [
+                (1, shared + "1" * 16),
+                (2, shared + "2" * 16),
+                (3, "z" * 64),
+                (4, "short"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.span_h: (r.n_docs, r.n_occurrences)
+            for r in dd.repeated_spans(docs).collect()
+        }
+        # offsets 0 and 16 both read the same 32-S span text, so they
+        # collapse into ONE group with 4 occurrences across 2 docs;
+        # doc 3's z-spans are single-doc and doc 4 is sub-width
+        assert rows == {
+            hashlib.md5(("S" * 32).encode()).hexdigest(): (2, 4),
+        }
+
+    def test_distinct_shared_windows(self, spark):
+        """Non-degenerate shared prefix: two DISTINCT shared windows."""
+        import hashlib
+
+        from beis_orp_data_service_spark.operators import dedup as dd
+
+        shared = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKL"  # 48
+        assert len(shared) == 48
+        docs = spark.createDataFrame(
+            [(1, shared + "1" * 16), (2, shared + "2" * 16)],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.span_h: (r.n_docs, r.n_occurrences)
+            for r in dd.repeated_spans(docs).collect()
+        }
+        assert rows == {
+            hashlib.md5(shared[0:32].encode()).hexdigest(): (2, 2),
+            hashlib.md5(shared[16:48].encode()).hexdigest(): (2, 2),
+        }
