@@ -7319,12 +7319,42 @@ _LOGREG_FEATS_CTE = """feats AS (
     )"""
 
 
+@declared("char_entropy", ts_ops.char_entropy_oracle_sql("documents"))
+def _char_entropy(spark, sf_dir):
+    # Character-unigram Shannon entropy per doc — the cheap gibberish/
+    # boilerplate signal next to the Gopher rules. Exact histogram,
+    # per-char terms nano-quantized before the per-doc sum, two
+    # shuffles on doc_id, codegen end to end.
+    return ts_ops.char_entropy(_t(spark, sf_dir, "documents"))
+
+
+@declared("token_pmi", ts_ops.token_pmi_oracle_sql("documents"))
+def _token_pmi(spark, sf_dir):
+    # Collocation mining (Church & Hanks 1990): top-50 token pairs by
+    # doc-co-occurrence PMI. Distinct presence -> per-doc self-join
+    # (quadratic only within a doc, alphabetical cap 64 tokens/doc) ->
+    # exact pair counts -> one ln on the same integer ratio both
+    # engines, nano-quantized; (pmi desc, a, b) total order.
+    return ts_ops.token_pmi(_t(spark, sf_dir, "documents"))
+
+
 @declared(
-    "logreg_train",
-    learn_ops.logreg_oracle_sql(
-        _LOGREG_FEATS_CTE, _LOGREG_FEATURES, "y", iters=3, lr=1.0
-    ),
+    "mmr_rerank",
+    sim.mmr_rerank_oracle_sql(_ANN_DUCK_DOT, query_id=0, pool=20, k=5),
 )
+def _mmr_rerank(spark, sf_dir):
+    # MMR diversified retrieval (Carbonell & Goldstein 1998): top-20
+    # relevance pool for query vec 0, then greedy λ=0.7 selection of 5
+    # trading relevance against max-similarity-to-picked. All-integer
+    # scores (lam·rel − (10−lam)·max_sim over quantized dots) — the
+    # oracle unrolls the greedy loop as 5 CTE stages and matches bit
+    # for bit. Pool + its 20×20 sim matrix are the only driver pull
+    # (parameter-bounded); the corpus-side work is the pool builder.
+    return sim.mmr_rerank(
+        _t(spark, sf_dir, "embeddings"), query_id=0, pool=20, k=5
+    )
+
+
 @declared(
     "group_split",
     f"""
@@ -7414,6 +7444,12 @@ def nb_lang_score(spark, sf_dir):
     return learn_ops.nb_train_score(_t(spark, sf_dir, "documents"))
 
 
+@declared(
+    "logreg_train",
+    learn_ops.logreg_oracle_sql(
+        _LOGREG_FEATS_CTE, _LOGREG_FEATURES, "y", iters=3, lr=1.0
+    ),
+)
 def logreg_train(spark, sf_dir):
     # One map-side-combined aggregate per GD iteration; the k=3
     # gradient values are the only driver pull per pass. The projected

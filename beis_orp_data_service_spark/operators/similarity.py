@@ -2185,3 +2185,130 @@ def rotate_embeddings(
     return embeddings.select(id_col, vec_col).mapInPandas(
         _rot, f"{id_col} bigint, {vec_col} array<double>"
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_id: int,
+    pool: int = 20,
+    k: int = 5,
+    lam_tenths: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    diversified top-k: retrieve a ``pool``-sized candidate set by
+    relevance, then greedily pick ``k`` results trading relevance
+    against similarity to what is already picked —
+    ``MMR = λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)``.
+
+    Everything is INTEGER-exact: rel and sim are quantized dot
+    products (``dot_q``), λ is expressed in tenths so the score is
+    ``lam·rel − (10−lam)·max_sim`` in BIGINT — no float anywhere, so
+    the DuckDB oracle (:func:`mmr_rerank_oracle_sql`, the greedy loop
+    unrolled as k CTE stages) matches bit for bit. The first pick is
+    pure relevance (no penalty term; ``mmr_q10 = lam·rel``); ties
+    break to the smaller id at every stage.
+
+    Scale shape: candidate retrieval is the brute top-``pool`` scan
+    (swap in an IVF probe for the 100 TB path — only the pool builder
+    changes); the pairwise-sim join and the greedy loop run over the
+    POOL (parameter-bounded, 20×20 here), not the corpus — the pool +
+    its sim matrix are the only driver pull, and the selection loop is
+    O(k·pool) Python over those few hundred integers.
+    """
+    q = embeddings.where(F.col(id_col) == query_id).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cand = (
+        cosine_topk(embeddings, q.select(
+            F.col("query_id").alias(id_col), F.col("qvec").alias(vec_col)
+        ), id_col=id_col, vec_col=vec_col, k=pool, quantized=True)
+        .select(F.col("neighbor_id").alias(id_col), F.col("score").alias("rel"))
+        .join(embeddings.select(id_col, vec_col), id_col)
+    )
+    a = cand.select(
+        F.col(id_col).alias("a_id"), F.col("rel"), F.col(vec_col).alias("avec")
+    )
+    b = cand.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("bvec"))
+    sims = (
+        a.join(b, F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", dot_q(F.col("avec"), F.col("bvec")).alias("sim"))
+    )
+    rels = {r["a_id"]: r["rel"] for r in a.select("a_id", "rel").collect()}
+    sim = {(r["a_id"], r["b_id"]): r["sim"] for r in sims.collect()}
+    lam, mu = int(lam_tenths), 10 - int(lam_tenths)
+    picked: list[tuple[int, int, int, int]] = []  # rank, id, rel, mmr
+    selected: list[int] = []
+    for rank in range(1, min(k, len(rels)) + 1):
+        best = None
+        for c, rel in rels.items():
+            if c in selected:
+                continue
+            pen = max((sim[(c, s)] for s in selected), default=0)
+            mmr = lam * rel - (mu * pen if selected else 0)
+            key = (-mmr, c)
+            if best is None or key < best[0]:
+                best = (key, c, rel, mmr)
+        picked.append((rank, best[1], best[2], best[3]))
+        selected.append(best[1])
+    return embeddings.sparkSession.createDataFrame(
+        picked, "rank bigint, vec_id bigint, rel bigint, mmr_q10 bigint"
+    )
+
+
+def mmr_rerank_oracle_sql(
+    duck_dot: str,
+    query_id: int,
+    pool: int = 20,
+    k: int = 5,
+    lam_tenths: int = 7,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of :func:`mmr_rerank`: the greedy loop unrolled as
+    ``k`` pick/selected CTE pairs — same integer scores, same
+    (mmr desc, id asc) tie-break at every stage. ``duck_dot`` is the
+    quantized-dot expression over ``q.embedding``/``t.embedding``."""
+    lam, mu = int(lam_tenths), 10 - int(lam_tenths)
+    ctes = [
+        f"""qv AS (
+      SELECT {id_col} AS query_id, embedding FROM {table}
+      WHERE {id_col} = {query_id}
+    ), cand AS (
+      SELECT t.{id_col} AS vec_id, t.embedding,
+             CAST({duck_dot.replace('q.embedding', 'qv.embedding')} AS BIGINT) AS rel
+      FROM {table} t, qv WHERE t.{id_col} <> qv.query_id
+      ORDER BY rel DESC, t.{id_col} ASC LIMIT {pool}
+    ), sims AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             CAST({duck_dot.replace('q.embedding', 'a.embedding').replace('t.embedding', 'b.embedding')} AS BIGINT) AS sim
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ), pick1 AS (
+      SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel,
+             CAST({lam} * rel AS BIGINT) AS mmr_q10
+      FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1
+    ), sel1 AS (SELECT vec_id FROM pick1)"""
+    ]
+    for t in range(2, k + 1):
+        ctes.append(
+            f"""pen{t} AS (
+      SELECT c.vec_id, c.rel, MAX(s.sim) AS pen
+      FROM cand c
+      JOIN sims s ON s.a_id = c.vec_id
+      JOIN sel{t - 1} ON s.b_id = sel{t - 1}.vec_id
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+      GROUP BY c.vec_id, c.rel
+    ), pick{t} AS (
+      SELECT CAST({t} AS BIGINT) AS rank, vec_id, rel,
+             CAST({lam} * rel - {mu} * pen AS BIGINT) AS mmr_q10
+      FROM pen{t} ORDER BY mmr_q10 DESC, vec_id ASC LIMIT 1
+    ), sel{t} AS (
+      SELECT vec_id FROM sel{t - 1} UNION ALL SELECT vec_id FROM pick{t}
+    )"""
+        )
+    picks = " UNION ALL ".join(
+        f"SELECT rank, vec_id, rel, mmr_q10 FROM pick{t}"
+        for t in range(1, k + 1)
+    )
+    return f"WITH {', '.join(ctes)} {picks}"

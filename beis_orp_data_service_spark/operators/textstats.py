@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 FP_PRIME = 1_000_000_007  # fingerprint modulus: keeps acc*31+255 in int64
@@ -296,4 +296,193 @@ def readability_oracle_sql(
            206835 - (1015 * wps_milli) // 1000 - (84600 * spw_milli) // 1000
              AS flesch_milli
     FROM ratios
+    """
+
+
+PMI_SCALE = 1_000_000_000  # nano quantization of PMI values
+
+
+def token_pmi(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_pair_docs: int = 5,
+    k: int = 50,
+    max_tokens_per_doc: int = 64,
+):
+    """Collocation mining: the top-``k`` token pairs by pointwise
+    mutual information over document co-occurrence —
+    ``PMI(x,y) = ln(N·c_xy / (c_x·c_y))`` with doc-frequency counts.
+    The classic phrase/topic-signal extractor (Church & Hanks 1990)
+    over a corpus, as two shuffles: distinct presence, then a per-doc
+    self-join (quadratic only WITHIN a doc, bounded by
+    ``max_tokens_per_doc`` — the first ``m`` tokens alphabetically, a
+    deterministic cap so a pathological doc can't go quadratic), then
+    pair counts + two vocabulary-sized frequency joins.
+
+    Output ``(token_a, token_b, n_pair_docs, pmi_q)`` with
+    ``token_a < token_b``, ordered (pmi desc, token_a, token_b) — a
+    total order. Counts are exact BIGINTs; the single ln is computed
+    on the same integer ratio by both engines and nano-quantized
+    (the repo-wide 1-ulp cross-engine assumption).
+    """
+    tok = F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ).alias("token")
+    pres = (
+        docs.select(F.col(id_col), tok)
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("token").asc())
+    pres = (
+        pres.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_tokens_per_doc)
+        .drop("_rn")
+    )
+    n = pres.select(id_col).distinct().count()
+    df = pres.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    a = pres.select(F.col(id_col), F.col("token").alias("token_a"))
+    b = pres.select(F.col(id_col), F.col("token").alias("token_b"))
+    pairs = (
+        a.join(b, id_col)
+        .where(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair_docs"))
+        .where(F.col("n_pair_docs") >= min_pair_docs)
+    )
+    return (
+        pairs.join(df.select(F.col("token").alias("token_a"),
+                             F.col("_df").alias("_dfa")), "token_a")
+        .join(df.select(F.col("token").alias("token_b"),
+                        F.col("_df").alias("_dfb")), "token_b")
+        .select(
+            "token_a",
+            "token_b",
+            "n_pair_docs",
+            F.round(
+                F.log(
+                    (F.lit(n) * F.col("n_pair_docs")).cast("double")
+                    / (F.col("_dfa") * F.col("_dfb")).cast("double")
+                )
+                * PMI_SCALE
+            )
+            .cast("bigint")
+            .alias("pmi_q"),
+        )
+        .orderBy(F.col("pmi_q").desc(), F.col("token_a"), F.col("token_b"))
+        .limit(k)
+    )
+
+
+def token_pmi_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_pair_docs: int = 5,
+    k: int = 50,
+    max_tokens_per_doc: int = 64,
+) -> str:
+    """DuckDB twin of :func:`token_pmi` — same distinct presence, same
+    alphabetical per-doc cap, same exact-integer ratio into ln."""
+    tok_list = (
+        f"list_filter(string_split_regex(trim(lower({text_col})),"
+        " '\\s+'), x -> x <> '')"
+    )
+    return f"""
+    WITH pres0 AS (
+      SELECT DISTINCT {id_col}, unnest({tok_list}) AS token FROM {table}
+    ), pres AS (
+      SELECT {id_col}, token FROM pres0
+      QUALIFY row_number() OVER (PARTITION BY {id_col} ORDER BY token ASC)
+              <= {max_tokens_per_doc}
+    ), n AS (
+      SELECT COUNT(DISTINCT {id_col}) AS n FROM pres
+    ), df AS (
+      SELECT token, COUNT(*) AS df FROM pres GROUP BY token
+    ), pairs AS (
+      SELECT a.token AS token_a, b.token AS token_b,
+             CAST(COUNT(*) AS BIGINT) AS n_pair_docs
+      FROM pres a JOIN pres b
+        ON a.{id_col} = b.{id_col} AND a.token < b.token
+      GROUP BY a.token, b.token
+      HAVING COUNT(*) >= {min_pair_docs}
+    )
+    SELECT token_a, token_b, n_pair_docs,
+           CAST(round(ln(CAST((SELECT n FROM n) * n_pair_docs AS DOUBLE)
+                         / CAST(da.df * db.df AS DOUBLE))
+                      * {PMI_SCALE}) AS BIGINT) AS pmi_q
+    FROM pairs
+    JOIN df da ON da.token = pairs.token_a
+    JOIN df db ON db.token = pairs.token_b
+    ORDER BY pmi_q DESC, token_a, token_b
+    LIMIT {k}
+    """
+
+
+ENTROPY_SCALE = 1_000_000_000  # nano quantization of per-char entropy terms
+
+
+def char_entropy(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Character-unigram Shannon entropy per document — the classic
+    cheap quality/gibberish signal (low entropy = boilerplate or
+    repeated filler, the Gopher-rules companion statistic): over the
+    doc's character histogram, ``H = Σ −(c/L)·ln(c/L)``.
+
+    Exactness: counts and lengths are exact BIGINTs; each character's
+    term is nano-quantized BEFORE the per-doc sum (order-insensitive;
+    the ln shares the repo-wide 1-ulp assumption). Plan: explode chars
+    → one (doc, char) count aggregation → one per-doc sum — two
+    shuffles on doc_id, codegen end to end. Empty docs yield no rows
+    (no characters).
+    """
+    ch = F.explode(F.split(F.col(text_col), "")).alias("ch")
+    counts = (
+        docs.select(F.col(id_col), F.length(F.col(text_col)).alias("_len"), ch)
+        .where(F.col("ch") != "")
+        .groupBy(id_col, "_len", "ch")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    p = F.col("_c").cast("double") / F.col("_len").cast("double")
+    term_q = F.round(-(p * F.log(p)) * ENTROPY_SCALE).cast("bigint")
+    return (
+        counts.select(F.col(id_col), F.col("_len"), term_q.alias("_t"))
+        .groupBy(id_col, "_len")
+        .agg(F.sum("_t").cast("bigint").alias("entropy_q"))
+        .select(
+            F.col(id_col),
+            F.col("_len").cast("bigint").alias("n_chars_exact"),
+            "entropy_q",
+        )
+    )
+
+
+def char_entropy_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`char_entropy` — same histogram, same
+    double p, same nano quantization before the per-doc sum."""
+    return f"""
+    WITH chars AS (
+      SELECT {id_col}, length({text_col}) AS len,
+             unnest(string_split({text_col}, '')) AS ch
+      FROM {table}
+    ), counts AS (
+      SELECT {id_col}, len, ch, COUNT(*) AS c
+      FROM chars WHERE ch <> '' GROUP BY {id_col}, len, ch
+    )
+    SELECT {id_col},
+           CAST(len AS BIGINT) AS n_chars_exact,
+           CAST(SUM(CAST(round(
+             -((CAST(c AS DOUBLE) / CAST(len AS DOUBLE))
+               * ln(CAST(c AS DOUBLE) / CAST(len AS DOUBLE)))
+             * {ENTROPY_SCALE}) AS BIGINT)) AS BIGINT) AS entropy_q
+    FROM counts
+    GROUP BY {id_col}, len
     """

@@ -63,6 +63,12 @@ MUST_INCLUDE = [
     "session_paths",
     "funnel_users",
     "logreg_train",
+    # round-8 additions, probed the round they ship
+    "nb_lang_score",
+    "chi2_tokens",
+    "dup_spans",
+    "recency_scores",
+    "group_split",
 ]
 ALPHA = "aeiounrst"  # ~50% of English letter mass — permuting it drops
 #                      char-5-shingle Jaccard vs the original below any

@@ -978,3 +978,68 @@ class TestPcaRotation:
         )
         with pytest.raises(ValueError, match="sample rows"):
             sim.pca_rotation(df, n_rows=1)
+
+
+class TestMmrRerank:
+    def test_diversity_beats_pure_topk(self, spark):
+        """Crafted pool where MMR diverges from pure relevance:
+        A=[.8,.6] (top rel), B=[.79,.61] (≈A), C=[.6,-.8] (orthogonal
+        to A). Pure top-2 = A,B; MMR(λ=.7) = A then C (B's penalty
+        3·simAB=2,994,000 sinks it below C's unpenalized 4,200,000).
+        Expected integer scores hand-computed from quantized dots."""
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0]),
+                (1, [0.8, 0.6]),
+                (2, [0.79, 0.61]),
+                (3, [0.6, -0.8]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        rows = [
+            (r.rank, r.vec_id, r.rel, r.mmr_q10)
+            for r in sim.mmr_rerank(emb, query_id=0, pool=3, k=3)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert rows == [
+            (1, 1, 800_000, 5_600_000),
+            (2, 3, 600_000, 4_200_000),
+            (3, 2, 790_000, 2_536_000),
+        ]
+
+    def test_oracle_twin_matches(self, spark):
+        """The unrolled-CTE DuckDB oracle reproduces the same greedy
+        trajectory on the same rows."""
+        import duckdb
+
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        emb = spark.createDataFrame(
+            [(i, [float(((i * 7 + j * 3) % 11) - 5) / 5.0 for j in range(4)])
+             for i in range(30)],
+            "vec_id long, embedding array<double>",
+        )
+        got = [
+            (r.rank, r.vec_id, r.rel, r.mmr_q10)
+            for r in sim.mmr_rerank(emb, query_id=0, pool=10, k=4)
+            .orderBy("rank")
+            .collect()
+        ]
+        duck_dot = (
+            "list_sum([CAST(round(CAST(q.embedding[i] AS DOUBLE) * 1000)"
+            " AS BIGINT) * CAST(round(CAST(t.embedding[i] AS DOUBLE)"
+            " * 1000) AS BIGINT) for i in range(1, len(q.embedding) + 1)])"
+        )
+        con = duckdb.connect()
+        con.register("embeddings", emb.toPandas())
+        exp = [
+            tuple(int(x) for x in row)
+            for row in con.sql(
+                sim.mmr_rerank_oracle_sql(duck_dot, query_id=0, pool=10, k=4)
+                + " ORDER BY rank"
+            ).fetchall()
+        ]
+        assert got == exp

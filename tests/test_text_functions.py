@@ -421,3 +421,62 @@ class TestCanonicalUrl:
                 f"SELECT {expr} AS c FROM (SELECT ? AS raw)", [raw]
             ).fetchone()[0]
             assert duck == got[raw], (raw, duck, got[raw])
+
+
+class TestTokenPmi:
+    def test_hand_computed_pmi(self, spark):
+        """5 docs "a b" + 5 docs "c": pair (a,b) in 5 of N=10 docs,
+        df_a=df_b=5 -> PMI = ln(10·5/(5·5)) = ln 2, nano-quantized."""
+        import math
+
+        from beis_orp_data_service_spark.operators import textstats as ts
+
+        docs = spark.createDataFrame(
+            [(i, "a b" if i < 5 else "c") for i in range(10)],
+            "doc_id long, text string",
+        )
+        rows = [
+            (r.token_a, r.token_b, r.n_pair_docs, r.pmi_q)
+            for r in ts.token_pmi(docs, min_pair_docs=5, k=10).collect()
+        ]
+        assert rows == [
+            ("a", "b", 5, round(math.log(2) * ts.PMI_SCALE))
+        ]
+
+    def test_per_doc_cap_bounds_pairs(self, spark):
+        """A 100-token doc capped at 10 tokens/doc contributes
+        C(10,2)=45 pairs, not C(100,2) — and the cap is the
+        alphabetically-first slice, deterministically."""
+        from beis_orp_data_service_spark.operators import textstats as ts
+
+        text = " ".join(f"t{i:03d}" for i in range(100))
+        docs = spark.createDataFrame(
+            [(i, text) for i in range(5)], "doc_id long, text string"
+        )
+        rows = ts.token_pmi(
+            docs, min_pair_docs=5, k=1000, max_tokens_per_doc=10
+        ).collect()
+        assert len(rows) == 45
+        toks = {r.token_a for r in rows} | {r.token_b for r in rows}
+        assert toks == {f"t{i:03d}" for i in range(10)}
+
+
+class TestCharEntropy:
+    def test_hand_computed(self, spark):
+        import math
+
+        from beis_orp_data_service_spark.operators import textstats as ts
+
+        docs = spark.createDataFrame(
+            [(1, "aabb"), (2, "aaaa"), (3, "")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_chars_exact, r.entropy_q)
+            for r in ts.char_entropy(docs).collect()
+        }
+        half = round(0.5 * math.log(2) * ts.ENTROPY_SCALE)
+        assert got == {
+            1: (4, 2 * half),  # two chars at p=.5: H = ln 2
+            2: (4, 0),         # single-char doc: zero entropy
+        }                      # empty doc: no histogram, no row
