@@ -7319,6 +7319,23 @@ _LOGREG_FEATS_CTE = """feats AS (
     )"""
 
 
+@declared("rfm_scores", bh_ops.rfm_scores_oracle_sql("events"))
+def _rfm_scores(spark, sf_dir):
+    # RFM segmentation: exact recency/frequency/monetary per user,
+    # quintile scores via ntile over (metric, user) total orders — 5 is
+    # best on every axis. The ntile windows run over the USER table
+    # (one row per user; bounded-cardinality caveat in the docstring).
+    return bh_ops.rfm_scores(_t(spark, sf_dir, "events"))
+
+
+@declared("oov_rate", ts_ops.oov_rate_oracle_sql("documents"))
+def _oov_rate(spark, sf_dir):
+    # Vocabulary-coverage QA: train-slice vocab vs held-out OOV
+    # occurrence rate per language (per-mille, exact integers) — the
+    # drift check before committing a tokenizer vocab.
+    return ts_ops.oov_rate_by_lang(_t(spark, sf_dir, "documents"))
+
+
 @declared("char_entropy", ts_ops.char_entropy_oracle_sql("documents"))
 def _char_entropy(spark, sf_dir):
     # Character-unigram Shannon entropy per doc — the cheap gibberish/

@@ -27,7 +27,7 @@ partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -391,4 +391,100 @@ def recency_scores_oracle_sql(
              * {RECENCY_SCALE}) AS BIGINT)) AS BIGINT) AS recency_q
     FROM {table}
     GROUP BY {user_col}
+    """
+
+
+def rfm_scores(
+    events: DataFrame,
+    n_tiles: int = 5,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM segmentation — the classic engagement/value triage
+    (recency, frequency, monetary) with quintile scores where 5 is
+    best on every axis. Exact inputs: recency is whole days behind the
+    TABLE-WIDE newest event (BIGINT, from microsecond epochs),
+    frequency is the event count, monetary the cent-quantized value
+    sum. Scores are ``ntile(n_tiles)`` over deterministic total orders
+    (metric, then ``user_col`` tiebreak), so both engines bucket
+    identically.
+
+    Scale note: the three ntiles are single unpartitioned windows —
+    over the USER table (one row per user), not events; same
+    bounded-cardinality caveat as the KS/Mann-Whitney distinct-value
+    windows (analytics.py). For truly unbounded user counts, swap
+    ntile for a two-pass percentile-threshold join.
+    """
+    t_ref = events.agg(
+        F.max(F.unix_micros(F.col(ts_col))).alias("m")
+    ).collect()[0]["m"]
+    if t_ref is None:
+        raise ValueError("rfm_scores: empty input")
+    per_user = events.groupBy(user_col).agg(
+        # explicit floor: DuckDB CAST(double AS BIGINT) ROUNDS while
+        # Spark's truncates — floor() first makes both exact
+        F.floor(
+            (F.lit(int(t_ref)) - F.max(F.unix_micros(F.col(ts_col))))
+            / F.lit(86_400_000_000)
+        )
+        .cast("bigint")
+        .alias("r_days"),
+        F.count(F.lit(1)).cast("bigint").alias("f_n"),
+        F.sum(F.round(F.col(value_col) * 100).cast("bigint")).alias("m_cents"),
+    )
+    # bucket 1 = worst, n = best on every axis: most-recent users sort
+    # LAST for recency (r_days desc), heaviest last for f/m (asc)
+    w_r = Window.orderBy(F.col("r_days").desc(), F.col(user_col))
+    w_f = Window.orderBy(F.col("f_n").asc(), F.col(user_col))
+    w_m = Window.orderBy(F.col("m_cents").asc(), F.col(user_col))
+    return per_user.select(
+        user_col,
+        "r_days",
+        "f_n",
+        "m_cents",
+        F.ntile(n_tiles).over(w_r).cast("bigint").alias("r_score"),
+        F.ntile(n_tiles).over(w_f).cast("bigint").alias("f_score"),
+        F.ntile(n_tiles).over(w_m).cast("bigint").alias("m_score"),
+    ).withColumn(
+        "rfm",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("bigint"),
+    )
+
+
+def rfm_scores_oracle_sql(
+    table: str = "events",
+    n_tiles: int = 5,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`rfm_scores` — same exact metrics, same
+    (metric, user) total orders into ntile."""
+    t_ref = f"(SELECT max(epoch_us({ts_col})) FROM {table})"
+    return f"""
+    WITH per_user AS (
+      SELECT {user_col},
+             CAST(floor(({t_ref} - max(epoch_us({ts_col})))
+                        / 86400000000) AS BIGINT) AS r_days,
+             CAST(COUNT(*) AS BIGINT) AS f_n,
+             CAST(SUM(CAST(round({value_col} * 100) AS BIGINT))
+                  AS BIGINT) AS m_cents
+      FROM {table} GROUP BY {user_col}
+    )
+    SELECT {user_col}, r_days, f_n, m_cents,
+           CAST(ntile({n_tiles}) OVER (ORDER BY r_days DESC, {user_col})
+                AS BIGINT) AS r_score,
+           CAST(ntile({n_tiles}) OVER (ORDER BY f_n ASC, {user_col})
+                AS BIGINT) AS f_score,
+           CAST(ntile({n_tiles}) OVER (ORDER BY m_cents ASC, {user_col})
+                AS BIGINT) AS m_score,
+           CAST(
+             ntile({n_tiles}) OVER (ORDER BY r_days DESC, {user_col}) * 100
+             + ntile({n_tiles}) OVER (ORDER BY f_n ASC, {user_col}) * 10
+             + ntile({n_tiles}) OVER (ORDER BY m_cents ASC, {user_col})
+             AS BIGINT) AS rfm
+    FROM per_user
     """

@@ -486,3 +486,88 @@ def char_entropy_oracle_sql(
     FROM counts
     GROUP BY {id_col}, len
     """
+
+
+def oov_rate_by_lang(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    holdout_mod: int = 5,
+):
+    """Vocabulary-coverage QA: build the token vocabulary from the
+    train slice (``id % holdout_mod != 0``), then measure the
+    out-of-vocabulary OCCURRENCE rate of the held-out slice per
+    language — the tokenizer/corpus drift check run before committing
+    a vocab (a lang whose OOV spikes is under-represented in train).
+
+    Exact integers end to end: per-lang token occurrences, OOV
+    occurrences (left join against the vocab, null = OOV), and the
+    per-mille rate as ``(n_oov·1000) DIV n_tokens``. Plan: one distinct
+    vocab aggregation + one token join (vocabulary-sized build side) +
+    one per-lang aggregation.
+    """
+    tok = F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ).alias("token")
+    is_test = F.col(id_col) % holdout_mod == 0
+    vocab = (
+        docs.where(~is_test)
+        .select(tok)
+        .where(F.col("token") != "")
+        .distinct()
+        .withColumn("_known", F.lit(1))
+    )
+    te = (
+        docs.where(is_test)
+        .select(F.col(lang_col).alias("lang"), tok)
+        .where(F.col("token") != "")
+    )
+    return (
+        te.join(vocab, "token", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("_known").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_milli",
+            ((F.col("n_oov") * 1000) / F.col("n_tokens")).cast("bigint"),
+        )
+    )
+
+
+def oov_rate_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    holdout_mod: int = 5,
+) -> str:
+    """DuckDB twin of :func:`oov_rate_by_lang`."""
+    tok_list = (
+        f"list_filter(string_split_regex(trim(lower({text_col})),"
+        " '\\s+'), x -> x <> '')"
+    )
+    return f"""
+    WITH vocab AS (
+      SELECT DISTINCT unnest({tok_list}) AS token
+      FROM {table} WHERE {id_col} % {holdout_mod} <> 0
+    ), te AS (
+      SELECT {lang_col} AS lang, unnest({tok_list}) AS token
+      FROM {table} WHERE {id_col} % {holdout_mod} = 0
+    ), agg AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_oov
+      FROM te LEFT JOIN vocab v USING (token)
+      GROUP BY lang
+    )
+    SELECT lang, n_tokens, n_oov,
+           CAST(floor((n_oov * 1000) / CAST(n_tokens AS DOUBLE))
+                AS BIGINT) AS oov_milli
+    FROM agg
+    """

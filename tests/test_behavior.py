@@ -327,3 +327,31 @@ class TestRecencyScores:
         )
         with pytest.raises(ValueError, match="empty input"):
             bh.recency_scores(ev)
+
+
+class TestRfmScores:
+    def test_hand_computed_quintiles(self, spark):
+        """5 users, user u has u events with latest at day u and value
+        u each: user 5 is best on every axis (scores 5,5,5), user 1
+        worst (1,1,1); with n_tiles=5 each user owns a quintile."""
+        rows = []
+        for u in range(1, 6):
+            for j in range(u):
+                rows.append((u * 10 + j, f"2024-01-{u:02d}T00:00:00", u, "x", float(u)))
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {
+            r.user_id: (r.r_days, r.f_n, r.m_cents, r.r_score, r.f_score, r.m_score, r.rfm)
+            for r in bh.rfm_scores(ev).collect()
+        }
+        for u in range(1, 6):
+            assert got[u] == (5 - u, u, u * u * 100, u, u, u, u * 111)
+
+    def test_empty_raises(self, spark):
+        ev = spark.createDataFrame(
+            [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        with pytest.raises(ValueError, match="empty input"):
+            bh.rfm_scores(ev)

@@ -480,3 +480,25 @@ class TestCharEntropy:
             1: (4, 2 * half),  # two chars at p=.5: H = ln 2
             2: (4, 0),         # single-char doc: zero entropy
         }                      # empty doc: no histogram, no row
+
+
+class TestOovRate:
+    def test_hand_computed_rates(self, spark):
+        """Vocab from train ids 1,2 = {a,b,c}; test doc 0 (en) 'a x y'
+        -> 2/3 OOV = 666 milli (floored); test doc 5 (fr) 'c c' -> 0."""
+        from beis_orp_data_service_spark.operators import textstats as ts
+
+        docs = spark.createDataFrame(
+            [
+                (0, "a x y", "en"),
+                (5, "c c", "fr"),
+                (1, "a b", "en"),
+                (2, "c", "fr"),
+            ],
+            "doc_id long, text string, lang string",
+        )
+        got = {
+            r.lang: (r.n_tokens, r.n_oov, r.oov_milli)
+            for r in ts.oov_rate_by_lang(docs).collect()
+        }
+        assert got == {"en": (3, 2, 666), "fr": (2, 0, 0)}
