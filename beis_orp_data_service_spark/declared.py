@@ -7319,6 +7319,16 @@ _LOGREG_FEATS_CTE = """feats AS (
     )"""
 
 
+@declared("kanon_release", an_ops.k_anonymize_oracle_sql("events", k=10))
+def _kanon_release(spark, sf_dir):
+    # k-anonymity generalization (Sweeney 2002): each event's released
+    # time bucket is the finest of day/week/month whose (event_type,
+    # bucket) group holds ≥ 10 rows, else 'suppressed' — the privacy
+    # gate before sharing event-level extracts. Three bucket-count
+    # aggregations joined back, cascade CASE — one pass, no iteration.
+    return an_ops.k_anonymize_buckets(_t(spark, sf_dir, "events"), k=10)
+
+
 @declared("rfm_scores", bh_ops.rfm_scores_oracle_sql("events"))
 def _rfm_scores(spark, sf_dir):
     # RFM segmentation: exact recency/frequency/monetary per user,

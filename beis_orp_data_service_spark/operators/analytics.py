@@ -1717,3 +1717,98 @@ def psi_drift_oracle_sql(
            CAST(MAX(c_tot) AS BIGINT) AS n_cur
     FROM terms GROUP BY grp
     """
+
+
+def k_anonymize_buckets(
+    events: DataFrame,
+    k: int = 10,
+    id_col: str = "event_id",
+    qi_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """k-anonymity generalization of a timestamp quasi-identifier
+    (Sweeney 2002): each row's released time bucket is the FINEST of
+    day → week → month whose (``qi_col``, bucket) group holds ≥ ``k``
+    rows; rows whose month-level group is still smaller release
+    ``suppressed`` — the privacy gate run before sharing event-level
+    extracts (the column-content sibling of ``corpus.pii_redact``).
+
+    Not iterative: three bucket-count aggregations (day/week/month) are
+    joined back and a cascade ``CASE`` picks the level per row — the
+    generalization hierarchy is evaluated in one pass. The count tables
+    are bucket-cardinality-sized (broadcastable); the row side shuffles
+    only for the three key joins. Exact integer counts; buckets
+    rendered as DATE strings identically by both engines.
+
+    Returns (id, qi, level, released) where level ∈
+    {day, week, month, suppressed}.
+    """
+    d = F.date_trunc("day", F.col(ts_col)).cast("date").cast("string")
+    w = F.date_trunc("week", F.col(ts_col)).cast("date").cast("string")
+    m = F.date_trunc("month", F.col(ts_col)).cast("date").cast("string")
+    base = events.select(
+        F.col(id_col),
+        F.col(qi_col).alias("qi"),
+        d.alias("_d"),
+        w.alias("_w"),
+        m.alias("_m"),
+    )
+    cd = base.groupBy("qi", "_d").agg(F.count(F.lit(1)).alias("_cd"))
+    cw = base.groupBy("qi", "_w").agg(F.count(F.lit(1)).alias("_cw"))
+    cm = base.groupBy("qi", "_m").agg(F.count(F.lit(1)).alias("_cm"))
+    out = (
+        base.join(cd, ["qi", "_d"])
+        .join(cw, ["qi", "_w"])
+        .join(cm, ["qi", "_m"])
+    )
+    level = (
+        F.when(F.col("_cd") >= k, F.lit("day"))
+        .when(F.col("_cw") >= k, F.lit("week"))
+        .when(F.col("_cm") >= k, F.lit("month"))
+        .otherwise(F.lit("suppressed"))
+    )
+    released = (
+        F.when(F.col("_cd") >= k, F.col("_d"))
+        .when(F.col("_cw") >= k, F.col("_w"))
+        .when(F.col("_cm") >= k, F.col("_m"))
+        .otherwise(F.lit("suppressed"))
+    )
+    return out.select(
+        F.col(id_col),
+        "qi",
+        level.alias("level"),
+        released.alias("released"),
+    )
+
+
+def k_anonymize_oracle_sql(
+    table: str = "events",
+    k: int = 10,
+    id_col: str = "event_id",
+    qi_col: str = "event_type",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`k_anonymize_buckets` — same truncations
+    (week starts Monday in both engines), same cascade."""
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {qi_col} AS qi,
+             CAST(CAST(date_trunc('day', {ts_col}) AS DATE) AS VARCHAR) AS d,
+             CAST(CAST(date_trunc('week', {ts_col}) AS DATE) AS VARCHAR) AS w,
+             CAST(CAST(date_trunc('month', {ts_col}) AS DATE) AS VARCHAR) AS m
+      FROM {table}
+    ), cd AS (SELECT qi, d, COUNT(*) AS cd FROM base GROUP BY qi, d),
+    cw AS (SELECT qi, w, COUNT(*) AS cw FROM base GROUP BY qi, w),
+    cm AS (SELECT qi, m, COUNT(*) AS cm FROM base GROUP BY qi, m)
+    SELECT {id_col}, qi,
+           CASE WHEN cd >= {k} THEN 'day'
+                WHEN cw >= {k} THEN 'week'
+                WHEN cm >= {k} THEN 'month'
+                ELSE 'suppressed' END AS level,
+           CASE WHEN cd >= {k} THEN d
+                WHEN cw >= {k} THEN w
+                WHEN cm >= {k} THEN m
+                ELSE 'suppressed' END AS released
+    FROM base
+    JOIN cd USING (qi, d) JOIN cw USING (qi, w) JOIN cm USING (qi, m)
+    """

@@ -862,3 +862,38 @@ def test_psi_vanished_current_slice(spark):
     out = an.psi_drift(df, "grp", "v", F.col("is_ref"), n_bins=2).collect()
     assert out[0].n_cur == 0
     assert out[0].psi_nano > 250_000_000
+
+
+class TestKAnonymize:
+    def test_cascade_and_suppression(self, spark):
+        """Hand-built hierarchy: type 'a' has 3 events on one day
+        (day-level k=3 holds), type 'b' 1/day across 3 days of one
+        week (only week holds), type 'c' 1/week across 3 weeks of one
+        month (only month holds), type 'd' a single event (suppressed
+        even at month)."""
+        from beis_orp_data_service_spark.operators import analytics as an
+
+        rows = [
+            (1, "2024-01-02T10:00:00", "a"),
+            (2, "2024-01-02T11:00:00", "a"),
+            (3, "2024-01-02T12:00:00", "a"),
+            (4, "2024-01-02T10:00:00", "b"),
+            (5, "2024-01-03T10:00:00", "b"),
+            (6, "2024-01-04T10:00:00", "b"),
+            (7, "2024-01-02T10:00:00", "c"),
+            (8, "2024-01-10T10:00:00", "c"),
+            (9, "2024-01-18T10:00:00", "c"),
+            (10, "2024-01-02T10:00:00", "d"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {
+            r.event_id: (r.level, r.released)
+            for r in an.k_anonymize_buckets(ev, k=3).collect()
+        }
+        assert got[1] == ("day", "2024-01-02")
+        assert got[4] == ("week", "2024-01-01")  # ISO week starts Mon
+        assert got[7] == ("month", "2024-01-01")
+        assert got[10] == ("suppressed", "suppressed")
+        assert len(got) == 10
