@@ -2212,10 +2212,13 @@ def mmr_rerank(
 
     Scale shape: candidate retrieval is the brute top-``pool`` scan
     (swap in an IVF probe for the 100 TB path — only the pool builder
-    changes); the pairwise-sim join and the greedy loop run over the
-    POOL (parameter-bounded, 20×20 here), not the corpus — the pool +
-    its sim matrix are the only driver pull, and the selection loop is
-    O(k·pool) Python over those few hundred integers.
+    changes); the pairwise-sim join and the greedy selection run over
+    the POOL (parameter-bounded, 20×20 here), not the corpus. The
+    greedy loop is expressed IN-PLAN — k chained
+    TakeOrderedAndProject(1) stages over the persisted pool, exactly
+    mirroring the oracle's CTE unrolling — so the whole lineage
+    (pool builder included) is visible to the plan audit and nothing
+    round-trips through the driver.
     """
     q = embeddings.where(F.col(id_col) == query_id).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
@@ -2226,35 +2229,61 @@ def mmr_rerank(
         ), id_col=id_col, vec_col=vec_col, k=pool, quantized=True)
         .select(F.col("neighbor_id").alias(id_col), F.col("score").alias("rel"))
         .join(embeddings.select(id_col, vec_col), id_col)
+        .persist()  # pool-sized; scanned once per greedy stage
     )
     a = cand.select(
-        F.col(id_col).alias("a_id"), F.col("rel"), F.col(vec_col).alias("avec")
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("avec")
     )
     b = cand.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("bvec"))
     sims = (
-        a.join(b, F.col("a_id") != F.col("b_id"))
+        # broadcast: pool-sized x pool-sized theta join — BNLJ over 20
+        # broadcast rows (audit-allowlisted), never a CartesianProduct
+        a.join(F.broadcast(b), F.col("a_id") != F.col("b_id"))
         .select("a_id", "b_id", dot_q(F.col("avec"), F.col("bvec")).alias("sim"))
+        .persist()
     )
-    rels = {r["a_id"]: r["rel"] for r in a.select("a_id", "rel").collect()}
-    sim = {(r["a_id"], r["b_id"]): r["sim"] for r in sims.collect()}
     lam, mu = int(lam_tenths), 10 - int(lam_tenths)
-    picked: list[tuple[int, int, int, int]] = []  # rank, id, rel, mmr
-    selected: list[int] = []
-    for rank in range(1, min(k, len(rels)) + 1):
-        best = None
-        for c, rel in rels.items():
-            if c in selected:
-                continue
-            pen = max((sim[(c, s)] for s in selected), default=0)
-            mmr = lam * rel - (mu * pen if selected else 0)
-            key = (-mmr, c)
-            if best is None or key < best[0]:
-                best = (key, c, rel, mmr)
-        picked.append((rank, best[1], best[2], best[3]))
-        selected.append(best[1])
-    return embeddings.sparkSession.createDataFrame(
-        picked, "rank bigint, vec_id bigint, rel bigint, mmr_q10 bigint"
+    base = cand.select(F.col(id_col).alias("vec_id"), "rel")
+    picks = base.orderBy(F.col("rel").desc(), F.col("vec_id").asc()).limit(
+        1
+    ).select(
+        F.lit(1).cast("bigint").alias("rank"),
+        "vec_id",
+        "rel",
+        (F.lit(lam) * F.col("rel")).cast("bigint").alias("mmr_q10"),
     )
+    # each stage's one-row pick is checkpointed: `picks` feeds the next
+    # stage TWICE (anti-join + penalty join), so a lazy spelling doubles
+    # the plan per stage (the k-core 3^rounds lesson) and re-executes
+    # every earlier TakeOrdered repeatedly
+    picks = stage_checkpoint(picks, label="mmr:pick1")
+    for t in range(2, k + 1):
+        sel = picks.select("vec_id")
+        pen = (
+            base.join(sel, "vec_id", "left_anti")
+            .join(sims, F.col("vec_id") == F.col("a_id"))
+            .join(
+                F.broadcast(sel.select(F.col("vec_id").alias("b_id"))), "b_id"
+            )
+            .groupBy("vec_id", "rel")
+            .agg(F.max("sim").alias("_pen"))
+        )
+        pick_t = (
+            pen.select(
+                F.lit(t).cast("bigint").alias("rank"),
+                "vec_id",
+                "rel",
+                (F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("_pen"))
+                .cast("bigint")
+                .alias("mmr_q10"),
+            )
+            .orderBy(F.col("mmr_q10").desc(), F.col("vec_id").asc())
+            .limit(1)
+        )
+        picks = stage_checkpoint(
+            picks.unionByName(pick_t), label=f"mmr:pick{t}"
+        )
+    return picks
 
 
 def mmr_rerank_oracle_sql(

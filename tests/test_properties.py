@@ -193,3 +193,57 @@ def test_heavy_hitters_equals_exact_on_random_zipf_batch(spark):
         }
         want = {(t, c) for t, c in freqs.items() if c * k > n}
         assert got == want, k
+
+
+def test_char_entropy_bounds_batched(spark):
+    """One batched job: for ~120 adversarial texts, 0 ≤ H ≤
+    ln(#distinct chars) (+ per-term rounding slack of half a nano
+    each), and H = 0 exactly iff the text uses a single character."""
+    import math
+    import random
+
+    rng = random.Random(8)
+    alphabet = "abcdef \n.!"
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 200)))
+        for _ in range(100)
+    ] + ["a", "aaaa", "ab", " ", "\n\n\n", "abcdefabcdef"]
+    from beis_orp_data_service_spark.operators import textstats as ts
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r.doc_id: r.entropy_q for r in ts.char_entropy(docs).collect()}
+    for i, t in enumerate(texts):
+        distinct = len(set(t))
+        upper = round(math.log(max(distinct, 1)) * ts.ENTROPY_SCALE) + distinct
+        assert 0 <= got[i] <= upper, (t, got[i], upper)
+        assert (got[i] == 0) == (distinct == 1), t
+
+
+def test_recency_scores_bounds_batched(spark):
+    """One batched job: per user 0 < recency_q ≤ n_events·SCALE (each
+    decay term is in (0, 1]; the newest event scores exactly SCALE)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from beis_orp_data_service_spark.operators import behavior as bh
+
+    rng = random.Random(8)
+    rows = [
+        (i, f"2024-01-{rng.randint(1, 28):02d}T{rng.randint(0, 23):02d}:00:00",
+         rng.randint(1, 9))
+        for i in range(300)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = bh.recency_scores(ev).collect()
+    assert {r.user_id for r in out} == {u for _, _, u in rows}
+    newest_user = max(rows, key=lambda r: r[1])[2]
+    for r in out:
+        assert 0 < r.recency_q <= r.n_events * bh.RECENCY_SCALE
+    # the user owning the table-max event carries at least one full term
+    nu = next(r for r in out if r.user_id == newest_user)
+    assert nu.recency_q >= bh.RECENCY_SCALE
