@@ -7471,6 +7471,51 @@ def nb_lang_score(spark, sf_dir):
     return learn_ops.nb_train_score(_t(spark, sf_dir, "documents"))
 
 
+_LOGREG_ALL_CTE = f"""all_f AS (
+      SELECT 1.0 AS f0,
+             n_chars / 1000.0 AS f1,
+             (length(text) - length(replace(text, ' ', '')))
+               / greatest(length(text), 1) AS f2,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             {corpus_ops.DUCK_MD5_HEXFOLD} % 5 AS fold
+      FROM (SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS h
+            FROM documents)
+    )"""
+
+
+@declared(
+    "logreg_cv",
+    learn_ops.logreg_cv_oracle_sql(
+        _LOGREG_ALL_CTE, _LOGREG_FEATURES, "y", folds=5, iters=3, lr=1.0
+    ),
+)
+def _logreg_cv(spark, sf_dir):
+    # 5-fold cross-validation of the logreg quality classifier:
+    # hash-assigned folds (md5 per-mille convention — replayable,
+    # partition-invariant), fit on 4/5, confusion reported OUT-OF-
+    # SAMPLE on the held-out fold. The oracle unrolls one full GD CTE
+    # chain per fold and UNION ALLs the five reports.
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.lit(1.0).alias("f0"),
+        (F.col("n_chars") / F.lit(1000.0)).alias("f1"),
+        (
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            )
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("f2"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+        (
+            corpus_ops.md5_int60(F.col("doc_id").cast("string")) % 5
+        ).alias("fold"),
+    ).persist()
+    return learn_ops.logreg_cv(
+        feats, _LOGREG_FEATURES, "y", folds=5, iters=3, lr=1.0
+    )
+
+
 @declared(
     "logreg_train",
     learn_ops.logreg_oracle_sql(

@@ -32,8 +32,6 @@ operator targets the dozens-of-features quality-score regime.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -116,14 +114,21 @@ def logreg_oracle_sql(
     label_expr: str,
     iters: int = 3,
     lr: float = 1.0,
+    report_from: str = "feats",
+    lead_select: str = "",
 ) -> str:
     """DuckDB twin: the whole GD trajectory unrolled as CTEs.
 
-    ``feats_cte`` must be a CTE body defining ``feats`` with columns
-    matching ``feature_exprs``/``label_expr`` (plain column names).
-    Reproduces iteration for iteration what :func:`logreg_fit` +
-    :func:`logreg_report` compute, including the nano quantization of
-    per-row terms and the float weight-update arithmetic.
+    ``feats_cte`` must be a CTE body defining ``feats`` (the TRAIN
+    rows) with columns matching ``feature_exprs``/``label_expr`` (plain
+    column names); it may define additional CTEs before it.
+    ``report_from`` names the relation the final confusion report runs
+    over (defaults to the training rows; cross-validation points it at
+    the held-out fold). ``lead_select`` is spliced verbatim before the
+    report columns (e.g. a fold-id literal). Reproduces iteration for
+    iteration what :func:`logreg_fit` + :func:`logreg_report` compute,
+    including the nano quantization of per-row terms and the float
+    weight-update arithmetic.
     """
     k = len(feature_exprs)
     ctes = [feats_cte]
@@ -154,7 +159,8 @@ def logreg_oracle_sql(
     last = f"w{iters - 1}"
     return f"""
     WITH {", ".join(ctes)}
-    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SELECT {lead_select}
+           CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CASE WHEN (0.0 + {z}) >= 0 AND ({label_expr}) = 1
                          THEN 1 ELSE 0 END) AS BIGINT) AS tp,
            CAST(SUM(CASE WHEN (0.0 + {z}) >= 0 AND ({label_expr}) = 0
@@ -164,7 +170,7 @@ def logreg_oracle_sql(
            CAST(SUM(CASE WHEN (0.0 + {z}) < 0 AND ({label_expr}) = 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS tn,
            {w_out}
-    FROM feats CROSS JOIN {last}
+    FROM {report_from} CROSS JOIN {last}
     GROUP BY {", ".join(w_terms)}
     """
 
@@ -476,3 +482,69 @@ def chi2_tokens_oracle_sql(
     ORDER BY chi2_q DESC, token ASC
     LIMIT {k}
     """
+
+
+def logreg_cv(
+    feats: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    fold_col: str = "fold",
+    folds: int = 5,
+    iters: int = 3,
+    lr: float = 1.0,
+) -> DataFrame:
+    """k-fold cross-validation for :func:`logreg_fit` — the model-
+    selection loop: for each fold i, fit on the other k−1 folds and
+    report the HELD-OUT confusion (out-of-sample, unlike
+    ``logreg_train``'s in-sample report). Returns one row per fold:
+    (fold, n, tp, fp, fn, tn, w*_nano).
+
+    ``feats`` must carry a deterministic integer ``fold_col`` (hash-
+    assigned, e.g. ``corpus.md5_int60(id) % folds`` — NEVER a random
+    split, which is neither replayable nor oracle-checkable). Cost is
+    ``folds × iters`` map-side-combined aggregates plus ``folds``
+    report aggregates; the feature table is persisted by the caller
+    and scanned per pass.
+    """
+    out = None
+    for i in range(folds):
+        train = feats.where(F.col(fold_col) != i)
+        w = logreg_fit(train, feature_cols, label_col, iters=iters, lr=lr)
+        rep = logreg_report(
+            feats.where(F.col(fold_col) == i), feature_cols, label_col, w
+        ).select(F.lit(i).cast("bigint").alias("fold"), "*")
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+def logreg_cv_oracle_sql(
+    all_cte: str,
+    feature_exprs: list[str],
+    label_expr: str,
+    fold_col: str = "fold",
+    folds: int = 5,
+    iters: int = 3,
+    lr: float = 1.0,
+) -> str:
+    """DuckDB twin of :func:`logreg_cv`: one full unrolled GD chain per
+    fold (train = the other folds, report = the held-out fold), UNION
+    ALL'd. ``all_cte`` must be a CTE body defining ``all_f`` with the
+    feature/label/fold columns."""
+    parts = []
+    for i in range(folds):
+        feats_cte = (
+            f"{all_cte}, feats AS (SELECT * FROM all_f WHERE {fold_col} <> {i}),"
+            f" rep AS (SELECT * FROM all_f WHERE {fold_col} = {i})"
+        )
+        parts.append(
+            "(" + logreg_oracle_sql(
+                feats_cte,
+                feature_exprs,
+                label_expr,
+                iters=iters,
+                lr=lr,
+                report_from="rep",
+                lead_select=f"CAST({i} AS BIGINT) AS fold,",
+            ) + ")"
+        )
+    return " UNION ALL ".join(parts)

@@ -207,3 +207,39 @@ class TestGroupSplit:
         )
         assert set(sizes) == {"train", "test"}
         assert sizes["train"] > 0 and sizes["test"] > 0
+
+
+class TestLogregCv:
+    def test_folds_disjoint_and_out_of_sample(self, spark):
+        """Five folds cover all rows exactly once (Σ n == N); each
+        fold's report row carries its own weights; and the report is
+        OUT-OF-SAMPLE — recomputing the confusion by hand from the
+        held-out slice with the fold's reported nano weights matches."""
+        from beis_orp_data_service_spark.operators import corpus
+
+        feats = (
+            _feats(spark, n=250)
+            .withColumn(
+                "fold",
+                corpus.md5_int60(F.col("f1").cast("string")) % 3,
+            )
+        ).cache()
+        out = {
+            r.fold: r
+            for r in learn.logreg_cv(
+                feats, ["f0", "f1", "f2"], "y", folds=3, iters=2
+            ).collect()
+        }
+        assert set(out) == {0, 1, 2}
+        assert sum(r.n for r in out.values()) == feats.count()
+        for i, r in out.items():
+            w = [r.w0_nano / learn.SCALE, r.w1_nano / learn.SCALE,
+                 r.w2_nano / learn.SCALE]
+            hand = learn.logreg_report(
+                feats.where(F.col("fold") == i), ["f0", "f1", "f2"], "y", w
+            ).collect()[0]
+            # nano-rounded weights reproduce the same integer confusion
+            assert (hand.tp, hand.fp, hand.fn, hand.tn) == (
+                r.tp, r.fp, r.fn, r.tn
+            )
+            assert r.tp + r.fp + r.fn + r.tn == r.n
