@@ -7319,6 +7319,28 @@ _LOGREG_FEATS_CTE = """feats AS (
     )"""
 
 
+@declared("doremi_weights", corpus_ops.doremi_reweight_oracle_sql("documents"))
+def _doremi_weights(spark, sf_dir):
+    # DoReMi-style domain reweighting (Xie et al. 2023, one EG step):
+    # upweight hard domains — difficulty = avg unigram surprisal under
+    # the corpus token distribution (stand-in for reference-model
+    # loss). Quantize-before-sum at both reductions; 1-row min/total
+    # crossJoins (allowlisted); weights normalized by integer floor.
+    return corpus_ops.doremi_reweight(_t(spark, sf_dir, "documents"))
+
+
+@declared(
+    "word_dropout", corpus_ops.word_dropout_oracle_sql("documents", 100)
+)
+def _word_dropout(spark, sf_dir):
+    # Deterministic 10% word-dropout augmentation: keep/drop per
+    # (doc, position, token) md5 fold — same corpus, same augmentation,
+    # on any partitioning (F.rand is neither replayable nor oracle-
+    # checkable). Order-preserving reassembly via sorted (pos, token)
+    # structs; posexplode → codegen filter → one grouped aggregation.
+    return corpus_ops.word_dropout(_t(spark, sf_dir, "documents"), 100)
+
+
 @declared("kanon_release", an_ops.k_anonymize_oracle_sql("events", k=10))
 def _kanon_release(spark, sf_dir):
     # k-anonymity generalization (Sweeney 2002): each event's released

@@ -2912,3 +2912,225 @@ def theta_set_ops_oracle_sql(
              AS est_a_only
     FROM f GROUP BY theta_long
     """
+
+
+def word_dropout(
+    docs: DataFrame,
+    drop_pm: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic word-dropout augmentation — the classic
+    noise-injection for robust text models (Iyyer et al. 2015 deep
+    averaging networks; denoising pretraining objectives), engine-
+    grade: each token occurrence is kept or dropped by an md5 fold of
+    ``(doc, position, token)`` against a per-mille rate, so the SAME
+    corpus always yields the SAME augmentation (replayable across
+    re-runs and partitionings — ``F.rand`` is neither), and a token
+    repeated in one doc drops independently per position.
+
+    Returns (id, text_aug, n_kept, n_dropped); reassembly sorts the
+    kept (pos, token) structs, so output text preserves original word
+    order. Docs whose every token drops yield an empty string. Plan:
+    posexplode → codegen hash filter → one grouped aggregation.
+    """
+    toks = F.posexplode(
+        F.split(F.trim(F.col(text_col)), r"\s+")
+    )
+    base = (
+        docs.select(F.col(id_col), toks.alias("_pos", "_tok"))
+        .where(F.col("_tok") != "")
+    )
+    key = F.concat(
+        F.col(id_col).cast("string"),
+        F.lit(":"),
+        F.col("_pos").cast("string"),
+        F.lit(":"),
+        F.col("_tok"),
+    )
+    kept = base.withColumn(
+        "_keep", (md5_int60(key) % 1000 >= drop_pm).cast("int")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep") == 1,
+                                F.struct("_pos", "_tok"),
+                            )
+                        )
+                    ),
+                    lambda x: x["_tok"],
+                ),
+                " ",
+            ).alias("text_aug"),
+            F.sum("_keep").cast("bigint").alias("n_kept"),
+            F.sum(F.lit(1) - F.col("_keep")).cast("bigint").alias("n_dropped"),
+        )
+    )
+
+
+def word_dropout_oracle_sql(
+    table: str = "documents",
+    drop_pm: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`word_dropout` — same per-(doc, pos, token)
+    md5 fold (0-based positions), same order-preserving reassembly."""
+    hexfold = DUCK_MD5_HEXFOLD
+    return f"""
+    WITH w AS (
+      SELECT {id_col},
+             list_filter(string_split_regex(trim({text_col}), '\\s+'),
+                         x -> x <> '') AS words
+      FROM {table}
+    ), tok AS (
+      SELECT {id_col}, i - 1 AS pos, words[i] AS tok
+      FROM w, unnest(range(1, len(words) + 1)) t(i)
+    ), keyed AS (
+      SELECT {id_col}, pos, tok,
+             CASE WHEN {hexfold} % 1000 >= {drop_pm} THEN 1 ELSE 0 END
+               AS keep
+      FROM (SELECT *, substr(md5(CAST({id_col} AS VARCHAR) || ':' ||
+                                 CAST(pos AS VARCHAR) || ':' || tok),
+                             1, 15) AS h
+            FROM tok)
+    )
+    SELECT {id_col},
+           COALESCE(string_agg(CASE WHEN keep = 1 THEN tok END, ' '
+                               ORDER BY pos), '') AS text_aug,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST(SUM(1 - keep) AS BIGINT) AS n_dropped
+    FROM keyed
+    GROUP BY {id_col}
+    """
+
+
+def doremi_reweight(
+    docs: DataFrame,
+    eta: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> DataFrame:
+    """DoReMi-style domain mixture reweighting (Xie et al. 2023,
+    arXiv:2305.10429, one exponentiated-gradient step): upweight the
+    domains a reference model finds HARD. The per-domain difficulty
+    here is the average unigram surprisal of its tokens under the
+    whole-corpus token distribution — the engine-grade stand-in for
+    per-domain reference loss (swap in real LM losses per domain when
+    a model is available; only the loss CTE changes).
+
+    w_s ∝ exp(η · (L_s − min_t L_t)), normalized to per-mille-of-1e9.
+    Hash-grade discipline end to end: per-token surprisal terms are
+    nano-quantized BEFORE the per-domain sum; each domain's
+    exponential is nano-quantized BEFORE the normalizing sum (both
+    order-insensitive); the final weight is integer division. The
+    domain table is category-sized, so the min/total joins are 1-row
+    broadcast crossJoins (audit-allowlisted).
+
+    Returns (domain, n_tokens, loss_sum_nano, weight_nano) with
+    Σ weight_nano ≈ 1e9 (floor division remainder ≤ n_domains).
+    """
+    tok = F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ).alias("token")
+    toks = docs.select(
+        F.col(domain_col).alias("domain"), tok
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_c"))
+    total = toks.count()  # scalar: corpus token count
+    surprisal_q = F.round(
+        -F.log(F.col("_c").cast("double") / F.lit(float(total))) * 1_000_000_000
+    ).cast("bigint")
+    per_domain = (
+        toks.join(counts, "token")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(surprisal_q).cast("bigint").alias("loss_sum_nano"),
+        )
+        .withColumn(
+            "_avg",
+            (F.col("loss_sum_nano").cast("double") / F.lit(1e9))
+            / F.col("n_tokens").cast("double"),
+        )
+    )
+    lo = per_domain.agg(F.min("_avg").alias("_lo"))
+    scored = per_domain.crossJoin(F.broadcast(lo)).withColumn(
+        "_e_q",
+        F.round(
+            F.exp(F.lit(float(eta)) * (F.col("_avg") - F.col("_lo")))
+            * 1_000_000_000
+        ).cast("bigint"),
+    )
+    norm = scored.agg(F.sum("_e_q").alias("_z"))
+    return (
+        scored.crossJoin(F.broadcast(norm))
+        .select(
+            "domain",
+            "n_tokens",
+            "loss_sum_nano",
+            # divide-then-scale in DOUBLE: e_q·1e9 would overflow int64
+            F.floor(
+                F.col("_e_q").cast("double")
+                / F.col("_z").cast("double")
+                * F.lit(1_000_000_000.0)
+            )
+            .cast("bigint")
+            .alias("weight_nano"),
+        )
+    )
+
+
+def doremi_reweight_oracle_sql(
+    table: str = "documents",
+    eta: float = 1.0,
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> str:
+    """DuckDB twin of :func:`doremi_reweight` — same quantize-before-
+    sum at both reductions, same integer normalization."""
+    tok_list = (
+        f"list_filter(string_split_regex(trim(lower({text_col})),"
+        " '\\s+'), x -> x <> '')"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT {domain_col} AS domain, unnest({tok_list}) AS token
+      FROM {table}
+    ), counts AS (
+      SELECT token, COUNT(*) AS c FROM toks GROUP BY token
+    ), total AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM toks
+    ), per_domain AS (
+      SELECT domain,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(round(
+               -ln(CAST(c AS DOUBLE) / (SELECT t FROM total))
+               * 1000000000) AS BIGINT)) AS BIGINT) AS loss_sum_nano
+      FROM toks JOIN counts USING (token)
+      GROUP BY domain
+    ), avgd AS (
+      SELECT *,
+             (CAST(loss_sum_nano AS DOUBLE) / 1e9)
+               / CAST(n_tokens AS DOUBLE) AS avg
+      FROM per_domain
+    ), lo AS (SELECT MIN(avg) AS lo FROM avgd),
+    scored AS (
+      SELECT *,
+             CAST(round(exp({float(eta)} * (avg - (SELECT lo FROM lo)))
+                        * 1000000000) AS BIGINT) AS e_q
+      FROM avgd
+    ), z AS (SELECT CAST(SUM(e_q) AS BIGINT) AS z FROM scored)
+    SELECT domain, n_tokens, loss_sum_nano,
+           CAST(floor(CAST(e_q AS DOUBLE)
+                      / CAST((SELECT z FROM z) AS DOUBLE)
+                      * 1000000000.0) AS BIGINT) AS weight_nano
+    FROM scored
+    """

@@ -134,6 +134,9 @@ ALLOW_BNLJ = {
     # slice (20 rows, parameter-bounded) — the corpus never enters the
     # nested loop; plus the broadcast single-query topk join.
     "mmr_rerank",
+    # 1-row min-loss + 1-row normalizer aggregates crossJoined onto the
+    # category-sized domain table (broadcast)
+    "doremi_weights",
 }
 
 

@@ -1513,3 +1513,75 @@ class TestThetaSketch:
         df = spark.createDataFrame([("a",)], "v string")
         with pytest.raises(ValueError, match="k must be"):
             corpus_ops.theta_sketch(df, "v", k=1)
+
+
+class TestWordDropout:
+    def test_boundary_rates_and_order(self, spark):
+        from beis_orp_data_service_spark.operators import corpus
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        keep_all = corpus.word_dropout(docs, drop_pm=0).collect()[0]
+        assert keep_all.text_aug == "alpha beta gamma delta"  # order kept
+        assert (keep_all.n_kept, keep_all.n_dropped) == (4, 0)
+        drop_all = corpus.word_dropout(docs, drop_pm=1000).collect()[0]
+        assert drop_all.text_aug == ""
+        assert (drop_all.n_kept, drop_all.n_dropped) == (0, 4)
+
+    def test_deterministic_and_partition_invariant(self, spark):
+        from beis_orp_data_service_spark.catalog import load_table
+        from beis_orp_data_service_spark.operators import corpus
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        a = sorted(
+            map(tuple, corpus.word_dropout(docs.repartition(1), 100).collect())
+        )
+        b = sorted(
+            map(tuple, corpus.word_dropout(docs.repartition(16), 100).collect())
+        )
+        assert a == b
+        # the realized drop rate tracks the 10% per-mille target
+        kept = sum(r[2] for r in a)
+        dropped = sum(r[3] for r in a)
+        rate = dropped / (kept + dropped)
+        assert 0.05 < rate < 0.15
+
+
+class TestDoremiReweight:
+    def test_hard_domain_upweighted_and_normalized(self, spark):
+        """Domain 'rare' uses tokens appearing nowhere else (high
+        surprisal under the corpus distribution); 'common' repeats one
+        corpus-dominant token. The EG step must weight rare > common,
+        weights must sum to ~1e9 (floor remainder < n_domains), and
+        eta=0 must return uniform weights."""
+        from beis_orp_data_service_spark.operators import corpus
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the the the the the the the the", "common"),
+                (2, "the the the the the the the the", "common"),
+                (3, "zyx wvu tsr qpo", "rare"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        got = {
+            r.domain: r.weight_nano
+            for r in corpus.doremi_reweight(docs, eta=1.0).collect()
+        }
+        assert got["rare"] > got["common"]
+        assert 1_000_000_000 - 2 <= sum(got.values()) <= 1_000_000_000
+        flat = {
+            r.domain: r.weight_nano
+            for r in corpus.doremi_reweight(docs, eta=0.0).collect()
+        }
+        assert flat["rare"] == flat["common"] == 500_000_000
+
+    def test_partition_invariant(self, spark):
+        from beis_orp_data_service_spark.catalog import load_table
+        from beis_orp_data_service_spark.operators import corpus
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        a = sorted(map(tuple, corpus.doremi_reweight(docs.repartition(1)).collect()))
+        b = sorted(map(tuple, corpus.doremi_reweight(docs.repartition(16)).collect()))
+        assert a == b
