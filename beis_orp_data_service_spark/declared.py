@@ -7319,6 +7319,93 @@ _LOGREG_FEATS_CTE = """feats AS (
     )"""
 
 
+@declared(
+    "dup_rate_by_source",
+    """
+    WITH win AS (
+      SELECT doc_id,
+             substr(text, CAST(o AS INT) * 16 + 1, 32) AS span
+      FROM documents,
+           unnest(range(0,
+             CAST(floor((length(text) - 32) / 16) AS BIGINT) + 1)) t(o)
+      WHERE length(text) >= 32
+    ), shared AS (
+      SELECT span FROM win GROUP BY span
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ), flagged AS (
+      SELECT DISTINCT doc_id FROM win
+      WHERE span IN (SELECT span FROM shared)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN flagged.doc_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           CAST(floor(SUM(CASE WHEN flagged.doc_id IS NOT NULL
+                               THEN 1 ELSE 0 END) * 1000
+                      / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS dup_milli
+    FROM documents d LEFT JOIN flagged USING (doc_id)
+    GROUP BY source
+    """,
+)
+def _dup_rate_by_source(spark, sf_dir):
+    # Where does the duplication live? Per-source SPAN-level
+    # duplication rate: a doc counts as duplicated when it shares at
+    # least one repeated 32-char window (the dup_spans signal, Lee et
+    # al. 2022) with another doc — cross-source copies count for both
+    # sources (the mirror/syndication signal). This is the dedup-
+    # PLANNING report that decides which domains are worth the
+    # expensive near-dup passes. Window explode → shared-span floor →
+    # semi-join back → per-source rate; all exact integers.
+    docs = _t(spark, sf_dir, "documents")
+    off = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.floor((F.length(F.col("text")) - 32) / 16).cast("int"),
+        )
+    ).alias("_off")
+    win = (
+        docs.where(F.length("text") >= 32)
+        .select("doc_id", off, "text")
+        .select(
+            "doc_id",
+            F.substring(F.col("text"), F.col("_off") * 16 + 1, 32).alias(
+                "_span"
+            ),
+        )
+    )
+    shared = (
+        win.groupBy("_span")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("_span")
+    )
+    flagged = (
+        win.join(shared, "_span", "left_semi").select("doc_id").distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            F.floor(
+                F.col("n_dup_docs") * 1000 / F.col("n_docs").cast("double")
+            )
+            .cast("bigint")
+            .alias("dup_milli"),
+        )
+    )
+
+
 @declared("doremi_weights", corpus_ops.doremi_reweight_oracle_sql("documents"))
 def _doremi_weights(spark, sf_dir):
     # DoReMi-style domain reweighting (Xie et al. 2023, one EG step):
