@@ -5817,6 +5817,89 @@ def _stream_ingest_e2e(spark, sf_dir):
 REGISTRY["stream_ingest_e2e"] = QueryDef(_stream_ingest_e2e, None, min_rows=50)
 
 
+def _stream_dedup_ttl_e2e(spark, sf_dir):
+    # The watermark+TTL stateful-dedup LIFECYCLE as one availableNow
+    # stream (the round-7 ADVICE medium's fixed path, driver-gated):
+    # b0 admits ids 0-19 (deadline 10:10); b1 redelivers ids 0-9
+    # WITHIN the horizon (swallowed — and the timer must be RE-ARMED,
+    # the exact invocation that used to disarm eviction); b2/b3 push
+    # the eviction watermark past 10:10 (state removed); b4 redelivers
+    # ids 0-4 AFTER eviction (re-admitted, the documented TTL
+    # tradeoff). Expected emissions: 20 + 2 movers + 5 re-admits = 27
+    # (min_rows pins the floor; exact multiplicities are pinned by
+    # tests/test_streaming.py's eviction + no-disarm tests). Fresh
+    # checkpoint per run — replaying onto stale state would make the
+    # result depend on run count.
+    import json as _json
+    import shutil
+    import tempfile
+
+    from beis_orp_data_service_spark.streaming import pipeline as stp
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ttl_dedup_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "in")
+    os.makedirs(src)
+
+    def msg(eid, ts):
+        return _json.dumps(
+            {
+                "event_id": eid,
+                "ts": f"2024-01-01T{ts}",
+                "user_id": 1,
+                "event_type": "x",
+                "value": 1.0,
+                "props": "p",
+            }
+        )
+
+    batches = [
+        [msg(i, "10:00:00") for i in range(20)],
+        [msg(i, "10:01:00") for i in range(10)],  # within-horizon redeliveries
+        [msg(100, "11:00:00")],  # advances max; end-of-batch wm 10:55
+        [msg(101, "11:01:00")],  # eviction threshold 10:55 > 10:10
+        [msg(i, "11:02:00") for i in range(5)],  # post-eviction re-admits
+    ]
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"b{i}.json")
+        with open(p, "w") as f:
+            f.write("\n".join(rows) + "\n")
+        os.utime(p, (1_700_000_000 + 60 * i,) * 2)
+    stream = (
+        spark.readStream.schema(stp.EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out = os.path.join(root, "out")
+    q = (
+        stp.stream_dedup_first_seen(
+            stream, watermark="5 minutes", ttl_seconds=600
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # UNGROUPED emissions: the 5 post-eviction re-admits are extra ROWS
+    # (27 total), so a regression back to never-evict (22) or
+    # never-dedup (56) moves the count the min_rows floor can see
+    return spark.read.parquet(out).select("event_id", "ts")
+
+
+REGISTRY["stream_dedup_ttl_e2e"] = QueryDef(
+    _stream_dedup_ttl_e2e, None, min_rows=27
+)
+
+
 @declared(
     "zorder_skipping",
     f"""
@@ -7565,6 +7648,23 @@ def _chi2_tokens(spark, sf_dir):
     # (χ² desc, token asc) is a deterministic total order.
     return learn_ops.chi2_tokens(
         _t(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
+@declared(
+    "nb_confusion",
+    "SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+    + learn_ops.nb_oracle_sql("documents")
+    + ") GROUP BY true_label, pred_label",
+)
+def _nb_confusion(spark, sf_dir):
+    # Multiclass confusion matrix of the NB language classifier on the
+    # held-out slice — the eval artifact next to logreg_cv's binary
+    # report: one grouped count over nb_lang_score's output.
+    return (
+        learn_ops.nb_train_score(_t(spark, sf_dir, "documents"))
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
 
 

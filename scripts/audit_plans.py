@@ -130,6 +130,7 @@ ALLOW_BNLJ = {
     # bounded, never corpus-bounded). Same category-marginal caveat as
     # chi2_lang_source: do not reuse for a high-cardinality pair.
     "nb_lang_score",
+    "nb_confusion",  # same plan grouped: inherits nb_lang_score's matrix
     # candidate-pool pairwise sims: both sides are the SAME top-`pool`
     # slice (20 rows, parameter-bounded) — the corpus never enters the
     # nested loop; plus the broadcast single-query topk join.
