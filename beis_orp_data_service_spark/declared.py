@@ -7517,7 +7517,9 @@ def _kanon_release(spark, sf_dir):
     # time bucket is the finest of day/week/month whose (event_type,
     # bucket) group holds ≥ 10 rows, else 'suppressed' — the privacy
     # gate before sharing event-level extracts. Three bucket-count
-    # aggregations joined back, cascade CASE — one pass, no iteration.
+    # aggregations + a released-class residue re-count (sub-k residue
+    # classes demote to suppressed, so the RELEASED output is truly
+    # k-anonymous), all joined back — one pass, no iteration.
     return an_ops.k_anonymize_buckets(_t(spark, sf_dir, "events"), k=10)
 
 

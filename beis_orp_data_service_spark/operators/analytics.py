@@ -1727,18 +1727,29 @@ def k_anonymize_buckets(
     ts_col: str = "ts",
 ) -> DataFrame:
     """k-anonymity generalization of a timestamp quasi-identifier
-    (Sweeney 2002): each row's released time bucket is the FINEST of
+    (Sweeney 2002): each row's candidate time bucket is the FINEST of
     day → week → month whose (``qi_col``, bucket) group holds ≥ ``k``
     rows; rows whose month-level group is still smaller release
     ``suppressed`` — the privacy gate run before sharing event-level
     extracts (the column-content sibling of ``corpus.pii_redact``).
 
-    Not iterative: three bucket-count aggregations (day/week/month) are
-    joined back and a cascade ``CASE`` picks the level per row — the
-    generalization hierarchy is evaluated in one pass. The count tables
-    are bucket-cardinality-sized (broadcastable); the row side shuffles
-    only for the three key joins. Exact integer counts; buckets
-    rendered as DATE strings identically by both engines.
+    The cascade alone is NOT k-anonymous over the released output: a
+    week group of 11 where 10 share one day releases those 10 at day
+    level, leaving a week-level residue CLASS of 1 (and the day release
+    can be subtracted from the week count to isolate it). So a second
+    residue check re-counts equivalence classes over the rows ACTUALLY
+    released at each (qi, level, released) and demotes classes < ``k``
+    to ``suppressed``. One pass suffices: a day-level released class is
+    the full day group (size = day count ≥ k by construction), and
+    suppressing a residue never shrinks any other released class, so no
+    iteration is needed. Every released equivalence class in the output
+    therefore holds ≥ ``k`` rows.
+
+    Four bucket/class-count aggregations (day/week/month + residue) are
+    joined back; the count tables are bucket-cardinality-sized
+    (broadcastable); the row side shuffles only for the key joins.
+    Exact integer counts; buckets rendered as DATE strings identically
+    by both engines.
 
     Returns (id, qi, level, released) where level ∈
     {day, week, month, suppressed}.
@@ -1761,23 +1772,40 @@ def k_anonymize_buckets(
         .join(cw, ["qi", "_w"])
         .join(cm, ["qi", "_m"])
     )
-    level = (
+    level0 = (
         F.when(F.col("_cd") >= k, F.lit("day"))
         .when(F.col("_cw") >= k, F.lit("week"))
         .when(F.col("_cm") >= k, F.lit("month"))
         .otherwise(F.lit("suppressed"))
     )
-    released = (
+    released0 = (
         F.when(F.col("_cd") >= k, F.col("_d"))
         .when(F.col("_cw") >= k, F.col("_w"))
         .when(F.col("_cm") >= k, F.col("_m"))
         .otherwise(F.lit("suppressed"))
     )
-    return out.select(
+    cand = out.select(
         F.col(id_col),
         "qi",
-        level.alias("level"),
-        released.alias("released"),
+        level0.alias("_lvl0"),
+        released0.alias("_rel0"),
+    )
+    # Residue check: class sizes over rows actually released at each
+    # level; sub-k classes (week/month residues) demote to suppressed.
+    rc = cand.groupBy("qi", "_lvl0", "_rel0").agg(
+        F.count(F.lit(1)).alias("_rc")
+    )
+    final = cand.join(F.broadcast(rc), ["qi", "_lvl0", "_rel0"])
+    keep = (F.col("_lvl0") != "suppressed") & (F.col("_rc") >= k)
+    return final.select(
+        F.col(id_col),
+        "qi",
+        F.when(keep, F.col("_lvl0"))
+        .otherwise(F.lit("suppressed"))
+        .alias("level"),
+        F.when(keep, F.col("_rel0"))
+        .otherwise(F.lit("suppressed"))
+        .alias("released"),
     )
 
 
@@ -1789,7 +1817,8 @@ def k_anonymize_oracle_sql(
     ts_col: str = "ts",
 ) -> str:
     """DuckDB twin of :func:`k_anonymize_buckets` — same truncations
-    (week starts Monday in both engines), same cascade."""
+    (week starts Monday in both engines), same cascade, same
+    released-class residue demotion."""
     return f"""
     WITH base AS (
       SELECT {id_col}, {qi_col} AS qi,
@@ -1799,16 +1828,27 @@ def k_anonymize_oracle_sql(
       FROM {table}
     ), cd AS (SELECT qi, d, COUNT(*) AS cd FROM base GROUP BY qi, d),
     cw AS (SELECT qi, w, COUNT(*) AS cw FROM base GROUP BY qi, w),
-    cm AS (SELECT qi, m, COUNT(*) AS cm FROM base GROUP BY qi, m)
+    cm AS (SELECT qi, m, COUNT(*) AS cm FROM base GROUP BY qi, m),
+    cand AS (
+      SELECT {id_col}, qi,
+             CASE WHEN cd >= {k} THEN 'day'
+                  WHEN cw >= {k} THEN 'week'
+                  WHEN cm >= {k} THEN 'month'
+                  ELSE 'suppressed' END AS lvl0,
+             CASE WHEN cd >= {k} THEN d
+                  WHEN cw >= {k} THEN w
+                  WHEN cm >= {k} THEN m
+                  ELSE 'suppressed' END AS rel0
+      FROM base
+      JOIN cd USING (qi, d) JOIN cw USING (qi, w) JOIN cm USING (qi, m)
+    ), rc AS (
+      SELECT qi, lvl0, rel0, COUNT(*) AS rc
+      FROM cand GROUP BY qi, lvl0, rel0
+    )
     SELECT {id_col}, qi,
-           CASE WHEN cd >= {k} THEN 'day'
-                WHEN cw >= {k} THEN 'week'
-                WHEN cm >= {k} THEN 'month'
-                ELSE 'suppressed' END AS level,
-           CASE WHEN cd >= {k} THEN d
-                WHEN cw >= {k} THEN w
-                WHEN cm >= {k} THEN m
-                ELSE 'suppressed' END AS released
-    FROM base
-    JOIN cd USING (qi, d) JOIN cw USING (qi, w) JOIN cm USING (qi, m)
+           CASE WHEN lvl0 <> 'suppressed' AND rc >= {k}
+                THEN lvl0 ELSE 'suppressed' END AS level,
+           CASE WHEN lvl0 <> 'suppressed' AND rc >= {k}
+                THEN rel0 ELSE 'suppressed' END AS released
+    FROM cand JOIN rc USING (qi, lvl0, rel0)
     """

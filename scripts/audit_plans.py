@@ -164,6 +164,7 @@ def top_level_global_sort(plan: str) -> bool:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])  # optional query-name filter, like check_oracle
     spark = get_spark("plan-audit")
     bad = []
     def _kernels(plan: str) -> tuple[int, int, int, int]:
@@ -175,6 +176,8 @@ def main() -> int:
         )
 
     for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
         _ck.drain_audit_fragments()
         try:
             plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()

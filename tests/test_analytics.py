@@ -897,3 +897,46 @@ class TestKAnonymize:
         assert got[7] == ("month", "2024-01-01")
         assert got[10] == ("suppressed", "suppressed")
         assert len(got) == 10
+
+    def test_residue_class_demoted(self, spark):
+        """Week group of 4 where 3 share one day: the 3 release at day
+        level; the 1 leftover's week-level residue CLASS has size 1 < k
+        and must be suppressed, NOT released at week (the cascade-only
+        spelling leaked it — a subtract-the-day-release attack isolates
+        that row)."""
+        from beis_orp_data_service_spark.operators import analytics as an
+
+        rows = [
+            (1, "2024-01-02T10:00:00", "r"),
+            (2, "2024-01-02T11:00:00", "r"),
+            (3, "2024-01-02T12:00:00", "r"),
+            (4, "2024-01-03T10:00:00", "r"),  # week residue of 1
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {
+            r.event_id: (r.level, r.released)
+            for r in an.k_anonymize_buckets(ev, k=3).collect()
+        }
+        assert got[1] == ("day", "2024-01-02")
+        assert got[4] == ("suppressed", "suppressed")
+
+    def test_released_classes_all_hold_k(self, spark):
+        """Privacy invariant over real data: every non-suppressed
+        (qi, level, released) equivalence class in the output holds
+        >= k rows."""
+        from tests.conftest import SF_CORRECT
+
+        from beis_orp_data_service_spark.operators import analytics as an
+
+        ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+        out = an.k_anonymize_buckets(ev, k=10)
+        bad = (
+            out.where(F.col("level") != "suppressed")
+            .groupBy("qi", "level", "released")
+            .count()
+            .where(F.col("count") < 10)
+            .count()
+        )
+        assert bad == 0
