@@ -5889,10 +5889,19 @@ def _stream_dedup_ttl_e2e(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
-    # UNGROUPED emissions: the 5 post-eviction re-admits are extra ROWS
-    # (27 total), so a regression back to never-evict (22) or
-    # never-dedup (56) moves the count the min_rows floor can see
-    return spark.read.parquet(out).select("event_id", "ts")
+    # UNGROUPED emissions: 20 admits + 2 movers + 5 post-eviction
+    # re-admits = EXACTLY 27 rows. min_rows=27 is a floor only (ADVICE
+    # r8 low): never-evict (22) trips it but never-dedup (56) passes,
+    # so pin the exact count HERE — the assertion travels with the
+    # query into any harness (driver gate included) as a hard error.
+    result = spark.read.parquet(out).select("event_id", "ts")
+    n = result.count()
+    if n != 27:
+        raise AssertionError(
+            f"TTL-dedup lifecycle emitted {n} rows, expected exactly 27 "
+            "(22 = never-evict regression; 56 = never-dedup regression)"
+        )
+    return result
 
 
 REGISTRY["stream_dedup_ttl_e2e"] = QueryDef(

@@ -2933,9 +2933,18 @@ def word_dropout(
     kept (pos, token) structs, so output text preserves original word
     order. Docs whose every token drops yield an empty string. Plan:
     posexplode → codegen hash filter → one grouped aggregation.
+
+    Position parity note: leading/trailing whitespace is stripped with
+    a regex (ALL ``\\s``, not ``trim``'s spaces-only) BEFORE splitting,
+    so the raw split array has no leading empty token and 0-based
+    positions match the oracle's filtered-list numbering even for text
+    starting with a tab/newline (a leading empty token would shift
+    every position by 1 and flip the md5 keep/drop decisions).
     """
     toks = F.posexplode(
-        F.split(F.trim(F.col(text_col)), r"\s+")
+        F.split(
+            F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"
+        )
     )
     base = (
         docs.select(F.col(id_col), toks.alias("_pos", "_tok"))
@@ -2981,13 +2990,16 @@ def word_dropout_oracle_sql(
     text_col: str = "text",
 ) -> str:
     """DuckDB twin of :func:`word_dropout` — same per-(doc, pos, token)
-    md5 fold (0-based positions), same order-preserving reassembly."""
+    md5 fold (0-based positions), same order-preserving reassembly;
+    same regex strip of ALL leading/trailing whitespace before the
+    split (``trim`` strips only spaces in both engines)."""
     hexfold = DUCK_MD5_HEXFOLD
     return f"""
     WITH w AS (
       SELECT {id_col},
-             list_filter(string_split_regex(trim({text_col}), '\\s+'),
-                         x -> x <> '') AS words
+             list_filter(string_split_regex(
+                 regexp_replace({text_col}, '^\\s+|\\s+$', '', 'g'),
+                 '\\s+'), x -> x <> '') AS words
       FROM {table}
     ), tok AS (
       SELECT {id_col}, i - 1 AS pos, words[i] AS tok

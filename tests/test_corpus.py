@@ -1529,6 +1529,50 @@ class TestWordDropout:
         assert drop_all.text_aug == ""
         assert (drop_all.n_kept, drop_all.n_dropped) == (0, 4)
 
+    def test_nasty_whitespace_matches_duckdb_twin(self, spark):
+        """Leading tab/newline used to give Spark a leading empty token
+        from the raw split (trim strips spaces only), shifting every
+        position and flipping md5 keep/drop vs the oracle's filtered
+        list (ADVICE r8). Both engines now regex-strip all \\s before
+        splitting."""
+        import duckdb
+        import pandas as pd
+
+        from beis_orp_data_service_spark.operators import corpus
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "\talpha beta gamma delta epsilon",
+                    "\n\nzeta eta\ttheta  iota\n",
+                    "  kappa lambda mu ",
+                    "plain words here",
+                ],
+            }
+        )
+        got = sorted(
+            map(
+                tuple,
+                corpus.word_dropout(
+                    spark.createDataFrame(pdf), drop_pm=500
+                ).collect(),
+            )
+        )
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        want = sorted(
+            map(
+                tuple,
+                con.execute(
+                    corpus.word_dropout_oracle_sql("documents", 500)
+                ).fetchall(),
+            )
+        )
+        assert got == want
+        # every doc contributes a group (empty tokens filtered, not docs)
+        assert [r[0] for r in got] == [1, 2, 3, 4]
+
     def test_deterministic_and_partition_invariant(self, spark):
         from beis_orp_data_service_spark.catalog import load_table
         from beis_orp_data_service_spark.operators import corpus
