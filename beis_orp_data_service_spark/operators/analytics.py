@@ -1158,6 +1158,7 @@ def ks_statistic(
     id_col: str,
     group_a: str,
     group_b: str,
+    method: str = "window",
 ) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov statistic — the standard
     distribution-drift test (train/serve skew, A/B sanity) at corpus
@@ -1167,16 +1168,23 @@ def ks_statistic(
     no float ECDFs, so the result hash-matches any engine.
 
     Shape: filter to the two groups, count per (group, value) — the
-    only corpus-scale shuffle, map-side combined — then ONE ordered
-    window over the DISTINCT-value table (bounded by value
-    cardinality, not rows; same caveat class as group_quantiles for
-    pathological all-distinct columns). Output one row:
+    only corpus-scale shuffle, map-side combined — then the running
+    sums over the DISTINCT-value grid. ``method="window"`` (default)
+    is ONE ordered unpartitioned window (bounded by value cardinality,
+    not rows; same caveat class as group_quantiles for pathological
+    all-distinct columns); ``method="two_pass"`` routes the cumulative
+    through :func:`~beis_orp_data_service_spark.operators.ranks.prefix_sums`
+    (range-partition + P-row offset pull + per-partition running sum)
+    — identical output, no single-task window, for all-distinct value
+    grids at corpus scale. Output one row:
     (n_a, n_b, d_num, d_den, d_milli) with d_num/d_den the exact
     rational and d_milli = 1000·d_num DIV d_den."""
     from pyspark.sql import Window
 
     if group_a == group_b:
         raise ValueError("group_a and group_b must differ")
+    if method not in ("window", "two_pass"):
+        raise ValueError(f"ks_statistic: unknown method {method!r}")
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     base = df.select(
         F.col(group_col).alias("grp"), v.cast("bigint").alias("value")
@@ -1185,11 +1193,20 @@ def ks_statistic(
         F.sum(F.when(F.col("grp") == group_a, 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("grp") == group_b, 1).otherwise(0)).alias("cb"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_val.select(
-        F.sum("ca").over(w).alias("cum_a"),
-        F.sum("cb").over(w).alias("cum_b"),
-    )
+    if method == "two_pass":
+        from beis_orp_data_service_spark.operators.ranks import prefix_sums
+
+        cum = prefix_sums(
+            per_val, [F.col("value")], ["ca", "cb"], label="ks"
+        ).select(
+            F.col("ca_cum").alias("cum_a"), F.col("cb_cum").alias("cum_b")
+        )
+    else:
+        w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+        cum = per_val.select(
+            F.sum("ca").over(w).alias("cum_a"),
+            F.sum("cb").over(w).alias("cum_b"),
+        )
     totals = base.groupBy().agg(
         F.sum(F.when(F.col("grp") == group_a, 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(F.col("grp") == group_b, 1).otherwise(0)).alias("n_b"),
@@ -1260,6 +1277,7 @@ def mannwhitney_u(
     id_col: str,
     group_a: str,
     group_b: str,
+    method: str = "window",
 ) -> DataFrame:
     """Exact Mann–Whitney U (Wilcoxon rank-sum) — the nonparametric
     A/B location test, tie-exact: with per-value counts, a tie group
@@ -1268,8 +1286,11 @@ def mannwhitney_u(
     hash-grade where float mid-ranks drift.
 
     Same shape as :func:`ks_statistic`: one map-side-combined count
-    per distinct value, one ordered window over the value grid
-    (bounded by value cardinality), totals broadcast. Output one row:
+    per distinct value, then the running rank sums over the value grid
+    — ``method="window"`` (default, one ordered window bounded by
+    value cardinality) or ``method="two_pass"`` (the scale-safe
+    :func:`~beis_orp_data_service_spark.operators.ranks.prefix_sums`
+    spelling, identical output), totals broadcast. Output one row:
     (n_a, n_b, u2x_a, u2x_b, auc_milli) where u2x_* are 2·U and
     auc_milli = 1000·U_a DIV (n_a·n_b) — the common-language effect
     size (P(a > b) + ½P(a = b))."""
@@ -1277,6 +1298,8 @@ def mannwhitney_u(
 
     if group_a == group_b:
         raise ValueError("group_a and group_b must differ")
+    if method not in ("window", "two_pass"):
+        raise ValueError(f"mannwhitney_u: unknown method {method!r}")
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     base = df.select(
         F.col(group_col).alias("grp"), v.cast("bigint").alias("value")
@@ -1285,18 +1308,36 @@ def mannwhitney_u(
         F.sum(F.when(F.col("grp") == group_a, 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("grp") == group_b, 1).otherwise(0)).alias("cb"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
     # doubled average rank of this tie group = 2·(rows before) + t + 1
-    ranked = per_val.select(
-        "ca",
-        "cb",
-        (
-            2 * F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0))
-            + F.col("ca")
-            + F.col("cb")
-            + 1
-        ).alias("rank2x"),
-    )
+    if method == "two_pass":
+        from beis_orp_data_service_spark.operators.ranks import prefix_sums
+
+        per_val = per_val.withColumn("ct", F.col("ca") + F.col("cb"))
+        ranked = prefix_sums(
+            per_val, [F.col("value")], ["ct"], label="mw"
+        ).select(
+            "ca",
+            "cb",
+            # exclusive prefix = inclusive cum − this tie group
+            (2 * (F.col("ct_cum") - F.col("ct")) + F.col("ct") + 1).alias(
+                "rank2x"
+            ),
+        )
+    else:
+        w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+        ranked = per_val.select(
+            "ca",
+            "cb",
+            (
+                2
+                * F.coalesce(
+                    F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0)
+                )
+                + F.col("ca")
+                + F.col("cb")
+                + 1
+            ).alias("rank2x"),
+        )
     totals = base.groupBy().agg(
         F.sum(F.when(F.col("grp") == group_a, 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(F.col("grp") == group_b, 1).otherwise(0)).alias("n_b"),

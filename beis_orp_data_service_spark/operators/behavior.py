@@ -400,6 +400,8 @@ def rfm_scores(
     user_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    method: str = "ntile",
+    n_parts: int = 32,
 ) -> DataFrame:
     """RFM segmentation — the classic engagement/value triage
     (recency, frequency, monetary) with quintile scores where 5 is
@@ -410,12 +412,22 @@ def rfm_scores(
     (metric, then ``user_col`` tiebreak), so both engines bucket
     identically.
 
-    Scale note: the three ntiles are single unpartitioned windows —
-    over the USER table (one row per user), not events; same
-    bounded-cardinality caveat as the KS/Mann-Whitney distinct-value
-    windows (analytics.py). For truly unbounded user counts, swap
-    ntile for a two-pass percentile-threshold join.
+    Scale note — ``method``:
+
+    - ``"ntile"`` (default): three single unpartitioned windows over
+      the USER table (one row per user, not events) — exact and fine
+      while user cardinality fits one task.
+    - ``"two_pass"``: billions of users make "one row per user" a
+      single-task bottleneck; this routes each axis through
+      :func:`~beis_orp_data_service_spark.operators.ranks.distributed_ntile`
+      (range-partition → P-row offset pull → per-partition
+      ``row_number``) — IDENTICAL output (same NTILE bucket math,
+      equality-tested in tests/test_behavior.py), no unpartitioned
+      window; ``n_parts`` sizes the range partitions (~n_users/P rows
+      each).
     """
+    if method not in ("ntile", "two_pass"):
+        raise ValueError(f"rfm_scores: unknown method {method!r}")
     t_ref = events.agg(
         F.max(F.unix_micros(F.col(ts_col))).alias("m")
     ).collect()[0]["m"]
@@ -435,18 +447,41 @@ def rfm_scores(
     )
     # bucket 1 = worst, n = best on every axis: most-recent users sort
     # LAST for recency (r_days desc), heaviest last for f/m (asc)
-    w_r = Window.orderBy(F.col("r_days").desc(), F.col(user_col))
-    w_f = Window.orderBy(F.col("f_n").asc(), F.col(user_col))
-    w_m = Window.orderBy(F.col("m_cents").asc(), F.col(user_col))
-    return per_user.select(
-        user_col,
-        "r_days",
-        "f_n",
-        "m_cents",
-        F.ntile(n_tiles).over(w_r).cast("bigint").alias("r_score"),
-        F.ntile(n_tiles).over(w_f).cast("bigint").alias("f_score"),
-        F.ntile(n_tiles).over(w_m).cast("bigint").alias("m_score"),
-    ).withColumn(
+    orders = {
+        "r_score": [F.col("r_days").desc(), F.col(user_col)],
+        "f_score": [F.col("f_n").asc(), F.col(user_col)],
+        "m_score": [F.col("m_cents").asc(), F.col(user_col)],
+    }
+    if method == "two_pass":
+        from beis_orp_data_service_spark.operators.ranks import (
+            distributed_ntile,
+        )
+
+        scored = per_user
+        for out_col, sort_cols in orders.items():
+            scored = distributed_ntile(
+                scored, sort_cols, n_tiles, out_col,
+                n_parts=n_parts, label=f"rfm:{out_col}",
+            )
+        scored = scored.select(
+            user_col, "r_days", "f_n", "m_cents",
+            "r_score", "f_score", "m_score",
+        )
+    else:
+        scored = per_user.select(
+            user_col,
+            "r_days",
+            "f_n",
+            "m_cents",
+            *(
+                F.ntile(n_tiles)
+                .over(Window.orderBy(*sort_cols))
+                .cast("bigint")
+                .alias(out_col)
+                for out_col, sort_cols in orders.items()
+            ),
+        )
+    return scored.withColumn(
         "rfm",
         (
             F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")

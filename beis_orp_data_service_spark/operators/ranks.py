@@ -1,0 +1,187 @@
+"""Scalable exact global ranking / ntile without an unpartitioned window.
+
+The unpartitioned-window class (``rfm_scores``'s three ntiles, the
+KS / Mann-Whitney distinct-value grids, ``equi_depth_bins``) is exact
+and fine while the ranked table is bounded-cardinality (one row per
+user / per distinct value), but at 100 TB event data "one row per
+user" is billions of rows through a SINGLE window task. This module is
+the promised two-pass alternative (VERDICT r8 ask #2) — the classic
+range-partition + partition-offset ranking:
+
+1. ``repartitionByRange`` on the sort key → globally ordered partition
+   RANGES (each partition holds a contiguous key range, ~N/P rows).
+2. One tiny aggregation: per-partition row counts → ``P`` rows pulled
+   to the driver (a parameter-bounded k-row pull, same class as the
+   BPE merge table) → cumulative offsets → broadcast back.
+3. ``row_number`` over a window PARTITIONED by the range-partition id
+   (max partition ~N/P rows, never the whole table) + offset = exact
+   1-based global rank.
+
+The partitioned frame is ``stage_checkpoint``-ed before step 2 so the
+range-partitioner's sampled boundaries (and therefore partition ids)
+are IDENTICAL between the counts pass and the ranking pass, and so the
+audit sees the pre-checkpoint lineage.
+
+``ntile_from_rank`` then reproduces SQL ``NTILE`` bit-for-bit from
+(rank, N): the first ``N mod n`` buckets get ``ceil(N/n)`` rows, the
+rest ``floor(N/n)`` — so every caller can swap a global
+``ntile(n) OVER (ORDER BY ...)`` for the composition with NO semantic
+change (equality-tested against the window spelling in
+tests/test_behavior.py and tests/test_ranks.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from beis_orp_data_service_spark.checkpointing import stage_checkpoint
+
+__all__ = [
+    "exact_global_ranks",
+    "ntile_from_rank",
+    "distributed_ntile",
+    "prefix_sums",
+]
+
+
+def exact_global_ranks(
+    df: DataFrame,
+    sort_cols: list[Column],
+    rank_col: str = "_grank",
+    n_parts: int = 32,
+    label: str = "ranks",
+) -> tuple[DataFrame, int]:
+    """Attach an exact 1-based global rank over the ``sort_cols`` total
+    order without any unpartitioned window; returns ``(df_with_rank,
+    n_rows)``. ``sort_cols`` must be a TOTAL order (include a unique
+    tiebreak column) — rows equal on the sort key may straddle a range
+    boundary, which would make ranks of ties partition-dependent.
+
+    Cost: one range shuffle + one ``P``-row driver pull + one hash
+    shuffle for the per-partition window. Max window partition is
+    ~N/``n_parts`` rows — size ``n_parts`` so that fits one executor.
+    """
+    part = stage_checkpoint(
+        df.repartitionByRange(n_parts, *sort_cols).withColumn(
+            "_rnk_pid", F.spark_partition_id()
+        ),
+        label=f"{label}:range_parts",
+    )
+    # P-row pull: cumulative offset per range partition
+    counts = sorted(
+        (r["_rnk_pid"], r["n"])
+        for r in part.groupBy("_rnk_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    n_rows = sum(c for _, c in counts)
+    offsets, acc = {}, 0
+    for pid, c in counts:
+        offsets[pid] = acc
+        acc += c
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()],
+            "_rnk_pid int, _rnk_off bigint",
+        )
+    )
+    w = Window.partitionBy("_rnk_pid").orderBy(*sort_cols)
+    ranked = (
+        part.join(off_df, "_rnk_pid")
+        .withColumn(
+            rank_col,
+            (F.col("_rnk_off") + F.row_number().over(w)).cast("bigint"),
+        )
+        .drop("_rnk_pid", "_rnk_off")
+    )
+    return ranked, n_rows
+
+
+def ntile_from_rank(rank: Column, n_rows: int, n_tiles: int) -> Column:
+    """SQL ``NTILE(n_tiles)`` computed from a 1-based global rank and
+    the total row count — the first ``n_rows mod n_tiles`` buckets hold
+    ``floor(n_rows/n_tiles) + 1`` rows, the remainder one fewer
+    (identical to Spark's and DuckDB's NTILE)."""
+    q, rem = divmod(int(n_rows), int(n_tiles))
+    big = F.lit(q + 1)
+    cut = F.lit(rem * (q + 1))  # rows covered by the big buckets
+    small = (
+        F.lit(rem) + F.floor((rank - cut - 1) / F.lit(q)) + 1
+        if q > 0
+        else F.lit(None).cast("bigint")  # n_rows < n_tiles: never taken
+    )
+    return (
+        F.when(rank <= cut, F.floor((rank - 1) / big) + 1)
+        .otherwise(small)
+        .cast("bigint")
+    )
+
+
+def prefix_sums(
+    df: DataFrame,
+    sort_cols: list[Column],
+    sum_cols: list[str],
+    n_parts: int = 32,
+    label: str = "psum",
+) -> DataFrame:
+    """Attach exact global RUNNING sums (inclusive of the current row)
+    over the ``sort_cols`` total order — the cumulative half of the KS
+    / Mann-Whitney distinct-value grids — without an unpartitioned
+    window. Adds one ``<c>_cum`` BIGINT column per ``sum_cols`` entry.
+
+    Same two-pass shape as :func:`exact_global_ranks`: range-partition
+    on the sort key, pull the P per-partition column sums to the driver
+    (P rows), broadcast cumulative offsets back, and run the running
+    sum inside each range partition only. ``sort_cols`` must be a total
+    order; ``sum_cols`` must be non-null integers (counts).
+    """
+    part = stage_checkpoint(
+        df.repartitionByRange(n_parts, *sort_cols).withColumn(
+            "_rnk_pid", F.spark_partition_id()
+        ),
+        label=f"{label}:range_parts",
+    )
+    totals = sorted(
+        (r["_rnk_pid"], tuple(r[c] for c in sum_cols))
+        for r in part.groupBy("_rnk_pid")
+        .agg(*(F.sum(c).alias(c) for c in sum_cols))
+        .collect()
+    )
+    rows, acc = [], [0] * len(sum_cols)
+    for pid, sums in totals:
+        rows.append((int(pid), *(int(a) for a in acc)))
+        acc = [a + int(s or 0) for a, s in zip(acc, sums)]
+    off_schema = ", ".join(
+        ["_rnk_pid int"] + [f"_off_{c} bigint" for c in sum_cols]
+    )
+    off_df = F.broadcast(df.sparkSession.createDataFrame(rows, off_schema))
+    w = (
+        Window.partitionBy("_rnk_pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = part.join(off_df, "_rnk_pid")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"{c}_cum",
+            (F.col(f"_off_{c}") + F.sum(c).over(w)).cast("bigint"),
+        )
+    return out.drop("_rnk_pid", *(f"_off_{c}" for c in sum_cols))
+
+
+def distributed_ntile(
+    df: DataFrame,
+    sort_cols: list[Column],
+    n_tiles: int,
+    out_col: str,
+    n_parts: int = 32,
+    label: str = "ntile",
+) -> DataFrame:
+    """``ntile(n_tiles) OVER (ORDER BY sort_cols)`` via
+    :func:`exact_global_ranks` + :func:`ntile_from_rank` — exact NTILE
+    semantics, no unpartitioned window."""
+    ranked, n_rows = exact_global_ranks(
+        df, sort_cols, rank_col="_rnk_tmp", n_parts=n_parts, label=label
+    )
+    return ranked.withColumn(
+        out_col, ntile_from_rank(F.col("_rnk_tmp"), n_rows, n_tiles)
+    ).drop("_rnk_tmp")
