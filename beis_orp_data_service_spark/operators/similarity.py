@@ -2195,6 +2195,8 @@ def mmr_rerank(
     lam_tenths: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pool_via: str = "brute",
+    ivf_bits: int | str = 4,
 ) -> DataFrame:
     """Maximal Marginal Relevance (Carbonell & Goldstein 1998)
     diversified top-k: retrieve a ``pool``-sized candidate set by
@@ -2210,23 +2212,41 @@ def mmr_rerank(
     pure relevance (no penalty term; ``mmr_q10 = lam·rel``); ties
     break to the smaller id at every stage.
 
-    Scale shape: candidate retrieval is the brute top-``pool`` scan
-    (swap in an IVF probe for the 100 TB path — only the pool builder
-    changes); the pairwise-sim join and the greedy selection run over
-    the POOL (parameter-bounded, 20×20 here), not the corpus. The
-    greedy loop is expressed IN-PLAN — k chained
-    TakeOrderedAndProject(1) stages over the persisted pool, exactly
-    mirroring the oracle's CTE unrolling — so the whole lineage
-    (pool builder included) is visible to the plan audit and nothing
-    round-trips through the driver.
+    Scale shape: ``pool_via`` selects the candidate retrieval —
+    ``"brute"`` (default, exact top-``pool`` scan; what the declared
+    query and its oracle pin) or ``"ivf"`` (the 100 TB path: the
+    sign-LSH bucketed :func:`ivf_topk` probe scans only the query's
+    bucket neighborhood; recall < 1 by construction, so the pool MAY
+    differ — when the pools agree the MMR picks are identical, pinned
+    by tests/test_similarity.py). ONLY the pool builder changes: the
+    pairwise-sim join and the greedy selection run over the POOL
+    (parameter-bounded, 20×20 here), not the corpus. The greedy loop
+    is expressed IN-PLAN — k chained TakeOrderedAndProject(1) stages
+    over the persisted pool, exactly mirroring the oracle's CTE
+    unrolling — so the whole lineage (pool builder included) is
+    visible to the plan audit and nothing round-trips through the
+    driver.
     """
+    if pool_via not in ("brute", "ivf"):
+        raise ValueError(f"mmr_rerank: unknown pool_via {pool_via!r}")
     q = embeddings.where(F.col(id_col) == query_id).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
+    q_as_table = q.select(
+        F.col("query_id").alias(id_col), F.col("qvec").alias(vec_col)
+    )
+    if pool_via == "ivf":
+        topk = ivf_topk(
+            embeddings, q_as_table, id_col=id_col, vec_col=vec_col,
+            k=pool, bits=ivf_bits, multiprobe=True,
+        )
+    else:
+        topk = cosine_topk(
+            embeddings, q_as_table, id_col=id_col, vec_col=vec_col,
+            k=pool, quantized=True,
+        )
     cand = (
-        cosine_topk(embeddings, q.select(
-            F.col("query_id").alias(id_col), F.col("qvec").alias(vec_col)
-        ), id_col=id_col, vec_col=vec_col, k=pool, quantized=True)
+        topk
         .select(F.col("neighbor_id").alias(id_col), F.col("score").alias("rel"))
         .join(embeddings.select(id_col, vec_col), id_col)
         .persist()  # pool-sized; scanned once per greedy stage

@@ -1010,6 +1010,46 @@ class TestMmrRerank:
             (3, 2, 790_000, 2_536_000),
         ]
 
+    def test_ivf_pool_same_picks_when_pool_agrees(self, spark):
+        """VERDICT r8 #4: pool_via='ivf' swaps ONLY the candidate
+        retrieval. Planted so the IVF probe has recall 1 (every vector
+        shares the query's sign bucket: first 2 components positive,
+        bits=2) — the pools then agree and the MMR trajectory must be
+        IDENTICAL to brute."""
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        # first two dims positive => same sign_bucket(bits=2) for all
+        emb = spark.createDataFrame(
+            [
+                (i, [1.0, 0.5 + 0.01 * i]
+                 + [float(((i * 7 + j * 3) % 11) - 5) / 5.0 for j in range(2)])
+                for i in range(25)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        kw = dict(query_id=0, pool=8, k=4)
+        brute = [
+            tuple(r)
+            for r in sim.mmr_rerank(emb, **kw).orderBy("rank").collect()
+        ]
+        ivf = [
+            tuple(r)
+            for r in sim.mmr_rerank(emb, pool_via="ivf", ivf_bits=2, **kw)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert brute == ivf
+        assert len(brute) == 4
+
+    def test_bad_pool_via_raises(self, spark):
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="unknown pool_via"):
+            sim.mmr_rerank(emb, query_id=0, pool_via="hnsw")
+
     def test_oracle_twin_matches(self, spark):
         """The unrolled-CTE DuckDB oracle reproduces the same greedy
         trajectory on the same rows."""
