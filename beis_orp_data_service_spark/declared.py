@@ -692,7 +692,7 @@ def hash_id(spark, sf_dir):
     "title_rules",
     """
     SELECT doc_id,
-           CASE WHEN len(string_split(trim(text), ' ')) > 40 THEN 'generate'
+           CASE WHEN len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) > 40 THEN 'generate'
                 WHEN n_chars < 150 THEN 'keep-short'
                 ELSE 'score' END AS title_rule
     FROM documents
@@ -712,7 +712,7 @@ def title_rules(spark, sf_dir):
     WITH base AS (
       SELECT doc_id, text,
              string_split(text, ' ') AS w,
-             coalesce(array_to_string(string_split(trim(text), ' ')[11:15],
+             coalesce(array_to_string(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')[11:15],
                                       ' '), '') AS title
       FROM documents
     ), sh AS (
@@ -729,8 +729,8 @@ def title_rules(spark, sf_dir):
       FROM sh
     ), toks AS (
       SELECT doc_id, short_text,
-             string_split_regex(trim(short_text), '\\s+') AS st,
-             string_split_regex(trim(title), '\\s+') AS tt
+             string_split_regex(regexp_replace(short_text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS st,
+             string_split_regex(regexp_replace(title, '^\\s+|\\s+$', '', 'g'), '\\s+') AS tt
       FROM stext
     ), wnd AS (
       SELECT doc_id, st, tt, len(tt) AS wlen,
@@ -761,7 +761,7 @@ def title_window_max(spark, sf_dir):
     # numpy sliding-sum hot path, equal to the expression form.
     docs = _t(spark, sf_dir, "documents")
     title = F.concat_ws(
-        " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 11, 5)
+        " ", F.slice(F.split(F.regexp_replace(F.col("text"), r"^\s+|\s+$", ""), r"\s+"), 11, 5)
     )
     return enr.title_window_max_np(
         docs.withColumn("meta_title", title),
@@ -775,7 +775,7 @@ def title_window_max(spark, sf_dir):
     "kw_dedupe_max",
     """
     WITH words AS (
-      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS keyword
+      SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS keyword
       FROM documents
     ), scored AS (
       SELECT doc_id, keyword, count(*) AS score FROM words GROUP BY 1, 2
@@ -907,7 +907,7 @@ _NEEDLES = ["spark", "window", "vector", "customer", "merge"]
     "lo_match",
     """
     WITH toks AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents
     ), sent AS (
       SELECT doc_id, CAST(i AS BIGINT) AS sent_idx,
              array_to_string(t[(i*8+1):(i*8+8)], ' ') AS sentence
@@ -1167,7 +1167,7 @@ def dedup_exact(spark, sf_dir):
              unnest(list_distinct(
                [array_to_string(t[i:i+2], ' ')
                 for i in range(1, greatest(len(t) - 2, 0) + 1)])) AS gram
-      FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+      FROM (SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents)
     ), keep AS (
       SELECT gram FROM g0 GROUP BY gram HAVING count(*) <= 100
     ), g AS (
@@ -1205,7 +1205,7 @@ def ngram_jaccard(spark, sf_dir):
     WITH w AS (
       SELECT doc_id,
              list_transform(
-               list_distinct(string_split(trim(text), ' ')),
+               list_distinct(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')),
                s -> list_reduce(
                       list_prepend(CAST(0 AS BIGINT),
                                    [CAST(ascii(s[i:i]) AS BIGINT)
@@ -1238,7 +1238,7 @@ _SIMHASH48_CTE = """
     WITH w AS (
       SELECT doc_id,
              list_transform(
-               list_distinct(string_split(trim(text), ' ')),
+               list_distinct(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')),
                s -> list_reduce(
                       [CAST(strpos('0123456789abcdef',
                                    substr(md5(s), i, 1)) - 1 AS BIGINT)
@@ -1330,7 +1330,7 @@ def fuzzy_title_pairs(spark, sf_dir):
     # any SF; the oracle is the brute-force quadratic join DuckDB can
     # afford at sf0.01.
     docs = _t(spark, sf_dir, "documents")
-    title = F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 4))
+    title = F.concat_ws(" ", F.slice(F.split(F.regexp_replace(F.col("text"), r"^\s+|\s+$", ""), r"\s+"), 1, 4))
     t = (
         docs.select(title.alias("title"), "doc_id")
         .groupBy("title")
@@ -1353,7 +1353,7 @@ def fuzzy_title_pairs(spark, sf_dir):
     """
     WITH h AS (
       SELECT doc_id, md5(text) AS content_hash, source, lang,
-             string_split(trim(text), ' ') AS t
+             string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t
       FROM documents WHERE doc_id < 100
     ), g AS (
       SELECT doc_id, content_hash, source, lang,
@@ -1392,7 +1392,7 @@ def dup_classify(spark, sf_dir):
     # scaled to this word-soup corpus (max observed pair ≈30‰) so the
     # sf0.01 check exercises all three branches, not just 'new'.
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    t = F.split(F.trim(F.col("text")), r"\s+")
+    t = F.split(F.regexp_replace(F.col("text"), r"^\s+|\s+$", ""), r"\s+")
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(1))),
@@ -1712,7 +1712,7 @@ def emb_dup_pairs(spark, sf_dir):
 @declared(
     "token_count",
     """
-    SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+    SELECT doc_id, CAST((CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END) AS BIGINT) AS n_tokens
     FROM documents
     """,
 )
@@ -1750,7 +1750,7 @@ def bpe_token_count(spark, sf_dir):
     "token_stats_by_lang",
     """
     SELECT lang, count(*) AS n_docs,
-           CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens
+           CAST(sum((CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END)) AS BIGINT) AS total_tokens
     FROM documents GROUP BY lang
     """,
 )
@@ -1767,7 +1767,7 @@ def token_stats_by_lang(spark, sf_dir):
     """
     WITH c AS (
       SELECT doc_id, ' ' || text || ' ' AS padded,
-             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+             CAST((CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END) AS BIGINT) AS n_tokens
       FROM documents
     ), hits AS (
       SELECT doc_id, n_tokens,
@@ -1801,7 +1801,7 @@ def lang_id(spark, sf_dir):
       ((length(text) - length(replace(text, ' ', ''))) * 1000) // length(text)
         AS space_milli,
       ((length(replace(text, ' ', ''))) * 1000)
-        // len(string_split(trim(text), ' ')) AS avg_token_chars_milli,
+        // (CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END) AS avg_token_chars_milli,
       length(text) < 100 AS is_too_short
     FROM documents
     """,
@@ -1841,7 +1841,7 @@ def fingerprint(spark, sf_dir):
     """
     SELECT doc_id,
            array_to_string(
-             [upper(w[1:1]) || w[2:] for w in string_split(trim(text), ' ')[1:5]],
+             [upper(w[1:1]) || w[2:] for w in string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')[1:5]],
              ' ') AS title
     FROM documents
     """,
@@ -1929,7 +1929,7 @@ def _title_postprocess(spark, sf_dir):
     # DuckDB list-comprehension twin hash-checks them corpus-wide)
     docs = _t(spark, sf_dir, "documents")
     pseudo_title = F.concat_ws(
-        " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 12)
+        " ", F.slice(F.split(F.regexp_replace(F.col("text"), r"^\s+|\s+$", ""), r"\s+"), 1, 12)
     )
     titled = docs.select("doc_id", pseudo_title.alias("title_raw"))
     return titled.select(
@@ -2143,7 +2143,7 @@ _LEG_DIM = [
     "lo_join",
     """
     WITH toks AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents
     ), sent AS (
       SELECT doc_id, CAST(i AS BIGINT) AS sent_idx,
              array_to_string(t[(i*8+1):(i*8+8)], ' ') AS sentence
@@ -2193,7 +2193,7 @@ def lo_join(spark, sf_dir):
     """
     SELECT DISTINCT doc_id, keyword, regexp_replace(keyword, 's$', '') AS lemma
     FROM (
-      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS keyword
+      SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS keyword
       FROM documents WHERE doc_id < 50
     )
     """,
@@ -2204,7 +2204,7 @@ def q_lemma(spark, sf_dir):
     # surface (spaCy lemmas swap in via the models.py harness)
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     toks = docs.select(
-        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("keyword")
+        "doc_id", F.explode(F.split(F.regexp_replace("text", r"^\s+|\s+$", ""), r"\s+")).alias("keyword")
     )
     return toks.select(
         "doc_id", "keyword", F.regexp_replace("keyword", "s$", "").alias("lemma")
@@ -3596,7 +3596,7 @@ _DUP_CLUSTERS_CTE = """
     w AS (
       SELECT doc_id,
              list_transform(
-               list_distinct(string_split(trim(text), ' ')),
+               list_distinct(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')),
                s -> list_reduce(
                       list_prepend(CAST(0 AS BIGINT),
                                    [CAST(ascii(s[i:i]) AS BIGINT)
@@ -3659,7 +3659,7 @@ def dup_clusters(spark, sf_dir):
     "gopher_quality",
     """
     WITH w AS (
-      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w
       FROM documents
     ), g AS (
       SELECT doc_id, w, count(*) AS c, sum(length(w)) AS lsum
@@ -3698,7 +3698,7 @@ def gopher_quality(spark, sf_dir):
     "repetition_stats",
     """
     WITH base AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS words
       FROM documents
     ), n AS (
       SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words, words FROM base
@@ -3795,7 +3795,7 @@ def pii_redact(spark, sf_dir):
     """
     WITH t AS (
       SELECT doc_id, source,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             CAST(len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS BIGINT)
                AS n_tokens
       FROM documents
     ), c AS (
@@ -4032,7 +4032,7 @@ def hll_registers(spark, sf_dir):
     # independently, merge = per-bucket max (exactness pinned in tests).
     docs = _t(spark, sf_dir, "documents")
     words = docs.select(
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+        F.explode(F.split(F.regexp_replace(F.col("text"), r"^\s+|\s+$", ""), r"\s+")).alias("w")
     )
     return corpus_ops.hll_registers(words, "w", p=10)
 
@@ -5393,7 +5393,7 @@ def hll_by_lang(spark, sf_dir):
     # <= |langs|*2^p mergeable rows, bit-identical registers.
     docs = _t(spark, sf_dir, "documents")
     words = docs.select(
-        "lang", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+        "lang", F.explode(F.split(F.regexp_replace(F.col("text"), r"^\s+|\s+$", ""), r"\s+")).alias("w")
     )
     return corpus_ops.hll_registers_by_group(words, "lang", "w", p=10)
 

@@ -132,7 +132,7 @@ def year_spans(col: Column | str) -> Column:
 
 def tokens(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), r"\s+")
+    return F.split(F.regexp_replace(c, r"^\s+|\s+$", ""), r"\s+")
 
 
 # The one whitespace-token split every oracle-paired text operator

@@ -194,7 +194,7 @@ def gopher_quality(
     first shuffle carries one row per distinct word per doc.
     """
     words = df.select(
-        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+        F.col(id_col), F.explode(F.split(F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+")).alias("w")
     )
     per_word = words.groupBy(id_col, "w").agg(
         F.count("*").alias("c"), F.sum(F.length("w")).alias("lsum")
@@ -252,7 +252,7 @@ def repetition_stats(
     from pyspark.ml.feature import NGram
 
     base = df.select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("words")
+        F.col(id_col), F.split(F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+").alias("words")
     )
     out = base.select(F.col(id_col), F.size("words").cast("bigint").alias("n_words"))
     for n, name in ((2, "top2_pm"), (3, "top3_pm")):
@@ -373,7 +373,11 @@ def repeated_passages(
 
     toks = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.trim(F.col(text_col)), " ")).alias("pos", "_tok"),
+        F.posexplode(
+            F.split(
+                F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"
+            )
+        ).alias("pos", "_tok"),
     )
     th = toks.select(
         F.col(id_col),
@@ -425,7 +429,7 @@ def repeated_passages_oracle_sql(k: int = 8, min_docs: int = 2) -> str:
     return f"""
     WITH t AS (
       SELECT doc_id,
-             list_transform(string_split(trim(text), ' '),
+             list_transform(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
                s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
                       [CAST(ascii(s[i:i]) AS BIGINT)
                        for i in range(1, length(s)+1)]),
@@ -537,7 +541,7 @@ def decontaminate(
 
     def grams_of(df_: DataFrame, *keep: str) -> DataFrame:
         base = df_.select(
-            *keep, F.split(F.trim(F.col(text_col)), r"\s+").alias("words")
+            *keep, F.split(F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+").alias("words")
         )
         return NGram(n=n, inputCol="words", outputCol="grams").transform(base)
 
@@ -577,13 +581,13 @@ def decontaminate_oracle_sql(
     rng = f"range(1, len(words)-{n}+2)"
     return f"""
     WITH bw AS (
-      SELECT string_split_regex(trim(text), '\\s+') AS words
+      SELECT string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS words
       FROM documents WHERE {bench_pred}
     ), bg AS (
       SELECT DISTINCT unnest([{gram} for i in {rng}]) AS g
       FROM bw WHERE len(words) >= {n}
     ), dw AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS words
       FROM documents
     ), dg AS (
       SELECT DISTINCT doc_id, unnest([{gram} for i in {rng}]) AS g
@@ -622,7 +626,7 @@ def seq_pack(
     """
     from pyspark.sql.window import Window
 
-    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    toks = F.size(F.split(F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+")).cast("bigint")
     w = (
         Window.partitionBy(shard_col)
         .orderBy(id_col)
@@ -789,7 +793,7 @@ def chunk_dedup(
                 F.sequence(
                     F.lit(0),
                     F.ceil(
-                        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+                        F.size(F.split(F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"))
                         / F.lit(width)
                     ).cast("int")
                     - 1,
@@ -797,7 +801,7 @@ def chunk_dedup(
                 lambda i: F.concat_ws(
                     " ",
                     F.slice(
-                        F.split(F.trim(F.col(text_col)), r"\s+"),
+                        F.split(F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"),
                         i * width + 1,
                         width,
                     ),
@@ -844,7 +848,7 @@ def chunk_dedup_oracle_sql(width: int = 16) -> str:
     w = width
     return f"""
     WITH dw AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS words
       FROM documents
     ), c AS (
       SELECT doc_id,
@@ -921,7 +925,7 @@ def dsir_weights(
 
     def doc_grams(df_: DataFrame, *keep: str) -> DataFrame:
         base = df_.select(
-            *keep, F.split(F.trim(F.col(text_col)), r"\s+").alias("words")
+            *keep, F.split(F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+").alias("words")
         )
         return (
             NGram(n=2, inputCol="words", outputCol="grams")
@@ -980,7 +984,7 @@ def dsir_weights_oracle_sql(target_pred: str = "lang = 'en'") -> str:
     rng = "range(1, len(words))"
     return f"""
     WITH dw AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS words
       FROM documents
     ), dg AS (
       SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
@@ -1231,7 +1235,7 @@ def bpe_pair_counts(
     O(vocab · word-length), not O(corpus tokens); both groupBys are
     map-side combined. Output: ``(a, b, pair_count)``."""
     words = df.select(
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+        F.explode(F.split(F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+")).alias("w")
     ).filter(F.length("w") >= 1)
     wf = words.groupBy("w").agg(F.count("*").cast("bigint").alias("freq"))
     pairs = (
@@ -1256,7 +1260,7 @@ def bpe_pair_counts_oracle_sql() -> str:
     """DuckDB twin of :func:`bpe_pair_counts` over ``documents``."""
     return """
     WITH w AS (
-      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+      SELECT unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w FROM documents
     ), wf AS (
       SELECT w, CAST(count(*) AS BIGINT) AS freq
       FROM w WHERE length(w) >= 1 GROUP BY w
@@ -1298,7 +1302,7 @@ def bpe_learn_merges(
     from pyspark.sql import functions as SF
 
     words = df.select(
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+        F.explode(F.split(F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+")).alias("w")
     ).filter(F.length("w") >= 1)
     vocab = (
         words.groupBy("w")
@@ -2228,7 +2232,7 @@ def heavy_hitters(
 
     toks = docs.select(
         F.explode(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            F.split(F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""), r"\s+")
         ).alias("token")
     ).filter(F.col("token") != "")
 
@@ -2265,7 +2269,7 @@ def heavy_hitters_oracle_sql(
     return f"""
     WITH t AS (
       SELECT unnest(list_filter(
-               string_split_regex(trim(lower({text_col})), '\\s+'),
+               string_split_regex(regexp_replace(lower({text_col}), '^\\s+|\\s+$', '', 'g'), '\\s+'),
                x -> x <> '')) AS token
       FROM {table}
     ), n AS (SELECT COUNT(*) AS n_total FROM t)
@@ -3050,7 +3054,7 @@ def doremi_reweight(
     Σ weight_nano ≈ 1e9 (floor division remainder ≤ n_domains).
     """
     tok = F.explode(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""), r"\s+")
     ).alias("token")
     toks = docs.select(
         F.col(domain_col).alias("domain"), tok

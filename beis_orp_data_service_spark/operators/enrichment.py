@@ -81,7 +81,7 @@ def title_window_max(
     Everything is array-valued per row — no explode, no shuffle: the
     whole operator is a projection, embarrassingly parallel at 100 TB.
     """
-    st = F.split(F.trim(percentage_shortener(text_col)), r"\s+")
+    st = F.split(F.regexp_replace(percentage_shortener(text_col), r"^\s+|\s+$", ""), r"\s+")
     title_toks = tokens(title_col)
     wlen = F.size(title_toks) + F.lit(padding)
     n_windows = F.least(F.size(st) - wlen + 1, F.lit(max_candidates))
@@ -232,7 +232,7 @@ def keyword_candidates(
     """
     cleaned = F.lower(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", " "))
     words = df.select(
-        F.col(id_col), F.explode(F.split(F.trim(cleaned), r"\s+")).alias("keyword")
+        F.col(id_col), F.explode(F.split(F.regexp_replace(cleaned, r"^\s+|\s+$", ""), r"\s+")).alias("keyword")
     ).filter((F.length("keyword") > 1) & ~F.col("keyword").isin(*stopwords))
     counts = words.groupBy(id_col, "keyword").agg(
         F.count("*").alias("n_mentions")

@@ -214,7 +214,7 @@ def nb_train_score(
     # run interpreted (measured footgun in this repo) while the post-
     # explode predicate stays in whole-stage codegen
     tok = F.explode(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""), r"\s+")
     ).alias("token")
     is_test = F.col(id_col) % holdout_mod == 0
     train = docs.where(~is_test)
@@ -385,7 +385,7 @@ def chi2_tokens(
             F.col(id_col),
             label.cast("int").alias("_y"),
             F.explode(
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+                F.split(F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""), r"\s+")
             ).alias("token"),
         )
         .where(F.col("token") != "")

@@ -20,8 +20,29 @@ FP_PRIME = 1_000_000_007  # fingerprint modulus: keeps acc*31+255 in int64
 
 
 def token_count(text_col: Column | str) -> Column:
+    """Whitespace token count — empties dropped, ALL ``\\s`` stripped at
+    the edges (``trim`` strips spaces only: a leading tab/newline used
+    to add a phantom empty token — the r8-ADVICE whitespace class,
+    caught again by the perturbed-oracle sweep). Empty/whitespace-only
+    text counts 0. Codegen-only spelling (no higher-order filter): a
+    regex-stripped string split on ``\\s+`` can only contain an empty
+    token when the whole string is empty."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.size(F.split(F.trim(c), r"\s+")).cast("bigint")
+    stripped = F.regexp_replace(c, r"^\s+|\s+$", "")
+    return (
+        F.when(stripped == "", F.lit(0))
+        .otherwise(F.size(F.split(stripped, r"\s+")))
+        .cast("bigint")
+    )
+
+
+def token_count_sql(expr: str) -> str:
+    """DuckDB twin of :func:`token_count` — keep in sync."""
+    s = f"regexp_replace({expr}, '^\\s+|\\s+$', '', 'g')"
+    return (
+        f"CASE WHEN {s} = '' THEN 0 "
+        f"ELSE len(string_split_regex({s}, '\\s+')) END"
+    )
 
 
 # BPE-ish pre-tokenization pattern — the GPT-2 regex family
@@ -67,7 +88,12 @@ def lang_id_heuristic(
     for w in stopwords:
         h = occurrence_count(padded, w)
         hits = h if hits is None else hits + h
-    ratio_milli = ((hits * 1000) / token_count(c)).cast("bigint")
+    tc = token_count(c)
+    # zero tokens → NULL ratio → 'other' (ANSI division guard; the
+    # DuckDB twin's integer `// 0` is NULL, so both engines agree)
+    ratio_milli = (
+        F.when(tc > 0, (hits * 1000) / tc).otherwise(F.lit(None))
+    ).cast("bigint")
     return F.when(ratio_milli >= threshold_milli, F.lit("en")).otherwise(F.lit("other"))
 
 
@@ -84,10 +110,16 @@ def quality_scores(text_col: Column | str) -> dict[str, Column]:
     n_alpha = F.length(F.regexp_replace(c, "[^a-zA-Z]", ""))
     n_space = F.length(c) - F.length(F.replace(c, F.lit(" "), F.lit("")))
     toks = token_count(c)
+
+    # empty text / zero tokens → NULL score (the DuckDB twin's integer
+    # `// 0` is NULL; Spark's ANSI `/` would error instead — guard)
+    def _ratio(num, den):
+        return F.when(den > 0, num / den).otherwise(F.lit(None)).cast("bigint")
+
     return {
-        "alpha_milli": ((n_alpha * 1000) / length).cast("bigint"),
-        "space_milli": ((n_space * 1000) / length).cast("bigint"),
-        "avg_token_chars_milli": (((length - n_space) * 1000) / toks).cast("bigint"),
+        "alpha_milli": _ratio(n_alpha * 1000, length),
+        "space_milli": _ratio(n_space * 1000, length),
+        "avg_token_chars_milli": _ratio((length - n_space) * 1000, toks),
         "is_too_short": length < 100,
     }
 
@@ -260,7 +292,11 @@ def readability(df, id_col: str = "doc_id", text_col: str = "text"):
         "n_sentences",
         "n_syllables",
         F.expr("(n_words * 1000) DIV n_sentences").alias("wps_milli"),
-        F.expr("(n_syllables * 1000) DIV n_words").alias("spw_milli"),
+        # empty doc (0 words) → NULL, matching the oracle's `// 0`
+        F.expr(
+            "CASE WHEN n_words > 0"
+            " THEN (n_syllables * 1000) DIV n_words END"
+        ).alias("spw_milli"),
     ).withColumn(
         "flesch_milli",
         F.expr(
@@ -274,17 +310,16 @@ def readability_oracle_sql(
 ) -> str:
     """DuckDB twin of :func:`readability` — same regex runs, same
     floors, same integer floor-divisions."""
+    tc = token_count_sql(text_col)
     return f"""
     WITH comp AS (
       SELECT {id_col},
-             CAST(len(string_split_regex(trim({text_col}), '\\s+')) AS BIGINT)
-               AS n_words,
+             CAST(({tc}) AS BIGINT) AS n_words,
              GREATEST(CAST(len(regexp_extract_all({text_col}, '[.!?]+'))
                            AS BIGINT), 1) AS n_sentences,
              GREATEST(CAST(len(regexp_extract_all(lower({text_col}),
                                                   '[aeiouy]+')) AS BIGINT),
-                      CAST(len(string_split_regex(trim({text_col}), '\\s+'))
-                           AS BIGINT)) AS n_syllables
+                      CAST(({tc}) AS BIGINT)) AS n_syllables
       FROM {table}
     ), ratios AS (
       SELECT {id_col}, n_words, n_sentences, n_syllables,
@@ -327,7 +362,7 @@ def token_pmi(
     (the repo-wide 1-ulp cross-engine assumption).
     """
     tok = F.explode(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""), r"\s+")
     ).alias("token")
     pres = (
         docs.select(F.col(id_col), tok)
@@ -508,7 +543,7 @@ def oov_rate_by_lang(
     one per-lang aggregation.
     """
     tok = F.explode(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""), r"\s+")
     ).alias("token")
     is_test = F.col(id_col) % holdout_mod == 0
     vocab = (
