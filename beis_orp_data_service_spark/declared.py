@@ -1303,7 +1303,7 @@ def simhash_pairs(spark, sf_dir):
     """
     WITH t AS (
       SELECT min(doc_id) AS doc_id,
-             array_to_string((str_split_regex(trim(text), '\\s+'))[1:4], ' ')
+             array_to_string((str_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))[1:4], ' ')
                AS title
       FROM documents
       GROUP BY 2
@@ -1890,7 +1890,7 @@ _TPP_STOP = list(models.STOPWORDS)
 _TITLE_POSTPROCESS_SQL = f"""
     WITH titled AS (
       SELECT doc_id,
-             array_to_string((str_split_regex(trim(text), '\\s+'))[1:12], ' ')
+             array_to_string((str_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))[1:12], ' ')
                AS title_raw
       FROM documents
     ), c AS (
@@ -1910,15 +1910,19 @@ _TITLE_POSTPROCESS_SQL = f"""
              ) AS ds
       FROM tok
     ), trimmed AS (
+      -- list_position returns 0 (not NULL) when no non-stopword
+      -- exists: an ALL-stopword title must trim to empty, not survive
+      -- whole (caught by the perturbed sweep's planted 'a' doc)
       SELECT doc_id,
-             CASE WHEN k IS NULL THEN []::VARCHAR[]
+             CASE WHEN k IS NULL OR k = 0 THEN []::VARCHAR[]
                   ELSE ds[1:len(ds) - k + 1] END AS fin
       FROM (SELECT doc_id, ds,
                    list_position(list_transform(list_reverse(ds),
                          t -> NOT list_contains({_TPP_STOP}, lower(t))), true) AS k
             FROM ded)
     )
-    SELECT doc_id, array_to_string(fin, ' ') AS title FROM trimmed
+    -- coalesce: DuckDB array_to_string([]) is NULL, Spark concat_ws is ''
+    SELECT doc_id, coalesce(array_to_string(fin, ' '), '') AS title FROM trimmed
 """
 
 
@@ -4012,7 +4016,7 @@ def bloom_probe(spark, sf_dir):
     "hll_registers",
     """
     WITH w AS (
-      SELECT unnest(str_split_regex(trim(text), '\\s+')) AS w FROM documents
+      SELECT unnest(str_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w FROM documents
     ), h AS (
       SELECT (('0x' || substr(md5(w), 1, 15))::BIGINT) AS h60 FROM w
     )
@@ -5375,7 +5379,7 @@ def corr_matrix_q(spark, sf_dir):
     "hll_by_lang",
     """
     WITH w AS (
-      SELECT lang, unnest(str_split_regex(trim(text), '\\s+')) AS w
+      SELECT lang, unnest(str_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w
       FROM documents
     ), h AS (
       SELECT lang, (('0x' || substr(md5(w), 1, 15))::BIGINT) AS h60 FROM w
@@ -5509,15 +5513,20 @@ def length_quartiles(spark, sf_dir):
 
 @declared(
     "linreg_by_lang",
-    an_ops.linreg_by_group_oracle_sql("documents", "lang", "doc_id", "n_chars"),
+    an_ops.linreg_by_group_oracle_sql(
+        "documents", "lang", "doc_id", "n_chars", integer_inputs=True
+    ),
 )
 def linreg_by_lang(spark, sf_dir):
     # per-slice OLS trend (is length drifting over ingest order?):
     # exact decimal moments in one map-side-combined aggregate, float
     # formulas applied once — slope/intercept/r² all hash-grade.
-    # Integer-valued x and y keep the decimal casts exact.
+    # integer_inputs: scale-0 decimals keep snowflake-scale doc ids
+    # exact (|x| < 10^18), where decimal(15,8) overflows past 10^7.
     docs = _t(spark, sf_dir, "documents")
-    return an_ops.linreg_by_group(docs, "lang", "doc_id", "n_chars")
+    return an_ops.linreg_by_group(
+        docs, "lang", "doc_id", "n_chars", integer_inputs=True
+    )
 
 
 @declared(

@@ -705,7 +705,11 @@ def chi_square_contingency_oracle_sql(
 
 
 def linreg_by_group(
-    df: DataFrame, group_col: str, x_col: str, y_col: str
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    integer_inputs: bool = False,
 ) -> DataFrame:
     """Per-group simple linear regression (OLS slope/intercept) — the
     trend-per-slice question (is doc length drifting per source? value
@@ -719,9 +723,20 @@ def linreg_by_group(
     slope = cov/varX, intercept = meanY − slope·meanX, r² =
     cov²/(varX·varY). Groups with zero x-variance yield NULLs.
     Same preconditions as corr_matrix (|x| < 10^7, ≤ 8 fractional
-    digits, scale-16 sums within 38 digits)."""
-    dn = lambda c: F.col(c).cast("decimal(15,8)")
-    dw = lambda c: F.col(c).cast("decimal(22,8)")
+    digits, scale-16 sums within 38 digits).
+
+    ``integer_inputs=True`` switches to scale-0 decimals
+    (decimal(19,0) × decimal(18,0) → exact (38,0) products): for
+    integer-valued columns this raises the magnitude precondition to
+    |x| < 10^18 with n·x·y < 10^38 — snowflake-scale ids as the
+    regressor overflow the fractional mode's decimal(15,8) (caught by
+    the perturbed-oracle sweep's 10^12-range planted ids)."""
+    if integer_inputs:
+        dn = lambda c: F.col(c).cast("decimal(18,0)")
+        dw = lambda c: F.col(c).cast("decimal(19,0)")
+    else:
+        dn = lambda c: F.col(c).cast("decimal(15,8)")
+        dw = lambda c: F.col(c).cast("decimal(22,8)")
     agg = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dn(x_col)).alias("_sx"),
@@ -750,17 +765,26 @@ def linreg_by_group(
 
 
 def linreg_by_group_oracle_sql(
-    table: str, group_col: str, x_col: str, y_col: str
+    table: str,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    integer_inputs: bool = False,
 ) -> str:
     """DuckDB twin — same decimal moments, same float op order (NOT
     the builtin regr_slope, whose accumulation order is engine-
-    private)."""
+    private). ``integer_inputs`` mirrors :func:`linreg_by_group`."""
+    dn, dw = (
+        ("DECIMAL(18,0)", "DECIMAL(19,0)")
+        if integer_inputs
+        else ("DECIMAL(15,8)", "DECIMAL(22,8)")
+    )
     n = "CAST(COUNT(*) AS BIGINT)"
-    sx = f"CAST(SUM(CAST({x_col} AS DECIMAL(15,8))) AS DOUBLE)"
-    sy = f"CAST(SUM(CAST({y_col} AS DECIMAL(15,8))) AS DOUBLE)"
-    sxx = f"CAST(SUM(CAST({x_col} AS DECIMAL(22,8)) * CAST({x_col} AS DECIMAL(15,8))) AS DOUBLE)"
-    syy = f"CAST(SUM(CAST({y_col} AS DECIMAL(22,8)) * CAST({y_col} AS DECIMAL(15,8))) AS DOUBLE)"
-    sxy = f"CAST(SUM(CAST({x_col} AS DECIMAL(22,8)) * CAST({y_col} AS DECIMAL(15,8))) AS DOUBLE)"
+    sx = f"CAST(SUM(CAST({x_col} AS {dn})) AS DOUBLE)"
+    sy = f"CAST(SUM(CAST({y_col} AS {dn})) AS DOUBLE)"
+    sxx = f"CAST(SUM(CAST({x_col} AS {dw}) * CAST({x_col} AS {dn})) AS DOUBLE)"
+    syy = f"CAST(SUM(CAST({y_col} AS {dw}) * CAST({y_col} AS {dn})) AS DOUBLE)"
+    sxy = f"CAST(SUM(CAST({x_col} AS {dw}) * CAST({y_col} AS {dn})) AS DOUBLE)"
     mx = f"({sx} / {n})"
     my = f"({sy} / {n})"
     cov = f"({sxy} / {n} - {mx} * {my})"
