@@ -1841,7 +1841,7 @@ def fingerprint(spark, sf_dir):
     """
     SELECT doc_id,
            array_to_string(
-             [upper(w[1:1]) || w[2:] for w in string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')[1:5]],
+             [upper(w[1:1]) || lower(w[2:]) for w in string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')[1:5]],
              ' ') AS title
     FROM documents
     """,
@@ -1945,9 +1945,9 @@ def _title_postprocess(spark, sf_dir):
     "mm_decode",
     """
     SELECT doc_id AS media_id, 'image' AS media_type,
-           CAST(length(text) AS BIGINT) AS n_bytes,
-           CAST(64 + length(text) % 1920 AS BIGINT) AS width,
-           CAST(64 + (length(text) * 7) % 1080 AS BIGINT) AS height,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(64 + strlen(text) % 1920 AS BIGINT) AS width,
+           CAST(64 + (strlen(text) * 7) % 1080 AS BIGINT) AS height,
            substr(sha256(text), 1, 16) AS checksum
     FROM documents
     """,
@@ -1955,7 +1955,8 @@ def _title_postprocess(spark, sf_dir):
 def mm_decode(spark, sf_dir):
     # multimodal decode plumbing: binary column → typed metadata via
     # mapInPandas (decode kernel stubbed deterministically — text bytes
-    # stand in for an encoded image; ASCII corpus ⇒ n_bytes == n_chars)
+    # stand in for an encoded image; strlen = BYTE length in the
+    # oracle — length() counted chars and diverged on non-ASCII text)
     docs = _t(spark, sf_dir, "documents")
     return mm.decode_media(mm.documents_as_media(docs))
 
@@ -1965,8 +1966,8 @@ def mm_decode(spark, sf_dir):
     """
     WITH d AS (
       SELECT doc_id AS media_id,
-             CAST(64 + length(text) % 1920 AS BIGINT) AS width,
-             CAST(64 + (length(text) * 7) % 1080 AS BIGINT) AS height
+             CAST(64 + strlen(text) % 1920 AS BIGINT) AS width,
+             CAST(64 + (strlen(text) * 7) % 1080 AS BIGINT) AS height
       FROM documents
     ), s AS (
       SELECT media_id, width, height,
@@ -1994,7 +1995,7 @@ def mm_resize(spark, sf_dir):
     """
     WITH d AS (
       SELECT doc_id AS media_id,
-             CAST(1 + length(text) % 120 AS BIGINT) AS duration_s
+             CAST(1 + strlen(text) % 120 AS BIGINT) AS duration_s
       FROM documents
     )
     SELECT media_id, duration_s,
@@ -2016,7 +2017,7 @@ def mm_frames(spark, sf_dir):
     "mm_features",
     """
     SELECT doc_id AS media_id,
-           [ (CAST(length(text) AS BIGINT) * j * 2654435761) % 1000003
+           [ (CAST(strlen(text) AS BIGINT) * j * 2654435761) % 1000003
              for j in range(1, 9) ] AS features
     FROM documents
     """,
@@ -2221,8 +2222,13 @@ def q_lemma(spark, sf_dir):
     SELECT doc_id AS media_id,
            ['PDF', 'DOCX', 'ODF', 'HTML'][CAST(doc_id % 4 AS INTEGER) + 1]
              AS document_format,
-           text,
-           CAST(1 + length(text) // 2000 AS BIGINT) AS n_pages
+           CASE WHEN doc_id % 20 IN (0, 8) THEN NULL
+                WHEN doc_id % 20 = 5 THEN repeat(text, 5)
+                ELSE text END AS text,
+           CASE WHEN doc_id % 20 IN (0, 8) THEN 0
+                WHEN doc_id % 20 = 5
+                THEN 1 + length(repeat(text, 5)) // 2000
+                ELSE 1 + length(text) // 2000 END AS n_pages
     FROM documents
     """,
 )
@@ -2230,18 +2236,50 @@ def convert_dispatch(spark, sf_dir):
     # E1-E4 — format-dispatching converter over binary payloads via
     # mapInPandas (parsers stubbed deterministically: decode-as-text;
     # the oracle states the fake's contract — real parsers change only
-    # the kernel, not the plan)
+    # the kernel, not the plan). The payload mix exercises the failure
+    # accounting the engine actually implements (anti-vacuity): doc_id
+    # % 20 == 0 → corrupt PDF (no text stream → parse-error row),
+    # % 20 == 8 → /Encrypt PDF whose /U fails empty-password verify
+    # (typed 'encrypted' row), % 20 == 5 → 5× text (multi-page). The
+    # oracle re-states which planted rows must fail; the ENGINE has to
+    # classify them by parsing, so agreement is a real check.
     docs = _t(spark, sf_dir, "documents")
+    return conv.convert_documents(_convert_fixture(docs)).select(
+        "media_id", "document_format", "text", "n_pages"
+    )
+
+
+# planted converter payloads (see convert_dispatch): a structurally
+# valid PDF with no extractable text stream, and a /Encrypt PDF whose
+# /U entry cannot verify against the empty user password
+_BAD_PDF = b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\nstartxref\n0\n%%EOF"
+_ENC_PDF = (
+    b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
+    b"trailer << /Root 1 0 R /Encrypt << /Filter /Standard /V 1 /R 2 "
+    b"/O (0123456789abcdef0123456789abcdef) "
+    b"/U (0123456789abcdef0123456789abcdef) /P -1 >> "
+    b"/ID [(abcdefghijklmnop)(abcdefghijklmnop)] >>\n"
+    b"startxref\n0\n%%EOF"
+)
+
+
+def _convert_fixture(docs):
+    """(media_id, document_format, content) with the planted payload
+    mix shared by convert_dispatch / convert_stats."""
+    did = F.col("doc_id")
     fmts = F.array(F.lit("PDF"), F.lit("DOCX"), F.lit("ODF"), F.lit("HTML"))
-    binaries = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.element_at(fmts, (F.col("doc_id") % 4 + 1).cast("int")).alias(
+    content = (
+        F.when(did % 20 == 0, F.lit(_BAD_PDF))
+        .when(did % 20 == 8, F.lit(_ENC_PDF))
+        .when(did % 20 == 5, F.encode(F.repeat(F.col("text"), 5), "utf-8"))
+        .otherwise(F.encode("text", "utf-8"))
+    )
+    return docs.select(
+        did.alias("media_id"),
+        F.element_at(fmts, (did % 4 + 1).cast("int")).alias(
             "document_format"
         ),
-        F.encode("text", "utf-8").alias("content"),
-    )
-    return conv.convert_documents(binaries).select(
-        "media_id", "document_format", "text", "n_pages"
+        content.alias("content"),
     )
 
 
@@ -2251,28 +2289,29 @@ def convert_dispatch(spark, sf_dir):
     SELECT ['PDF', 'DOCX', 'ODF', 'HTML'][CAST(doc_id % 4 AS INTEGER) + 1]
              AS document_format,
            count(*) AS n_docs,
-           CAST(0 AS BIGINT) AS n_failures,
+           CAST(SUM(CASE WHEN doc_id % 20 IN (0, 8) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_failures,
            CAST(0 AS BIGINT) AS n_lossy,
-           CAST(0 AS BIGINT) AS n_encrypted,
-           CAST(sum(1 + length(text) // 2000) AS BIGINT) AS total_pages
+           CAST(SUM(CASE WHEN doc_id % 20 = 8 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_encrypted,
+           CAST(sum(CASE WHEN doc_id % 20 IN (0, 8) THEN 0
+                         WHEN doc_id % 20 = 5
+                         THEN 1 + length(repeat(text, 5)) // 2000
+                         ELSE 1 + length(text) // 2000 END)
+                AS BIGINT) AS total_pages
     FROM documents GROUP BY 1
     """,
 )
 def convert_stats(spark, sf_dir):
     # per-row failure tolerance accounting (notebook cell 4 try/except →
-    # metric, SURVEY §4)
-    out = convert_dispatch(spark, sf_dir)
-    # re-attach parse_error (selected away above) by recomputing the chain
+    # metric, SURVEY §4) over the same planted payload mix as
+    # convert_dispatch: corrupt + encrypted PDFs land in n_failures /
+    # n_encrypted (the engine must classify them by PARSING; the oracle
+    # only restates the plant rule). n_lossy stays 0 here — the lossy
+    # path needs CID-font PDF bytes, exercised by the golden tests in
+    # tests/test_converters.py (allowlisted in check_oracle_alt).
     docs = _t(spark, sf_dir, "documents")
-    fmts = F.array(F.lit("PDF"), F.lit("DOCX"), F.lit("ODF"), F.lit("HTML"))
-    binaries = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.element_at(fmts, (F.col("doc_id") % 4 + 1).cast("int")).alias(
-            "document_format"
-        ),
-        F.encode("text", "utf-8").alias("content"),
-    )
-    return conv.conversion_stats(conv.convert_documents(binaries))
+    return conv.conversion_stats(conv.convert_documents(_convert_fixture(docs)))
 
 
 _CSV_PATH = os.path.join(
@@ -3747,12 +3786,24 @@ def repetition_stats(spark, sf_dir):
     "pii_redact",
     """
     WITH synth AS (
+      -- counts VARY per row (0/1/2 per PII type): a constant-count
+      -- plant made n_emails/n_phones/n_ips vacuous flags — the
+      -- redaction never had to distinguish present from absent
       SELECT doc_id,
-             text || ' contact u' || CAST(doc_id AS VARCHAR)
-                  || '@mail.example.com call 555-'
-                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                  || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
-                  || '.0.' || CAST(doc_id % 100 AS VARCHAR) AS text
+             text
+             || CASE WHEN doc_id % 3 > 0
+                     THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                          || '@mail.example.com' ELSE '' END
+             || CASE WHEN doc_id % 9 = 1
+                     THEN ' cc admin@mail.example.com' ELSE '' END
+             || CASE WHEN doc_id % 2 = 0
+                     THEN ' call 555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 4 > 0
+                     THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                     ELSE '' END AS text
       FROM documents
     )
     SELECT doc_id,
@@ -3776,19 +3827,41 @@ def pii_redact(spark, sf_dir):
     # match counts; the corpus has no PII so both sides plant the same
     # synthetic contact block, then redact it. Patterns stay in the
     # RE2 ∩ java.util.regex subset so the oracle runs them verbatim.
+    # Per-type counts vary {0,1,2} by doc_id (anti-vacuity: a constant
+    # plant never tests present-vs-absent).
     docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
     synth = docs.select(
         "doc_id",
         F.concat(
             F.col("text"),
-            F.lit(" contact u"),
-            F.col("doc_id").cast("string"),
-            F.lit("@mail.example.com call 555-"),
-            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-            F.lit(" ip 10."),
-            (F.col("doc_id") % 256).cast("string"),
-            F.lit(".0."),
-            (F.col("doc_id") % 100).cast("string"),
+            F.when(
+                did % 3 > 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    did.cast("string"),
+                    F.lit("@mail.example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 9 == 1, F.lit(" cc admin@mail.example.com")
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 2 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 4 > 0,
+                F.concat(
+                    F.lit(" ip 10."),
+                    (did % 256).cast("string"),
+                    F.lit(".0."),
+                    (did % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
         ).alias("text"),
     )
     return corpus_ops.pii_redact(synth, "doc_id", "text")
@@ -4556,15 +4629,29 @@ _TRI_EDGES_CTE = """
 """
 
 
+_LPA_EDGES_CTE = """
+      SELECT DISTINCT least(_u, _v) AS a, greatest(_u, _v) AS b FROM (
+        SELECT user_id AS _u,
+               lead(user_id) OVER (PARTITION BY event_type
+                                   ORDER BY event_id) AS _v
+        FROM events WHERE ts < TIMESTAMP '2024-01-02')
+      WHERE _v IS NOT NULL AND _u <> _v
+"""
+
+
 @declared(
-    "q_communities", graph_ops.label_propagation_oracle_sql(_TRI_EDGES_CTE, 3)
+    "q_communities", graph_ops.label_propagation_oracle_sql(_LPA_EDGES_CTE, 3)
 )
 def q_communities(spark, sf_dir):
     # Deterministic synchronous label propagation (min-tie-break mode
-    # label, 3 unrolled rounds) over the same sequential co-activity
-    # graph as q_triangles; per round one labels-edges equi-join + two
-    # map-side-combined aggregates, no window funnel.
-    events = _t(spark, sf_dir, "events")
+    # label, 3 unrolled rounds) over the day-one slice of the
+    # sequential co-activity graph. The full-month graph is so dense
+    # (every user recurs across every stream) that LPA flooded to ONE
+    # community — label was constant 0 on every dataset (vacuous,
+    # caught by the perturbed sweep); the single-day graph has real
+    # path structure (~17 labels over ~134 nodes). Per round one
+    # labels-edges equi-join + two map-side-combined aggregates.
+    events = _t(spark, sf_dir, "events").where(F.col("ts") < "2024-01-02")
     edges = graph_ops.sequential_edges(
         events, "event_type", ["event_id"], "user_id"
     )
@@ -5868,8 +5955,12 @@ def _stream_dedup_ttl_e2e(spark, sf_dir):
     batches = [
         [msg(i, "10:00:00") for i in range(20)],
         [msg(i, "10:01:00") for i in range(10)],  # within-horizon redeliveries
-        [msg(100, "11:00:00")],  # advances max; end-of-batch wm 10:55
-        [msg(101, "11:01:00")],  # eviction threshold 10:55 > 10:10
+        # one watermark-advancing batch (was two): end-of-batch wm
+        # becomes 10:56 > the 10:10 deadlines, so idle keys 5-19 time
+        # out during the NEXT batch and ids 0-4 arriving there hit an
+        # expired-deadline state — same 27-row lifecycle, one fewer
+        # micro-batch (bench cost, VERDICT r9 ask #7)
+        [msg(100, "11:00:00"), msg(101, "11:01:00")],
         [msg(i, "11:02:00") for i in range(5)],  # post-eviction re-admits
     ]
     for i, rows in enumerate(batches):
@@ -7705,7 +7796,9 @@ _LOGREG_ALL_CTE = f"""all_f AS (
              n_chars / 1000.0 AS f1,
              (length(text) - length(replace(text, ' ', '')))
                / greatest(length(text), 1) AS f2,
-             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             CASE WHEN (n_chars > 300)
+                       <> (({corpus_ops.DUCK_MD5_HEXFOLD} % 1000) < 150)
+                  THEN 1 ELSE 0 END AS y,
              {corpus_ops.DUCK_MD5_HEXFOLD} % 5 AS fold
       FROM (SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS h
             FROM documents)
@@ -7715,7 +7808,7 @@ _LOGREG_ALL_CTE = f"""all_f AS (
 @declared(
     "logreg_cv",
     learn_ops.logreg_cv_oracle_sql(
-        _LOGREG_ALL_CTE, _LOGREG_FEATURES, "y", folds=5, iters=3, lr=1.0
+        _LOGREG_ALL_CTE, _LOGREG_FEATURES, "y", folds=5, iters=3, lr=6.0
     ),
 )
 def _logreg_cv(spark, sf_dir):
@@ -7724,7 +7817,15 @@ def _logreg_cv(spark, sf_dir):
     # partition-invariant), fit on 4/5, confusion reported OUT-OF-
     # SAMPLE on the held-out fold. The oracle unrolls one full GD CTE
     # chain per fold and UNION ALLs the five reports.
+    # Target = noisy length rule (n_chars > 300, 15% deterministic
+    # hash label flips) — the distill-a-quality-label task: learnable
+    # from f1 but imperfect, so the OOS confusion populates all four
+    # cells. The original lang=='en' target was UNLEARNABLE from these
+    # features (synthetic lang labels are text-independent) and the
+    # model degenerated to always-negative — tp/fp were constant 0 on
+    # every dataset (vacuous flags, caught by the perturbed sweep).
     docs = _t(spark, sf_dir, "documents")
+    h = corpus_ops.md5_int60(F.col("doc_id").cast("string"))
     feats = docs.select(
         F.lit(1.0).alias("f0"),
         (F.col("n_chars") / F.lit(1000.0)).alias("f1"),
@@ -7735,13 +7836,11 @@ def _logreg_cv(spark, sf_dir):
             )
             / F.greatest(F.length("text"), F.lit(1))
         ).alias("f2"),
-        (F.col("lang") == "en").cast("int").alias("y"),
-        (
-            corpus_ops.md5_int60(F.col("doc_id").cast("string")) % 5
-        ).alias("fold"),
+        ((F.col("n_chars") > 300) != (h % 1000 < 150)).cast("int").alias("y"),
+        (h % 5).alias("fold"),
     ).persist()
     return learn_ops.logreg_cv(
-        feats, _LOGREG_FEATURES, "y", folds=5, iters=3, lr=1.0
+        feats, _LOGREG_FEATURES, "y", folds=5, iters=3, lr=6.0
     )
 
 

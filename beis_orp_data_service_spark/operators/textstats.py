@@ -163,9 +163,14 @@ def fingerprint_np_table(df, id_col: str, text_col: str):
 
         out = []
         for t in texts:
-            b = np.frombuffer((t or "").encode("utf-8", "ignore"), dtype=np.uint8)
-            # non-ASCII bytes: Spark's ascii() returns the codepoint of
-            # the first char; corpus is ASCII — mirror byte-wise here
+            # per-CHARACTER codepoints (utf-32-le = one uint32 per
+            # char), matching Spark's ascii(substr(c,i,1)) and DuckDB's
+            # ascii(text[i:i]) exactly — a utf-8 byte view diverged on
+            # non-ASCII chars ('£' hashed as two bytes 194,163 instead
+            # of codepoint 163; caught by the perturbed-oracle sweep)
+            b = np.frombuffer(
+                (t or "").encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
             n = len(b)
             if n == 0:
                 out.append(0)

@@ -353,6 +353,14 @@ def stream_dedup_first_seen(
     the batch whose EVICTION watermark (one batch behind the newest
     data) passes the timeout, and the late-row ADMISSION filter lags
     one further batch behind that.
+
+    Expiry is defined by the EVENT-TIME horizon, not timer scheduling:
+    the data path re-admits a redelivery whose stored deadline already
+    trails the current eviction watermark even when the key's timeout
+    has not fired yet (data arriving in the very batch the watermark
+    crosses the deadline resets the timer, so the timeout path alone
+    would swallow it forever — admission would then depend on how the
+    source happened to pack batches).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -377,7 +385,9 @@ def stream_dedup_first_seen(
             # the id (Spark removes the cell; emit nothing)
             state.remove()
             return
-        if state.exists:
+        if state.exists and (
+            ttl is None or state.get[1] > state.getCurrentWatermarkMs()
+        ):
             for _ in pdfs:  # drain redeliveries
                 pass
             if ttl is not None:
@@ -387,6 +397,9 @@ def stream_dedup_first_seen(
                 # disarm it
                 _arm(state, state.get[1])
             return
+        # fresh key, OR a cell whose deadline <= the eviction watermark
+        # (logically evicted even though the timeout hasn't fired —
+        # receiving data this batch reset its timer): (re-)admission
         first = None
         for pdf in pdfs:
             if first is None and len(pdf):
@@ -406,6 +419,11 @@ def stream_dedup_first_seen(
             else:
                 state.update((True, 0))
             yield first[cols]
+        elif state.exists and ttl is not None:
+            # expired cell, nothing admitted (all chunks empty): the
+            # timer was cleared by this invocation — re-arm (the
+            # watermark+1 clamp fires it next batch) or it lives forever
+            _arm(state, state.get[1])
 
     if ttl is not None:
         if watermark is None:

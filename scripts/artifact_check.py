@@ -8,6 +8,8 @@ before the end-of-round snapshot commit; it exits non-zero unless
 
 - ``CORRECTNESS_LOCAL.json``'s ``n_queries`` equals ``len(queries())``
   at HEAD and its ``n_fail`` is 0,
+- ``CORRECTNESS_ALT.json`` (the perturbed-dataset differential sweep,
+  round-9 verdict ask #1) covers the same count with ``n_fail`` 0,
 - ``BENCH_LOCAL.json``'s per-query map covers the same count,
 - ``PYTEST_LOCAL.txt``'s recorded pass+skip total equals the number of
   tests pytest collects from the current tree (and records 0 failed).
@@ -45,6 +47,16 @@ def main() -> int:
     if cj.get("n_fail", 1) != 0:
         errs.append(f"CORRECTNESS_LOCAL.json records n_fail={cj.get('n_fail')}")
 
+    aj = json.load(open("/root/repo/CORRECTNESS_ALT.json"))
+    if aj.get("n_queries") != n_reg:
+        errs.append(
+            f"CORRECTNESS_ALT.json records {aj.get('n_queries')} queries "
+            f"but HEAD declares {n_reg} — refresh it (python "
+            "scripts/check_oracle_alt.py /root/testdata/sf0.01)"
+        )
+    if aj.get("n_fail", 1) != 0:
+        errs.append(f"CORRECTNESS_ALT.json records n_fail={aj.get('n_fail')}")
+
     bj = json.load(open("/root/repo/BENCH_LOCAL.json"))
     n_bench = len(bj.get("queries", {}))
     if n_bench != n_reg:
@@ -81,7 +93,7 @@ def main() -> int:
             print(f"STALE: {e}")
         return 1
     print(
-        f"ARTIFACTS CURRENT: {n_reg} queries (correctness+bench), "
+        f"ARTIFACTS CURRENT: {n_reg} queries (correctness+alt+bench), "
         f"pytest record matches {m.group(0)}"
     )
     return 0

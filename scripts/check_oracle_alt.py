@@ -71,7 +71,12 @@ PLANT_STRIDE = 10**12
 
 # flag columns that are LEGITIMATELY constant on both datasets, with the
 # reason inline — extend only with a comment
-FLAG_ALLOWLIST: dict[tuple[str, str], str] = {}
+FLAG_ALLOWLIST: dict[tuple[str, str], str] = {
+    # the lossy path needs CID-font (Identity-H, no /ToUnicode) PDF
+    # bytes that can't be synthesized in the SQL-mirrored fixture;
+    # exercised by the golden tests in tests/test_converters.py
+    ("convert_stats", "n_lossy"): "CID-font goldens in tests/test_converters.py",
+}
 
 
 def _translate_half(col, key_col):
@@ -140,6 +145,23 @@ def build_alt(spark, src: str, dst: str) -> None:
             ):
                 plants.append(
                     (4 * PLANT_STRIDE + i, tiny, "en", "alt_tiny", len(tiny))
+                )
+            # entity-rich docs: URLs / ISO dates / money / numbers /
+            # multi-sentence — the extract_entities + readability
+            # regexes never fire on the synthetic corpus (vacuity
+            # catch); these exercise the regex parity cross-engine
+            for i, rich in enumerate(
+                [
+                    "See https://example.org/a and https://data.example.org/"
+                    "p%2Fq published 2024-05-01. Costs $12.50! Is 42 enough? "
+                    "Budget was £3 then €7.25 on 2023-12-31.",
+                    "Visit http://a-b.example.net now. Three sentences here. "
+                    "Really... 1.5 million was 2024-01-15 revised.",
+                    "No entities here just words and more words",
+                ]
+            ):
+                plants.append(
+                    (5 * PLANT_STRIDE + i, rich, "en", "alt_rich", len(rich))
                 )
             out = main.unionByName(
                 spark.createDataFrame(

@@ -69,6 +69,19 @@ MUST_INCLUDE = [
     "dup_spans",
     "recency_scores",
     "group_split",
+    # late-round-8 additions the r8 probe missed (VERDICT r8 "what's
+    # wrong" #1 — the probe must cover every query the round shipped)
+    "mmr_rerank",
+    "token_pmi",
+    "char_entropy",
+    "rfm_scores",
+    "oov_rate",
+    "kanon_release",
+    "logreg_cv",
+    "word_dropout",
+    "doremi_weights",
+    "dup_rate_by_source",
+    "nb_confusion",
 ]
 ALPHA = "aeiounrst"  # ~50% of English letter mass — permuting it drops
 #                      char-5-shingle Jaccard vs the original below any

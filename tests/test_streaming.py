@@ -1180,6 +1180,74 @@ class TestWatermarkLateData:
         assert counts[50] == 1
         assert counts[51] == 1
 
+    def test_stream_dedup_same_batch_expiry_readmits(self, spark, tmp_path):
+        """Expiry is the EVENT-TIME horizon, not timer scheduling
+        (VERDICT r9 ask #7 follow-on): a redelivery arriving in the
+        very batch whose eviction watermark crosses the id's deadline
+        must be re-admitted — receiving data resets the timer, so the
+        timeout path alone would swallow it forever and admission
+        would depend on how the source packed batches."""
+        import json as _json
+
+        d = tmp_path / "sbx_in"
+        d.mkdir()
+        batches = [
+            # b0: id 1 first seen at 10:00; ttl 600s -> deadline 10:10
+            [(1, "10:00:00")],
+            # b1: advance max to 11:00 -> end-of-b1 watermark 10:55
+            [(50, "11:00:00")],
+            # b2 runs WITH watermark 10:55 > 10:10: id 1's timeout
+            # would fire this batch — but id 1 also has data here,
+            # which resets the timer. The data path must detect the
+            # expired deadline and re-admit.
+            [(1, "11:01:00")],
+        ]
+        for i, rows in enumerate(batches):
+            with open(d / f"b{i}.json", "w") as f:
+                for eid, ts in rows:
+                    f.write(
+                        _json.dumps(
+                            {
+                                "event_id": eid,
+                                "ts": f"2024-01-01T{ts}",
+                                "user_id": 1,
+                                "event_type": "x",
+                                "value": 1.0,
+                                "props": "p",
+                            }
+                        )
+                        + "\n"
+                    )
+            os.utime(d / f"b{i}.json", (1_700_000_000 + 60 * i,) * 2)
+        src = (
+            spark.readStream.schema(st.EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+        out = str(tmp_path / "sbx_out")
+        q = (
+            st.stream_dedup_first_seen(
+                src, watermark="5 minutes", ttl_seconds=600
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "sbx_chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        import collections
+
+        counts = collections.Counter(
+            r.event_id for r in spark.read.parquet(out).collect()
+        )
+        assert counts[1] == 2  # admitted at 10:00 AND re-admitted at 11:01
+        assert counts[50] == 1
+
     def test_stream_dedup_redelivery_does_not_disarm_eviction(
         self, spark, tmp_path
     ):
