@@ -116,6 +116,66 @@ def linkage_pairs(
     )
 
 
+def linkage_pairs_salted(
+    df: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    fields: list[tuple[str, str, float]],
+    threshold: float,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Skew-safe remediation for a DEGENERATE block (the incident
+    ``max_block`` raises on): the exact same pair set as
+    :func:`linkage_pairs`, with every block's quadratic comparison
+    work split across ``n_salt``² shuffle cells instead of one reducer.
+
+    Each row gets a deterministic salt ``xxhash64(id) % n_salt``; a
+    pair (x, y) lives in exactly ONE cell keyed
+    ``(block, salt(x), salt(y))``, so both sides replicate ``n_salt``×
+    (an explode — the A side enumerates the partner's salt, the B side
+    its own row's partner slots) and the hot block's n² comparisons
+    become n_salt² tasks of (n/n_salt)² — the replicated-salt self-join.
+    Cost: 2·n_salt× shuffle volume, so at 100 TB route ONLY the blocks
+    the max_block scan flags through this variant and the remainder
+    through the plain join (the probe in scripts/skew_probe.py measures
+    both; pair-set equality is pinned by tests/test_linkage.py).
+    """
+    cols = [id_col, *block_cols, *[f[0] for f in fields]]
+    base = df.select(*dict.fromkeys(cols)).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
+    )
+    slots = F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    a = base.select(
+        *[F.col(c).alias(f"a_{c}") for c in base.columns],
+        slots.alias("_sb"),
+    ).withColumnRenamed("a__salt", "_sa")
+    b = base.select(
+        *[F.col(c).alias(f"b_{c}") for c in base.columns],
+        slots.alias("_sa2"),
+    ).withColumnRenamed("b__salt", "_sb2")
+    cond = (
+        (F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
+        & (F.col("_sa") == F.col("_sa2"))
+        & (F.col("_sb") == F.col("_sb2"))
+    )
+    for bc in block_cols:
+        cond = cond & (F.col(f"a_{bc}") == F.col(f"b_{bc}"))
+    score = F.lit(0.0)
+    for col, kind, w in fields:
+        score = score + F.lit(float(w)) * _field_sim(
+            kind, F.col(f"a_{col}"), F.col(f"b_{col}")
+        )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a_{id_col}").cast("bigint").alias("a_id"),
+            F.col(f"b_{id_col}").cast("bigint").alias("b_id"),
+            F.round(score * SCALE).cast("bigint").alias("score_q"),
+        )
+        .filter(F.col("score_q") >= int(round(threshold * SCALE)))
+    )
+
+
 def _sim_sql(kind: str, a: str, b: str) -> str:
     if kind == "exact":
         return f"(CASE WHEN {a} = {b} THEN 1.0 ELSE 0.0 END)"

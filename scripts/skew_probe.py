@@ -212,6 +212,95 @@ def main() -> int:
     salted_counts = {r.band_key: r.n for r in salted.collect()}
     out["agg_equal"] = naive_counts == salted_counts
 
+    # ---- ER family under a planted hot block (VERDICT r9 ask #6) ----
+    # A 10× part catalogue where 10% of rows collapse into ONE
+    # (brand, type, name-prefix) block — the degenerate-key incident
+    # the linkage guard exists for. The proof chain: (1) max_block
+    # RAISES on the planted data; (2) linkage_pairs_salted runs the
+    # same data and its pair set EQUALS the plain unguarded join's
+    # (exceptAll both ways, distributed — no driver pull), including
+    # restricted to the non-degenerate remainder; (3) per-task shuffle
+    # metrics show the plain join's single hot reducer vs the salted
+    # join's bounded cells.
+    from beis_orp_data_service_spark.catalog import load_table
+    from beis_orp_data_service_spark.operators import linkage as lk
+
+    er_fields = [
+        ("p_name", "edit", 0.5),
+        ("p_type", "exact", 0.3),
+        ("p_size", "numeric", 0.2),
+    ]
+    er_blocks = ["p_brand", "p_type", "name_pfx"]
+    part = load_table(spark, sf_dir, "part")
+    reps10 = spark.range(10).select(F.col("id").alias("_rep"))
+    nid = (F.col("p_partkey") * 10 + F.col("_rep"))
+    # 20% of rows -> one block (400 rows even at sf0.001's 200-part
+    # table: comfortably past the max_block=200 guard)
+    is_hot = nid % 10 < 2
+    planted = (
+        part.crossJoin(reps10)
+        .select(
+            nid.alias("p_partkey"),
+            F.when(is_hot, F.lit("HOTBRAND"))
+            .otherwise(F.col("p_brand"))
+            .alias("p_brand"),
+            F.when(is_hot, F.lit("HOTTYPE"))
+            .otherwise(F.col("p_type"))
+            .alias("p_type"),
+            F.when(
+                is_hot,
+                F.concat(F.lit("hotprefix widget mk"), (nid % 4).cast("string")),
+            )
+            .otherwise(F.col("p_name"))
+            .alias("p_name"),
+            "p_size",
+        )
+        .withColumn("name_pfx", F.substring("p_name", 1, 8))
+        .localCheckpoint()
+    )
+    try:
+        lk.linkage_pairs(
+            planted, "p_partkey", er_blocks, er_fields, 0.8, max_block=200
+        ).count()
+        out["er_guard_raised"] = False
+    except ValueError as e:
+        out["er_guard_raised"] = True
+        out["er_guard_msg"] = str(e)[:120]
+        print(f"er guard: {e}", file=sys.stderr)
+
+    plain = lk.linkage_pairs(
+        planted, "p_partkey", er_blocks, er_fields, 0.8
+    ).localCheckpoint()
+    salted = lk.linkage_pairs_salted(
+        planted, "p_partkey", er_blocks, er_fields, 0.8, n_salt=8
+    ).localCheckpoint()
+    out["er_pairs_plain"] = plain.count()
+    out["er_pair_sets_equal"] = (
+        plain.exceptAll(salted).count() == 0
+        and salted.exceptAll(plain).count() == 0
+    )
+    hot_ids = planted.where(F.col("p_brand") == "HOTBRAND").select(
+        F.col("p_partkey").alias("a_id")
+    )
+    rem_plain = plain.join(F.broadcast(hot_ids), "a_id", "left_anti")
+    rem_salted = salted.join(F.broadcast(hot_ids), "a_id", "left_anti")
+    out["er_remainder_equal"] = (
+        rem_plain.exceptAll(rem_salted).count() == 0
+        and rem_salted.exceptAll(rem_plain).count() == 0
+    )
+    run_case(
+        "er_join_plain",
+        lambda: lk.linkage_pairs(
+            planted, "p_partkey", er_blocks, er_fields, 0.8
+        ).count(),
+    )
+    run_case(
+        "er_join_salted",
+        lambda: lk.linkage_pairs_salted(
+            planted, "p_partkey", er_blocks, er_fields, 0.8, n_salt=8
+        ).count(),
+    )
+
     print(json.dumps(out))
     if sf_dir.rstrip("/").endswith("sf0.01") and inflate == 40:
         with open(os.path.join(REPO, "SKEW_PROBE.json"), "w") as f:

@@ -99,3 +99,64 @@ def test_entity_clusters_transitive(spark):
     by_id = {r.id: r.cluster_id for r in labels.collect()}
     assert by_id[1] == by_id[2] == by_id[3] == 1
     assert by_id[9] == 9
+
+
+class TestSaltedRemediation:
+    """VERDICT r9 ask #6: the skew remediation for a degenerate block
+    must produce EXACTLY the pair set of the plain blocked join."""
+
+    def test_salted_equals_plain_pair_set(self, spark):
+        # 60 rows across 3 blocks incl. one HOT block (40 rows of one
+        # brand with near-identical names): enough within-block pairs
+        # that a salting mistake (lost cell, double-counted cell) shows
+        rows = []
+        for i in range(40):  # hot block: one brand, 1-char name drift
+            rows.append((i, "HOT", "tool", f"widget mk{i % 4}", "tool", 10))
+        for i in range(40, 50):
+            rows.append((i, "B", "tool", f"gear v{i}", "tool", i))
+        for i in range(50, 60):
+            rows.append((i, "C", "gadget", "thing", "gadget", 5))
+        df = spark.createDataFrame(
+            rows,
+            "id bigint, brand string, cat string, name string, kind string, size int",
+        ).repartition(7)
+        plain = {
+            (r.a_id, r.b_id, r.score_q)
+            for r in lk.linkage_pairs(df, "id", ["brand"], FIELDS, 0.5).collect()
+        }
+        for n_salt in (1, 3, 8):
+            salted = {
+                (r.a_id, r.b_id, r.score_q)
+                for r in lk.linkage_pairs_salted(
+                    df, "id", ["brand"], FIELDS, 0.5, n_salt=n_salt
+                ).collect()
+            }
+            assert salted == plain, f"n_salt={n_salt}"
+        assert len(plain) > 100  # the hot block actually generated work
+
+    def test_guard_raises_then_salted_handles(self, spark):
+        """The incident flow: max_block raises on the hot block; the
+        salted variant runs the same data without the guard tripping a
+        single-reducer cell (pair set identical to plain-unguarded)."""
+        rows = [(i, "HOT", "t", "same name", "t", 1) for i in range(30)]
+        rows += [(100 + i, "OK", "t", f"n{i}", "t", i) for i in range(5)]
+        df = spark.createDataFrame(
+            rows,
+            "id bigint, brand string, cat string, name string, kind string, size int",
+        )
+        with pytest.raises(ValueError, match="max_block"):
+            lk.linkage_pairs(df, "id", ["brand"], FIELDS, 0.5, max_block=10)
+        plain = {
+            tuple(r)
+            for r in lk.linkage_pairs(df, "id", ["brand"], FIELDS, 0.5).collect()
+        }
+        salted = {
+            tuple(r)
+            for r in lk.linkage_pairs_salted(
+                df, "id", ["brand"], FIELDS, 0.5, n_salt=4
+            ).collect()
+        }
+        assert salted == plain
+        assert len(plain) == 30 * 29 // 2 + len(
+            {t for t in plain if t[0] >= 100}
+        )

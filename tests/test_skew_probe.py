@@ -77,3 +77,15 @@ def test_partial_agg_already_bounds_decomposable_aggs(probe_result):
 
 def test_salted_aggregate_result_identical(probe_result):
     assert probe_result["agg_equal"] is True
+
+
+def test_er_guard_raises_and_salted_matches(probe_result):
+    """VERDICT r9 ask #6: on the planted hot (brand, type, prefix)
+    block, max_block raises; the salted self-join yields the exact
+    pair set of the plain join, overall and on the non-degenerate
+    remainder."""
+    assert probe_result["er_guard_raised"] is True
+    assert "max_block" in probe_result["er_guard_msg"]
+    assert probe_result["er_pair_sets_equal"] is True
+    assert probe_result["er_remainder_equal"] is True
+    assert probe_result["er_pairs_plain"] > 0
