@@ -5022,6 +5022,23 @@ def lm_perplexity(spark, sf_dir):
     return lm_ops.lm_score(docs, train, "doc_id", "text")
 
 
+@declared(
+    "ccnet_buckets",
+    lm_ops.ccnet_buckets_oracle_sql(
+        "documents", "doc_id", "text", "lang", "doc_id % 2 = 0"
+    ),
+)
+def _ccnet_buckets(spark, sf_dir):
+    # CCNet per-language perplexity terciles (Wenzek et al. 2019): LM
+    # scores feed a per-lang equal-depth head/middle/tail split — the
+    # corpus-quality partitioner before sampling a training mix.
+    # Deterministic (score DESC, doc_id) order makes the ASSIGNMENT
+    # hash-grade; the window is partitioned by language (bounded).
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    return lm_ops.ccnet_buckets(docs, train, "doc_id", "text", "lang")
+
+
 # ---------------------------------------------------------------------------
 # Weighted priority sampling (engine extension, next to stratified/
 # mixture sampling) — operators/corpus.py
@@ -7447,6 +7464,32 @@ def er_pairs(spark, sf_dir):
 
 
 @declared(
+    "er_pairs_salted",
+    "WITH "
+    + lk_ops.linkage_pairs_cte_sql(
+        _ER_ORACLE_TABLE, "p_partkey", _ER_BLOCKS, _ER_FIELDS, 0.8
+    )
+    + " SELECT a_id, b_id, score_q FROM er_pairs",
+)
+def er_pairs_salted(spark, sf_dir):
+    # The degenerate-block REMEDIATION under the SAME oracle as
+    # er_pairs (VERDICT r9 ask #6): every block's quadratic work split
+    # across n_salt² shuffle cells (pair (x,y) in exactly one
+    # (block, salt(x), salt(y)) cell) — the driver's hash gate proves
+    # the salted self-join is pair-for-pair identical to the plain
+    # blocked join. Skew metrics: scripts/skew_probe.py ER section
+    # (plain reducer ratio ~8.5 on a planted hot block vs ~1.2 salted).
+    return lk_ops.linkage_pairs_salted(
+        _er_base(spark, sf_dir),
+        "p_partkey",
+        _ER_BLOCKS,
+        _ER_FIELDS,
+        0.8,
+        n_salt=4,
+    )
+
+
+@declared(
     "er_clusters",
     "WITH RECURSIVE "
     + lk_ops.linkage_pairs_cte_sql(
@@ -7639,6 +7682,55 @@ def _rfm_scores(spark, sf_dir):
     # best on every axis. The ntile windows run over the USER table
     # (one row per user; bounded-cardinality caveat in the docstring).
     return bh_ops.rfm_scores(_t(spark, sf_dir, "events"))
+
+
+@declared("rfm_two_pass", bh_ops.rfm_scores_oracle_sql("events"))
+def _rfm_two_pass(spark, sf_dir):
+    # The SCALE spelling of rfm_scores under the SAME oracle (VERDICT
+    # r8 #2): billions of users make "one row per user" a single
+    # window task, so each axis routes through ranks.distributed_ntile
+    # (range-partition → P-row offset pull → per-partition row_number
+    # → exact NTILE bucket math) — bit-identical output, no
+    # unpartitioned window anywhere in the plan.
+    return bh_ops.rfm_scores(
+        _t(spark, sf_dir, "events"), method="two_pass", n_parts=8
+    )
+
+
+@declared(
+    "ks_two_pass",
+    an_ops.ks_statistic_oracle_sql(
+        "events", "event_type", "round(value * 100)", "event_id",
+        "click", "view",
+    ),
+)
+def _ks_two_pass(spark, sf_dir):
+    # ks_drift's scale spelling under the SAME oracle: the ECDF
+    # running sums go through ranks.prefix_sums (range-partition +
+    # offset broadcast + per-partition cumulative) instead of one
+    # unpartitioned ordered window over the distinct-value grid.
+    return an_ops.ks_statistic(
+        _t(spark, sf_dir, "events"), "event_type",
+        F.round(F.col("value") * 100), "event_id", "click", "view",
+        method="two_pass",
+    )
+
+
+@declared(
+    "mw_two_pass",
+    an_ops.mannwhitney_u_oracle_sql(
+        "events", "event_type", "round(value * 100)", "event_id",
+        "click", "view",
+    ),
+)
+def _mw_two_pass(spark, sf_dir):
+    # mannwhitney_ab's scale spelling under the SAME oracle: doubled
+    # tie-group ranks from prefix_sums' exact global running sums.
+    return an_ops.mannwhitney_u(
+        _t(spark, sf_dir, "events"), "event_type",
+        F.round(F.col("value") * 100), "event_id", "click", "view",
+        method="two_pass",
+    )
 
 
 @declared("oov_rate", ts_ops.oov_rate_oracle_sql("documents"))

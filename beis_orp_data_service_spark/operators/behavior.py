@@ -453,16 +453,23 @@ def rfm_scores(
         "m_score": [F.col("m_cents").asc(), F.col(user_col)],
     }
     if method == "two_pass":
+        from beis_orp_data_service_spark.checkpointing import stage_checkpoint
         from beis_orp_data_service_spark.operators.ranks import (
             distributed_ntile,
         )
 
-        scored = per_user
+        # each axis ranks the SAME per-user table independently (not
+        # chained — chaining re-executes every earlier axis's join +
+        # window inside the next axis's offset pull); checkpoint the
+        # 4-consumer base once, lazily
+        base = stage_checkpoint(per_user, eager=False, label="rfm:per_user")
+        scored = base
         for out_col, sort_cols in orders.items():
-            scored = distributed_ntile(
-                scored, sort_cols, n_tiles, out_col,
+            axis = distributed_ntile(
+                base, sort_cols, n_tiles, out_col,
                 n_parts=n_parts, label=f"rfm:{out_col}",
-            )
+            ).select(user_col, out_col)
+            scored = scored.join(axis, user_col)
         scored = scored.select(
             user_col, "r_days", "f_n", "m_cents",
             "r_score", "f_score", "m_score",

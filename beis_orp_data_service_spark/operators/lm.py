@@ -173,3 +173,81 @@ def lm_score_oracle_sql(
              AS avg_logp_micro
     FROM scored GROUP BY {id_col}
     """
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    train: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2019, arXiv:1911.00359 §4.3): score every document under a
+    reference LM (:func:`lm_score`), then split EACH LANGUAGE into
+    equal-depth terciles by score — ``head`` (closest to the reference
+    distribution), ``middle``, ``tail``; CCNet trains on head+middle
+    and drops or reviews the tail. The standard corpus-quality
+    partitioner run before sampling a training mix.
+
+    Deterministic total order (avg_logp DESC, id) so the bucket
+    ASSIGNMENT is hash-grade, not just the bucket sizes. The ntile
+    window is PARTITIONED by language — per-task state is one
+    language's docs, which is the same bounded-cardinality shape at
+    any corpus size as the CCNet paper's per-language histograms; for
+    a single language dominating a 100 TB corpus, swap the window for
+    operators.ranks.distributed_ntile per language (same bucket math,
+    equality-tested there). Docs with no bigram (fewer than 2 tokens)
+    have no perplexity and are excluded, matching :func:`lm_score`.
+
+    Returns (id, lang, avg_logp_micro, bucket, bucket_label) with
+    bucket 1..3 and label head/middle/tail.
+    """
+    from pyspark.sql import Window
+
+    scored = lm_score(docs, train, id_col, text_col)
+    labeled = scored.join(docs.select(id_col, lang_col), id_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("avg_logp_micro").desc(), F.col(id_col)
+    )
+    bucket = F.ntile(3).over(w).cast("bigint")
+    return labeled.select(
+        id_col,
+        lang_col,
+        "avg_logp_micro",
+        bucket.alias("bucket"),
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            bucket.cast("int"),
+        ).alias("bucket_label"),
+    )
+
+
+def ccnet_buckets_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    train_pred: str = "doc_id % 2 = 0",
+) -> str:
+    """DuckDB twin of :func:`ccnet_buckets` — wraps
+    :func:`lm_score_oracle_sql` and applies the same per-language
+    tercile with the same total order."""
+    lm_sql = lm_score_oracle_sql(table, id_col, text_col, train_pred)
+    return f"""
+    WITH lm_out AS ({lm_sql}),
+    j AS (
+      SELECT l.{id_col}, d.{lang_col}, l.avg_logp_micro
+      FROM lm_out l JOIN {table} d USING ({id_col})
+    ), b AS (
+      SELECT {id_col}, {lang_col}, avg_logp_micro,
+             CAST(ntile(3) OVER (PARTITION BY {lang_col}
+                                 ORDER BY avg_logp_micro DESC, {id_col})
+                  AS BIGINT) AS bucket
+      FROM j
+    )
+    SELECT {id_col}, {lang_col}, avg_logp_micro, bucket,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket_label
+    FROM b
+    """

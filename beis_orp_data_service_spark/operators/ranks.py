@@ -62,10 +62,15 @@ def exact_global_ranks(
     shuffle for the per-partition window. Max window partition is
     ~N/``n_parts`` rows — size ``n_parts`` so that fits one executor.
     """
+    # lazy checkpoint: the counts .collect() below is the first action
+    # and materializes it — one job instead of two per call (the
+    # boundary still pins the range-partitioner's sampled split points
+    # so the ranking pass sees the SAME partition ids)
     part = stage_checkpoint(
         df.repartitionByRange(n_parts, *sort_cols).withColumn(
             "_rnk_pid", F.spark_partition_id()
         ),
+        eager=False,
         label=f"{label}:range_parts",
     )
     # P-row pull: cumulative offset per range partition
@@ -138,6 +143,7 @@ def prefix_sums(
         df.repartitionByRange(n_parts, *sort_cols).withColumn(
             "_rnk_pid", F.spark_partition_id()
         ),
+        eager=False,  # the totals .collect() materializes it (one job)
         label=f"{label}:range_parts",
     )
     totals = sorted(
