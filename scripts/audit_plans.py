@@ -116,7 +116,10 @@ ALLOW_BNLJ = {
     "heavy_hitters", # 1-row total-token-count aggregate crossJoined (broadcast)
     "temperature_mixture",  # 1-row sum-of-weights aggregate crossJoined (broadcast)
     "ks_drift",      # 1-row (n_a, n_b) totals aggregate crossJoined (broadcast)
+    "ks_two_pass",   # same 1-row totals crossJoin (the two_pass spelling)
     "mannwhitney_ab",  # 1-row totals + 1-row rank-sum aggregates crossJoined
+    "mw_two_pass",   # same 1-row totals crossJoins (the two_pass spelling)
+    "ccnet_buckets",  # lm_perplexity's 1-row vocab-size crossJoin, inherited
     "cuped_ab",      # 1-row global-moments aggregate crossJoined (broadcast)
     "srm_check",     # 1-row total-units aggregate crossJoined (broadcast)
     "tfidf_vectors", # 1-row n_docs aggregate crossJoined (broadcast)
