@@ -99,3 +99,50 @@ def test_probabilities_normalize(spark):
         seen_mass = sum(c + 1 for c in counts)
         unseen_mass = v - len(counts)  # each unseen w2 gets 1/(c1+V)
         assert seen_mass + unseen_mass == rows_c1[w1] + v
+
+
+class TestCcnetBuckets:
+    def test_per_lang_terciles_and_labels(self, spark):
+        """9 docs in one lang with LM scores forced into a known order
+        (doc text quality degrades with id): terciles must split 3/3/3
+        in score order with head = best avg logp. A second lang with 3
+        docs gets its own independent split."""
+        from beis_orp_data_service_spark.operators import lm as lm_ops
+
+        common = "the cat sat on the mat and the dog sat on the rug"
+        rows = []
+        for i in range(9):
+            # progressively replace common bigrams with unseen tokens
+            noise = " ".join(f"zx{i}q{j}" for j in range(i))
+            rows.append((i, f"{common} {noise}".strip(), "en"))
+        for i in range(9, 12):
+            rows.append((i, common + " un deux trois" * (i - 8), "fr"))
+        from pyspark.sql import functions as F
+
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        train = docs.where(F.col("doc_id") % 2 == 0)
+        out = {
+            r.doc_id: (r.lang, r.avg_logp_micro, r.bucket, r.bucket_label)
+            for r in lm_ops.ccnet_buckets(docs, train).collect()
+        }
+        assert len(out) == 12
+        # tercile assignment must follow the (avg_logp DESC, id) order
+        en_order = sorted(range(9), key=lambda i: (-out[i][1], i))
+        want = {doc: 1 + pos // 3 for pos, doc in enumerate(en_order)}
+        assert {i: out[i][2] for i in range(9)} == want
+        labels = {1: "head", 2: "middle", 3: "tail"}
+        assert all(out[i][3] == labels[out[i][2]] for i in range(9))
+        # the pure-reference doc scores best of its language
+        assert out[0][2] == 1
+        # fr has its own independent tercile split
+        assert sorted(out[i][2] for i in (9, 10, 11)) == [1, 2, 3]
+
+    def test_sub_bigram_docs_excluded(self, spark):
+        from beis_orp_data_service_spark.operators import lm as lm_ops
+
+        docs = spark.createDataFrame(
+            [(1, "two tokens here", "en"), (2, "single", "en"), (3, "", "en")],
+            "doc_id long, text string, lang string",
+        )
+        got = {r.doc_id for r in lm_ops.ccnet_buckets(docs, docs).collect()}
+        assert got == {1}  # no bigram -> no perplexity -> excluded
