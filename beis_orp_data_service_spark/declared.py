@@ -5991,6 +5991,12 @@ def _stream_dedup_ttl_e2e(spark, sf_dir):
         .json(src)
     )
     out = os.path.join(root, "out")
+    # 27 keys don't need the session's 32 state-store partitions: 4
+    # partitions cut per-micro-batch task overhead ~8x (fixture cost,
+    # VERDICT r9 ask #7). Fresh checkpoint per run, so the count is
+    # free to differ from other sessions'; restored in finally.
+    _sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     q = (
         stp.stream_dedup_first_seen(
             stream, watermark="5 minutes", ttl_seconds=600
@@ -6006,6 +6012,7 @@ def _stream_dedup_ttl_e2e(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", _sp)
     # UNGROUPED emissions: 20 admits + 2 movers + 5 post-eviction
     # re-admits = EXACTLY 27 rows. min_rows=27 is a floor only (ADVICE
     # r8 low): never-evict (22) trips it but never-dedup (56) passes,
