@@ -3699,6 +3699,41 @@ def dup_clusters(spark, sf_dir):
 
 
 @declared(
+    "dedup_savings",
+    f"""WITH RECURSIVE {_DUP_CLUSTERS_CTE},
+    sized AS (
+      SELECT c.cluster_id,
+             CAST(count(*) AS BIGINT) AS cluster_size,
+             CAST(sum(d.n_chars) AS BIGINT) AS _chars,
+             CAST(sum(CASE WHEN c.doc_id <> c.cluster_id
+                           THEN d.n_chars ELSE 0 END) AS BIGINT) AS _saved
+      FROM clusters c JOIN documents d USING (doc_id)
+      GROUP BY c.cluster_id
+    )
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+           CAST(sum(_chars) AS BIGINT) AS chars_total,
+           CAST(sum(_saved) AS BIGINT) AS chars_saved
+    FROM sized GROUP BY cluster_size""",
+)
+def _dedup_savings(spark, sf_dir):
+    # The dedup PLANNING report over the same cluster closure as
+    # dup_clusters: per cluster-size bucket, how much mass does keeping
+    # one canonical per cluster save — the capacity answer before
+    # paying for the 100 TB rewrite. Singletons report savings 0; the
+    # canonical kept doc is the min-label cluster_id itself.
+    docs_all = _t(spark, sf_dir, "documents")
+    docs = docs_all.filter(F.col("doc_id") % 10 == 0)
+    sim = dd.simhash16_table(docs, "doc_id", "text").transform(
+        _ck.stage_checkpoint, label="dedup_savings:simhash"
+    )
+    pairs = corpus_ops.simhash_band_pairs(sim)
+    clusters = corpus_ops.dup_clusters(pairs, sim.select("doc_id"))
+    return corpus_ops.dedup_savings(clusters, docs_all)
+
+
+@declared(
     "gopher_quality",
     """
     WITH w AS (
@@ -7738,6 +7773,16 @@ def _mw_two_pass(spark, sf_dir):
         F.round(F.col("value") * 100), "event_id", "click", "view",
         method="two_pass",
     )
+
+
+@declared("bpe_fertility", ts_ops.bpe_fertility_oracle_sql("documents"))
+def _bpe_fertility(spark, sf_dir):
+    # Tokenizer-budget report: BPE tokens per whitespace word
+    # (fertility) and chars per BPE token, per language — how a fixed
+    # token budget splits across languages and whether the tokenizer
+    # underserves a script. One grouped aggregation of two codegen
+    # token counts; per-mille integer ratios with `// 0` = NULL parity.
+    return ts_ops.bpe_fertility_by_lang(_t(spark, sf_dir, "documents"))
 
 
 @declared("oov_rate", ts_ops.oov_rate_oracle_sql("documents"))

@@ -3150,3 +3150,45 @@ def doremi_reweight_oracle_sql(
                       * 1000000000.0) AS BIGINT) AS weight_nano
     FROM scored
     """
+
+
+def dedup_savings(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Dedup PLANNING report from a cluster assignment: what does
+    keeping one canonical document per near-dup cluster actually save?
+    The capacity question every 100 TB dedup run answers BEFORE paying
+    for the rewrite — grouped by cluster size so the long tail of
+    singletons (savings 0) is separated from the big clusters that
+    carry the savings.
+
+    ``clusters`` is (id, cluster_id) from :func:`dup_clusters` (the
+    canonical kept doc IS the cluster_id — min-label closure); per
+    cluster-size bucket: number of clusters, docs, total ``size_col``
+    mass, and the mass saved by dropping every non-canonical member.
+    Two grouped aggregations (cluster → size bucket), both map-side
+    combinable; the join to ``docs`` is keyed on the id.
+    """
+    sized = (
+        clusters.join(docs.select(id_col, size_col), id_col)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sum(size_col).cast("bigint").alias("_chars"),
+            F.sum(
+                F.when(F.col(id_col) != F.col("cluster_id"), F.col(size_col))
+                .otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("_saved"),
+        )
+    )
+    return sized.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+        F.sum("_chars").cast("bigint").alias("chars_total"),
+        F.sum("_saved").cast("bigint").alias("chars_saved"),
+    )

@@ -611,3 +611,73 @@ def oov_rate_oracle_sql(
                 AS BIGINT) AS oov_milli
     FROM agg
     """
+
+
+def bpe_fertility_by_lang(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+):
+    """Tokenizer-budget report per language: BPE-ish tokens per
+    whitespace word (fertility) and characters per BPE token — the
+    numbers that decide how a fixed token budget splits across
+    languages (high-fertility languages eat the budget faster) and
+    whether a tokenizer underserves a script. Exact integers: grouped
+    sums of the two codegen token counts + char length, per-mille
+    ratios with zero-guards (NULL where a language has no words,
+    matching DuckDB's integer ``// 0``).
+
+    Returns (lang, n_docs, ws_tokens, bpe_tokens, n_chars,
+    fertility_milli, chars_per_bpe_milli).
+    """
+    from pyspark.sql import functions as F
+
+    agg = docs.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_count(text_col)).cast("bigint").alias("ws_tokens"),
+        F.sum(bpe_token_count(text_col)).cast("bigint").alias("bpe_tokens"),
+        F.sum(F.length(text_col)).cast("bigint").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        "n_chars",
+        F.when(
+            F.col("ws_tokens") > 0,
+            F.expr("(bpe_tokens * 1000) DIV ws_tokens"),
+        ).alias("fertility_milli"),
+        F.when(
+            F.col("bpe_tokens") > 0,
+            F.expr("(n_chars * 1000) DIV bpe_tokens"),
+        ).alias("chars_per_bpe_milli"),
+    )
+
+
+def bpe_fertility_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> str:
+    """DuckDB twin of :func:`bpe_fertility_by_lang` — same token-count
+    spellings, same per-mille floor divisions (`// 0` is NULL)."""
+    tc = token_count_sql(text_col)
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"""
+    WITH agg AS (
+      SELECT {lang_col} AS lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum({tc}) AS BIGINT) AS ws_tokens,
+             CAST(sum(len(regexp_extract_all({text_col}, '{pat}')))
+                  AS BIGINT) AS bpe_tokens,
+             CAST(sum(length({text_col})) AS BIGINT) AS n_chars
+      FROM {table} GROUP BY {lang_col}
+    )
+    SELECT lang, n_docs, ws_tokens, bpe_tokens, n_chars,
+           (bpe_tokens * 1000) // nullif(ws_tokens, 0) AS fertility_milli,
+           (n_chars * 1000) // nullif(bpe_tokens, 0) AS chars_per_bpe_milli
+    FROM agg
+    """

@@ -163,6 +163,16 @@ def build_alt(spark, src: str, dst: str) -> None:
                 plants.append(
                     (5 * PLANT_STRIDE + i, rich, "en", "alt_rich", len(rich))
                 )
+            # heavy-hitter plant: one token past the φ = N/50 frequency
+            # threshold (~600 of ~30k tokens) so heavy_hitters returns
+            # rows on alt (it was 0-rows here — boilerplate this common
+            # is exactly what the operator exists to surface)
+            heavy = ("qqfiller " * 600).strip()
+            for i in range(2):
+                plants.append(
+                    (6 * PLANT_STRIDE + i, heavy, "en", "alt_heavy",
+                     len(heavy))
+                )
             out = main.unionByName(
                 spark.createDataFrame(
                     plants,

@@ -1629,3 +1629,45 @@ class TestDoremiReweight:
         a = sorted(map(tuple, corpus.doremi_reweight(docs.repartition(1)).collect()))
         b = sorted(map(tuple, corpus.doremi_reweight(docs.repartition(16)).collect()))
         assert a == b
+
+
+class TestDedupSavings:
+    def test_hand_built_clusters(self, spark):
+        """Clusters {1,2,3} (canonical 1) and {10} (singleton): the
+        size-3 bucket saves the two non-canonical members' chars, the
+        singleton bucket saves 0."""
+        from beis_orp_data_service_spark.operators import corpus
+
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (10, 10)],
+            "doc_id long, cluster_id long",
+        )
+        docs = spark.createDataFrame(
+            [(1, 100), (2, 40), (3, 60), (10, 7)],
+            "doc_id long, n_chars long",
+        )
+        got = {
+            r.cluster_size: (r.n_clusters, r.n_docs, r.chars_total, r.chars_saved)
+            for r in corpus.dedup_savings(clusters, docs).collect()
+        }
+        assert got == {3: (1, 3, 200, 100), 1: (1, 1, 7, 0)}
+
+
+class TestBpeFertility:
+    def test_hand_computed(self, spark):
+        """'don't stop' = 2 whitespace words, 4 BPE pieces (don + 't +
+        _stop ... plus leading-word handling) — fertility 2000 per
+        mille; empty-text lang yields NULL ratios (// 0 parity)."""
+        from beis_orp_data_service_spark.operators import textstats as ts
+
+        docs = spark.createDataFrame(
+            [(1, "don't stop", "en"), (2, "", "zz")],
+            "doc_id long, text string, lang string",
+        )
+        got = {r.lang: r for r in ts.bpe_fertility_by_lang(docs).collect()}
+        en = got["en"]
+        assert (en.ws_tokens, en.n_chars) == (2, 10)
+        assert en.fertility_milli == en.bpe_tokens * 1000 // en.ws_tokens
+        zz = got["zz"]
+        assert (zz.ws_tokens, zz.bpe_tokens) == (0, 0)
+        assert zz.fertility_milli is None and zz.chars_per_bpe_milli is None
