@@ -5074,6 +5074,51 @@ def _ccnet_buckets(spark, sf_dir):
     return lm_ops.ccnet_buckets(docs, train, "doc_id", "text", "lang")
 
 
+_TRAIN_MIX_RATES = {"head": 1000, "middle": 500, "tail": 100}
+
+
+@declared(
+    "train_mix",
+    f"""
+    WITH b AS ({lm_ops.ccnet_buckets_oracle_sql(
+        "documents", "doc_id", "text", "lang", "doc_id % 2 = 0")}),
+    keyed AS (
+      SELECT doc_id, lang, bucket_label,
+             substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15) AS h
+      FROM b
+    )
+    SELECT doc_id, lang, bucket_label FROM keyed
+    WHERE {corpus_ops.DUCK_MD5_HEXFOLD} % 1000 <
+          CASE bucket_label WHEN 'head' THEN 1000
+               WHEN 'middle' THEN 500 ELSE 100 END
+    """,
+)
+def _train_mix(spark, sf_dir):
+    # The pretraining-mix assembler, end to end: CCNet quality buckets
+    # (per-lang LM-perplexity terciles) feed per-bucket deterministic
+    # md5 per-mille acceptance — keep ALL of head, half of middle, 10%
+    # of tail (the CCNet keep/review knob as sampling rates). Same row
+    # -> same decision across re-runs, repartitions, and corpus growth
+    # (F.rand is none of those); the whole composition is one
+    # hash-grade plan.
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    buckets = lm_ops.ccnet_buckets(docs, train, "doc_id", "text", "lang")
+    rate = (
+        F.when(F.col("bucket_label") == "head",
+               F.lit(_TRAIN_MIX_RATES["head"]))
+        .when(F.col("bucket_label") == "middle",
+              F.lit(_TRAIN_MIX_RATES["middle"]))
+        .otherwise(F.lit(_TRAIN_MIX_RATES["tail"]))
+    )
+    key = corpus_ops.md5_int60(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+    )
+    return buckets.where(key % 1000 < rate).select(
+        "doc_id", "lang", "bucket_label"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Weighted priority sampling (engine extension, next to stratified/
 # mixture sampling) — operators/corpus.py
