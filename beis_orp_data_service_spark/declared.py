@@ -7820,6 +7820,28 @@ def _mw_two_pass(spark, sf_dir):
     )
 
 
+@declared("ngram_diversity", ts_ops.ngram_diversity_oracle_sql("documents"))
+def _ngram_diversity(spark, sf_dir):
+    # Distinct-3 diversity per source (the Self-BLEU/distinct-n family)
+    # — the mode-collapse monitor for synthetic/model-generated corpus
+    # slices: a source whose distinct-trigram share sinks is repeating
+    # itself. One explode + one grouped count/count-distinct.
+    return ts_ops.ngram_diversity(_t(spark, sf_dir, "documents"))
+
+
+@declared(
+    "chunk_pool",
+    sim.mean_pool_chunks_oracle_sql("embeddings", group_div=10),
+)
+def _chunk_pool(spark, sf_dir):
+    # Chunk -> document embedding pooling (vec_id DIV 10 = parent doc):
+    # the doc-level ANN build step over a chunk-level table. Quantized
+    # components summed order-free per (doc, dim), floor-divided mean
+    # (Spark DIV truncates toward zero on signed sums; floor-of-double
+    # matches DuckDB), dim-ordered array reassembly.
+    return sim.mean_pool_chunks(_t(spark, sf_dir, "embeddings"), group_div=10)
+
+
 @declared("bpe_fertility", ts_ops.bpe_fertility_oracle_sql("documents"))
 def _bpe_fertility(spark, sf_dir):
     # Tokenizer-budget report: BPE tokens per whitespace word

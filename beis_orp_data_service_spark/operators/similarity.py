@@ -2361,3 +2361,95 @@ def mmr_rerank_oracle_sql(
         for t in range(1, k + 1)
     )
     return f"WITH {', '.join(ctes)} {picks}"
+
+
+def mean_pool_chunks(
+    embeddings: DataFrame,
+    group_div: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Chunk→document embedding pooling: mean of each parent's chunk
+    vectors (parent id = ``id DIV group_div`` — the RAG-pipeline
+    convention of contiguous chunk ids per document). The standard
+    build step for doc-level ANN over a chunk-level embedding table.
+
+    Hash-grade arithmetic: components quantize to the engine's
+    ``dot_q`` convention (round(x·1000) as BIGINT) BEFORE the order-
+    free per-(doc, dim) sum; the mean is integer DIV. Plan: one
+    posexplode over dims → one map-side-combined (doc, dim) aggregate
+    → order-preserving array reassembly via sorted (dim, value)
+    structs (the word_dropout shape). Returns (doc_id, n_chunks,
+    pooled_q array<bigint>).
+    """
+    parent = (F.col(id_col) / F.lit(group_div)).cast("bigint")
+    dims = embeddings.select(
+        parent.alias("doc_id"),
+        F.col(id_col).alias("_chunk"),
+        F.posexplode(F.col(vec_col)).alias("_dim", "_x"),
+    ).select(
+        "doc_id",
+        "_chunk",
+        "_dim",
+        F.round(F.col("_x").cast("double") * 1000).cast("bigint").alias("_q"),
+    )
+    per_dim = dims.groupBy("doc_id", "_dim").agg(
+        F.sum("_q").alias("_s"),
+        F.countDistinct("_chunk").alias("_n"),
+    )
+    return (
+        per_dim.groupBy("doc_id")
+        .agg(
+            F.max("_n").cast("bigint").alias("n_chunks"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_dim"),
+                        # floor (not DIV): sums are signed and Spark's
+                        # DIV truncates toward zero while DuckDB's //
+                        # floors — floor-of-double is identical in both
+                        # (sums stay far inside 2^53, the lm_score note)
+                        F.floor(F.col("_s").cast("double") / F.col("_n"))
+                        .cast("bigint")
+                        .alias("_m"),
+                    )
+                )
+            ).alias("_a"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.transform(F.col("_a"), lambda x: x["_m"]).alias("pooled_q"),
+        )
+    )
+
+
+def mean_pool_chunks_oracle_sql(
+    table: str = "embeddings",
+    group_div: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`mean_pool_chunks` — same quantize-before-
+    sum, same integer-DIV mean, same dim-ordered reassembly."""
+    return f"""
+    WITH e AS (
+      SELECT {id_col} // {group_div} AS doc_id, {id_col} AS chunk,
+             [CAST(round(CAST({vec_col}[i] AS DOUBLE) * 1000) AS BIGINT)
+              for i in range(1, len({vec_col}) + 1)] AS q
+      FROM {table}
+    ), dims AS (
+      SELECT doc_id, chunk, i - 1 AS dim, q[i] AS qv
+      FROM e, unnest(range(1, len(q) + 1)) t(i)
+    ), per_dim AS (
+      SELECT doc_id, dim,
+             CAST(sum(qv) AS BIGINT) AS s,
+             CAST(count(DISTINCT chunk) AS BIGINT) AS n
+      FROM dims GROUP BY doc_id, dim
+    )
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_chunks,
+           list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+                ORDER BY dim) AS pooled_q
+    FROM per_dim GROUP BY doc_id
+    """

@@ -681,3 +681,78 @@ def bpe_fertility_oracle_sql(
            (n_chars * 1000) // nullif(bpe_tokens, 0) AS chars_per_bpe_milli
     FROM agg
     """
+
+
+def ngram_diversity(
+    docs,
+    n: int = 3,
+    group_col: str = "source",
+    text_col: str = "text",
+):
+    """Distinct-n diversity (the Self-BLEU/distinct-n family, Zhu et
+    al. 2018): per group, the share of DISTINCT token n-grams among all
+    n-gram occurrences — the mode-collapse monitor for synthetic /
+    model-generated slices of a corpus (a source whose distinct-3 ratio
+    sinks is repeating itself). Exact integers: one explode of in-doc
+    token n-grams (docs shorter than ``n`` tokens contribute none — no
+    partial windows), one grouped count + count-distinct, per-mille
+    floor ratio. Shuffle carries (group, gram) partials only.
+
+    Returns (group, n_ngrams, n_distinct, distinct_milli).
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.split(
+        F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""), r"\s+"
+    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select(
+        F.col(group_col).alias("grp"), F.explode(grams).alias("gram")
+    )
+    return (
+        g.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+            F.countDistinct("gram").cast("bigint").alias("n_distinct"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_ngrams",
+            "n_distinct",
+            F.expr("(n_distinct * 1000) DIV n_ngrams").alias("distinct_milli"),
+        )
+    )
+
+
+def ngram_diversity_oracle_sql(
+    table: str = "documents",
+    n: int = 3,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`ngram_diversity` — same stripped-lowered
+    token windows, no partial grams, same per-mille floor."""
+    return f"""
+    WITH t AS (
+      SELECT {group_col} AS grp,
+             string_split_regex(regexp_replace(lower({text_col}),
+                                '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks
+      FROM {table}
+    ), g AS (
+      SELECT grp,
+             unnest([array_to_string(list_slice(toks, i, i + {n - 1}), ' ')
+                     for i in range(1, len(toks) - {n - 1} + 1)]) AS gram
+      FROM t WHERE len(toks) >= {n}
+    )
+    SELECT grp AS {group_col},
+           CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+           (count(DISTINCT gram) * 1000) // count(*) AS distinct_milli
+    FROM g GROUP BY grp
+    """

@@ -1083,3 +1083,38 @@ class TestMmrRerank:
             ).fetchall()
         ]
         assert got == exp
+
+
+class TestMeanPoolChunks:
+    def test_hand_computed_pool_and_negative_floor(self, spark):
+        """Two chunks of doc 0: mean of quantized components with FLOOR
+        semantics on a signed odd sum (Spark DIV would truncate -1.5 to
+        -1; floor gives -2 — the DuckDB-parity case)."""
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, -0.001]),   # q = [1000, -1]
+                (1, [2.0, -0.002]),   # q = [2000, -2]
+                (25, [0.5, 0.5]),     # doc 2, single chunk
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        got = {
+            r.doc_id: (r.n_chunks, r.pooled_q)
+            for r in sim.mean_pool_chunks(emb, group_div=10).collect()
+        }
+        assert got[0] == (2, [1500, -2])  # floor((-1 + -2)/2) = -2
+        assert got[2] == (1, [500, 500])
+
+    def test_partitioning_invariant(self, spark):
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        emb = spark.createDataFrame(
+            [(i, [float(((i * 7 + j) % 9) - 4) / 3.0 for j in range(6)])
+             for i in range(40)],
+            "vec_id long, embedding array<float>",
+        )
+        a = sorted(map(tuple, sim.mean_pool_chunks(emb.repartition(1)).collect()))
+        b = sorted(map(tuple, sim.mean_pool_chunks(emb.repartition(13)).collect()))
+        assert a == b

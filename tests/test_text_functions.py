@@ -502,3 +502,20 @@ class TestOovRate:
             for r in ts.oov_rate_by_lang(docs).collect()
         }
         assert got == {"en": (3, 2, 666), "fr": (2, 0, 0)}
+
+
+class TestNgramDiversity:
+    def test_hand_computed(self, spark):
+        """'a b a b a' has trigrams [a b a, b a b, a b a] -> 3 total,
+        2 distinct -> 666 per mille; a 2-token doc contributes none."""
+        from beis_orp_data_service_spark.operators import textstats as ts
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b a", "s1"), (2, "a b", "s1"), (3, "x y z", "s2")],
+            "doc_id long, text string, source string",
+        )
+        got = {
+            r.source: (r.n_ngrams, r.n_distinct, r.distinct_milli)
+            for r in ts.ngram_diversity(docs).collect()
+        }
+        assert got == {"s1": (3, 2, 666), "s2": (1, 1, 1000)}
