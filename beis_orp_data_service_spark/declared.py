@@ -77,6 +77,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _fixture_path(kind: str, sf_dir: str, per_process: bool = False) -> str:
+    """Stable /tmp root for an on-disk fixture (index, sink, stream
+    source), keyed on the ABSOLUTE sf_dir: basename alone collided when
+    the base and `.alt` perturbed oracle gates — both `sf0.01` by
+    basename — ran concurrently and clobbered each other's state
+    (VERDICT r9 "what's wrong" #2). The md5-of-abspath suffix keeps the
+    path stable per dataset (idempotent overwrite, no per-run leak)
+    while making distinct datasets disjoint. Stream fixtures pass
+    ``per_process=True``: they rmtree + rebuild their source AND
+    checkpoint every run, so two processes on the SAME sf_dir must not
+    share a checkpoint mid-flight — the pid suffix isolates them."""
+    import hashlib
+    import tempfile
+
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}_"
+        f"{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]}"
+    )
+    if per_process:
+        tag += f"_p{os.getpid()}"
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{kind}_{tag}")
+
+
 # Row-count cache for auto-sizing (√N cells, auto bits): counts come
 # from parquet FOOTER metadata (catalog.table_rows — no Spark job, no
 # data scan; the catalog-statistics story at 100 TB), cached per
@@ -692,7 +715,7 @@ def hash_id(spark, sf_dir):
     "title_rules",
     """
     SELECT doc_id,
-           CASE WHEN len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) > 40 THEN 'generate'
+           CASE WHEN len(string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) > 40 THEN 'generate'
                 WHEN n_chars < 150 THEN 'keep-short'
                 ELSE 'score' END AS title_rule
     FROM documents
@@ -712,7 +735,7 @@ def title_rules(spark, sf_dir):
     WITH base AS (
       SELECT doc_id, text,
              string_split(text, ' ') AS w,
-             coalesce(array_to_string(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')[11:15],
+             coalesce(array_to_string(string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')[11:15],
                                       ' '), '') AS title
       FROM documents
     ), sh AS (
@@ -729,8 +752,8 @@ def title_rules(spark, sf_dir):
       FROM sh
     ), toks AS (
       SELECT doc_id, short_text,
-             string_split_regex(regexp_replace(short_text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS st,
-             string_split_regex(regexp_replace(title, '^\\s+|\\s+$', '', 'g'), '\\s+') AS tt
+             string_split_regex(regexp_replace(short_text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS st,
+             string_split_regex(regexp_replace(title, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS tt
       FROM stext
     ), wnd AS (
       SELECT doc_id, st, tt, len(tt) AS wlen,
@@ -761,7 +784,7 @@ def title_window_max(spark, sf_dir):
     # numpy sliding-sum hot path, equal to the expression form.
     docs = _t(spark, sf_dir, "documents")
     title = F.concat_ws(
-        " ", F.slice(F.split(F.regexp_replace(F.col("text"), r"^\s+|\s+$", ""), r"\s+"), 11, 5)
+        " ", F.slice(F.split(F.regexp_replace(F.col("text"), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+"), 11, 5)
     )
     return enr.title_window_max_np(
         docs.withColumn("meta_title", title),
@@ -775,7 +798,7 @@ def title_window_max(spark, sf_dir):
     "kw_dedupe_max",
     """
     WITH words AS (
-      SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS keyword
+      SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) AS keyword
       FROM documents
     ), scored AS (
       SELECT doc_id, keyword, count(*) AS score FROM words GROUP BY 1, 2
@@ -802,7 +825,7 @@ def kw_dedupe_max(spark, sf_dir):
       SELECT doc_id,
              unnest(string_split_regex(
                trim(lower(regexp_replace(text, '[^a-zA-Z]', ' ', 'g'))),
-               '\\s+')) AS keyword
+               '[ \\t\\n\\x0B\\f\\r]+')) AS keyword
       FROM documents
     ), c AS (
       SELECT doc_id, keyword, count(*) AS n_mentions
@@ -907,7 +930,7 @@ _NEEDLES = ["spark", "window", "vector", "customer", "merge"]
     "lo_match",
     """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
     ), sent AS (
       SELECT doc_id, CAST(i AS BIGINT) AS sent_idx,
              array_to_string(t[(i*8+1):(i*8+8)], ' ') AS sentence
@@ -1167,7 +1190,7 @@ def dedup_exact(spark, sf_dir):
              unnest(list_distinct(
                [array_to_string(t[i:i+2], ' ')
                 for i in range(1, greatest(len(t) - 2, 0) + 1)])) AS gram
-      FROM (SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents)
+      FROM (SELECT doc_id, string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents)
     ), keep AS (
       SELECT gram FROM g0 GROUP BY gram HAVING count(*) <= 100
     ), g AS (
@@ -1205,7 +1228,7 @@ def ngram_jaccard(spark, sf_dir):
     WITH w AS (
       SELECT doc_id,
              list_transform(
-               list_distinct(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')),
+               list_distinct(string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')),
                s -> list_reduce(
                       list_prepend(CAST(0 AS BIGINT),
                                    [CAST(ascii(s[i:i]) AS BIGINT)
@@ -1238,7 +1261,7 @@ _SIMHASH48_CTE = """
     WITH w AS (
       SELECT doc_id,
              list_transform(
-               list_distinct(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')),
+               list_distinct(string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')),
                s -> list_reduce(
                       [CAST(strpos('0123456789abcdef',
                                    substr(md5(s), i, 1)) - 1 AS BIGINT)
@@ -1303,7 +1326,7 @@ def simhash_pairs(spark, sf_dir):
     """
     WITH t AS (
       SELECT min(doc_id) AS doc_id,
-             array_to_string((str_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))[1:4], ' ')
+             array_to_string((str_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+'))[1:4], ' ')
                AS title
       FROM documents
       GROUP BY 2
@@ -1330,7 +1353,7 @@ def fuzzy_title_pairs(spark, sf_dir):
     # any SF; the oracle is the brute-force quadratic join DuckDB can
     # afford at sf0.01.
     docs = _t(spark, sf_dir, "documents")
-    title = F.concat_ws(" ", F.slice(F.split(F.regexp_replace(F.col("text"), r"^\s+|\s+$", ""), r"\s+"), 1, 4))
+    title = F.concat_ws(" ", F.slice(F.split(F.regexp_replace(F.col("text"), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+"), 1, 4))
     t = (
         docs.select(title.alias("title"), "doc_id")
         .groupBy("title")
@@ -1353,7 +1376,7 @@ def fuzzy_title_pairs(spark, sf_dir):
     """
     WITH h AS (
       SELECT doc_id, md5(text) AS content_hash, source, lang,
-             string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t
+             string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS t
       FROM documents WHERE doc_id < 100
     ), g AS (
       SELECT doc_id, content_hash, source, lang,
@@ -1392,7 +1415,7 @@ def dup_classify(spark, sf_dir):
     # scaled to this word-soup corpus (max observed pair ≈30‰) so the
     # sf0.01 check exercises all three branches, not just 'new'.
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    t = F.split(F.regexp_replace(F.col("text"), r"^\s+|\s+$", ""), r"\s+")
+    t = F.split(F.regexp_replace(F.col("text"), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+")
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(1))),
@@ -1654,10 +1677,7 @@ def _ann_index_probe(spark, sf_dir):
     import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_ivf_index_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = _fixture_path("ivf_index", sf_dir)
     sim.ann_index_write(
         emb, path, n_centroids=8, n_rows=_n_rows(spark, sf_dir, "embeddings")
     )
@@ -1712,7 +1732,7 @@ def emb_dup_pairs(spark, sf_dir):
 @declared(
     "token_count",
     """
-    SELECT doc_id, CAST((CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END) AS BIGINT) AS n_tokens
+    SELECT doc_id, CAST((CASE WHEN regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') = '' THEN 0 ELSE len(string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) END) AS BIGINT) AS n_tokens
     FROM documents
     """,
 )
@@ -1750,7 +1770,7 @@ def bpe_token_count(spark, sf_dir):
     "token_stats_by_lang",
     """
     SELECT lang, count(*) AS n_docs,
-           CAST(sum((CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END)) AS BIGINT) AS total_tokens
+           CAST(sum((CASE WHEN regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') = '' THEN 0 ELSE len(string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) END)) AS BIGINT) AS total_tokens
     FROM documents GROUP BY lang
     """,
 )
@@ -1767,7 +1787,7 @@ def token_stats_by_lang(spark, sf_dir):
     """
     WITH c AS (
       SELECT doc_id, ' ' || text || ' ' AS padded,
-             CAST((CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END) AS BIGINT) AS n_tokens
+             CAST((CASE WHEN regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') = '' THEN 0 ELSE len(string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) END) AS BIGINT) AS n_tokens
       FROM documents
     ), hits AS (
       SELECT doc_id, n_tokens,
@@ -1801,7 +1821,7 @@ def lang_id(spark, sf_dir):
       ((length(text) - length(replace(text, ' ', ''))) * 1000) // length(text)
         AS space_milli,
       ((length(replace(text, ' ', ''))) * 1000)
-        // (CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END) AS avg_token_chars_milli,
+        // (CASE WHEN regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') = '' THEN 0 ELSE len(string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) END) AS avg_token_chars_milli,
       length(text) < 100 AS is_too_short
     FROM documents
     """,
@@ -1841,7 +1861,7 @@ def fingerprint(spark, sf_dir):
     """
     SELECT doc_id,
            array_to_string(
-             [upper(w[1:1]) || lower(w[2:]) for w in string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')[1:5]],
+             [upper(w[1:1]) || lower(w[2:]) for w in string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')[1:5]],
              ' ') AS title
     FROM documents
     """,
@@ -1890,7 +1910,7 @@ _TPP_STOP = list(models.STOPWORDS)
 _TITLE_POSTPROCESS_SQL = f"""
     WITH titled AS (
       SELECT doc_id,
-             array_to_string((str_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))[1:12], ' ')
+             array_to_string((str_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+'))[1:12], ' ')
                AS title_raw
       FROM documents
     ), c AS (
@@ -1900,7 +1920,7 @@ _TITLE_POSTPROCESS_SQL = f"""
                   ELSE title_raw END AS cl
       FROM titled
     ), tok AS (
-      SELECT doc_id, list_filter(str_split_regex(cl, '\\s+'), x -> x <> '') AS ts
+      SELECT doc_id, list_filter(str_split_regex(cl, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ts
       FROM c
     ), ded AS (
       SELECT doc_id,
@@ -1933,7 +1953,7 @@ def _title_postprocess(spark, sf_dir):
     # DuckDB list-comprehension twin hash-checks them corpus-wide)
     docs = _t(spark, sf_dir, "documents")
     pseudo_title = F.concat_ws(
-        " ", F.slice(F.split(F.regexp_replace(F.col("text"), r"^\s+|\s+$", ""), r"\s+"), 1, 12)
+        " ", F.slice(F.split(F.regexp_replace(F.col("text"), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+"), 1, 12)
     )
     titled = docs.select("doc_id", pseudo_title.alias("title_raw"))
     return titled.select(
@@ -2148,7 +2168,7 @@ _LEG_DIM = [
     "lo_join",
     """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
     ), sent AS (
       SELECT doc_id, CAST(i AS BIGINT) AS sent_idx,
              array_to_string(t[(i*8+1):(i*8+8)], ' ') AS sentence
@@ -2198,7 +2218,7 @@ def lo_join(spark, sf_dir):
     """
     SELECT DISTINCT doc_id, keyword, regexp_replace(keyword, 's$', '') AS lemma
     FROM (
-      SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS keyword
+      SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) AS keyword
       FROM documents WHERE doc_id < 50
     )
     """,
@@ -2209,7 +2229,7 @@ def q_lemma(spark, sf_dir):
     # surface (spaCy lemmas swap in via the models.py harness)
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     toks = docs.select(
-        "doc_id", F.explode(F.split(F.regexp_replace("text", r"^\s+|\s+$", ""), r"\s+")).alias("keyword")
+        "doc_id", F.explode(F.split(F.regexp_replace("text", r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+")).alias("keyword")
     )
     return toks.select(
         "doc_id", "keyword", F.regexp_replace("keyword", "s$", "").alias("lemma")
@@ -3639,7 +3659,7 @@ _DUP_CLUSTERS_CTE = """
     w AS (
       SELECT doc_id,
              list_transform(
-               list_distinct(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')),
+               list_distinct(string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')),
                s -> list_reduce(
                       list_prepend(CAST(0 AS BIGINT),
                                    [CAST(ascii(s[i:i]) AS BIGINT)
@@ -3737,7 +3757,7 @@ def _dedup_savings(spark, sf_dir):
     "gopher_quality",
     """
     WITH w AS (
-      SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w
+      SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) AS w
       FROM documents
     ), g AS (
       SELECT doc_id, w, count(*) AS c, sum(length(w)) AS lsum
@@ -3776,7 +3796,7 @@ def gopher_quality(spark, sf_dir):
     "repetition_stats",
     """
     WITH base AS (
-      SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS words
+      SELECT doc_id, string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS words
       FROM documents
     ), n AS (
       SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words, words FROM base
@@ -3907,7 +3927,7 @@ def pii_redact(spark, sf_dir):
     """
     WITH t AS (
       SELECT doc_id, source,
-             CAST(len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS BIGINT)
+             CAST(len(string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT)
                AS n_tokens
       FROM documents
     ), c AS (
@@ -4124,7 +4144,7 @@ def bloom_probe(spark, sf_dir):
     "hll_registers",
     """
     WITH w AS (
-      SELECT unnest(str_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w FROM documents
+      SELECT unnest(str_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) AS w FROM documents
     ), h AS (
       SELECT (('0x' || substr(md5(w), 1, 15))::BIGINT) AS h60 FROM w
     )
@@ -4144,7 +4164,7 @@ def hll_registers(spark, sf_dir):
     # independently, merge = per-bucket max (exactness pinned in tests).
     docs = _t(spark, sf_dir, "documents")
     words = docs.select(
-        F.explode(F.split(F.regexp_replace(F.col("text"), r"^\s+|\s+$", ""), r"\s+")).alias("w")
+        F.explode(F.split(F.regexp_replace(F.col("text"), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+")).alias("w")
     )
     return corpus_ops.hll_registers(words, "w", p=10)
 
@@ -4532,7 +4552,7 @@ _DTI_WEB_SQL = """
       SELECT doc_id, text,
         CASE
           WHEN url_eff LIKE 'https://www.hse.gov.uk/%' THEN
-            str_split_regex(regexp_extract(html_eff, '<body[^>]*class="([^"]*)"', 1), '\\s+')
+            str_split_regex(regexp_extract(html_eff, '<body[^>]*class="([^"]*)"', 1), '[ \\t\\n\\x0B\\f\\r]+')
           WHEN url_eff LIKE 'https://www.gov.uk/%' THEN
             list_filter([json_extract_string(api_eff, '$.document_type'),
                          json_extract_string(api_eff, '$.links.parent[0].document_type'),
@@ -4774,10 +4794,7 @@ def scan_jsonl_q(spark, sf_dir):
     # the lossless contract from the source table).
     import tempfile
 
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_jsonl_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = _fixture_path("jsonl", sf_dir)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     docs.write.mode("overwrite").json(path)
     out = readers.scan_jsonl(spark, path, "doc_id bigint, lang string, n_chars bigint")
@@ -4979,10 +4996,7 @@ def lsh_index_probe_q(spark, sf_dir):
         .select("doc_id", "text")
         .unionByName(planted)
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_lsh_index_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = _fixture_path("lsh_index", sf_dir)
     dd.lsh_index_write(even, path)
     return dd.lsh_index_probe(spark, path, batch)
 
@@ -5074,6 +5088,27 @@ def _ccnet_buckets(spark, sf_dir):
     return lm_ops.ccnet_buckets(docs, train, "doc_id", "text", "lang")
 
 
+@declared(
+    "ccnet_two_pass",
+    lm_ops.ccnet_buckets_oracle_sql(
+        "documents", "doc_id", "text", "lang", "doc_id % 2 = 0"
+    ),
+)
+def _ccnet_two_pass(spark, sf_dir):
+    # The SCALE spelling of ccnet_buckets under the SAME oracle
+    # (VERDICT r9 #1): the per-language tercile goes through
+    # ranks.grouped_ntile (range-partition on (lang, score, id) →
+    # per-(lang, partition) offsets → per-cell row_number → identical
+    # NTILE fill rule) instead of ntile(3) OVER (PARTITION BY lang) —
+    # a dominant language (half a 100 TB corpus) never becomes one
+    # window task.
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    return lm_ops.ccnet_buckets(
+        docs, train, "doc_id", "text", "lang", method="two_pass", n_parts=8
+    )
+
+
 _TRAIN_MIX_RATES = {"head": 1000, "middle": 500, "tail": 100}
 
 
@@ -5101,9 +5136,16 @@ def _train_mix(spark, sf_dir):
     # -> same decision across re-runs, repartitions, and corpus growth
     # (F.rand is none of those); the whole composition is one
     # hash-grade plan.
+    return _train_mix_impl(spark, sf_dir, method="ntile")
+
+
+def _train_mix_impl(spark, sf_dir, method):
     docs = _t(spark, sf_dir, "documents")
     train = docs.where(F.col("doc_id") % 2 == 0)
-    buckets = lm_ops.ccnet_buckets(docs, train, "doc_id", "text", "lang")
+    buckets = lm_ops.ccnet_buckets(
+        docs, train, "doc_id", "text", "lang",
+        method=method, n_parts=8 if method == "two_pass" else 32,
+    )
     rate = (
         F.when(F.col("bucket_label") == "head",
                F.lit(_TRAIN_MIX_RATES["head"]))
@@ -5117,6 +5159,18 @@ def _train_mix(spark, sf_dir):
     return buckets.where(key % 1000 < rate).select(
         "doc_id", "lang", "bucket_label"
     )
+
+
+@declared(
+    "train_mix_two_pass",
+    REGISTRY["train_mix"].sql,
+)
+def _train_mix_two_pass(spark, sf_dir):
+    # The flagship pretraining-mix path with ZERO unpartitioned-by-
+    # dominant-group windows (VERDICT r9 #1): same oracle, same md5
+    # acceptance, but the per-language tercile inside ccnet_buckets
+    # runs as ranks.grouped_ntile.
+    return _train_mix_impl(spark, sf_dir, method="two_pass")
 
 
 # ---------------------------------------------------------------------------
@@ -5563,7 +5617,7 @@ def corr_matrix_q(spark, sf_dir):
     "hll_by_lang",
     """
     WITH w AS (
-      SELECT lang, unnest(str_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w
+      SELECT lang, unnest(str_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) AS w
       FROM documents
     ), h AS (
       SELECT lang, (('0x' || substr(md5(w), 1, 15))::BIGINT) AS h60 FROM w
@@ -5581,7 +5635,7 @@ def hll_by_lang(spark, sf_dir):
     # <= |langs|*2^p mergeable rows, bit-identical registers.
     docs = _t(spark, sf_dir, "documents")
     words = docs.select(
-        "lang", F.explode(F.split(F.regexp_replace(F.col("text"), r"^\s+|\s+$", ""), r"\s+")).alias("w")
+        "lang", F.explode(F.split(F.regexp_replace(F.col("text"), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+")).alias("w")
     )
     return corpus_ops.hll_registers_by_group(words, "lang", "w", p=10)
 
@@ -5693,6 +5747,19 @@ def length_quartiles(spark, sf_dir):
     # assignment itself hash-grade, not just the bucket sizes.
     docs = _t(spark, sf_dir, "documents")
     return corpus_ops.equi_depth_bins(docs, "lang", "n_chars", "doc_id", 4)
+
+
+@declared("length_quartiles_two_pass", REGISTRY["length_quartiles"].sql)
+def _length_quartiles_two_pass(spark, sf_dir):
+    # equi_depth_bins' scale spelling under the SAME oracle (VERDICT
+    # r9 #1): the per-lang quartile runs as ranks.grouped_ntile —
+    # range-partition on (lang, n_chars, doc_id), per-(lang, partition)
+    # offsets, per-cell row_number, identical NTILE fill rule — so a
+    # dominant group never rides through one window task.
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.equi_depth_bins(
+        docs, "lang", "n_chars", "doc_id", 4, method="two_pass", n_parts=8
+    )
 
 
 @declared(
@@ -5840,10 +5907,7 @@ def _pq_adc_trained(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     n = _n_rows(spark, sf_dir, "embeddings")
     cb = sim.pq_codebook_trained(emb, m=4, k=16, n_rows=n)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_pq_codebook_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = _fixture_path("pq_codebook", sf_dir)
     sim.pq_write_codebook(spark, path, cb)
     cb2 = sim.pq_read_codebook(spark, path)
     codes = sim.pq_codes(emb, m=4, k=16, codebook=cb2)
@@ -5900,10 +5964,7 @@ def scan_evolving_q(spark, sf_dir):
     from beis_orp_data_service_spark.sources import readers as rdr
 
     docs = _t(spark, sf_dir, "documents")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_evolving_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = _fixture_path("evolving", sf_dir)
     gen1 = docs.where(F.col("doc_id") % 2 == 0).select(
         "doc_id", F.length("text").alias("n_chars")
     )
@@ -5945,10 +6006,7 @@ def _stream_ingest_e2e(spark, sf_dir):
 
     from beis_orp_data_service_spark.streaming import pipeline as stp
 
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_stream_ingest_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    root = _fixture_path("stream_ingest", sf_dir, per_process=True)
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "in")
     os.makedirs(src)
@@ -6029,10 +6087,7 @@ def _stream_dedup_ttl_e2e(spark, sf_dir):
 
     from beis_orp_data_service_spark.streaming import pipeline as stp
 
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_ttl_dedup_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    root = _fixture_path("ttl_dedup", sf_dir, per_process=True)
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "in")
     os.makedirs(src)
@@ -6076,22 +6131,26 @@ def _stream_dedup_ttl_e2e(spark, sf_dir):
     # VERDICT r9 ask #7). Fresh checkpoint per run, so the count is
     # free to differ from other sessions'; restored in finally.
     _sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    q = (
-        stp.stream_dedup_first_seen(
-            stream, watermark="5 minutes", ttl_seconds=600
-        )
-        .writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", os.path.join(root, "chk"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    # construction + .start() live INSIDE the try: if either raises,
+    # the finally still restores the session-wide override (ADVICE r9)
+    q = None
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        q = (
+            stp.stream_dedup_first_seen(
+                stream, watermark="5 minutes", ttl_seconds=600
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(root, "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
         q.processAllAvailable()
     finally:
-        q.stop()
+        if q is not None:
+            q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", _sp)
     # UNGROUPED emissions: 20 admits + 2 movers + 5 post-eviction
     # re-admits = EXACTLY 27 rows. min_rows=27 is a floor only (ADVICE
@@ -6159,10 +6218,7 @@ def zorder_skipping(spark, sf_dir):
         (F.col("l_partkey") % 256).alias("a"),
         (F.col("l_suppkey") % 256).alias("b"),
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_zorder_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = _fixture_path("zorder", sf_dir)
     layout_ops.zorder_layout(li, ["a", "b"], bits=8, n_files=16).write.mode(
         "overwrite"
     ).parquet(path)
@@ -6383,10 +6439,7 @@ def _lsh_index_compact_probe(spark, sf_dir):
         .select("doc_id", "text")
         .unionByName(planted)
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_lsh_cidx_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = _fixture_path("lsh_cidx", sf_dir)
     # fragment: the even half lands in two appends (one file set each)
     dd.lsh_index_write(even.where(F.col("doc_id") % 4 == 0), path)
     dd.lsh_index_write(
@@ -6443,10 +6496,7 @@ def _scd_time_travel(spark, sf_dir):
     from beis_orp_data_service_spark.sources import hadoop_fs as hfs
 
     events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_scd_tt_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = _fixture_path("scd_tt", sf_dir)
     hfs.delete(spark, path, recursive=True)
     sink = st_ops.ParquetScdSink(
         spark, path, key_col="user_id", order_col="ts", id_col="event_id",
@@ -6522,10 +6572,7 @@ def _scd_changes(spark, sf_dir):
     from beis_orp_data_service_spark.sources import hadoop_fs as hfs
 
     events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_scd_cdf_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = _fixture_path("scd_cdf", sf_dir)
     hfs.delete(spark, path, recursive=True)
     sink = st_ops.ParquetScdSink(
         spark, path, key_col="user_id", order_col="ts", id_col="event_id",
@@ -6709,7 +6756,7 @@ SELECT doc_id, text FROM documents
 UNION ALL
 SELECT doc_id + 1000000000 AS doc_id,
        array_to_string(list_slice(list_filter(
-         string_split_regex(lower(text), '\\s+'), x -> x <> ''), 1, 25), ' ')
+         string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''), 1, 25), ' ')
          AS text
 FROM documents WHERE doc_id % 100 = 0
 """
@@ -6989,10 +7036,7 @@ def _ann_ivfpq_index(spark, sf_dir):
     import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_ivfpq_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = _fixture_path("ivfpq", sf_dir)
     sim.ivfpq_index_write(
         spark, emb, path, n_centroids="auto", m=4, k=16,
         n_rows=_n_rows(spark, sf_dir, "embeddings"),

@@ -64,7 +64,7 @@ def clean_text(col: Column | str) -> Column:
     c = F.replace(c, F.lit("\n"), F.lit(" "))
     c = F.replace(c, F.lit(" ."), F.lit(". "))
     c = F.regexp_replace(c, r"(\d+(\.\d+)?)", r" $1 .")  # digit spacing
-    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, r"[ \t\n\x0B\f\r]+", " ")
     # remove_excess_punctuation: stray ' .' sweep, then doubled-punct pairs
     c = F.replace(c, F.lit(" ."), F.lit(""))
     for p in _string.punctuation:
@@ -77,7 +77,7 @@ def clean_text(col: Column | str) -> Column:
     c = F.replace(c, F.lit("\t"), F.lit(" "))
     c = F.replace(c, F.lit("_x000c_"), F.lit(""))
     c = F.regexp_replace(c, r"[^\x00-\x7F]", "")  # ascii-fold
-    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, r"[ \t\n\x0B\f\r]+", " ")
     c = F.regexp_replace(c, r"<.*?>", "")
     c = F.regexp_replace(c, r"\.{4,}", ".")
     return F.trim(c)  # deviation: final trim (idempotence)
@@ -132,16 +132,20 @@ def year_spans(col: Column | str) -> Column:
 
 def tokens(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.regexp_replace(c, r"^\s+|\s+$", ""), r"\s+")
+    return F.split(F.regexp_replace(c, r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+")
 
 
 # The one whitespace-token split every oracle-paired text operator
 # shares (BM25/TF-IDF, bigram LM, token-KL, RAG chunking, CMS words).
-# Its DuckDB twin is list_filter(string_split_regex(lower(x), '\s+'),
+# The class is spelled EXPLICITLY (ADVICE r9): Java's \s is exactly
+# [ \t\n\x0B\f\r] but DuckDB's RE2 \s omits \x0B, so a bare \s
+# desynchronizes the engines on vertical-tab text. Its DuckDB twin is
+# list_filter(string_split_regex(lower(x), '[ \t\n\x0B\f\r]+'),
 # t -> t <> '') — keep BOTH forms in sync; a drift here silently
 # desynchronizes every downstream oracle at once, which is exactly why
-# there is a single copy.
-LC_TOKEN_SPLIT = "\\s+"
+# there is a single copy (the .alt perturbed fixture plants a \x0B
+# document to pin this).
+LC_TOKEN_SPLIT = r"[ \t\n\x0B\f\r]+"
 
 
 def lc_tokens(col: Column | str) -> Column:

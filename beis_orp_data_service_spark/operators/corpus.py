@@ -194,7 +194,7 @@ def gopher_quality(
     first shuffle carries one row per distinct word per doc.
     """
     words = df.select(
-        F.col(id_col), F.explode(F.split(F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+")).alias("w")
+        F.col(id_col), F.explode(F.split(F.regexp_replace(F.col(text_col), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+")).alias("w")
     )
     per_word = words.groupBy(id_col, "w").agg(
         F.count("*").alias("c"), F.sum(F.length("w")).alias("lsum")
@@ -252,7 +252,7 @@ def repetition_stats(
     from pyspark.ml.feature import NGram
 
     base = df.select(
-        F.col(id_col), F.split(F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+").alias("words")
+        F.col(id_col), F.split(F.regexp_replace(F.col(text_col), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+").alias("words")
     )
     out = base.select(F.col(id_col), F.size("words").cast("bigint").alias("n_words"))
     for n, name in ((2, "top2_pm"), (3, "top3_pm")):
@@ -375,7 +375,7 @@ def repeated_passages(
         F.col(id_col),
         F.posexplode(
             F.split(
-                F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"
+                F.regexp_replace(F.col(text_col), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+"
             )
         ).alias("pos", "_tok"),
     )
@@ -429,7 +429,7 @@ def repeated_passages_oracle_sql(k: int = 8, min_docs: int = 2) -> str:
     return f"""
     WITH t AS (
       SELECT doc_id,
-             list_transform(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
+             list_transform(string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+'),
                s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
                       [CAST(ascii(s[i:i]) AS BIGINT)
                        for i in range(1, length(s)+1)]),
@@ -541,7 +541,7 @@ def decontaminate(
 
     def grams_of(df_: DataFrame, *keep: str) -> DataFrame:
         base = df_.select(
-            *keep, F.split(F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+").alias("words")
+            *keep, F.split(F.regexp_replace(F.col(text_col), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+").alias("words")
         )
         return NGram(n=n, inputCol="words", outputCol="grams").transform(base)
 
@@ -581,13 +581,13 @@ def decontaminate_oracle_sql(
     rng = f"range(1, len(words)-{n}+2)"
     return f"""
     WITH bw AS (
-      SELECT string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS words
+      SELECT string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS words
       FROM documents WHERE {bench_pred}
     ), bg AS (
       SELECT DISTINCT unnest([{gram} for i in {rng}]) AS g
       FROM bw WHERE len(words) >= {n}
     ), dw AS (
-      SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS words
+      SELECT doc_id, string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS words
       FROM documents
     ), dg AS (
       SELECT DISTINCT doc_id, unnest([{gram} for i in {rng}]) AS g
@@ -626,7 +626,7 @@ def seq_pack(
     """
     from pyspark.sql.window import Window
 
-    toks = F.size(F.split(F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+")).cast("bigint")
+    toks = F.size(F.split(F.regexp_replace(F.col(text_col), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+")).cast("bigint")
     w = (
         Window.partitionBy(shard_col)
         .orderBy(id_col)
@@ -793,7 +793,7 @@ def chunk_dedup(
                 F.sequence(
                     F.lit(0),
                     F.ceil(
-                        F.size(F.split(F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"))
+                        F.size(F.split(F.regexp_replace(F.col(text_col), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+"))
                         / F.lit(width)
                     ).cast("int")
                     - 1,
@@ -801,7 +801,7 @@ def chunk_dedup(
                 lambda i: F.concat_ws(
                     " ",
                     F.slice(
-                        F.split(F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"),
+                        F.split(F.regexp_replace(F.col(text_col), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+"),
                         i * width + 1,
                         width,
                     ),
@@ -848,7 +848,7 @@ def chunk_dedup_oracle_sql(width: int = 16) -> str:
     w = width
     return f"""
     WITH dw AS (
-      SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS words
+      SELECT doc_id, string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS words
       FROM documents
     ), c AS (
       SELECT doc_id,
@@ -925,7 +925,7 @@ def dsir_weights(
 
     def doc_grams(df_: DataFrame, *keep: str) -> DataFrame:
         base = df_.select(
-            *keep, F.split(F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+").alias("words")
+            *keep, F.split(F.regexp_replace(F.col(text_col), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+").alias("words")
         )
         return (
             NGram(n=2, inputCol="words", outputCol="grams")
@@ -984,7 +984,7 @@ def dsir_weights_oracle_sql(target_pred: str = "lang = 'en'") -> str:
     rng = "range(1, len(words))"
     return f"""
     WITH dw AS (
-      SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS words
+      SELECT doc_id, string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS words
       FROM documents
     ), dg AS (
       SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
@@ -1235,7 +1235,7 @@ def bpe_pair_counts(
     O(vocab · word-length), not O(corpus tokens); both groupBys are
     map-side combined. Output: ``(a, b, pair_count)``."""
     words = df.select(
-        F.explode(F.split(F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+")).alias("w")
+        F.explode(F.split(F.regexp_replace(F.col(text_col), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+")).alias("w")
     ).filter(F.length("w") >= 1)
     wf = words.groupBy("w").agg(F.count("*").cast("bigint").alias("freq"))
     pairs = (
@@ -1260,7 +1260,7 @@ def bpe_pair_counts_oracle_sql() -> str:
     """DuckDB twin of :func:`bpe_pair_counts` over ``documents``."""
     return """
     WITH w AS (
-      SELECT unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w FROM documents
+      SELECT unnest(string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) AS w FROM documents
     ), wf AS (
       SELECT w, CAST(count(*) AS BIGINT) AS freq
       FROM w WHERE length(w) >= 1 GROUP BY w
@@ -1302,7 +1302,7 @@ def bpe_learn_merges(
     from pyspark.sql import functions as SF
 
     words = df.select(
-        F.explode(F.split(F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+")).alias("w")
+        F.explode(F.split(F.regexp_replace(F.col(text_col), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+")).alias("w")
     ).filter(F.length("w") >= 1)
     vocab = (
         words.groupBy("w")
@@ -1625,7 +1625,7 @@ def rag_chunks_oracle_sql(
     return f"""
     WITH toks AS (
       SELECT {id_col},
-             list_filter(string_split_regex(lower({text_col}), '\\s+'),
+             list_filter(string_split_regex(lower({text_col}), '[ \\t\\n\\x0B\\f\\r]+'),
                          t -> t <> '') AS _toks
       FROM {table}
     ), starts AS (
@@ -1801,7 +1801,7 @@ def cms_probe_oracle_sql(
     hexfold = DUCK_MD5_HEXFOLD
     return f"""
     WITH words AS (
-      SELECT unnest(list_filter(string_split_regex(lower({text_col}), '\\s+'),
+      SELECT unnest(list_filter(string_split_regex(lower({text_col}), '[ \\t\\n\\x0B\\f\\r]+'),
                     t -> t <> '')) AS w
       FROM {table}
     ), cells AS (
@@ -2018,7 +2018,7 @@ def token_kl_oracle_sql(table: str, text_col: str, group_col: str) -> str:
     return f"""
     WITH words AS (
       SELECT {group_col} AS g,
-             unnest(list_filter(string_split_regex(lower({text_col}), '\\s+'),
+             unnest(list_filter(string_split_regex(lower({text_col}), '[ \\t\\n\\x0B\\f\\r]+'),
                     t -> t <> '')) AS w
       FROM {table}
     ), gw AS (
@@ -2164,6 +2164,8 @@ def equi_depth_bins(
     value_col: str,
     id_col: str,
     nbins: int = 4,
+    method: str = "ntile",
+    n_parts: int = 32,
 ) -> DataFrame:
     """Per-group equi-depth discretization — quartile/decile labels for
     feature bucketing and length-balanced batch assembly. ``ntile``
@@ -2172,13 +2174,34 @@ def equi_depth_bins(
     tiebreak makes the assignment — not just the bucket sizes —
     deterministic, so the label column is hash-grade.
 
-    One shuffle on the group key; within-group sort state only (the
-    same cost note as group_quantiles: exact form for reproducible
-    gates, percentile_approx for dashboards)."""
+    ``method="ntile"`` (default) is one shuffle on the group key with
+    within-group sort state — a DOMINANT group (one language holding
+    half the corpus) rides through a single window task, the
+    unpartitioned-window class VERDICT r9 #1 flagged.
+    ``method="two_pass"`` routes through
+    :func:`~beis_orp_data_service_spark.operators.ranks.grouped_ntile`
+    (range-partition on (group, value, id) → per-(group, partition)
+    offsets → per-cell row_number → same NTILE fill rule): identical
+    output, equality-tested in tests/test_ranks.py, max task state
+    ~N/``n_parts`` rows at any group skew."""
     from pyspark.sql.window import Window
 
     if nbins < 1:
         raise ValueError(f"nbins must be >= 1: {nbins}")
+    if method not in ("ntile", "two_pass"):
+        raise ValueError(f"equi_depth_bins: unknown method {method!r}")
+    if method == "two_pass":
+        from beis_orp_data_service_spark.operators.ranks import grouped_ntile
+
+        return grouped_ntile(
+            df.select(F.col(group_col), F.col(id_col), F.col(value_col)),
+            [group_col],
+            [F.col(value_col), F.col(id_col)],
+            nbins,
+            "bin",
+            n_parts=n_parts,
+            label="equi_depth",
+        ).select(group_col, id_col, value_col, "bin")
     w = Window.partitionBy(group_col).orderBy(F.col(value_col), F.col(id_col))
     return df.select(
         F.col(group_col),
@@ -2232,7 +2255,7 @@ def heavy_hitters(
 
     toks = docs.select(
         F.explode(
-            F.split(F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""), r"\s+")
+            F.split(F.regexp_replace(F.lower(F.col(text_col)), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+")
         ).alias("token")
     ).filter(F.col("token") != "")
 
@@ -2269,7 +2292,7 @@ def heavy_hitters_oracle_sql(
     return f"""
     WITH t AS (
       SELECT unnest(list_filter(
-               string_split_regex(regexp_replace(lower({text_col}), '^\\s+|\\s+$', '', 'g'), '\\s+'),
+               string_split_regex(regexp_replace(lower({text_col}), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+'),
                x -> x <> '')) AS token
       FROM {table}
     ), n AS (SELECT COUNT(*) AS n_total FROM t)
@@ -2947,7 +2970,7 @@ def word_dropout(
     """
     toks = F.posexplode(
         F.split(
-            F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"
+            F.regexp_replace(F.col(text_col), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+"
         )
     )
     base = (
@@ -3002,8 +3025,8 @@ def word_dropout_oracle_sql(
     WITH w AS (
       SELECT {id_col},
              list_filter(string_split_regex(
-                 regexp_replace({text_col}, '^\\s+|\\s+$', '', 'g'),
-                 '\\s+'), x -> x <> '') AS words
+                 regexp_replace({text_col}, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'),
+                 '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS words
       FROM {table}
     ), tok AS (
       SELECT {id_col}, i - 1 AS pos, words[i] AS tok
@@ -3054,7 +3077,7 @@ def doremi_reweight(
     Σ weight_nano ≈ 1e9 (floor division remainder ≤ n_domains).
     """
     tok = F.explode(
-        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""), r"\s+")
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+")
     ).alias("token")
     toks = docs.select(
         F.col(domain_col).alias("domain"), tok
@@ -3114,7 +3137,7 @@ def doremi_reweight_oracle_sql(
     sum at both reductions, same integer normalization."""
     tok_list = (
         f"list_filter(string_split_regex(trim(lower({text_col})),"
-        " '\\s+'), x -> x <> '')"
+        " '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
     )
     return f"""
     WITH toks AS (

@@ -81,7 +81,7 @@ def title_window_max(
     Everything is array-valued per row — no explode, no shuffle: the
     whole operator is a projection, embarrassingly parallel at 100 TB.
     """
-    st = F.split(F.regexp_replace(percentage_shortener(text_col), r"^\s+|\s+$", ""), r"\s+")
+    st = F.split(F.regexp_replace(percentage_shortener(text_col), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+")
     title_toks = tokens(title_col)
     wlen = F.size(title_toks) + F.lit(padding)
     n_windows = F.least(F.size(st) - wlen + 1, F.lit(max_candidates))
@@ -232,7 +232,7 @@ def keyword_candidates(
     """
     cleaned = F.lower(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", " "))
     words = df.select(
-        F.col(id_col), F.explode(F.split(F.regexp_replace(cleaned, r"^\s+|\s+$", ""), r"\s+")).alias("keyword")
+        F.col(id_col), F.explode(F.split(F.regexp_replace(cleaned, r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+")).alias("keyword")
     ).filter((F.length("keyword") > 1) & ~F.col("keyword").isin(*stopwords))
     counts = words.groupBy(id_col, "keyword").agg(
         F.count("*").alias("n_mentions")
@@ -458,7 +458,7 @@ def dti_web_rank(
         lambda x: x.isNotNull(),
     )
     body_class = F.regexp_extract(html_eff, r'<body[^>]*class="([^"]*)"', 1)
-    hse_types = F.split(body_class, r"\s+")
+    hse_types = F.split(body_class, r"[ \t\n\x0B\f\r]+")
     possible = (
         F.when(url_eff.startswith(HSE_PREFIX), hse_types)
         .when(url_eff.startswith(GOVUK_PREFIX), gov_types)

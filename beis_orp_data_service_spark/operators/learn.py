@@ -214,7 +214,7 @@ def nb_train_score(
     # run interpreted (measured footgun in this repo) while the post-
     # explode predicate stays in whole-stage codegen
     tok = F.explode(
-        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""), r"\s+")
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+")
     ).alias("token")
     is_test = F.col(id_col) % holdout_mod == 0
     train = docs.where(~is_test)
@@ -295,7 +295,7 @@ def nb_oracle_sql(
     each log term before the sum, same (score, label) argmax."""
     tok_list = (
         f"list_filter(string_split_regex(trim(lower({text_col})),"
-        " '\\s+'), x -> x <> '')"
+        " '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
     )
     return f"""
     WITH tr AS (
@@ -385,7 +385,7 @@ def chi2_tokens(
             F.col(id_col),
             label.cast("int").alias("_y"),
             F.explode(
-                F.split(F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""), r"\s+")
+                F.split(F.regexp_replace(F.lower(F.col(text_col)), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+")
             ).alias("token"),
         )
         .where(F.col("token") != "")
@@ -446,7 +446,7 @@ def chi2_tokens_oracle_sql(
     (χ² desc, token asc) total order."""
     tok_list = (
         f"list_filter(string_split_regex(trim(lower({text_col})),"
-        " '\\s+'), x -> x <> '')"
+        " '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
     )
     return f"""
     WITH pres AS (

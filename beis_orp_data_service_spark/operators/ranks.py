@@ -32,15 +32,37 @@ tests/test_behavior.py and tests/test_ranks.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from beis_orp_data_service_spark.checkpointing import stage_checkpoint
 
+
+def _pid_safe_strategy() -> str | None:
+    """Checkpoint strategy override for the pid-pinning boundaries here.
+
+    Rank CORRECTNESS (not just performance) depends on the range
+    partitioner's sampled split points — and therefore
+    ``spark_partition_id`` — being identical between the counts pass
+    and the ranking pass. The ``"persist"`` strategy keeps lineage, so
+    an executor loss can silently RECOMPUTE partitions through a fresh
+    ``repartitionByRange`` sample and misalign pids with the already-
+    broadcast offsets (ADVICE r9). ``"local"``/``"reliable"`` truncate
+    lineage (a lost block is a loud job failure / an FS re-read, never
+    a silent resample), so those pass through; ``"persist"`` is
+    upgraded to ``"reliable"``."""
+    env = os.environ.get("SPARK_GRAFT_CHECKPOINT", "local")
+    return "reliable" if env == "persist" else None
+
 __all__ = [
     "exact_global_ranks",
     "ntile_from_rank",
+    "ntile_from_rank_col",
     "distributed_ntile",
+    "grouped_exact_ranks",
+    "grouped_ntile",
     "prefix_sums",
 ]
 
@@ -72,6 +94,7 @@ def exact_global_ranks(
         ),
         eager=False,
         label=f"{label}:range_parts",
+        strategy=_pid_safe_strategy(),
     )
     # P-row pull: cumulative offset per range partition
     counts = sorted(
@@ -145,6 +168,7 @@ def prefix_sums(
         ),
         eager=False,  # the totals .collect() materializes it (one job)
         label=f"{label}:range_parts",
+        strategy=_pid_safe_strategy(),
     )
     totals = sorted(
         (r["_rnk_pid"], tuple(r[c] for c in sum_cols))
@@ -191,3 +215,124 @@ def distributed_ntile(
     return ranked.withColumn(
         out_col, ntile_from_rank(F.col("_rnk_tmp"), n_rows, n_tiles)
     ).drop("_rnk_tmp")
+
+
+def ntile_from_rank_col(rank: Column, n_rows: Column, n_tiles: int) -> Column:
+    """Column-typed :func:`ntile_from_rank` — ``n_rows`` is a per-row
+    COLUMN (each group's own total) instead of a Python int, so one
+    expression buckets every group of a grouped ranking at once. Same
+    SQL NTILE fill rule: the first ``n_rows mod n_tiles`` buckets hold
+    ``floor(n_rows/n_tiles) + 1`` rows, the rest one fewer. The
+    ``greatest(q, 1)`` guard keeps the never-taken small-bucket branch
+    from dividing by zero when a group has fewer rows than tiles
+    (vectorized evaluation computes both branches under ANSI mode)."""
+    n = F.lit(int(n_tiles))
+    q = F.floor(n_rows / n).cast("bigint")
+    rem = (n_rows % n).cast("bigint")
+    big = q + F.lit(1)
+    cut = rem * big
+    small = rem + F.floor((rank - cut - 1) / F.greatest(q, F.lit(1))) + 1
+    return (
+        F.when(rank <= cut, F.floor((rank - 1) / big) + 1)
+        .otherwise(small)
+        .cast("bigint")
+    )
+
+
+def grouped_exact_ranks(
+    df: DataFrame,
+    group_cols: list[str],
+    sort_cols: list[Column],
+    rank_col: str = "_grank",
+    total_col: str = "_gtotal",
+    n_parts: int = 32,
+    label: str = "granks",
+) -> DataFrame:
+    """Exact 1-based rank WITHIN each ``group_cols`` group over the
+    ``sort_cols`` total order, plus the group's row count — the grouped
+    sibling of :func:`exact_global_ranks` (VERDICT r9 ask #1) for
+    windows like ``PARTITION BY lang`` where one dominant group (half a
+    100 TB corpus is English) would otherwise ride through a single
+    window task.
+
+    Shape: range-partition on ``(group, sort)`` so every partition
+    holds ~N/P rows of a contiguous (group, key) range (a dominant
+    group simply spans MANY partitions), then rank inside each
+    ``(group, partition)`` cell and add the group's per-partition
+    offsets. Unlike the global variant there is NO driver pull at all:
+    the per-(group, pid) counts table (≤ P·|groups| rows) computes its
+    own cumulative offsets with a window whose partitions are ≤
+    ``n_parts`` rows — bounded by construction at any group
+    cardinality — and joins back broadcast (P rows per group is
+    broadcast-sized even at millions of groups; if it ever isn't, the
+    hint is the only thing to drop).
+
+    ``sort_cols`` must be a total order WITHIN each group (include a
+    unique tiebreak). Same pid-pinning rule as the global variant: the
+    partitioned frame is stage-checkpointed with the persist-upgrade
+    guard (:func:`_pid_safe_strategy`) so the counts pass and the
+    ranking pass see identical partition ids.
+    """
+    part = stage_checkpoint(
+        df.repartitionByRange(
+            n_parts, *[F.col(g) for g in group_cols], *sort_cols
+        ).withColumn("_rnk_pid", F.spark_partition_id()),
+        eager=False,  # one final action materializes it for BOTH consumers
+        label=f"{label}:range_parts",
+        strategy=_pid_safe_strategy(),
+    )
+    cnt = part.groupBy(*group_cols, "_rnk_pid").agg(
+        F.count(F.lit(1)).alias("_rnk_n")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_rnk_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    off = cnt.select(
+        *group_cols,
+        "_rnk_pid",
+        F.coalesce(F.sum("_rnk_n").over(w_off), F.lit(0)).alias("_rnk_off"),
+        F.sum("_rnk_n").over(w_tot).cast("bigint").alias(total_col),
+    )
+    w_rank = Window.partitionBy(*group_cols, "_rnk_pid").orderBy(*sort_cols)
+    return (
+        part.join(F.broadcast(off), [*group_cols, "_rnk_pid"])
+        .withColumn(
+            rank_col,
+            (F.col("_rnk_off") + F.row_number().over(w_rank)).cast("bigint"),
+        )
+        .drop("_rnk_pid", "_rnk_off")
+    )
+
+
+def grouped_ntile(
+    df: DataFrame,
+    group_cols: list[str],
+    sort_cols: list[Column],
+    n_tiles: int,
+    out_col: str,
+    n_parts: int = 32,
+    label: str = "gntile",
+) -> DataFrame:
+    """``ntile(n_tiles) OVER (PARTITION BY group_cols ORDER BY
+    sort_cols)`` via :func:`grouped_exact_ranks` +
+    :func:`ntile_from_rank_col` — exact per-group NTILE semantics
+    (equality-tested against the window spelling in
+    tests/test_ranks.py, dominant-group fixture included) with max
+    per-task state ~N/``n_parts`` rows regardless of how skewed the
+    group sizes are."""
+    ranked = grouped_exact_ranks(
+        df,
+        group_cols,
+        sort_cols,
+        rank_col="_rnk_tmp",
+        total_col="_tot_tmp",
+        n_parts=n_parts,
+        label=label,
+    )
+    return ranked.withColumn(
+        out_col,
+        ntile_from_rank_col(F.col("_rnk_tmp"), F.col("_tot_tmp"), n_tiles),
+    ).drop("_rnk_tmp", "_tot_tmp")

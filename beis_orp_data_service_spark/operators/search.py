@@ -264,7 +264,7 @@ def phrase_match(
     toks = docs.select(
         F.col(id_col),
         F.posexplode(
-            F.split(F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""), r"\s+")
+            F.split(F.regexp_replace(F.lower(F.col(text_col)), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+")
         ).alias("pos", "token"),
     ).filter(F.col("token").isin(terms))
     slot_df = toks.sparkSession.createDataFrame(slots, "token string, i int")
@@ -300,7 +300,7 @@ def phrase_match_oracle_sql(
     return f"""
     WITH toks AS (
       SELECT {id_col},
-             string_split_regex(regexp_replace(lower({text_col}), '^\\s+|\\s+$', '', 'g'), '\\s+') AS w
+             string_split_regex(regexp_replace(lower({text_col}), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS w
       FROM {table}
     ), starts AS (
       SELECT {id_col}, unnest(range(1, len(w) - {n} + 2)) AS s, w
@@ -339,7 +339,7 @@ def suggest_index(
         )
     toks = docs.select(
         F.explode(
-            F.split(F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""), r"\s+")
+            F.split(F.regexp_replace(F.lower(F.col(text_col)), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+")
         ).alias("token")
     ).filter(F.col("token") != "")
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
@@ -384,7 +384,7 @@ def suggest_index_oracle_sql(
     return f"""
     WITH t AS (
       SELECT unnest(list_filter(
-               string_split_regex(regexp_replace(lower({text_col}), '^\\s+|\\s+$', '', 'g'), '\\s+'),
+               string_split_regex(regexp_replace(lower({text_col}), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+'),
                x -> x <> '')) AS token
       FROM {table}
     ), freq AS (

@@ -2381,8 +2381,15 @@ def mean_pool_chunks(
     → order-preserving array reassembly via sorted (dim, value)
     structs (the word_dropout shape). Returns (doc_id, n_chunks,
     pooled_q array<bigint>).
+
+    Precondition: chunk ids are NON-NEGATIVE. The parent id is exact
+    integer ``DIV`` (no double round-trip, so ids beyond 2^53 stay
+    exact — ADVICE r9); Spark's DIV truncates toward zero while
+    DuckDB's ``//`` floors, which only agree for ids >= 0.
     """
-    parent = (F.col(id_col) / F.lit(group_div)).cast("bigint")
+    if group_div <= 0:
+        raise ValueError(f"group_div must be positive: {group_div}")
+    parent = F.expr(f"{id_col} DIV {int(group_div)}")
     dims = embeddings.select(
         parent.alias("doc_id"),
         F.col(id_col).alias("_chunk"),

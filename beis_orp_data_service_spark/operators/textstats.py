@@ -28,20 +28,20 @@ def token_count(text_col: Column | str) -> Column:
     regex-stripped string split on ``\\s+`` can only contain an empty
     token when the whole string is empty."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    stripped = F.regexp_replace(c, r"^\s+|\s+$", "")
+    stripped = F.regexp_replace(c, r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", "")
     return (
         F.when(stripped == "", F.lit(0))
-        .otherwise(F.size(F.split(stripped, r"\s+")))
+        .otherwise(F.size(F.split(stripped, r"[ \t\n\x0B\f\r]+")))
         .cast("bigint")
     )
 
 
 def token_count_sql(expr: str) -> str:
     """DuckDB twin of :func:`token_count` — keep in sync."""
-    s = f"regexp_replace({expr}, '^\\s+|\\s+$', '', 'g')"
+    s = f"regexp_replace({expr}, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')"
     return (
         f"CASE WHEN {s} = '' THEN 0 "
-        f"ELSE len(string_split_regex({s}, '\\s+')) END"
+        f"ELSE len(string_split_regex({s}, '[ \\t\\n\\x0B\\f\\r]+')) END"
     )
 
 
@@ -50,7 +50,7 @@ def token_count_sql(expr: str) -> str:
 # run | space-prefixed punctuation run | whitespace run), restricted to
 # the Java-regex ∩ RE2 dialect subset (no lookarounds, no \p classes) so
 # Spark and the DuckDB oracle tokenize identically.
-BPE_PATTERN = r"'[a-zA-Z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+BPE_PATTERN = r"'[a-zA-Z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^ \t\n\x0B\f\ra-zA-Z0-9]+|[ \t\n\x0B\f\r]+"
 
 
 def bpe_token_count(text_col: Column | str) -> Column:
@@ -367,7 +367,7 @@ def token_pmi(
     (the repo-wide 1-ulp cross-engine assumption).
     """
     tok = F.explode(
-        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""), r"\s+")
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+")
     ).alias("token")
     pres = (
         docs.select(F.col(id_col), tok)
@@ -427,7 +427,7 @@ def token_pmi_oracle_sql(
     alphabetical per-doc cap, same exact-integer ratio into ln."""
     tok_list = (
         f"list_filter(string_split_regex(trim(lower({text_col})),"
-        " '\\s+'), x -> x <> '')"
+        " '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
     )
     return f"""
     WITH pres0 AS (
@@ -548,7 +548,7 @@ def oov_rate_by_lang(
     one per-lang aggregation.
     """
     tok = F.explode(
-        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""), r"\s+")
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+")
     ).alias("token")
     is_test = F.col(id_col) % holdout_mod == 0
     vocab = (
@@ -589,7 +589,7 @@ def oov_rate_oracle_sql(
     """DuckDB twin of :func:`oov_rate_by_lang`."""
     tok_list = (
         f"list_filter(string_split_regex(trim(lower({text_col})),"
-        " '\\s+'), x -> x <> '')"
+        " '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
     )
     return f"""
     WITH vocab AS (
@@ -703,7 +703,7 @@ def ngram_diversity(
     from pyspark.sql import functions as F
 
     toks = F.split(
-        F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""), r"\s+"
+        F.regexp_replace(F.lower(F.col(text_col)), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+"
     )
     grams = F.when(
         F.size(toks) >= n,
@@ -742,7 +742,7 @@ def ngram_diversity_oracle_sql(
     WITH t AS (
       SELECT {group_col} AS grp,
              string_split_regex(regexp_replace(lower({text_col}),
-                                '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks
+                                '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS toks
       FROM {table}
     ), g AS (
       SELECT grp,

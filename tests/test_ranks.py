@@ -162,3 +162,172 @@ class TestDistributedNtile:
         # spec after the ordering. Cheap + robust proxy: the single-
         # partition exchange that an empty spec forces must be absent.
         assert "SinglePartition" not in plan
+
+
+class TestNtileFromRankCol:
+    def test_matches_python_int_form(self, spark):
+        # column-typed N must reproduce the int-typed form on the same
+        # (rem==0, rem>0, N<n, N==n, N==1) grid
+        for n_rows, n_tiles in [(10, 5), (11, 5), (13, 4), (3, 7), (5, 5), (1, 3)]:
+            df = spark.createDataFrame(
+                [(i, n_rows) for i in range(1, n_rows + 1)], "r long, n long"
+            )
+            got = {
+                row.r: row.t
+                for row in df.select(
+                    "r",
+                    ranks.ntile_from_rank_col(
+                        F.col("r"), F.col("n"), n_tiles
+                    ).alias("t"),
+                ).collect()
+            }
+            want = {
+                row.r: row.t
+                for row in df.select(
+                    "r",
+                    ranks.ntile_from_rank(F.col("r"), n_rows, n_tiles).alias("t"),
+                ).collect()
+            }
+            assert got == want, (n_rows, n_tiles)
+
+
+class TestGroupedNtile:
+    def test_matches_window_ntile_per_group(self, spark):
+        # uneven groups, including one smaller than the tile count
+        rows = [("g%d" % (i % 5), (i * 137) % 61, i) for i in range(523)]
+        rows += [("tiny", 1, 9001), ("tiny", 2, 9002)]
+        df = spark.createDataFrame(rows, "grp string, v long, id long").repartition(9)
+        got = sorted(
+            map(
+                tuple,
+                ranks.grouped_ntile(
+                    df, ["grp"], [F.col("v").desc(), F.col("id")], 4, "tile",
+                    n_parts=6,
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                df.select(
+                    "grp",
+                    "v",
+                    "id",
+                    F.ntile(4)
+                    .over(
+                        Window.partitionBy("grp").orderBy(
+                            F.col("v").desc(), F.col("id")
+                        )
+                    )
+                    .cast("bigint")
+                    .alias("tile"),
+                ).collect(),
+            )
+        )
+        assert got == want
+
+    def test_dominant_group(self, spark):
+        # the r9 verdict fixture: ONE group holds 90% of the rows (the
+        # English-at-100TB shape) — assignment must still equal the
+        # window spelling exactly, with ties on v broken by id
+        rows = [("en", (i * 31) % 7, i) for i in range(900)]
+        rows += [("xx%d" % (i % 10), i % 13, 10_000 + i) for i in range(100)]
+        df = spark.createDataFrame(rows, "grp string, v long, id long")
+        got = sorted(
+            map(
+                tuple,
+                ranks.grouped_ntile(
+                    df, ["grp"], [F.col("v"), F.col("id")], 3, "b", n_parts=8
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                df.select(
+                    "grp",
+                    "v",
+                    "id",
+                    F.ntile(3)
+                    .over(
+                        Window.partitionBy("grp").orderBy(
+                            F.col("v"), F.col("id")
+                        )
+                    )
+                    .cast("bigint")
+                    .alias("b"),
+                ).collect(),
+            )
+        )
+        assert got == want
+
+    def test_grouped_ranks_totals(self, spark):
+        df = spark.createDataFrame(
+            [("a", i, i) for i in range(10)] + [("b", i, 100 + i) for i in range(3)],
+            "grp string, v long, id long",
+        )
+        out = ranks.grouped_exact_ranks(
+            df, ["grp"], [F.col("v"), F.col("id")], n_parts=4
+        )
+        rows = {(r.grp, r.id): (r._grank, r._gtotal) for r in out.collect()}
+        assert rows[("a", 0)] == (1, 10)
+        assert rows[("a", 9)] == (10, 10)
+        assert rows[("b", 102)] == (3, 3)
+
+    def test_no_single_partition_exchange(self, spark):
+        # no whole-group (let alone whole-table) window task: the only
+        # windows in the plan are keyed by (group, range-pid) on the
+        # data path and by group over the <=P-row counts table
+        df = spark.createDataFrame(
+            [("g", i % 9, i) for i in range(200)], "grp string, v long, id long"
+        )
+        out = ranks.grouped_ntile(
+            df, ["grp"], [F.col("v"), F.col("id")], 4, "b", n_parts=5
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+
+
+class TestTwoPassOperatorWiring:
+    def test_ccnet_buckets_two_pass_equals_window(self, spark):
+        # dominant-language corpus: 90% 'en'
+        rows = [
+            (i, "en" if i < 90 else "fr", "tok%d word common text %d" % (i % 7, i))
+            for i in range(100)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        train = docs.where(F.col("doc_id") % 2 == 0)
+        from beis_orp_data_service_spark.operators import lm as lm_ops
+
+        a = lm_ops.ccnet_buckets(docs, train, "doc_id", "text", "lang")
+        b = lm_ops.ccnet_buckets(
+            docs, train, "doc_id", "text", "lang", method="two_pass", n_parts=5
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_equi_depth_bins_two_pass_equals_window(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as corpus_ops
+
+        rows = [("en", (i * 17) % 23, i) for i in range(180)]
+        rows += [("de", i % 5, 1000 + i) for i in range(20)]
+        df = spark.createDataFrame(rows, "lang string, n long, doc_id long")
+        a = corpus_ops.equi_depth_bins(df, "lang", "n", "doc_id", 4)
+        b = corpus_ops.equi_depth_bins(
+            df, "lang", "n", "doc_id", 4, method="two_pass", n_parts=6
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_unknown_method_raises(self, spark):
+        import pytest
+
+        from beis_orp_data_service_spark.operators import corpus as corpus_ops
+        from beis_orp_data_service_spark.operators import lm as lm_ops
+
+        df = spark.createDataFrame([("a", 1, 1)], "lang string, n long, doc_id long")
+        with pytest.raises(ValueError):
+            corpus_ops.equi_depth_bins(df, "lang", "n", "doc_id", 4, method="nope")
+        docs = spark.createDataFrame(
+            [(1, "en", "a b")], "doc_id long, lang string, text string"
+        )
+        with pytest.raises(ValueError):
+            lm_ops.ccnet_buckets(docs, docs, method="nope")
