@@ -1548,6 +1548,85 @@ def hll_estimate_oracle_sql(values_cte: str, p: int, prefix: str = "") -> str:
     """
 
 
+def hll_estimate_by_group(
+    registers: DataFrame, group_col: str, p: int = 10, prefix: str = ""
+) -> DataFrame:
+    """Per-group scalar HLL estimates from
+    :func:`hll_registers_by_group` output — one row
+    ``(group, {prefix}est, {prefix}n_present, {prefix}s_total)`` per
+    group, with :func:`hll_estimate_df`'s hash-stability trick (the
+    indicator sum is the EXACT int64 ``s_total``; the only float ops
+    are one division — IEEE-identical across engines — and the
+    linear-counting ``ln`` with its documented 1-ulp assumption)."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16]: {p}")
+    m = 1 << p
+    rho_max = 60 - p + 1
+    c = (0.7213 / (1 + 1.079 / m)) * float(m) * float(m) * float(1 << rho_max)
+    agg = registers.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rho_max} - max_rho)")),
+            F.lit(0).cast("bigint"),
+        ).alias("_s"),
+    )
+    zeros = F.lit(m) - F.col("_n")
+    s_total = (F.col("_s") + zeros * F.lit(1 << rho_max).cast("bigint")).cast(
+        "bigint"
+    )
+    raw = F.lit(c) / s_total.cast("double")
+    est = F.when(
+        (zeros > 0) & (raw <= F.lit(2.5 * m)),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        group_col,
+        est.alias(f"{prefix}est"),
+        F.col("_n").cast("bigint").alias(f"{prefix}n_present"),
+        s_total.alias(f"{prefix}s_total"),
+    )
+
+
+def hll_estimate_by_group_oracle_sql(
+    values_cte: str, group_col: str, p: int, prefix: str = ""
+) -> str:
+    """DuckDB twin of ``hll_registers_by_group`` +
+    :func:`hll_estimate_by_group` over a CTE named ``values_cte`` with
+    columns ``(grp, v)``. Emits a parenthesized SELECT (one row per
+    grp) to embed as a subquery; the caller aliases ``grp`` back to
+    its group column."""
+    m = 1 << p
+    rho_max = 60 - p + 1
+    c = (0.7213 / (1 + 1.079 / m)) * float(m) * float(m) * float(1 << rho_max)
+    return f"""
+      (WITH h_{prefix} AS (
+        SELECT grp, (('0x' || substr(md5(v), 1, 15))::BIGINT) AS h60
+        FROM {values_cte} WHERE v IS NOT NULL
+      ), reg_{prefix} AS (
+        SELECT grp, h60 % {m} AS bucket,
+               max(CASE WHEN h60 // {m} = 0 THEN {rho_max}
+                        ELSE {rho_max} - length(bin(h60 // {m})) END) AS max_rho
+        FROM h_{prefix} GROUP BY 1, 2
+      ), a_{prefix} AS (
+        SELECT grp, count(*) AS n,
+               CAST(coalesce(sum((1::BIGINT << ({rho_max} - max_rho))), 0)
+                    + ({m} - count(*)) * (1::BIGINT << {rho_max}) AS BIGINT)
+                 AS s_total
+        FROM reg_{prefix} GROUP BY grp
+      )
+      SELECT grp,
+             CASE WHEN ({m} - n) > 0
+                   AND {c!r}::DOUBLE / CAST(s_total AS DOUBLE) <= {2.5 * m}
+             THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE)
+                                           / CAST({m} - n AS DOUBLE))
+             ELSE {c!r}::DOUBLE / CAST(s_total AS DOUBLE)
+             END AS {prefix}est,
+             CAST(n AS BIGINT) AS {prefix}n_present,
+             s_total AS {prefix}s_total
+      FROM a_{prefix})
+    """
+
+
 def hll_estimate(registers: DataFrame, p: int = 10) -> float:
     """Scalar HLL estimate from a register table (driver-side over
     ≤2^p rows — bounded by construction). Standard alpha_m bias

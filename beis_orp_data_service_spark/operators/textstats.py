@@ -683,6 +683,26 @@ def bpe_fertility_oracle_sql(
     """
 
 
+def token_ngrams_expr(text_col: str, n: int):
+    """array<string> of in-document token ``n``-grams (space-joined
+    windows of stripped lowercased whitespace tokens; docs shorter
+    than ``n`` tokens yield an empty array — no partial windows).
+    Shared by the exact and HLL spellings of ngram diversity so the
+    gram universe is identical by construction."""
+    from pyspark.sql import functions as F
+
+    toks = F.split(
+        F.regexp_replace(F.lower(F.col(text_col)), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+"
+    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def ngram_diversity(
     docs,
     n: int = 3,
@@ -702,18 +722,9 @@ def ngram_diversity(
     """
     from pyspark.sql import functions as F
 
-    toks = F.split(
-        F.regexp_replace(F.lower(F.col(text_col)), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+"
-    )
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     g = docs.select(
-        F.col(group_col).alias("grp"), F.explode(grams).alias("gram")
+        F.col(group_col).alias("grp"),
+        F.explode(token_ngrams_expr(text_col, n)).alias("gram"),
     )
     return (
         g.groupBy("grp")
@@ -755,4 +766,94 @@ def ngram_diversity_oracle_sql(
            CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
            (count(DISTINCT gram) * 1000) // count(*) AS distinct_milli
     FROM g GROUP BY grp
+    """
+
+
+def ngram_diversity_approx(
+    docs,
+    n: int = 3,
+    group_col: str = "source",
+    text_col: str = "text",
+    p: int = 12,
+):
+    """HLL spelling of :func:`ngram_diversity` (VERDICT r9 ask #5) —
+    the 100 TB dashboard path. The exact form's per-(group, gram)
+    countDistinct shuffles the full gram UNIVERSE (trigram types grow
+    ~linearly with a web corpus); this one shuffles at most
+    |groups|·2^p register rows (one map-side-combined max per (group,
+    bucket)) and estimates distinct grams per group with the md5-keyed
+    HLL (:func:`~beis_orp_data_service_spark.operators.corpus.
+    hll_registers_by_group`), so the whole monitor is
+    mergeable-bounded-state regardless of corpus size. n_ngrams stays
+    exact (a decomposable count).
+
+    Hash-grade: registers are integer (engine-portable md5), s_total
+    is an exact int64, and the estimate is one IEEE division (the
+    linear-counting small-range branch carries the repo's documented
+    1-ulp ln() assumption but is unreachable for corpus-scale gram
+    counts). Returns (group, n_ngrams, n_distinct_est double,
+    distinct_milli_est bigint).
+    """
+    from pyspark.sql import functions as F
+
+    from beis_orp_data_service_spark.operators.corpus import (
+        hll_estimate_by_group,
+        hll_registers_by_group,
+    )
+
+    g = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(token_ngrams_expr(text_col, n)).alias("gram"),
+    )
+    tot = g.groupBy("grp").agg(F.count(F.lit(1)).cast("bigint").alias("n_ngrams"))
+    est = hll_estimate_by_group(
+        hll_registers_by_group(g, "grp", "gram", p=p), "grp", p=p
+    ).select("grp", F.col("est").alias("n_distinct_est"))
+    return tot.join(est, "grp").select(
+        F.col("grp").alias(group_col),
+        "n_ngrams",
+        "n_distinct_est",
+        F.floor(F.col("n_distinct_est") * 1000 / F.col("n_ngrams"))
+        .cast("bigint")
+        .alias("distinct_milli_est"),
+    )
+
+
+def ngram_diversity_approx_oracle_sql(
+    table: str = "documents",
+    n: int = 3,
+    group_col: str = "source",
+    text_col: str = "text",
+    p: int = 12,
+) -> str:
+    """DuckDB twin of :func:`ngram_diversity_approx` — identical gram
+    construction, identical md5-HLL registers and estimate."""
+    from beis_orp_data_service_spark.operators.corpus import (
+        hll_estimate_by_group_oracle_sql,
+    )
+
+    est = hll_estimate_by_group_oracle_sql("gv", "grp", p, "")
+    return f"""
+    WITH t AS (
+      SELECT {group_col} AS grp,
+             string_split_regex(regexp_replace(lower({text_col}),
+                                '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS toks
+      FROM {table}
+    ), g AS (
+      SELECT grp,
+             unnest([array_to_string(list_slice(toks, i, i + {n - 1}), ' ')
+                     for i in range(1, len(toks) - {n - 1} + 1)]) AS gram
+      FROM t WHERE len(toks) >= {n}
+    ), gv AS (
+      SELECT grp, gram AS v FROM g
+    ), tot AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_ngrams FROM g GROUP BY grp
+    ), e AS (
+      SELECT * FROM {est} AS sub
+    )
+    SELECT tot.grp AS {group_col}, tot.n_ngrams,
+           e.est AS n_distinct_est,
+           CAST(floor(e.est * 1000 / tot.n_ngrams) AS BIGINT)
+             AS distinct_milli_est
+    FROM tot JOIN e ON tot.grp = e.grp
     """

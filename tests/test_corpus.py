@@ -1671,3 +1671,52 @@ class TestBpeFertility:
         zz = got["zz"]
         assert (zz.ws_tokens, zz.bpe_tokens) == (0, 0)
         assert zz.fertility_milli is None and zz.chars_per_bpe_milli is None
+
+
+class TestHllEstimateByGroup:
+    def test_matches_per_group_global_estimate(self, spark):
+        """Grouped estimates must equal running hll_estimate_df on each
+        group's own slice (same registers, same arithmetic)."""
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        df = spark.range(30_000).selectExpr(
+            "CAST(id % 3 AS STRING) AS grp",
+            # group 0: 10k distinct; group 1: 500 distinct (linear-
+            # counting branch); group 2: 10k distinct, different values
+            "CASE WHEN id % 3 = 1 THEN CAST(id % 1500 AS STRING) "
+            "ELSE CAST(id AS STRING) END AS v",
+        )
+        regs = co.hll_registers_by_group(df, "grp", "v", p=10)
+        got = {
+            r.grp: (r.est, r.n_present, r.s_total)
+            for r in co.hll_estimate_by_group(regs, "grp", p=10).collect()
+        }
+        for g in ("0", "1", "2"):
+            slice_regs = regs.where(F.col("grp") == g).select(
+                "bucket", "max_rho"
+            )
+            want = co.hll_estimate_df(slice_regs, p=10).first()
+            assert got[g] == (want.est, want.n_present, want.s_total), g
+
+    def test_ngram_diversity_approx_tracks_exact(self, spark):
+        """p=12 → ~1.6% standard error; the approx distinct count must
+        land within 10% of the exact per-group count on real docs."""
+        from beis_orp_data_service_spark.catalog import load_table
+        from beis_orp_data_service_spark.operators import textstats as ts
+        from tests.conftest import SF_SMOKE
+
+        docs = load_table(spark, SF_SMOKE, "documents")
+        exact = {
+            r.source: r.n_distinct
+            for r in ts.ngram_diversity(docs).collect()
+        }
+        approx = {
+            r.source: (r.n_ngrams, r.n_distinct_est)
+            for r in ts.ngram_diversity_approx(docs).collect()
+        }
+        assert set(exact) == set(approx)
+        for src, n_exact in exact.items():
+            n_ngrams, est = approx[src]
+            assert abs(est - n_exact) / max(1, n_exact) < 0.10, (
+                src, n_exact, est,
+            )
