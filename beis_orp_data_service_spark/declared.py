@@ -3998,6 +3998,18 @@ def corpus_quantiles(spark, sf_dir):
     return corpus_ops.group_quantiles(docs, "lang", "n_chars", "doc_id")
 
 
+@declared("corpus_quantiles_two_pass", REGISTRY["corpus_quantiles"].sql)
+def _corpus_quantiles_two_pass(spark, sf_dir):
+    # group_quantiles' scale spelling under the SAME oracle (the r10
+    # repo-wide window-class sweep): the (rank, n) pair comes from
+    # ranks.grouped_exact_ranks instead of two per-group windows, so
+    # the exact quantile gate survives a dominant language.
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_ops.group_quantiles(
+        docs, "lang", "n_chars", "doc_id", method="two_pass", n_parts=8
+    )
+
+
 @declared(
     "mixture_sample",
     """
@@ -6751,6 +6763,23 @@ def _winsorize(spark, sf_dir):
     )
 
 
+@declared("winsorize_two_pass", REGISTRY["winsorize"].sql)
+def _winsorize_two_pass(spark, sf_dir):
+    # winsorize's scale spelling under the SAME oracle: the (rank, n)
+    # windows route through ranks.grouped_exact_ranks — identical
+    # clamp bounds, bounded task state under a dominant event_type.
+    return an_ops.winsorize(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        F.round(F.col("value") * 100),
+        "event_id",
+        lo_pct=5,
+        hi_pct=95,
+        method="two_pass",
+        n_parts=8,
+    )
+
+
 _CONTAINMENT_SRC = """
 SELECT doc_id, text FROM documents
 UNION ALL
@@ -6924,6 +6953,22 @@ def _mad_outliers(spark, sf_dir):
         F.round(F.col("value") * 100),
         "event_id",
         n_mads=3,
+    )
+
+
+@declared("mad_two_pass", REGISTRY["mad_outliers"].sql)
+def _mad_two_pass(spark, sf_dir):
+    # mad_outliers' scale spelling under the SAME oracle: both median
+    # passes take (rank, n) from ranks.grouped_exact_ranks — identical
+    # flagged set, no whole-group window task.
+    return an_ops.mad_outliers(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        F.round(F.col("value") * 100),
+        "event_id",
+        n_mads=3,
+        method="two_pass",
+        n_parts=8,
     )
 
 

@@ -883,12 +883,52 @@ def dq_report(
     return out
 
 
+def _group_rank_n(
+    rows: DataFrame,
+    col: str,
+    method: str,
+    n_parts: int,
+    label: str,
+) -> DataFrame:
+    """(grp, ..., rn, n) — per-group rank under (col, id) and group
+    size, the shared input of the discrete-quantile family. ``method=
+    "window"`` is the classic two windows over one group shuffle (a
+    dominant group = one window task); ``"two_pass"`` routes through
+    :func:`~beis_orp_data_service_spark.operators.ranks.
+    grouped_exact_ranks` (identical output, bounded task state)."""
+    if method == "two_pass":
+        from beis_orp_data_service_spark.operators.ranks import (
+            grouped_exact_ranks,
+        )
+
+        return grouped_exact_ranks(
+            rows,
+            ["grp"],
+            [F.col(col), F.col("id")],
+            rank_col="rn",
+            total_col="n",
+            n_parts=n_parts,
+            label=label,
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy(F.col(col), F.col("id"))
+    wn = Window.partitionBy("grp")
+    return rows.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     group_col: str,
     value_col,
     id_col: str,
     n_mads: int = 3,
+    method: str = "window",
+    n_parts: int = 32,
 ) -> DataFrame:
     """Robust per-group outlier detection: |x − median| > n·MAD
     (median absolute deviation — the robust-statistics replacement for
@@ -899,18 +939,21 @@ def mad_outliers(
     exact integer arithmetic, so the flagged set hash-matches any
     engine.
 
-    Shape: one shuffle on the group key; the two median passes are
-    windows over that same partitioning (Catalyst reuses the
-    exchange, the second pass adds only an in-partition sort), and
-    each per-group median table joins back broadcast. Same 100 TB
-    caveat as group_quantiles: exact in-group sort — reserve for
-    reproducible gates, use approx quantiles for dashboards.
+    Shape (``method="window"``): one shuffle on the group key; the two
+    median passes are windows over that same partitioning (Catalyst
+    reuses the exchange, the second pass adds only an in-partition
+    sort), and each per-group median table joins back broadcast — a
+    dominant group rides one window task. ``method="two_pass"`` swaps
+    the (rn, n) windows for
+    :func:`~beis_orp_data_service_spark.operators.ranks.
+    grouped_exact_ranks` (identical output, bounded task state), so
+    the exact form survives one group holding half the data.
 
     Output: outlier rows (group, id, value, med, mad, dev)."""
-    from pyspark.sql import Window
-
     if n_mads < 1:
         raise ValueError(f"n_mads must be >= 1, got {n_mads}")
+    if method not in ("window", "two_pass"):
+        raise ValueError(f"mad_outliers: unknown method {method!r}")
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     base = df.select(
         F.col(group_col).alias("grp"),
@@ -919,15 +962,8 @@ def mad_outliers(
     )
 
     def _median(rows: DataFrame, col: str) -> DataFrame:
-        w = Window.partitionBy("grp").orderBy(F.col(col), F.col("id"))
-        wn = Window.partitionBy("grp")
         return (
-            rows.select(
-                "grp",
-                F.col(col),
-                F.row_number().over(w).alias("rn"),
-                F.count("*").over(wn).alias("n"),
-            )
+            _group_rank_n(rows, col, method, n_parts, f"mad:{col}")
             .groupBy("grp")
             .agg(
                 F.max(
@@ -998,6 +1034,8 @@ def winsorize(
     id_col: str,
     lo_pct: int = 5,
     hi_pct: int = 95,
+    method: str = "window",
+    n_parts: int = 32,
 ) -> DataFrame:
     """Per-group winsorization: clamp values to the exact discrete
     [p_lo, p_hi] band (outlier-robust feature prep — the clip step
@@ -1008,27 +1046,23 @@ def winsorize(
     interpolating percentiles are not.
 
     One shuffle on the group key (window rank), bounds join back
-    broadcast. Output: (grp, id, value, lo, hi, clipped)."""
-    from pyspark.sql import Window
-
+    broadcast; ``method="two_pass"`` swaps the rank windows for
+    :func:`~beis_orp_data_service_spark.operators.ranks.
+    grouped_exact_ranks` (identical bounds, bounded task state under a
+    dominant group). Output: (grp, id, value, lo, hi, clipped)."""
     if not (0 < lo_pct < hi_pct <= 100):
         raise ValueError(
             f"need 0 < lo_pct < hi_pct <= 100, got {lo_pct}, {hi_pct}"
         )
+    if method not in ("window", "two_pass"):
+        raise ValueError(f"winsorize: unknown method {method!r}")
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     base = df.select(
         F.col(group_col).alias("grp"),
         F.col(id_col).alias("id"),
         v.cast("bigint").alias("value"),
     )
-    w = Window.partitionBy("grp").orderBy(F.col("value"), F.col("id"))
-    wn = Window.partitionBy("grp")
-    ranked = base.select(
-        "grp",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
-    )
+    ranked = _group_rank_n(base, "value", method, n_parts, "winsorize")
     bounds = ranked.groupBy("grp").agg(
         F.max(
             F.when(F.col("rn") == F.expr(f"(n * {lo_pct} + 99) div 100"), F.col("value"))

@@ -651,6 +651,8 @@ def group_quantiles(
     value_col: str = "n_chars",
     id_col: str = "doc_id",
     qs: tuple[int, ...] = (50, 90, 99),
+    method: str = "window",
+    n_parts: int = 32,
 ) -> DataFrame:
     """Exact discrete quantiles per group (corpus length/size reporting):
     value at rank ``ceil(q·n/100)`` under a total order — integer-exact,
@@ -658,22 +660,43 @@ def group_quantiles(
     percentile functions differ across engines and are not
     hash-comparable).
 
-    One shuffle on the group key; rank + group-size via windows inside
-    the partition. Groups are processed in parallel; within a huge
-    group this is a sort — at 100 TB prefer ``percentile_approx`` for
-    monitoring dashboards and reserve this exact form for
-    gate-keeping thresholds where the number must be reproducible.
+    ``method="window"``: one shuffle on the group key; rank +
+    group-size via windows inside the partition — a dominant group is
+    one window task (the unpartitioned-window class).
+    ``method="two_pass"`` routes the (rank, n) pair through
+    :func:`~beis_orp_data_service_spark.operators.ranks.
+    grouped_exact_ranks` — identical output, max task state
+    ~N/``n_parts`` rows at any group skew; the exact form then stays
+    usable as a gate even when one group holds half the corpus
+    (``percentile_approx`` remains the dashboard path).
     """
-    from pyspark.sql.window import Window
+    if method not in ("window", "two_pass"):
+        raise ValueError(f"group_quantiles: unknown method {method!r}")
+    if method == "two_pass":
+        from beis_orp_data_service_spark.operators.ranks import (
+            grouped_exact_ranks,
+        )
 
-    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
-    wn = Window.partitionBy(group_col)
-    ranked = df.select(
-        F.col(group_col),
-        F.col(value_col),
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
-    )
+        ranked = grouped_exact_ranks(
+            df.select(F.col(group_col), F.col(value_col), F.col(id_col)),
+            [group_col],
+            [F.col(value_col), F.col(id_col)],
+            rank_col="rn",
+            total_col="n",
+            n_parts=n_parts,
+            label="gq",
+        )
+    else:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+        wn = Window.partitionBy(group_col)
+        ranked = df.select(
+            F.col(group_col),
+            F.col(value_col),
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
     aggs = [F.count("*").cast("bigint").alias("n_rows")]
     for q in qs:
         aggs.append(

@@ -331,3 +331,39 @@ class TestTwoPassOperatorWiring:
         )
         with pytest.raises(ValueError):
             lm_ops.ccnet_buckets(docs, docs, method="nope")
+
+    def test_quantile_family_two_pass_equals_window(self, spark):
+        # the r10 repo-wide window-class sweep: group_quantiles /
+        # mad_outliers / winsorize under a dominant group (90% of rows)
+        from beis_orp_data_service_spark.operators import analytics as an
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        rows = [("en", (i * 37) % 101, i) for i in range(900)]
+        rows += [("xx%d" % (i % 7), (i * 13) % 29, 10_000 + i) for i in range(100)]
+        df = spark.createDataFrame(rows, "grp string, v long, id long")
+        for a, b in [
+            (
+                co.group_quantiles(df, "grp", "v", "id", (50, 90, 99)),
+                co.group_quantiles(
+                    df, "grp", "v", "id", (50, 90, 99),
+                    method="two_pass", n_parts=6,
+                ),
+            ),
+            (
+                an.mad_outliers(df, "grp", "v", "id", n_mads=2),
+                an.mad_outliers(
+                    df, "grp", "v", "id", n_mads=2,
+                    method="two_pass", n_parts=6,
+                ),
+            ),
+            (
+                an.winsorize(df, "grp", "v", "id", 5, 95),
+                an.winsorize(
+                    df, "grp", "v", "id", 5, 95,
+                    method="two_pass", n_parts=6,
+                ),
+            ),
+        ]:
+            assert sorted(map(tuple, a.collect())) == sorted(
+                map(tuple, b.collect())
+            )
