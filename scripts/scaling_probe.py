@@ -64,26 +64,41 @@ INFLATED = ("documents", "embeddings", "events", "part")
 # claims.
 
 
-def parse_measured_rows(path: str) -> dict[str, str]:
-    """Query name -> its markdown row, for every measured row of the
-    committed SCALING.md main table (rows whose 2nd..4th cells parse
-    as floats). Used both to derive the never-probed set and to carry
-    prior measurements into the regenerated file."""
-    rows: dict[str, str] = {}
+# All-pairs-over-a-bounded-sample kernel demos: their OUTPUT is
+# factor²-quadratic by construction (the declared query is a sampled
+# sub-square exercising the similarity kernel itself; the scale path
+# for the same semantics is the banded/LSH/ANN family, probed above).
+# Graded against 1.5·factor² — a ratio past even that means the kernel
+# itself degraded, not just the pair count.
+QUADRATIC_BY_DESIGN = {"cos_sim"}
+
+
+def parse_measured_rows(path: str) -> dict[str, tuple[float, float, float]]:
+    """Query name -> (base_s, big_s, ratio), for every measured row of
+    the committed SCALING.md main table (rows whose 2nd..4th cells
+    parse as floats). Used both to derive the never-probed set and to
+    carry prior measurements into the regenerated file (verdicts are
+    RE-derived from the numbers under the current grading rules, so a
+    grading change never fossilizes a stale verdict string)."""
+    rows: dict[str, tuple[float, float, float]] = {}
     if not os.path.exists(path):
         return rows
     with open(path) as f:
         for line in f:
-            line = line.rstrip("\n")
-            cells = [c.strip() for c in line.split("|")]
+            cells = [c.strip() for c in line.rstrip("\n").split("|")]
             # '| name | b | g | r | verdict |' splits into 7 cells
             if len(cells) < 6 or cells[1] in ("query", "---", ""):
                 continue
             try:
-                float(cells[2]), float(cells[3]), float(cells[4])
+                vals = float(cells[2]), float(cells[3]), float(cells[4])
             except ValueError:
                 continue
-            rows[cells[1]] = line
+            # registry-scoped: the simhash-diagnosis table's scale rows
+            # (| 1× | ... |) also parse as floats — only real query
+            # names count as measured coverage
+            if cells[1] not in declared.REGISTRY:
+                continue
+            rows[cells[1]] = vals
     return rows
 
 
@@ -341,25 +356,38 @@ def main() -> int:
         "|---|---|---|---|---|",
     ]
     n_bad = 0
+
+    def grade(name: str, ratio: float) -> tuple[str, bool]:
+        if name in SF_INDEPENDENT:
+            return "sf-independent fixture (not graded)", False
+        if name in QUADRATIC_BY_DESIGN:
+            if ratio <= 1.5 * factor * factor:
+                return (
+                    "OK (pair-quadratic by design: sampled all-pairs "
+                    f"kernel demo, graded vs 1.5·{factor}²)"
+                ), False
+            return "**OUTLIER** — kernel itself degraded", True
+        if ratio <= 1.5 * factor:
+            return "OK", False
+        return "**OUTLIER** — diagnose plan", True
+
     fresh_names = set()
     for name, tb, tg, ratio in rows:
         fresh_names.add(name)
-        if name in SF_INDEPENDENT:
-            verdict = "sf-independent fixture (not graded)"
-        elif ratio <= 1.5 * factor:
-            verdict = "OK"
-        else:
-            verdict = "**OUTLIER** — diagnose plan"
-            n_bad += 1
+        verdict, bad = grade(name, ratio)
+        n_bad += bad
         lines.append(
             f"| {name} | {tb:.2f} | {tg:.2f} | {ratio:.2f} | {verdict} |"
         )
     for name in sorted(prior_rows):
         if name not in fresh_names:
-            row = prior_rows[name]
-            if "(carried)" not in row:
-                row = row.rstrip().rstrip("|").rstrip() + " (carried) |"
-            lines.append(row)
+            tb, tg, ratio = prior_rows[name]
+            verdict, bad = grade(name, ratio)
+            n_bad += bad
+            lines.append(
+                f"| {name} | {tb:.2f} | {tg:.2f} | {ratio:.2f} | "
+                f"{verdict} (carried) |"
+            )
     # ---- simhash_pairs diagnosis (round-6 ask #4) ----
     sh_base = simhash_bucket_stats(spark, base)
     sh_big = simhash_bucket_stats(spark, dst)
