@@ -301,6 +301,67 @@ def main() -> int:
         ).count(),
     )
 
+    # ---- the dominant-group WINDOW incident (round 10) ----
+    # The unpartitioned-window class made measurable: one language
+    # holds 95% of an inflated corpus (the English-at-100TB shape), so
+    # `ntile OVER (PARTITION BY lang)` funnels 95% of rows through ONE
+    # window task — per-task shuffle-read records show the single hot
+    # reducer directly. The two_pass spelling (ranks.grouped_ntile via
+    # equi_depth_bins) range-partitions (lang, value, id) so the
+    # dominant language spans ~n_parts tasks; the proof chain mirrors
+    # the ER section: (1) results exceptAll-EQUAL both ways, (2) the
+    # window spelling's ratio documents the incident, (3) the two_pass
+    # ratio stays bounded.
+    from beis_orp_data_service_spark.operators import corpus as co
+
+    wdid = F.col("doc_id") * inflate + F.col("_rep")
+    wdocs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .crossJoin(spark.range(inflate).select(F.col("id").alias("_rep")))
+        .select(
+            wdid.alias("doc_id"),
+            F.when(
+                wdid % 20 == 0,
+                F.concat(F.lit("xx"), (wdid % 4).cast("string")),
+            )
+            .otherwise(F.lit("en"))
+            .alias("lang"),
+            # deterministic well-spread value (Knuth multiplicative);
+            # the id tiebreak makes the total order unique either way
+            ((wdid * 2654435761) % 100000).alias("n_chars"),
+        )
+        .localCheckpoint()
+    )
+    w_win = co.equi_depth_bins(wdocs, "lang", "n_chars", "doc_id", 4)
+    w_two = co.equi_depth_bins(
+        wdocs, "lang", "n_chars", "doc_id", 4, method="two_pass", n_parts=32
+    )
+    out["window_results_equal"] = (
+        w_win.exceptAll(w_two).count() == 0
+        and w_two.exceptAll(w_win).count() == 0
+    )
+    out["window_dominant_rows"] = wdocs.where(F.col("lang") == "en").count()
+    out["window_total_rows"] = wdocs.count()
+
+    # a bare count() lets the optimizer PRUNE the unused window (row
+    # count is window-invariant) and the probe would time the wrong
+    # stage — the noop write keeps every column, forcing the real plan
+    def _mat(df):
+        return lambda: df.write.format("noop").mode("overwrite").save()
+
+    run_case("window_ntile_dominant", _mat(w_win))
+    run_case("window_two_pass", _mat(w_two))
+    # the contract metric here is the MAX TASK'S SHARE of all shuffled
+    # rows, not max/median: with 5 languages only a handful of tasks
+    # read anything under the window spelling, so the median is itself
+    # a straggler and flatters the ratio. One task carrying ~95% of the
+    # corpus IS the incident; two_pass caps any task near total/n_parts.
+    for case in ("window_ntile_dominant", "window_two_pass"):
+        c = out["cases"][case]
+        c["max_share"] = c["max_records"] / max(1, c["total_records"])
+        print(f"{case}: max_share {c['max_share']:.3f}", file=sys.stderr)
+
     print(json.dumps(out))
     if sf_dir.rstrip("/").endswith("sf0.01") and inflate == 40:
         with open(os.path.join(REPO, "SKEW_PROBE.json"), "w") as f:

@@ -89,3 +89,22 @@ def test_er_guard_raises_and_salted_matches(probe_result):
     assert probe_result["er_pair_sets_equal"] is True
     assert probe_result["er_remainder_equal"] is True
     assert probe_result["er_pairs_plain"] > 0
+
+
+def test_dominant_group_window_incident_and_two_pass_bound(probe_result):
+    """Round 10: the unpartitioned-window class, measured. With one
+    language planted on 95% of rows, the ntile window's hottest task
+    carries ~the whole corpus; grouped_ntile (two_pass) caps every
+    task near total/n_parts — with the outputs exceptAll-equal."""
+    assert probe_result["window_results_equal"] is True
+    assert probe_result["window_dominant_rows"] >= 0.9 * probe_result[
+        "window_total_rows"
+    ]
+    hot = probe_result["cases"]["window_ntile_dominant"]
+    cold = probe_result["cases"]["window_two_pass"]
+    # the incident: one window task processes >= 90% of all shuffled rows
+    assert hot["max_share"] >= 0.9, hot
+    # the remediation: no task sees more than ~4x the ideal N/n_parts
+    # slice (20% of total at n_parts=32 is a generous ceiling)
+    assert cold["max_share"] <= 0.2, cold
+    assert cold["n_shuffle_tasks"] >= 8, cold
