@@ -5185,6 +5185,78 @@ def _train_mix_two_pass(spark, sf_dir):
     return _train_mix_impl(spark, sf_dir, method="two_pass")
 
 
+_BUDGET_MIX_TOKENS = 2500  # per-language token budget (sf0.01 lang
+#                            totals run 3.5k-11.8k, so every language
+#                            both keeps and drops under it)
+
+_BUDGET_MIX_SQL = f"""
+    WITH b AS ({lm_ops.ccnet_buckets_oracle_sql(
+        "documents", "doc_id", "text", "lang", "doc_id % 2 = 0")}),
+    t AS (
+      SELECT doc_id,
+             CAST({ts_ops.token_count_sql("text")} AS BIGINT) AS n_tokens
+      FROM documents
+    ), j AS (
+      SELECT b.doc_id, b.lang, b.bucket, b.avg_logp_micro,
+             b.bucket_label, t.n_tokens
+      FROM b JOIN t USING (doc_id)
+    ), r AS (
+      SELECT doc_id, lang, bucket_label, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY lang
+               ORDER BY bucket, avg_logp_micro DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_cum
+      FROM j
+    )
+    SELECT doc_id, lang, bucket_label, n_tokens, tok_cum
+    FROM r WHERE tok_cum <= {_BUDGET_MIX_TOKENS}
+"""
+
+
+def _budget_mix_impl(spark, sf_dir, method):
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    buckets = lm_ops.ccnet_buckets(
+        docs, train, "doc_id", "text", "lang",
+        method="two_pass" if method == "two_pass" else "ntile",
+        n_parts=8 if method == "two_pass" else 32,
+    )
+    toks = docs.select(
+        "doc_id", ts_ops.token_count("text").alias("n_tokens")
+    )
+    scored = buckets.join(toks, "doc_id")
+    return corpus_ops.token_budget_select(
+        scored,
+        "lang",
+        [F.col("bucket"), F.col("avg_logp_micro").desc(), F.col("doc_id")],
+        "n_tokens",
+        _BUDGET_MIX_TOKENS,
+        method=method,
+        n_parts=8 if method == "two_pass" else 32,
+    ).select("doc_id", "lang", "bucket_label", "n_tokens", "tok_cum")
+
+
+@declared("budget_mix", _BUDGET_MIX_SQL)
+def _budget_mix(spark, sf_dir):
+    # Best-first token-budget selection per language — the CCNet step
+    # AFTER bucketing: order each language head-first (bucket, score
+    # DESC, id) and keep the longest prefix whose running token sum
+    # fits the budget. The kept SET is hash-grade (total order + an
+    # inclusive integer running sum), and the budget is sized so every
+    # language both keeps and drops documents at sf0.01.
+    return _budget_mix_impl(spark, sf_dir, method="window")
+
+
+@declared("budget_mix_two_pass", _BUDGET_MIX_SQL)
+def _budget_mix_two_pass(spark, sf_dir):
+    # The scale spelling under the SAME oracle: the per-language
+    # running token sum goes through ranks.grouped_prefix_sums
+    # (range-partition + distributed per-(lang, partition) offsets) —
+    # at 100 TB the dominant language's budget scan must not
+    # serialize through one window task.
+    return _budget_mix_impl(spark, sf_dir, method="two_pass")
+
+
 # ---------------------------------------------------------------------------
 # Weighted priority sampling (engine extension, next to stratified/
 # mixture sampling) — operators/corpus.py

@@ -3317,3 +3317,61 @@ def dedup_savings(
         F.sum("_chars").cast("bigint").alias("chars_total"),
         F.sum("_saved").cast("bigint").alias("chars_saved"),
     )
+
+
+def token_budget_select(
+    scored: DataFrame,
+    group_col: str,
+    order_cols: list,
+    token_col: str,
+    budget: int,
+    method: str = "window",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Per-group best-first selection under a token budget — the CCNet
+    / data-mix step after quality scoring: take each group's rows in
+    quality order while the INCLUSIVE running ``token_col`` sum stays
+    ≤ ``budget`` (so the kept set is the longest quality-ordered
+    prefix that fits; one document never straddles the budget).
+    Deterministic given ``order_cols`` is a total order within each
+    group — the kept SET is then hash-grade, not just its size.
+
+    Adds ``tok_cum`` (the inclusive running sum) to the kept rows.
+
+    ``method="window"``: ``SUM() OVER (PARTITION BY group ORDER BY
+    order ROWS UNBOUNDED PRECEDING)`` — one window task per group, the
+    dominant-group class. ``method="two_pass"`` routes through
+    :func:`~beis_orp_data_service_spark.operators.ranks.
+    grouped_prefix_sums` (range-partition + distributed per-(group,
+    partition) offsets) — identical kept set, task state bounded by
+    ~N/``n_parts`` at any group skew.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0: {budget}")
+    if method not in ("window", "two_pass"):
+        raise ValueError(f"token_budget_select: unknown method {method!r}")
+    if method == "two_pass":
+        from beis_orp_data_service_spark.operators.ranks import (
+            grouped_prefix_sums,
+        )
+
+        cum = grouped_prefix_sums(
+            scored,
+            [group_col],
+            list(order_cols),
+            [token_col],
+            n_parts=n_parts,
+            label="budget",
+        ).withColumnRenamed(f"{token_col}_cum", "tok_cum")
+    else:
+        from pyspark.sql.window import Window
+
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = scored.withColumn(
+            "tok_cum", F.sum(token_col).over(w).cast("bigint")
+        )
+    return cum.where(F.col("tok_cum") <= budget)

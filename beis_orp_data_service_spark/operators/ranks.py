@@ -63,6 +63,7 @@ __all__ = [
     "distributed_ntile",
     "grouped_exact_ranks",
     "grouped_ntile",
+    "grouped_prefix_sums",
     "prefix_sums",
 ]
 
@@ -336,3 +337,70 @@ def grouped_ntile(
         out_col,
         ntile_from_rank_col(F.col("_rnk_tmp"), F.col("_tot_tmp"), n_tiles),
     ).drop("_rnk_tmp", "_tot_tmp")
+
+
+def grouped_prefix_sums(
+    df: DataFrame,
+    group_cols: list[str],
+    sort_cols: list[Column],
+    sum_cols: list[str],
+    n_parts: int = 32,
+    label: str = "gpsum",
+) -> DataFrame:
+    """Exact per-group RUNNING sums (inclusive) over the ``sort_cols``
+    total order — ``SUM(c) OVER (PARTITION BY group ORDER BY sort ROWS
+    UNBOUNDED PRECEDING)`` without a whole-group window task. Adds one
+    ``<c>_cum`` BIGINT column per ``sum_cols`` entry.
+
+    The grouped sibling of :func:`prefix_sums`, with
+    :func:`grouped_exact_ranks`' fully distributed offset scheme:
+    range-partition on (group, sort), aggregate per-(group, pid)
+    column sums (map-side combined, ≤ P·|groups| rows), turn them into
+    per-(group, pid) cumulative offsets with a window whose partitions
+    are ≤ ``n_parts`` rows, broadcast-join back, and run the running
+    sum inside each (group, pid) cell only. ``sort_cols`` must be a
+    total order within each group; ``sum_cols`` non-null integers.
+
+    This is the budget-selection primitive: "take each language's
+    best documents until N tokens" is a filter on the running token
+    sum in quality order — which at 100 TB must not serialize a
+    dominant language through one window task.
+    """
+    part = stage_checkpoint(
+        df.repartitionByRange(
+            n_parts, *[F.col(g) for g in group_cols], *sort_cols
+        ).withColumn("_rnk_pid", F.spark_partition_id()),
+        eager=False,  # one final action materializes it for BOTH consumers
+        label=f"{label}:range_parts",
+        strategy=_pid_safe_strategy(),
+    )
+    cnt = part.groupBy(*group_cols, "_rnk_pid").agg(
+        *(F.sum(c).alias(f"_sum_{c}") for c in sum_cols)
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_rnk_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = cnt.select(
+        *group_cols,
+        "_rnk_pid",
+        *(
+            F.coalesce(F.sum(f"_sum_{c}").over(w_off), F.lit(0))
+            .cast("bigint")
+            .alias(f"_off_{c}")
+            for c in sum_cols
+        ),
+    )
+    w_run = (
+        Window.partitionBy(*group_cols, "_rnk_pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = part.join(F.broadcast(off), [*group_cols, "_rnk_pid"])
+    for c in sum_cols:
+        out = out.withColumn(
+            f"{c}_cum",
+            (F.col(f"_off_{c}") + F.sum(c).over(w_run)).cast("bigint"),
+        )
+    return out.drop("_rnk_pid", *(f"_off_{c}" for c in sum_cols))

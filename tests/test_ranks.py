@@ -367,3 +367,77 @@ class TestTwoPassOperatorWiring:
             assert sorted(map(tuple, a.collect())) == sorted(
                 map(tuple, b.collect())
             )
+
+
+class TestGroupedPrefixSums:
+    def test_matches_window_running_sums(self, spark):
+        rows = [("en", (i * 31) % 17, i, 1 + i % 7) for i in range(900)]
+        rows += [("xx%d" % (i % 5), i % 11, 10_000 + i, 1 + i % 3)
+                 for i in range(100)]
+        df = spark.createDataFrame(rows, "grp string, v long, id long, n long")
+        got = sorted(
+            map(
+                tuple,
+                ranks.grouped_prefix_sums(
+                    df, ["grp"], [F.col("v"), F.col("id")], ["n"], n_parts=7
+                ).collect(),
+            )
+        )
+        w = (
+            Window.partitionBy("grp")
+            .orderBy(F.col("v"), F.col("id"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        want = sorted(
+            map(
+                tuple,
+                df.select(
+                    "grp", "v", "id", "n",
+                    F.sum("n").over(w).cast("bigint").alias("n_cum"),
+                ).collect(),
+            )
+        )
+        assert got == want
+
+    def test_token_budget_select_prefix_semantics(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        # group a: tokens 5,5,5 under budget 12 -> keep first two (cum
+        # 5,10; third would be 15); group b: first row alone overflows
+        df = spark.createDataFrame(
+            [("a", 1, 5), ("a", 2, 5), ("a", 3, 5), ("b", 1, 99)],
+            "grp string, id long, n long",
+        )
+        for method in ("window", "two_pass"):
+            kept = co.token_budget_select(
+                df, "grp", [F.col("id")], "n", 12, method=method, n_parts=3
+            )
+            assert sorted(
+                (r.grp, r.id, r.tok_cum) for r in kept.collect()
+            ) == [("a", 1, 5), ("a", 2, 10)], method
+        # a row landing EXACTLY on the budget is kept (inclusive)
+        kept = co.token_budget_select(df, "grp", [F.col("id")], "n", 15)
+        assert [r.id for r in kept.where("grp = 'a'").collect()] == [1, 2, 3]
+
+    def test_budget_select_methods_equal_dominant_group(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        rows = [("en", i, 1 + (i * 13) % 9) for i in range(900)]
+        rows += [("de", 10_000 + i, 1 + i % 4) for i in range(100)]
+        df = spark.createDataFrame(rows, "grp string, id long, n long")
+        a = co.token_budget_select(df, "grp", [F.col("id")], "n", 500)
+        b = co.token_budget_select(
+            df, "grp", [F.col("id")], "n", 500, method="two_pass", n_parts=6
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_budget_select_validation(self, spark):
+        import pytest
+
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        df = spark.createDataFrame([("a", 1, 1)], "grp string, id long, n long")
+        with pytest.raises(ValueError):
+            co.token_budget_select(df, "grp", [F.col("id")], "n", -1)
+        with pytest.raises(ValueError):
+            co.token_budget_select(df, "grp", [F.col("id")], "n", 1, method="x")
