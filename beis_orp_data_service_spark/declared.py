@@ -5257,6 +5257,90 @@ def _budget_mix_two_pass(spark, sf_dir):
     return _budget_mix_impl(spark, sf_dir, method="two_pass")
 
 
+_PRETRAIN_BUDGET = 1500  # per-language token budget for the capstone
+
+_PRETRAIN_CORPUS_SQL = f"""
+    WITH canon_docs AS (
+      SELECT doc_id, text, lang, source, n_chars FROM (
+        SELECT d.*, min(doc_id) OVER (PARTITION BY md5(text)) AS _canon
+        FROM documents d
+      ) WHERE doc_id = _canon
+    ), b AS ({lm_ops.ccnet_buckets_oracle_sql(
+        "canon_docs", "doc_id", "text", "lang", "doc_id % 2 = 0")}),
+    keyed AS (
+      SELECT doc_id, lang, bucket, avg_logp_micro, bucket_label,
+             substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15) AS h
+      FROM b WHERE bucket_label <> 'tail'
+    ), acc AS (
+      SELECT doc_id, lang, bucket, avg_logp_micro, bucket_label
+      FROM keyed
+      WHERE {corpus_ops.DUCK_MD5_HEXFOLD} % 1000 <
+            CASE bucket_label WHEN 'head' THEN 1000 ELSE 500 END
+    ), t AS (
+      SELECT doc_id,
+             CAST({ts_ops.token_count_sql("text")} AS BIGINT) AS n_tokens
+      FROM canon_docs
+    ), j AS (
+      SELECT a.doc_id, a.lang, a.bucket, a.avg_logp_micro,
+             a.bucket_label, t.n_tokens
+      FROM acc a JOIN t USING (doc_id)
+    ), r AS (
+      SELECT doc_id, lang, bucket_label, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY lang
+               ORDER BY bucket, avg_logp_micro DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_cum
+      FROM r0
+    )
+    SELECT doc_id, lang, bucket_label, n_tokens, tok_cum
+    FROM r WHERE tok_cum <= {_PRETRAIN_BUDGET}
+"""
+
+
+@declared("pretrain_corpus", _PRETRAIN_CORPUS_SQL.replace("FROM r0", "FROM j"))
+def _pretrain_corpus(spark, sf_dir):
+    # The capstone: assemble a pretraining corpus in ONE hash-grade
+    # plan — exact dedup (keep the min-id canonical per content hash),
+    # CCNet per-language quality terciles trained on the deduped even
+    # half, drop the tail, deterministic md5 per-mille acceptance
+    # (head 100%, middle 50%), then best-first per-language token
+    # budget. Every stage is the SCALE spelling: grouped_ntile for the
+    # terciles, grouped_prefix_sums for the budget scan — zero
+    # dominant-group window tasks anywhere in the plan. The exact-dup
+    # stage is a no-op on the base fixture (it holds no exact dups)
+    # and fires on the .alt planted cross-source duplicates.
+    docs = _t(spark, sf_dir, "documents")
+    canon = docs.join(
+        dd.exact_dup_groups(docs, "doc_id", "text")
+        .where(F.col("is_canonical"))
+        .select("doc_id"),
+        "doc_id",
+    )
+    train = canon.where(F.col("doc_id") % 2 == 0)
+    buckets = lm_ops.ccnet_buckets(
+        canon, train, "doc_id", "text", "lang", method="two_pass", n_parts=8
+    )
+    kept = buckets.where(F.col("bucket_label") != "tail")
+    key = corpus_ops.md5_int60(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+    )
+    rate = F.when(F.col("bucket_label") == "head", F.lit(1000)).otherwise(
+        F.lit(500)
+    )
+    accepted = kept.where(key % 1000 < rate)
+    toks = canon.select("doc_id", ts_ops.token_count("text").alias("n_tokens"))
+    scored = accepted.join(toks, "doc_id")
+    return corpus_ops.token_budget_select(
+        scored,
+        "lang",
+        [F.col("bucket"), F.col("avg_logp_micro").desc(), F.col("doc_id")],
+        "n_tokens",
+        _PRETRAIN_BUDGET,
+        method="two_pass",
+        n_parts=8,
+    ).select("doc_id", "lang", "bucket_label", "n_tokens", "tok_cum")
+
+
 # ---------------------------------------------------------------------------
 # Weighted priority sampling (engine extension, next to stratified/
 # mixture sampling) — operators/corpus.py

@@ -125,6 +125,7 @@ ALLOW_BNLJ = {
     "train_mix_two_pass",  # same inherited 1-row vocab-size crossJoin (two_pass spelling)
     "budget_mix",      # same inherited 1-row vocab-size crossJoin (ccnet composition)
     "budget_mix_two_pass",  # same inherited 1-row vocab-size crossJoin (two_pass spelling)
+    "pretrain_corpus",  # same inherited 1-row vocab-size crossJoin (ccnet composition)
     "cuped_ab",      # 1-row global-moments aggregate crossJoined (broadcast)
     "srm_check",     # 1-row total-units aggregate crossJoined (broadcast)
     "tfidf_vectors", # 1-row n_docs aggregate crossJoined (broadcast)

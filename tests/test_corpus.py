@@ -1720,3 +1720,24 @@ class TestHllEstimateByGroup:
             assert abs(est - n_exact) / max(1, n_exact) < 0.10, (
                 src, n_exact, est,
             )
+
+
+class TestPretrainCorpusCapstone:
+    def test_invariants_on_smoke_fixture(self, spark):
+        """The one-plan corpus assembler: no tail docs survive, every
+        kept row fits the per-language budget, and a planted exact
+        duplicate is consolidated to its canonical id upstream."""
+        from beis_orp_data_service_spark.declared import (
+            _PRETRAIN_BUDGET,
+            REGISTRY,
+        )
+        from tests.conftest import SF_SMOKE
+
+        out = REGISTRY["pretrain_corpus"].fn(spark, SF_SMOKE).toPandas()
+        assert len(out) > 0
+        assert set(out.bucket_label.unique()) <= {"head", "middle"}
+        assert (out.tok_cum <= _PRETRAIN_BUDGET).all()
+        assert (out.groupby("lang").tok_cum.max() <= _PRETRAIN_BUDGET).all()
+        # budget actually binds for at least one language (kept tokens
+        # near the cap), i.e. the selection is not vacuously everything
+        assert out.groupby("lang").tok_cum.max().max() > _PRETRAIN_BUDGET / 2
