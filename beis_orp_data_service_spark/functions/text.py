@@ -135,6 +135,20 @@ def tokens(col: Column | str) -> Column:
     return F.split(F.regexp_replace(c, r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+")
 
 
+# UNICODE PARITY ASSUMPTION (documented engine boundary, same class as
+# the ln() 1-ulp note): Spark (Java/ICU) and DuckDB (utf8proc) agree on
+# length/substr/md5/lower for ASCII, Latin-1, CJK and astral-plane
+# text (probed: emoji lengths match — both count codepoints), but
+# DISAGREE on (a) Unicode special casing — lower('İ') is 'i̇'
+# (i + U+0307) in Java but 'i' in DuckDB — and (b) grapheme handling
+# in reverse() — DuckDB reverses grapheme clusters, Java reverses
+# codepoints, so combining marks change positional arithmetic built on
+# reverse(). Every hash-grade text oracle therefore assumes corpus
+# text free of special-casing codepoints (İ I-dotless ẞ and friends)
+# and of combining marks in positional windows; the divergence itself
+# is pinned by tests/test_text_functions.py::TestUnicodeEngineBoundary
+# so an engine upgrade that moves it gets noticed.
+#
 # The one whitespace-token split every oracle-paired text operator
 # shares (BM25/TF-IDF, bigram LM, token-KL, RAG chunking, CMS words).
 # The class is spelled EXPLICITLY (ADVICE r9): Java's \s is exactly

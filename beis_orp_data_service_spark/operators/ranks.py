@@ -240,6 +240,33 @@ def ntile_from_rank_col(rank: Column, n_rows: Column, n_tiles: int) -> Column:
     )
 
 
+def _join_offsets_null_safe(
+    part: DataFrame, off: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Broadcast-join the per-(group, pid) offsets back onto the
+    partitioned frame with NULL-SAFE group equality: SQL window
+    functions treat NULL as one more group (both engines), so a plain
+    equi-join here would silently DROP every null-group row from the
+    two_pass spelling while the window spelling keeps them — a
+    semantic divergence, not just a missing row. Returns the joined
+    frame with the offsets side's duplicate key columns dropped
+    (part's group/pid columns survive for the downstream window)."""
+    # off derives FROM part, so part[g]/off[g] share attribute ids and
+    # dataframe-qualified references degenerate to trivially-true
+    # predicates — rename the offsets side's keys before joining
+    renamed = off.select(
+        *[F.col(g).alias(f"_offk_{i}") for i, g in enumerate(group_cols)],
+        F.col("_rnk_pid").alias("_offk_pid"),
+        *[c for c in off.columns if c not in (*group_cols, "_rnk_pid")],
+    )
+    cond = F.col("_rnk_pid") == F.col("_offk_pid")
+    for i, g in enumerate(group_cols):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"_offk_{i}"))
+    return part.join(F.broadcast(renamed), cond).drop(
+        "_offk_pid", *(f"_offk_{i}" for i in range(len(group_cols)))
+    )
+
+
 def grouped_exact_ranks(
     df: DataFrame,
     group_cols: list[str],
@@ -299,7 +326,7 @@ def grouped_exact_ranks(
     )
     w_rank = Window.partitionBy(*group_cols, "_rnk_pid").orderBy(*sort_cols)
     return (
-        part.join(F.broadcast(off), [*group_cols, "_rnk_pid"])
+        _join_offsets_null_safe(part, off, group_cols)
         .withColumn(
             rank_col,
             (F.col("_rnk_off") + F.row_number().over(w_rank)).cast("bigint"),
@@ -397,7 +424,7 @@ def grouped_prefix_sums(
         .orderBy(*sort_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = part.join(F.broadcast(off), [*group_cols, "_rnk_pid"])
+    out = _join_offsets_null_safe(part, off, group_cols)
     for c in sum_cols:
         out = out.withColumn(
             f"{c}_cum",

@@ -441,3 +441,27 @@ class TestGroupedPrefixSums:
             co.token_budget_select(df, "grp", [F.col("id")], "n", -1)
         with pytest.raises(ValueError):
             co.token_budget_select(df, "grp", [F.col("id")], "n", 1, method="x")
+
+
+class TestNullGroupParity:
+    def test_null_group_rows_survive_two_pass(self, spark):
+        """SQL windows treat NULL as one more group; the two_pass
+        offsets join must be null-safe or every null-group row silently
+        vanishes (caught by self-audit, round 10)."""
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        rows = [("a", i, i) for i in range(10)]
+        rows += [(None, 100 + i, 100 + i) for i in range(7)]
+        df = spark.createDataFrame(rows, "grp string, v long, id long")
+        win = co.equi_depth_bins(df, "grp", "v", "id", 3)
+        two = co.equi_depth_bins(df, "grp", "v", "id", 3, method="two_pass",
+                                 n_parts=4)
+        assert two.count() == 17
+        key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+        assert sorted(map(tuple, win.collect()), key=key) == sorted(
+            map(tuple, two.collect()), key=key
+        )
+        ps = ranks.grouped_prefix_sums(
+            df, ["grp"], [F.col("v"), F.col("id")], ["v"], n_parts=4
+        )
+        assert ps.count() == 17

@@ -519,3 +519,72 @@ class TestNgramDiversity:
             for r in ts.ngram_diversity(docs).collect()
         }
         assert got == {"s1": (3, 2, 666), "s2": (1, 1, 1000)}
+
+
+class TestUnicodeEngineBoundary:
+    """Pins the documented Spark-vs-DuckDB Unicode boundary
+    (functions/text.py header note): the oracles' hash parity holds
+    because corpus text avoids special-casing codepoints and combining
+    marks — these tests fail loudly if EITHER engine moves, so the
+    assumption gets re-audited instead of silently rotting."""
+
+    def test_agreement_classes(self, spark):
+        import duckdb
+
+        from pyspark.sql import functions as F
+
+        texts = ["ascii", "café", "中文 tokens", "emoji \U0001F600 here"]
+        df = spark.createDataFrame([(t,) for t in texts], "t string")
+        got = {
+            r.t: (r.l, r.lo, r.m)
+            for r in df.select(
+                "t",
+                F.length("t").alias("l"),
+                F.lower("t").alias("lo"),
+                F.md5("t").alias("m"),
+            ).collect()
+        }
+        for t in texts:
+            want = duckdb.sql(
+                "SELECT length(?), lower(?), md5(?)", params=[t, t, t]
+            ).fetchone()
+            assert got[t] == want, t
+
+    def test_special_casing_divergence_is_where_documented(self, spark):
+        import duckdb
+
+        from pyspark.sql import functions as F
+
+        spark_lower = (
+            spark.createDataFrame([("İstanbul",)], "t string")
+            .select(F.lower("t").alias("lo"))
+            .first()
+            .lo
+        )
+        duck_lower = duckdb.sql(
+            "SELECT lower(?)", params=["İstanbul"]
+        ).fetchone()[0]
+        # Java applies the full special-casing rule (İ -> i + U+0307);
+        # utf8proc folds to a bare i. If either side changes, the
+        # documented boundary in functions/text.py must be re-audited.
+        assert spark_lower == "i̇stanbul"
+        assert duck_lower == "istanbul"
+        assert spark_lower != duck_lower
+
+    def test_grapheme_reverse_divergence_is_where_documented(self, spark):
+        import duckdb
+
+        from pyspark.sql import functions as F
+
+        s = "Å ring"  # decomposed Å: A + combining ring
+        spark_rev = (
+            spark.createDataFrame([(s,)], "t string")
+            .select(F.reverse("t").alias("r"))
+            .first()
+            .r
+        )
+        duck_rev = duckdb.sql("SELECT reverse(?)", params=[s]).fetchone()[0]
+        # Java reverses codepoints (splits the combining pair); DuckDB
+        # reverses grapheme clusters (keeps it attached)
+        assert spark_rev != duck_rev
+        assert duck_rev == "gnir Å"
