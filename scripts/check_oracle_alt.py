@@ -231,6 +231,24 @@ def build_alt(spark, src: str, dst: str) -> None:
                         (7 * PLANT_STRIDE + 100 * li + 50 + i, gib, lang,
                          "alt_ppl_high", len(gib))
                     )
+            # nonzero-slope plants (linreg anti-vacuity): every existing
+            # lang carries 10^12-scale planted doc_ids, which bounds the
+            # per-lang OLS slope of n_chars on doc_id at
+            # |slope| <= sd_y/sd_x ~ 1e-9 — so slope_micro was
+            # mathematically pinned to 0 on alt (the half-vacuous gate).
+            # Two plant-only languages at SMALL consecutive doc_ids with
+            # exactly linear n_chars give slope_micro = m*1e6 (one
+            # positive, one negative, r2 = 1e6) while leaving the
+            # deliberate huge-id decimal-overflow traps untouched.
+            filler = "ordered drift corpus sample text " * 20
+            for lj, (slang, m) in enumerate((("pt", 7), ("nl", -5))):
+                for i in range(12):
+                    ln = 200 + m * i
+                    st = filler[:ln]
+                    plants.append(
+                        (500_000 + 100 * lj + i, st, slang,
+                         "alt_slope", len(st))
+                    )
             out = main.unionByName(
                 spark.createDataFrame(
                     plants,
