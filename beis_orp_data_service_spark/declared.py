@@ -2752,6 +2752,9 @@ def q_window_running(spark, sf_dir):
     from pyspark.sql import Window
 
     o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    # Window scale: per-customer running stats; rows per task = one
+    # customer's orders (bounded), and this demo slice filters to 50
+    # customers.
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     wr = w.rowsBetween(Window.unboundedPreceding, 0)
     return o.select(
@@ -3072,6 +3075,9 @@ def q_tpch2(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal")
     )
+    # Window scale: partition key p_partkey over the dimension-pruned
+    # candidate set; rows per part = qualifying suppliers (bounded
+    # dimension fanout, TPC-H ~4).
     w = Window.partitionBy("p_partkey")
     return (
         cand.withColumn("_min_bal", F.min("s_acctbal").over(w))
@@ -3430,6 +3436,9 @@ def q_tpch17(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem").join(
         F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
     )
+    # Window scale: partition key l_partkey over brand/type-pruned
+    # lineitem; rows per part bounded by lineitems-per-part (~30 at any
+    # SF).
     w = Window.partitionBy("l_partkey")
     return (
         l.withColumn("_avg_qty", F.avg("l_quantity").over(w))
@@ -6501,6 +6510,8 @@ def dq_report_q(spark, sf_dir):
         orders.orderBy("o_orderkey")
         .limit(3)
         .withColumn(
+            # Window scale: window runs on a 3-row limit() result, not
+            # the table.
             "rn", F.row_number().over(Window.orderBy("o_orderkey"))
         )
     )

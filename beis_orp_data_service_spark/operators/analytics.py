@@ -306,6 +306,8 @@ def transition_counts(
     sequence — and therefore the counts — is deterministic."""
     from pyspark.sql import Window
 
+    # Window scale: partition key is the user; state per task = one
+    # user's event stream (bounded), never a global order.
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
     pairs = events.select(
         F.lag(type_col).over(w).alias("prev_type"),

@@ -256,6 +256,9 @@ def session_paths(
     broken by path string ascending (deterministic)."""
     from pyspark.sql import Window
 
+    # Window scale: partition keys are user / (user, session); per-task
+    # rows = one user's events, and paths are truncated to max_len
+    # before assembly.
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
     gapped = events.withColumn(
         "_new",

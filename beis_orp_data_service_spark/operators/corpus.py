@@ -387,6 +387,8 @@ def repeated_passages(
             f" (acc, i) -> (acc*31 + ascii(substr(_tok, i, 1))) % {PASSAGE_P})"
         ).alias("_th"),
     )
+    # Window scale: both windows partition on the doc id; per-task rows
+    # = one document's token windows (bounded by doc length).
     w = Window.partitionBy(id_col).orderBy("pos")
     fold = F.col("_th")
     for j in range(1, k):
@@ -482,6 +484,9 @@ def export_shards(
     mix = (sample_hash(id_col) * F.lit(SAMPLE_A) + F.lit(SAMPLE_B)) % F.lit(
         SAMPLE_P
     )
+    # Window scale: partition key shard_id; rows per shard =
+    # corpus/n_shards, sized by the caller (shard count scales with
+    # data).
     w = Window.partitionBy("shard_id").orderBy("_order", id_col)
     return (
         df.withColumn(
@@ -628,6 +633,8 @@ def seq_pack(
 
     toks = F.size(F.split(F.regexp_replace(F.col(text_col), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+")).cast("bigint")
     w = (
+        # Window scale: partition key is the shard column; per-task rows
+        # = one shard's docs, sized by the caller.
         Window.partitionBy(shard_col)
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -2013,6 +2020,8 @@ def priority_sample(
     ).where(F.col("_w") > 0)
     pri = pri.select(id_col, "_w", _dlt_pri_expr(id_col).alias("_pri"))
     top = pri.orderBy(F.col("_pri").desc(), F.col(id_col).asc()).limit(k + 1)
+    # Window scale: the rank window runs on the limit(k+1) result, ≤ k+1
+    # rows.
     w_rank = Window.orderBy(F.col("_pri").desc(), F.col(id_col).asc())
     w_all = Window.partitionBy()
     ranked = top.select(
@@ -2173,6 +2182,9 @@ def priority_sample_by_group(
         .where(F.col("_w") > 0)
         .select(group_col, id_col, "_w", _dlt_pri_expr(id_col).alias("_pri"))
     )
+    # Window scale: grouped top-k rank-filter class: a dominant group
+    # sorts in one spill-backed task with only k rows retained; for web-
+    # scale hot groups pre-cap with a salted local top-k first.
     w_rank = Window.partitionBy(group_col).orderBy(
         F.col("_pri").desc(), F.col(id_col).asc()
     )
@@ -2460,6 +2472,7 @@ def sketch_quantiles(sketch: DataFrame, qs: tuple[int, ...] = (50, 90, 99)) -> D
     unpartitioned window is benign: it runs on ≤ k rows."""
     from pyspark.sql import Window
 
+    # Window scale: runs on a bottom-k sketch, ≤ k rows total.
     w = Window.orderBy("value", "id")
     ranked = sketch.select(
         "value",
@@ -2587,6 +2600,9 @@ def group_cap_sample(
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     h = md5_int60(F.col(id_col).cast("string"))
+    # Window scale: per-group cap via rank-filter; see the skew note
+    # above — hot groups serialize one sort task and should be pre-
+    # capped (salted local cap) at web scale.
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
         df.withColumn("keep_rank", F.row_number().over(w).cast("bigint"))
@@ -2849,6 +2865,9 @@ def quantile_sketch_grouped(
         v.cast("bigint").alias("value"),
         md5_int60(F.col(id_col).cast("string")).alias("hkey"),
     )
+    # Window scale: per-group bottom-k: rank-filter retains k rows per
+    # group; dominant group = one spill-backed sort task (pre-cap with a
+    # salted local bottom-k if a group outweighs an executor).
     w = Window.partitionBy("grp").orderBy(F.col("hkey").asc(), F.col("id").asc())
     return (
         keyed.withColumn("_rn", F.row_number().over(w))

@@ -26,6 +26,8 @@ def _keep_first(
     column alone would keep BOTH rows under a groupBy-min + join-back —
     row_number preserves the pandas drop_duplicates invariant (one
     survivor per key) even for non-unique order columns."""
+    # Window scale: per-key dedupe; rows per task = duplicate arrivals
+    # for one key (bounded).
     w = Window.partitionBy(key_col).orderBy(order_col, *tiebreak)
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -189,6 +189,8 @@ def keyword_dedupe_max(
         F.col(id_col), F.explode(tokens(text_col)).alias("keyword")
     )
     scored = words.groupBy(id_col, "keyword").agg(F.count("*").alias("score"))
+    # Window scale: partition key is the doc id; rows per task = one
+    # document's distinct keywords (bounded by doc length).
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("keyword"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -237,6 +239,8 @@ def keyword_candidates(
     counts = words.groupBy(id_col, "keyword").agg(
         F.count("*").alias("n_mentions")
     )
+    # Window scale: partition key is the doc id; rows per task = one
+    # document's distinct candidate words (bounded by doc length).
     w = Window.partitionBy(id_col).orderBy(F.desc("n_mentions"), F.asc("keyword"))
     return (
         counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -328,6 +332,8 @@ def phrase_match_first_sentence(
         F.broadcast(needles),
         padded.contains(F.concat(F.lit(" "), F.col(needle_col), F.lit(" "))),
     )
+    # Window scale: partition key is the doc id; rows per task = one
+    # document's needle matches (bounded).
     w = Window.partitionBy(id_col)
     return (
         matches.withColumn("_first", F.min("sent_idx").over(w))

@@ -331,6 +331,9 @@ def sequential_edges(
     one boundary pair per bucket (≤ #buckets edges) while capping
     per-task sort size.
     """
+    # Window scale: bounded only if the caller keys the stream as
+    # documented above (compound key caps per-task sort size; boundary
+    # loss ≤ one pair per bucket).
     w = Window.partitionBy(part_col).orderBy(*[F.col(c) for c in order_cols])
     nxt = events.select(
         F.col(node_col).alias("_u"),

@@ -375,6 +375,8 @@ def rerank_topk(
             "ce_score_micro",
             F.row_number()
             .over(
+                # Window scale: the rank window runs on the limit(k)
+                # result, ≤ k rows.
                 Window.orderBy(F.col("ce_score_micro").desc(), F.col(id_col).asc())
             )
             .cast("bigint")
@@ -464,6 +466,9 @@ def top_terms_by_group(
             .alias("score_micro"),
         )
     )
+    # Window scale: per-group term rank; rows per task bounded by the
+    # group's distinct vocabulary, with only k retained (pre-cap vocab
+    # for web-scale hot groups).
     w = Window.partitionBy("grp").orderBy(
         F.col("score_micro").desc(), F.col("term").asc()
     )

@@ -113,6 +113,9 @@ def exact_global_ranks(
             "_rnk_pid int, _rnk_off bigint",
         )
     )
+    # Window scale: partitions on the physical partition id — per-task
+    # rows are capped by the range partitioner; this IS the two-pass
+    # scale route.
     w = Window.partitionBy("_rnk_pid").orderBy(*sort_cols)
     ranked = (
         part.join(off_df, "_rnk_pid")
@@ -186,6 +189,9 @@ def prefix_sums(
     )
     off_df = F.broadcast(df.sparkSession.createDataFrame(rows, off_schema))
     w = (
+        # Window scale: partitions on the physical partition id (range-
+        # partitioner-capped tasks); the offsets come from a driver fold
+        # over ≤ P partition sums.
         Window.partitionBy("_rnk_pid")
         .orderBy(*sort_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -313,6 +319,10 @@ def grouped_exact_ranks(
         F.count(F.lit(1)).alias("_rnk_n")
     )
     w_off = (
+        # Window scale: offset windows run over the (group, pid) COUNT
+        # rows (≤ groups x P), not data rows; the data window partitions
+        # on (group, pid), capped by the range partitioner — this IS the
+        # two-pass scale route.
         Window.partitionBy(*group_cols)
         .orderBy("_rnk_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -405,6 +415,10 @@ def grouped_prefix_sums(
         *(F.sum(c).alias(f"_sum_{c}") for c in sum_cols)
     )
     w_off = (
+        # Window scale: offset windows run over (group, pid) partial-sum
+        # rows (≤ groups x P), not data rows; the data window partitions
+        # on (group, pid), capped by the range partitioner — this IS the
+        # two-pass scale route.
         Window.partitionBy(*group_cols)
         .orderBy("_rnk_pid")
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -117,6 +117,8 @@ def sort_page(
     )
     lo = page * page_size
     top = df.orderBy(*cols).limit(lo + page_size)
+    # Window scale: window runs on the orderBy().limit(offset+page)
+    # result, ≤ offset+page rows.
     w = Window.orderBy(*cols)
     return (
         top.withColumn("_rn", F.row_number().over(w))
@@ -177,6 +179,9 @@ def grouped_topk(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
+    # Window scale: grouped top-k rank-filter (canonical plan,
+    # LimitPushDownThroughWindow-eligible); dominant group = one spill-
+    # backed sort task with k rows retained.
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
     return (
         df.withColumn("_rk", F.row_number().over(w))
@@ -362,6 +367,9 @@ def suggest_index(
             "freq",
         )
     )
+    # Window scale: partition key is the prefix; rows per task =
+    # vocabulary tokens sharing one prefix, with only k retained (vocab-
+    # bounded, not corpus-bounded).
     w = Window.partitionBy("prefix").orderBy(
         F.col("freq").desc(), F.col("token").asc()
     )

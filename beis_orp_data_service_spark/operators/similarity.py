@@ -87,6 +87,8 @@ def cosine_topk(
             else cosine_sim(F.col("qvec"), F.col("tvec")),
         )
     )
+    # Window scale: partition key query_id; rows per task = one query's
+    # theta-join candidates, k retained.
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
@@ -179,6 +181,8 @@ def ivf_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("score", dot_q(F.col("qvec"), F.col("tvec")))
     )
+    # Window scale: partition key query_id; candidates per query bounded
+    # by the probed buckets, k retained.
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
@@ -294,6 +298,8 @@ def ivf_kmeans_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("score", dot_q(F.col("qvec"), F.col("tvec")))
     )
+    # Window scale: partition key query_id; candidates per query bounded
+    # by nprobe cells, k retained.
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
@@ -847,6 +853,8 @@ def ann_index_probe(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("score", dot_q(F.col("qvec"), F.col("tvec")))
     )
+    # Window scale: partition key query_id; candidates per query bounded
+    # by pruned index partitions, k retained.
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
@@ -1231,6 +1239,8 @@ def pq_adc_topk(
     scored = source.mapInPandas(
         kernel, "query_id bigint, neighbor_id bigint, adist bigint"
     )
+    # Window scale: partition key query_id; the kernel already emits ≤ k
+    # rows per (query, batch), so the window merges bounded partials.
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc()
     )
@@ -1707,6 +1717,8 @@ def ivfpq_topk(
         .select(id_col, "bucket", "codes_text")
         .mapInPandas(_score, "query_id bigint, neighbor_id bigint, adist bigint")
     )
+    # Window scale: partition key query_id; kernel emits ≤ k rows per
+    # (query, batch) — the window merges bounded partials.
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc()
     )
@@ -1755,6 +1767,8 @@ def hard_negatives(
     scored = t.join(
         F.broadcast(q), F.col("neighbor_label") != F.col("qlabel")
     ).withColumn("score", dot_q(F.col("qvec"), F.col("tvec")))
+    # Window scale: partition key query_id over per-query bounded
+    # candidates (oversampled k per probe), k retained.
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
@@ -1911,6 +1925,8 @@ def knn_edges(
     )
     # global per-source top-k across the nprobe probed cells (each cell
     # contributed at most k local candidates per prober)
+    # Window scale: partition key a_id; each prober contributed ≤ k
+    # candidates per probed cell, k retained.
     w = Window.partitionBy("a_id").orderBy(
         F.col("sim2_milli").desc(), F.col("b_id").asc()
     )

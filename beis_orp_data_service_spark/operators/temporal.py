@@ -50,6 +50,8 @@ def asof_join(
     unioned = l_tagged.unionByName(r_tagged)
     ts_order = F.col(ts_col) if direction_backward else F.col(ts_col).desc()
     w = (
+        # Window scale: partition key is the join key; per-task rows =
+        # one key's tagged stream (bounded per key).
         Window.partitionBy(key_col)
         .orderBy(ts_order, F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -229,6 +231,8 @@ def resample_ffill(
         .agg(F.max("_o")["_v"].alias("_obs"))
     )
     w = (
+        # Window scale: partition key is the series key; per-task rows =
+        # one key's tick grid (bounded by the resample span).
         Window.partitionBy(key_col)
         .orderBy("tick")
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -365,6 +369,8 @@ def merge_intervals(
     One window pass partitioned by the key (running max of prior ends
     → island flag → running island id) + one aggregate — state bounded
     per key, no self-join, no driver iteration."""
+    # Window scale: partition key is the interval key; per-task rows =
+    # one key's intervals (state bounded per key, as documented).
     w = Window.partitionBy(key_col).orderBy(F.col(start_col), F.col(end_col))
     prev_max_end = F.max(end_col).over(
         w.rowsBetween(Window.unboundedPreceding, -1)

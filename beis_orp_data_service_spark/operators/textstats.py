@@ -374,6 +374,8 @@ def token_pmi(
         .where(F.col("token") != "")
         .distinct()
     )
+    # Window scale: partition key is the doc id; rows per task = one
+    # document's distinct tokens (bounded by doc length).
     w = Window.partitionBy(id_col).orderBy(F.col("token").asc())
     pres = (
         pres.withColumn("_rn", F.row_number().over(w))

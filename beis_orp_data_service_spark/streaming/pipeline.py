@@ -629,6 +629,8 @@ def sessionize(
     oracle-checkable). Returns one row per session with bounds and size."""
     from pyspark.sql import Window
 
+    # Window scale: partition key is the user; per-task rows = one
+    # user's events (bounded per key).
     w = Window.partitionBy(key_col).orderBy("ts", "event_id")
     gapped = events.withColumn(
         "_new",
