@@ -4004,7 +4004,9 @@ def corpus_quantiles(spark, sf_dir):
     # Training-data op — exact discrete length quantiles per language
     # (rank arithmetic; interpolating percentiles differ per engine)
     docs = _t(spark, sf_dir, "documents")
-    return corpus_ops.group_quantiles(docs, "lang", "n_chars", "doc_id")
+    return corpus_ops.group_quantiles(
+        docs, "lang", "n_chars", "doc_id", method="window"
+    )
 
 
 @declared("corpus_quantiles_two_pass", REGISTRY["corpus_quantiles"].sql)
@@ -5106,7 +5108,9 @@ def _ccnet_buckets(spark, sf_dir):
     # hash-grade; the window is partitioned by language (bounded).
     docs = _t(spark, sf_dir, "documents")
     train = docs.where(F.col("doc_id") % 2 == 0)
-    return lm_ops.ccnet_buckets(docs, train, "doc_id", "text", "lang")
+    return lm_ops.ccnet_buckets(
+        docs, train, "doc_id", "text", "lang", method="ntile"
+    )
 
 
 @declared(
@@ -5923,7 +5927,9 @@ def length_quartiles(spark, sf_dir):
     # (value, id) — SQL-standard fill rule + id tiebreak make the
     # assignment itself hash-grade, not just the bucket sizes.
     docs = _t(spark, sf_dir, "documents")
-    return corpus_ops.equi_depth_bins(docs, "lang", "n_chars", "doc_id", 4)
+    return corpus_ops.equi_depth_bins(
+        docs, "lang", "n_chars", "doc_id", 4, method="ntile"
+    )
 
 
 @declared("length_quartiles_two_pass", REGISTRY["length_quartiles"].sql)
@@ -6873,6 +6879,7 @@ def _ks_drift(spark, sf_dir):
         "event_id",
         "click",
         "view",
+        method="window",
     )
 
 
@@ -6893,6 +6900,7 @@ def _mannwhitney_ab(spark, sf_dir):
         "event_id",
         "click",
         "purchase",
+        method="window",
     )
 
 
@@ -6927,6 +6935,7 @@ def _winsorize(spark, sf_dir):
         "event_id",
         lo_pct=5,
         hi_pct=95,
+        method="window",
     )
 
 
@@ -7120,6 +7129,7 @@ def _mad_outliers(spark, sf_dir):
         F.round(F.col("value") * 100),
         "event_id",
         n_mads=3,
+        method="window",
     )
 
 
@@ -8024,7 +8034,7 @@ def _rfm_scores(spark, sf_dir):
     # quintile scores via ntile over (metric, user) total orders — 5 is
     # best on every axis. The ntile windows run over the USER table
     # (one row per user; bounded-cardinality caveat in the docstring).
-    return bh_ops.rfm_scores(_t(spark, sf_dir, "events"))
+    return bh_ops.rfm_scores(_t(spark, sf_dir, "events"), method="ntile")
 
 
 @declared("rfm_two_pass", bh_ops.rfm_scores_oracle_sql("events"))

@@ -929,7 +929,7 @@ def mad_outliers(
     value_col,
     id_col: str,
     n_mads: int = 3,
-    method: str = "window",
+    method: str = "two_pass",
     n_parts: int = 32,
 ) -> DataFrame:
     """Robust per-group outlier detection: |x − median| > n·MAD
@@ -941,12 +941,13 @@ def mad_outliers(
     exact integer arithmetic, so the flagged set hash-matches any
     engine.
 
-    Shape (``method="window"``): one shuffle on the group key; the two
-    median passes are windows over that same partitioning (Catalyst
-    reuses the exchange, the second pass adds only an in-partition
-    sort), and each per-group median table joins back broadcast — a
-    dominant group rides one window task. ``method="two_pass"`` swaps
-    the (rn, n) windows for
+    Shape (``method="window"``, opt-in for bounded-group inputs): one
+    shuffle on the group key; the two median passes are windows over
+    that same partitioning (Catalyst reuses the exchange, the second
+    pass adds only an in-partition sort), and each per-group median
+    table joins back broadcast — a dominant group rides one window
+    task. ``method="two_pass"`` (default) swaps the (rn, n) windows
+    for
     :func:`~beis_orp_data_service_spark.operators.ranks.
     grouped_exact_ranks` (identical output, bounded task state), so
     the exact form survives one group holding half the data.
@@ -1036,7 +1037,7 @@ def winsorize(
     id_col: str,
     lo_pct: int = 5,
     hi_pct: int = 95,
-    method: str = "window",
+    method: str = "two_pass",
     n_parts: int = 32,
 ) -> DataFrame:
     """Per-group winsorization: clamp values to the exact discrete
@@ -1047,8 +1048,9 @@ def winsorize(
     engine clamps to the identical bounds — hash-grade, where
     interpolating percentiles are not.
 
-    One shuffle on the group key (window rank), bounds join back
-    broadcast; ``method="two_pass"`` swaps the rank windows for
+    One shuffle on the group key (window rank, opt-in for bounded-
+    group inputs), bounds join back broadcast; ``method="two_pass"``
+    (default) swaps the rank windows for
     :func:`~beis_orp_data_service_spark.operators.ranks.
     grouped_exact_ranks` (identical bounds, bounded task state under a
     dominant group). Output: (grp, id, value, lo, hi, clipped)."""
@@ -1218,7 +1220,7 @@ def ks_statistic(
     id_col: str,
     group_a: str,
     group_b: str,
-    method: str = "window",
+    method: str = "two_pass",
 ) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov statistic — the standard
     distribution-drift test (train/serve skew, A/B sanity) at corpus
@@ -1229,10 +1231,11 @@ def ks_statistic(
 
     Shape: filter to the two groups, count per (group, value) — the
     only corpus-scale shuffle, map-side combined — then the running
-    sums over the DISTINCT-value grid. ``method="window"`` (default)
+    sums over the DISTINCT-value grid. ``method="window"``
     is ONE ordered unpartitioned window (bounded by value cardinality,
     not rows; same caveat class as group_quantiles for pathological
-    all-distinct columns); ``method="two_pass"`` routes the cumulative
+    all-distinct columns — opt in when the value grid is known
+    bounded); ``method="two_pass"`` (default) routes the cumulative
     through :func:`~beis_orp_data_service_spark.operators.ranks.prefix_sums`
     (range-partition + P-row offset pull + per-partition running sum)
     — identical output, no single-task window, for all-distinct value
@@ -1337,7 +1340,7 @@ def mannwhitney_u(
     id_col: str,
     group_a: str,
     group_b: str,
-    method: str = "window",
+    method: str = "two_pass",
 ) -> DataFrame:
     """Exact Mann–Whitney U (Wilcoxon rank-sum) — the nonparametric
     A/B location test, tie-exact: with per-value counts, a tie group
@@ -1347,7 +1350,7 @@ def mannwhitney_u(
 
     Same shape as :func:`ks_statistic`: one map-side-combined count
     per distinct value, then the running rank sums over the value grid
-    — ``method="window"`` (default, one ordered window bounded by
+    — ``method="window"`` (opt-in, one ordered window bounded by
     value cardinality) or ``method="two_pass"`` (the scale-safe
     :func:`~beis_orp_data_service_spark.operators.ranks.prefix_sums`
     spelling, identical output), totals broadcast. Output one row:

@@ -403,7 +403,7 @@ def rfm_scores(
     user_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
-    method: str = "ntile",
+    method: str = "two_pass",
     n_parts: int = 32,
 ) -> DataFrame:
     """RFM segmentation — the classic engagement/value triage
@@ -417,17 +417,19 @@ def rfm_scores(
 
     Scale note — ``method``:
 
-    - ``"ntile"`` (default): three single unpartitioned windows over
-      the USER table (one row per user, not events) — exact and fine
-      while user cardinality fits one task.
-    - ``"two_pass"``: billions of users make "one row per user" a
-      single-task bottleneck; this routes each axis through
+    - ``"two_pass"`` (default): billions of users make "one row per
+      user" a single-task bottleneck; the default routes each axis
+      through
       :func:`~beis_orp_data_service_spark.operators.ranks.distributed_ntile`
       (range-partition → P-row offset pull → per-partition
       ``row_number``) — IDENTICAL output (same NTILE bucket math,
       equality-tested in tests/test_behavior.py), no unpartitioned
       window; ``n_parts`` sizes the range partitions (~n_users/P rows
       each).
+    - ``"ntile"``: three single unpartitioned windows over the USER
+      table (one row per user, not events) — exact and a hair cheaper
+      while user cardinality fits one task; opt in when you know the
+      user count is bounded.
     """
     if method not in ("ntile", "two_pass"):
         raise ValueError(f"rfm_scores: unknown method {method!r}")

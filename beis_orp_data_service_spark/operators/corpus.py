@@ -658,7 +658,7 @@ def group_quantiles(
     value_col: str = "n_chars",
     id_col: str = "doc_id",
     qs: tuple[int, ...] = (50, 90, 99),
-    method: str = "window",
+    method: str = "two_pass",
     n_parts: int = 32,
 ) -> DataFrame:
     """Exact discrete quantiles per group (corpus length/size reporting):
@@ -667,10 +667,11 @@ def group_quantiles(
     percentile functions differ across engines and are not
     hash-comparable).
 
-    ``method="window"``: one shuffle on the group key; rank +
-    group-size via windows inside the partition — a dominant group is
-    one window task (the unpartitioned-window class).
-    ``method="two_pass"`` routes the (rank, n) pair through
+    ``method="window"`` (opt-in, for bounded-group inputs): one
+    shuffle on the group key; rank + group-size via windows inside the
+    partition — a dominant group is one window task (the
+    unpartitioned-window class).
+    ``method="two_pass"`` (default) routes the (rank, n) pair through
     :func:`~beis_orp_data_service_spark.operators.ranks.
     grouped_exact_ranks` — identical output, max task state
     ~N/``n_parts`` rows at any group skew; the exact form then stays
@@ -2278,7 +2279,7 @@ def equi_depth_bins(
     value_col: str,
     id_col: str,
     nbins: int = 4,
-    method: str = "ntile",
+    method: str = "two_pass",
     n_parts: int = 32,
 ) -> DataFrame:
     """Per-group equi-depth discretization — quartile/decile labels for
@@ -2288,11 +2289,11 @@ def equi_depth_bins(
     tiebreak makes the assignment — not just the bucket sizes —
     deterministic, so the label column is hash-grade.
 
-    ``method="ntile"`` (default) is one shuffle on the group key with
-    within-group sort state — a DOMINANT group (one language holding
-    half the corpus) rides through a single window task, the
-    unpartitioned-window class VERDICT r9 #1 flagged.
-    ``method="two_pass"`` routes through
+    ``method="ntile"`` (opt-in, for bounded-group inputs) is one
+    shuffle on the group key with within-group sort state — a DOMINANT
+    group (one language holding half the corpus) rides through a
+    single window task. ``method="two_pass"`` (default) routes
+    through
     :func:`~beis_orp_data_service_spark.operators.ranks.grouped_ntile`
     (range-partition on (group, value, id) → per-(group, partition)
     offsets → per-cell row_number → same NTILE fill rule): identical
@@ -3344,7 +3345,7 @@ def token_budget_select(
     order_cols: list,
     token_col: str,
     budget: int,
-    method: str = "window",
+    method: str = "two_pass",
     n_parts: int = 32,
 ) -> DataFrame:
     """Per-group best-first selection under a token budget — the CCNet
@@ -3357,9 +3358,10 @@ def token_budget_select(
 
     Adds ``tok_cum`` (the inclusive running sum) to the kept rows.
 
-    ``method="window"``: ``SUM() OVER (PARTITION BY group ORDER BY
-    order ROWS UNBOUNDED PRECEDING)`` — one window task per group, the
-    dominant-group class. ``method="two_pass"`` routes through
+    ``method="window"`` (opt-in, for bounded-group inputs): ``SUM()
+    OVER (PARTITION BY group ORDER BY order ROWS UNBOUNDED
+    PRECEDING)`` — one window task per group, the dominant-group
+    class. ``method="two_pass"`` (default) routes through
     :func:`~beis_orp_data_service_spark.operators.ranks.
     grouped_prefix_sums` (range-partition + distributed per-(group,
     partition) offsets) — identical kept set, task state bounded by

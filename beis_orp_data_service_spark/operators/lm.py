@@ -181,7 +181,7 @@ def ccnet_buckets(
     id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str = "lang",
-    method: str = "ntile",
+    method: str = "two_pass",
     n_parts: int = 32,
 ) -> DataFrame:
     """CCNet-style per-language perplexity bucketing (Wenzek et al.
@@ -199,12 +199,12 @@ def ccnet_buckets(
 
     Scale note — ``method`` (the rfm_scores pattern, VERDICT r9 #1):
 
-    - ``"ntile"`` (default): ``ntile(3) OVER (PARTITION BY lang ...)``
-      — one language's ENTIRE corpus slice is one window task. Exact
-      and fine while every language fits an executor; at 100 TB
+    - ``"ntile"``: ``ntile(3) OVER (PARTITION BY lang ...)`` — one
+      language's ENTIRE corpus slice is one window task. Exact and a
+      hair cheaper while every language fits an executor; at 100 TB
       English is ~half the data, so the dominant language becomes a
-      single-reducer bottleneck.
-    - ``"two_pass"``: routes through
+      single-reducer bottleneck. Opt in for bounded-group inputs.
+    - ``"two_pass"`` (default): routes through
       :func:`~beis_orp_data_service_spark.operators.ranks.grouped_ntile`
       (range-partition on (lang, score, id) → per-(lang, partition)
       offsets → per-cell ``row_number`` → the same NTILE fill rule) —
