@@ -82,7 +82,7 @@ def _fixture_path(kind: str, sf_dir: str, per_process: bool = False) -> str:
     source), keyed on the ABSOLUTE sf_dir: basename alone collided when
     the base and `.alt` perturbed oracle gates — both `sf0.01` by
     basename — ran concurrently and clobbered each other's state
-    (VERDICT r9 "what's wrong" #2). The md5-of-abspath suffix keeps the
+   . The md5-of-abspath suffix keeps the
     path stable per dataset (idempotent overwrite, no per-run leak)
     while making distinct datasets disjoint. Stream fixtures pass
     ``per_process=True``: they rmtree + rebuild their source AND
@@ -5121,7 +5121,7 @@ def _ccnet_buckets(spark, sf_dir):
 )
 def _ccnet_two_pass(spark, sf_dir):
     # The SCALE spelling of ccnet_buckets under the SAME oracle
-    # (VERDICT r9 #1): the per-language tercile goes through
+    #: the per-language tercile goes through
     # ranks.grouped_ntile (range-partition on (lang, score, id) →
     # per-(lang, partition) offsets → per-cell row_number → identical
     # NTILE fill rule) instead of ntile(3) OVER (PARTITION BY lang) —
@@ -5192,7 +5192,7 @@ def _train_mix_impl(spark, sf_dir, method):
 )
 def _train_mix_two_pass(spark, sf_dir):
     # The flagship pretraining-mix path with ZERO unpartitioned-by-
-    # dominant-group windows (VERDICT r9 #1): same oracle, same md5
+    # dominant-group windows: same oracle, same md5
     # acceptance, but the per-language tercile inside ccnet_buckets
     # runs as ranks.grouped_ntile.
     return _train_mix_impl(spark, sf_dir, method="two_pass")
@@ -5692,7 +5692,7 @@ def pq_adc_topk_q(spark, sf_dir):
     # arithmetic is quantized int64 end-to-end, the ANN result is
     # HASH-checked against the SQL spelling (d CTE doubles as the LUT).
     emb = _t(spark, sf_dir, "embeddings")
-    # bounded harness pull (VERDICT r5 #4): the 8 smallest matching ids
+    # bounded harness pull: the 8 smallest matching ids
     # via TakeOrderedAndProject, so the driver collect is sf-INDEPENDENT
     # (the bare %250 predicate grows linearly with the table)
     qids = [
@@ -6077,7 +6077,7 @@ def q_json_extract(spark, sf_dir):
 
 
 def _pq_adc_trained(spark, sf_dir):
-    # FAISS-grade PQ (VERDICT r4 #1): per-subspace k-means codebook
+    # FAISS-grade PQ: per-subspace k-means codebook
     # trained on a replayable hash-gated sample (pq_codebook_trained),
     # persisted through the versioned JSON sidecar and read back, codes
     # encoded against it, ADC scored from the STORED code table — the
@@ -6095,7 +6095,7 @@ def _pq_adc_trained(spark, sf_dir):
     cb2 = sim.pq_read_codebook(spark, path)
     codes = sim.pq_codes(emb, m=4, k=16, codebook=cb2)
     # 10 smallest ids matching %50 — sf-independent driver pull
-    # (VERDICT r5 #4); at sf0.01 this is exactly the old %50 set, and
+    #; at sf0.01 this is exactly the old %50 set, and
     # the 25-row floor keeps 2x headroom (10 queries x 5 neighbors)
     qids = [
         r["vec_id"]
@@ -6132,7 +6132,7 @@ REGISTRY["pq_adc_trained"] = QueryDef(_pq_adc_trained, None, min_rows=25)
     """,
 )
 def scan_evolving_q(spark, sf_dir):
-    # Schema-evolution scan (S4 variant, VERDICT r4 #2): the query
+    # Schema-evolution scan (S4 variant): the query
     # AUTHORS its own two-generation lake table — generation 1 files
     # lack the `head` column, generation 2 adds it — then reads the
     # directory back through scan_parquet_evolving (mergeSchema) and
@@ -6172,7 +6172,7 @@ def scan_evolving_q(spark, sf_dir):
 
 def _stream_ingest_e2e(spark, sf_dir):
     # The reference's WHOLE §3.1 lifecycle as ONE streaming job
-    # (VERDICT r4 #4): message source → convert/clean → enrich → LSH
+    #: message source → convert/clean → enrich → LSH
     # near-dup admission → SCD-2 versioned store, driven availableNow
     # over two authored micro-batch files (batch 2 carries planted
     # near-dups of batch-1 docs, which the persistent index must
@@ -6294,7 +6294,7 @@ def _stream_dedup_ttl_e2e(spark, sf_dir):
         # becomes 10:56 > the 10:10 deadlines, so idle keys 5-19 time
         # out during the NEXT batch and ids 0-4 arriving there hit an
         # expired-deadline state — same 27-row lifecycle, one fewer
-        # micro-batch (bench cost, VERDICT r9 ask #7)
+        # micro-batch (bench cost)
         [msg(100, "11:00:00"), msg(101, "11:01:00")],
         [msg(i, "11:02:00") for i in range(5)],  # post-eviction re-admits
     ]
@@ -6310,12 +6310,12 @@ def _stream_dedup_ttl_e2e(spark, sf_dir):
     )
     out = os.path.join(root, "out")
     # 27 keys don't need the session's 32 state-store partitions: 4
-    # partitions cut per-micro-batch task overhead ~8x (fixture cost,
-    # VERDICT r9 ask #7). Fresh checkpoint per run, so the count is
+    # partitions cut per-micro-batch task overhead ~8x (fixture cost).
+    # Fresh checkpoint per run, so the count is
     # free to differ from other sessions'; restored in finally.
     _sp = spark.conf.get("spark.sql.shuffle.partitions")
     # construction + .start() live INSIDE the try: if either raises,
-    # the finally still restores the session-wide override (ADVICE r9)
+    # the finally still restores the session-wide override
     q = None
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "4")
@@ -6382,7 +6382,7 @@ REGISTRY["stream_dedup_ttl_e2e"] = QueryDef(
     """,
 )
 def zorder_skipping(spark, sf_dir):
-    # File-skipping PROOF for the Z-order layout (VERDICT r4 #6): write
+    # File-skipping PROOF for the Z-order layout: write
     # the laid-out table (real repartitionByRange + sortWithinPartitions
     # + parquet round trip), read it back, and count how many files a
     # selective predicate on the NON-leading column (b = 7) must scan,
@@ -7234,7 +7234,7 @@ def _ann_ivfpq(spark, sf_dir):
     # predicate as pq_adc_trained: 10 queries at every sf.
     emb = _t(spark, sf_dir, "embeddings")
     n = _n_rows(spark, sf_dir, "embeddings")
-    # 10 smallest matching ids — sf-independent pull (VERDICT r5 #4)
+    # 10 smallest matching ids — sf-independent pull
     qids = [
         r["vec_id"]
         for r in emb.filter(F.col("vec_id") % 50 == 0)
@@ -7826,7 +7826,7 @@ def er_pairs(spark, sf_dir):
 )
 def er_pairs_salted(spark, sf_dir):
     # The degenerate-block REMEDIATION under the SAME oracle as
-    # er_pairs (VERDICT r9 ask #6): every block's quadratic work split
+    # er_pairs: every block's quadratic work split
     # across n_salt² shuffle cells (pair (x,y) in exactly one
     # (block, salt(x), salt(y)) cell) — the driver's hash gate proves
     # the salted self-join is pair-for-pair identical to the plain
@@ -8100,8 +8100,7 @@ def _ngram_diversity(spark, sf_dir):
     ts_ops.ngram_diversity_approx_oracle_sql("documents"),
 )
 def _ngram_diversity_approx(spark, sf_dir):
-    # The 100 TB dashboard spelling of ngram_diversity (VERDICT r9 ask
-    # #5): the exact form's per-(source, gram) countDistinct shuffles
+    # The 100 TB dashboard spelling of ngram_diversity: the exact form's per-(source, gram) countDistinct shuffles
     # the full trigram-type universe; this one shuffles at most
     # |sources|*2^12 md5-HLL register rows (map-side-combined max) and
     # estimates distinct grams per source — same gram construction by

@@ -151,7 +151,7 @@ def tokens(col: Column | str) -> Column:
 #
 # The one whitespace-token split every oracle-paired text operator
 # shares (BM25/TF-IDF, bigram LM, token-KL, RAG chunking, CMS words).
-# The class is spelled EXPLICITLY (ADVICE r9): Java's \s is exactly
+# The class is spelled EXPLICITLY: Java's \s is exactly
 # [ \t\n\x0B\f\r] but DuckDB's RE2 \s omits \x0B, so a bare \s
 # desynchronizes the engines on vertical-tab text. Its DuckDB twin is
 # list_filter(string_split_regex(lower(x), '[ \t\n\x0B\f\r]+'),

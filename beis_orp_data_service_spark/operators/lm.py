@@ -197,7 +197,7 @@ def ccnet_buckets(
     bigram (fewer than 2 tokens) have no perplexity and are excluded,
     matching :func:`lm_score`.
 
-    Scale note — ``method`` (the rfm_scores pattern, VERDICT r9 #1):
+    Scale note — ``method`` (the rfm_scores pattern):
 
     - ``"ntile"``: ``ntile(3) OVER (PARTITION BY lang ...)`` — one
       language's ENTIRE corpus slice is one window task. Exact and a

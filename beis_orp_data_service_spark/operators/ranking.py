@@ -133,7 +133,7 @@ def bm25_topk(
             + F.lit(k1_pct * (100 - b_pct)) * F.col("sumdl")
             + F.lit(k1_pct * b_pct) * F.col("dl") * F.col("n_docs")
         )
-        # Runtime headroom guard (ADVICE r4): the documented int64
+        # Runtime headroom guard: the documented int64
         # precondition (idf·tf·sumdl products < 2^63) is now CHECKED in
         # the plan — a double-precision estimate with slack below 2^63
         # trips a clear raise_error naming the escape hatch instead of

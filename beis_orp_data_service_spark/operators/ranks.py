@@ -5,7 +5,7 @@ KS / Mann-Whitney distinct-value grids, ``equi_depth_bins``) is exact
 and fine while the ranked table is bounded-cardinality (one row per
 user / per distinct value), but at 100 TB event data "one row per
 user" is billions of rows through a SINGLE window task. This module is
-the promised two-pass alternative (VERDICT r8 ask #2) — the classic
+the promised two-pass alternative — the classic
 range-partition + partition-offset ranking:
 
 1. ``repartitionByRange`` on the sort key → globally ordered partition
@@ -49,7 +49,7 @@ def _pid_safe_strategy() -> str | None:
     and the ranking pass. The ``"persist"`` strategy keeps lineage, so
     an executor loss can silently RECOMPUTE partitions through a fresh
     ``repartitionByRange`` sample and misalign pids with the already-
-    broadcast offsets (ADVICE r9). ``"local"``/``"reliable"`` truncate
+    broadcast offsets. ``"local"``/``"reliable"`` truncate
     lineage (a lost block is a loud job failure / an FS re-read, never
     a silent resample), so those pass through; ``"persist"`` is
     upgraded to ``"reliable"``."""
@@ -284,7 +284,7 @@ def grouped_exact_ranks(
 ) -> DataFrame:
     """Exact 1-based rank WITHIN each ``group_cols`` group over the
     ``sort_cols`` total order, plus the group's row count — the grouped
-    sibling of :func:`exact_global_ranks` (VERDICT r9 ask #1) for
+    sibling of :func:`exact_global_ranks` for
     windows like ``PARTITION BY lang`` where one dominant group (half a
     100 TB corpus is English) would otherwise ride through a single
     window task.

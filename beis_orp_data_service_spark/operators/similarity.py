@@ -267,7 +267,7 @@ def ivf_kmeans_topk(
     ``nprobe`` nearest cells. ``n_centroids="auto"`` ≈ √N, so the
     scanned fraction ≈ nprobe/√N SHRINKS as the table grows — the
     sign-LSH variant's fixed 2^bits cell count was a pruning ceiling
-    (VERDICT r1); this is the standard remedy (FAISS IVF-Flat design).
+   ; this is the standard remedy (FAISS IVF-Flat design).
     At 100 TB: write the table partitioned by ``bucket`` and Catalyst
     prunes unprobed cells from the scan entirely; re-fit the quantizer
     only on drift, not per query. Recall < 1 by construction —
@@ -2071,7 +2071,7 @@ def ivfpq_index_probe(
     :func:`ivfpq_topk` with ``codes=`` (bit-identical results for the
     same quantizers). Output (query_id, neighbor_id, adist, rank).
 
-    The "bounded query set" contract is MECHANICAL (VERDICT r5 #4):
+    The "bounded query set" contract is MECHANICAL:
     the query side is pulled to the driver for LUT construction, so a
     corpus-sized ``queries`` would be a driver-side materialization —
     the ``max_query_rows`` guard raises instead of silently collecting
@@ -2400,7 +2400,7 @@ def mean_pool_chunks(
 
     Precondition: chunk ids are NON-NEGATIVE. The parent id is exact
     integer ``DIV`` (no double round-trip, so ids beyond 2^53 stay
-    exact — ADVICE r9); Spark's DIV truncates toward zero while
+    exact); Spark's DIV truncates toward zero while
     DuckDB's ``//`` floors, which only agree for ids >= 0.
     """
     if group_div <= 0:

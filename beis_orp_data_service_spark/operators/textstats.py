@@ -778,7 +778,7 @@ def ngram_diversity_approx(
     text_col: str = "text",
     p: int = 12,
 ):
-    """HLL spelling of :func:`ngram_diversity` (VERDICT r9 ask #5) —
+    """HLL spelling of :func:`ngram_diversity` —
     the 100 TB dashboard path. The exact form's per-(group, gram)
     countDistinct shuffles the full gram UNIVERSE (trigram types grow
     ~linearly with a web corpus); this one shuffles at most

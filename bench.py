@@ -69,7 +69,7 @@ def main() -> None:
     }
     # slowest10 rides INSIDE the summary line so per-query regressions
     # survive captures that keep only the tail of stdout (the full map
-    # above scrolls off) — VERDICT r4 defect #1.
+    # above scrolls off).
     slowest10 = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )

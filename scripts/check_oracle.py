@@ -6,9 +6,7 @@ row-count + column names + order-insensitive value comparison.
 
 A FULL run (no query filter) also writes ``CORRECTNESS_LOCAL.json`` at
 the repo root — per-query ``{status, grade, rows, seconds}`` for every
-registry entry (VERDICT r5 #5: the driver's CORRECTNESS window covers
-only the locked first 50; this artifact makes the rest diffable across
-rounds without a judge re-run). Commit it with each refresh.
+registry entry. Commit it with each refresh.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 """

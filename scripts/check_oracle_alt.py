@@ -1,4 +1,4 @@
-"""Differential oracle re-check on a PERTURBED dataset (VERDICT r8 #1).
+"""Differential oracle re-check on a PERTURBED dataset.
 
 All hash-grade oracles passing on ONE fixed dataset is necessary, not
 sufficient: an oracle pair can agree because the fixture is degenerate,
@@ -36,8 +36,8 @@ calibrated on the base fixture — a floor miss on the perturbed clone is
 recorded as a WARNING, not a failure (hash-grade divergence and
 vacuity are the hard gates here).
 
-Writes ``CORRECTNESS_ALT.json``. Wired into the end-of-round recipe
-next to ``artifact_check`` (.claude/skills/verify/SKILL.md).
+Writes ``CORRECTNESS_ALT.json``. Run it next to ``artifact_check``
+as part of the end-of-round verification recipe.
 
 Usage: python scripts/check_oracle_alt.py [base_sf_dir] [query ...]
 """
@@ -78,7 +78,7 @@ FLAG_ALLOWLIST: dict[tuple[str, str], str] = {
     ("convert_stats", "n_lossy"): "CID-font goldens in tests/test_converters.py",
 }
 
-# categorical anti-vacuity (VERDICT r9 ask #4): these label columns must
+# categorical anti-vacuity: these label columns must
 # cover their FULL expected value set on BOTH datasets — a tercile/
 # quartile label that never emits one of its values is the same vacuity
 # class as a constant flag, just multi-valued
@@ -192,7 +192,7 @@ def build_alt(spark, src: str, dst: str) -> None:
                     (6 * PLANT_STRIDE + i, heavy, "en", "alt_heavy",
                      len(heavy))
                 )
-            # vertical-tab docs (ADVICE r9): Java \s includes \x0B, RE2
+            # vertical-tab docs: Java \s includes \x0B, RE2
             # \s does not — both sides now spell the whitespace class
             # explicitly, and these plants pin the parity (a revert to
             # a bare \s desynchronizes every tokenization oracle here)
@@ -202,7 +202,7 @@ def build_alt(spark, src: str, dst: str) -> None:
                 plants.append(
                     (8 * PLANT_STRIDE + i, vt, "en", "alt_vtab", len(vt))
                 )
-            # perplexity-spread plants (VERDICT r9 ask #4): per
+            # perplexity-spread plants: per
             # language, a LOW-perplexity cluster (one fixed sentence,
             # half of it on EVEN ids so the bigram LM trains on it —
             # its bigrams are the training distribution) and a HIGH-
@@ -490,7 +490,7 @@ def main() -> int:
                             f"vacuous: flag column {c!r} constant on BOTH "
                             f"datasets (={spark_pdf[c].iloc[0]!r})"
                         )
-            # anti-vacuity 3 (VERDICT r9 ask #4): named categorical
+            # anti-vacuity 3: named categorical
             # label columns must cover their full value set on BOTH
             # datasets (hard fail on either)
             for (qn, c), expect in CATEGORICAL_EXPECT.items():

@@ -1,4 +1,4 @@
-"""Empirical scaling probe (VERDICT r5 #2): measure, don't claim.
+"""Empirical scaling probe: measure, don't claim.
 
 Every 100 TB statement in this repo was design + plan-shape until this
 script: it times the slowest bench queries on the base fixture AND on a
@@ -47,9 +47,9 @@ from beis_orp_data_service_spark.session import get_spark  # noqa: E402
 STRIDE = 10**12  # replica id offset: keeps % predicates per-replica-stable
 INFLATED = ("documents", "embeddings", "events", "part")
 
-# Coverage is DERIVED, not hand-listed (VERDICT r9 ask #2: the hand-
-# extended MUST_INCLUDE missed each round's late additions twice in a
-# row). Every registry query that has no measured row in the COMMITTED
+# Coverage is DERIVED, not hand-listed (a hand-extended include list
+# missed late-round additions twice in a row before this).
+# Every registry query that has no measured row in the COMMITTED
 # SCALING.md is force-included this run; previously measured rows are
 # carried forward into the regenerated table (marked 'carried'), so
 # "absent from SCALING.md" always means "never probed". After the
@@ -298,7 +298,7 @@ def main() -> int:
     slowest = by_cost[:10] + [
         k for k in by_cost[10:] if k not in SF_INDEPENDENT
     ][:10]
-    # registry-diff coverage (VERDICT r9 ask #2): anything never
+    # registry-diff coverage: anything never
     # measured in the committed SCALING.md runs this round, no hand list
     prior_rows = parse_measured_rows("/root/repo/SCALING.md")
     never_probed = sorted(
@@ -461,7 +461,7 @@ def main() -> int:
     )
     if extra:
         lines += [""] + extra
-    # the loud coverage gate (VERDICT r9 ask #2): every registry query
+    # the loud coverage gate: every registry query
     # must have a row — fresh or carried — in the file we just wrote
     covered = fresh_names | set(prior_rows)
     uncovered = sorted(k for k in declared.REGISTRY if k not in covered)

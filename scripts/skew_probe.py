@@ -212,7 +212,7 @@ def main() -> int:
     salted_counts = {r.band_key: r.n for r in salted.collect()}
     out["agg_equal"] = naive_counts == salted_counts
 
-    # ---- ER family under a planted hot block (VERDICT r9 ask #6) ----
+    # ---- ER family under a planted hot block ----
     # A 10× part catalogue where 10% of rows collapse into ONE
     # (brand, type, name-prefix) block — the degenerate-key incident
     # the linkage guard exists for. The proof chain: (1) max_block

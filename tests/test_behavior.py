@@ -357,7 +357,7 @@ class TestRfmScores:
             bh.rfm_scores(ev)
 
     def test_two_pass_equals_ntile_at_sf001(self, spark):
-        """VERDICT r8 #2: the scale-safe two-pass spelling (range
+        """The scale-safe two-pass spelling (range
         partitions + offset pull + per-partition row_number, NO
         unpartitioned window) must equal the ntile spelling row for
         row on real data at sf0.01."""

@@ -1,4 +1,4 @@
-"""stage_checkpoint strategies (VERDICT r5 ask #3): the iterative
+"""stage_checkpoint strategies: the iterative
 operators expose checkpoint="local"|"reliable"|"persist"; results must
 be identical across strategies (the strategy changes fault tolerance,
 never semantics), and SPARK_GRAFT_AUDIT=1 must record pre-checkpoint

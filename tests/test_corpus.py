@@ -1533,7 +1533,7 @@ class TestWordDropout:
         """Leading tab/newline used to give Spark a leading empty token
         from the raw split (trim strips spaces only), shifting every
         position and flipping md5 keep/drop vs the oracle's filtered
-        list (ADVICE r8). Both engines now regex-strip all \\s before
+        list. Both engines now regex-strip all \\s before
         splitting."""
         import duckdb
         import pandas as pd

@@ -50,7 +50,7 @@ def test_entry_smoke(spark):
 
 
 class TestFixturePathIsolation:
-    """VERDICT r9 'what's wrong' #2: the base and .alt oracle gates both
+    """The base and .alt oracle gates both
     have basename 'sf0.01' — their on-disk fixture roots must differ so
     concurrent gate runs cannot clobber each other's indexes/streams."""
 

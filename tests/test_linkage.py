@@ -102,7 +102,7 @@ def test_entity_clusters_transitive(spark):
 
 
 class TestSaltedRemediation:
-    """VERDICT r9 ask #6: the skew remediation for a degenerate block
+    """The skew remediation for a degenerate block
     must produce EXACTLY the pair set of the plain blocked join."""
 
     def test_salted_equals_plain_pair_set(self, spark):

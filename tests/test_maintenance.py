@@ -219,8 +219,7 @@ def _scd_changes(spark, store, a, b):
 
 
 def test_compact_retain_history_preserves_time_travel(spark, tmp_path):
-    """Compaction x time-travel cross-invariant (VERDICT r5 ask #6 +
-    ADVICE manifest fix): compacting a retain_history=True store must
+    """Compaction x time-travel cross-invariant: compacting a retain_history=True store must
     keep EVERY retained commit reconstructible via read_scd_store_asof,
     keep the change feed diffable ACROSS the compaction boundary, add
     no logical row changes of its own, and compose with a later

@@ -1,4 +1,4 @@
-"""The scalable exact-rank / distributed-ntile helper (VERDICT r8 #2):
+"""The scalable exact-rank / distributed-ntile helper:
 the two-pass replacement for the unpartitioned-window class must equal
 the window spelling bit-for-bit."""
 

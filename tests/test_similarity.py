@@ -1011,7 +1011,7 @@ class TestMmrRerank:
         ]
 
     def test_ivf_pool_same_picks_when_pool_agrees(self, spark):
-        """VERDICT r8 #4: pool_via='ivf' swaps ONLY the candidate
+        """pool_via='ivf' swaps ONLY the candidate
         retrieval. Planted so the IVF probe has recall 1 (every vector
         shares the query's sign bucket: first 2 components positive,
         bits=2) — the pools then agree and the MMR trajectory must be

@@ -80,7 +80,7 @@ def test_salted_aggregate_result_identical(probe_result):
 
 
 def test_er_guard_raises_and_salted_matches(probe_result):
-    """VERDICT r9 ask #6: on the planted hot (brand, type, prefix)
+    """On the planted hot (brand, type, prefix)
     block, max_block raises; the salted self-join yields the exact
     pair set of the plain join, overall and on the non-degenerate
     remainder."""

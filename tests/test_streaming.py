@@ -821,7 +821,7 @@ class TestScdChangesAndVacuum:
 
 
 class TestWatermarkLateData:
-    """VERDICT r5 ask #7 / r6 ask #1: pin the exact late-row
+    """Pin the exact late-row
     drop/include boundary under Spark's TWO-threshold watermark
     (SPARK-24634, since 3.4): at the start of batch N the engine
     updates the watermark from batch N-1's max event time, but that
@@ -1023,7 +1023,7 @@ class TestWatermarkLateData:
         assert got[(2, "10:40")] == ("10:55", 1)
 
     def test_interval_join_late_left_row_boundary(self, spark, tmp_path):
-        """VERDICT r6 ask #7 (interval join half): the same two-threshold
+        """Interval-join half: the same two-threshold
         lag applies to stream-stream join inputs — a late click in the
         very next micro-batch still joins; one further batch and it is
         dropped on input (by which point the purchase's state is also
@@ -1105,7 +1105,7 @@ class TestWatermarkLateData:
         assert pairs == {(1, 2), (5, 2)}
 
     def test_stream_dedup_state_eviction_after_watermark(self, spark, tmp_path):
-        """VERDICT r6 ask #7 (dedup half): with watermark+TTL the
+        """Dedup half: with watermark+TTL the
         first-seen state is EVICTED once the eviction watermark passes
         (first-seen ts + ttl) — after which a redelivery of that id is
         re-admitted (emitted a second time), while an id whose horizon
@@ -1182,7 +1182,7 @@ class TestWatermarkLateData:
 
     def test_stream_dedup_same_batch_expiry_readmits(self, spark, tmp_path):
         """Expiry is the EVENT-TIME horizon, not timer scheduling
-        (VERDICT r9 ask #7 follow-on): a redelivery arriving in the
+       : a redelivery arriving in the
         very batch whose eviction watermark crosses the id's deadline
         must be re-admitted — receiving data resets the timer, so the
         timeout path alone would swallow it forever and admission
@@ -1329,7 +1329,7 @@ class TestWatermarkLateData:
         assert counts[61] == 1
 
     def test_sliding_counts_watermark_bounds_state(self, spark, tmp_path):
-        """VERDICT r6 ask #8: sliding_counts(watermark=...) runs in
+        """sliding_counts(watermark=...) runs in
         append mode (impossible without the watermark), emits finalized
         panes, and EVICTS pane state — numRowsTotal in the final
         progress stays at the open panes only, not one per pane ever
