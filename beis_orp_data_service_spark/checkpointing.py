@@ -90,6 +90,14 @@ def _ensure_checkpoint_dir(df: DataFrame) -> None:
                     "SPARK_GRAFT_CKPT_DIR before the first checkpoint"
                 )
             d = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+            # the fallback dir is ours alone and is useless once this
+            # driver exits — reclaim it instead of leaking one /tmp
+            # dir per process (checkpoint data never outlives the
+            # SparkContext that wrote it)
+            import atexit
+            import shutil
+
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
         sc.setCheckpointDir(d)
 
 

@@ -81,13 +81,15 @@ def _fixture_path(kind: str, sf_dir: str, per_process: bool = False) -> str:
     """Stable /tmp root for an on-disk fixture (index, sink, stream
     source), keyed on the ABSOLUTE sf_dir: basename alone collided when
     the base and `.alt` perturbed oracle gates — both `sf0.01` by
-    basename — ran concurrently and clobbered each other's state
-   . The md5-of-abspath suffix keeps the
+    basename — ran concurrently and clobbered each other's state.
+    The md5-of-abspath suffix keeps the
     path stable per dataset (idempotent overwrite, no per-run leak)
     while making distinct datasets disjoint. Stream fixtures pass
     ``per_process=True``: they rmtree + rebuild their source AND
     checkpoint every run, so two processes on the SAME sf_dir must not
-    share a checkpoint mid-flight — the pid suffix isolates them."""
+    share a checkpoint mid-flight — the pid suffix isolates them, and
+    siblings left by dead pids are swept on entry (a pid-suffixed dir
+    is otherwise never reclaimed once its process exits)."""
     import hashlib
     import tempfile
 
@@ -96,8 +98,31 @@ def _fixture_path(kind: str, sf_dir: str, per_process: bool = False) -> str:
         f"{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]}"
     )
     if per_process:
+        _sweep_dead_pid_dirs(f"spark_graft_{kind}_{tag}_p")
         tag += f"_p{os.getpid()}"
     return os.path.join(tempfile.gettempdir(), f"spark_graft_{kind}_{tag}")
+
+
+def _sweep_dead_pid_dirs(prefix: str) -> None:
+    """Best-effort removal of same-tag pid-suffixed fixture dirs whose
+    owning process is gone — keeps /tmp from accumulating one stream
+    fixture per finished test/gate process. Live pids (including ours)
+    are never touched; errors are swallowed (another sweeper may race
+    us, and losing the race is fine)."""
+    import glob
+    import shutil
+    import tempfile
+
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
+        pid_s = d.rsplit("_p", 1)[-1]
+        if not pid_s.isdigit() or int(pid_s) == os.getpid():
+            continue
+        try:
+            os.kill(int(pid_s), 0)
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except Exception:
+            pass
 
 
 # Row-count cache for auto-sizing (√N cells, auto bits): counts come
@@ -5303,14 +5328,14 @@ _PRETRAIN_CORPUS_SQL = f"""
                PARTITION BY lang
                ORDER BY bucket, avg_logp_micro DESC, doc_id
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_cum
-      FROM r0
+      FROM j
     )
     SELECT doc_id, lang, bucket_label, n_tokens, tok_cum
     FROM r WHERE tok_cum <= {_PRETRAIN_BUDGET}
 """
 
 
-@declared("pretrain_corpus", _PRETRAIN_CORPUS_SQL.replace("FROM r0", "FROM j"))
+@declared("pretrain_corpus", _PRETRAIN_CORPUS_SQL)
 def _pretrain_corpus(spark, sf_dir):
     # The capstone: assemble a pretraining corpus in ONE hash-grade
     # plan — exact dedup (keep the min-id canonical per content hash),
