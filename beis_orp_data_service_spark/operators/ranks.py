@@ -56,6 +56,26 @@ def _pid_safe_strategy() -> str | None:
     env = os.environ.get("SPARK_GRAFT_CHECKPOINT", "local")
     return "reliable" if env == "persist" else None
 
+def _guard_columns(df: DataFrame, names: list[str], func: str) -> None:
+    """Fail fast if the caller's frame already carries a column this
+    operator injects (or emits). The internal names (``_rnk_*``,
+    ``_off_*``, ``_offk_*``, ``<c>_cum``) would otherwise be silently
+    replaced by ``withColumn`` or collide in the offsets self-join —
+    corrupting the caller's data or failing with an ambiguity error
+    far from the cause."""
+    clash = sorted(
+        c
+        for c in df.columns
+        if c in names or c.startswith(("_rnk_", "_offk_"))
+    )
+    if clash:
+        raise ValueError(
+            f"{func}: input columns {clash} collide with reserved "
+            f"internal/output names (_rnk_*, _offk_*, {sorted(names)}); "
+            "rename them before calling"
+        )
+
+
 __all__ = [
     "exact_global_ranks",
     "ntile_from_rank",
@@ -85,6 +105,7 @@ def exact_global_ranks(
     shuffle for the per-partition window. Max window partition is
     ~N/``n_parts`` rows — size ``n_parts`` so that fits one executor.
     """
+    _guard_columns(df, [rank_col], "exact_global_ranks")
     # lazy checkpoint: the counts .collect() below is the first action
     # and materializes it — one job instead of two per call (the
     # boundary still pins the range-partitioner's sampled split points
@@ -132,17 +153,23 @@ def ntile_from_rank(rank: Column, n_rows: int, n_tiles: int) -> Column:
     """SQL ``NTILE(n_tiles)`` computed from a 1-based global rank and
     the total row count — the first ``n_rows mod n_tiles`` buckets hold
     ``floor(n_rows/n_tiles) + 1`` rows, the remainder one fewer
-    (identical to Spark's and DuckDB's NTILE)."""
+    (identical to Spark's and DuckDB's NTILE). Bucket assignment is
+    pure BIGINT arithmetic (``div``, never IEEE division), so it stays
+    exact past 2^53 rows per group — the quiet boundary a
+    double-floor spelling would hit."""
     q, rem = divmod(int(n_rows), int(n_tiles))
-    big = F.lit(q + 1)
-    cut = F.lit(rem * (q + 1))  # rows covered by the big buckets
+    big = F.lit(q + 1).cast("bigint")
+    cut = F.lit(rem * (q + 1)).cast("bigint")  # rows in the big buckets
+    rank = rank.cast("bigint")
     small = (
-        F.lit(rem) + F.floor((rank - cut - 1) / F.lit(q)) + 1
+        F.lit(rem)
+        + F.call_function("div", rank - cut - 1, F.lit(q).cast("bigint"))
+        + 1
         if q > 0
         else F.lit(None).cast("bigint")  # n_rows < n_tiles: never taken
     )
     return (
-        F.when(rank <= cut, F.floor((rank - 1) / big) + 1)
+        F.when(rank <= cut, F.call_function("div", rank - 1, big) + 1)
         .otherwise(small)
         .cast("bigint")
     )
@@ -166,6 +193,11 @@ def prefix_sums(
     sum inside each range partition only. ``sort_cols`` must be a total
     order; ``sum_cols`` must be non-null integers (counts).
     """
+    _guard_columns(
+        df,
+        [f"{c}_cum" for c in sum_cols] + [f"_off_{c}" for c in sum_cols],
+        "prefix_sums",
+    )
     part = stage_checkpoint(
         df.repartitionByRange(n_parts, *sort_cols).withColumn(
             "_rnk_pid", F.spark_partition_id()
@@ -216,6 +248,7 @@ def distributed_ntile(
     """``ntile(n_tiles) OVER (ORDER BY sort_cols)`` via
     :func:`exact_global_ranks` + :func:`ntile_from_rank` — exact NTILE
     semantics, no unpartitioned window."""
+    _guard_columns(df, [out_col], "distributed_ntile")
     ranked, n_rows = exact_global_ranks(
         df, sort_cols, rank_col="_rnk_tmp", n_parts=n_parts, label=label
     )
@@ -232,15 +265,26 @@ def ntile_from_rank_col(rank: Column, n_rows: Column, n_tiles: int) -> Column:
     ``floor(n_rows/n_tiles) + 1`` rows, the rest one fewer. The
     ``greatest(q, 1)`` guard keeps the never-taken small-bucket branch
     from dividing by zero when a group has fewer rows than tiles
-    (vectorized evaluation computes both branches under ANSI mode)."""
-    n = F.lit(int(n_tiles))
-    q = F.floor(n_rows / n).cast("bigint")
-    rem = (n_rows % n).cast("bigint")
+    (vectorized evaluation computes both branches under ANSI mode).
+    All-BIGINT arithmetic (``div``, ``pmod`` — never IEEE division):
+    the assignment stays exact past 2^53 rows per group, where a
+    double-floor spelling silently loses rank resolution. Operands are
+    non-negative in every taken branch, so truncating ``div`` equals
+    floor division."""
+    n = F.lit(int(n_tiles)).cast("bigint")
+    n_rows = n_rows.cast("bigint")
+    rank = rank.cast("bigint")
+    q = F.call_function("div", n_rows, n)
+    rem = F.pmod(n_rows, n).cast("bigint")
     big = q + F.lit(1)
     cut = rem * big
-    small = rem + F.floor((rank - cut - 1) / F.greatest(q, F.lit(1))) + 1
+    small = (
+        rem
+        + F.call_function("div", rank - cut - 1, F.greatest(q, F.lit(1)))
+        + 1
+    )
     return (
-        F.when(rank <= cut, F.floor((rank - 1) / big) + 1)
+        F.when(rank <= cut, F.call_function("div", rank - 1, big) + 1)
         .otherwise(small)
         .cast("bigint")
     )
@@ -307,6 +351,7 @@ def grouped_exact_ranks(
     guard (:func:`_pid_safe_strategy`) so the counts pass and the
     ranking pass see identical partition ids.
     """
+    _guard_columns(df, [rank_col, total_col], "grouped_exact_ranks")
     part = stage_checkpoint(
         df.repartitionByRange(
             n_parts, *[F.col(g) for g in group_cols], *sort_cols
@@ -361,6 +406,7 @@ def grouped_ntile(
     tests/test_ranks.py, dominant-group fixture included) with max
     per-task state ~N/``n_parts`` rows regardless of how skewed the
     group sizes are."""
+    _guard_columns(df, [out_col, "_tot_tmp"], "grouped_ntile")
     ranked = grouped_exact_ranks(
         df,
         group_cols,
@@ -403,6 +449,13 @@ def grouped_prefix_sums(
     sum in quality order — which at 100 TB must not serialize a
     dominant language through one window task.
     """
+    _guard_columns(
+        df,
+        [f"{c}_cum" for c in sum_cols]
+        + [f"_off_{c}" for c in sum_cols]
+        + [f"_sum_{c}" for c in sum_cols],
+        "grouped_prefix_sums",
+    )
     part = stage_checkpoint(
         df.repartitionByRange(
             n_parts, *[F.col(g) for g in group_cols], *sort_cols

@@ -73,20 +73,32 @@ INFLATED = ("documents", "embeddings", "events", "part")
 QUADRATIC_BY_DESIGN = {"cos_sim"}
 
 
-def parse_measured_rows(path: str) -> dict[str, tuple[float, float, float]]:
-    """Query name -> (base_s, big_s, ratio), for every measured row of
-    the committed SCALING.md main table (rows whose 2nd..4th cells
-    parse as floats). Used both to derive the never-probed set and to
+# carried rows older than this many probe runs are rotated back into
+# the fresh set, oldest first — a carried measurement is coverage, not
+# a regression guarantee, so it must not fossilize forever
+MAX_CARRY_AGE = 3
+ROTATE_CAP = 15  # bound per-run re-probe cost
+
+
+def parse_measured_rows(
+    path: str,
+) -> dict[str, tuple[float, float, float, int]]:
+    """Query name -> (base_s, big_s, ratio, age), for every measured
+    row of the committed SCALING.md main table (rows whose 2nd..4th
+    cells parse as floats). ``age`` counts probe runs since the row was
+    last measured (0 = fresh this run; rows from files predating the
+    age column read as 1). Used to derive the never-probed set, to
     carry prior measurements into the regenerated file (verdicts are
     RE-derived from the numbers under the current grading rules, so a
-    grading change never fossilizes a stale verdict string)."""
-    rows: dict[str, tuple[float, float, float]] = {}
+    grading change never fossilizes a stale verdict string), and to
+    rotate over-age carried rows back into the fresh set."""
+    rows: dict[str, tuple[float, float, float, int]] = {}
     if not os.path.exists(path):
         return rows
     with open(path) as f:
         for line in f:
             cells = [c.strip() for c in line.rstrip("\n").split("|")]
-            # '| name | b | g | r | verdict |' splits into 7 cells
+            # '| name | b | g | r | age | verdict |' -> 8 cells
             if len(cells) < 6 or cells[1] in ("query", "---", ""):
                 continue
             try:
@@ -98,7 +110,11 @@ def parse_measured_rows(path: str) -> dict[str, tuple[float, float, float]]:
             # names count as measured coverage
             if cells[1] not in declared.REGISTRY:
                 continue
-            rows[cells[1]] = vals
+            try:
+                age = int(cells[5])
+            except (ValueError, IndexError):
+                age = 1  # pre-age-column file: measured one run ago
+            rows[cells[1]] = (*vals, age)
     return rows
 
 
@@ -309,6 +325,20 @@ def main() -> int:
     if never_probed:
         print(f"never-probed (force-included): {never_probed}")
     slowest += never_probed
+    # staleness rotation: carried rows past MAX_CARRY_AGE re-measure,
+    # oldest first (capped) — without this a regression in an already-
+    # probed operator would hide behind its carried row forever
+    stale = sorted(
+        (
+            k
+            for k in prior_rows
+            if k not in slowest and prior_rows[k][3] + 1 > MAX_CARRY_AGE
+        ),
+        key=lambda k: (-prior_rows[k][3], k),
+    )[:ROTATE_CAP]
+    if stale:
+        print(f"over-age carried rows (re-probed): {stale}")
+    slowest += stale
 
     spark = get_spark("scaling-probe")
     inflate(spark, base, dst, factor)
@@ -348,12 +378,17 @@ def main() -> int:
         "graded (their work is sf-independent by design).",
         "",
         "Rows measured in an earlier probe run carry forward verbatim "
-        "(marked `carried`) so this table always covers the FULL "
-        "registry — 'no row' can only ever mean 'never probed', which "
-        "the script itself fails on (exit 2).",
+        "(`age` = probe runs since measured; 0 = fresh this run) so "
+        "this table always covers the FULL registry — 'no row' can "
+        "only ever mean 'never probed', which the script itself fails "
+        f"on (exit 2). Carried rows older than {MAX_CARRY_AGE} runs "
+        f"rotate back into the fresh set ({ROTATE_CAP}/run, oldest "
+        "first), so no measurement fossilizes.",
         "",
-        "| query | base s | {f}× s | ratio | verdict |".format(f=factor),
-        "|---|---|---|---|---|",
+        "| query | base s | {f}× s | ratio | age | verdict |".format(
+            f=factor
+        ),
+        "|---|---|---|---|---|---|",
     ]
     n_bad = 0
 
@@ -377,16 +412,17 @@ def main() -> int:
         verdict, bad = grade(name, ratio)
         n_bad += bad
         lines.append(
-            f"| {name} | {tb:.2f} | {tg:.2f} | {ratio:.2f} | {verdict} |"
+            f"| {name} | {tb:.2f} | {tg:.2f} | {ratio:.2f} | 0 | "
+            f"{verdict} |"
         )
     for name in sorted(prior_rows):
         if name not in fresh_names:
-            tb, tg, ratio = prior_rows[name]
+            tb, tg, ratio, age = prior_rows[name]
             verdict, bad = grade(name, ratio)
             n_bad += bad
             lines.append(
                 f"| {name} | {tb:.2f} | {tg:.2f} | {ratio:.2f} | "
-                f"{verdict} (carried) |"
+                f"{age + 1} | {verdict} (carried) |"
             )
     # ---- simhash_pairs diagnosis (round-6 ask #4) ----
     sh_base = simhash_bucket_stats(spark, base)

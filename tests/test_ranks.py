@@ -465,3 +465,75 @@ class TestNullGroupParity:
             df, ["grp"], [F.col("v"), F.col("id")], ["v"], n_parts=4
         )
         assert ps.count() == 17
+
+
+class TestBigintExactness:
+    def test_ntile_exact_past_double_precision(self, spark):
+        """Bucket assignment is bigint div, not IEEE floor-divide: at
+        group sizes past 2^53 a double spelling collapses adjacent
+        ranks onto the same quotient and misassigns boundary rows. Pin
+        boundary ranks of a 2^60-row (virtual) group on both helpers."""
+        n_rows = 2**60  # q = 2^60//3, rem = 1
+        n_tiles = 3
+        q, rem = divmod(n_rows, n_tiles)
+        cut = rem * (q + 1)
+        # boundary ranks around the big->small bucket cut and the ends
+        probes = [1, cut, cut + 1, cut + q, cut + q + 1, n_rows]
+        expect = {}
+        for r in probes:
+            if r <= cut:
+                expect[r] = (r - 1) // (q + 1) + 1
+            else:
+                expect[r] = rem + (r - cut - 1) // q + 1
+        df = spark.createDataFrame(
+            [(r, n_rows) for r in probes], "r long, n long"
+        )
+        got_col = {
+            row.r: row.t
+            for row in df.select(
+                "r",
+                ranks.ntile_from_rank_col(F.col("r"), F.col("n"), n_tiles)
+                .alias("t"),
+            ).collect()
+        }
+        got_int = {
+            row.r: row.t
+            for row in df.select(
+                "r",
+                ranks.ntile_from_rank(F.col("r"), n_rows, n_tiles).alias("t"),
+            ).collect()
+        }
+        assert got_col == expect, got_col
+        assert got_int == expect, got_int
+
+
+class TestReservedColumnGuard:
+    def test_internal_names_rejected_up_front(self, spark):
+        import pytest
+
+        df_pid = spark.createDataFrame(
+            [("a", 1, 2)], "grp string, id long, _rnk_pid long"
+        )
+        with pytest.raises(ValueError, match="_rnk_pid"):
+            ranks.grouped_exact_ranks(df_pid, ["grp"], [F.col("id")])
+        df_out = spark.createDataFrame(
+            [("a", 1, 2)], "grp string, id long, _grank long"
+        )
+        with pytest.raises(ValueError, match="_grank"):
+            ranks.exact_global_ranks(df_out, [F.col("id")])
+        df_cum = spark.createDataFrame(
+            [("a", 1, 2)], "grp string, n long, n_cum long"
+        )
+        with pytest.raises(ValueError, match="n_cum"):
+            ranks.grouped_prefix_sums(
+                df_cum, ["grp"], [F.col("n")], ["n"]
+            )
+        with pytest.raises(ValueError, match="n_cum"):
+            ranks.prefix_sums(df_cum, [F.col("n")], ["n"])
+        df_tile = spark.createDataFrame(
+            [("a", 1, 2)], "grp string, id long, tile long"
+        )
+        with pytest.raises(ValueError, match="tile"):
+            ranks.grouped_ntile(df_tile, ["grp"], [F.col("id")], 3, "tile")
+        with pytest.raises(ValueError, match="tile"):
+            ranks.distributed_ntile(df_tile, [F.col("id")], 3, "tile")
