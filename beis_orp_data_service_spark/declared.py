@@ -1677,21 +1677,6 @@ def _ann_ivf(spark, sf_dir):
     return sim.ivf_topk(emb, queries, k=5, bits=4)
 
 
-def _ann_ivf_kmeans(spark, sf_dir):
-    # Scale path #2: trained k-means coarse quantizer (true IVF-Flat);
-    # √N cells + nprobe probing, so scan fraction shrinks with table
-    # size — no fixed pruning ceiling (rows-only: recall < 1).
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return sim.ivf_kmeans_topk(
-        emb, queries, k=5, n_centroids="auto", nprobe=4,
-        n_rows=_n_rows(spark, sf_dir, "embeddings"),
-    )
-
-
-REGISTRY["ann_ivf_kmeans"] = QueryDef(_ann_ivf_kmeans, None, min_rows=10)
-
-
 def _ann_index_probe(spark, sf_dir):
     # Persistent IVF index: write bucket-partitioned parquet (FAISS
     # IVF-Flat in lake form), then probe with dynamic partition pruning
@@ -4123,23 +4108,6 @@ def semdedup(spark, sf_dir):
     # assignment, per-cluster tiled int64 Gram kernel for the dup rule.
     emb = _t(spark, sf_dir, "embeddings")
     return sim.semdedup(emb, n_clusters=8, sim2_milli_threshold=900)
-
-
-def _semdedup_auto(spark, sf_dir):
-    # SemDeDup production path: MLlib k-means quantizer with ~sqrt(N)
-    # cells + Arrow assignment + the same tiled kernel (rows-only:
-    # trained centroids aren't ANSI-SQL). Planted-dup agreement tested
-    # in tests/test_similarity.py.
-    emb = _t(spark, sf_dir, "embeddings")
-    return sim.semdedup(
-        emb,
-        n_clusters="auto",
-        sim2_milli_threshold=900,
-        n_rows=_n_rows(spark, sf_dir, "embeddings"),
-    )
-
-
-REGISTRY["semdedup_auto"] = QueryDef(_semdedup_auto, None, min_rows=100)
 
 
 @declared(
@@ -8386,6 +8354,203 @@ def logreg_train(spark, sf_dir):
     ).persist()
     w = learn_ops.logreg_fit(feats, _LOGREG_FEATURES, "y", iters=3, lr=1.0)
     return learn_ops.logreg_report(feats, _LOGREG_FEATURES, "y", w)
+
+
+
+_ANN_IVF_CELLS_SQL = """
+    WITH v AS (
+      SELECT vec_id,
+             [CAST(round(CAST(embedding[i] AS DOUBLE) * 100) AS BIGINT)
+              for i in range(1, 65)] AS q
+      FROM embeddings
+    ), cent AS (
+      SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cidx, q AS cq
+      FROM (SELECT vec_id, q, md5('ivfc:' || CAST(vec_id AS VARCHAR)) AS h
+            FROM v ORDER BY h, vec_id LIMIT 8)
+    ), d AS (
+      SELECT v.vec_id, cent.cidx,
+             CAST(list_sum([(v.q[i] - cent.cq[i]) * (v.q[i] - cent.cq[i])
+                            for i in range(1, 65)]) AS BIGINT) AS d2
+      FROM v CROSS JOIN cent
+    ), asg AS (
+      SELECT vec_id, cidx AS bucket FROM (
+        SELECT vec_id, cidx,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cidx)
+                 AS rn
+        FROM d) WHERE rn = 1
+    ), probe AS (
+      SELECT vec_id AS query_id, cidx AS bucket FROM (
+        SELECT vec_id, cidx,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cidx)
+                 AS rn
+        FROM d WHERE vec_id < 10) WHERE rn <= 4
+    ), scored AS (
+      SELECT p.query_id, t.vec_id AS neighbor_id,
+             CAST(1000000 * list_sum([qv.q[i] * tv.q[i]
+                                      for i in range(1, 65)])
+                  AS BIGINT) AS score
+      FROM probe p
+      JOIN asg t ON t.bucket = p.bucket AND t.vec_id <> p.query_id
+      JOIN v qv ON qv.vec_id = p.query_id
+      JOIN v tv ON tv.vec_id = t.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id)
+                  AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@declared("ann_ivf_cells", _ANN_IVF_CELLS_SQL)
+def _ann_ivf_cells(spark, sf_dir):
+    # The trained IVF-Flat path's bit-exact twin (the pq_codes
+    # deterministic-codebook move): SAME code path as the k-means
+    # variant — the Arrow nearest-centroid assignment kernel, nprobe
+    # probing, quantized scoring, per-query rank — but the quantizer
+    # matrix is injected: 8 md5-selected table vectors over a
+    # PRE-QUANTIZED copy of the table (round(100x), integer-valued
+    # float32). Integer vectors + integer centroids make every
+    # assignment distance exact in float64 in any summation order, so
+    # the whole probe hash-matches the SQL replay; only the k-means
+    # FIT itself (covered by pytest recall tests) stays outside the
+    # oracle.
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qx = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 100).cast("float"),
+    )
+    qemb = emb.select("vec_id", qx.alias("embedding"))
+    cent_rows = (
+        qemb.withColumn(
+            "_h",
+            F.md5(F.concat(F.lit("ivfc:"), F.col("vec_id").cast("string"))),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(8)
+        .collect()
+    )
+    cents = np.array([list(r["embedding"]) for r in cent_rows], dtype=np.float64)
+    return sim.ivf_kmeans_topk(
+        qemb, qemb.filter(F.col("vec_id") < 10), k=5,
+        centroids=cents, nprobe=4,
+    )
+
+
+_SEMDEDUP_CELLS_SQL = """
+    WITH v AS (
+      SELECT vec_id,
+             [CAST(round(CAST(embedding[i] AS DOUBLE) * 10) AS BIGINT)
+              for i in range(1, 65)] AS q10
+      FROM embeddings
+    ), v2 AS (
+      SELECT vec_id, list_transform(q10, x -> x * 100) AS q FROM v
+    ), cent AS (
+      SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cidx, q10 AS cq
+      FROM (SELECT vec_id, q10, md5('sdc:' || CAST(vec_id AS VARCHAR)) AS h
+            FROM v ORDER BY h, vec_id LIMIT 8)
+    ), d AS (
+      SELECT v.vec_id, cent.cidx,
+             CAST(list_sum([(v.q10[i] - cent.cq[i]) * (v.q10[i] - cent.cq[i])
+                            for i in range(1, 65)]) AS BIGINT) AS d2
+      FROM v CROSS JOIN cent
+    ), asg AS (
+      SELECT vec_id, cidx AS cluster_id FROM (
+        SELECT vec_id, cidx,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cidx)
+                 AS rn
+        FROM d) WHERE rn = 1
+    ), av AS (
+      SELECT asg.vec_id, asg.cluster_id, v2.q
+      FROM asg JOIN v2 USING (vec_id)
+    ), p AS (
+      SELECT b.vec_id,
+             CAST(list_sum([a.q[i]*b.q[i] for i in range(1, len(a.q)+1)])
+                  AS BIGINT) AS dot,
+             CAST(list_sum([a.q[i]*a.q[i] for i in range(1, len(a.q)+1)])
+                  AS BIGINT) AS na,
+             CAST(list_sum([b.q[i]*b.q[i] for i in range(1, len(b.q)+1)])
+                  AS BIGINT) AS nb
+      FROM av a JOIN av b ON a.cluster_id = b.cluster_id
+                         AND a.vec_id < b.vec_id
+    ), dup AS (
+      SELECT DISTINCT vec_id FROM p
+      WHERE dot > 0 AND na > 0 AND nb > 0
+        AND (dot * dot * 1000) // (na * nb) >= 900
+    )
+    SELECT av.vec_id, CAST(av.cluster_id AS BIGINT) AS cluster_id,
+           CAST(CASE WHEN dup.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS is_dup
+    FROM av LEFT JOIN dup ON av.vec_id = dup.vec_id
+"""
+
+
+@declared("semdedup_cells", _SEMDEDUP_CELLS_SQL)
+def _semdedup_cells(spark, sf_dir):
+    # The SemDeDup PRODUCTION branch's bit-exact twin: exercises the
+    # trained-quantizer code path (Arrow float nearest-centroid
+    # assignment + the per-cluster tiled Gram kernel — the exact plan
+    # the MLlib variant runs) with an injected 8-row md5-selected
+    # quantizer over a round(10x) pre-quantized table. Integer-valued
+    # inputs keep the float64 assignment exact and the kernel's int64
+    # sim2 within bounds (elements <= 100*|round(10x)|), so the full
+    # cluster->pair->dup pipeline hash-matches the SQL replay; only
+    # the k-means fit (pytest planted-dup agreement test) is outside.
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qx = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 10).cast("float"),
+    )
+    qemb = emb.select("vec_id", qx.alias("embedding"))
+    cent_rows = (
+        qemb.withColumn(
+            "_h",
+            F.md5(F.concat(F.lit("sdc:"), F.col("vec_id").cast("string"))),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(8)
+        .collect()
+    )
+    cents = np.array([list(r["embedding"]) for r in cent_rows], dtype=np.float64)
+    return sim.semdedup(qemb, sim2_milli_threshold=900, centroids=cents)
+
+
+@declared(
+    "pq_adc_lifecycle",
+    sim.pq_adc_topk_oracle_sql(
+        query_pred=(
+            "vec_id IN (SELECT vec_id FROM embeddings "
+            "WHERE vec_id % 250 = 0 ORDER BY vec_id LIMIT 8)"
+        )
+    ),
+)
+def _pq_adc_lifecycle(spark, sf_dir):
+    # The trained-PQ query's lifecycle plumbing under a hash-grade
+    # oracle: deterministic codebook -> versioned JSON sidecar write ->
+    # read back -> encode the STORED code table against the reloaded
+    # codebook -> ADC from stored codes. Identical plumbing to the
+    # trained variant (write/read/encode/score); only the k-means
+    # codebook fit itself (pytest recall floor) stays rows-only.
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = sim.pq_codebook_deterministic(emb, m=4, k=16)
+    path = _fixture_path("pq_cb_det", sf_dir)
+    sim.pq_write_codebook(spark, path, cb)
+    cb2 = sim.pq_read_codebook(spark, path)
+    codes = sim.pq_codes(emb, m=4, k=16, codebook=cb2)
+    qids = [
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") % 250 == 0)
+        .select("vec_id").orderBy("vec_id").limit(8).collect()
+    ]
+    return sim.pq_adc_topk(
+        emb, query_ids=qids, k_neighbors=5, codes=codes, codebook=cb2
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -258,9 +258,18 @@ def ivf_kmeans_topk(
     nprobe: int = 4,
     seed: int = 7,
     n_rows: int | None = None,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """True IVF top-k: a TRAINED k-means coarse quantizer instead of
     the data-independent sign-LSH of ``ivf_topk``.
+
+    ``centroids`` injects a precomputed (n_cells, dim) quantizer matrix
+    and skips the fit — the oracle-replay hook: with integer-valued
+    vectors AND centroids, every assignment distance is integer
+    arithmetic carried exactly in float64 (sums of exact products stay
+    under 2^53), so the whole probe — assignment, probing, quantized
+    scoring, ranking — is bit-replayable in SQL while running the SAME
+    Arrow assignment kernel and plan as the trained path.
 
     Each table vector is assigned to its nearest centroid (map-only
     Arrow pass, centroids in the UDF closure); each query probes its
@@ -275,12 +284,15 @@ def ivf_kmeans_topk(
     when known to skip the sizing scan."""
     import math
 
-    n = n_rows if n_rows is not None else embeddings.count()
-    if n_centroids == "auto":
-        n_centroids = max(4, min(65_536, math.isqrt(n)))
-    cents = kmeans_centroids(
-        embeddings, vec_col, n_centroids, seed=seed, n_rows=n
-    )
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+    else:
+        n = n_rows if n_rows is not None else embeddings.count()
+        if n_centroids == "auto":
+            n_centroids = max(4, min(65_536, math.isqrt(n)))
+        cents = kmeans_centroids(
+            embeddings, vec_col, n_centroids, seed=seed, n_rows=n
+        )
     assign1 = _nearest_centroids_udf(cents, 1)
     probe_n = _nearest_centroids_udf(cents, nprobe)
     t = embeddings.select(
@@ -451,6 +463,7 @@ def semdedup(
     block_size: int = 2048,
     seed: int = 7,
     n_rows: int | None = None,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the embedding
@@ -490,14 +503,22 @@ def semdedup(
     the kernel (int64 throughout); the expression twin further needs
     dot²·1000 < 2⁵³ (Spark ``/`` is double division before the cast).
     """
-    if n_clusters == "auto":
-        import math
+    if n_clusters == "auto" or centroids is not None:
+        # ``centroids`` injects a precomputed quantizer matrix into the
+        # production (Arrow float-assignment) branch — the oracle-replay
+        # hook: integer-valued vectors + centroids make every assignment
+        # distance exact in float64, so the trained path's plan becomes
+        # bit-replayable in SQL (same UDF, same pair kernel).
+        if centroids is not None:
+            cents = np.asarray(centroids, dtype=np.float64)
+        else:
+            import math
 
-        n = n_rows if n_rows is not None else embeddings.count()
-        k = max(4, min(65_536, math.isqrt(n)))
-        cents = kmeans_centroids(
-            embeddings, vec_col, k, seed=seed, n_rows=n
-        )
+            n = n_rows if n_rows is not None else embeddings.count()
+            k = max(4, min(65_536, math.isqrt(n)))
+            cents = kmeans_centroids(
+                embeddings, vec_col, k, seed=seed, n_rows=n
+            )
         assign1 = _nearest_centroids_udf(cents, 1)
         assigned = embeddings.select(
             F.col(id_col),

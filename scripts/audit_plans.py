@@ -50,7 +50,7 @@ from beis_orp_data_service_spark.session import get_spark  # noqa: E402
 
 # Queries with a legitimate >1 Arrow-stage plan: one stage per JOIN SIDE
 # (table assignment + query probe) is the minimum for the IVF family.
-ALLOW_ARROW = {"ann_ivf_kmeans": 2, "ann_ivf_topk": 2, "ann_topk": 2, "ann_index_probe": 2,
+ALLOW_ARROW = {"ann_ivf_cells": 2, "ann_ivf_topk": 2, "ann_topk": 2, "ann_index_probe": 2,
                # probe batch = union(odd half, planted rows): the signing
                # projection pushes through the Union, one Arrow node per
                # branch — every row still signed exactly once.  The
@@ -63,6 +63,7 @@ ALLOW_ARROW = {"ann_ivf_kmeans": 2, "ann_ivf_topk": 2, "ann_topk": 2, "ann_index
                # materializes codes between them; the declared query
                # exercises the chain end-to-end).
                "pq_adc_trained": 2,
+               "pq_adc_lifecycle": 2,
                # IVF-PQ lifecycle: ONE encode pass chained into ONE
                # probed-cell ADC scoring pass (same two-kernel chain as
                # pq_adc_trained, plus the bucket IN (probed) filter).
