@@ -8500,6 +8500,11 @@ def _semdedup_cells(spark, sf_dir):
     # sim2 within bounds (elements <= 100*|round(10x)|), so the full
     # cluster->pair->dup pipeline hash-matches the SQL replay; only
     # the k-means fit (pytest planted-dup agreement test) is outside.
+    # Scale note: the FIXED 8-cell injected quantizer makes per-cluster
+    # pair work grow ~quadratically with data (SCALING.md shows 6x at
+    # 10x) — this twin pins ARITHMETIC parity of the production branch;
+    # the cell-count policy at scale is the auto path's ~sqrt(N) cells,
+    # which keeps per-cluster size flat.
     import numpy as np
 
     emb = _t(spark, sf_dir, "embeddings")
