@@ -333,7 +333,12 @@ def main() -> int:
         )
         .localCheckpoint()
     )
-    w_win = co.equi_depth_bins(wdocs, "lang", "n_chars", "doc_id", 4)
+    # the INCIDENT case must pin the window spelling explicitly — the
+    # library default is two_pass now, which is the remediation this
+    # probe measures against
+    w_win = co.equi_depth_bins(
+        wdocs, "lang", "n_chars", "doc_id", 4, method="ntile"
+    )
     w_two = co.equi_depth_bins(
         wdocs, "lang", "n_chars", "doc_id", 4, method="two_pass", n_parts=32
     )
