@@ -8558,6 +8558,213 @@ def _pq_adc_lifecycle(spark, sf_dir):
     )
 
 
+
+_ANN_IVFPQ_CELLS_SQL = """
+    WITH v AS (
+      SELECT vec_id,
+             [CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+              for i in range(1, 65)] AS q
+      FROM embeddings
+    ), coarse AS (
+      SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cidx, q AS cq
+      FROM (SELECT vec_id, q, md5('ivpq:' || CAST(vec_id AS VARCHAR)) AS h
+            FROM v ORDER BY h, vec_id LIMIT 8)
+    ), dmat AS (
+      SELECT v.vec_id, c.cidx, v.q, c.cq,
+             CAST(list_sum([(v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i])
+                            for i in range(1, 65)]) AS BIGINT) AS d2
+      FROM v CROSS JOIN coarse c
+    ), asg AS (
+      SELECT vec_id, cidx AS bucket,
+             [q[i] - cq[i] for i in range(1, 65)] AS res
+      FROM (SELECT vec_id, cidx, q, cq,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cidx) AS rn
+            FROM dmat)
+      WHERE rn = 1
+    ), cb AS (
+      SELECT s.s, e.code,
+             [e.res[s.s * 16 + j] for j in range(1, 17)] AS ent
+      FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, res
+            FROM (SELECT vec_id, res FROM asg ORDER BY vec_id LIMIT 16)) e
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS s) s
+    ), enc AS (
+      SELECT vec_id, s, code FROM (
+        SELECT a.vec_id, cb.s, cb.code,
+               row_number() OVER (
+                 PARTITION BY a.vec_id, cb.s
+                 ORDER BY list_sum([(a.res[cb.s * 16 + j] - cb.ent[j])
+                                    * (a.res[cb.s * 16 + j] - cb.ent[j])
+                                    for j in range(1, 17)]), cb.code) AS rn
+        FROM asg a CROSS JOIN cb) WHERE rn = 1
+    ), qset AS (
+      SELECT vec_id FROM embeddings
+      WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 10
+    ), probe AS (
+      SELECT vec_id AS query_id, cidx AS bucket, q AS qq FROM (
+        SELECT d.vec_id, d.cidx, d.q,
+               row_number() OVER (PARTITION BY d.vec_id
+                                  ORDER BY d.d2, d.cidx) AS rn
+        FROM dmat d JOIN qset USING (vec_id)) WHERE rn <= 4
+    ), cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             CAST(SUM(list_sum(
+               [((p.qq[e.s * 16 + j] - c2.cq[e.s * 16 + j]) - cb.ent[j])
+                * ((p.qq[e.s * 16 + j] - c2.cq[e.s * 16 + j]) - cb.ent[j])
+                for j in range(1, 17)])) AS BIGINT) AS adist
+      FROM probe p
+      JOIN asg a ON a.bucket = p.bucket AND a.vec_id <> p.query_id
+      JOIN coarse c2 ON c2.cidx = p.bucket
+      JOIN enc e ON e.vec_id = a.vec_id
+      JOIN cb ON cb.s = e.s AND cb.code = e.code
+      GROUP BY p.query_id, a.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, adist,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adist, neighbor_id)
+                  AS BIGINT) AS rank
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, adist, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@declared("ann_ivfpq_cells", _ANN_IVFPQ_CELLS_SQL)
+def _ann_ivfpq_cells(spark, sf_dir):
+    # The residual-IVF-PQ chain's bit-exact twin: the SAME encode and
+    # ADC kernels as the trained query (quantize -> coarse assignment
+    # -> residual -> per-subspace codes -> per-(query, cell) residual
+    # LUT scoring -> per-query rank) under injected deterministic
+    # quantizers: coarse = 8 md5-selected quantized vectors, residual
+    # codebook = the residual subvectors of the 16 smallest-id vectors
+    # against that coarse. The whole chain is already int64 (residual
+    # energy included), so every stage hash-matches the SQL replay;
+    # only the Lloyd's fits (pytest recall floor, stored==inline
+    # equality in TestIvfPq) stay outside the oracle.
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows8 = (
+        emb.withColumn(
+            "_h",
+            F.md5(F.concat(F.lit("ivpq:"), F.col("vec_id").cast("string"))),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(8)
+        .collect()
+    )
+    coarse = np.stack([sim._quantize_np(r["embedding"], 1000) for r in rows8])
+    rows16 = emb.select("vec_id", "embedding").orderBy("vec_id").limit(16).collect()
+    x16 = np.stack([sim._quantize_np(r["embedding"], 1000) for r in rows16])
+    res16 = x16 - coarse[sim._assign_coarse_int(x16, coarse)]
+    cb = np.stack([res16[:, s * 16 : (s + 1) * 16] for s in range(4)])
+    qids = [
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") % 50 == 0)
+        .select("vec_id").orderBy("vec_id").limit(10).collect()
+    ]
+    return sim.ivfpq_topk(
+        emb, query_ids=qids, k_neighbors=5, nprobe=4, m=4, k=16,
+        coarse=coarse, codebook=cb,
+        n_rows=_n_rows(spark, sf_dir, "embeddings"),
+    )
+
+
+
+@declared("ann_ivfpq_index_cells", _ANN_IVFPQ_CELLS_SQL)
+def _ann_ivfpq_index_cells(spark, sf_dir):
+    # The persistent IVF-PQ index lifecycle under the SAME hash-grade
+    # oracle as ann_ivfpq_cells: bucket-partitioned residual-code
+    # parquet + BOTH quantizer sidecars written with the injected
+    # deterministic quantizers, then probed through bucket-IN partition
+    # pruning. Bit-equal to the inline twin by the stored==inline
+    # contract, so write -> sidecar roundtrip -> pruned probe are all
+    # inside the oracle; only the Lloyd's fits stay rows-only.
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows8 = (
+        emb.withColumn(
+            "_h",
+            F.md5(F.concat(F.lit("ivpq:"), F.col("vec_id").cast("string"))),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(8)
+        .collect()
+    )
+    coarse = np.stack([sim._quantize_np(r["embedding"], 1000) for r in rows8])
+    rows16 = emb.select("vec_id", "embedding").orderBy("vec_id").limit(16).collect()
+    x16 = np.stack([sim._quantize_np(r["embedding"], 1000) for r in rows16])
+    res16 = x16 - coarse[sim._assign_coarse_int(x16, coarse)]
+    cb = np.stack([res16[:, s * 16 : (s + 1) * 16] for s in range(4)])
+    path = _fixture_path("ivfpq_det", sf_dir)
+    sim.ivfpq_index_write(
+        spark, emb, path, m=4, k=16, coarse=coarse, codebook=cb
+    )
+    queries = (
+        emb.filter(F.col("vec_id") % 50 == 0).orderBy("vec_id").limit(10)
+    )
+    return sim.ivfpq_index_probe(spark, path, queries, k_neighbors=5, nprobe=4)
+
+
+
+# OPQ permutation-rotation twin: output position j carries input
+# dimension (17*j) %% 64 (17 coprime to 64 — scrambles subspace
+# membership, which is exactly what the OPQ rotation is FOR). Spelled
+# once here for both engines.
+_OPQ_PERM = [0, 17, 34, 51, 4, 21, 38, 55, 8, 25, 42, 59, 12, 29, 46, 63, 16, 33, 50, 3, 20, 37, 54, 7, 24, 41, 58, 11, 28, 45, 62, 15, 32, 49, 2, 19, 36, 53, 6, 23, 40, 57, 10, 27, 44, 61, 14, 31, 48, 1, 18, 35, 52, 5, 22, 39, 56, 9, 26, 43, 60, 13, 30, 47]
+
+_PQ_OPQ_CELLS_SQL = """
+    WITH q AS (
+      SELECT vec_id,
+             [CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+              for i in [1, 18, 35, 52, 5, 22, 39, 56, 9, 26, 43, 60, 13, 30, 47, 64, 17, 34, 51, 4, 21, 38, 55, 8, 25, 42, 59, 12, 29, 46, 63, 16, 33, 50, 3, 20, 37, 54, 7, 24, 41, 58, 11, 28, 45, 62, 15, 32, 49, 2, 19, 36, 53, 6, 23, 40, 57, 10, 27, 44, 61, 14, 31, 48]] AS qv
+      FROM embeddings
+    ), cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS code, qv AS qc
+      FROM (SELECT vec_id, qv FROM q ORDER BY vec_id ASC LIMIT 16)
+    ), d AS (
+      SELECT q.vec_id, s.s, cb.code,
+             list_sum([(q.qv[s.s * 16 + j] - cb.qc[s.s * 16 + j])
+                       * (q.qv[s.s * 16 + j] - cb.qc[s.s * 16 + j])
+                       for j in range(1, 17)]) AS dist
+      FROM q
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS s) s
+      CROSS JOIN cb
+    ), best AS (
+      SELECT vec_id, s, code, dist,
+             row_number() OVER (PARTITION BY vec_id, s
+                                ORDER BY dist ASC, code ASC) AS rn
+      FROM d
+    )
+    SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), '_' ORDER BY s) AS codes_text,
+           CAST(sum(dist) AS BIGINT) AS recon_err
+    FROM best WHERE rn = 1 GROUP BY vec_id
+"""
+
+
+@declared("pq_opq_cells", _PQ_OPQ_CELLS_SQL)
+def _pq_opq_cells(spark, sf_dir):
+    # The OPQ chain's bit-exact twin: the SAME rotate->encode plan as
+    # pq_opq (rotation Arrow pass feeding PQ encode) with the trained
+    # PCA rotation swapped for an exact PERMUTATION rotation matrix —
+    # orthogonal, 0/1 entries, so the float64 matmul reproduces the
+    # permuted inputs exactly and the deterministic first-16 codebook
+    # over the ROTATED table is SQL-replayable. Pins the whole
+    # pre-transform chain (rotation application, subspace re-split,
+    # encode arithmetic) hash-grade; only the eigh fit of the real PCA
+    # rotation (pytest reconstruction-error test) stays rows-only.
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    r = np.zeros((64, 64), dtype=np.float64)
+    for j, src in enumerate(_OPQ_PERM):
+        r[src, j] = 1.0
+    rot = sim.rotate_embeddings(emb, r)
+    return sim.pq_codes(rot, m=4, k=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.fn for name, qd in REGISTRY.items()}
 

@@ -2039,6 +2039,8 @@ def ivfpq_index_write(
     k: int = 16,
     seed: int = 7,
     n_rows: int | None = None,
+    coarse: np.ndarray | None = None,
+    codebook: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Materialize the full FAISS IVF-PQ index in lake form: train both
     quantizers (:func:`ivfpq_train`), encode every vector to (bucket,
@@ -2055,12 +2057,18 @@ def ivfpq_index_write(
     :func:`pq_read_codebook`."""
     import math
 
-    n = n_rows if n_rows is not None else embeddings.count()
-    if n_centroids == "auto":
-        n_centroids = max(4, min(65_536, math.isqrt(n)))
-    coarse, cb = ivfpq_train(
-        embeddings, id_col, vec_col, n_centroids, m, k, seed=seed, n_rows=n
-    )
+    if coarse is not None and codebook is not None:
+        # injected quantizers (the deterministic oracle-replay hook —
+        # same contract as ivfpq_topk's coarse=/codebook=)
+        cb = codebook
+    else:
+        n = n_rows if n_rows is not None else embeddings.count()
+        if n_centroids == "auto":
+            n_centroids = max(4, min(65_536, math.isqrt(n)))
+        coarse, cb = ivfpq_train(
+            embeddings, id_col, vec_col, n_centroids, m, k, seed=seed,
+            n_rows=n,
+        )
     (
         ivfpq_encode(embeddings, coarse, cb, id_col, vec_col)
         .withColumn("bucket", F.col("bucket").cast("int"))

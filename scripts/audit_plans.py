@@ -64,6 +64,9 @@ ALLOW_ARROW = {"ann_ivf_cells": 2, "ann_ivf_topk": 2, "ann_topk": 2, "ann_index_
                # exercises the chain end-to-end).
                "pq_adc_trained": 2,
                "pq_adc_lifecycle": 2,
+               "ann_ivfpq_cells": 2,
+               "ann_ivfpq_index_cells": 2,
+               "pq_opq_cells": 2,
                # IVF-PQ lifecycle: ONE encode pass chained into ONE
                # probed-cell ADC scoring pass (same two-kernel chain as
                # pq_adc_trained, plus the bucket IN (probed) filter).
