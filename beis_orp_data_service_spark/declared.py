@@ -8765,6 +8765,42 @@ def _pq_opq_cells(spark, sf_dir):
     return sim.pq_codes(rot, m=4, k=16)
 
 
+
+@declared("ann_index_cells", _ANN_IVF_CELLS_SQL)
+def _ann_index_cells(spark, sf_dir):
+    # The persistent IVF-Flat index lifecycle under the SAME hash-grade
+    # oracle as ann_ivf_cells: centroid sidecar + bucket-partitioned
+    # vector parquet written with the injected deterministic quantizer
+    # over the quantized table, then probed through dynamic partition
+    # pruning. Stored==inline (parquet round-trips the integer-valued
+    # floats exactly), so write -> sidecar reload -> pruned probe ->
+    # quantized scoring are all inside the oracle; only the k-means fit
+    # stays rows-only (ann_index_probe keeps the trained lifecycle).
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qx = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 100).cast("float"),
+    )
+    qemb = emb.select("vec_id", qx.alias("embedding"))
+    cent_rows = (
+        qemb.withColumn(
+            "_h",
+            F.md5(F.concat(F.lit("ivfc:"), F.col("vec_id").cast("string"))),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(8)
+        .collect()
+    )
+    cents = np.array([list(r["embedding"]) for r in cent_rows], dtype=np.float64)
+    path = _fixture_path("ivf_det", sf_dir)
+    sim.ann_index_write(qemb, path, centroids=cents)
+    return sim.ann_index_probe(
+        spark, path, qemb.filter(F.col("vec_id") < 10), k=5, nprobe=4
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.fn for name, qd in REGISTRY.items()}
 

@@ -769,6 +769,7 @@ def ann_index_write(
     n_centroids: int | str = "auto",
     seed: int = 7,
     n_rows: int | None = None,
+    centroids: "np.ndarray | None" = None,
 ) -> np.ndarray:
     """Materialize the IVF index: train the coarse quantizer
     (:func:`kmeans_centroids`), assign every vector to its nearest cell
@@ -784,13 +785,20 @@ def ann_index_write(
     This is the FAISS IVF-Flat layout in lake form: at 100 TB the index
     is rewritten only on quantizer drift, appends go to their cell
     directory, and every query touches nprobe/√N of the data. Pass
-    ``n_rows`` when known to skip the sizing scan."""
+    ``n_rows`` when known to skip the sizing scan. ``centroids``
+    injects a precomputed quantizer matrix and skips the fit (the
+    oracle-replay hook — same contract as :func:`ivf_kmeans_topk`)."""
     import math
 
-    n = n_rows if n_rows is not None else embeddings.count()
-    if n_centroids == "auto":
-        n_centroids = max(4, min(65_536, math.isqrt(n)))
-    cents = kmeans_centroids(embeddings, vec_col, n_centroids, seed=seed, n_rows=n)
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+    else:
+        n = n_rows if n_rows is not None else embeddings.count()
+        if n_centroids == "auto":
+            n_centroids = max(4, min(65_536, math.isqrt(n)))
+        cents = kmeans_centroids(
+            embeddings, vec_col, n_centroids, seed=seed, n_rows=n
+        )
     assign1 = _nearest_centroids_udf(cents, 1)
     (
         embeddings.select(

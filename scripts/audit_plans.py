@@ -67,6 +67,7 @@ ALLOW_ARROW = {"ann_ivf_cells": 2, "ann_ivf_topk": 2, "ann_topk": 2, "ann_index_
                "ann_ivfpq_cells": 2,
                "ann_ivfpq_index_cells": 2,
                "pq_opq_cells": 2,
+               "ann_index_cells": 2,
                # IVF-PQ lifecycle: ONE encode pass chained into ONE
                # probed-cell ADC scoring pass (same two-kernel chain as
                # pq_adc_trained, plus the bucket IN (probed) filter).
