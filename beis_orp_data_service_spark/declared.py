@@ -8526,6 +8526,115 @@ def _semdedup_cells(spark, sf_dir):
     return sim.semdedup(qemb, sim2_milli_threshold=900, centroids=cents)
 
 
+_EMB_CLUSTERS_CELLS_SQL = """
+    WITH RECURSIVE v AS (
+      SELECT vec_id,
+             [CAST(round(CAST(embedding[i] AS DOUBLE) * 10) AS BIGINT)
+              for i in range(1, 65)] AS q10
+      FROM embeddings
+    ), v2 AS (
+      SELECT vec_id, list_transform(q10, x -> x * 100) AS q,
+             CAST(list_sum([x * x * 10000 for x in q10]) AS BIGINT) AS n2
+      FROM v
+    ), cent AS (
+      SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cidx, q10 AS cq
+      FROM (SELECT vec_id, q10, md5('ecc:' || CAST(vec_id AS VARCHAR)) AS h
+            FROM v ORDER BY h, vec_id LIMIT 8)
+    ), d AS (
+      SELECT v.vec_id, cent.cidx,
+             CAST(list_sum([(v.q10[i] - cent.cq[i]) * (v.q10[i] - cent.cq[i])
+                            for i in range(1, 65)]) AS BIGINT) AS d2
+      FROM v CROSS JOIN cent
+    ), asg AS (
+      SELECT vec_id, cidx AS bucket FROM (
+        SELECT vec_id, cidx,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cidx)
+                 AS rn
+        FROM d) WHERE rn = 1
+    ), probe AS (
+      SELECT vec_id AS a_id, cidx AS bucket FROM (
+        SELECT vec_id, cidx,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cidx)
+                 AS rn
+        FROM d) WHERE rn <= 4
+    ), cand AS (
+      SELECT p.a_id, t.vec_id AS b_id,
+             CAST(list_sum([qa.q[i] * qb.q[i] for i in range(1, 65)])
+                  AS BIGINT) AS dot,
+             qa.n2 AS na, qb.n2 AS nb
+      FROM probe p
+      JOIN asg t ON t.bucket = p.bucket AND t.vec_id <> p.a_id
+      JOIN v2 qa ON qa.vec_id = p.a_id
+      JOIN v2 qb ON qb.vec_id = t.vec_id
+    ), topk AS (
+      SELECT a_id, b_id FROM (
+        SELECT a_id, b_id, sim2_milli,
+               row_number() OVER (PARTITION BY a_id
+                                  ORDER BY sim2_milli DESC, b_id) AS rn
+        FROM (SELECT a_id, b_id,
+                     (dot * dot * 1000) // (na * nb) AS sim2_milli
+              FROM cand WHERE dot > 0 AND na > 0 AND nb > 0)
+        WHERE sim2_milli >= 150)
+      WHERE rn <= 5
+    ), pairs AS (
+      SELECT least(a_id, b_id) AS src, greatest(a_id, b_id) AS dst
+      FROM topk GROUP BY 1, 2
+    ), e AS (
+      SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ), reach(node, lab) AS (
+      SELECT DISTINCT src, src FROM e
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node
+    ), clusters AS (
+      SELECT node AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT v.vec_id,
+           CAST(coalesce(c.cluster_id, v.vec_id) AS BIGINT) AS cluster_id
+    FROM v LEFT JOIN clusters c USING (vec_id)
+"""
+
+
+@declared("emb_clusters_cells", _EMB_CLUSTERS_CELLS_SQL)
+def _emb_clusters_cells(spark, sf_dir):
+    # The embedding-clustering pipeline's bit-exact twin (the
+    # semdedup_cells move, extended through the GRAPH stage): the SAME
+    # code path as emb_clusters — fused Arrow cell-assign + cogrouped
+    # per-cell Gram kNN kernel, global per-query top-k, canonical edge
+    # dedupe, min-label pointer-doubling connected components,
+    # singleton re-join — but the coarse quantizer is injected: 8
+    # md5-selected vectors of a round(10x) pre-quantized table, in the
+    # kernel's ×100 int scale. Integer inputs keep assignment distances
+    # and the int64 cos²·1000 scores exact, and the oracle replays the
+    # ITERATIVE closure itself as a recursive CTE (the dup_clusters
+    # oracle pattern) — so CC convergence, not just edge arithmetic, is
+    # hash-checked. Only the k-means fit (pytest planted-structure
+    # recall) stays outside the oracle.
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qx = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 10).cast("float"),
+    )
+    qemb = emb.select("vec_id", qx.alias("embedding"))
+    cent_rows = (
+        qemb.withColumn(
+            "_h",
+            F.md5(F.concat(F.lit("ecc:"), F.col("vec_id").cast("string"))),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(8)
+        .collect()
+    )
+    cents_q = np.array(
+        [[int(x) * 100 for x in r["embedding"]] for r in cent_rows],
+        dtype=np.int64,
+    )
+    return sim.embedding_clusters(
+        qemb, k=5, sim2_milli_threshold=150, nprobe=4, centroids_q=cents_q
+    )
+
+
 @declared(
     "pq_adc_lifecycle",
     sim.pq_adc_topk_oracle_sql(

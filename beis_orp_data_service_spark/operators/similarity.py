@@ -1819,6 +1819,7 @@ def knn_edges(
     seed: int = 7,
     n_rows: int | None = None,
     block_size: int = 2048,
+    centroids_q: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor edge list over ALL vectors —
     every vector is a query against the trained-IVF cell structure
@@ -1840,25 +1841,35 @@ def knn_edges(
 
     Edges kept at sim2_milli ≥ threshold, canonicalized a<b, deduped.
     Recall < 1 (probed cells only) — planted-structure tested.
-    Output (a_id, b_id, sim2_milli)."""
+    Output (a_id, b_id, sim2_milli).
+
+    ``centroids_q``: injected coarse quantizer in the kernels'
+    quantized (×100) int scale — skips the count/sample/fit entirely
+    (the deterministic oracle-replay hook, same contract as
+    ``ivfpq_topk``'s ``coarse=``)."""
     import math
 
     import pandas as pd
 
-    n = n_rows if n_rows is not None else embeddings.count()
-    if n_centroids == "auto":
-        n_centroids = max(4, min(65_536, math.isqrt(n)))
-    # coarse quantizer: driver-side Lloyd's over the replayable
-    # hash-gated sample (the ivfpq_train pattern) — int64 centroids in
-    # the kernels' quantized scale, no MLlib fit job
-    sample_rows = 100_000
-    mat = np.stack(
-        [
-            _quantize_np(r[vec_col], 100)
-            for r in _replayable_sample(embeddings, id_col, vec_col, sample_rows, n)
-        ]
-    )
-    cents_q = _lloyd_int(mat, n_centroids, seed, max_iter=10)
+    if centroids_q is not None:
+        cents_q = np.asarray(centroids_q, dtype=np.int64)
+    else:
+        n = n_rows if n_rows is not None else embeddings.count()
+        if n_centroids == "auto":
+            n_centroids = max(4, min(65_536, math.isqrt(n)))
+        # coarse quantizer: driver-side Lloyd's over the replayable
+        # hash-gated sample (the ivfpq_train pattern) — int64 centroids
+        # in the kernels' quantized scale, no MLlib fit job
+        sample_rows = 100_000
+        mat = np.stack(
+            [
+                _quantize_np(r[vec_col], 100)
+                for r in _replayable_sample(
+                    embeddings, id_col, vec_col, sample_rows, n
+                )
+            ]
+        )
+        cents_q = _lloyd_int(mat, n_centroids, seed, max_iter=10)
 
     def _side(nprobe_side: int):
         def _pass(it):
@@ -1993,13 +2004,17 @@ def embedding_clusters(
     nprobe: int = 4,
     seed: int = 7,
     n_rows: int | None = None,
+    centroids_q: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Embedding-space clustering for dedup/curation: thresholded
     approximate kNN edges (:func:`knn_edges`) + min-label connected
     components (the corpus CC kernel — O(log diameter) pointer-doubling
     rounds). The graph-side alternative to centroid-scoped SemDeDup:
     transitive — A≈B≈C clusters even when A·C is below threshold.
-    Output (vec_id, cluster_id = min reachable id)."""
+    Output (vec_id, cluster_id = min reachable id).
+
+    ``centroids_q`` passes an injected ×100-scale quantizer through to
+    :func:`knn_edges` (the deterministic oracle-replay hook)."""
     from beis_orp_data_service_spark.operators import corpus as corpus_ops
 
     edges = knn_edges(
@@ -2011,6 +2026,7 @@ def embedding_clusters(
         nprobe=nprobe,
         seed=seed,
         n_rows=n_rows,
+        centroids_q=centroids_q,
     ).transform(  # three consumers below — compute the kNN join once
         stage_checkpoint, label="emb_clusters:knn_edges"
     )

@@ -84,6 +84,9 @@ FRAGMENT_ALLOW = {
     # (one MapInPandas each) into the per-cell cogrouped Gram kernel —
     # three kernels, every vector crosses each exactly once
     "emb_clusters": 3,
+    # the deterministic-quantizer twin runs the IDENTICAL three-kernel
+    # kNN edge fragment (assign x2 + cogrouped Gram)
+    "emb_clusters_cells": 3,
     # the "signed" stage boundary chains FIVE DISTINCT kernels — the
     # minhash signature pass plus the four enrichment model fakes
     # (title-gen+postprocess, keywords, summary, lang-id), verified

@@ -819,6 +819,32 @@ class TestKnnClusters:
         assert {out[i] for i in range(5)} == {0}
         assert {out[i] for i in range(5, 10)} == {5}
 
+    def test_injected_quantizer_matches_trained_grouping(self, spark):
+        # centroids_q (the oracle-replay hook) must take the SAME code
+        # path as the trained fit: with an injected 2-cell quantizer
+        # that separates the two planted directions, both planted
+        # clusters are still recovered exactly and the fit is skipped
+        # (no count/sample job — asserted indirectly: n_rows omitted).
+        import numpy as np
+
+        from beis_orp_data_service_spark.operators import similarity as sim
+
+        emb = self._planted(spark)
+        cents_q = np.array(
+            [[100, 0, 0, 0, 100, 0, 0, 0], [0, 100, 0, 0, 0, 100, 0, 0]],
+            dtype=np.int64,
+        )
+        out = {
+            r["vec_id"]: r["cluster_id"]
+            for r in sim.embedding_clusters(
+                emb, k=3, sim2_milli_threshold=950, nprobe=1,
+                centroids_q=cents_q,
+            ).collect()
+        }
+        assert len(out) == 30
+        assert {out[i] for i in range(5)} == {0}
+        assert {out[i] for i in range(5, 10)} == {5}
+
     def test_transitive_chain_single_cluster(self, spark):
         # A~B and B~C above threshold, A~C below: CC must still unite them
         import math
