@@ -4236,33 +4236,37 @@ def bpe_pair_counts(spark, sf_dir):
     return corpus_ops.bpe_pair_counts(docs, "doc_id", "text")
 
 
+@declared("bpe_merges", corpus_ops.bpe_merges_oracle_sql(4))
 def _bpe_merges(spark, sf_dir):
-    # Distributed BPE merge learning (rows-only: iterative argmax —
-    # not ANSI-SQL). Golden-tested against a pure-Python reference
-    # trainer in tests/test_corpus.py. n_merges=4 bounds bench cost —
-    # per-iteration overhead is fixed in local mode; at scale the loop
-    # runs on the vocab table, not the corpus.
+    # Distributed BPE merge learning. HASH-GRADE despite being
+    # iterative: the Sennrich loop is fully deterministic (overlapping
+    # pair counts, (count DESC, a, b) argmax, greedy left-to-right
+    # merge), so the oracle UNROLLS the four rounds as a CTE chain with
+    # a list_reduce fold per round — the trained artifact itself is
+    # bit-checked, and also golden-tested against a pure-Python
+    # reference trainer in tests/test_corpus.py. n_merges=4 bounds
+    # bench cost — per-iteration overhead is fixed in local mode; at
+    # scale the loop runs on the vocab table, not the corpus.
     docs = _t(spark, sf_dir, "documents")
     return corpus_ops.bpe_learn_merges(docs, "doc_id", "text", n_merges=4)
 
 
-REGISTRY["bpe_merges"] = QueryDef(_bpe_merges, None, min_rows=4)
-
-
+@declared(
+    "bpe_encode", corpus_ops.bpe_encode_oracle_sql(4, doc_pred="doc_id < 200")
+)
 def _bpe_encode(spark, sf_dir):
-    # BPE encode half (rows-only: greedy rank-order merge application —
-    # iterative, not ANSI-SQL): learn a small merge table, pull it to the
-    # driver (the tokenizer MODEL — n_merges rows, bounded by design),
-    # then one Arrow pass over the corpus for per-doc token budgets.
-    # Compression sanity (sum n_tokens strictly between 0 and n_chars)
-    # is pinned in tests/test_corpus.py.
+    # BPE encode half: learn a small merge table, pull it to the driver
+    # (the tokenizer MODEL — n_merges rows, bounded by design), then one
+    # Arrow pass over the corpus for per-doc token budgets. HASH-GRADE:
+    # the oracle replays the training chain and reads each word's token
+    # count off the FINAL merge state (trainer state == encoder output
+    # for in-corpus words — both apply merges as full rank-order
+    # passes). Compression sanity (sum n_tokens strictly between 0 and
+    # n_chars) is pinned in tests/test_corpus.py.
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     merges_df = corpus_ops.bpe_learn_merges(docs, "doc_id", "text", n_merges=4)
     ranked = [(r.a, r.b) for r in merges_df.orderBy("merge_rank").collect()]
     return corpus_ops.bpe_tokenize(docs, ranked)
-
-
-REGISTRY["bpe_encode"] = QueryDef(_bpe_encode, None, min_rows=100)
 
 
 @declared(

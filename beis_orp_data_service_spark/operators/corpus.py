@@ -1441,6 +1441,112 @@ def bpe_tokenize(
     )
 
 
+_BPE_WORDS_CTE = """
+    w0 AS (
+      SELECT unnest(string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) AS w
+      FROM {table}{pred}
+    ), wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM w0 WHERE length(w) >= 1 GROUP BY w
+    ), s0 AS (
+      SELECT w,
+             array_to_string([w[i:i] for i in range(1, length(w) + 1)],
+                             chr(9)) AS ts,
+             freq
+      FROM wf
+    )"""
+
+# One merge round: pair counts over the tab-joined symbol state, a
+# deterministic 1-row argmax, then the greedy LEFT-TO-RIGHT merge as a
+# list_reduce fold — "last symbol == a AND next == b" detected on the
+# tab-delimited accumulator (tokens cannot contain whitespace, so the
+# tab is collision-free), and merging appends b WITHOUT a tab, which
+# also removes the merged token from the match window exactly like the
+# i += 2 skip in bpe_learn_merges' kernel.
+_BPE_ROUND_CTE = """
+    , p{r} AS (
+      SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS pair_count
+      FROM (
+        SELECT unnest([{{'a': tk[i], 'b': tk[i+1]}}
+                       for i in range(1, len(tk))]) AS pr,
+               freq
+        FROM (SELECT string_split(ts, chr(9)) AS tk, freq FROM s{prev}) q
+        WHERE len(tk) >= 2
+      ) GROUP BY pr.a, pr.b
+    ), m{r} AS (
+      SELECT a, b, pair_count FROM p{r}
+      ORDER BY pair_count DESC, a, b LIMIT 1
+    ), s{r} AS (
+      SELECT s.w,
+             list_reduce(
+               string_split(s.ts, chr(9)),
+               (acc, x) -> CASE
+                 WHEN (acc = m.a OR suffix(acc, chr(9) || m.a)) AND x = m.b
+                 THEN acc || x
+                 ELSE acc || chr(9) || x END) AS ts,
+             s.freq
+      FROM s{prev} s CROSS JOIN m{r} m
+    )"""
+
+
+def bpe_merges_oracle_sql(
+    n_merges: int, table: str = "documents", doc_pred: str | None = None
+) -> str:
+    """DuckDB twin of :func:`bpe_learn_merges`: the iterative Sennrich
+    merge loop UNROLLED as one CTE chain (the logreg-GD oracle move) —
+    per rank one overlapping-pair aggregation, one (count DESC, a, b)
+    argmax, one greedy fold — so the trained artifact itself is
+    hash-checked, not just its row count. A rank whose pair table is
+    empty yields no row and empties every later state, matching the
+    trainer's break."""
+    pred = f" WHERE {doc_pred}" if doc_pred else ""
+    parts = ["WITH " + _BPE_WORDS_CTE.format(table=table, pred=pred)]
+    for r in range(1, n_merges + 1):
+        parts.append(_BPE_ROUND_CTE.format(r=r, prev=r - 1))
+    unions = "\n      UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a, b, pair_count "
+        f"FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n    " + unions
+
+
+def bpe_encode_oracle_sql(
+    n_merges: int, table: str = "documents", doc_pred: str | None = None
+) -> str:
+    """DuckDB twin of the learn→encode chain (:func:`bpe_learn_merges`
+    + :func:`bpe_tokenize`): replays the training chain, then reads
+    each word's token count straight off the FINAL merge state — valid
+    because both the trainer and the encoder apply merges as full
+    left-to-right passes in rank order, so the trained vocabulary state
+    IS the encoding of every in-corpus word. Per-document totals join
+    word occurrences (with multiplicity) back to the vocab."""
+    pred = f" WHERE {doc_pred}" if doc_pred else ""
+    parts = ["WITH " + _BPE_WORDS_CTE.format(table=table, pred=pred)]
+    for r in range(1, n_merges + 1):
+        parts.append(_BPE_ROUND_CTE.format(r=r, prev=r - 1))
+    tail = f"""
+    , wtok AS (
+      SELECT w, CAST(len(string_split(ts, chr(9))) AS BIGINT) AS n_tok
+      FROM s{n_merges}
+    ), docw AS (
+      SELECT doc_id,
+             unnest(string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) AS w
+      FROM {table}{pred}
+    ), agg AS (
+      SELECT dw.doc_id, CAST(sum(v.n_tok) AS BIGINT) AS n_tokens
+      FROM (SELECT doc_id, w FROM docw WHERE length(w) >= 1) dw
+      JOIN wtok v USING (w)
+      GROUP BY dw.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(length(d.text) AS BIGINT) AS n_chars
+    FROM {table} d LEFT JOIN agg a USING (doc_id){pred}
+    """
+    return "".join(parts) + tail
+
+
 # ---------------------------------------------------------------------------
 # Cardinality sketch — deterministic HLL-style registers
 # ---------------------------------------------------------------------------

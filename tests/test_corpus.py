@@ -587,16 +587,18 @@ class TestBpeLearnMerges:
         assert after < before  # each merge strictly reduces token count
 
     def test_declared_bpe_encode_compression_floor(self, spark):
-        """The declared rows-only bpe_encode entry must produce a real
+        """The declared bpe_encode entry must produce a real
         compression: 0 < sum(n_tokens) < sum(non-space chars) — a
         broken encode (no merges applied, or everything collapsed)
-        fails one side or the other."""
+        fails one side or the other. (Now hash-grade: the unrolled-CTE
+        oracle checks values too; this floor stays as the semantic
+        guard the hash can't express.)"""
         from beis_orp_data_service_spark import declared
         from beis_orp_data_service_spark.catalog import load_table
         from tests.conftest import SF_SMOKE
 
         qd = declared.REGISTRY["bpe_encode"]
-        assert qd.min_rows >= 100
+        assert qd.sql is not None  # hash-grade contract
         agg = (
             qd.fn(spark, SF_SMOKE)
             .agg(F.sum("n_tokens").alias("t"), F.sum("n_chars").alias("c"))
