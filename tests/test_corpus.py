@@ -520,6 +520,54 @@ class TestBpeLearnMerges:
             vocab = new_vocab
         return merges
 
+    def test_oracle_sql_matches_reference_implementation(self):
+        """Close the triangle: the unrolled-CTE DuckDB oracle must
+        reproduce the pure-Python reference trainer on a corpus with
+        overlap traps (aaa runs) and tie-break pressure — no Spark
+        involved, so an oracle bug can't hide behind a matching
+        engine bug."""
+        import duckdb
+
+        texts = [
+            "aaa aaab baaa",
+            "low low low lower lowest",
+            "ab ab ba ba",  # (a,b) vs (b,a) tie pressure
+            "  padded   with \t whitespace \n runs  ",
+        ]
+        expect = self._reference_bpe(texts, 4)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany(
+            "INSERT INTO documents VALUES (?, ?)", list(enumerate(texts))
+        )
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        got = con.sql(co.bpe_merges_oracle_sql(4)).fetchall()
+        assert sorted(got) == sorted(expect)
+        # encode oracle: per-word token counts off the final state must
+        # equal applying the learned merges greedily in rank order
+        enc = {
+            r[0]: (r[1], r[2])
+            for r in con.sql(co.bpe_encode_oracle_sql(4)).fetchall()
+        }
+        merges = [(a, b) for _, a, b, _ in expect]
+        for doc_id, t in enumerate(texts):
+            total = 0
+            for w in t.split():
+                seq = list(w)
+                for a, b in merges:
+                    res, i = [], 0
+                    while i < len(seq):
+                        if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                            res.append(a + b)
+                            i += 2
+                        else:
+                            res.append(seq[i])
+                            i += 1
+                    seq = res
+                total += len(seq)
+            assert enc[doc_id] == (total, len(t))
+
     def test_matches_reference_implementation(self, spark):
         from beis_orp_data_service_spark.operators import corpus as co
 
