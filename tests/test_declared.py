@@ -41,6 +41,19 @@ def test_declared_query_matches_oracle(spark, duck, name, monkeypatch):
     assert not problems, problems
 
 
+def test_rows_only_entries_pin_a_floor():
+    """Registry contract: every sql=None (rows-only) entry MUST pin a
+    positive min_rows — a rows-only check with no floor cannot tell
+    'working' from 'broken join returning nothing', so an unfloored
+    entry is a vacuous gate, not a weaker one."""
+    bad = [
+        name
+        for name, qd in declared.REGISTRY.items()
+        if qd.sql is None and qd.min_rows <= 0
+    ]
+    assert not bad, f"rows-only queries without a min_rows floor: {bad}"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
