@@ -247,3 +247,32 @@ def test_recency_scores_bounds_batched(spark):
     # the user owning the table-max event carries at least one full term
     nu = next(r for r in out if r.user_id == newest_user)
     assert nu.recency_q >= bh.RECENCY_SCALE
+
+
+# ---------------------------------------------------------------------------
+# BPE unrolled-CTE oracle vs the pure-Python Sennrich reference
+# ---------------------------------------------------------------------------
+
+# tiny alphabet forces merge collisions, overlap runs (aaa), and
+# argmax ties — exactly the traps the fold + (count DESC, a, b)
+# tie-break must survive
+_BPE_WORD = st.text(alphabet=st.sampled_from("aabbc"), min_size=1, max_size=6)
+_BPE_DOC = st.lists(_BPE_WORD, min_size=0, max_size=8).map(" ".join)
+
+
+@given(st.lists(_BPE_DOC, min_size=1, max_size=6), st.integers(1, 5))
+@settings(max_examples=60, deadline=None)
+def test_bpe_oracle_sql_matches_reference_on_random_corpora(texts, k):
+    import duckdb
+
+    from beis_orp_data_service_spark.operators import corpus as co
+    from tests.test_corpus import TestBpeLearnMerges
+
+    expect = TestBpeLearnMerges._reference_bpe(texts, k)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(texts))
+    )
+    got = con.sql(co.bpe_merges_oracle_sql(k)).fetchall()
+    assert sorted(got) == sorted(expect)
