@@ -4270,6 +4270,43 @@ def _bpe_encode(spark, sf_dir):
 
 
 @declared(
+    "unigram_scores",
+    corpus_ops.unigram_scores_oracle_sql(4, 2000, doc_pred="doc_id < 200"),
+)
+def _unigram_scores(spark, sf_dir):
+    # The OTHER major tokenizer family (unigram / SentencePiece, Kudo
+    # 2018): seed piece vocabulary — substrings of length 1..4 over the
+    # frequency-weighted DISTINCT-word vocab, top-2000 by (count DESC,
+    # piece) plus all single chars — with integer log-scores
+    # round(ln(cnt/total)·1e6), the engine's ccnet/lm_score logprob
+    # convention. Hash-grade: counts are exact integers and both
+    # engines evaluate the identical ln spelling.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return corpus_ops.unigram_scores(docs)
+
+
+@declared(
+    "unigram_segment",
+    corpus_ops.unigram_segment_oracle_sql(4, 2000, doc_pred="doc_id < 200"),
+)
+def _unigram_segment(spark, sf_dir):
+    # Viterbi-best segmentation under the trained score table (the
+    # unigram tokenizer's inference half). HASH-GRADE despite the DP
+    # being iterative: the kernel's (score DESC, n_pieces ASC) argmax
+    # is replayed in the oracle as a list_reduce fold whose candidates
+    # are struct-ranked — DuckDB's lexicographic struct max IS the
+    # kernel's tuple max. The model table is a parameter-bounded
+    # driver pull (top_p + alphabet rows); the DP kernel runs once per
+    # DISTINCT word, then per-doc totals are one equi-join + agg.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    scores = {
+        r["piece"]: r["score_micro"]
+        for r in corpus_ops.unigram_scores(docs).collect()
+    }
+    return corpus_ops.unigram_segment(docs, scores)
+
+
+@declared(
     "session_window_agg",
     """
     WITH g AS (

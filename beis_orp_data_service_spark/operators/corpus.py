@@ -1548,6 +1548,265 @@ def bpe_encode_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# Unigram (SentencePiece-style) tokenizer — seed vocab + Viterbi segmentation
+# ---------------------------------------------------------------------------
+
+
+def unigram_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    top_p: int = 2000,
+) -> DataFrame:
+    """Seed piece vocabulary + integer log-scores for a unigram
+    (SentencePiece-family, Kudo 2018) tokenizer: every substring of
+    length 1..``max_piece_len`` of the frequency-weighted DISTINCT-word
+    vocabulary, counted with multiplicity; keep the ``top_p`` pieces by
+    (count DESC, piece ASC) plus ALL single characters (so every word
+    stays segmentable). ``score_micro = round(ln(cnt/total)·1e6)`` —
+    the engine's integer-logprob convention (one documented ln() ulp,
+    the ccnet/lm_score pairing), exact to hash across engines.
+
+    Scale shape (100 TB): the substring explode runs over DISTINCT
+    words (O(vocab · L²), not O(corpus)), both aggregations map-side
+    combine, and the model is the ``top_p``-bounded score table — the
+    collect is parameter-bounded by construction."""
+    words = df.select(
+        F.explode(
+            F.split(
+                F.regexp_replace(
+                    F.col(text_col),
+                    r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$",
+                    "",
+                ),
+                r"[ \t\n\x0B\f\r]+",
+            )
+        ).alias("w")
+    ).filter(F.length("w") >= 1)
+    wf = words.groupBy("w").agg(F.count("*").cast("bigint").alias("freq"))
+    pieces = wf.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, length(w)), i -> "
+                f"transform(sequence(1, least({max_piece_len}, "
+                "length(w) - i + 1)), l -> substring(w, i, l))))"
+            )
+        ).alias("piece"),
+    )
+    pc = pieces.groupBy("piece").agg(F.sum("freq").cast("bigint").alias("cnt"))
+    top = pc.orderBy(F.desc("cnt"), F.asc("piece")).limit(top_p)
+    singles = pc.filter(F.length("piece") == 1)
+    vocab = top.unionByName(singles).distinct()
+    total = vocab.agg(F.sum("cnt").cast("bigint").alias("t"))
+    return vocab.join(F.broadcast(total)).select(
+        "piece",
+        F.round(F.log(F.col("cnt").cast("double") / F.col("t")) * 1e6)
+        .cast("bigint")
+        .alias("score_micro"),
+    )
+
+
+def unigram_segment(
+    df: DataFrame,
+    scores: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """Viterbi-best segmentation of every document under a FIXED
+    integer piece-score table (the inference half of a unigram
+    tokenizer): per word, best[i] maximizes (Σ score_micro, then fewer
+    pieces) over all piece decompositions — both tie levels
+    deterministic, so the result is hash-grade. Output per document:
+    ``(id, n_pieces, score_micro_sum)``.
+
+    Scale shape: the DP kernel runs ONCE PER DISTINCT WORD (one Arrow
+    pass over the word vocabulary, score table in the closure —
+    ``top_p``-bounded KBs), then per-document totals are a word-level
+    equi-join + map-side-combined aggregation — the bpe_tokenize
+    shape, never a per-token corpus explode."""
+
+    def _viterbi(w: str) -> tuple[int, int]:
+        # (score_micro, n_pieces); singles are always scored, so cands
+        # is never empty. max() over (score, -n) tuples == the oracle's
+        # struct-lexicographic list_max — identical tie semantics.
+        best = [(0, 0)]
+        for i in range(1, len(w) + 1):
+            cands = []
+            for ln in range(1, min(max_piece_len, i) + 1):
+                s = scores.get(w[i - ln : i])
+                if s is not None:
+                    ps, pn = best[i - ln]
+                    cands.append((ps + s, -(pn + 1)))
+            b = max(cands)
+            best.append((b[0], -b[1]))
+        return best[-1]
+
+    def _seg_words(batches):
+        for pdf in batches:
+            segged = [_viterbi(w) for w in pdf["w"]]
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "_np": [s[1] for s in segged],
+                    "_sc": [s[0] for s in segged],
+                }
+            )
+
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(
+                F.regexp_replace(
+                    F.col(text_col),
+                    r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$",
+                    "",
+                ),
+                r"[ \t\n\x0B\f\r]+",
+            )
+        ).alias("w"),
+    ).filter(F.length("w") >= 1)
+    wf = words.select("w").distinct()
+    wtok = wf.mapInPandas(_seg_words, "w string, _np bigint, _sc bigint")
+    agg = (
+        words.join(wtok, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_np").cast("bigint").alias("n_pieces"),
+            F.sum("_sc").cast("bigint").alias("score_micro_sum"),
+        )
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_pieces", F.lit(0)).cast("bigint").alias("n_pieces"),
+        F.coalesce("score_micro_sum", F.lit(0))
+        .cast("bigint")
+        .alias("score_micro_sum"),
+    )
+
+
+def _unigram_vocab_ctes(
+    max_piece_len: int, top_p: int, table: str, pred: str
+) -> str:
+    """Shared CTE chain (words → piece counts → top-P ∪ singles vocab →
+    integer log scores) used by both unigram oracle generators."""
+    L = max_piece_len
+    return f"""
+    WITH w0 AS (
+      SELECT unnest(string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) AS w
+      FROM {table}{pred}
+    ), wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM w0 WHERE length(w) >= 1 GROUP BY w
+    ), pc AS (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT unnest(flatten([[w[i:i+l-1]
+                                for l in range(1, least({L}, length(w)-i+1)+1)]
+                               for i in range(1, length(w)+1)])) AS piece,
+               freq
+        FROM wf
+      ) GROUP BY piece
+    ), vocab AS (
+      SELECT DISTINCT piece, cnt FROM (
+        SELECT piece, cnt FROM
+          (SELECT piece, cnt FROM pc ORDER BY cnt DESC, piece LIMIT {top_p})
+        UNION ALL
+        SELECT piece, cnt FROM pc WHERE length(piece) = 1
+      )
+    ), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab
+    ), sc AS (
+      SELECT piece,
+             CAST(round(ln(CAST(cnt AS DOUBLE) / t) * 1000000) AS BIGINT)
+               AS score_micro
+      FROM vocab, tot
+    )"""
+
+
+def unigram_scores_oracle_sql(
+    max_piece_len: int = 4,
+    top_p: int = 2000,
+    table: str = "documents",
+    doc_pred: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`unigram_scores` alone (the trained model
+    table — seed vocab + integer log-scores)."""
+    pred = f" WHERE {doc_pred}" if doc_pred else ""
+    head = _unigram_vocab_ctes(max_piece_len, top_p, table, pred)
+    return head + "\n    SELECT piece, score_micro FROM sc"
+
+
+def unigram_segment_oracle_sql(
+    max_piece_len: int = 4,
+    top_p: int = 2000,
+    table: str = "documents",
+    doc_pred: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`unigram_scores` + :func:`unigram_segment`:
+    the seed-vocab CTEs mirror the Spark aggregations, and the Viterbi
+    DP itself runs as a list_reduce fold over word positions — the DP
+    row best[i] = (score, n_pieces) rides a '|'-packed accumulator
+    entry, candidates are struct-ranked {'s', 'mn'} so DuckDB's
+    lexicographic struct list_max reproduces the kernel's
+    (score DESC, n_pieces ASC) tie-break bit-exactly."""
+    pred = f" WHERE {doc_pred}" if doc_pred else ""
+    L = max_piece_len
+    # candidate struct for position x, piece length l — inlined twice
+    # (value + tiebreak) because the fold body must stay an expression
+    cand = (
+        "[{'s': CAST(string_split(string_split(acc, ',')"
+        "[CAST(x AS INTEGER) - l + 1], '|')[1] AS BIGINT)"
+        " + mp[w[CAST(x AS INTEGER) - l + 1 : CAST(x AS INTEGER)]][1],"
+        " 'mn': -(CAST(string_split(string_split(acc, ',')"
+        "[CAST(x AS INTEGER) - l + 1], '|')[2] AS BIGINT) + 1)}"
+        f" for l in range(1, least({L}, CAST(x AS INTEGER)) + 1)"
+        " if mp[w[CAST(x AS INTEGER) - l + 1 : CAST(x AS INTEGER)]][1]"
+        " IS NOT NULL]"
+    )
+    head = _unigram_vocab_ctes(max_piece_len, top_p, table, pred)
+    return head + f""", m AS (
+      SELECT map(list(piece ORDER BY piece),
+                 list(score_micro ORDER BY piece)) AS mp
+      FROM sc
+    ), seg AS (
+      SELECT w, string_split(
+        list_reduce(
+          list_prepend('0|0',
+                       [CAST(i AS VARCHAR)
+                        for i in range(1, length(w)+1)]),
+          (acc, x) -> acc || ',' ||
+            CAST(list_max({cand}).s AS VARCHAR) || '|' ||
+            CAST(-list_max({cand}).mn AS VARCHAR)
+        ), ',')[-1] AS last
+      FROM wf CROSS JOIN m
+    ), wtok AS (
+      SELECT w,
+             CAST(string_split(last, '|')[2] AS BIGINT) AS _np,
+             CAST(string_split(last, '|')[1] AS BIGINT) AS _sc
+      FROM seg
+    ), docw AS (
+      SELECT doc_id,
+             unnest(string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) AS w
+      FROM {table}{pred}
+    ), agg AS (
+      SELECT dw.doc_id,
+             CAST(sum(v._np) AS BIGINT) AS n_pieces,
+             CAST(sum(v._sc) AS BIGINT) AS score_micro_sum
+      FROM (SELECT doc_id, w FROM docw WHERE length(w) >= 1) dw
+      JOIN wtok v USING (w)
+      GROUP BY dw.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+           CAST(coalesce(a.score_micro_sum, 0) AS BIGINT)
+             AS score_micro_sum
+    FROM {table} d LEFT JOIN agg a USING (doc_id){pred}
+    """
+
+
+# ---------------------------------------------------------------------------
 # Cardinality sketch — deterministic HLL-style registers
 # ---------------------------------------------------------------------------
 

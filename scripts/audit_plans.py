@@ -112,6 +112,7 @@ ALLOW_BNLJ = {
     "lo_join",       # broadcast legislation dim, theta title-match
     "q_tpch11",      # 1-row scalar-aggregate subquery (HAVING threshold)
     "bm25_topk",     # 1-row corpus-stats aggregate crossJoined (broadcast)
+    "unigram_scores",  # 1-row vocab-total aggregate crossJoined (broadcast)
     "search_rerank", # same bm25 1-row stats broadcast inside the candidate stage
     # |A|x|B| marginal cross join. CARDINALITY ASSUMPTION: both sides are
     # CATEGORY marginals (langs x sources, ~10x20 here); reusing this

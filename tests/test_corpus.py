@@ -1791,3 +1791,126 @@ class TestPretrainCorpusCapstone:
         # budget actually binds for at least one language (kept tokens
         # near the cap), i.e. the selection is not vacuously everything
         assert out.groupby("lang").tok_cum.max().max() > _PRETRAIN_BUDGET / 2
+
+
+class TestUnigramTokenizer:
+    def test_viterbi_tiebreak_prefers_fewer_pieces(self, spark):
+        """'aab' under {a:-100, b:-200, ab:-150, aab:-250}: 'a'+'ab'
+        and 'aab' tie at -250; the (score DESC, n_pieces ASC) rule must
+        pick the single piece — this pins the kernel's tuple-max
+        against the oracle's struct list_max semantics."""
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        docs = spark.createDataFrame(
+            [(1, "aab"), (2, "ba ba"), (3, "")],
+            "doc_id long, text string",
+        )
+        scores = {"a": -100, "b": -200, "ab": -150, "aab": -250}
+        out = {
+            r["doc_id"]: (r["n_pieces"], r["score_micro_sum"])
+            for r in co.unigram_segment(docs, scores).collect()
+        }
+        assert out[1] == (1, -250)
+        # 'ba' not in vocab: b+a = -300 per word, two words
+        assert out[2] == (4, -600)
+        assert out[3] == (0, 0)  # empty text -> zero pieces
+
+    def test_oracle_sql_matches_python_reference(self):
+        """Triangle: the DuckDB vocab+Viterbi oracle vs an independent
+        pure-Python reimplementation (own substring counting, own
+        math.log scoring, own DP) on a corpus with tie and overlap
+        pressure."""
+        import math
+
+        import duckdb
+
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        texts = ["abab abab aab", "ba ab aaab", "x yz zyx"]
+        L, P = 4, 10  # small top_p forces the singles-union path
+
+        # reference: vocab
+        from collections import Counter
+
+        wf = Counter()
+        for t in texts:
+            for w in t.split():
+                if w:
+                    wf[w] += 1
+        pc = Counter()
+        for w, f in wf.items():
+            for i in range(len(w)):
+                for l in range(1, min(L, len(w) - i) + 1):
+                    pc[w[i : i + l]] += f
+        top = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:P]
+        vocab = dict(top)
+        for p, c in pc.items():
+            if len(p) == 1:
+                vocab[p] = c
+        total = sum(vocab.values())
+
+        def half_up(v):
+            return int(math.floor(v + 0.5)) if v >= 0 else -int(
+                math.floor(-v + 0.5)
+            )
+
+        sc = {p: half_up(math.log(c / total) * 1e6) for p, c in vocab.items()}
+
+        def viterbi(w):
+            best = [(0, 0)]
+            for i in range(1, len(w) + 1):
+                cands = []
+                for l in range(1, min(L, i) + 1):
+                    s = sc.get(w[i - l : i])
+                    if s is not None:
+                        ps, pn = best[i - l]
+                        cands.append((ps + s, -(pn + 1)))
+                b = max(cands)
+                best.append((b[0], -b[1]))
+            return best[-1]
+
+        expect = {}
+        for d, t in enumerate(texts):
+            np_ = s_ = 0
+            for w in t.split():
+                sco, n = viterbi(w)
+                np_ += n
+                s_ += sco
+            expect[d] = (np_, s_)
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany(
+            "INSERT INTO documents VALUES (?, ?)", list(enumerate(texts))
+        )
+        got_sc = dict(
+            con.sql(co.unigram_scores_oracle_sql(L, P)).fetchall()
+        )
+        assert got_sc == sc
+        got = {
+            r[0]: (r[1], r[2])
+            for r in con.sql(co.unigram_segment_oracle_sql(L, P)).fetchall()
+        }
+        assert got == expect
+
+    def test_frequent_piece_compresses(self, spark):
+        """A corpus dominated by 'abab' must segment those words into
+        fewer pieces than characters (the tokenizer actually learned
+        something), while never emitting fewer than ceil(len/L)."""
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        docs = spark.createDataFrame(
+            [(i, "abab abab abab") for i in range(6)] + [(99, "q r s")],
+            "doc_id long, text string",
+        )
+        scores = {
+            r["piece"]: r["score_micro"]
+            for r in co.unigram_scores(docs, top_p=20).collect()
+        }
+        assert "abab" in scores
+        out = {
+            r["doc_id"]: r["n_pieces"]
+            for r in co.unigram_segment(docs, scores).collect()
+        }
+        assert out[0] == 3  # three 'abab' words, one piece each
+        assert out[99] == 3  # singles
