@@ -4307,6 +4307,27 @@ def _unigram_segment(spark, sf_dir):
 
 
 @declared(
+    "unigram_em_round",
+    corpus_ops.unigram_em_round_oracle_sql(4, 2000, doc_pred="doc_id < 200"),
+)
+def _unigram_em_round(spark, sf_dir):
+    # One hard-EM (Viterbi-EM) refinement of the unigram tokenizer —
+    # the SentencePiece training loop's E+M step: segment the distinct-
+    # word vocab under the seed scores, recount used pieces, re-score;
+    # unused pieces drop (the pruning half). HASH-GRADE end to end: the
+    # oracle replays the DP fold with 3-field entries (the extra field
+    # pins WHICH piece wins full ties) and walks the backtrace as a
+    # single-successor recursive CTE — E step, M step, and the argmax
+    # path itself are all inside the oracle.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    scores = {
+        r["piece"]: r["score_micro"]
+        for r in corpus_ops.unigram_scores(docs).collect()
+    }
+    return corpus_ops.unigram_em_round(docs, scores)
+
+
+@declared(
     "session_window_agg",
     """
     WITH g AS (

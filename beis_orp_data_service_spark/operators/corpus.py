@@ -1608,6 +1608,28 @@ def unigram_scores(
     )
 
 
+def _viterbi_table(
+    w: str, scores: dict[str, int], max_piece_len: int
+) -> list[tuple[int, int, int]]:
+    """Viterbi DP table for one word: best[i] = (score_micro, n_pieces,
+    chosen_piece_len), maximizing (score, -n_pieces, -piece_len) —
+    the third key only disambiguates WHICH piece is recorded when two
+    decompositions tie on both score and piece count (it never changes
+    the (score, n_pieces) optimum). Singles are always scored, so the
+    candidate list is never empty."""
+    best: list[tuple[int, int, int]] = [(0, 0, 0)]
+    for i in range(1, len(w) + 1):
+        cands = []
+        for ln in range(1, min(max_piece_len, i) + 1):
+            s = scores.get(w[i - ln : i])
+            if s is not None:
+                ps, pn, _ = best[i - ln]
+                cands.append((ps + s, -(pn + 1), -ln))
+        b = max(cands)
+        best.append((b[0], -b[1], -b[2]))
+    return best
+
+
 def unigram_segment(
     df: DataFrame,
     scores: dict[str, int],
@@ -1628,25 +1650,13 @@ def unigram_segment(
     equi-join + map-side-combined aggregation — the bpe_tokenize
     shape, never a per-token corpus explode."""
 
-    def _viterbi(w: str) -> tuple[int, int]:
-        # (score_micro, n_pieces); singles are always scored, so cands
-        # is never empty. max() over (score, -n) tuples == the oracle's
-        # struct-lexicographic list_max — identical tie semantics.
-        best = [(0, 0)]
-        for i in range(1, len(w) + 1):
-            cands = []
-            for ln in range(1, min(max_piece_len, i) + 1):
-                s = scores.get(w[i - ln : i])
-                if s is not None:
-                    ps, pn = best[i - ln]
-                    cands.append((ps + s, -(pn + 1)))
-            b = max(cands)
-            best.append((b[0], -b[1]))
-        return best[-1]
-
     def _seg_words(batches):
         for pdf in batches:
-            segged = [_viterbi(w) for w in pdf["w"]]
+            # max() over (score, -n, -len) tuples == the oracle's
+            # struct-lexicographic list_max — identical tie semantics
+            segged = [
+                _viterbi_table(w, scores, max_piece_len)[-1] for w in pdf["w"]
+            ]
             yield pd.DataFrame(
                 {
                     "w": pdf["w"],
@@ -1688,13 +1698,20 @@ def unigram_segment(
 
 
 def _unigram_vocab_ctes(
-    max_piece_len: int, top_p: int, table: str, pred: str
+    max_piece_len: int,
+    top_p: int,
+    table: str,
+    pred: str,
+    recursive: bool = False,
 ) -> str:
     """Shared CTE chain (words → piece counts → top-P ∪ singles vocab →
-    integer log scores) used by both unigram oracle generators."""
+    integer log scores) used by the unigram oracle generators;
+    ``recursive`` emits WITH RECURSIVE for chains that append a
+    recursive CTE (the EM backtrace)."""
     L = max_piece_len
+    rec = "RECURSIVE " if recursive else ""
     return f"""
-    WITH w0 AS (
+    WITH {rec}w0 AS (
       SELECT unnest(string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) AS w
       FROM {table}{pred}
     ), wf AS (
@@ -1736,6 +1753,153 @@ def unigram_scores_oracle_sql(
     pred = f" WHERE {doc_pred}" if doc_pred else ""
     head = _unigram_vocab_ctes(max_piece_len, top_p, table, pred)
     return head + "\n    SELECT piece, score_micro FROM sc"
+
+
+def unigram_em_round(
+    df: DataFrame,
+    scores: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """One hard-EM (Viterbi-EM) refinement round of the unigram
+    tokenizer (the SentencePiece training loop's E+M step): segment the
+    frequency-weighted DISTINCT-word vocabulary under the current
+    ``scores`` (E), recount each piece's usage across the best
+    segmentations weighted by word frequency, and re-score
+    ``round(ln(cnt/total)·1e6)`` over the pieces that were actually
+    used (M — unused pieces drop out, the pruning half of the loop).
+    Output ``(piece, cnt, score_micro)`` — feed back in as ``scores``
+    to iterate.
+
+    Scale shape: the Viterbi+backtrace kernel runs once per DISTINCT
+    word (one Arrow pass, bounded score table in closure); the piece
+    recount is one explode + map-side-combined groupBy over
+    O(vocab · pieces-per-word) rows, never the corpus."""
+
+    def _piece_words(batches):
+        for pdf in batches:
+            ws, ps, fs = [], [], []
+            for w, f in zip(pdf["w"], pdf["freq"]):
+                best = _viterbi_table(w, scores, max_piece_len)
+                pos = len(w)
+                while pos > 0:
+                    ln = best[pos][2]
+                    ws.append(w)
+                    ps.append(w[pos - ln : pos])
+                    fs.append(f)
+                    pos -= ln
+            yield pd.DataFrame(
+                {
+                    "w": pd.Series(ws, dtype="object"),
+                    "piece": pd.Series(ps, dtype="object"),
+                    "freq": pd.Series(fs, dtype="int64"),
+                }
+            )
+
+    words = df.select(
+        F.explode(
+            F.split(
+                F.regexp_replace(
+                    F.col(text_col),
+                    r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$",
+                    "",
+                ),
+                r"[ \t\n\x0B\f\r]+",
+            )
+        ).alias("w")
+    ).filter(F.length("w") >= 1)
+    wf = words.groupBy("w").agg(F.count("*").cast("bigint").alias("freq"))
+    used = wf.mapInPandas(
+        _piece_words, "w string, piece string, freq bigint"
+    )
+    # two consumers below (the counts and their 1-row total) — without a
+    # stage boundary the segment kernel would appear twice in the plan
+    cnt = (
+        used.groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .transform(stage_checkpoint, label="unigram_em:cnt")
+    )
+    total = cnt.agg(F.sum("cnt").cast("bigint").alias("t"))
+    return cnt.join(F.broadcast(total)).select(
+        "piece",
+        "cnt",
+        F.round(F.log(F.col("cnt").cast("double") / F.col("t")) * 1e6)
+        .cast("bigint")
+        .alias("score_micro"),
+    )
+
+
+def unigram_em_round_oracle_sql(
+    max_piece_len: int = 4,
+    top_p: int = 2000,
+    table: str = "documents",
+    doc_pred: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`unigram_scores` → :func:`unigram_em_round`:
+    replays the seed-vocab chain, runs the SAME Viterbi fold but with
+    three-field '|'-packed DP entries (score|n_pieces|piece_len — the
+    struct max gains an 'ml' = -len field, disambiguating WHICH piece
+    is recorded on full ties), then walks the backtrace as a
+    single-successor recursive CTE: each (word, pos) row emits its
+    chosen piece and steps pos -= len, so the recursion is exactly one
+    path per word and terminates at pos = 0. Piece recount + re-score
+    mirror the M step."""
+    pred = f" WHERE {doc_pred}" if doc_pred else ""
+    L = max_piece_len
+    cand = (
+        "[{'s': CAST(string_split(string_split(acc, ',')"
+        "[CAST(x AS INTEGER) - l + 1], '|')[1] AS BIGINT)"
+        " + mp[w[CAST(x AS INTEGER) - l + 1 : CAST(x AS INTEGER)]][1],"
+        " 'mn': -(CAST(string_split(string_split(acc, ',')"
+        "[CAST(x AS INTEGER) - l + 1], '|')[2] AS BIGINT) + 1),"
+        " 'ml': -l}"
+        f" for l in range(1, least({L}, CAST(x AS INTEGER)) + 1)"
+        " if mp[w[CAST(x AS INTEGER) - l + 1 : CAST(x AS INTEGER)]][1]"
+        " IS NOT NULL]"
+    )
+    head = _unigram_vocab_ctes(max_piece_len, top_p, table, pred,
+                               recursive=True)
+    return head + f""", m AS (
+      SELECT map(list(piece ORDER BY piece),
+                 list(score_micro ORDER BY piece)) AS mp
+      FROM sc
+    ), dptab AS (
+      SELECT w, freq,
+        list_reduce(
+          list_prepend('0|0|0',
+                       [CAST(i AS VARCHAR)
+                        for i in range(1, length(w)+1)]),
+          (acc, x) -> acc || ',' ||
+            CAST(list_max({cand}).s AS VARCHAR) || '|' ||
+            CAST(-list_max({cand}).mn AS VARCHAR) || '|' ||
+            CAST(-list_max({cand}).ml AS VARCHAR)
+        ) AS dp
+      FROM wf CROSS JOIN m
+    ), bt AS (
+      SELECT w, freq, dp, length(w) AS pos FROM dptab
+      UNION ALL
+      SELECT w, freq, dp,
+             pos - CAST(string_split(string_split(dp, ',')[pos + 1],
+                                     '|')[3] AS INTEGER)
+      FROM bt WHERE pos > 0
+    ), used AS (
+      SELECT w[pos - l + 1 : pos] AS piece, freq
+      FROM (
+        SELECT w, freq, pos,
+               CAST(string_split(string_split(dp, ',')[pos + 1],
+                                 '|')[3] AS INTEGER) AS l
+        FROM bt WHERE pos > 0
+      )
+    ), cnt2 AS (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM used GROUP BY piece
+    ), tot2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM cnt2)
+    SELECT piece, cnt,
+           CAST(round(ln(CAST(cnt AS DOUBLE) / t) * 1000000) AS BIGINT)
+             AS score_micro
+    FROM cnt2, tot2
+    """
 
 
 def unigram_segment_oracle_sql(
