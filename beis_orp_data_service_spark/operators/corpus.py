@@ -1486,6 +1486,9 @@ _BPE_ROUND_CTE = """
                  ELSE acc || chr(9) || x END) AS ts,
              s.freq
       FROM s{prev} s CROSS JOIN m{r} m
+      UNION ALL
+      SELECT s.w, s.ts, s.freq FROM s{prev} s
+      WHERE NOT EXISTS (SELECT 1 FROM m{r})
     )"""
 
 
@@ -1497,8 +1500,10 @@ def bpe_merges_oracle_sql(
     per rank one overlapping-pair aggregation, one (count DESC, a, b)
     argmax, one greedy fold — so the trained artifact itself is
     hash-checked, not just its row count. A rank whose pair table is
-    empty yields no row and empties every later state, matching the
-    trainer's break."""
+    empty yields no merge row (matching the trainer's break) and the
+    symbol state carries forward unchanged, so downstream consumers
+    (:func:`bpe_encode_oracle_sql`) still read the true final state
+    when the corpus admits fewer than ``n_merges`` merges."""
     pred = f" WHERE {doc_pred}" if doc_pred else ""
     parts = ["WITH " + _BPE_WORDS_CTE.format(table=table, pred=pred)]
     for r in range(1, n_merges + 1):
@@ -1615,8 +1620,13 @@ def _viterbi_table(
     chosen_piece_len), maximizing (score, -n_pieces, -piece_len) —
     the third key only disambiguates WHICH piece is recorded when two
     decompositions tie on both score and piece count (it never changes
-    the (score, n_pieces) optimum). Singles are always scored, so the
-    candidate list is never empty."""
+    the (score, n_pieces) optimum). A score table produced by
+    :func:`unigram_scores` on the SAME corpus always covers every
+    single character, so every position has a candidate; a table
+    trained elsewhere may not — that is a caller error (the word is
+    unsegmentable under the model), surfaced as a ValueError naming
+    the word rather than an opaque ``max()`` crash inside the Arrow
+    worker."""
     best: list[tuple[int, int, int]] = [(0, 0, 0)]
     for i in range(1, len(w) + 1):
         cands = []
@@ -1625,6 +1635,13 @@ def _viterbi_table(
             if s is not None:
                 ps, pn, _ = best[i - ln]
                 cands.append((ps + s, -(pn + 1), -ln))
+        if not cands:
+            raise ValueError(
+                f"unsegmentable word {w!r}: no scored piece ends at "
+                f"position {i} (character {w[i - 1]!r} is missing from "
+                "the score table — train scores on a corpus covering "
+                "every single character of the text being segmented)"
+            )
         b = max(cands)
         best.append((b[0], -b[1], -b[2]))
     return best

@@ -568,6 +568,25 @@ class TestBpeLearnMerges:
                 total += len(seq)
             assert enc[doc_id] == (total, len(t))
 
+    def test_oracle_degenerate_corpus_fewer_merges_than_requested(self):
+        """Corpus 'ab ab ab' admits ONE merge; asking the oracle for 4
+        must not zero out the encode side: empty merge rounds carry
+        the symbol state forward (trainer-break parity), so the final
+        state still encodes every word and n_tokens is the true 3, not
+        a false 0."""
+        import duckdb
+
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        expect = self._reference_bpe(["ab ab ab"], 4)
+        assert expect == [(1, "a", "b", 3)]  # the break fires at rank 2
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.execute("INSERT INTO documents VALUES (0, 'ab ab ab')")
+        assert con.sql(co.bpe_merges_oracle_sql(4)).fetchall() == expect
+        # the word 'ab' is one merged token, three occurrences → 3
+        assert con.sql(co.bpe_encode_oracle_sql(4)).fetchall() == [(0, 3, 8)]
+
     def test_matches_reference_implementation(self, spark):
         from beis_orp_data_service_spark.operators import corpus as co
 
@@ -1960,3 +1979,53 @@ class TestUnigramTokenizer:
         # table instead and assert the chosen path directly
         tab = co._viterbi_table("abc", scores, 4)
         assert (tab[3][0], tab[3][1], tab[3][2]) == (-3, 2, 1)  # last='c'
+
+    def test_em_oracle_full_tie_duckdb_matches_kernel(self, spark):
+        """Execute the EM oracle's 'ml' tie key IN DuckDB under genuine
+        full-tie pressure: corpus ['abc'] with max_piece_len=2 derives
+        a vocab {a,b,c,ab,bc} with IDENTICAL counts, so at pos 3 the
+        candidates 'ab'+'c' and 'a'+'bc' tie on both summed score and
+        piece count and only the third key decides which piece the
+        backtrace records. The oracle's used-piece counts must equal
+        the kernel's — a struct-ordering or sign error in the 'ml'
+        branch flips the answer to {a, bc}."""
+        import duckdb
+
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        scores = {
+            r["piece"]: r["score_micro"]
+            for r in co.unigram_scores(docs, max_piece_len=2).collect()
+        }
+        # the tie is real: all five derived pieces score identically
+        assert len(set(scores.values())) == 1 and len(scores) == 5
+        kernel = sorted(
+            (r["piece"], r["cnt"], r["score_micro"])
+            for r in co.unigram_em_round(
+                docs, scores, max_piece_len=2
+            ).collect()
+        )
+        assert [p for p, _, _ in kernel] == ["ab", "c"]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.execute("INSERT INTO documents VALUES (1, 'abc')")
+        oracle = sorted(
+            con.sql(co.unigram_em_round_oracle_sql(2, 2000)).fetchall()
+        )
+        assert oracle == kernel
+
+    def test_unsegmentable_word_raises_named_error(self):
+        """A score table missing a character of the word being
+        segmented (scores trained on a different doc subset) must fail
+        with a ValueError naming the word and the missing character,
+        not an opaque max()-of-empty crash inside the Arrow worker."""
+        import pytest
+
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        with pytest.raises(ValueError, match=r"'qxj'.*'x'"):
+            co._viterbi_table("qxj", {"q": -1, "j": -1}, 4)
+        # full coverage of the word's characters → no error
+        tab = co._viterbi_table("qj", {"q": -1, "j": -1}, 4)
+        assert tab[-1][1] == 2
