@@ -1662,17 +1662,23 @@ def unigram_segment(
     ``(id, n_pieces, score_micro_sum)``.
 
     Scale shape: the DP kernel runs ONCE PER DISTINCT WORD (one Arrow
-    pass over the word vocabulary, score table in the closure —
-    ``top_p``-bounded KBs), then per-document totals are a word-level
-    equi-join + map-side-combined aggregation — the bpe_tokenize
-    shape, never a per-token corpus explode."""
+    pass over the word vocabulary), then per-document totals are a
+    word-level equi-join + map-side-combined aggregation — the
+    bpe_tokenize shape, never a per-token corpus explode. The score
+    table ships via ``sparkContext.broadcast`` — torrent-distributed
+    once per executor, not re-pickled into every task — so raising
+    ``top_p`` costs one copy per executor (a top_p=10⁶ table of short
+    pieces is ~100 MB: fine for 4 GB executors, but budget it like any
+    broadcast model artifact)."""
+    bscores = df.sparkSession.sparkContext.broadcast(dict(scores))
 
     def _seg_words(batches):
+        sc = bscores.value
         for pdf in batches:
             # max() over (score, -n, -len) tuples == the oracle's
             # struct-lexicographic list_max — identical tie semantics
             segged = [
-                _viterbi_table(w, scores, max_piece_len)[-1] for w in pdf["w"]
+                _viterbi_table(w, sc, max_piece_len)[-1] for w in pdf["w"]
             ]
             yield pd.DataFrame(
                 {
@@ -1790,15 +1796,19 @@ def unigram_em_round(
     to iterate.
 
     Scale shape: the Viterbi+backtrace kernel runs once per DISTINCT
-    word (one Arrow pass, bounded score table in closure); the piece
-    recount is one explode + map-side-combined groupBy over
+    word (one Arrow pass; the score table rides a
+    ``sparkContext.broadcast`` — one copy per executor, see
+    :func:`unigram_segment` for the top_p → memory envelope); the
+    piece recount is one explode + map-side-combined groupBy over
     O(vocab · pieces-per-word) rows, never the corpus."""
+    bscores = df.sparkSession.sparkContext.broadcast(dict(scores))
 
     def _piece_words(batches):
+        sc = bscores.value
         for pdf in batches:
             ws, ps, fs = [], [], []
             for w, f in zip(pdf["w"], pdf["freq"]):
-                best = _viterbi_table(w, scores, max_piece_len)
+                best = _viterbi_table(w, sc, max_piece_len)
                 pos = len(w)
                 while pos > 0:
                     ln = best[pos][2]
