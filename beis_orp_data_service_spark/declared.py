@@ -39,6 +39,7 @@ from beis_orp_data_service_spark.operators import graph as graph_ops
 from beis_orp_data_service_spark.operators import models
 from beis_orp_data_service_spark.operators import skew as skew_ops
 from beis_orp_data_service_spark.operators import multimodal as mm
+from beis_orp_data_service_spark.operators import preprocess as pp_ops
 from beis_orp_data_service_spark.operators import search as search_ops
 from beis_orp_data_service_spark.operators import similarity as sim
 from beis_orp_data_service_spark.operators import behavior as bh_ops
@@ -4325,6 +4326,54 @@ def _unigram_em_round(spark, sf_dir):
         for r in corpus_ops.unigram_scores(docs).collect()
     }
     return corpus_ops.unigram_em_round(docs, scores)
+
+
+_TITLE_PREP_INP_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id,
+             array_to_string([w[i:i] for i in range(1, length(w)+1)],
+                             ' ') AS text
+      FROM (SELECT doc_id,
+                   substring(replace(text, ' ', ''), 1, 40) AS w
+            FROM documents WHERE doc_id % 20 = 0)
+"""
+
+
+@declared(
+    "title_preprocess",
+    pp_ops.title_preprocess_oracle_sql(_TITLE_PREP_INP_SQL),
+)
+def _title_preprocess(spark, sf_dir):
+    # The reference's full title-generation preprocess chain
+    # (preprocess_functions.py:56-66): ordered regulator-name strip,
+    # malformed per-character-text detection + dictionary resplit
+    # (wordninja's DP-against-a-frequency-list algorithm, dictionary
+    # trained on the corpus itself — documented deviation), excess-
+    # punctuation sweep. HASH-GRADE over the output STRINGS: the
+    # oracle replays the strip as a list_reduce fold, the resplit DP
+    # as the packed-accumulator fold + recursive-CTE backtrace, and
+    # reassembles the split text with an ordered string_agg. Every
+    # 20th doc also enters as a per-character-spaced TWIN (the PDF-
+    # extraction failure mode the reference guards against), so the
+    # resplit branch is genuinely populated on base AND perturbed
+    # datasets — on well-formed corpora the detector alone would make
+    # the was_resplit flag vacuously false.
+    docs = _t(spark, sf_dir, "documents")
+    twin = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.split(
+                F.substring(
+                    F.replace(F.col("text"), F.lit(" "), F.lit("")), 1, 40
+                ),
+                "",
+            ),
+        ).alias("text"),
+    )
+    inp = docs.select("doc_id", "text").unionByName(twin)
+    return pp_ops.title_preprocess(inp)
 
 
 @declared(

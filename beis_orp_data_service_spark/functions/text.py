@@ -113,6 +113,35 @@ def clean_text_sql(expr: str) -> str:
     return f"trim({x})"
 
 
+def remove_excess_punct(col: Column | str) -> Column:
+    """The standalone ``remove_excess_punctuation`` step (reference
+    title_generation/preprocess/preprocess_functions.py:43-53, the last
+    stage of the title/keyword preprocess chain): drop stray ``' .'``,
+    then delete every doubled punctuation pair, one literal pass per
+    ``string.punctuation`` char in the reference's order. All literal
+    ``replace`` — stays in whole-stage codegen. :func:`clean_text`
+    inlines the same steps mid-chain; this is the chain-tail form the
+    title/keyword preprocess applies on its own."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.replace(c, F.lit(" ."), F.lit(""))
+    for p in _string.punctuation:
+        c = F.replace(c, F.lit(p + p), F.lit(""))
+    return c
+
+
+def remove_excess_punct_sql(expr: str) -> str:
+    """DuckDB twin of :func:`remove_excess_punct` — the identical
+    literal-replace chain as nested SQL."""
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    x = f"replace({expr}, ' .', '')"
+    for p in _string.punctuation:
+        x = f"replace({x}, {lit(p + p)}, '')"
+    return x
+
+
 def hash_id(*cols: Column | str, length: int = 32) -> Column:
     """Deterministic id over key fields (functions.py:5-8):
     concat → strip non-alphanumerics → lowercase → hash → first N hex."""

@@ -1614,7 +1614,10 @@ def unigram_scores(
 
 
 def _viterbi_table(
-    w: str, scores: dict[str, int], max_piece_len: int
+    w: str,
+    scores: dict[str, int],
+    max_piece_len: int,
+    unk_single: int | None = None,
 ) -> list[tuple[int, int, int]]:
     """Viterbi DP table for one word: best[i] = (score_micro, n_pieces,
     chosen_piece_len), maximizing (score, -n_pieces, -piece_len) —
@@ -1626,12 +1629,16 @@ def _viterbi_table(
     trained elsewhere may not — that is a caller error (the word is
     unsegmentable under the model), surfaced as a ValueError naming
     the word rather than an opaque ``max()`` crash inside the Arrow
-    worker."""
+    worker. ``unk_single`` (dictionary-resplit mode) instead assigns
+    that fixed score to any UNSCORED single character, so every string
+    stays segmentable under an open alphabet."""
     best: list[tuple[int, int, int]] = [(0, 0, 0)]
     for i in range(1, len(w) + 1):
         cands = []
         for ln in range(1, min(max_piece_len, i) + 1):
             s = scores.get(w[i - ln : i])
+            if s is None and ln == 1:
+                s = unk_single
             if s is not None:
                 ps, pn, _ = best[i - ln]
                 cands.append((ps + s, -(pn + 1), -ln))
@@ -1645,6 +1652,69 @@ def _viterbi_table(
         b = max(cands)
         best.append((b[0], -b[1], -b[2]))
     return best
+
+
+def _viterbi_split(
+    w: str,
+    scores: dict[str, int],
+    max_piece_len: int,
+    unk_single: int | None = None,
+) -> list[str]:
+    """Backtrace the :func:`_viterbi_table` DP into the actual piece
+    list, left to right — the split itself (wordninja-style dictionary
+    resplit), not just its counts."""
+    best = _viterbi_table(w, scores, max_piece_len, unk_single)
+    out: list[str] = []
+    pos = len(w)
+    while pos > 0:
+        ln = best[pos][2]
+        out.append(w[pos - ln : pos])
+        pos -= ln
+    out.reverse()
+    return out
+
+
+def word_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    top_p: int = 50000,
+    max_word_len: int = 12,
+) -> DataFrame:
+    """WHOLE-WORD frequency dictionary with integer log-scores — the
+    model table for wordninja-style dictionary resplit (the unigram
+    seed-vocab shape, but over words instead of substrings): whitespace
+    tokenize, keep words of length 1..``max_word_len`` (longer words
+    can never be matched by a DP bounded at ``max_word_len``, so they
+    are excluded BEFORE the total — documented), take the ``top_p`` by
+    (freq DESC, word ASC), score ``round(ln(freq/total)·1e6)`` over the
+    kept set. Both aggregations map-side combine; the result is the
+    parameter-bounded model artifact (≤ top_p rows), collected and
+    broadcast by callers exactly like the unigram score table."""
+    words = df.select(
+        F.explode(
+            F.split(
+                F.regexp_replace(
+                    F.col(text_col),
+                    r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$",
+                    "",
+                ),
+                r"[ \t\n\x0B\f\r]+",
+            )
+        ).alias("w")
+    ).filter((F.length("w") >= 1) & (F.length("w") <= max_word_len))
+    wf = (
+        words.groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("w"))
+        .limit(top_p)
+    )
+    total = wf.agg(F.sum("freq").cast("bigint").alias("t"))
+    return wf.join(F.broadcast(total)).select(
+        F.col("w").alias("word"),
+        F.round(F.log(F.col("freq").cast("double") / F.col("t")) * 1e6)
+        .cast("bigint")
+        .alias("score_micro"),
+    )
 
 
 def unigram_segment(

@@ -1,0 +1,435 @@
+"""Title/keyword preprocess chain — the reference's last un-ported
+enrichment surface (title_generation/preprocess/preprocess_functions.py:12-40,
+reused by keyword_extraction.py:60-81): strip regulator names, detect
+malformed per-character text and dictionary-resplit it, then drop
+excess punctuation.
+
+Spark-first shape:
+
+- regulator strip is ONE declarative fold (``F.aggregate`` over an
+  array of literals) — a constant-size expression instead of a
+  340-deep nested-replace tree that would blow the whole-stage-codegen
+  method limit; it evaluates in a single projection pass either way.
+- the malformed detector is a pure column predicate.
+- the resplit is the engine's Viterbi DP kernel (one Arrow pass over
+  ONLY the malformed rows) against a corpus-trained word dictionary.
+  The reference calls wordninja — a DP word-split against a bundled
+  English frequency list; the engine runs the same algorithm family
+  but trains the frequency dictionary ON the corpus itself
+  (:func:`~...operators.corpus.word_scores`), which keeps the operator
+  self-contained, deterministic, and hash-checkable (documented
+  deviation: different dictionary, same split semantics).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from beis_orp_data_service_spark.functions.text import (
+    remove_excess_punct,
+    remove_excess_punct_sql,
+)
+from beis_orp_data_service_spark.operators.corpus import (
+    _viterbi_split,
+    word_scores,
+)
+
+_WS_EDGE = r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$"
+
+#: The reference's regulator-name list verbatim (data file
+#: title_generation/preprocess/regulator_name_list.txt — domain
+#: constants the engine must reproduce for drop-in parity). Order
+#: matters: the reference replaces "Logo of the <name>" variants
+#: first, then the bare names, sequentially.
+REGULATOR_NAMES: list[str] = [
+    'Charity Commission for England and Wales',
+    'Charity Commission for Northern Ireland',
+    'Office of the Scottish Charity Regulator',
+    'The General Teaching Councils for Scotland, Wales and Northern Ireland',
+    'Ofqual – Office of Qualifications and Examinations Regulation',
+    "Ofsted – Office for Standards in Education, Children's Services and Skills",
+    'Office for Students (OfS)',
+    'Office for Students',
+    'Environment Agency (EA)',
+    'Environment Agency',
+    'Department for Communities and Local Government',
+    'Marine Management Organisation (MMO)',
+    'Marine Management Organisation',
+    'Office for Product Safety & Standards',
+    'Office for Product Safety and Standards',
+    'Natural Resources Wales (NRW)',
+    'Natural Resources Wales',
+    'Northern Ireland Environment Agency (NIEA)',
+    'Northern Ireland Environment Agency',
+    'Scottish Environment Protection Agency (SEPA)',
+    'Scottish Environment Protection Agency',
+    'Financial Conduct Authority (FCA)',
+    'Financial Conduct Authority',
+    'The Office for Professional Body Anti-Money Laundering Supervision (OPBAS)',
+    'The Office for Professional Body Anti-Money Laundering Supervision',
+    'Financial Reporting Council',
+    'Reporting and Governance Authority',
+    'Reporting & Governance Authority',
+    'Institute of Chartered Accountants in England and Wales',
+    'Institute of Chartered Accountants in England & Wales',
+    'Office of the Regulator of Community Interest Companies (ORCIC)',
+    'Office of the Regulator of Community Interest Companies',
+    'Payment Systems Regulator (PSR)',
+    'Payment Systems Regulator',
+    'Pensions Regulator',
+    'The Pensions Regulator',
+    "Information Commissioner's Office",
+    "Information Commissioner's Office (ICO)",
+    'Prudential Regulation Authority (PRA)',
+    'Prudential Regulation Authority',
+    'Care Quality Commission (CQC)',
+    'Care Quality Commission',
+    'Complementary and Natural Healthcare Council (CNHC)',
+    'Complementary & Natural Healthcare Council (CNHC)',
+    'Complementary and Natural Healthcare Council',
+    'Complementary & Natural Healthcare Council',
+    'General Chiropractic Council (GCC)',
+    'General Chiropractic Council',
+    'General Dental Council (GDC)',
+    'General Dental Council',
+    'General Medical Council (GMC)',
+    'General Medical Council',
+    'General Optical Council (GOC)',
+    'General Optical Council',
+    'General Osteopathic Council (GOsC)',
+    'General Osteopathic Council',
+    'General Pharmaceutical Council (GPhC)',
+    'General Pharmaceutical Council',
+    'Health and Care Professions Council (HCPC)',
+    'Health & Care Professions Council (HCPC)',
+    'Health and Care Professions Council',
+    'Health & Care Professions Council',
+    'Health and Safety Executive',
+    'Health & Safety Executive',
+    'Healthcare Inspectorate Wales (HIW)',
+    'Healthcare Inspectorate Wales',
+    'Healthcare Safety Investigation Branch (HSIB)',
+    'Healthcare Safety Investigation Branch',
+    'Human Fertilisation and Embryology Authority',
+    'Human Fertilisation & Embryology Authority',
+    'Human Tissue Authority (HTA)',
+    'Human Tissue Authority',
+    'Medicines and Healthcare products Regulatory Agency (MHRA)',
+    'Medicines and Healthcare products Regulatory Agency',
+    'Medicines & Healthcare products Regulatory Agency',
+    'NHS Improvement (NHSI)',
+    'NHS Improvement',
+    'Nursing and Midwifery Council (NMC)',
+    'Nursing and Midwifery Council',
+    'Nursing & Midwifery Council',
+    'Pharmaceutical Society of Northern Ireland (PSNI)',
+    'Pharmaceutical Society of Northern Ireland',
+    'Professional Standards Authority for Health and Social Care',
+    'Royal College of Veterinary Surgeons (RCVS)',
+    'Royal College of Veterinary Surgeons',
+    'UK Health Security Agency (UKHSA)',
+    'UK Health Security Agency',
+    'Regulator of Social Housing',
+    'Scottish Housing Regulator',
+    'Authorised Conveyancing Practitioners Board',
+    'Bar Standards Board',
+    'CILEx Regulation',
+    'Faculty of Advocates',
+    'Law Society of Northern Ireland',
+    'Law Society of Scotland',
+    'Master of the Faculties',
+    'Office of the Immigration Services Commissioner',
+    'Solicitors Regulation Authority',
+    'Costs Lawyer Standards Board[3]',
+    'Council for Licensed Conveyancers',
+    'Scottish Care Inspectorate',
+    'Care Council for Wales (CCW)',
+    'Care Council for Wales',
+    'Social Work England',
+    'Northern Ireland Social Care Council (NISCC)',
+    'Northern Ireland Social Care Council',
+    'Scottish Social Services Council (SSSC)',
+    'Scottish Social Services Council',
+    'Civil Aviation Authority (CAA)',
+    'Civil Aviation Authority',
+    'Office of Rail and Road (ORR)',
+    'Office of Rail and Road',
+    'Office of Rail & Road',
+    'Ofcom – independent regulator and competition authority for the UK communications industries',
+    'Ofcom',
+    'Phone-paid Services Authority – regulator for phone-paid services in the UK, part of Ofcom, replaces ICSTIS, PhonepayPlus',
+    'Phone-paid Services Authority',
+    'Office for Nuclear Regulation (ONR)',
+    'Office for Nuclear Regulation',
+    'Office for Product Safety & Standards',
+    'Ofgem – the Office of the Gas and Electricity Markets',
+    'Ofgem',
+    'Ofwat – the Water Services Regulation Authority',
+    'Ofwat',
+    'The Utility Regulator – regulating electricity, gas, water and sewerage industries in Northern Ireland',
+    'The Utility Regulator',
+    'Water Industry Commission for Scotland',
+    'Accreditation Service',
+    'Advertising Standards Authority',
+    'British Board of Film Classification',
+    'Chartered Institute for the Management of Sport and Physical Activity',
+    'Competition and Markets Authority',
+    'Council for Registered Gas Installers',
+    'Direct Marketing Authority',
+    'Engineering Council – the regulatory body for the engineering profession',
+    'Engineering Council',
+    'Equality and Human Rights Commission',
+    'Equality & Human Rights Commission',
+    'Food Standards Agency',
+    'Forensic Science Regulator',
+    'Fundraising Regulator',
+    'Gambling Commission',
+    'Gangmasters and Labour Abuse Authority',
+    'HM Revenue and Customs',
+    'HM Revenue & Customs',
+    'IMPRESS',
+    'Independent Press Standards Organisation',
+    "Information Commissioner's Office",
+    'North Sea Transition Authority',
+    'Planning Inspectorate',
+    'Independent Office for Police Conduct',
+    'Security Industry Authority',
+]
+
+
+def regulator_replace_list(names: list[str] | None = None) -> list[str]:
+    """The exact replacement sequence the reference builds at import
+    time (preprocess_functions.py:5-9): 'Logo of the ' variants first,
+    then the bare names."""
+    names = REGULATOR_NAMES if names is None else list(names)
+    return ["Logo of the " + n for n in names] + names
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def strip_regulator_names(
+    col: Column | str, names: list[str] | None = None
+) -> Column:
+    """``removing_regulator_names`` (preprocess_functions.py:12-22):
+    delete every regulator name from the text, 'Logo of the ' variants
+    first, as ORDERED literal replaces — expressed as one
+    ``F.aggregate`` fold over the broadcast-literal name array (a
+    constant-size expression; a nested-replace chain of 300+ calls
+    would exceed the codegen method limit and go interpreted anyway)."""
+    c = F.col(col) if isinstance(col, str) else col
+    reps = F.array(*[F.lit(n) for n in regulator_replace_list(names)])
+    return F.aggregate(reps, c, lambda acc, x: F.replace(acc, x, F.lit("")))
+
+
+def strip_regulator_names_sql(
+    expr: str, names: list[str] | None = None
+) -> str:
+    """DuckDB twin of :func:`strip_regulator_names` — the same ordered
+    fold as ``list_reduce`` (the accumulator seeds from the first list
+    element, so the text is prepended to the name list)."""
+    lst = ", ".join(_sql_str(n) for n in regulator_replace_list(names))
+    return (
+        f"list_reduce(list_prepend({expr}, [{lst}]), "
+        "(acc, x) -> replace(acc, x, ''))"
+    )
+
+
+def malformed_singles(col: Column | str) -> Column:
+    """The reference's malformed-text detector
+    (preprocess_functions.py:25-40 ``delete_single_characters``): text
+    whose first FIVE single-space-split tokens are each one character
+    is per-character-spaced garbage (a common PDF-extraction failure).
+    Exact parity: Python ``strip()`` strips all whitespace (regex edge
+    trim) and ``split(" ")`` keeps empty tokens (regex split on a
+    literal single space), so runs of spaces yield len-0 tokens that
+    correctly fail the ==1 test."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.regexp_replace(c, _WS_EDGE, ""), " ", -1)
+    return (F.size(toks) >= 5) & F.forall(
+        F.slice(toks, 1, 5), lambda t: F.length(t) == F.lit(1)
+    )
+
+
+def malformed_singles_sql(expr: str) -> str:
+    """DuckDB twin of :func:`malformed_singles`."""
+    ts = (
+        "string_split(regexp_replace("
+        f"{expr}, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'"
+        "), ' ')"
+    )
+    return (
+        f"(len({ts}) >= 5 AND "
+        f"len([x for x in ({ts})[1:5] if length(x) != 1]) = 0)"
+    )
+
+
+def title_preprocess(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    names: list[str] | None = None,
+    top_p: int = 50000,
+    max_word_len: int = 12,
+    unk_score_micro: int = -(10**9),
+) -> DataFrame:
+    """The full title-generation preprocess chain
+    (preprocess_functions.py:56-66 ``preprocess``): regulator-name
+    strip → malformed-text dictionary resplit → excess-punctuation
+    sweep. Output ``(id, was_resplit, title_input)`` — the text the
+    title model consumes, plus the branch flag.
+
+    Scale shape (100 TB): the strip + detector are one codegen-side
+    projection; the word dictionary is the parameter-bounded model
+    artifact (``top_p`` rows, collected once, sparkContext.broadcast —
+    the engine's model-weights convention); the Viterbi resplit kernel
+    touches ONLY the malformed rows (one Arrow pass over a
+    predicate-pushed branch — malformed docs are the rare failure
+    mode, so the Python path is off the hot corpus). Unknown single
+    characters score ``unk_score_micro`` (far below any trained
+    ln-frequency score) so any string stays segmentable while known
+    words dominate."""
+    base = df.select(
+        F.col(id_col),
+        strip_regulator_names(
+            F.coalesce(F.col(text_col), F.lit("")), names
+        ).alias("_t"),
+    ).withColumn("_mal", malformed_singles(F.col("_t")))
+    dict_rows = word_scores(
+        base.filter(~F.col("_mal")), "_t", top_p=top_p,
+        max_word_len=max_word_len,
+    ).collect()
+    bscores = df.sparkSession.sparkContext.broadcast(
+        {r["word"]: r["score_micro"] for r in dict_rows}
+    )
+    L, unk = max_word_len, unk_score_micro
+
+    def _resplit(batches):
+        sc = bscores.value
+        for pdf in batches:
+            out = []
+            for t in pdf["_t"]:
+                w = (t or "").replace(" ", "")
+                out.append(
+                    " ".join(_viterbi_split(w, sc, L, unk)) if w else ""
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "_t": out})
+
+    schema = T.StructType(
+        [base.schema[id_col], T.StructField("_t", T.StringType())]
+    )
+    kept = base.filter(~F.col("_mal")).select(id_col, "_t")
+    resplit = base.filter(F.col("_mal")).select(id_col, "_t").mapInPandas(
+        _resplit, schema
+    )
+    merged = kept.withColumn("was_resplit", F.lit(False)).unionByName(
+        resplit.withColumn("was_resplit", F.lit(True))
+    )
+    return merged.select(
+        F.col(id_col),
+        F.col("was_resplit"),
+        remove_excess_punct("_t").alias("title_input"),
+    )
+
+
+def title_preprocess_oracle_sql(
+    inp_sql: str,
+    names: list[str] | None = None,
+    top_p: int = 50000,
+    max_word_len: int = 12,
+    unk_score_micro: int = -(10**9),
+) -> str:
+    """DuckDB twin of :func:`title_preprocess` over input relation
+    ``inp_sql`` (a subquery yielding ``(doc_id, text)``): the strip is
+    the same list_reduce fold, the detector the same predicate, the
+    dictionary the same bounded top-P aggregation, and the Viterbi
+    resplit replays the DP as the engine's standard '|'-packed
+    list_reduce fold (3-field entries — the third pins WHICH piece wins
+    full ties) followed by a single-successor recursive-CTE backtrace;
+    the split string itself is reassembled with an ordered string_agg,
+    so the actual resplit TEXT is hash-checked, not just its shape."""
+    L = max_word_len
+    edge = "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$'"
+    strip = strip_regulator_names_sql("coalesce(text, '')", names)
+    mal = malformed_singles_sql("t")
+    prev = (
+        "string_split(string_split(acc, ',')"
+        "[CAST(x AS INTEGER) - l + 1], '|')"
+    )
+    piece = "w[CAST(x AS INTEGER) - l + 1 : CAST(x AS INTEGER)]"
+    cand = (
+        f"[{{'s': CAST({prev}[1] AS BIGINT)"
+        f" + coalesce(mp[{piece}][1],"
+        f" CASE WHEN l = 1 THEN CAST({unk_score_micro} AS BIGINT) END),"
+        f" 'mn': -(CAST({prev}[2] AS BIGINT) + 1),"
+        " 'ml': -l}"
+        f" for l in range(1, least({L}, CAST(x AS INTEGER)) + 1)"
+        f" if l = 1 OR mp[{piece}][1] IS NOT NULL]"
+    )
+    return f"""
+    WITH RECURSIVE inp AS ({inp_sql}
+    ), s1 AS (
+      SELECT doc_id, {strip} AS t FROM inp
+    ), s2 AS (
+      SELECT doc_id, t, {mal} AS mal FROM s1
+    ), w0 AS (
+      SELECT unnest(string_split_regex(
+               regexp_replace(t, {edge}, '', 'g'),
+               '[ \\t\\n\\x0B\\f\\r]+')) AS w
+      FROM s2 WHERE NOT mal
+    ), wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM w0 WHERE length(w) BETWEEN 1 AND {L}
+      GROUP BY w ORDER BY freq DESC, w LIMIT {top_p}
+    ), tot AS (SELECT CAST(sum(freq) AS BIGINT) AS tt FROM wf
+    ), m AS (
+      SELECT map(list(w ORDER BY w),
+                 list(CAST(round(ln(CAST(freq AS DOUBLE) / tt) * 1000000)
+                           AS BIGINT) ORDER BY w)) AS mp
+      FROM wf, tot
+    ), malw AS (
+      SELECT doc_id, replace(t, ' ', '') AS w FROM s2 WHERE mal
+    ), dptab AS (
+      SELECT doc_id, w,
+        list_reduce(
+          list_prepend('0|0|0',
+                       [CAST(i AS VARCHAR)
+                        for i in range(1, length(w)+1)]),
+          (acc, x) -> acc || ',' ||
+            CAST(list_max({cand}).s AS VARCHAR) || '|' ||
+            CAST(-list_max({cand}).mn AS VARCHAR) || '|' ||
+            CAST(-list_max({cand}).ml AS VARCHAR)
+        ) AS dp
+      FROM malw CROSS JOIN m
+      WHERE length(w) > 0
+    ), bt AS (
+      SELECT doc_id, w, dp, length(w) AS pos FROM dptab
+      UNION ALL
+      SELECT doc_id, w, dp,
+             pos - CAST(string_split(string_split(dp, ',')[pos + 1],
+                                     '|')[3] AS INTEGER)
+      FROM bt WHERE pos > 0
+    ), resplit AS (
+      SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS t
+      FROM (
+        SELECT doc_id, pos, w[pos - l + 1 : pos] AS piece
+        FROM (
+          SELECT doc_id, w, pos,
+                 CAST(string_split(string_split(dp, ',')[pos + 1],
+                                   '|')[3] AS INTEGER) AS l
+          FROM bt WHERE pos > 0
+        )
+      ) GROUP BY doc_id
+    ), merged AS (
+      SELECT s2.doc_id, s2.mal AS was_resplit,
+             CASE WHEN s2.mal THEN coalesce(r.t, '') ELSE s2.t END AS t
+      FROM s2 LEFT JOIN resplit r ON s2.doc_id = r.doc_id
+    )
+    SELECT doc_id, was_resplit,
+           {remove_excess_punct_sql('t')} AS title_input
+    FROM merged
+    """

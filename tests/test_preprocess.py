@@ -1,0 +1,217 @@
+"""Title/keyword preprocess chain (reference
+title_generation/preprocess/preprocess_functions.py:12-66): equality
+against an in-test transcription of the reference's pure-Python
+functions, plus Spark↔DuckDB oracle parity for the declared-query
+machinery."""
+
+import string
+
+import pytest
+from pyspark.sql import functions as F
+
+from beis_orp_data_service_spark.operators import preprocess as pp
+from beis_orp_data_service_spark.operators.corpus import (
+    _viterbi_split,
+    word_scores,
+)
+
+
+# --- the reference functions, transcribed (preprocess_functions.py) ---
+
+
+def ref_removing_regulator_names(text, names):
+    for reg in ["Logo of the " + n for n in names] + list(names):
+        text = text.replace(reg, "")
+    return text
+
+
+def ref_is_malformed(text):
+    short = 0
+    for char in text.strip().split(" ")[:5]:
+        if len(char) == 1:
+            short += 1
+    return short == 5
+
+
+def ref_remove_excess_punctuation(text):
+    text = text.replace(" .", "")
+    for punc in string.punctuation:
+        text = text.replace(punc + punc, "")
+    return text
+
+
+def ref_preprocess(text, names, splitter):
+    """preprocess_functions.py:56-66 with the wordninja call injected
+    (the engine substitutes a corpus-trained dictionary DP — same
+    algorithm family, documented deviation)."""
+    text = ref_removing_regulator_names(text, names)
+    if ref_is_malformed(text):
+        text = " ".join(splitter(text.replace(" ", "")))
+    text = ref_remove_excess_punctuation(text)
+    return text
+
+
+FIXTURES = [
+    "the quick brown fox jumps over the lazy dog the quick brown fox",
+    "Logo of the Environment Agency safety report on water quality",
+    "Health and Safety Executive annual report the quick lazy dog",
+    "Environment Agency (EA) and Environment Agency overlap order check",
+    "t h e q u i c k brownfox and more stuff",  # malformed
+    "a b c d",  # four tokens only -> NOT malformed
+    "a  b c d e double-space token has len 0",  # '' token breaks the run
+    "x y z w v despacedtail the quick",  # malformed
+    "double  space .. test!! the quick brown",
+    "",
+    "   \t leading whitespace a b c d e",  # strip() before split
+]
+
+
+class TestReferenceEquality:
+    def test_full_chain_matches_reference_on_fixtures(self, spark):
+        """End-to-end: title_preprocess == the reference chain with the
+        engine's DP as the injected splitter, on every fixture doc —
+        covering strip order, the 5-token detector (incl. strip()
+        edge-whitespace and len-0 double-space tokens), and the
+        punctuation sweep."""
+        df = spark.createDataFrame(
+            list(enumerate(FIXTURES)), "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: (r["was_resplit"], r["title_input"])
+            for r in pp.title_preprocess(
+                df, top_p=1000, max_word_len=8
+            ).collect()
+        }
+        # rebuild the same dictionary the operator trained (non-
+        # malformed docs after the strip), then replay the reference
+        stripped = [
+            ref_removing_regulator_names(t, pp.REGULATOR_NAMES)
+            for t in FIXTURES
+        ]
+        well_formed = spark.createDataFrame(
+            [(t,) for t in stripped if not ref_is_malformed(t)], "t string"
+        )
+        scores = {
+            r["word"]: r["score_micro"]
+            for r in word_scores(
+                well_formed, "t", top_p=1000, max_word_len=8
+            ).collect()
+        }
+
+        def splitter(w):
+            return _viterbi_split(w, scores, 8, -(10**9)) if w else [""]
+
+        for i, t in enumerate(FIXTURES):
+            expect = ref_preprocess(t, pp.REGULATOR_NAMES, splitter)
+            assert out[i][1] == expect, f"doc {i}: {out[i][1]!r} != {expect!r}"
+            assert out[i][0] == ref_is_malformed(stripped[i])
+
+    def test_strip_is_ordered_logo_variants_first(self, spark):
+        """'Logo of the Environment Agency' must vanish whole — a bare-
+        name-first order would leave a dangling 'Logo of the '."""
+        df = spark.createDataFrame(
+            [(0, "Logo of the Environment Agency report")],
+            "doc_id long, text string",
+        )
+        got = df.select(
+            pp.strip_regulator_names("text").alias("t")
+        ).first()["t"]
+        assert got == " report"
+        assert got == ref_removing_regulator_names(
+            "Logo of the Environment Agency report", pp.REGULATOR_NAMES
+        )
+
+    def test_detector_matches_reference_rowwise(self, spark):
+        cases = FIXTURES + ["- - - - - dashes", ". . a b c d e"]
+        df = spark.createDataFrame(
+            list(enumerate(cases)), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["m"]
+            for r in df.select(
+                "doc_id", pp.malformed_singles("text").alias("m")
+            ).collect()
+        }
+        for i, t in enumerate(cases):
+            assert got[i] == ref_is_malformed(t), t
+
+    def test_remove_excess_punct_matches_reference(self, spark):
+        from beis_orp_data_service_spark.functions.text import (
+            remove_excess_punct,
+        )
+
+        cases = ["a .. b!! c?? d", " .start", "no punct", "--__··", ""]
+        df = spark.createDataFrame(
+            list(enumerate(cases)), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["t"]
+            for r in df.select(
+                "doc_id", remove_excess_punct("text").alias("t")
+            ).collect()
+        }
+        for i, t in enumerate(cases):
+            assert got[i] == ref_remove_excess_punctuation(t), t
+
+
+class TestOracleParity:
+    def test_duckdb_oracle_matches_spark_bitexact(self, spark):
+        import duckdb
+
+        rows = list(enumerate(FIXTURES))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            (r["doc_id"], r["was_resplit"], r["title_input"])
+            for r in pp.title_preprocess(
+                df, top_p=1000, max_word_len=8
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE inp0 (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO inp0 VALUES (?, ?)", rows)
+        exp = sorted(
+            con.sql(
+                pp.title_preprocess_oracle_sql(
+                    "SELECT doc_id, text FROM inp0",
+                    top_p=1000,
+                    max_word_len=8,
+                )
+            ).fetchall()
+        )
+        assert got == exp
+
+    def test_null_text_is_empty_not_crash(self, spark):
+        df = spark.createDataFrame(
+            [(0, None), (1, "the quick brown fox jumps")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["title_input"]
+            for r in pp.title_preprocess(df, top_p=10).collect()
+        }
+        assert out[0] == ""
+
+
+class TestWordScores:
+    def test_top_p_bound_and_length_filter(self, spark):
+        df = spark.createDataFrame(
+            [(0, "aa aa aa bb bb cc verylongword12 d")],
+            "doc_id long, text string",
+        )
+        rows = word_scores(df, top_p=2, max_word_len=6).collect()
+        words = {r["word"] for r in rows}
+        assert len(rows) == 2
+        # top-2 by (freq DESC, word ASC); the 13-char word is excluded
+        # BEFORE the cut, not ranked then dropped
+        assert words == {"aa", "bb"}
+
+    def test_resplit_prefers_known_words_over_singles(self, spark):
+        scores = {"quick": -100, "brown": -100, "q": -500, "u": -500}
+        assert _viterbi_split("quickbrown", scores, 8, -(10**9)) == [
+            "quick",
+            "brown",
+        ]
+        # unknown chars fall back to UNK singles, never crash
+        assert _viterbi_split("zz", {}, 8, -(10**9)) == ["z", "z"]
+        with pytest.raises(ValueError):
+            _viterbi_split("zz", {}, 8, None)
