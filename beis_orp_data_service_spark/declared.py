@@ -4328,6 +4328,26 @@ def _unigram_em_round(spark, sf_dir):
     return corpus_ops.unigram_em_round(docs, scores)
 
 
+@declared(
+    "unigram_train",
+    corpus_ops.unigram_train_oracle_sql(
+        2, 4, 2000, prune_to=10, doc_pred="doc_id < 200"
+    ),
+)
+def _unigram_train(spark, sf_dir):
+    # The COMPLETE SentencePiece-style training loop: seed vocab → 2 ×
+    # (hard-EM round → prune to the top-10 multi-char pieces → alphabet
+    # floor → re-score). prune_to=10 cuts the ~36 surviving multi-char
+    # pieces hard, so the prune branch genuinely decides the model at
+    # this scale. HASH-GRADE: the oracle unrolls both rounds (two DP
+    # folds, two recursive-CTE backtraces, two prune/re-score unions)
+    # — the trained model AND every argmax path behind it are hash-
+    # checked. Driver pulls between rounds are the model itself,
+    # parameter-bounded (the bpe_learn_merges loop shape).
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return corpus_ops.unigram_train(docs, n_rounds=2, prune_to=10)
+
+
 _TITLE_PREP_INP_SQL = """
       SELECT doc_id, text FROM documents
       UNION ALL

@@ -1999,6 +1999,187 @@ def unigram_em_round_oracle_sql(
     """
 
 
+def unigram_train(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_rounds: int = 2,
+    max_piece_len: int = 4,
+    top_p: int = 2000,
+    prune_to: int = 500,
+) -> DataFrame:
+    """The COMPLETE unigram/SentencePiece training loop: seed vocab
+    (:func:`unigram_scores`) → ``n_rounds`` × (hard-EM refinement
+    :func:`unigram_em_round` → prune → re-score). Returns the final
+    model table ``(piece, cnt, score_micro)``.
+
+    Prune step per round, all deterministic: keep the ``prune_to``
+    multi-character pieces by (cnt DESC, piece ASC), keep every used
+    single character, and re-admit any corpus-alphabet character the
+    round's best segmentations never used at the count floor 1 —
+    SentencePiece's unprunable seed alphabet, which guarantees every
+    word stays segmentable in the next round (so the
+    :func:`_viterbi_table` coverage guard can never fire) and keeps
+    ``ln(cnt/total)`` finite. Scores are re-normalized over the kept
+    set each round.
+
+    Scale shape: the bpe_learn_merges driver-loop shape — per round
+    the corpus-side work is one EM pass (Viterbi once per DISTINCT
+    word, checkpointed), and the only driver pulls are the model
+    itself (≤ prune_to + |alphabet| + used-singles rows, parameter-
+    bounded) between rounds. The returned DataFrame is the final
+    round's plan; nothing unbounded ever reaches the driver."""
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1: {n_rounds}")
+    spark = df.sparkSession
+    scores = {
+        r["piece"]: r["score_micro"]
+        for r in unigram_scores(
+            df, id_col, text_col, max_piece_len, top_p
+        ).collect()
+    }
+    alpha = stage_checkpoint(
+        df.select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(
+                        F.col(text_col),
+                        r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$",
+                        "",
+                    ),
+                    r"[ \t\n\x0B\f\r]+",
+                )
+            ).alias("w")
+        )
+        .filter(F.length("w") >= 1)
+        .select(F.explode(F.split("w", "")).alias("piece"))
+        .distinct(),
+        label="unigram_train:alphabet",
+    )
+    model = None
+    for r in range(n_rounds):
+        em = unigram_em_round(df, scores, id_col, text_col, max_piece_len)
+        multi = (
+            em.filter(F.length("piece") >= 2)
+            .orderBy(F.desc("cnt"), F.asc("piece"))
+            .limit(prune_to)
+            .select("piece", "cnt")
+        )
+        sing = em.filter(F.length("piece") == 1).select("piece", "cnt")
+        floor = alpha.join(sing, "piece", "left_anti").select(
+            "piece", F.lit(1).cast("bigint").alias("cnt")
+        )
+        kept = multi.unionByName(sing).unionByName(floor)
+        total = kept.agg(F.sum("cnt").cast("bigint").alias("t"))
+        model = kept.join(F.broadcast(total)).select(
+            "piece",
+            "cnt",
+            F.round(F.log(F.col("cnt").cast("double") / F.col("t")) * 1e6)
+            .cast("bigint")
+            .alias("score_micro"),
+        )
+        if r < n_rounds - 1:
+            scores = {
+                row["piece"]: row["score_micro"] for row in model.collect()
+            }
+    return model
+
+
+def unigram_train_oracle_sql(
+    n_rounds: int = 2,
+    max_piece_len: int = 4,
+    top_p: int = 2000,
+    prune_to: int = 500,
+    table: str = "documents",
+    doc_pred: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`unigram_train`: the training loop UNROLLED
+    (the bpe_merges oracle move) — per round one Viterbi-fold DP table,
+    one recursive-CTE backtrace (DuckDB allows several recursive CTEs
+    in one WITH RECURSIVE), the piece recount, the prune/alphabet-floor
+    union, and the re-score, each reading the previous round's score
+    CTE. The trained model — counts AND the argmax paths that produced
+    them — is hash-checked end to end."""
+    pred = f" WHERE {doc_pred}" if doc_pred else ""
+    L = max_piece_len
+    prev_dp = (
+        "string_split(string_split(acc, ',')"
+        "[CAST(x AS INTEGER) - l + 1], '|')"
+    )
+    piece = "w[CAST(x AS INTEGER) - l + 1 : CAST(x AS INTEGER)]"
+    head = _unigram_vocab_ctes(max_piece_len, top_p, table, pred,
+                               recursive=True)
+    parts = [head, """, alpha AS (
+      SELECT piece FROM pc WHERE length(piece) = 1
+    )"""]
+    for r in range(1, n_rounds + 1):
+        prev_sc = "sc" if r == 1 else f"sc{r - 1}"
+        cand = (
+            f"[{{'s': CAST({prev_dp}[1] AS BIGINT) + mp[{piece}][1],"
+            f" 'mn': -(CAST({prev_dp}[2] AS BIGINT) + 1),"
+            " 'ml': -l}"
+            f" for l in range(1, least({L}, CAST(x AS INTEGER)) + 1)"
+            f" if mp[{piece}][1] IS NOT NULL]"
+        )
+        parts.append(f""", m{r} AS (
+      SELECT map(list(piece ORDER BY piece),
+                 list(score_micro ORDER BY piece)) AS mp
+      FROM {prev_sc}
+    ), dptab{r} AS (
+      SELECT w, freq,
+        list_reduce(
+          list_prepend('0|0|0',
+                       [CAST(i AS VARCHAR)
+                        for i in range(1, length(w)+1)]),
+          (acc, x) -> acc || ',' ||
+            CAST(list_max({cand}).s AS VARCHAR) || '|' ||
+            CAST(-list_max({cand}).mn AS VARCHAR) || '|' ||
+            CAST(-list_max({cand}).ml AS VARCHAR)
+        ) AS dp
+      FROM wf CROSS JOIN m{r}
+    ), bt{r} AS (
+      SELECT w, freq, dp, length(w) AS pos FROM dptab{r}
+      UNION ALL
+      SELECT w, freq, dp,
+             pos - CAST(string_split(string_split(dp, ',')[pos + 1],
+                                     '|')[3] AS INTEGER)
+      FROM bt{r} WHERE pos > 0
+    ), cnt{r} AS (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT w[pos - l + 1 : pos] AS piece, freq
+        FROM (
+          SELECT w, freq, pos,
+                 CAST(string_split(string_split(dp, ',')[pos + 1],
+                                   '|')[3] AS INTEGER) AS l
+          FROM bt{r} WHERE pos > 0
+        )
+      ) GROUP BY piece
+    ), kept{r} AS (
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM cnt{r} WHERE length(piece) >= 2
+        ORDER BY cnt DESC, piece LIMIT {prune_to}
+      )
+      UNION ALL
+      SELECT piece, cnt FROM cnt{r} WHERE length(piece) = 1
+      UNION ALL
+      SELECT a.piece, CAST(1 AS BIGINT) AS cnt
+      FROM alpha a
+      WHERE NOT EXISTS (SELECT 1 FROM cnt{r} c
+                        WHERE c.piece = a.piece AND length(c.piece) = 1)
+    ), tot{r} AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM kept{r}
+    ), sc{r} AS (
+      SELECT piece, cnt,
+             CAST(round(ln(CAST(cnt AS DOUBLE) / t) * 1000000) AS BIGINT)
+               AS score_micro
+      FROM kept{r}, tot{r}
+    )""")
+    parts.append(
+        f"\n    SELECT piece, cnt, score_micro FROM sc{n_rounds}"
+    )
+    return "".join(parts)
+
+
 def unigram_segment_oracle_sql(
     max_piece_len: int = 4,
     top_p: int = 2000,

@@ -2029,3 +2029,110 @@ class TestUnigramTokenizer:
         # full coverage of the word's characters → no error
         tab = co._viterbi_table("qj", {"q": -1, "j": -1}, 4)
         assert tab[-1][1] == 2
+
+    def test_train_fixed_point_and_alphabet_floor(self, spark):
+        """On a corpus whose best segmentation is already stable
+        ('abab' words segment as one piece), a second training round
+        must reproduce the first round's model exactly (hard-EM fixed
+        point), and the unused singles a/b must re-enter via the
+        alphabet floor at cnt=1 — never drop out (coverage guarantee:
+        the next round's Viterbi can always segment every word)."""
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        docs = spark.createDataFrame(
+            [(i, "abab abab") for i in range(3)], "doc_id long, text string"
+        )
+        r1 = sorted(
+            (r["piece"], r["cnt"], r["score_micro"])
+            for r in co.unigram_train(docs, n_rounds=1, prune_to=5).collect()
+        )
+        r2 = sorted(
+            (r["piece"], r["cnt"], r["score_micro"])
+            for r in co.unigram_train(docs, n_rounds=2, prune_to=5).collect()
+        )
+        assert r1 == r2  # fixed point
+        by_piece = {p: c for p, c, _ in r1}
+        assert by_piece["abab"] == 6  # 2 words x 3 docs, one piece each
+        assert by_piece["a"] == 1 and by_piece["b"] == 1  # floor rows
+
+    def test_train_prune_bound_and_coverage(self, spark):
+        """Model size is parameter-bounded (<= prune_to multi-char
+        pieces) and every corpus character stays segmentable."""
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        docs = spark.createDataFrame(
+            [
+                (0, "abab abab abab cdcd cdcd"),
+                (1, "ab cd abcd abab"),
+                (2, "xyz xyz wxyz"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = co.unigram_train(docs, n_rounds=2, prune_to=2).collect()
+        multi = [r["piece"] for r in rows if len(r["piece"]) >= 2]
+        assert len(multi) <= 2
+        chars = {c for _, t in docs.collect() for c in t.replace(" ", "")}
+        model_chars = {r["piece"] for r in rows if len(r["piece"]) == 1}
+        assert chars <= model_chars
+        # final model segments the corpus without the coverage guard
+        scores = {r["piece"]: r["score_micro"] for r in rows}
+        seg = co.unigram_segment(docs, scores).collect()
+        assert all(r["n_pieces"] > 0 for r in seg)
+
+    def test_train_segment_total_improves_over_seed(self, spark):
+        """Training must help: the corpus total Viterbi score under the
+        round-2 model is at least the score under the seed model on
+        this corpus (pinned regression property — hard-EM with pruning
+        is not monotone in general, but it is here, and a refactor that
+        breaks the E/M wiring shows up as a drop)."""
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        docs = spark.createDataFrame(
+            [
+                (0, "abab abab abab cdcd cdcd"),
+                (1, "ab cd abcd abab abab"),
+                (2, "abab cdcd abcd"),
+            ],
+            "doc_id long, text string",
+        )
+        seed = {
+            r["piece"]: r["score_micro"]
+            for r in co.unigram_scores(docs).collect()
+        }
+        trained = {
+            r["piece"]: r["score_micro"]
+            for r in co.unigram_train(docs, n_rounds=2, prune_to=50).collect()
+        }
+        tot_seed = (
+            co.unigram_segment(docs, seed).agg(F.sum("score_micro_sum"))
+        ).first()[0]
+        tot_trained = (
+            co.unigram_segment(docs, trained).agg(F.sum("score_micro_sum"))
+        ).first()[0]
+        assert tot_trained >= tot_seed
+
+    def test_train_oracle_parity_duckdb(self, spark):
+        """Spark trainer == the 2-round unrolled-CTE oracle, bit-exact,
+        on a corpus where pruning bites and the floor fires."""
+        import duckdb
+
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        texts = [
+            (0, "abab abab abab cdcd cdcd"),
+            (1, "ab cd abcd abab"),
+            (2, "xyz xyz wxyz"),
+            (3, "q r s abab"),
+        ]
+        docs = spark.createDataFrame(texts, "doc_id long, text string")
+        got = sorted(
+            (r["piece"], r["cnt"], r["score_micro"])
+            for r in co.unigram_train(docs, n_rounds=2, prune_to=3).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", texts)
+        exp = sorted(
+            con.sql(co.unigram_train_oracle_sql(2, prune_to=3)).fetchall()
+        )
+        assert got == exp
