@@ -41,6 +41,16 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # optional subset mode (argv = query names): re-measure specific
+    # queries in isolation — e.g. to adjudicate a flagged ratio from
+    # scripts/bench_compare.py on an idle host. Subset runs never
+    # overwrite BENCH_LOCAL.json (the full-registry artifact).
+    subset = sys.argv[1:]
+    if subset:
+        unknown = [q for q in subset if q not in declared.REGISTRY]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+
     spark = get_spark("bench")
     timings: dict[str, float] = {}
 
@@ -48,7 +58,12 @@ def main() -> None:
     materialize(declared.q_search_flagship(spark, sf_dir))
 
     total = 0.0
-    for name, qd in declared.REGISTRY.items():
+    registry = (
+        {q: declared.REGISTRY[q] for q in subset}
+        if subset
+        else declared.REGISTRY
+    )
+    for name, qd in registry.items():
         samples = []
         for _ in range(reps):
             t0 = time.time()
@@ -86,13 +101,17 @@ def main() -> None:
         # to bound bench cost (the OPERATORS are unsampled)
         "sampled": {"dup_clusters": "doc_id % 10", "canonical_docs": "doc_id % 10"},
     }
+    if subset:
+        record["subset"] = True
+        summary["subset"] = True
     local = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
     )
     try:
-        with open(local, "w") as f:
-            json.dump(record, f, indent=1)
+        if not subset:
+            with open(local, "w") as f:
+                json.dump(record, f, indent=1)
     except OSError:
         pass  # read-only checkout: stdout still carries the record
     print(json.dumps(record), flush=True)
