@@ -2,7 +2,7 @@
 one helper every operator routes through instead of calling
 ``DataFrame.localCheckpoint`` directly.
 
-Why a central helper (round-5 VERDICT items #1 and #3):
+Why a central helper:
 
 **Auditability.** ``localCheckpoint()`` truncates lineage, so any
 kernel executed *before* the checkpoint vanishes from the final plan —

@@ -1140,7 +1140,7 @@ def lsh_bands(spark, sf_dir):
     # The sig table is a stage boundary (lazy localCheckpoint): the
     # band join is a self-join, and without the cut the Arrow minhash
     # pass executes once per side (2 ArrowEvalPython stages in the
-    # round-3 plan audit).
+    # audited plan).
     docs = _t(spark, sf_dir, "documents")
     sigs = dd.minhash_signature_np(docs, "doc_id", "text").transform(
         _ck.stage_checkpoint, eager=False, label="lsh_bands:sigs"
@@ -6058,8 +6058,8 @@ def length_quartiles(spark, sf_dir):
 
 @declared("length_quartiles_two_pass", REGISTRY["length_quartiles"].sql)
 def _length_quartiles_two_pass(spark, sf_dir):
-    # equi_depth_bins' scale spelling under the SAME oracle (VERDICT
-    # r9 #1): the per-lang quartile runs as ranks.grouped_ntile —
+    # equi_depth_bins' scale spelling under the SAME oracle: the
+    # per-lang quartile runs as ranks.grouped_ntile —
     # range-partition on (lang, n_chars, doc_id), per-(lang, partition)
     # offsets, per-cell row_number, identical NTILE fill rule — so a
     # dominant group never rides through one window task.
@@ -6377,7 +6377,7 @@ REGISTRY["stream_ingest_e2e"] = QueryDef(_stream_ingest_e2e, None, min_rows=50)
 
 def _stream_dedup_ttl_e2e(spark, sf_dir):
     # The watermark+TTL stateful-dedup LIFECYCLE as one availableNow
-    # stream (the round-7 ADVICE medium's fixed path, driver-gated):
+    # stream (driver-gated):
     # b0 admits ids 0-19 (deadline 10:10); b1 redelivers ids 0-9
     # WITHIN the horizon (swallowed — and the timer must be RE-ARMED,
     # the exact invocation that used to disarm eviction); b2/b3 push
@@ -6460,8 +6460,8 @@ def _stream_dedup_ttl_e2e(spark, sf_dir):
             q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", _sp)
     # UNGROUPED emissions: 20 admits + 2 movers + 5 post-eviction
-    # re-admits = EXACTLY 27 rows. min_rows=27 is a floor only (ADVICE
-    # r8 low): never-evict (22) trips it but never-dedup (56) passes,
+    # re-admits = EXACTLY 27 rows. min_rows=27 is a floor only:
+    # never-evict (22) trips it but never-dedup (56) passes,
     # so pin the exact count HERE — the assertion travels with the
     # query into any harness (driver gate included) as a hard error.
     result = spark.read.parquet(out).select("event_id", "ts")
@@ -6942,7 +6942,7 @@ def _srm_check(spark, sf_dir):
     # Variant 2 is designed but receives ZERO traffic (user_id % 2
     # is never 2): the dark-variant row with its full (0-E)^2/E term
     # must still appear — the extreme-SRM case the guardrail exists
-    # to catch (round-5 ADVICE fix, hash-checked here).
+    # to catch (hash-checked here).
     units = (
         _t(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -7659,8 +7659,8 @@ def _mm_phash_dups(spark, sf_dir):
             # pad AFTER encoding: _gray32 windows the first 1024 BYTES
             # of the payload (zero-padding short ones), while rpad
             # counts CHARACTERS — on non-ASCII text the two diverge and
-            # the planted copy no longer rasters identically (round-7
-            # ADVICE). 1024 zero BYTES between payload and marker keep
+            # the planted copy no longer rasters identically. 1024
+            # zero BYTES between payload and marker keep
             # the raster window byte-identical to the original for any
             # text; the marker makes the file bytes differ.
             F.concat(
@@ -7893,7 +7893,7 @@ _ER_FIELDS: list[tuple[str, str, float]] = [
     ("p_type", "exact", 0.3),
     ("p_size", "numeric", 0.2),
 ]
-# Round-7 verdict ask #4: (p_brand, p_type) alone is a FIXED-cardinality
+# (p_brand, p_type) alone is a FIXED-cardinality
 # key — blocks grow linearly with data and within-block pairs
 # quadratically, the exact degeneracy linkage.py's docstring warns
 # about. The name-prefix component scales key cardinality with name
@@ -8163,8 +8163,8 @@ def _rfm_scores(spark, sf_dir):
 
 @declared("rfm_two_pass", bh_ops.rfm_scores_oracle_sql("events"))
 def _rfm_two_pass(spark, sf_dir):
-    # The SCALE spelling of rfm_scores under the SAME oracle (VERDICT
-    # r8 #2): billions of users make "one row per user" a single
+    # The SCALE spelling of rfm_scores under the SAME oracle:
+    # billions of users make "one row per user" a single
     # window task, so each axis routes through ranks.distributed_ntile
     # (range-partition → P-row offset pull → per-partition row_number
     # → exact NTILE bucket math) — bit-identical output, no

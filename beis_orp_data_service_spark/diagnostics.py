@@ -1,5 +1,5 @@
-"""Task-level skew diagnostics (round-5/6 VERDICT ask: measure the
-planted-hot-key incident with partition metrics, not wall time).
+"""Task-level skew diagnostics: measure hot-key incidents with
+per-partition metrics, not wall time.
 
 ``task_shuffle_skew`` runs one Spark action and reports the per-task
 shuffle-read record distribution of the heaviest NEW shuffle stage —
@@ -68,7 +68,7 @@ def task_shuffle_skew(spark, action, max_tasks: int = 2000) -> dict:
         raise RuntimeError("no new stage read shuffle data")
     # page through the task list — a single capped fetch could drop the
     # hot reducer, silently understating the exact number this probe
-    # exists to surface (round-7 ADVICE)
+    # exists to surface
     tasks: list[dict] = []
     while True:
         page = _get(

@@ -1601,7 +1601,7 @@ def srm_check(
     Every DESIGNED variant emits a row even with ZERO observed traffic
     (n_observed=0 and its full (0−E)²/E term) — a dark variant is the
     most extreme sample-ratio mismatch and must not vanish from the
-    statistic (round-5 ADVICE). Conversely an OBSERVED variant absent
+    statistic. Conversely an OBSERVED variant absent
     from the design is kept with NULL expectation/term, surfacing the
     complementary bug (traffic routed to an undesigned arm)."""
     total_pm = sum(expected_pm.values())

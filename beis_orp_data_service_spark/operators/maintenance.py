@@ -234,11 +234,11 @@ def compact_scd_store(
     compaction with no special casing — commit ids are shared, so the
     next micro-batch just becomes the next epoch.
 
-    GC honours the store's history mode (round-5 ADVICE: the old
-    delete-everything GC broke the manifest invariant — superseded
+    GC honours the store's history mode (a delete-everything GC
+    would break the manifest invariant — superseded
     manifests stayed readable while the epoch dirs they referenced
-    were deleted, so ``read_scd_store_asof`` died with a raw parquet
-    path error):
+    were deleted, and ``read_scd_store_asof`` would die with a raw
+    parquet path error):
 
     - ``retain_history=False`` (default sink): every superseded
       MANIFEST is deleted along with every superseded epoch directory,

@@ -496,7 +496,7 @@ def semdedup(
     arithmetic to the expression form :func:`semdedup_expr`, which is
     kept as the no-Python small-n twin (equality-tested); the kernel
     replaces ~N²/k interpreted array-lambda folds with matmuls (the
-    round-2 declared path cost 64.9s at sf0.1 on exactly that).
+    expression form measured 64.9s at sf0.1 on exactly that).
 
     Integer-exactness precondition: dim·(100·|x|_max)² < 2³¹ and
     dot²·1000 < 2⁶³ — holds for unit-ish embeddings up to ~4k dims in
@@ -608,7 +608,7 @@ def semdedup_expr(
     cosine² — identical results, no Python workers. Kept as the small-n
     reference implementation and equality-test oracle for the kernel;
     per-pair cost is three interpreted 64-element folds, so it is NOT
-    the scale path (round-2 bench: 64.9s at sf0.1 vs <2s for the
+    the scale path (measured: 64.9s at sf0.1 vs <2s for the
     kernel). Exactness needs dot²·1000 < 2⁵³ (double division before
     the bigint cast)."""
     assigned = _semdedup_assign_exact(embeddings, id_col, vec_col, n_clusters)
@@ -934,8 +934,8 @@ def _replayable_sample(
     never a full sort. Both the subset AND the collected row order are
     functions of the ids alone, so k-means init / mean accumulation /
     OPQ covariance see an identical matrix on any cluster layout or
-    core count (round-5 ADVICE: a bare ``.limit()`` after the gate
-    kept an arbitrary partition-order-dependent subset)."""
+    core count (a bare ``.limit()`` after the gate would keep an
+    arbitrary partition-order-dependent subset)."""
     samp = df.select(id_col, vec_col)
     if n > sample_rows:
         denom = 1_000_003

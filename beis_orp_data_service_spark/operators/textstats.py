@@ -22,8 +22,8 @@ FP_PRIME = 1_000_000_007  # fingerprint modulus: keeps acc*31+255 in int64
 def token_count(text_col: Column | str) -> Column:
     """Whitespace token count — empties dropped, ALL ``\\s`` stripped at
     the edges (``trim`` strips spaces only: a leading tab/newline used
-    to add a phantom empty token — the r8-ADVICE whitespace class,
-    caught again by the perturbed-oracle sweep). Empty/whitespace-only
+    to add a phantom empty token — the whitespace-edge divergence
+    class the perturbed-oracle sweep exists to catch). Empty/whitespace-only
     text counts 0. Codegen-only spelling (no higher-order filter): a
     regex-stripped string split on ``\\s+`` can only contain an empty
     token when the whole string is empty."""

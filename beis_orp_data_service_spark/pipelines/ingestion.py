@@ -153,7 +153,7 @@ def ingest(
     # classify stage's LSH self-joins and the stats/orpml branches all
     # fan out from these frames, and without a boundary each consumer
     # re-executes the converter + model-UDF lineage (2 MapInPandas + 2
-    # ArrowEvalPython nodes in the round-2 plan). The reference has the
+    # ArrowEvalPython nodes in the unboundaried plan). The reference has the
     # same discipline physically — every Step Functions stage writes to
     # S3 before the next reads. On a cluster, swap the stage boundary
     # for a parquet/Delta stage table (or checkpoint="reliable");

@@ -103,10 +103,10 @@ class ParquetScdSink:
     Crash at ANY point before the manifest rename leaves the previous
     manifest — and therefore the previous store state — fully intact;
     the stream checkpoint replays the batch, which writes a fresh epoch
-    directory and commits then. (This restores the crash atomicity the
-    round-3 dynamic-partition-overwrite commit traded away — dynamic
-    overwrite deletes old bucket files during job commit, so a crash in
-    that window lost them.) Per-batch I/O stays O(touched buckets +
+    directory and commits then. (A dynamic-partition-overwrite sink
+    lacks this atomicity — dynamic overwrite deletes old bucket files
+    during job commit, so a crash in that window loses them.)
+    Per-batch I/O stays O(touched buckets +
     batch): untouched buckets are neither read, rewritten, nor GC'd.
 
     All store metadata I/O goes through the Hadoop FileSystem API (no
@@ -370,8 +370,8 @@ def stream_dedup_first_seen(
     def _arm(state, deadline_ms: int) -> None:
         # GroupState clears the event-time timer on EVERY function
         # invocation; it must be re-issued each time or a redelivery
-        # silently disarms eviction and the cell lives forever (the
-        # round-7 ADVICE medium). Clamp to eviction-watermark + 1 —
+        # silently disarms eviction and the cell lives forever.
+        # Clamp to eviction-watermark + 1 —
         # setTimeoutTimestamp raises below the watermark, which would
         # kill the query for a legitimately-admitted late first
         # arrival whose ts + ttl already trails it.
