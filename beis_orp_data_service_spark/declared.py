@@ -6200,40 +6200,6 @@ def q_json_extract(spark, sf_dir):
     )
 
 
-def _pq_adc_trained(spark, sf_dir):
-    # FAISS-grade PQ: per-subspace k-means codebook
-    # trained on a replayable hash-gated sample (pq_codebook_trained),
-    # persisted through the versioned JSON sidecar and read back, codes
-    # encoded against it, ADC scored from the STORED code table — the
-    # full production lifecycle in one query. Rows-only: trained
-    # centroids depend on the k-means fit, so no SQL replay; the recall
-    # floor vs exact quantized L2 is asserted in
-    # tests/test_similarity.py::test_pq_trained_recall_beats_deterministic.
-    import tempfile
-
-    emb = _t(spark, sf_dir, "embeddings")
-    n = _n_rows(spark, sf_dir, "embeddings")
-    cb = sim.pq_codebook_trained(emb, m=4, k=16, n_rows=n)
-    path = _fixture_path("pq_codebook", sf_dir)
-    sim.pq_write_codebook(spark, path, cb)
-    cb2 = sim.pq_read_codebook(spark, path)
-    codes = sim.pq_codes(emb, m=4, k=16, codebook=cb2)
-    # 10 smallest ids matching %50 — sf-independent driver pull
-    #; at sf0.01 this is exactly the old %50 set, and
-    # the 25-row floor keeps 2x headroom (10 queries x 5 neighbors)
-    qids = [
-        r["vec_id"]
-        for r in emb.filter(F.col("vec_id") % 50 == 0)
-        .select("vec_id").orderBy("vec_id").limit(10).collect()
-    ]
-    return sim.pq_adc_topk(
-        emb, query_ids=qids, k_neighbors=5, codes=codes, codebook=cb2
-    )
-
-
-REGISTRY["pq_adc_trained"] = QueryDef(_pq_adc_trained, None, min_rows=25)
-
-
 @declared(
     "scan_evolving",
     """
@@ -7295,23 +7261,6 @@ def _heavy_hitters(spark, sf_dir):
     return corpus_ops.heavy_hitters(_t(spark, sf_dir, "documents"), k=50)
 
 
-def _pq_opq(spark, sf_dir):
-    # FAISS index-factory pre-transform chain (PCAR,PQ4x16): PCA
-    # rotation trained on the replayable sample, applied as one Arrow
-    # pass, trained PQ over the ROTATED table. Rows-only (eigh floats);
-    # the rotation-reduces-reconstruction-error claim is asserted on
-    # correlated data in tests/test_similarity.py::TestPcaRotation.
-    emb = _t(spark, sf_dir, "embeddings")
-    n = _n_rows(spark, sf_dir, "embeddings")
-    r = sim.pca_rotation(emb, n_rows=n)
-    rot = sim.rotate_embeddings(emb, r)
-    cb = sim.pq_codebook_trained(rot, m=4, k=16, n_rows=n)
-    return sim.pq_codes(rot, m=4, k=16, codebook=cb)
-
-
-REGISTRY["pq_opq"] = QueryDef(_pq_opq, None, min_rows=400)
-
-
 def _decontaminate_fuzzy(spark, sf_dir):
     # Fuzzy benchmark-leakage screen: perturbed copies of every
     # doc_id%100==0 doc (a stand-in benchmark set) probed against the
@@ -7330,68 +7279,6 @@ def _decontaminate_fuzzy(spark, sf_dir):
 
 
 REGISTRY["decontaminate_fuzzy"] = QueryDef(_decontaminate_fuzzy, None, min_rows=5)
-
-
-def _emb_clusters(spark, sf_dir):
-    # Embedding-space clustering: thresholded approximate kNN edges
-    # (trained-IVF cell equi-join — every vector queries only its
-    # nprobe probed cells) + min-label connected components. Rows-only:
-    # one row per vector always (singletons keep themselves), recall
-    # and planted-structure asserted in
-    # tests/test_similarity.py::TestKnnClusters.
-    emb = _t(spark, sf_dir, "embeddings")
-    return sim.embedding_clusters(
-        emb, k=5, sim2_milli_threshold=250,
-        n_rows=_n_rows(spark, sf_dir, "embeddings"),
-    )
-
-
-REGISTRY["emb_clusters"] = QueryDef(_emb_clusters, None, min_rows=400)
-
-
-def _ann_ivfpq(spark, sf_dir):
-    # Full FAISS IVF-PQ: coarse k-means cells + RESIDUAL product
-    # quantization, probe nprobe cells, ADC-score stored codes against
-    # per-(query, cell) residual LUTs. Rows-only: trained quantizers
-    # (no SQL replay); recall floor + stored-codes==inline bit-equality
-    # asserted in tests/test_similarity.py::TestIvfPq. Same %50 query
-    # predicate as pq_adc_trained: 10 queries at every sf.
-    emb = _t(spark, sf_dir, "embeddings")
-    n = _n_rows(spark, sf_dir, "embeddings")
-    # 10 smallest matching ids — sf-independent pull
-    qids = [
-        r["vec_id"]
-        for r in emb.filter(F.col("vec_id") % 50 == 0)
-        .select("vec_id").orderBy("vec_id").limit(10).collect()
-    ]
-    return sim.ivfpq_topk(
-        emb, query_ids=qids, k_neighbors=5, n_centroids="auto", nprobe=4,
-        m=4, k=16, n_rows=n,
-    )
-
-
-REGISTRY["ann_ivfpq"] = QueryDef(_ann_ivfpq, None, min_rows=25)
-
-
-def _ann_ivfpq_index(spark, sf_dir):
-    # Persistent IVF-PQ lake index: bucket-partitioned residual-code
-    # parquet + BOTH quantizer sidecars written, then probed via
-    # bucket-IN partition pruning — the stored-index lifecycle of the
-    # FAISS IVFPQ story (ann_index_probe is the IVF-Flat sibling).
-    # One STABLE path per sf dir, idempotently overwritten.
-    import tempfile
-
-    emb = _t(spark, sf_dir, "embeddings")
-    path = _fixture_path("ivfpq", sf_dir)
-    sim.ivfpq_index_write(
-        spark, emb, path, n_centroids="auto", m=4, k=16,
-        n_rows=_n_rows(spark, sf_dir, "embeddings"),
-    )
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return sim.ivfpq_index_probe(spark, path, queries, k_neighbors=5, nprobe=4)
-
-
-REGISTRY["ann_ivfpq_index"] = QueryDef(_ann_ivfpq_index, None, min_rows=25)
 
 
 # ---------------------------------------------------------------------------
@@ -8487,7 +8374,6 @@ def logreg_train(spark, sf_dir):
     return learn_ops.logreg_report(feats, _LOGREG_FEATURES, "y", w)
 
 
-
 _ANN_IVF_CELLS_SQL = """
     WITH v AS (
       SELECT vec_id,
@@ -8798,7 +8684,6 @@ def _pq_adc_lifecycle(spark, sf_dir):
     )
 
 
-
 _ANN_IVFPQ_CELLS_SQL = """
     WITH v AS (
       SELECT vec_id,
@@ -8910,7 +8795,6 @@ def _ann_ivfpq_cells(spark, sf_dir):
     )
 
 
-
 @declared("ann_ivfpq_index_cells", _ANN_IVFPQ_CELLS_SQL)
 def _ann_ivfpq_index_cells(spark, sf_dir):
     # The persistent IVF-PQ index lifecycle under the SAME hash-grade
@@ -8945,7 +8829,6 @@ def _ann_ivfpq_index_cells(spark, sf_dir):
         emb.filter(F.col("vec_id") % 50 == 0).orderBy("vec_id").limit(10)
     )
     return sim.ivfpq_index_probe(spark, path, queries, k_neighbors=5, nprobe=4)
-
 
 
 # OPQ permutation-rotation twin: output position j carries input
@@ -9003,7 +8886,6 @@ def _pq_opq_cells(spark, sf_dir):
         r[src, j] = 1.0
     rot = sim.rotate_embeddings(emb, r)
     return sim.pq_codes(rot, m=4, k=16)
-
 
 
 @declared("ann_index_cells", _ANN_IVF_CELLS_SQL)

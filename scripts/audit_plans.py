@@ -62,19 +62,13 @@ ALLOW_ARROW = {"ann_ivf_cells": 2, "ann_ivf_topk": 2, "ann_topk": 2, "ann_index_
                # kernels, every row visits each exactly once (production
                # materializes codes between them; the declared query
                # exercises the chain end-to-end).
-               "pq_adc_trained": 2,
                "pq_adc_lifecycle": 2,
                "ann_ivfpq_cells": 2,
                "ann_ivfpq_index_cells": 2,
-               "pq_opq_cells": 2,
                "ann_index_cells": 2,
-               # IVF-PQ lifecycle: ONE encode pass chained into ONE
-               # probed-cell ADC scoring pass (same two-kernel chain as
-               # pq_adc_trained, plus the bucket IN (probed) filter).
-               "ann_ivfpq": 2,
                # OPQ chain: ONE rotation pass into ONE PQ encode pass —
                # every row visits each kernel exactly once.
-               "pq_opq": 2}
+               "pq_opq_cells": 2}
 
 # Per-FRAGMENT Arrow allowances for checkpoint-hidden lineage (each
 # fragment runs once; >1 Arrow node inside one fragment means the same
@@ -83,9 +77,6 @@ FRAGMENT_ALLOW = {
     # the kNN edge build joins IVF cell assignments of BOTH sides
     # (one MapInPandas each) into the per-cell cogrouped Gram kernel —
     # three kernels, every vector crosses each exactly once
-    "emb_clusters": 3,
-    # the deterministic-quantizer twin runs the IDENTICAL three-kernel
-    # kNN edge fragment (assign x2 + cogrouped Gram)
     "emb_clusters_cells": 3,
     # the "signed" stage boundary chains FIVE DISTINCT kernels — the
     # minhash signature pass plus the four enrichment model fakes
