@@ -4396,6 +4396,47 @@ def _title_preprocess(spark, sf_dir):
     return pp_ops.title_preprocess(inp)
 
 
+_KW_PREP_INP_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 20000000 AS doc_id,
+             replace(substring(text, 1, 40), ' ', '')
+               || ' ' || substring(text, 41) AS text
+      FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+@declared(
+    "kw_preprocess",
+    pp_ops.kw_preprocess_oracle_sql(_KW_PREP_INP_SQL),
+)
+def _kw_preprocess(spark, sf_dir):
+    # The keyword-extraction preprocess (keyword_extraction.py:64-67):
+    # strip the three hardcoded regulator names, then the UNCONDITIONAL
+    # wordninja-style resplit — tokenize on non-[a-zA-Z0-9'] runs
+    # (punctuation drops), DP-split every DISTINCT chunk against the
+    # corpus-trained chunk-frequency dictionary, rejoin in chunk order.
+    # HASH-GRADE over the output strings (DP fold + recursive-CTE
+    # backtrace + two ordered string_aggs in the oracle). Every 20th
+    # doc also enters as a GLUED twin (its first 40 chars de-spaced
+    # into one compound chunk), so the split-a-compound branch is
+    # genuinely populated — on a clean corpus every chunk is already a
+    # dictionary word and the resplit would be the identity.
+    docs = _t(spark, sf_dir, "documents")
+    twin = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+        F.concat(
+            F.replace(
+                F.substring(F.col("text"), 1, 40), F.lit(" "), F.lit("")
+            ),
+            F.lit(" "),
+            F.expr("substring(text, 41)"),
+        ).alias("text"),
+    )
+    inp = docs.select("doc_id", "text").unionByName(twin)
+    return pp_ops.kw_preprocess(inp)
+
+
 @declared(
     "session_window_agg",
     """

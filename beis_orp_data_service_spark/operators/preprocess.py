@@ -433,3 +433,199 @@ def title_preprocess_oracle_sql(
            {remove_excess_punct_sql('t')} AS title_input
     FROM merged
     """
+
+
+#: The three regulator names keyword extraction strips before the
+#: resplit (keyword_extraction.py:64-66 hardcodes them as re.sub
+#: patterns — all three are literal, incl. the reference's
+#: 'Environmental Agency' spelling, kept verbatim).
+KW_REGULATOR_SUBS: list[str] = [
+    "Health and Safety Executive",
+    "Ofgem",
+    "Environmental Agency",
+]
+
+_KW_CHUNK_RE = "[a-zA-Z0-9']+"
+
+
+def kw_preprocess(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_p: int = 50000,
+    max_word_len: int = 12,
+    unk_score_micro: int = -(10**9),
+) -> DataFrame:
+    """The keyword-extraction preprocess (keyword_extraction.py:64-67):
+    strip the three hardcoded regulator names, then
+    ``' '.join(wordninja.split(text))`` — wordninja tokenizes on
+    non-``[a-zA-Z0-9']`` runs (punctuation is DROPPED), DP-splits every
+    chunk against its frequency list, and the chunks rejoin with single
+    spaces. Output ``(id, kw_input)``.
+
+    Engine shape: one regexp_extract_all + posexplode keeps chunk
+    order; the Viterbi DP runs once per DISTINCT chunk (one Arrow
+    pass, dictionary = the corpus's own chunk-frequency table —
+    parameter-bounded, broadcast; same documented wordninja-dictionary
+    deviation as :func:`title_preprocess`); per-doc reassembly is one
+    ordered aggregation. Glued compounds split back into dictionary
+    words; already-known chunks stay whole (their own score beats any
+    split)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    for n in KW_REGULATOR_SUBS:
+        c = F.replace(c, F.lit(n), F.lit(""))
+    chunks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(c, F.lit(_KW_CHUNK_RE), 0)
+        ).alias("pos", "chunk"),
+    )
+    dict_rows = (
+        chunks.filter(
+            (F.length("chunk") >= 1) & (F.length("chunk") <= max_word_len)
+        )
+        .groupBy("chunk")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("chunk"))
+        .limit(top_p)
+    )
+    total = dict_rows.agg(F.sum("freq").cast("bigint").alias("t"))
+    model = dict_rows.join(F.broadcast(total)).select(
+        "chunk",
+        F.round(F.log(F.col("freq").cast("double") / F.col("t")) * 1e6)
+        .cast("bigint")
+        .alias("score_micro"),
+    )
+    bscores = df.sparkSession.sparkContext.broadcast(
+        {r["chunk"]: r["score_micro"] for r in model.collect()}
+    )
+    L, unk = max_word_len, unk_score_micro
+
+    def _split(batches):
+        sc = bscores.value
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "chunk": pdf["chunk"],
+                    "split": [
+                        " ".join(_viterbi_split(w, sc, L, unk))
+                        for w in pdf["chunk"]
+                    ],
+                }
+            )
+
+    splits = (
+        chunks.select("chunk").distinct()
+        .mapInPandas(_split, "chunk string, split string")
+    )
+    agg = (
+        chunks.join(splits, "chunk")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "split"))),
+                    lambda s: s["split"],
+                ),
+                " ",
+            ).alias("kw_input")
+        )
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("kw_input", F.lit("")).alias("kw_input"),
+    )
+
+
+def kw_preprocess_oracle_sql(
+    inp_sql: str,
+    top_p: int = 50000,
+    max_word_len: int = 12,
+    unk_score_micro: int = -(10**9),
+) -> str:
+    """DuckDB twin of :func:`kw_preprocess` over input relation
+    ``inp_sql`` (``(doc_id, text)``): the same literal strip, ordinal
+    chunk explode, bounded chunk-frequency dictionary, per-DISTINCT-
+    chunk DP fold + recursive-CTE backtrace with ordered string_agg
+    reassembly (chunk-level), then a doc-level ordered string_agg over
+    chunk positions — the full resplit TEXT is hash-checked."""
+    L = max_word_len
+    strip = "coalesce(text, '')"
+    for n in KW_REGULATOR_SUBS:
+        strip = f"replace({strip}, {_sql_str(n)}, '')"
+    prev = (
+        "string_split(string_split(acc, ',')"
+        "[CAST(x AS INTEGER) - l + 1], '|')"
+    )
+    piece = "w[CAST(x AS INTEGER) - l + 1 : CAST(x AS INTEGER)]"
+    cand = (
+        f"[{{'s': CAST({prev}[1] AS BIGINT)"
+        f" + coalesce(mp[{piece}][1],"
+        f" CASE WHEN l = 1 THEN CAST({unk_score_micro} AS BIGINT) END),"
+        f" 'mn': -(CAST({prev}[2] AS BIGINT) + 1),"
+        " 'ml': -l}"
+        f" for l in range(1, least({L}, CAST(x AS INTEGER)) + 1)"
+        f" if l = 1 OR mp[{piece}][1] IS NOT NULL]"
+    )
+    return f"""
+    WITH RECURSIVE inp AS ({inp_sql}
+    ), ch AS (
+      SELECT doc_id, e.p AS pos, e.c AS chunk
+      FROM (
+        SELECT doc_id,
+               regexp_extract_all({strip}, '[a-zA-Z0-9'']+') AS arr
+        FROM inp
+      ), unnest([{{'p': i, 'c': arr[i]}}
+                 for i in range(1, len(arr) + 1)]) AS t(e)
+    ), wf AS (
+      SELECT chunk, CAST(count(*) AS BIGINT) AS freq
+      FROM ch WHERE length(chunk) BETWEEN 1 AND {L}
+      GROUP BY chunk ORDER BY freq DESC, chunk LIMIT {top_p}
+    ), tot AS (SELECT CAST(sum(freq) AS BIGINT) AS tt FROM wf
+    ), m AS (
+      SELECT map(list(chunk ORDER BY chunk),
+                 list(CAST(round(ln(CAST(freq AS DOUBLE) / tt) * 1000000)
+                           AS BIGINT) ORDER BY chunk)) AS mp
+      FROM wf, tot
+    ), dc AS (
+      SELECT DISTINCT chunk AS w FROM ch
+    ), dptab AS (
+      SELECT w,
+        list_reduce(
+          list_prepend('0|0|0',
+                       [CAST(i AS VARCHAR)
+                        for i in range(1, length(w)+1)]),
+          (acc, x) -> acc || ',' ||
+            CAST(list_max({cand}).s AS VARCHAR) || '|' ||
+            CAST(-list_max({cand}).mn AS VARCHAR) || '|' ||
+            CAST(-list_max({cand}).ml AS VARCHAR)
+        ) AS dp
+      FROM dc CROSS JOIN m
+      WHERE length(w) > 0
+    ), bt AS (
+      SELECT w, dp, length(w) AS pos FROM dptab
+      UNION ALL
+      SELECT w, dp,
+             pos - CAST(string_split(string_split(dp, ',')[pos + 1],
+                                     '|')[3] AS INTEGER)
+      FROM bt WHERE pos > 0
+    ), sp AS (
+      SELECT w AS chunk, string_agg(piece, ' ' ORDER BY pos) AS split
+      FROM (
+        SELECT w, pos, w[pos - l + 1 : pos] AS piece
+        FROM (
+          SELECT w, pos,
+                 CAST(string_split(string_split(dp, ',')[pos + 1],
+                                   '|')[3] AS INTEGER) AS l
+          FROM bt WHERE pos > 0
+        )
+      ) GROUP BY w
+    ), agg AS (
+      SELECT ch.doc_id,
+             string_agg(sp.split, ' ' ORDER BY ch.pos) AS kw_input
+      FROM ch JOIN sp USING (chunk)
+      GROUP BY ch.doc_id
+    )
+    SELECT i.doc_id, coalesce(a.kw_input, '') AS kw_input
+    FROM inp i LEFT JOIN agg a USING (doc_id)
+    """

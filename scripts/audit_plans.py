@@ -105,6 +105,7 @@ ALLOW_BNLJ = {
     "bm25_topk",     # 1-row corpus-stats aggregate crossJoined (broadcast)
     "unigram_scores",  # 1-row vocab-total aggregate crossJoined (broadcast)
     "unigram_em_round",  # same 1-row recount-total broadcast crossJoin
+    "unigram_train",  # same 1-row kept-total broadcast crossJoin per round
     "search_rerank", # same bm25 1-row stats broadcast inside the candidate stage
     # |A|x|B| marginal cross join. CARDINALITY ASSUMPTION: both sides are
     # CATEGORY marginals (langs x sources, ~10x20 here); reusing this

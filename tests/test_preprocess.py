@@ -215,3 +215,117 @@ class TestWordScores:
         assert _viterbi_split("zz", {}, 8, -(10**9)) == ["z", "z"]
         with pytest.raises(ValueError):
             _viterbi_split("zz", {}, 8, None)
+
+
+# --- keyword-extraction preprocess (keyword_extraction.py:64-67) ---
+
+
+def ref_kw_preprocess(text, splitter):
+    """The reference's keyword preprocess with the wordninja call
+    injected: three literal strips, then split the text into
+    [a-zA-Z0-9']+ chunks (wordninja's tokenization — punctuation
+    drops), DP-split each chunk, rejoin with single spaces."""
+    import re
+
+    for n in pp.KW_REGULATOR_SUBS:
+        text = re.sub(re.escape(n), "", text)
+    out = []
+    for chunk in re.findall(r"[a-zA-Z0-9']+", text):
+        out.extend(splitter(chunk))
+    return " ".join(out)
+
+
+class TestKwPreprocess:
+    def test_matches_reference_with_injected_splitter(self, spark):
+        texts = [
+            (0, "the quick brown fox jumps over the lazy dog the quick"),
+            (1, "Health and Safety Executive thequickbrown fox report!!"),
+            (2, "Ofgem and Environmental Agency report, thequick dog."),
+            (3, ""),
+            (4, "don't split apostrophes: the dog's fox"),
+            (5, "quickbrownfox jumps lazy"),
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["kw_input"]
+            for r in pp.kw_preprocess(
+                df, top_p=1000, max_word_len=10
+            ).collect()
+        }
+        # rebuild the same chunk dictionary the operator trained
+        import re
+
+        from collections import Counter
+
+        freqs = Counter()
+        stripped = []
+        for _, t in texts:
+            for n in pp.KW_REGULATOR_SUBS:
+                t = t.replace(n, "")
+            stripped.append(t)
+            for chunk in re.findall(r"[a-zA-Z0-9']+", t):
+                if 1 <= len(chunk) <= 10:
+                    freqs[chunk] += 1
+        total = sum(freqs.values())
+        import math
+
+        from decimal import ROUND_HALF_UP, Decimal
+
+        scores = {
+            w: int(
+                Decimal(math.log(f / total) * 1e6).quantize(
+                    0, ROUND_HALF_UP
+                )
+            )
+            for w, f in freqs.items()
+        }
+
+        def splitter(w):
+            return _viterbi_split(w, scores, 10, -(10**9))
+
+        for (i, t), _ in zip(texts, stripped):
+            assert got[i] == ref_kw_preprocess(t, splitter), (i, got[i])
+
+    def test_glued_compound_splits_back(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "alpha bravo charlie alpha bravo"),
+                (1, "alphabravocharlie delta"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["kw_input"]
+            for r in pp.kw_preprocess(df, top_p=100, max_word_len=8).collect()
+        }
+        assert out[1].startswith("alpha bravo charlie")
+
+    def test_oracle_parity_duckdb(self, spark):
+        import duckdb
+
+        texts = [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "Health and Safety Executive thequickbrown fox!!"),
+            (2, "quickbrownfox and the dog's day"),
+            (3, ""),
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = sorted(
+            (r["doc_id"], r["kw_input"])
+            for r in pp.kw_preprocess(
+                df, top_p=1000, max_word_len=10
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE inp0 (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO inp0 VALUES (?, ?)", texts)
+        exp = sorted(
+            con.sql(
+                pp.kw_preprocess_oracle_sql(
+                    "SELECT doc_id, text FROM inp0",
+                    top_p=1000,
+                    max_word_len=10,
+                )
+            ).fetchall()
+        )
+        assert got == exp
