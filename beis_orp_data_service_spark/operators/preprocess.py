@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from beis_orp_data_service_spark.checkpointing import stage_checkpoint
 from beis_orp_data_service_spark.functions.text import (
     remove_excess_punct,
     remove_excess_punct_sql,
@@ -293,12 +294,18 @@ def title_preprocess(
     characters score ``unk_score_micro`` (far below any trained
     ln-frequency score) so any string stays segmentable while known
     words dominate."""
-    base = df.select(
-        F.col(id_col),
-        strip_regulator_names(
-            F.coalesce(F.col(text_col), F.lit("")), names
-        ).alias("_t"),
-    ).withColumn("_mal", malformed_singles(F.col("_t")))
+    # three consumers below (dictionary, kept branch, malformed branch)
+    # — the 300+-replace strip fold must run ONCE per row, not once per
+    # consumer
+    base = stage_checkpoint(
+        df.select(
+            F.col(id_col),
+            strip_regulator_names(
+                F.coalesce(F.col(text_col), F.lit("")), names
+            ).alias("_t"),
+        ).withColumn("_mal", malformed_singles(F.col("_t"))),
+        label="title_preprocess:stripped",
+    )
     dict_rows = word_scores(
         base.filter(~F.col("_mal")), "_t", top_p=top_p,
         max_word_len=max_word_len,
@@ -474,11 +481,16 @@ def kw_preprocess(
     c = F.coalesce(F.col(text_col), F.lit(""))
     for n in KW_REGULATOR_SUBS:
         c = F.replace(c, F.lit(n), F.lit(""))
-    chunks = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.regexp_extract_all(c, F.lit(_KW_CHUNK_RE), 0)
-        ).alias("pos", "chunk"),
+    # three consumers (dictionary, split join-back, ordered reassembly)
+    # — strip + chunk explode run once per row
+    chunks = stage_checkpoint(
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.regexp_extract_all(c, F.lit(_KW_CHUNK_RE), 0)
+            ).alias("pos", "chunk"),
+        ),
+        label="kw_preprocess:chunks",
     )
     dict_rows = (
         chunks.filter(
