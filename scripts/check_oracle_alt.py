@@ -90,6 +90,9 @@ CATEGORICAL_EXPECT: dict[tuple[str, str], set] = {
     ("length_quartiles", "bin"): {1, 2, 3, 4},
     ("length_quartiles_two_pass", "bin"): {1, 2, 3, 4},
     ("dup_classify", "dup_class"): None,  # >1 distinct value (open set)
+    # the dictionary-resplit branch must fire on both datasets (the
+    # per-character-spaced twins exist exactly for this)
+    ("title_preprocess", "was_resplit"): {True, False},
 }
 
 # train_mix's md5 per-mille gates: every ACCEPT branch must admit rows
