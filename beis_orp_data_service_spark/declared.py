@@ -4271,6 +4271,65 @@ def _bpe_encode(spark, sf_dir):
 
 
 @declared(
+    "wordpiece_merges",
+    corpus_ops.wordpiece_merges_oracle_sql(4, doc_pred="doc_id < 200"),
+)
+def _wordpiece_merges(spark, sf_dir):
+    # The THIRD major tokenizer family (WordPiece / BERT, Schuster &
+    # Nakajima 2012): BPE's loop but each round's merge maximizes the
+    # likelihood score pair/(cnt_a·cnt_b), with '##' continuation
+    # prefixes. HASH-GRADE including the score itself: both engines
+    # rank through the identical integer key (pair·10¹⁸) div
+    # (cnt_a·cnt_b) — DECIMAL(38,0) in Spark, HUGEINT in DuckDB, no
+    # float anywhere — so the trained artifact is bit-checked.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return corpus_ops.wordpiece_learn_merges(docs, n_merges=4)
+
+
+_WP_ENC_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 30000000 AS doc_id,
+             'Ø' || substring(replace(text, ' ', ''), 1, 8) AS text
+      FROM documents WHERE doc_id % 50 = 0
+"""
+
+
+@declared(
+    "wordpiece_encode",
+    corpus_ops.wordpiece_encode_oracle_sql(
+        4, doc_pred="doc_id < 200", enc_sql=_WP_ENC_SQL
+    ),
+)
+def _wordpiece_encode(spark, sf_dir):
+    # WordPiece's encode half — greedy LONGEST-MATCH against the
+    # trained vocabulary (unlike BPE, which replays merges): per word,
+    # take the longest matching piece ('##'-prefixed after the first);
+    # a position with no match collapses the whole word to ONE unknown
+    # token. HASH-GRADE: the oracle replays training, builds the
+    # induced vocab, and runs the matcher itself as a single-successor
+    # recursive CTE. The encode set adds out-of-alphabet twins ('Ø' +
+    # 8 glued chars of every 50th doc) so the unknown-word branch is
+    # genuinely populated — the training corpus's own alphabet always
+    # covers itself.
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") < 200)
+    merges = corpus_ops.wordpiece_learn_merges(train, n_merges=4)
+    vocab = corpus_ops.wordpiece_vocab(train, merges)
+    twins = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + F.lit(30_000_000)).alias("doc_id"),
+        F.concat(
+            F.lit("Ø"),
+            F.substring(
+                F.replace(F.col("text"), F.lit(" "), F.lit("")), 1, 8
+            ),
+        ).alias("text"),
+    )
+    enc = docs.select("doc_id", "text").unionByName(twins)
+    return corpus_ops.wordpiece_tokenize(enc, vocab)
+
+
+@declared(
     "unigram_scores",
     corpus_ops.unigram_scores_oracle_sql(4, 2000, doc_pred="doc_id < 200"),
 )

@@ -1464,7 +1464,7 @@ _BPE_WORDS_CTE = """
 # also removes the merged token from the match window exactly like the
 # i += 2 skip in bpe_learn_merges' kernel.
 _BPE_ROUND_CTE = """
-    , p{r} AS (
+    , p{r} AS MATERIALIZED (
       SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS pair_count
       FROM (
         SELECT unnest([{{'a': tk[i], 'b': tk[i+1]}}
@@ -1473,10 +1473,10 @@ _BPE_ROUND_CTE = """
         FROM (SELECT string_split(ts, chr(9)) AS tk, freq FROM s{prev}) q
         WHERE len(tk) >= 2
       ) GROUP BY pr.a, pr.b
-    ), m{r} AS (
+    ), m{r} AS MATERIALIZED (
       SELECT a, b, pair_count FROM p{r}
       ORDER BY pair_count DESC, a, b LIMIT 1
-    ), s{r} AS (
+    ), s{r} AS MATERIALIZED (
       SELECT s.w,
              list_reduce(
                string_split(s.ts, chr(9)),
@@ -1548,6 +1548,426 @@ def bpe_encode_oracle_sql(
            CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
            CAST(length(d.text) AS BIGINT) AS n_chars
     FROM {table} d LEFT JOIN agg a USING (doc_id){pred}
+    """
+    return "".join(parts) + tail
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer — likelihood-scored merges + greedy longest-match encode
+# ---------------------------------------------------------------------------
+
+
+_WP_SCALE = 10**18
+
+
+def wordpiece_learn_merges(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 8,
+    checkpoint: str = "local",
+) -> DataFrame:
+    """Distributed WordPiece merge learning (Schuster & Nakajima 2012;
+    the BERT tokenizer, Wu et al. 2016 §4.1): like BPE but the merge
+    picked each round maximizes the LIKELIHOOD score
+    ``pair_count / (count(a) · count(b))`` instead of raw frequency,
+    and non-initial symbols carry the ``##`` continuation prefix (the
+    merged name keeps only the first component's prefix: ``h + ##e →
+    he``, ``##l + ##o → ##lo``). Output
+    ``(merge_rank, a, b, pair_count, score_q)``.
+
+    Cross-engine exact argmax: the rational score is ranked through the
+    integer key ``score_q = (pair_count · 10¹⁸) div (cnt_a · cnt_b)``
+    — the product stays inside DECIMAL(38,0) (Spark) / HUGEINT (DuckDB)
+    and the quotient inside int64, so both engines compute the
+    IDENTICAL key with no float in sight; two scores closer than 1e-18
+    quantize equal and fall to the (a, b) tie-break, deterministically.
+
+    Scale shape: identical to :func:`bpe_learn_merges` — the corpus is
+    touched once, each round is one pair aggregation + one symbol-count
+    aggregation + a 1-row argmax collect + one Arrow merge pass over
+    the vocab table."""
+    from pyspark.sql import functions as SF
+
+    words = df.select(
+        F.explode(F.split(F.regexp_replace(F.col(text_col), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+")).alias("w")
+    ).filter(F.length("w") >= 1)
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .select(
+            F.expr(
+                "transform(split(w, ''), (c, i) -> "
+                "CASE WHEN i = 0 THEN c ELSE concat('##', c) END)"
+            ).alias("syms"),
+            "freq",
+        )
+        .transform(stage_checkpoint, label="wp:vocab", strategy=checkpoint)
+    )
+
+    pair_expr = F.explode(
+        F.expr(
+            "transform(sequence(1, size(syms) - 1), "
+            "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"
+        )
+    ).alias("pr")
+    key_expr = (
+        "CAST(CAST(pair_count AS DECIMAL(38,0)) * "
+        f"CAST({_WP_SCALE} AS DECIMAL(38,0)) div "
+        "(CAST(ca AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0))) AS BIGINT)"
+    )
+
+    merges: list[tuple[int, str, str, int, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select("freq", pair_expr)
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+        )
+        syms = (
+            vocab.select(F.explode("syms").alias("sym"), "freq")
+            .groupBy("sym")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        best = (
+            # symbol-count side is vocab-scale — broadcast both lookups
+            # so the per-round argmax never shuffles the pair table
+            pairs.join(F.broadcast(syms.select(F.col("sym").alias("a"),
+                                               F.col("cnt").alias("ca"))),
+                       "a")
+            .join(F.broadcast(syms.select(F.col("sym").alias("b"),
+                                          F.col("cnt").alias("cb"))), "b")
+            .select("a", "b", "pair_count",
+                    F.expr(key_expr).alias("score_q"))
+            .orderBy(F.desc("score_q"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0].a, best[0].b
+        cnt, sq = int(best[0].pair_count), int(best[0].score_q)
+        merged = a + (b[2:] if b.startswith("##") else b)
+
+        def _merge_udf(ma: str, mb: str, mm: str):
+            @SF.pandas_udf("array<string>")
+            def _merge(seqs: pd.Series) -> pd.Series:
+                out = []
+                for seq in seqs:
+                    res, i, n = [], 0, len(seq)
+                    while i < n:
+                        if i + 1 < n and seq[i] == ma and seq[i + 1] == mb:
+                            res.append(mm)
+                            i += 2
+                        else:
+                            res.append(seq[i])
+                            i += 1
+                    out.append(res)
+                return pd.Series(out)
+
+            return _merge
+
+        vocab = vocab.select(
+            _merge_udf(a, b, merged)(F.col("syms")).alias("syms"), "freq"
+        ).transform(stage_checkpoint, label="wp:merge", strategy=checkpoint)
+        merges.append((rank, a, b, cnt, sq))
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges,
+        "merge_rank bigint, a string, b string, pair_count bigint, "
+        "score_q bigint",
+    )
+
+
+def wordpiece_vocab(df: DataFrame, merges_df: DataFrame,
+                    text_col: str = "text") -> list[str]:
+    """The WordPiece vocabulary a trained merge list induces: the
+    corpus's initial symbol alphabet (bare first characters ∪
+    ``##``-prefixed continuation characters — a character that never
+    opens a word has no bare form, exactly HF's behavior) plus every
+    merged symbol. Driver-bounded: |alphabet| + n_merges rows."""
+    alpha = (
+        df.select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(
+                        F.col(text_col),
+                        r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$",
+                        "",
+                    ),
+                    r"[ \t\n\x0B\f\r]+",
+                )
+            ).alias("w")
+        )
+        .filter(F.length("w") >= 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(split(w, ''), (c, i) -> "
+                    "CASE WHEN i = 0 THEN c ELSE concat('##', c) END)"
+                )
+            ).alias("sym")
+        )
+        .distinct()
+        .collect()
+    )
+    out = {r["sym"] for r in alpha}
+    for r in merges_df.collect():
+        b = r["b"]
+        out.add(r["a"] + (b[2:] if b.startswith("##") else b))
+    return sorted(out)
+
+
+def wordpiece_tokenize(
+    df: DataFrame,
+    vocab: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy longest-match-first WordPiece encoding (the HF
+    ``WordPiece`` algorithm): per word, repeatedly take the LONGEST
+    vocabulary piece matching at the cursor (``##``-prefixed after the
+    first); a position with no match makes the WHOLE word one unknown
+    token. Unlike BPE — which encodes by replaying merges — WordPiece
+    encodes against the vocabulary alone. Output per document:
+    ``(id, n_tokens, n_unk_words, n_chars)``.
+
+    One Arrow pass over DISTINCT words (vocab set broadcast, match
+    window bounded by the longest vocab piece), then per-doc totals via
+    the bpe_tokenize join-back shape."""
+    vset = set(vocab)
+    max_chars = max(
+        (len(p) - 2 if p.startswith("##") else len(p)) for p in vset
+    ) if vset else 1
+    bvocab = df.sparkSession.sparkContext.broadcast(vset)
+
+    def _enc_words(batches):
+        vs = bvocab.value
+        for pdf in batches:
+            ns, us = [], []
+            for w in pdf["w"]:
+                pos, n, unk = 0, 0, False
+                while pos < len(w):
+                    best = None
+                    for ln in range(min(max_chars, len(w) - pos), 0, -1):
+                        piece = w[pos : pos + ln]
+                        if pos > 0:
+                            piece = "##" + piece
+                        if piece in vs:
+                            best = ln
+                            break
+                    if best is None:
+                        n, unk = 1, True
+                        break
+                    pos += best
+                    n += 1
+                ns.append(n)
+                us.append(unk)
+            yield pd.DataFrame(
+                {"w": pdf["w"], "_n": ns,
+                 "_u": pd.Series(us, dtype="bool")}
+            )
+
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(
+                F.regexp_replace(
+                    F.col(text_col),
+                    r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$",
+                    "",
+                ),
+                r"[ \t\n\x0B\f\r]+",
+            )
+        ).alias("w"),
+    ).filter(F.length("w") >= 1)
+    wtok = words.select("w").distinct().mapInPandas(
+        _enc_words, "w string, _n bigint, _u boolean"
+    )
+    agg = (
+        words.join(wtok, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("_u").cast("bigint")).cast("bigint")
+            .alias("n_unk_words"),
+        )
+    )
+    return df.select(id_col, F.col(text_col).alias("_t")).join(
+        agg, id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce("n_unk_words", F.lit(0)).cast("bigint")
+        .alias("n_unk_words"),
+        F.length("_t").cast("bigint").alias("n_chars"),
+    )
+
+
+_WP_WORDS_CTE = """
+    w0 AS (
+      SELECT unnest(string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) AS w
+      FROM {table}{pred}
+    ), wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM w0 WHERE length(w) >= 1 GROUP BY w
+    ), s0 AS (
+      SELECT w,
+             CASE WHEN length(w) = 1 THEN w
+                  ELSE w[1:1] || chr(9) ||
+                       array_to_string(['##' || w[i:i]
+                                        for i in range(2, length(w) + 1)],
+                                       chr(9))
+             END AS ts,
+             freq
+      FROM wf
+    )"""
+
+# One WordPiece round: pair counts AND per-symbol counts over the
+# tab-joined state, the exact integer likelihood key
+# (pair·10^18) // (cnt_a·cnt_b) in HUGEINT, a 1-row argmax, then the
+# same greedy left-to-right fold as BPE except the merged token drops
+# the second component's '##' prefix. Empty rounds carry the state
+# forward (the trainer's break).
+_WP_ROUND_CTE = """
+    , p{r} AS MATERIALIZED (
+      SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS pair_count
+      FROM (
+        SELECT unnest([{{'a': tk[i], 'b': tk[i+1]}}
+                       for i in range(1, len(tk))]) AS pr,
+               freq
+        FROM (SELECT string_split(ts, chr(9)) AS tk, freq FROM s{prev}) q
+        WHERE len(tk) >= 2
+      ) GROUP BY pr.a, pr.b
+    ), y{r} AS MATERIALIZED (
+      SELECT sym, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(ts, chr(9))) AS sym, freq
+            FROM s{prev})
+      GROUP BY sym
+    ), m{r} AS MATERIALIZED (
+      SELECT a, b, pair_count,
+             CAST(CAST(pair_count AS HUGEINT)
+                  * CAST('1000000000000000000' AS HUGEINT)
+                  // (CAST(ca.cnt AS HUGEINT) * CAST(cb.cnt AS HUGEINT))
+                  AS BIGINT) AS score_q
+      FROM p{r}
+      JOIN y{r} ca ON ca.sym = p{r}.a
+      JOIN y{r} cb ON cb.sym = p{r}.b
+      ORDER BY score_q DESC, a, b LIMIT 1
+    ), s{r} AS MATERIALIZED (
+      SELECT s.w,
+             list_reduce(
+               string_split(s.ts, chr(9)),
+               (acc, x) -> CASE
+                 WHEN (acc = m.a OR suffix(acc, chr(9) || m.a)) AND x = m.b
+                 THEN acc || substr(x, 3)
+                 ELSE acc || chr(9) || x END) AS ts,
+             s.freq
+      FROM s{prev} s CROSS JOIN m{r} m
+      UNION ALL
+      SELECT s.w, s.ts, s.freq FROM s{prev} s
+      WHERE NOT EXISTS (SELECT 1 FROM m{r})
+    )"""
+
+
+def wordpiece_merges_oracle_sql(
+    n_merges: int, table: str = "documents", doc_pred: str | None = None
+) -> str:
+    """DuckDB twin of :func:`wordpiece_learn_merges`: the likelihood-
+    scored merge loop unrolled as a CTE chain (the bpe_merges move,
+    plus a per-round symbol-count aggregation and the HUGEINT-exact
+    score key)."""
+    pred = f" WHERE {doc_pred}" if doc_pred else ""
+    parts = ["WITH " + _WP_WORDS_CTE.format(table=table, pred=pred)]
+    for r in range(1, n_merges + 1):
+        parts.append(_WP_ROUND_CTE.format(r=r, prev=r - 1))
+    unions = "\n      UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a, b, pair_count, "
+        f"score_q FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n    " + unions
+
+
+def wordpiece_encode_oracle_sql(
+    n_merges: int,
+    table: str = "documents",
+    doc_pred: str | None = None,
+    enc_sql: str | None = None,
+) -> str:
+    """DuckDB twin of the train→encode chain
+    (:func:`wordpiece_learn_merges` + :func:`wordpiece_vocab` +
+    :func:`wordpiece_tokenize`): replays the training rounds, builds
+    the induced vocabulary (initial alphabet ∪ merged symbols), then
+    runs the greedy longest-match itself as a single-successor
+    recursive CTE — per (word, cursor) one row, advancing by the
+    longest matching piece (list_max over an existence-map
+    comprehension) or collapsing the word to one unknown token. The
+    ENCODING ALGORITHM, not just its counts, is inside the oracle.
+    ``enc_sql`` (a ``(doc_id, text)`` subquery) decouples the ENCODED
+    relation from the training one — out-of-alphabet text exercises
+    the unknown-word branch; default: encode the training relation."""
+    pred = f" WHERE {doc_pred}" if doc_pred else ""
+    parts = ["WITH RECURSIVE "
+             + _WP_WORDS_CTE.format(table=table, pred=pred).lstrip()]
+    for r in range(1, n_merges + 1):
+        parts.append(_WP_ROUND_CTE.format(r=r, prev=r - 1))
+    merged_unions = "\n      UNION ALL ".join(
+        f"SELECT a || substr(b, 3) AS sym FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    piece = ("CASE WHEN e.pos = 0 THEN e.w[1 : l] "
+             "ELSE '##' || e.w[e.pos + 1 : e.pos + l] END")
+    enc_sql = enc_sql or f"SELECT doc_id, text FROM {table}{pred}"
+    tail = f"""
+    , encd AS ({enc_sql}
+    ), vs AS (
+      SELECT DISTINCT sym FROM (
+        SELECT unnest(string_split(ts, chr(9))) AS sym FROM s0
+        UNION ALL {merged_unions}
+      )
+    ), vm AS (
+      SELECT map(list(sym ORDER BY sym),
+                 list(1 ORDER BY sym)) AS mp
+      FROM vs
+    ), docw AS (
+      SELECT doc_id,
+             unnest(string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) AS w
+      FROM encd
+    ), dw AS (
+      SELECT DISTINCT w FROM docw WHERE length(w) >= 1
+    ), enc AS (
+      SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS n, FALSE AS unk FROM dw
+      UNION ALL
+      SELECT w,
+             CASE WHEN best IS NULL THEN length(w) ELSE pos + best END,
+             CASE WHEN best IS NULL THEN CAST(1 AS BIGINT) ELSE n + 1 END,
+             best IS NULL
+      FROM (
+        SELECT e.w, e.pos, e.n,
+               list_max([l for l in range(1, length(e.w) - e.pos + 1)
+                         if mp[{piece}][1] IS NOT NULL]) AS best
+        FROM enc e CROSS JOIN vm
+        WHERE e.pos < length(e.w) AND NOT e.unk
+      )
+    ), wtok AS (
+      SELECT w, n AS n_tok, CAST(unk AS BIGINT) AS n_unk
+      FROM enc WHERE pos = length(w)
+    ), agg AS (
+      SELECT dw.doc_id,
+             CAST(sum(v.n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(v.n_unk) AS BIGINT) AS n_unk_words
+      FROM (SELECT doc_id, w FROM docw WHERE length(w) >= 1) dw
+      JOIN wtok v USING (w)
+      GROUP BY dw.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.n_unk_words, 0) AS BIGINT) AS n_unk_words,
+           CAST(length(d.text) AS BIGINT) AS n_chars
+    FROM encd d LEFT JOIN agg a USING (doc_id)
     """
     return "".join(parts) + tail
 
@@ -2121,11 +2541,11 @@ def unigram_train_oracle_sql(
             f" for l in range(1, least({L}, CAST(x AS INTEGER)) + 1)"
             f" if mp[{piece}][1] IS NOT NULL]"
         )
-        parts.append(f""", m{r} AS (
+        parts.append(f""", m{r} AS MATERIALIZED (
       SELECT map(list(piece ORDER BY piece),
                  list(score_micro ORDER BY piece)) AS mp
       FROM {prev_sc}
-    ), dptab{r} AS (
+    ), dptab{r} AS MATERIALIZED (
       SELECT w, freq,
         list_reduce(
           list_prepend('0|0|0',
@@ -2144,7 +2564,7 @@ def unigram_train_oracle_sql(
              pos - CAST(string_split(string_split(dp, ',')[pos + 1],
                                      '|')[3] AS INTEGER)
       FROM bt{r} WHERE pos > 0
-    ), cnt{r} AS (
+    ), cnt{r} AS MATERIALIZED (
       SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
       FROM (
         SELECT w[pos - l + 1 : pos] AS piece, freq
@@ -2155,7 +2575,7 @@ def unigram_train_oracle_sql(
           FROM bt{r} WHERE pos > 0
         )
       ) GROUP BY piece
-    ), kept{r} AS (
+    ), kept{r} AS MATERIALIZED (
       SELECT piece, cnt FROM (
         SELECT piece, cnt FROM cnt{r} WHERE length(piece) >= 2
         ORDER BY cnt DESC, piece LIMIT {prune_to}
@@ -2168,7 +2588,7 @@ def unigram_train_oracle_sql(
       WHERE NOT EXISTS (SELECT 1 FROM cnt{r} c
                         WHERE c.piece = a.piece AND length(c.piece) = 1)
     ), tot{r} AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM kept{r}
-    ), sc{r} AS (
+    ), sc{r} AS MATERIALIZED (
       SELECT piece, cnt,
              CAST(round(ln(CAST(cnt AS DOUBLE) / t) * 1000000) AS BIGINT)
                AS score_micro

@@ -381,7 +381,7 @@ def title_preprocess_oracle_sql(
     WITH RECURSIVE inp AS ({inp_sql}
     ), s1 AS (
       SELECT doc_id, {strip} AS t FROM inp
-    ), s2 AS (
+    ), s2 AS MATERIALIZED (
       SELECT doc_id, t, {mal} AS mal FROM s1
     ), w0 AS (
       SELECT unnest(string_split_regex(
@@ -581,7 +581,7 @@ def kw_preprocess_oracle_sql(
     )
     return f"""
     WITH RECURSIVE inp AS ({inp_sql}
-    ), ch AS (
+    ), ch AS MATERIALIZED (
       SELECT doc_id, e.p AS pos, e.c AS chunk
       FROM (
         SELECT doc_id,

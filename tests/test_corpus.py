@@ -2136,3 +2136,186 @@ class TestUnigramTokenizer:
             con.sql(co.unigram_train_oracle_sql(2, prune_to=3)).fetchall()
         )
         assert got == exp
+
+
+class TestWordPiece:
+    """WordPiece (Schuster & Nakajima 2012 / BERT): likelihood-scored
+    merges + greedy longest-match encode — triangle-tested against a
+    pure-Python reference trainer/matcher, and Spark↔DuckDB parity."""
+
+    @staticmethod
+    def _reference_wp(texts, n_merges):
+        """Pure-Python WordPiece trainer: symbols with ## continuation
+        prefixes; each round picks argmax of pair/(cnt_a*cnt_b) ranked
+        through the exact integer key (pair*10^18)//(ca*cb), ties
+        (a, b) ascending — the engine's documented quantization."""
+        from collections import Counter
+
+        words = Counter()
+        for t in texts:
+            for w in t.split():
+                words[w] += 1
+        vocab = Counter()
+        for w, f in words.items():
+            syms = tuple(
+                [w[0]] + ["##" + c for c in w[1:]]
+            )
+            vocab[syms] += f
+        merges = []
+        for rank in range(1, n_merges + 1):
+            pairs, syms_cnt = Counter(), Counter()
+            for syms, freq in vocab.items():
+                for s in syms:
+                    syms_cnt[s] += freq
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += freq
+            if not pairs:
+                break
+            best = min(
+                pairs.items(),
+                key=lambda kv: (
+                    -(kv[1] * 10**18
+                      // (syms_cnt[kv[0][0]] * syms_cnt[kv[0][1]])),
+                    kv[0],
+                ),
+            )
+            (a, b), cnt = best
+            key = cnt * 10**18 // (syms_cnt[a] * syms_cnt[b])
+            merges.append((rank, a, b, cnt, key))
+            merged = a + b[2:]
+            new_vocab = Counter()
+            for syms, freq in vocab.items():
+                res, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                new_vocab[tuple(res)] += freq
+            vocab = new_vocab
+        return merges
+
+    TEXTS = [
+        "hugging huggable hugs hugging",
+        "the bug hugs the rug",
+        "unhuggable things",
+        "zz qq",
+        "  padded \t runs  ",
+    ]
+
+    def test_trainer_matches_reference_spark_and_duckdb(self, spark):
+        import duckdb
+
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        expect = self._reference_wp(self.TEXTS, 5)
+        df = spark.createDataFrame(
+            list(enumerate(self.TEXTS)), "doc_id long, text string"
+        )
+        got = sorted(
+            tuple(r)
+            for r in co.wordpiece_learn_merges(df, n_merges=5).collect()
+        )
+        assert got == sorted(expect)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany(
+            "INSERT INTO documents VALUES (?, ?)",
+            list(enumerate(self.TEXTS)),
+        )
+        assert sorted(
+            con.sql(co.wordpiece_merges_oracle_sql(5)).fetchall()
+        ) == sorted(expect)
+
+    def test_likelihood_beats_raw_frequency(self, spark):
+        """The defining WordPiece property: a rare-but-exclusive pair
+        outscores a frequent-but-promiscuous one. 'zz' appears once
+        (score 1.0: its symbols appear nowhere else); 'hu' appears in
+        four words but h and ##u are common — BPE would merge the
+        frequent pair first, WordPiece must pick the exclusive one."""
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)],
+            "doc_id long, text string",
+        )
+        first = co.wordpiece_learn_merges(df, n_merges=1).collect()[0]
+        assert (first["a"], first["b"]) in {("q", "##q"), ("z", "##z")}
+        assert first["score_q"] == 10**18  # pair == both symbol counts
+
+    def test_greedy_longest_match_and_unk(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        vocab = ["hug", "##ging", "##g", "##in", "h", "##u", "b"]
+        df = spark.createDataFrame(
+            [(0, "hugging"), (1, "bhug"), (2, "xyz hug")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: (r["n_tokens"], r["n_unk_words"])
+            for r in co.wordpiece_tokenize(df, vocab).collect()
+        }
+        # hugging -> hug ##ging (longest-first, NOT hug ##g ##in ##g)
+        assert out[0] == (2, 0)
+        # bhug -> b + ##... no '##h' in vocab -> whole word UNK (1 tok)
+        assert out[1] == (1, 1)
+        # xyz unknown (1) + hug (1)
+        assert out[2] == (2, 1)
+
+    def test_degenerate_corpus_carries_state_forward(self):
+        """'ab ab' admits ONE merge; asking the oracle for 4 must keep
+        the encode side on the true final state (the BPE carry-forward
+        rule applies to the WordPiece chain too)."""
+        import duckdb
+
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.execute("INSERT INTO documents VALUES (0, 'ab ab')")
+        # pair=2, cnt_a=2, cnt_b=2 -> key = 2*10^18 // 4
+        assert con.sql(co.wordpiece_merges_oracle_sql(4)).fetchall() == [
+            (1, "a", "##b", 2, 5 * 10**17)
+        ]
+        assert con.sql(co.wordpiece_encode_oracle_sql(4)).fetchall() == [
+            (0, 2, 0, 5)
+        ]
+
+    def test_encode_parity_with_out_of_alphabet_twins(self, spark):
+        import duckdb
+
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        texts = list(enumerate(self.TEXTS))
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        m = co.wordpiece_learn_merges(df, n_merges=3)
+        vocab = co.wordpiece_vocab(df, m)
+        enc_df = df.unionByName(
+            spark.createDataFrame(
+                [(99, "Øbug hugs")], "doc_id long, text string"
+            )
+        )
+        got = sorted(
+            tuple(r) for r in co.wordpiece_tokenize(enc_df, vocab).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", texts)
+        enc_sql = (
+            "SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT 99, 'Øbug hugs' AS text"
+        )
+        exp = sorted(
+            con.sql(
+                co.wordpiece_encode_oracle_sql(3, enc_sql=enc_sql)
+            ).fetchall()
+        )
+        assert got == exp
+        unk = {r[0]: r[2] for r in got}
+        assert unk[99] == 1  # the out-of-alphabet word really is UNK
