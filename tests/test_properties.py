@@ -276,3 +276,30 @@ def test_bpe_oracle_sql_matches_reference_on_random_corpora(texts, k):
     )
     got = con.sql(co.bpe_merges_oracle_sql(k)).fetchall()
     assert sorted(got) == sorted(expect)
+
+
+# ---------------------------------------------------------------------------
+# WordPiece unrolled-CTE oracle vs the pure-Python reference trainer
+# ---------------------------------------------------------------------------
+
+
+@given(st.lists(_BPE_DOC, min_size=1, max_size=6), st.integers(1, 5))
+@settings(max_examples=60, deadline=None)
+def test_wordpiece_oracle_sql_matches_reference_on_random_corpora(texts, k):
+    """Same trap corpus as the BPE property test (collisions, overlap
+    runs, ties), but the WordPiece likelihood argmax must also survive
+    score-key ties between pairs whose rational scores differ by less
+    than 1e-18 (quantize equal -> (a, b) tie-break)."""
+    import duckdb
+
+    from beis_orp_data_service_spark.operators import corpus as co
+    from tests.test_corpus import TestWordPiece
+
+    expect = TestWordPiece._reference_wp(texts, k)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(texts))
+    )
+    got = con.sql(co.wordpiece_merges_oracle_sql(k)).fetchall()
+    assert sorted(got) == sorted(expect)
