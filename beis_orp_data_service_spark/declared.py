@@ -4022,8 +4022,8 @@ def corpus_quantiles(spark, sf_dir):
 
 @declared("corpus_quantiles_two_pass", REGISTRY["corpus_quantiles"].sql)
 def _corpus_quantiles_two_pass(spark, sf_dir):
-    # group_quantiles' scale spelling under the SAME oracle (the r10
-    # repo-wide window-class sweep): the (rank, n) pair comes from
+    # group_quantiles' scale spelling under the SAME oracle: the
+    # (rank, n) pair comes from
     # ranks.grouped_exact_ranks instead of two per-group windows, so
     # the exact quantile gate survives a dominant language.
     docs = _t(spark, sf_dir, "documents")
