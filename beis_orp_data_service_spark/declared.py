@@ -4270,6 +4270,95 @@ def _bpe_encode(spark, sf_dir):
     return corpus_ops.bpe_tokenize(docs, ranked)
 
 
+def _tokenizer_compare_oracle_sql() -> str:
+    """Three full tokenizer lifecycles as independent subqueries (each
+    generator's WITH chain nests inside a FROM — DuckDB scopes the CTE
+    names per subquery, so the three chains' identical CTE names never
+    collide), reduced to one comparison row each. chars_per_token_milli
+    is bigint floor division on the shared corpus char total — exact in
+    both engines."""
+    pred = "doc_id < 200"
+    chars = ("(SELECT CAST(sum(length(text)) AS BIGINT) "
+             f"FROM documents WHERE {pred})")
+    bpe = corpus_ops.bpe_encode_oracle_sql(4, doc_pred=pred)
+    uni = corpus_ops.unigram_segment_oracle_sql(4, 2000, doc_pred=pred)
+    wp = corpus_ops.wordpiece_encode_oracle_sql(4, doc_pred=pred)
+    return f"""
+    SELECT 'bpe' AS tokenizer,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           {chars} * 1000 // CAST(sum(n_tokens) AS BIGINT)
+             AS chars_per_token_milli
+    FROM ({bpe})
+    UNION ALL
+    SELECT 'unigram' AS tokenizer,
+           CAST(sum(n_pieces) AS BIGINT) AS total_tokens,
+           {chars} * 1000 // CAST(sum(n_pieces) AS BIGINT)
+             AS chars_per_token_milli
+    FROM ({uni})
+    UNION ALL
+    SELECT 'wordpiece' AS tokenizer,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           {chars} * 1000 // CAST(sum(n_tokens) AS BIGINT)
+             AS chars_per_token_milli
+    FROM ({wp})
+    """
+
+
+@declared("tokenizer_compare", _tokenizer_compare_oracle_sql())
+def _tokenizer_compare(spark, sf_dir):
+    # The tokenizer-selection capstone: train all THREE families (BPE,
+    # unigram/SentencePiece, WordPiece) on the same corpus and race
+    # their compression — (tokenizer, total_tokens,
+    # chars_per_token_milli), the number a training-data pipeline uses
+    # to pick its tokenizer and size its token budget. HASH-GRADE end
+    # to end: the oracle nests all three full lifecycles (two unrolled
+    # merge loops + the Viterbi fold) as independent subqueries.
+    # Training pulls are the bounded models; the corpus subset is
+    # fixed-size (doc_id < 200), so the query measures the trainers,
+    # not the scan.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    chars = docs.agg(
+        F.sum(F.length("text")).cast("bigint").alias("_chars")
+    )
+
+    bpe_m = corpus_ops.bpe_learn_merges(docs, "doc_id", "text", n_merges=4)
+    ranked = [(r.a, r.b) for r in bpe_m.orderBy("merge_rank").collect()]
+    bpe = corpus_ops.bpe_tokenize(docs, ranked).agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens")
+    )
+
+    uscores = {
+        r["piece"]: r["score_micro"]
+        for r in corpus_ops.unigram_scores(docs).collect()
+    }
+    uni = corpus_ops.unigram_segment(docs, uscores).agg(
+        F.sum("n_pieces").cast("bigint").alias("total_tokens")
+    )
+
+    wp_m = corpus_ops.wordpiece_learn_merges(docs, n_merges=4)
+    wp_vocab = corpus_ops.wordpiece_vocab(docs, wp_m)
+    wp = corpus_ops.wordpiece_tokenize(docs, wp_vocab).agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens")
+    )
+
+    rows = [
+        ("bpe", bpe),
+        ("unigram", uni),
+        ("wordpiece", wp),
+    ]
+    out = None
+    for name, agg in rows:
+        one = agg.join(F.broadcast(chars)).select(
+            F.lit(name).alias("tokenizer"),
+            F.col("total_tokens"),
+            F.expr("(_chars * 1000) div total_tokens")
+            .cast("bigint")
+            .alias("chars_per_token_milli"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
 @declared(
     "wordpiece_merges",
     corpus_ops.wordpiece_merges_oracle_sql(4, doc_pred="doc_id < 200"),

@@ -68,7 +68,11 @@ ALLOW_ARROW = {"ann_ivf_cells": 2, "ann_ivf_topk": 2, "ann_topk": 2, "ann_index_
                "ann_index_cells": 2,
                # OPQ chain: ONE rotation pass into ONE PQ encode pass —
                # every row visits each kernel exactly once.
-               "pq_opq_cells": 2}
+               "pq_opq_cells": 2,
+               # tokenizer capstone: THREE encode kernels (BPE count,
+               # unigram Viterbi, WordPiece longest-match) — disjoint
+               # branches of the union, every row crosses exactly one
+               "tokenizer_compare": 3}
 
 # Per-FRAGMENT Arrow allowances for checkpoint-hidden lineage (each
 # fragment runs once; >1 Arrow node inside one fragment means the same
@@ -106,6 +110,7 @@ ALLOW_BNLJ = {
     "unigram_scores",  # 1-row vocab-total aggregate crossJoined (broadcast)
     "unigram_em_round",  # same 1-row recount-total broadcast crossJoin
     "unigram_train",  # same 1-row kept-total broadcast crossJoin per round
+    "tokenizer_compare",  # three 1-row total/chars broadcast crossJoins
     "search_rerank", # same bm25 1-row stats broadcast inside the candidate stage
     # |A|x|B| marginal cross join. CARDINALITY ASSUMPTION: both sides are
     # CATEGORY marginals (langs x sources, ~10x20 here); reusing this

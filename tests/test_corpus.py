@@ -2319,3 +2319,27 @@ class TestWordPiece:
         assert got == exp
         unk = {r[0]: r[2] for r in got}
         assert unk[99] == 1  # the out-of-alphabet word really is UNK
+
+    def test_tokenizer_compare_capstone_sanity(self, spark):
+        """The three-family comparison emits one row per tokenizer with
+        totals strictly between 0 and the corpus char count (every
+        family compresses characters, none inflates past chars), and
+        chars_per_token_milli >= 1000 (a token is at least a char)."""
+        from beis_orp_data_service_spark import declared
+
+        out = {
+            r["tokenizer"]: (r["total_tokens"], r["chars_per_token_milli"])
+            for r in declared.REGISTRY["tokenizer_compare"]
+            .fn(spark, "/root/testdata/sf0.001")
+            .collect()
+        }
+        assert set(out) == {"bpe", "unigram", "wordpiece"}
+        chars = (
+            declared._t(spark, "/root/testdata/sf0.001", "documents")
+            .filter(F.col("doc_id") < 200)
+            .agg(F.sum(F.length("text")))
+            .first()[0]
+        )
+        for name, (tot, cpt) in out.items():
+            assert 0 < tot <= chars, name
+            assert cpt >= 1000, name
