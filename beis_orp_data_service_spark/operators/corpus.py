@@ -1586,7 +1586,12 @@ def wordpiece_learn_merges(
     Scale shape: identical to :func:`bpe_learn_merges` — the corpus is
     touched once, each round is one pair aggregation + one symbol-count
     aggregation + a 1-row argmax collect + one Arrow merge pass over
-    the vocab table."""
+    the vocab table.
+
+    ``id_col`` is accepted only for signature symmetry with the other
+    trainers (:func:`bpe_learn_merges`, :func:`unigram_scores`) so all
+    three are drop-in interchangeable; merge learning aggregates over
+    the word universe and never touches document identity."""
     from pyspark.sql import functions as SF
 
     words = df.select(

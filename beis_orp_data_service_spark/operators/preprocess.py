@@ -38,7 +38,23 @@ from beis_orp_data_service_spark.operators.corpus import (
     word_scores,
 )
 
-_WS_EDGE = r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$"
+# Python str.strip() whitespace — every codepoint where str.isspace()
+# is true. The reference's malformed-text detector calls text.strip()
+# (preprocess_functions.py:25-40), so EXACT parity needs this full set,
+# not just the ASCII class the engine's tokenizer convention uses
+# elsewhere (a title opening with e.g. \xa0 before five single-char
+# tokens must still trip the detector). Rendered as \x{..} escapes,
+# which Java regex (Spark) and RE2 (DuckDB) both accept — one pattern
+# string drives both engines and no raw control characters land in SQL.
+_PY_STRIP_CODEPOINTS: tuple[int, ...] = (
+    0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20,
+    0x85, 0xA0, 0x1680,
+    *range(0x2000, 0x200B), 0x2028, 0x2029, 0x202F, 0x205F, 0x3000,
+)
+_PY_WS_CLASS = (
+    "[" + "".join(f"\\x{{{c:x}}}" for c in _PY_STRIP_CODEPOINTS) + "]"
+)
+_WS_EDGE = f"^{_PY_WS_CLASS}+|{_PY_WS_CLASS}+$"
 
 #: The reference's regulator-name list verbatim (data file
 #: title_generation/preprocess/regulator_name_list.txt — domain
@@ -245,10 +261,11 @@ def malformed_singles(col: Column | str) -> Column:
     (preprocess_functions.py:25-40 ``delete_single_characters``): text
     whose first FIVE single-space-split tokens are each one character
     is per-character-spaced garbage (a common PDF-extraction failure).
-    Exact parity: Python ``strip()`` strips all whitespace (regex edge
-    trim) and ``split(" ")`` keeps empty tokens (regex split on a
-    literal single space), so runs of spaces yield len-0 tokens that
-    correctly fail the ==1 test."""
+    Exact parity: the edge trim removes the FULL Python ``str.strip()``
+    whitespace set (``_PY_STRIP_CODEPOINTS`` — ASCII plus \\x1c-\\x1f,
+    \\x85, \\xa0 and the Unicode separators), and ``split(" ")`` keeps
+    empty tokens (regex split on a literal single space), so runs of
+    spaces yield len-0 tokens that correctly fail the ==1 test."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.regexp_replace(c, _WS_EDGE, ""), " ", -1)
     return (F.size(toks) >= 5) & F.forall(
@@ -257,10 +274,12 @@ def malformed_singles(col: Column | str) -> Column:
 
 
 def malformed_singles_sql(expr: str) -> str:
-    """DuckDB twin of :func:`malformed_singles`."""
+    """DuckDB twin of :func:`malformed_singles` — the same
+    Python-``strip()`` edge-trim class (``_WS_EDGE`` carries only
+    ``\\x{..}`` escapes, valid RE2, and no quote characters)."""
     ts = (
         "string_split(regexp_replace("
-        f"{expr}, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'"
+        f"{expr}, '{_WS_EDGE}', '', 'g'"
         "), ' ')"
     )
     return (

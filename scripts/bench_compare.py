@@ -41,24 +41,27 @@ JITTER = 0.5
 def compare(old: dict[str, float], new: dict[str, float]) -> dict:
     """Apply the policy to two {query: seconds} maps."""
     common = sorted(set(old) & set(new))
-    ratios = {q: (new[q] / old[q] if old[q] > 0 else float("inf")) for q in common}
+    # old[q] == 0 would give ratio=inf, which serializes as bare
+    # Infinity (invalid JSON); null the ratio instead — the flag
+    # decision below (new > RATIO*0 + JITTER) already covers zero-old.
+    ratios = {q: (new[q] / old[q] if old[q] > 0 else None) for q in common}
+    finite = [r for r in ratios.values() if r is not None]
+
+    def _entry(q: str) -> dict:
+        r = ratios[q]
+        return {"old": old[q], "new": new[q], "ratio": round(r, 3) if r is not None else None}
+
     flagged = {
-        q: {"old": old[q], "new": new[q], "ratio": round(ratios[q], 3)}
-        for q in common
-        if new[q] > RATIO * old[q] + JITTER
+        q: _entry(q) for q in common if new[q] > RATIO * old[q] + JITTER
     }
     improved = {
-        q: {"old": old[q], "new": new[q], "ratio": round(ratios[q], 3)}
-        for q in common
-        if old[q] > RATIO * new[q] + JITTER
+        q: _entry(q) for q in common if old[q] > RATIO * new[q] + JITTER
     }
     return {
         "n_common": len(common),
         "added": sorted(set(new) - set(old)),
         "removed": sorted(set(old) - set(new)),
-        "median_ratio": round(statistics.median(ratios.values()), 3)
-        if common
-        else None,
+        "median_ratio": round(statistics.median(finite), 3) if finite else None,
         "old_common_total": round(sum(old[q] for q in common), 1),
         "new_common_total": round(sum(new[q] for q in common), 1),
         "flagged": flagged,

@@ -122,7 +122,18 @@ class TestReferenceEquality:
         )
 
     def test_detector_matches_reference_rowwise(self, spark):
-        cases = FIXTURES + ["- - - - - dashes", ". . a b c d e"]
+        # includes Unicode-whitespace edges (nbsp / NEL / file-sep
+        # controls / LINE SEPARATOR / ideographic space) — Python
+        # str.strip() removes all of these, so the detector must too
+        cases = FIXTURES + [
+            "- - - - - dashes",
+            ". . a b c d e",
+            "\xa0a b c d e rest",
+            "\x85\x1c\x1fa b c d e rest",
+            " a b c d e rest",
+            "　 a b c d e tail",
+            "\xa0 a b c d e",  # nbsp + space: strip eats both
+        ]
         df = spark.createDataFrame(
             list(enumerate(cases)), "doc_id long, text string"
         )
