@@ -4315,13 +4315,21 @@ def _tokenizer_compare(spark, sf_dir):
     # merge loops + the Viterbi fold) as independent subqueries.
     # Training pulls are the bounded models; the corpus subset is
     # fixed-size (doc_id < 200), so the query measures the trainers,
-    # not the scan.
+    # not the scan. The three trainers share one word-frequency base
+    # (word_freq_table, checkpointed once) — the identical
+    # distinct-word/freq table each would otherwise rederive; at scale
+    # that is one corpus scan instead of three.
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     chars = docs.agg(
         F.sum(F.length("text")).cast("bigint").alias("_chars")
     )
+    wf = corpus_ops.word_freq_table(docs).transform(
+        _ck.stage_checkpoint, label="tokenizer_compare:word_freq"
+    )
 
-    bpe_m = corpus_ops.bpe_learn_merges(docs, "doc_id", "text", n_merges=4)
+    bpe_m = corpus_ops.bpe_learn_merges(
+        docs, "doc_id", "text", n_merges=4, word_freq=wf
+    )
     ranked = [(r.a, r.b) for r in bpe_m.orderBy("merge_rank").collect()]
     bpe = corpus_ops.bpe_tokenize(docs, ranked).agg(
         F.sum("n_tokens").cast("bigint").alias("total_tokens")
@@ -4329,14 +4337,14 @@ def _tokenizer_compare(spark, sf_dir):
 
     uscores = {
         r["piece"]: r["score_micro"]
-        for r in corpus_ops.unigram_scores(docs).collect()
+        for r in corpus_ops.unigram_scores(docs, word_freq=wf).collect()
     }
     uni = corpus_ops.unigram_segment(docs, uscores).agg(
         F.sum("n_pieces").cast("bigint").alias("total_tokens")
     )
 
-    wp_m = corpus_ops.wordpiece_learn_merges(docs, n_merges=4)
-    wp_vocab = corpus_ops.wordpiece_vocab(docs, wp_m)
+    wp_m = corpus_ops.wordpiece_learn_merges(docs, n_merges=4, word_freq=wf)
+    wp_vocab = corpus_ops.wordpiece_vocab(docs, wp_m, word_freq=wf)
     wp = corpus_ops.wordpiece_tokenize(docs, wp_vocab).agg(
         F.sum("n_tokens").cast("bigint").alias("total_tokens")
     )

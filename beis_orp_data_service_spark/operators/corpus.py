@@ -1306,12 +1306,41 @@ def bpe_pair_counts_oracle_sql() -> str:
     """
 
 
+def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The whitespace-token word-frequency table ``(w, freq)`` every
+    tokenizer trainer starts from — the ONE corpus-scale scan in the
+    whole training pipeline. Derive it once (``stage_checkpoint``) and
+    feed it to :func:`bpe_learn_merges`, :func:`unigram_scores`, and
+    :func:`wordpiece_learn_merges` via their ``word_freq`` parameter
+    when racing families on the same corpus: the three trainers share
+    an identical base, so recomputing it per trainer is pure waste —
+    at 100 TB it is three full corpus scans instead of one."""
+    return (
+        df.select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(
+                        F.col(text_col),
+                        r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$",
+                        "",
+                    ),
+                    r"[ \t\n\x0B\f\r]+",
+                )
+            ).alias("w")
+        )
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+
+
 def bpe_learn_merges(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_merges: int = 8,
     checkpoint: str = "local",
+    word_freq: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed BPE merge learning (Sennrich et al. 2016): starting
     from the character alphabet, repeatedly (1) count adjacent symbol
@@ -1329,16 +1358,15 @@ def bpe_learn_merges(
     algorithms), and one Arrow map pass applying the merge; the
     per-iteration stage boundary keeps the plan flat. ``checkpoint``:
     "local" is unreplicated — an executor loss mid-training kills the
-    job at cluster scale; "reliable" survives it (``checkpointing``)."""
+    job at cluster scale; "reliable" survives it (``checkpointing``).
+    ``word_freq``: a precomputed :func:`word_freq_table` ``(w, freq)``
+    — pass it when several trainers share one corpus so the base scan
+    runs once."""
     from pyspark.sql import functions as SF
 
-    words = df.select(
-        F.explode(F.split(F.regexp_replace(F.col(text_col), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+")).alias("w")
-    ).filter(F.length("w") >= 1)
+    wf = word_freq_table(df, text_col) if word_freq is None else word_freq
     vocab = (
-        words.groupBy("w")
-        .agg(F.count("*").cast("bigint").alias("freq"))
-        .select(F.split("w", "").alias("syms"), "freq")
+        wf.select(F.split("w", "").alias("syms"), F.col("freq").cast("bigint"))
         .transform(stage_checkpoint, label="bpe:vocab", strategy=checkpoint)
     )
 
@@ -1566,6 +1594,7 @@ def wordpiece_learn_merges(
     text_col: str = "text",
     n_merges: int = 8,
     checkpoint: str = "local",
+    word_freq: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed WordPiece merge learning (Schuster & Nakajima 2012;
     the BERT tokenizer, Wu et al. 2016 §4.1): like BPE but the merge
@@ -1591,21 +1620,20 @@ def wordpiece_learn_merges(
     ``id_col`` is accepted only for signature symmetry with the other
     trainers (:func:`bpe_learn_merges`, :func:`unigram_scores`) so all
     three are drop-in interchangeable; merge learning aggregates over
-    the word universe and never touches document identity."""
+    the word universe and never touches document identity.
+    ``word_freq``: a precomputed :func:`word_freq_table` ``(w, freq)``
+    — pass it when several trainers share one corpus so the base scan
+    runs once."""
     from pyspark.sql import functions as SF
 
-    words = df.select(
-        F.explode(F.split(F.regexp_replace(F.col(text_col), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+")).alias("w")
-    ).filter(F.length("w") >= 1)
+    wf = word_freq_table(df, text_col) if word_freq is None else word_freq
     vocab = (
-        words.groupBy("w")
-        .agg(F.count("*").cast("bigint").alias("freq"))
-        .select(
+        wf.select(
             F.expr(
                 "transform(split(w, ''), (c, i) -> "
                 "CASE WHEN i = 0 THEN c ELSE concat('##', c) END)"
             ).alias("syms"),
-            "freq",
+            F.col("freq").cast("bigint"),
         )
         .transform(stage_checkpoint, label="wp:vocab", strategy=checkpoint)
     )
@@ -1687,27 +1715,19 @@ def wordpiece_learn_merges(
 
 
 def wordpiece_vocab(df: DataFrame, merges_df: DataFrame,
-                    text_col: str = "text") -> list[str]:
+                    text_col: str = "text",
+                    word_freq: DataFrame | None = None) -> list[str]:
     """The WordPiece vocabulary a trained merge list induces: the
     corpus's initial symbol alphabet (bare first characters ∪
     ``##``-prefixed continuation characters — a character that never
     opens a word has no bare form, exactly HF's behavior) plus every
-    merged symbol. Driver-bounded: |alphabet| + n_merges rows."""
+    merged symbol. Driver-bounded: |alphabet| + n_merges rows.
+    ``word_freq``: a precomputed :func:`word_freq_table` — the alphabet
+    is a set over distinct words, so the shared base gives the
+    identical result without rescanning the corpus."""
+    src = word_freq_table(df, text_col) if word_freq is None else word_freq
     alpha = (
-        df.select(
-            F.explode(
-                F.split(
-                    F.regexp_replace(
-                        F.col(text_col),
-                        r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$",
-                        "",
-                    ),
-                    r"[ \t\n\x0B\f\r]+",
-                )
-            ).alias("w")
-        )
-        .filter(F.length("w") >= 1)
-        .select(
+        src.select(
             F.explode(
                 F.expr(
                     "transform(split(w, ''), (c, i) -> "
@@ -1988,6 +2008,7 @@ def unigram_scores(
     text_col: str = "text",
     max_piece_len: int = 4,
     top_p: int = 2000,
+    word_freq: DataFrame | None = None,
 ) -> DataFrame:
     """Seed piece vocabulary + integer log-scores for a unigram
     (SentencePiece-family, Kudo 2018) tokenizer: every substring of
@@ -2001,20 +2022,10 @@ def unigram_scores(
     Scale shape (100 TB): the substring explode runs over DISTINCT
     words (O(vocab · L²), not O(corpus)), both aggregations map-side
     combine, and the model is the ``top_p``-bounded score table — the
-    collect is parameter-bounded by construction."""
-    words = df.select(
-        F.explode(
-            F.split(
-                F.regexp_replace(
-                    F.col(text_col),
-                    r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$",
-                    "",
-                ),
-                r"[ \t\n\x0B\f\r]+",
-            )
-        ).alias("w")
-    ).filter(F.length("w") >= 1)
-    wf = words.groupBy("w").agg(F.count("*").cast("bigint").alias("freq"))
+    collect is parameter-bounded by construction. ``word_freq``: a
+    precomputed :func:`word_freq_table` ``(w, freq)`` — pass it when
+    several trainers share one corpus so the base scan runs once."""
+    wf = word_freq_table(df, text_col) if word_freq is None else word_freq
     pieces = wf.select(
         "freq",
         F.explode(

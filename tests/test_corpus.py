@@ -609,6 +609,34 @@ class TestBpeLearnMerges:
         # the classic outcome: 'es'/'est'-style merges appear
         assert any(a + b == "es" or a + b == "est" for _, a, b, _ in got)
 
+    def test_shared_word_freq_base_identical_across_trainers(self, spark):
+        """The word_freq fast-path contract: feeding a precomputed
+        word_freq_table to each trainer (the tokenizer_compare shape —
+        one corpus scan instead of three) must give bit-identical
+        artifacts to the self-derived path, for all three families plus
+        the induced WordPiece vocab."""
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        texts = [
+            "low low low lower lowest",
+            "newest newest widest \t padded  runs",
+            "aaa aaab baaa",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        wf = co.word_freq_table(df)
+        assert co.bpe_learn_merges(df, n_merges=4, word_freq=wf).collect() \
+            == co.bpe_learn_merges(df, n_merges=4).collect()
+        assert sorted(
+            co.unigram_scores(df, word_freq=wf).collect()
+        ) == sorted(co.unigram_scores(df).collect())
+        wp_shared = co.wordpiece_learn_merges(df, n_merges=4, word_freq=wf)
+        wp_own = co.wordpiece_learn_merges(df, n_merges=4)
+        assert wp_shared.collect() == wp_own.collect()
+        assert co.wordpiece_vocab(df, wp_shared, word_freq=wf) \
+            == co.wordpiece_vocab(df, wp_own)
+
     def test_stops_when_no_pairs_remain(self, spark):
         from beis_orp_data_service_spark.operators import corpus as co
 
