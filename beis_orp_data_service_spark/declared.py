@@ -4367,6 +4367,121 @@ def _tokenizer_compare(spark, sf_dir):
     return out
 
 
+_SWEEP_BUDGETS = (2, 4, 8)
+
+
+def _tokenizer_sweep_oracle_sql() -> str:
+    """Nine full tokenizer lifecycles (3 families × 3 vocab budgets) as
+    independent subqueries — the tokenizer_compare nesting move, one
+    arm per (family, budget). BPE/WordPiece budgets are merge counts;
+    the unigram budget is the prune width (kept multi-char pieces
+    beyond the alphabet floor) — each family's own 'extra vocabulary'
+    knob, so the surface answers 'which family AND what vocab size'."""
+    pred = "doc_id < 200"
+    chars = ("(SELECT CAST(sum(length(text)) AS BIGINT) "
+             f"FROM documents WHERE {pred})")
+    arms = []
+    for b in _SWEEP_BUDGETS:
+        bpe = corpus_ops.bpe_encode_oracle_sql(b, doc_pred=pred)
+        uni = corpus_ops.unigram_train_segment_oracle_sql(
+            1, 4, 2000, prune_to=b, doc_pred=pred
+        )
+        wp = corpus_ops.wordpiece_encode_oracle_sql(b, doc_pred=pred)
+        for name, sql, tok in (
+            ("bpe", bpe, "n_tokens"),
+            ("unigram", uni, "n_pieces"),
+            ("wordpiece", wp, "n_tokens"),
+        ):
+            arms.append(f"""
+    SELECT '{name}' AS tokenizer,
+           CAST({b} AS BIGINT) AS budget,
+           CAST(sum({tok}) AS BIGINT) AS total_tokens,
+           {chars} * 1000 // CAST(sum({tok}) AS BIGINT)
+             AS chars_per_token_milli
+    FROM ({sql})""")
+    return "\n    UNION ALL".join(arms)
+
+
+@declared("tokenizer_sweep", _tokenizer_sweep_oracle_sql())
+def _tokenizer_sweep(spark, sf_dir):
+    # The tokenizer-SELECTION surface: race all three families at three
+    # vocab budgets on one corpus — (tokenizer, budget, total_tokens,
+    # chars_per_token_milli), the actual decision table a token-budget
+    # owner reads ('which family AND what vocab size'). HASH-GRADE: the
+    # oracle nests nine independent training lifecycles. Scale shape:
+    # ONE shared word-frequency base (stage_checkpoint) feeds
+    # everything; BPE and WordPiece train ONCE at the largest budget
+    # (smaller budgets are merge-list PREFIXES — the greedy loops are
+    # deterministic); the unigram seed + EM pass are budget-independent
+    # so they run once and only the vocab-scale prune/re-score repeats
+    # per budget; ALL NINE encode cells then collapse into one fused
+    # Arrow pass over the distinct-word table (tokenizer_sweep_totals —
+    # Σ freq·tokens(w) equals the per-doc sum exactly, so no doc
+    # join-back and no per-cell corpus pass).
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    chars = docs.agg(
+        F.sum(F.length("text")).cast("bigint").alias("_chars")
+    )
+    wf = corpus_ops.word_freq_table(docs).transform(
+        _ck.stage_checkpoint, label="tokenizer_sweep:word_freq"
+    )
+    bmax = max(_SWEEP_BUDGETS)
+
+    bpe_m = corpus_ops.bpe_learn_merges(
+        docs, "doc_id", "text", n_merges=bmax, word_freq=wf
+    )
+    ranked = [(r.a, r.b) for r in bpe_m.orderBy("merge_rank").collect()]
+
+    # the unigram seed scores and the EM pass are budget-INDEPENDENT
+    # (only the prune width differs per budget) — run them once, apply
+    # each prune to the same counts
+    seed = {
+        r["piece"]: r["score_micro"]
+        for r in corpus_ops.unigram_scores(docs, word_freq=wf).collect()
+    }
+    em = corpus_ops.unigram_em_round(docs, seed, word_freq=wf).transform(
+        _ck.stage_checkpoint, label="tokenizer_sweep:em"
+    )
+    alpha = wf.select(
+        F.explode(F.split("w", "")).alias("piece")
+    ).distinct().transform(
+        _ck.stage_checkpoint, label="tokenizer_sweep:alphabet"
+    )
+    uni_scores = {
+        b: {
+            r["piece"]: r["score_micro"]
+            for r in corpus_ops.unigram_prune_rescore(
+                em, alpha, prune_to=b
+            ).collect()
+        }
+        for b in _SWEEP_BUDGETS
+    }
+
+    # wp_m is the trained artifact itself (a driver-local bmax-row
+    # DataFrame) — prefix-filter it per budget, no checkpoint needed
+    wp_m = corpus_ops.wordpiece_learn_merges(
+        docs, n_merges=bmax, word_freq=wf
+    )
+    wp_vocabs = {
+        b: corpus_ops.wordpiece_vocab(
+            docs, wp_m.filter(F.col("merge_rank") <= b), word_freq=wf
+        )
+        for b in _SWEEP_BUDGETS
+    }
+
+    totals = corpus_ops.tokenizer_sweep_totals(
+        wf, ranked, wp_vocabs, uni_scores, _SWEEP_BUDGETS
+    )
+    return totals.join(F.broadcast(chars)).select(
+        "tokenizer",
+        "budget",
+        "total_tokens",
+        F.expr("(_chars * 1000) div total_tokens")
+        .cast("bigint")
+        .alias("chars_per_token_milli"),
+    )
+
+
 @declared(
     "wordpiece_merges",
     corpus_ops.wordpiece_merges_oracle_sql(4, doc_pred="doc_id < 200"),

@@ -2290,6 +2290,7 @@ def unigram_em_round(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_piece_len: int = 4,
+    word_freq: DataFrame | None = None,
 ) -> DataFrame:
     """One hard-EM (Viterbi-EM) refinement round of the unigram
     tokenizer (the SentencePiece training loop's E+M step): segment the
@@ -2306,7 +2307,10 @@ def unigram_em_round(
     ``sparkContext.broadcast`` — one copy per executor, see
     :func:`unigram_segment` for the top_p → memory envelope); the
     piece recount is one explode + map-side-combined groupBy over
-    O(vocab · pieces-per-word) rows, never the corpus."""
+    O(vocab · pieces-per-word) rows, never the corpus. ``word_freq``:
+    a precomputed :func:`word_freq_table` ``(w, freq)`` — pass it when
+    several trainers (or training rounds) share one corpus so the base
+    scan runs once."""
     bscores = df.sparkSession.sparkContext.broadcast(dict(scores))
 
     def _piece_words(batches):
@@ -2330,20 +2334,8 @@ def unigram_em_round(
                 }
             )
 
-    words = df.select(
-        F.explode(
-            F.split(
-                F.regexp_replace(
-                    F.col(text_col),
-                    r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$",
-                    "",
-                ),
-                r"[ \t\n\x0B\f\r]+",
-            )
-        ).alias("w")
-    ).filter(F.length("w") >= 1)
-    wf = words.groupBy("w").agg(F.count("*").cast("bigint").alias("freq"))
-    used = wf.mapInPandas(
+    wf = word_freq_table(df, text_col) if word_freq is None else word_freq
+    used = wf.select("w", "freq").mapInPandas(
         _piece_words, "w string, piece string, freq bigint"
     )
     # two consumers below (the counts and their 1-row total) — without a
@@ -2443,6 +2435,7 @@ def unigram_train(
     max_piece_len: int = 4,
     top_p: int = 2000,
     prune_to: int = 500,
+    word_freq: DataFrame | None = None,
 ) -> DataFrame:
     """The COMPLETE unigram/SentencePiece training loop: seed vocab
     (:func:`unigram_scores`) → ``n_rounds`` × (hard-EM refinement
@@ -2468,52 +2461,32 @@ def unigram_train(
     if n_rounds < 1:
         raise ValueError(f"n_rounds must be >= 1: {n_rounds}")
     spark = df.sparkSession
+    # the base table feeds the seed scores, the alphabet, and every EM
+    # round — checkpoint once when deriving it here (2 + n_rounds
+    # consumers), or accept the caller's shared copy
+    wf = (
+        stage_checkpoint(
+            word_freq_table(df, text_col), label="unigram_train:word_freq"
+        )
+        if word_freq is None
+        else word_freq
+    )
     scores = {
         r["piece"]: r["score_micro"]
         for r in unigram_scores(
-            df, id_col, text_col, max_piece_len, top_p
+            df, id_col, text_col, max_piece_len, top_p, word_freq=wf
         ).collect()
     }
     alpha = stage_checkpoint(
-        df.select(
-            F.explode(
-                F.split(
-                    F.regexp_replace(
-                        F.col(text_col),
-                        r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$",
-                        "",
-                    ),
-                    r"[ \t\n\x0B\f\r]+",
-                )
-            ).alias("w")
-        )
-        .filter(F.length("w") >= 1)
-        .select(F.explode(F.split("w", "")).alias("piece"))
-        .distinct(),
+        wf.select(F.explode(F.split("w", "")).alias("piece")).distinct(),
         label="unigram_train:alphabet",
     )
     model = None
     for r in range(n_rounds):
-        em = unigram_em_round(df, scores, id_col, text_col, max_piece_len)
-        multi = (
-            em.filter(F.length("piece") >= 2)
-            .orderBy(F.desc("cnt"), F.asc("piece"))
-            .limit(prune_to)
-            .select("piece", "cnt")
+        em = unigram_em_round(
+            df, scores, id_col, text_col, max_piece_len, word_freq=wf
         )
-        sing = em.filter(F.length("piece") == 1).select("piece", "cnt")
-        floor = alpha.join(sing, "piece", "left_anti").select(
-            "piece", F.lit(1).cast("bigint").alias("cnt")
-        )
-        kept = multi.unionByName(sing).unionByName(floor)
-        total = kept.agg(F.sum("cnt").cast("bigint").alias("t"))
-        model = kept.join(F.broadcast(total)).select(
-            "piece",
-            "cnt",
-            F.round(F.log(F.col("cnt").cast("double") / F.col("t")) * 1e6)
-            .cast("bigint")
-            .alias("score_micro"),
-        )
+        model = unigram_prune_rescore(em, alpha, prune_to)
         if r < n_rounds - 1:
             scores = {
                 row["piece"]: row["score_micro"] for row in model.collect()
@@ -2521,22 +2494,161 @@ def unigram_train(
     return model
 
 
-def unigram_train_oracle_sql(
-    n_rounds: int = 2,
+def tokenizer_sweep_totals(
+    wf: DataFrame,
+    bpe_merges: list[tuple[str, str]],
+    wp_vocabs: dict[int, list[str]],
+    uni_scores: dict[int, dict[str, int]],
+    budgets: tuple[int, ...],
     max_piece_len: int = 4,
-    top_p: int = 2000,
-    prune_to: int = 500,
-    table: str = "documents",
-    doc_pred: str | None = None,
+) -> DataFrame:
+    """Corpus-side half of the tokenizer vocab-size sweep, fused: total
+    token counts for every (family, budget) cell in ONE Arrow pass over
+    the distinct-word table. ``Σ_w freq(w)·tokens_b(w)`` equals the
+    per-document sum exactly (integer arithmetic, same word split), so
+    the per-doc join-back the single-cell encoders do is pure overhead
+    here — nine encode passes + nine doc joins collapse into one
+    vocab-scale pass emitting per-batch PARTIAL sums (map-side combine
+    by construction; the shuffle carries |budgets|·3 rows per batch).
+
+    ``bpe_merges``: the full ranked merge list at the LARGEST budget —
+    smaller budgets are prefixes (the greedy trainer is deterministic),
+    so the kernel snapshots counts as it applies merges in rank order.
+    ``wp_vocabs`` / ``uni_scores``: per-budget vocab sets / score
+    tables (WordPiece matching and Viterbi DP have no prefix structure
+    across budgets, but both are per-word window-bounded — the pass is
+    still one). Output ``(tokenizer, budget, total_tokens)``."""
+    blist = sorted(budgets)
+    bset = set(blist)
+    merges = list(bpe_merges)
+    vsets = {b: set(v) for b, v in wp_vocabs.items()}
+    wmax = {
+        b: max(
+            ((len(p) - 2 if p.startswith("##") else len(p)) for p in vs),
+            default=1,
+        )
+        for b, vs in vsets.items()
+    }
+    sc_tables = {b: dict(s) for b, s in uni_scores.items()}
+    L = max_piece_len
+    bc = wf.sparkSession.sparkContext.broadcast(
+        (merges, vsets, wmax, sc_tables)
+    )
+
+    def _totals(batches):
+        mg, vs_all, wm_all, sc_all = bc.value
+        for pdf in batches:
+            acc: dict[tuple[str, int], int] = {}
+            for w, f in zip(pdf["w"], pdf["freq"]):
+                f = int(f)
+                seq = list(w)
+                for rank, (a, b) in enumerate(mg, 1):
+                    res, i, n = [], 0, len(seq)
+                    while i < n:
+                        if i + 1 < n and seq[i] == a and seq[i + 1] == b:
+                            res.append(a + b)
+                            i += 2
+                        else:
+                            res.append(seq[i])
+                            i += 1
+                    seq = res
+                    if rank in bset:
+                        k = ("bpe", rank)
+                        acc[k] = acc.get(k, 0) + f * len(seq)
+                # a corpus admitting fewer merges than a budget carries
+                # the final state forward (the trainer's break / the
+                # oracle's empty-round pass-through)
+                for b in blist:
+                    if b > len(mg):
+                        k = ("bpe", b)
+                        acc[k] = acc.get(k, 0) + f * len(seq)
+                for b in blist:
+                    vs, mc = vs_all[b], wm_all[b]
+                    pos, n = 0, 0
+                    while pos < len(w):
+                        best = None
+                        for ln in range(min(mc, len(w) - pos), 0, -1):
+                            piece = w[pos : pos + ln]
+                            if pos > 0:
+                                piece = "##" + piece
+                            if piece in vs:
+                                best = ln
+                                break
+                        if best is None:
+                            n = 1
+                            break
+                        pos += best
+                        n += 1
+                    k = ("wordpiece", b)
+                    acc[k] = acc.get(k, 0) + f * n
+                for b in blist:
+                    tab = _viterbi_table(w, sc_all[b], L)
+                    k = ("unigram", b)
+                    acc[k] = acc.get(k, 0) + f * tab[-1][1]
+            yield pd.DataFrame(
+                {
+                    "tokenizer": [k[0] for k in acc],
+                    "budget": [k[1] for k in acc],
+                    "_part": [acc[k] for k in acc],
+                }
+            )
+
+    parts = wf.select("w", "freq").mapInPandas(
+        _totals, "tokenizer string, budget bigint, _part bigint"
+    )
+    return parts.groupBy("tokenizer", "budget").agg(
+        F.sum("_part").cast("bigint").alias("total_tokens")
+    )
+
+
+def unigram_prune_rescore(
+    em: DataFrame, alpha: DataFrame, prune_to: int
+) -> DataFrame:
+    """The prune + alphabet-floor + re-score tail of one
+    :func:`unigram_train` round, as a standalone step: keep the
+    ``prune_to`` multi-character pieces by (cnt DESC, piece ASC), keep
+    every used single character, re-admit unused alphabet characters at
+    the count floor 1, and re-normalize scores over the kept set.
+    ``em`` is an ``(piece, cnt, ...)`` table (an
+    :func:`unigram_em_round` output); ``alpha`` the single-character
+    alphabet relation ``(piece)``. Exposed separately so a vocab-size
+    SWEEP can run the (budget-independent) EM pass ONCE and apply each
+    prune width to the same counts — the prune is the only part of the
+    round that depends on the budget."""
+    multi = (
+        em.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(prune_to)
+        .select("piece", "cnt")
+    )
+    sing = em.filter(F.length("piece") == 1).select("piece", "cnt")
+    floor = alpha.join(sing, "piece", "left_anti").select(
+        "piece", F.lit(1).cast("bigint").alias("cnt")
+    )
+    kept = multi.unionByName(sing).unionByName(floor)
+    total = kept.agg(F.sum("cnt").cast("bigint").alias("t"))
+    return kept.join(F.broadcast(total)).select(
+        "piece",
+        "cnt",
+        F.round(F.log(F.col("cnt").cast("double") / F.col("t")) * 1e6)
+        .cast("bigint")
+        .alias("score_micro"),
+    )
+
+
+def _unigram_train_chain(
+    n_rounds: int,
+    max_piece_len: int,
+    top_p: int,
+    prune_to: int,
+    table: str,
+    pred: str,
 ) -> str:
-    """DuckDB twin of :func:`unigram_train`: the training loop UNROLLED
-    (the bpe_merges oracle move) — per round one Viterbi-fold DP table,
-    one recursive-CTE backtrace (DuckDB allows several recursive CTEs
-    in one WITH RECURSIVE), the piece recount, the prune/alphabet-floor
-    union, and the re-score, each reading the previous round's score
-    CTE. The trained model — counts AND the argmax paths that produced
-    them — is hash-checked end to end."""
-    pred = f" WHERE {doc_pred}" if doc_pred else ""
+    """The unrolled-training WITH RECURSIVE body through the final
+    score CTE ``sc{n_rounds}`` (no trailing SELECT) — shared by
+    :func:`unigram_train_oracle_sql` (reads the model) and
+    :func:`unigram_train_segment_oracle_sql` (appends a segmentation
+    pass under the trained model)."""
     L = max_piece_len
     prev_dp = (
         "string_split(string_split(acc, ',')"
@@ -2610,10 +2722,93 @@ def unigram_train_oracle_sql(
                AS score_micro
       FROM kept{r}, tot{r}
     )""")
-    parts.append(
-        f"\n    SELECT piece, cnt, score_micro FROM sc{n_rounds}"
-    )
     return "".join(parts)
+
+
+def unigram_train_oracle_sql(
+    n_rounds: int = 2,
+    max_piece_len: int = 4,
+    top_p: int = 2000,
+    prune_to: int = 500,
+    table: str = "documents",
+    doc_pred: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`unigram_train`: the training loop UNROLLED
+    (the bpe_merges oracle move) — per round one Viterbi-fold DP table,
+    one recursive-CTE backtrace (DuckDB allows several recursive CTEs
+    in one WITH RECURSIVE), the piece recount, the prune/alphabet-floor
+    union, and the re-score, each reading the previous round's score
+    CTE. The trained model — counts AND the argmax paths that produced
+    them — is hash-checked end to end."""
+    pred = f" WHERE {doc_pred}" if doc_pred else ""
+    chain = _unigram_train_chain(
+        n_rounds, max_piece_len, top_p, prune_to, table, pred
+    )
+    return chain + f"\n    SELECT piece, cnt, score_micro FROM sc{n_rounds}"
+
+
+def unigram_train_segment_oracle_sql(
+    n_rounds: int = 1,
+    max_piece_len: int = 4,
+    top_p: int = 2000,
+    prune_to: int = 500,
+    table: str = "documents",
+    doc_pred: str | None = None,
+) -> str:
+    """DuckDB twin of the full train→encode chain
+    (:func:`unigram_train` → :func:`unigram_segment`): the unrolled
+    training rounds, then a Viterbi segmentation of the corpus under
+    the TRAINED score table (``sc{n_rounds}``) — per document
+    ``(doc_id, n_pieces)``. The alphabet floor guarantees every
+    in-corpus word stays segmentable under the trained model, so the
+    segmentation fold's candidate list is never empty."""
+    pred = f" WHERE {doc_pred}" if doc_pred else ""
+    L = max_piece_len
+    n = n_rounds
+    cand = (
+        "[{'s': CAST(string_split(string_split(acc, ',')"
+        "[CAST(x AS INTEGER) - l + 1], '|')[1] AS BIGINT)"
+        " + mp[w[CAST(x AS INTEGER) - l + 1 : CAST(x AS INTEGER)]][1],"
+        " 'mn': -(CAST(string_split(string_split(acc, ',')"
+        "[CAST(x AS INTEGER) - l + 1], '|')[2] AS BIGINT) + 1)}"
+        f" for l in range(1, least({L}, CAST(x AS INTEGER)) + 1)"
+        " if mp[w[CAST(x AS INTEGER) - l + 1 : CAST(x AS INTEGER)]][1]"
+        " IS NOT NULL]"
+    )
+    chain = _unigram_train_chain(n, max_piece_len, top_p, prune_to,
+                                 table, pred)
+    return chain + f""", mseg AS (
+      SELECT map(list(piece ORDER BY piece),
+                 list(score_micro ORDER BY piece)) AS mp
+      FROM sc{n}
+    ), segq AS (
+      SELECT w, string_split(
+        list_reduce(
+          list_prepend('0|0',
+                       [CAST(i AS VARCHAR)
+                        for i in range(1, length(w)+1)]),
+          (acc, x) -> acc || ',' ||
+            CAST(list_max({cand}).s AS VARCHAR) || '|' ||
+            CAST(-list_max({cand}).mn AS VARCHAR)
+        ), ',')[-1] AS last
+      FROM wf CROSS JOIN mseg
+    ), wtokseg AS (
+      SELECT w, CAST(string_split(last, '|')[2] AS BIGINT) AS _np
+      FROM segq
+    ), docwseg AS (
+      SELECT doc_id,
+             unnest(string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) AS w
+      FROM {table}{pred}
+    ), aggseg AS (
+      SELECT dw.doc_id, CAST(sum(v._np) AS BIGINT) AS n_pieces
+      FROM (SELECT doc_id, w FROM docwseg WHERE length(w) >= 1) dw
+      JOIN wtokseg v USING (w)
+      GROUP BY dw.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces
+    FROM {table} d LEFT JOIN aggseg a USING (doc_id){pred}
+    """
 
 
 def unigram_segment_oracle_sql(

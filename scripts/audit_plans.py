@@ -111,6 +111,7 @@ ALLOW_BNLJ = {
     "unigram_em_round",  # same 1-row recount-total broadcast crossJoin
     "unigram_train",  # same 1-row kept-total broadcast crossJoin per round
     "tokenizer_compare",  # three 1-row total/chars broadcast crossJoins
+    "tokenizer_sweep",  # same 1-row recount-total / chars broadcast crossJoins
     "search_rerank", # same bm25 1-row stats broadcast inside the candidate stage
     # |A|x|B| marginal cross join. CARDINALITY ASSUMPTION: both sides are
     # CATEGORY marginals (langs x sources, ~10x20 here); reusing this

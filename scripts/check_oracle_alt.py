@@ -90,6 +90,10 @@ CATEGORICAL_EXPECT: dict[tuple[str, str], set] = {
     ("length_quartiles", "bin"): {1, 2, 3, 4},
     ("length_quartiles_two_pass", "bin"): {1, 2, 3, 4},
     ("dup_classify", "dup_class"): None,  # >1 distinct value (open set)
+    # the sweep's selection surface must cover every (family, budget)
+    # cell on both datasets
+    ("tokenizer_sweep", "tokenizer"): {"bpe", "unigram", "wordpiece"},
+    ("tokenizer_sweep", "budget"): {2, 4, 8},
     # the dictionary-resplit branch must fire on both datasets (the
     # per-character-spaced twins exist exactly for this)
     ("title_preprocess", "was_resplit"): {True, False},

@@ -637,6 +637,101 @@ class TestBpeLearnMerges:
         assert co.wordpiece_vocab(df, wp_shared, word_freq=wf) \
             == co.wordpiece_vocab(df, wp_own)
 
+    def test_sweep_totals_equal_unfused_single_cell_paths(self, spark):
+        """The fused sweep kernel (one Arrow pass over distinct words,
+        Σ freq·tokens(w)) must equal the per-doc sums of the single-cell
+        encoders for every (family, budget) cell — including a budget
+        LARGER than the corpus admits merges for (the final-state
+        pass-through branch)."""
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        texts = [
+            "low low lower lowest",
+            "ab ab ba  newest newest",
+            "aaa baaa",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        budgets = (1, 2, 12)  # 12 > admissible merges on this corpus
+        wf = co.word_freq_table(df)
+        bpe_m = co.bpe_learn_merges(df, n_merges=max(budgets), word_freq=wf)
+        ranked = [(r.a, r.b) for r in bpe_m.orderBy("merge_rank").collect()]
+        seed = {
+            r["piece"]: r["score_micro"]
+            for r in co.unigram_scores(df, word_freq=wf).collect()
+        }
+        em = co.unigram_em_round(df, seed, word_freq=wf)
+        alpha = wf.select(
+            F.explode(F.split("w", "")).alias("piece")
+        ).distinct()
+        uni_scores = {
+            b: {
+                r["piece"]: r["score_micro"]
+                for r in co.unigram_prune_rescore(em, alpha, b).collect()
+            }
+            for b in budgets
+        }
+        wp_m = co.wordpiece_learn_merges(df, n_merges=max(budgets),
+                                         word_freq=wf)
+        wp_vocabs = {
+            b: co.wordpiece_vocab(
+                df, wp_m.filter(F.col("merge_rank") <= b), word_freq=wf
+            )
+            for b in budgets
+        }
+        fused = {
+            (r["tokenizer"], r["budget"]): r["total_tokens"]
+            for r in co.tokenizer_sweep_totals(
+                wf, ranked, wp_vocabs, uni_scores, budgets
+            ).collect()
+        }
+        assert set(fused) == {
+            (t, b)
+            for t in ("bpe", "unigram", "wordpiece")
+            for b in budgets
+        }
+        for b in budgets:
+            bpe = co.bpe_tokenize(df, ranked[:b]).agg(
+                F.sum("n_tokens")
+            ).first()[0]
+            assert fused[("bpe", b)] == bpe, ("bpe", b)
+            uni = co.unigram_segment(df, uni_scores[b]).agg(
+                F.sum("n_pieces")
+            ).first()[0]
+            assert fused[("unigram", b)] == uni, ("unigram", b)
+            wp = co.wordpiece_tokenize(df, wp_vocabs[b]).agg(
+                F.sum("n_tokens")
+            ).first()[0]
+            assert fused[("wordpiece", b)] == wp, ("wordpiece", b)
+
+    def test_unigram_train_one_round_equals_em_plus_prune(self, spark):
+        """unigram_train(n_rounds=1, prune_to=k) must equal the exposed
+        decomposition seed → em_round → prune_rescore — the contract the
+        sweep's shared-EM shortcut rests on."""
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        df = spark.createDataFrame(
+            [(0, "the cat sat on the mat"), (1, "the cat ran")],
+            "doc_id long, text string",
+        )
+        wf = co.word_freq_table(df)
+        seed = {
+            r["piece"]: r["score_micro"]
+            for r in co.unigram_scores(df, word_freq=wf).collect()
+        }
+        em = co.unigram_em_round(df, seed, word_freq=wf)
+        alpha = wf.select(
+            F.explode(F.split("w", "")).alias("piece")
+        ).distinct()
+        via_parts = sorted(
+            map(tuple, co.unigram_prune_rescore(em, alpha, 3).collect())
+        )
+        via_train = sorted(
+            map(tuple, co.unigram_train(df, n_rounds=1, prune_to=3).collect())
+        )
+        assert via_parts == via_train
+
     def test_stops_when_no_pairs_remain(self, spark):
         from beis_orp_data_service_spark.operators import corpus as co
 
