@@ -4708,6 +4708,131 @@ def _kw_preprocess(spark, sf_dir):
     return pp_ops.kw_preprocess(inp)
 
 
+# Out-of-corpus malformed fixtures for the BUNDLED-dictionary resplit:
+# per-character-spaced titles whose glued tails are words the synthetic
+# corpus never contains (the exact case the corpus-trained dictionary
+# cannot split), plus digit runs (the re-attach rule), a possessive
+# (the 's re-attach), and a regulator-strip + well-formed control row.
+_TITLE_PREP_BUNDLED_ROWS = [
+    (90000001, "h e a l t h andsafetyexecutiveguidance 2 0 2 1"),
+    (90000002, "r e g u l a t o r ' s dutiesandresponsibilities!!"),
+    (90000003, "w o r k placesafetyrequirements2023 .."),
+    (90000004, "t h e q u ickbrownfoxjumpsoverthelazydog"),
+    (90000005, "Logo of the Environment Agency annual floodriskreport"),
+]
+
+_TITLE_PREP_BUNDLED_INP_SQL = (
+    _TITLE_PREP_INP_SQL
+    + """
+      UNION ALL
+      SELECT * FROM (VALUES
+"""
+    + ",\n".join(
+        f"        (CAST({i} AS BIGINT), '{t.replace(chr(39), chr(39) * 2)}')"
+        for i, t in _TITLE_PREP_BUNDLED_ROWS
+    )
+    + """
+      ) AS v(doc_id, text)
+"""
+)
+
+
+@declared(
+    "title_preprocess_bundled",
+    pp_ops.title_preprocess_oracle_sql(
+        _TITLE_PREP_BUNDLED_INP_SQL, dictionary="bundled"
+    ),
+)
+def _title_preprocess_bundled(spark, sf_dir):
+    # The same preprocess chain with dictionary="bundled": the
+    # reference's EXACT wordninja 2.0.0 resplit (preprocess_functions
+    # .py:37, wordninja==2.0.0 in requirements.txt) — chunk on
+    # non-[a-zA-Z0-9'] runs, min-cost Zipf DP over the PINNED public
+    # frequency list (resources/english_wordfreq.csv), lowercase
+    # lookup, 's/digit-digit re-attach backtrack. Closes the last
+    # output-parity deviation: out-of-corpus vocabulary (the VALUES
+    # twins) splits identically on any corpus. HASH-GRADE: the oracle
+    # reads the same frozen integer costs and replays the DP as an
+    # is_inf|cost|len packed fold plus a recursive-CTE backtrace that
+    # CARRIES the re-attach accumulator.
+    docs = _t(spark, sf_dir, "documents")
+    twin = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.split(
+                F.substring(
+                    F.replace(F.col("text"), F.lit(" "), F.lit("")), 1, 40
+                ),
+                "",
+            ),
+        ).alias("text"),
+    )
+    extra = spark.createDataFrame(
+        _TITLE_PREP_BUNDLED_ROWS, "doc_id long, text string"
+    )
+    inp = docs.select("doc_id", "text").unionByName(twin).unionByName(extra)
+    return pp_ops.title_preprocess(inp, dictionary="bundled")
+
+
+# Bundled kw fixtures: the three hardcoded regulator strips, glued
+# out-of-corpus compounds, digit runs, possessives/contractions, and
+# punctuation-separated chunks (wordninja drops the separators).
+_KW_PREP_BUNDLED_ROWS = [
+    (90000001, "Health and Safety Executive annualreport2023 guidance"),
+    (90000002, "Ofgem energy pricecap consultation2021response"),
+    (90000003, "Environmental Agency waterquality, riskassessment!"),
+    (90000004, "the regulator's duties don'tstopbelieving dogs'"),
+    (90000005, "glued:workplacesafetyrequirements;and/punct"),
+]
+
+_KW_PREP_BUNDLED_INP_SQL = (
+    _KW_PREP_INP_SQL
+    + """
+      UNION ALL
+      SELECT * FROM (VALUES
+"""
+    + ",\n".join(
+        f"        (CAST({i} AS BIGINT), '{t.replace(chr(39), chr(39) * 2)}')"
+        for i, t in _KW_PREP_BUNDLED_ROWS
+    )
+    + """
+      ) AS v(doc_id, text)
+"""
+)
+
+
+@declared(
+    "kw_preprocess_bundled",
+    pp_ops.kw_preprocess_oracle_sql(
+        _KW_PREP_BUNDLED_INP_SQL, dictionary="bundled"
+    ),
+)
+def _kw_preprocess_bundled(spark, sf_dir):
+    # keyword_extraction.py:64-67 with the real wordninja semantics:
+    # strip the three literal regulator names, then
+    # ' '.join(wordninja.split(text)) against the pinned bundled
+    # dictionary — per-DISTINCT-chunk min-cost DP (one Arrow pass),
+    # re-attach backtrack, ordered per-doc reassembly. HASH-GRADE via
+    # the same frozen-cost oracle machinery as title_preprocess_bundled.
+    docs = _t(spark, sf_dir, "documents")
+    twin = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+        F.concat(
+            F.replace(
+                F.substring(F.col("text"), 1, 40), F.lit(" "), F.lit("")
+            ),
+            F.lit(" "),
+            F.expr("substring(text, 41)"),
+        ).alias("text"),
+    )
+    extra = spark.createDataFrame(
+        _KW_PREP_BUNDLED_ROWS, "doc_id long, text string"
+    )
+    inp = docs.select("doc_id", "text").unionByName(twin).unionByName(extra)
+    return pp_ops.kw_preprocess(inp, dictionary="bundled")
+
+
 @declared(
     "session_window_agg",
     """

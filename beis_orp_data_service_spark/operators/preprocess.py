@@ -23,6 +23,11 @@ Spark-first shape:
 
 from __future__ import annotations
 
+import csv
+import os
+import re
+from functools import lru_cache
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -288,6 +293,189 @@ def malformed_singles_sql(expr: str) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Bundled-dictionary resplit — the reference's exact wordninja 2.0.0
+# algorithm against a PINNED public frequency list
+# ---------------------------------------------------------------------------
+
+#: Frozen word-frequency resource: ``rank,word,cost_micro`` where
+#: ``cost_micro = round_half_up(ln(rank·ln(N))·1e6)`` — wordninja
+#: 2.0.0's Zipf cost (``LanguageModel.__init__``:
+#: ``log((i+1)*log(len(words)))``) quantized to integers AT FREEZE
+#: TIME (scripts/gen_bundled_wordfreq.py), so Spark, DuckDB and the
+#: Arrow kernel all read identical integers — no cross-engine float.
+_WORDFREQ_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "resources",
+    "english_wordfreq.csv",
+)
+
+#: wordninja 2.0.0 ``_SPLIT_RE = re.compile("[^a-zA-Z0-9']+")`` —
+#: chunks are the complement (findall form); separators are DROPPED.
+_WN_CHUNK_RE = re.compile(r"[a-zA-Z0-9']+")
+_WN_CHUNK_SQL_RE = "[a-zA-Z0-9'']+"
+
+
+@lru_cache(maxsize=1)
+def bundled_word_costs() -> tuple[dict[str, int], int]:
+    """Load the pinned frequency list once per process: ``(costs,
+    maxword)`` where ``costs[word] = cost_micro`` (lowercase keys) and
+    ``maxword`` bounds the DP lookback exactly like wordninja's
+    ``self._maxword = max(len(x) for x in words)``. Treat as frozen —
+    callers must not mutate."""
+    with open(_WORDFREQ_PATH, newline="") as f:
+        rows = list(csv.DictReader(f))
+    costs = {r["word"]: int(r["cost_micro"]) for r in rows}
+    return costs, max(len(w) for w in costs)
+
+
+def _wn_chunk_tokens(
+    chunk: str, costs: dict[str, int], maxword: int
+) -> list[str]:
+    """One chunk through wordninja 2.0.0's ``_split``: min-cost DP
+    (lowercased lookup, unknown pieces cost ``9e999``) then the
+    backtrack with its re-attach rules. Float-infinity semantics are
+    reproduced exactly with an integer key ``(is_inf, cost_micro, l)``:
+    any path through an unknown piece is "infinite" and all infinite
+    candidates COMPARE EQUAL on cost (their accumulated finite part is
+    normalized to 0), so ties fall to the shortest piece — precisely
+    ``min((c + cost.get(piece, 9e999), k+1))`` under IEEE ``inf``.
+
+    Backtrack re-attach, verbatim from the 2.0.0 source: a lone
+    apostrophe piece never MERGES into the token on its right (the
+    ``if not s[i-k:i] == "'"`` guard wraps only the merge logic, so the
+    apostrophe is still emitted as its own token); a token equal to
+    ``'s`` re-attaches to the piece before it; digit-final pieces merge
+    into digit-initial right neighbours (re-joining number runs the DP
+    split apart)."""
+    best: list[tuple[int, int, int]] = [(0, 0, 0)]
+    for i in range(1, len(chunk) + 1):
+        cands = []
+        for ln in range(1, min(maxword, i) + 1):
+            pi, pc, _ = best[i - ln]
+            c = costs.get(chunk[i - ln : i].lower())
+            if pi or c is None:
+                cands.append((1, 0, ln))
+            else:
+                cands.append((0, pc + c, ln))
+        best.append(min(cands))
+    out: list[str] = []
+    i = len(chunk)
+    while i > 0:
+        ln = best[i][2]
+        piece = chunk[i - ln : i]
+        new_token = True
+        if (
+            piece != "'"
+            and out
+            and (
+                out[-1] == "'s"
+                or (piece[-1].isdigit() and out[-1][0].isdigit())
+            )
+        ):
+            out[-1] = piece + out[-1]
+            new_token = False
+        if new_token:
+            out.append(piece)
+        i -= ln
+    out.reverse()
+    return out
+
+
+def wordninja_split(
+    s: str,
+    costs: dict[str, int] | None = None,
+    maxword: int | None = None,
+) -> list[str]:
+    """wordninja 2.0.0 ``split``: break on non-``[a-zA-Z0-9']`` runs
+    (separators dropped), DP-split each chunk, flatten in order.
+    Defaults to the bundled pinned dictionary."""
+    if costs is None:
+        costs, maxword = bundled_word_costs()
+    assert maxword is not None
+    return [
+        tok
+        for chunk in _WN_CHUNK_RE.findall(s or "")
+        for tok in _wn_chunk_tokens(chunk, costs, maxword)
+    ]
+
+
+def _wn_sql_block(chunk_cte: str = "ch") -> str:
+    """Shared oracle CTE chain for the bundled resplit — appended after
+    a ``{chunk_cte}(doc_id, pos, chunk)`` CTE inside a WITH RECURSIVE:
+    ``m`` (the pinned dictionary as a map, read straight from the
+    frozen CSV), ``dc`` (distinct chunks), ``dptab`` (the min-cost DP
+    as the engine's '|'-packed list_reduce fold — 3 fields
+    ``is_inf|cost|len``, ``list_min`` over structs reproduces the
+    ``(inf, cost, shortest-piece)`` comparison), ``bt`` (single-
+    successor recursive backtrace CARRYING the re-attach accumulator:
+    tab-delimited tokens built right-to-left, lone-apostrophe pieces
+    appended, ``'s``/digit-digit neighbours concatenated without a
+    delimiter), and ``sp`` (chunk → final split string)."""
+    _, mw = bundled_word_costs()
+    prev = (
+        "string_split(string_split(acc, ',')"
+        "[CAST(x AS INTEGER) - l + 1], '|')"
+    )
+    piece = "w[CAST(x AS INTEGER) - l + 1 : CAST(x AS INTEGER)]"
+    unknown = f"({prev}[1] = '1' OR mp[lower({piece})][1] IS NULL)"
+    cand = (
+        f"[{{'i': CASE WHEN {unknown} THEN 1 ELSE 0 END,"
+        f" 'c': CASE WHEN {unknown} THEN 0"
+        f" ELSE CAST({prev}[2] AS BIGINT) + mp[lower({piece})][1] END,"
+        " 'l': l}"
+        f" for l in range(1, least({mw}, CAST(x AS INTEGER)) + 1)]"
+    )
+    head = "string_split(acc, chr(9))[1]"
+    return f"""
+    , m AS (
+      SELECT map(list(word ORDER BY word),
+                 list(cost_micro ORDER BY word)) AS mp
+      FROM read_csv('{_WORDFREQ_PATH}', header = true,
+                    columns = {{'rank': 'BIGINT', 'word': 'VARCHAR',
+                                'cost_micro': 'BIGINT'}})
+    ), dc AS (
+      SELECT DISTINCT chunk AS w FROM {chunk_cte}
+    ), dptab AS MATERIALIZED (
+      SELECT w,
+        list_reduce(
+          list_prepend('0|0|0',
+                       [CAST(i AS VARCHAR)
+                        for i in range(1, length(w)+1)]),
+          (acc, x) -> acc || ',' ||
+            CAST(list_min({cand}).i AS VARCHAR) || '|' ||
+            CAST(list_min({cand}).c AS VARCHAR) || '|' ||
+            CAST(list_min({cand}).l AS VARCHAR)
+        ) AS dp
+      FROM dc CROSS JOIN m
+      WHERE length(w) > 0
+    ), bt AS (
+      SELECT w, dp, length(w) AS pos, '' AS acc FROM dptab
+      UNION ALL
+      SELECT w, dp, pos - l,
+        CASE WHEN piece <> '''' AND acc <> ''
+                  AND ({head} = '''s'
+                       OR (right(piece, 1) BETWEEN '0' AND '9'
+                           AND left({head}, 1) BETWEEN '0' AND '9'))
+               THEN piece || acc
+             WHEN acc = '' THEN piece
+             ELSE piece || chr(9) || acc END
+      FROM (
+        SELECT w, dp, pos, acc, l,
+               w[pos - l + 1 : pos] AS piece
+        FROM (
+          SELECT w, dp, pos, acc,
+                 CAST(string_split(string_split(dp, ',')[pos + 1],
+                                   '|')[3] AS INTEGER) AS l
+          FROM bt WHERE pos > 0
+        )
+      )
+    ), sp AS (
+      SELECT w AS chunk, replace(acc, chr(9), ' ') AS split
+      FROM bt WHERE pos = 0
+    )"""
+
+
 def title_preprocess(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -296,6 +484,7 @@ def title_preprocess(
     top_p: int = 50000,
     max_word_len: int = 12,
     unk_score_micro: int = -(10**9),
+    dictionary: str = "corpus",
 ) -> DataFrame:
     """The full title-generation preprocess chain
     (preprocess_functions.py:56-66 ``preprocess``): regulator-name
@@ -312,7 +501,18 @@ def title_preprocess(
     mode, so the Python path is off the hot corpus). Unknown single
     characters score ``unk_score_micro`` (far below any trained
     ln-frequency score) so any string stays segmentable while known
-    words dominate."""
+    words dominate.
+
+    ``dictionary`` picks the resplit model: ``"corpus"`` (default)
+    trains the frequency table on the corpus itself (documented
+    deviation — self-contained, no shipped model); ``"bundled"`` runs
+    the reference's EXACT wordninja 2.0.0 algorithm (chunking on
+    non-``[a-zA-Z0-9']``, min-cost Zipf DP, ``'s``/digit re-attach)
+    against the pinned public frequency list shipped at
+    ``resources/english_wordfreq.csv`` — identical algorithm, pinned
+    public dictionary, so out-of-corpus vocabulary splits identically
+    on every corpus. ``top_p``/``max_word_len``/``unk_score_micro``
+    only apply to the corpus mode."""
     # three consumers below (dictionary, kept branch, malformed branch)
     # — the 300+-replace strip fold must run ONCE per row, not once per
     # consumer
@@ -325,25 +525,54 @@ def title_preprocess(
         ).withColumn("_mal", malformed_singles(F.col("_t"))),
         label="title_preprocess:stripped",
     )
-    dict_rows = word_scores(
-        base.filter(~F.col("_mal")), "_t", top_p=top_p,
-        max_word_len=max_word_len,
-    ).collect()
-    bscores = df.sparkSession.sparkContext.broadcast(
-        {r["word"]: r["score_micro"] for r in dict_rows}
-    )
-    L, unk = max_word_len, unk_score_micro
+    if dictionary == "bundled":
+        costs, mw = bundled_word_costs()
+        bcosts = df.sparkSession.sparkContext.broadcast(costs)
 
-    def _resplit(batches):
-        sc = bscores.value
-        for pdf in batches:
-            out = []
-            for t in pdf["_t"]:
-                w = (t or "").replace(" ", "")
-                out.append(
-                    " ".join(_viterbi_split(w, sc, L, unk)) if w else ""
-                )
-            yield pd.DataFrame({id_col: pdf[id_col], "_t": out})
+        # NOTE: the kernel must reference only PLAIN module globals
+        # (_WN_CHUNK_RE / _wn_chunk_tokens, pickled by value) — calling
+        # wordninja_split here would drag its lru_cache-wrapped
+        # bundled_word_costs global into the closure, and lru wrappers
+        # pickle BY REFERENCE (qualified-name lookup), breaking workers
+        # whose sys.path lacks the repo (the vanilla-session contract).
+        def _resplit(batches):
+            sc = bcosts.value
+            for pdf in batches:
+                out = [
+                    " ".join(
+                        tok
+                        for chunk in _WN_CHUNK_RE.findall(
+                            (t or "").replace(" ", "")
+                        )
+                        for tok in _wn_chunk_tokens(chunk, sc, mw)
+                    )
+                    for t in pdf["_t"]
+                ]
+                yield pd.DataFrame({id_col: pdf[id_col], "_t": out})
+
+    elif dictionary == "corpus":
+        dict_rows = word_scores(
+            base.filter(~F.col("_mal")), "_t", top_p=top_p,
+            max_word_len=max_word_len,
+        ).collect()
+        bscores = df.sparkSession.sparkContext.broadcast(
+            {r["word"]: r["score_micro"] for r in dict_rows}
+        )
+        L, unk = max_word_len, unk_score_micro
+
+        def _resplit(batches):
+            sc = bscores.value
+            for pdf in batches:
+                out = []
+                for t in pdf["_t"]:
+                    w = (t or "").replace(" ", "")
+                    out.append(
+                        " ".join(_viterbi_split(w, sc, L, unk)) if w else ""
+                    )
+                yield pd.DataFrame({id_col: pdf[id_col], "_t": out})
+
+    else:
+        raise ValueError(f"unknown dictionary mode {dictionary!r}")
 
     schema = T.StructType(
         [base.schema[id_col], T.StructField("_t", T.StringType())]
@@ -368,6 +597,7 @@ def title_preprocess_oracle_sql(
     top_p: int = 50000,
     max_word_len: int = 12,
     unk_score_micro: int = -(10**9),
+    dictionary: str = "corpus",
 ) -> str:
     """DuckDB twin of :func:`title_preprocess` over input relation
     ``inp_sql`` (a subquery yielding ``(doc_id, text)``): the strip is
@@ -377,7 +607,47 @@ def title_preprocess_oracle_sql(
     list_reduce fold (3-field entries — the third pins WHICH piece wins
     full ties) followed by a single-successor recursive-CTE backtrace;
     the split string itself is reassembled with an ordered string_agg,
-    so the actual resplit TEXT is hash-checked, not just its shape."""
+    so the actual resplit TEXT is hash-checked, not just its shape.
+
+    ``dictionary="bundled"`` swaps the corpus-trained table for the
+    pinned CSV resource and replays the full wordninja 2.0.0 shape
+    instead: chunk explode, min-cost DP (``is_inf|cost|len`` packed
+    entries), and the re-attach backtrace carried as a tab-delimited
+    accumulator inside the recursive CTE (see :func:`_wn_sql_block`)."""
+    if dictionary == "bundled":
+        strip = strip_regulator_names_sql("coalesce(text, '')", names)
+        mal = malformed_singles_sql("t")
+        return f"""
+    WITH RECURSIVE inp AS ({inp_sql}
+    ), s1 AS (
+      SELECT doc_id, {strip} AS t FROM inp
+    ), s2 AS MATERIALIZED (
+      SELECT doc_id, t, {mal} AS mal FROM s1
+    ), malw AS (
+      SELECT doc_id, replace(t, ' ', '') AS w FROM s2 WHERE mal
+    ), ch AS MATERIALIZED (
+      SELECT doc_id, e.p AS pos, e.c AS chunk
+      FROM (
+        SELECT doc_id,
+               regexp_extract_all(w, '{_WN_CHUNK_SQL_RE}') AS arr
+        FROM malw
+      ), unnest([{{'p': i, 'c': arr[i]}}
+                 for i in range(1, len(arr) + 1)]) AS t(e)
+    ){_wn_sql_block("ch")}, resplit AS (
+      SELECT ch.doc_id, string_agg(sp.split, ' ' ORDER BY ch.pos) AS t
+      FROM ch JOIN sp USING (chunk)
+      GROUP BY ch.doc_id
+    ), merged AS (
+      SELECT s2.doc_id, s2.mal AS was_resplit,
+             CASE WHEN s2.mal THEN coalesce(r.t, '') ELSE s2.t END AS t
+      FROM s2 LEFT JOIN resplit r ON s2.doc_id = r.doc_id
+    )
+    SELECT doc_id, was_resplit,
+           {remove_excess_punct_sql('t')} AS title_input
+    FROM merged
+    """
+    if dictionary != "corpus":
+        raise ValueError(f"unknown dictionary mode {dictionary!r}")
     L = max_word_len
     edge = "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$'"
     strip = strip_regulator_names_sql("coalesce(text, '')", names)
@@ -481,6 +751,7 @@ def kw_preprocess(
     top_p: int = 50000,
     max_word_len: int = 12,
     unk_score_micro: int = -(10**9),
+    dictionary: str = "corpus",
 ) -> DataFrame:
     """The keyword-extraction preprocess (keyword_extraction.py:64-67):
     strip the three hardcoded regulator names, then
@@ -496,7 +767,13 @@ def kw_preprocess(
     deviation as :func:`title_preprocess`); per-doc reassembly is one
     ordered aggregation. Glued compounds split back into dictionary
     words; already-known chunks stay whole (their own score beats any
-    split)."""
+    split).
+
+    ``dictionary="bundled"`` swaps the corpus-trained chunk table for
+    the pinned public frequency list and the exact wordninja 2.0.0
+    kernel (min-cost DP + re-attach) — identical algorithm, pinned
+    public dictionary; the corpus-mode knobs (``top_p`` etc.) do not
+    apply."""
     c = F.coalesce(F.col(text_col), F.lit(""))
     for n in KW_REGULATOR_SUBS:
         c = F.replace(c, F.lit(n), F.lit(""))
@@ -511,39 +788,60 @@ def kw_preprocess(
         ),
         label="kw_preprocess:chunks",
     )
-    dict_rows = (
-        chunks.filter(
-            (F.length("chunk") >= 1) & (F.length("chunk") <= max_word_len)
-        )
-        .groupBy("chunk")
-        .agg(F.count("*").cast("bigint").alias("freq"))
-        .orderBy(F.desc("freq"), F.asc("chunk"))
-        .limit(top_p)
-    )
-    total = dict_rows.agg(F.sum("freq").cast("bigint").alias("t"))
-    model = dict_rows.join(F.broadcast(total)).select(
-        "chunk",
-        F.round(F.log(F.col("freq").cast("double") / F.col("t")) * 1e6)
-        .cast("bigint")
-        .alias("score_micro"),
-    )
-    bscores = df.sparkSession.sparkContext.broadcast(
-        {r["chunk"]: r["score_micro"] for r in model.collect()}
-    )
-    L, unk = max_word_len, unk_score_micro
+    if dictionary == "bundled":
+        costs, mw = bundled_word_costs()
+        bcosts = df.sparkSession.sparkContext.broadcast(costs)
 
-    def _split(batches):
-        sc = bscores.value
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "chunk": pdf["chunk"],
-                    "split": [
-                        " ".join(_viterbi_split(w, sc, L, unk))
-                        for w in pdf["chunk"]
-                    ],
-                }
+        def _split(batches):
+            sc = bcosts.value
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "chunk": pdf["chunk"],
+                        "split": [
+                            " ".join(_wn_chunk_tokens(w, sc, mw))
+                            for w in pdf["chunk"]
+                        ],
+                    }
+                )
+
+    elif dictionary == "corpus":
+        dict_rows = (
+            chunks.filter(
+                (F.length("chunk") >= 1) & (F.length("chunk") <= max_word_len)
             )
+            .groupBy("chunk")
+            .agg(F.count("*").cast("bigint").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("chunk"))
+            .limit(top_p)
+        )
+        total = dict_rows.agg(F.sum("freq").cast("bigint").alias("t"))
+        model = dict_rows.join(F.broadcast(total)).select(
+            "chunk",
+            F.round(F.log(F.col("freq").cast("double") / F.col("t")) * 1e6)
+            .cast("bigint")
+            .alias("score_micro"),
+        )
+        bscores = df.sparkSession.sparkContext.broadcast(
+            {r["chunk"]: r["score_micro"] for r in model.collect()}
+        )
+        L, unk = max_word_len, unk_score_micro
+
+        def _split(batches):
+            sc = bscores.value
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "chunk": pdf["chunk"],
+                        "split": [
+                            " ".join(_viterbi_split(w, sc, L, unk))
+                            for w in pdf["chunk"]
+                        ],
+                    }
+                )
+
+    else:
+        raise ValueError(f"unknown dictionary mode {dictionary!r}")
 
     splits = (
         chunks.select("chunk").distinct()
@@ -573,17 +871,43 @@ def kw_preprocess_oracle_sql(
     top_p: int = 50000,
     max_word_len: int = 12,
     unk_score_micro: int = -(10**9),
+    dictionary: str = "corpus",
 ) -> str:
     """DuckDB twin of :func:`kw_preprocess` over input relation
     ``inp_sql`` (``(doc_id, text)``): the same literal strip, ordinal
     chunk explode, bounded chunk-frequency dictionary, per-DISTINCT-
     chunk DP fold + recursive-CTE backtrace with ordered string_agg
     reassembly (chunk-level), then a doc-level ordered string_agg over
-    chunk positions — the full resplit TEXT is hash-checked."""
+    chunk positions — the full resplit TEXT is hash-checked.
+    ``dictionary="bundled"`` reads the pinned CSV dictionary and
+    replays the wordninja 2.0.0 min-cost DP + re-attach backtrace
+    (:func:`_wn_sql_block`) instead of the corpus-trained Viterbi."""
     L = max_word_len
     strip = "coalesce(text, '')"
     for n in KW_REGULATOR_SUBS:
         strip = f"replace({strip}, {_sql_str(n)}, '')"
+    if dictionary == "bundled":
+        return f"""
+    WITH RECURSIVE inp AS ({inp_sql}
+    ), ch AS MATERIALIZED (
+      SELECT doc_id, e.p AS pos, e.c AS chunk
+      FROM (
+        SELECT doc_id,
+               regexp_extract_all({strip}, '{_WN_CHUNK_SQL_RE}') AS arr
+        FROM inp
+      ), unnest([{{'p': i, 'c': arr[i]}}
+                 for i in range(1, len(arr) + 1)]) AS t(e)
+    ){_wn_sql_block("ch")}, agg AS (
+      SELECT ch.doc_id,
+             string_agg(sp.split, ' ' ORDER BY ch.pos) AS kw_input
+      FROM ch JOIN sp USING (chunk)
+      GROUP BY ch.doc_id
+    )
+    SELECT i.doc_id, coalesce(a.kw_input, '') AS kw_input
+    FROM inp i LEFT JOIN agg a USING (doc_id)
+    """
+    if dictionary != "corpus":
+        raise ValueError(f"unknown dictionary mode {dictionary!r}")
     prev = (
         "string_split(string_split(acc, ',')"
         "[CAST(x AS INTEGER) - l + 1], '|')"

@@ -97,6 +97,7 @@ CATEGORICAL_EXPECT: dict[tuple[str, str], set] = {
     # the dictionary-resplit branch must fire on both datasets (the
     # per-character-spaced twins exist exactly for this)
     ("title_preprocess", "was_resplit"): {True, False},
+    ("title_preprocess_bundled", "was_resplit"): {True, False},
 }
 
 # train_mix's md5 per-mille gates: every ACCEPT branch must admit rows

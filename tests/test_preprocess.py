@@ -340,3 +340,216 @@ class TestKwPreprocess:
             ).fetchall()
         )
         assert got == exp
+
+
+# --- bundled-dictionary resplit (wordninja 2.0.0 exact parity) ---
+
+
+class RefWordninja:
+    """Independent transcription of wordninja 2.0.0's LanguageModel
+    (the library the reference pins in requirements.txt) with FLOAT
+    Zipf costs built from a word list in rank order — including the
+    float-infinity unknown cost (9e999), the lowercased lookup, the
+    min-tuple tie to the shortest piece, and the backtrack's
+    's/digit-digit re-attach. Validates that the engine's frozen
+    integer costs and (is_inf, cost, len) packed DP reproduce the
+    float algorithm token-for-token."""
+
+    def __init__(self, words):
+        import math
+
+        self.cost = {
+            w: math.log((i + 1) * math.log(len(words)))
+            for i, w in enumerate(words)
+        }
+        self.maxword = max(len(w) for w in words)
+
+    def split(self, s):
+        import re
+
+        return [
+            t
+            for chunk in re.split("[^a-zA-Z0-9']+", s)
+            for t in self._split(chunk)
+        ]
+
+    def _split(self, s):
+        def best_match(i):
+            candidates = enumerate(
+                reversed(cost[max(0, i - self.maxword): i])
+            )
+            return min(
+                (c + self.cost.get(s[i - k - 1: i].lower(), 9e999), k + 1)
+                for k, c in candidates
+            )
+
+        cost = [0]
+        for i in range(1, len(s) + 1):
+            c, k = best_match(i)
+            cost.append(c)
+        out = []
+        i = len(s)
+        while i > 0:
+            c, k = best_match(i)
+            assert c == cost[i]
+            new_token = True
+            if not s[i - k: i] == "'":
+                if len(out) > 0:
+                    if out[-1] == "'s" or (
+                        s[i - 1].isdigit() and out[-1][0].isdigit()
+                    ):
+                        out[-1] = s[i - k: i] + out[-1]
+                        new_token = False
+            if new_token:
+                out.append(s[i - k: i])
+            i -= k
+        return list(reversed(out))
+
+
+def _bundled_words():
+    import csv
+
+    with open(pp._WORDFREQ_PATH, newline="") as f:
+        return [r["word"] for r in csv.DictReader(f)]
+
+
+OUT_OF_CORPUS = [
+    "healthandsafetyexecutiveguidance",
+    "thequickbrownfoxjumpsoverthelazydog",
+    "consultation2021response",
+    "theregulator'sduties",
+    "annualreport2023followup",
+    "riskassessmentandcompliance",
+    "HSEGuidance2021",
+    "dogs'",
+    "don'tstopbelieving",
+    "covid19response",
+    "xqzjv",
+    "a1b2c3",
+    "it'sworkplacesafety",
+    "floodriskmanagementplan",
+    "'",
+    "''s",
+]
+
+
+class TestBundledDictionary:
+    def test_split_matches_wordninja_float_port(self):
+        port = RefWordninja(_bundled_words())
+        for s in OUT_OF_CORPUS + [
+            "punct,separated;chunks/drop", "tabs\tand\nnewlines stay out",
+            "", "mixed CASE And 100% d1g1t5",
+        ]:
+            assert pp.wordninja_split(s) == port.split(s), s
+
+    def test_title_chain_bundled_matches_reference(self, spark):
+        """Full chain with dictionary='bundled' == the reference
+        preprocess with the float wordninja port injected, on docs
+        whose glued tails are OUT-OF-CORPUS vocabulary (the case the
+        corpus-trained dictionary cannot reproduce)."""
+        port = RefWordninja(_bundled_words())
+        texts = [
+            "h e a l t h andsafetyexecutiveguidance 2 0 2 1",
+            "r e g u l a t o r ' s dutiesandresponsibilities!!",
+            "t h e q u ickbrownfoxjumpsoverthelazydog",
+            "Logo of the Environment Agency annual floodriskreport",
+            "normal well formed title stays put",
+            "",
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: (r["was_resplit"], r["title_input"])
+            for r in pp.title_preprocess(
+                df, dictionary="bundled"
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            expect = ref_preprocess(t, pp.REGULATOR_NAMES, port.split)
+            assert out[i][1] == expect, (i, out[i][1], expect)
+
+    def test_kw_chain_bundled_matches_reference(self, spark):
+        port = RefWordninja(_bundled_words())
+        texts = [
+            "Health and Safety Executive annualreport2023 guidance",
+            "Ofgem energy pricecap consultation2021response",
+            "Environmental Agency waterquality, riskassessment!",
+            "the regulator's duties don'tstopbelieving dogs'",
+            "",
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["kw_input"]
+            for r in pp.kw_preprocess(df, dictionary="bundled").collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == ref_kw_preprocess(t, port._split), (i, got[i])
+
+    def test_resource_integrity(self):
+        """The frozen CSV is exactly the generator's contract: ranks
+        contiguous from 1, unique lowercase chunk-alphabet words,
+        cost_micro = round_half_up(ln(rank·ln(N))·1e6), full
+        single-letter+digit coverage, and "'s" for the re-attach."""
+        import csv
+        import math
+        import re
+        from decimal import ROUND_HALF_UP, Decimal
+
+        with open(pp._WORDFREQ_PATH, newline="") as f:
+            rows = list(csv.DictReader(f))
+        n = len(rows)
+        words = [r["word"] for r in rows]
+        assert len(set(words)) == n
+        assert [int(r["rank"]) for r in rows] == list(range(1, n + 1))
+        for r in rows:
+            w = r["word"]
+            assert re.fullmatch("[a-z0-9']+", w), w
+            c = math.log(int(r["rank"]) * math.log(n)) * 1e6
+            assert int(r["cost_micro"]) == int(
+                Decimal(c).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+            ), w
+        singles = {w for w in words if len(w) == 1}
+        assert set("abcdefghijklmnopqrstuvwxyz0123456789") <= singles
+        assert "'s" in words
+        costs, mw = pp.bundled_word_costs()
+        assert mw == max(len(w) for w in words)
+        assert len(costs) == n
+
+    def test_infinity_tie_breaks_to_singles(self):
+        """Float-inf parity: once any position is only reachable
+        through an unknown piece, EVERY candidate beyond it compares
+        equal (inf) and the shortest piece wins — known words after
+        the break do NOT resume until a fully-finite candidate exists.
+        Integer sum-of-unknowns semantics would give ['ab','z','ab']
+        here; wordninja gives singles."""
+        costs = {"ab": 1000, "a": 2000, "b": 2000}
+        assert pp._wn_chunk_tokens("abzab", costs, 2) == [
+            "ab", "z", "a", "b",
+        ]
+        port = RefWordninja(["ab", "a", "b"])
+        assert pp.wordninja_split("abzab", costs, 2) == port.split("abzab")
+
+    def test_reattach_rules(self):
+        # digit runs resplit by the DP re-merge into one token
+        assert pp.wordninja_split("20210405") == ["20210405"]
+        # possessive re-attaches; lone apostrophe is its own token
+        # (wordninja 2.0.0 emits it: the "'" guard only skips the
+        # MERGE, the append still runs)
+        assert pp.wordninja_split("theregulator'sduty") == [
+            "the", "regulator's", "duty",
+        ]
+        assert pp.wordninja_split("dogs'")[-1] == "'"
+
+    def test_unknown_dictionary_mode_raises(self, spark):
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            pp.title_preprocess(df, dictionary="nope")
+        with pytest.raises(ValueError):
+            pp.kw_preprocess(df, dictionary="nope")
+        with pytest.raises(ValueError):
+            pp.title_preprocess_oracle_sql("SELECT 1", dictionary="nope")
+        with pytest.raises(ValueError):
+            pp.kw_preprocess_oracle_sql("SELECT 1", dictionary="nope")
