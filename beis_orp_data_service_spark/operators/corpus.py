@@ -1334,6 +1334,42 @@ def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _bpe_greedy_driver(
+    words: list[tuple[list[str], int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-local replica of the distributed BPE loop — SAME
+    semantics to the bit: pair counts are freq-weighted over adjacent
+    symbols, the argmax ties break (pair_count DESC, a ASC, b ASC)
+    (Python string comparison is code-point order == Spark's binary
+    UTF-8 order), merges apply left-to-right with the i+=2 skip."""
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in words:
+            for i in range(len(syms) - 1):
+                pr = (syms[i], syms[i + 1])
+                counts[pr] = counts.get(pr, 0) + freq
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        nxt: list[tuple[list[str], int]] = []
+        for syms, freq in words:
+            res, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            nxt.append((res, freq))
+        words = nxt
+        merges.append((rank, a, b, int(cnt)))
+    return merges
+
+
 def bpe_learn_merges(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1341,6 +1377,7 @@ def bpe_learn_merges(
     n_merges: int = 8,
     checkpoint: str = "local",
     word_freq: DataFrame | None = None,
+    driver_train_threshold: int = 100_000,
 ) -> DataFrame:
     """Distributed BPE merge learning (Sennrich et al. 2016): starting
     from the character alphabet, repeatedly (1) count adjacent symbol
@@ -1361,7 +1398,18 @@ def bpe_learn_merges(
     job at cluster scale; "reliable" survives it (``checkpointing``).
     ``word_freq``: a precomputed :func:`word_freq_table` ``(w, freq)``
     — pass it when several trainers share one corpus so the base scan
-    runs once."""
+    runs once.
+
+    ``driver_train_threshold`` is the broadcast-join decision applied
+    to training: the model base (the distinct-word table) is counted
+    after the one corpus scan, and when it fits the driver (≤ threshold
+    rows) the greedy loop runs driver-local on the SAME table —
+    per-round Spark-job latency, the dominant cost of iterative
+    training on small/medium vocabularies, disappears, and the output
+    is IDENTICAL (:func:`_bpe_greedy_driver`, equality-tested against
+    the distributed path). Above the threshold — any real corpus; a
+    100 TB dedup'd word table is 10⁷-10⁸ rows — the distributed
+    per-round path below runs unchanged. 0 disables the fast path."""
     from pyspark.sql import functions as SF
 
     wf = word_freq_table(df, text_col) if word_freq is None else word_freq
@@ -1369,6 +1417,15 @@ def bpe_learn_merges(
         wf.select(F.split("w", "").alias("syms"), F.col("freq").cast("bigint"))
         .transform(stage_checkpoint, label="bpe:vocab", strategy=checkpoint)
     )
+    spark = df.sparkSession
+    if driver_train_threshold and vocab.count() <= driver_train_threshold:
+        words = [
+            (list(r["syms"]), int(r["freq"])) for r in vocab.collect()
+        ]
+        return spark.createDataFrame(
+            _bpe_greedy_driver(words, n_merges),
+            "merge_rank bigint, a string, b string, pair_count bigint",
+        )
 
     pair_expr = F.explode(
         F.expr(
@@ -1588,6 +1645,49 @@ def bpe_encode_oracle_sql(
 _WP_SCALE = 10**18
 
 
+def _wp_greedy_driver(
+    words: list[tuple[list[str], int]], n_merges: int
+) -> list[tuple[int, str, str, int, int]]:
+    """Driver-local replica of the distributed WordPiece loop — same
+    integer likelihood key ``(pair_count·10¹⁸) // (cnt_a·cnt_b)``
+    (Python int floordiv == DECIMAL(38,0) div == HUGEINT // for
+    positive operands), same (score_q DESC, a ASC, b ASC) tie-break,
+    same ``##``-aware merge naming and left-to-right i+=2 apply."""
+    merges: list[tuple[int, str, str, int, int]] = []
+    for rank in range(1, n_merges + 1):
+        pair_counts: dict[tuple[str, str], int] = {}
+        sym_counts: dict[str, int] = {}
+        for syms, freq in words:
+            for s in syms:
+                sym_counts[s] = sym_counts.get(s, 0) + freq
+            for i in range(len(syms) - 1):
+                pr = (syms[i], syms[i + 1])
+                pair_counts[pr] = pair_counts.get(pr, 0) + freq
+        if not pair_counts:
+            break
+        def _key(kv):
+            (a, b), cnt = kv
+            sq = (cnt * _WP_SCALE) // (sym_counts[a] * sym_counts[b])
+            return (-sq, a, b)
+        (a, b), cnt = min(pair_counts.items(), key=_key)
+        sq = (cnt * _WP_SCALE) // (sym_counts[a] * sym_counts[b])
+        merged = a + (b[2:] if b.startswith("##") else b)
+        nxt: list[tuple[list[str], int]] = []
+        for syms, freq in words:
+            res, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            nxt.append((res, freq))
+        words = nxt
+        merges.append((rank, a, b, int(cnt), int(sq)))
+    return merges
+
+
 def wordpiece_learn_merges(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1595,6 +1695,7 @@ def wordpiece_learn_merges(
     n_merges: int = 8,
     checkpoint: str = "local",
     word_freq: DataFrame | None = None,
+    driver_train_threshold: int = 100_000,
 ) -> DataFrame:
     """Distributed WordPiece merge learning (Schuster & Nakajima 2012;
     the BERT tokenizer, Wu et al. 2016 §4.1): like BPE but the merge
@@ -1623,7 +1724,10 @@ def wordpiece_learn_merges(
     the word universe and never touches document identity.
     ``word_freq``: a precomputed :func:`word_freq_table` ``(w, freq)``
     — pass it when several trainers share one corpus so the base scan
-    runs once."""
+    runs once. ``driver_train_threshold``: same adaptive execution as
+    :func:`bpe_learn_merges` — a model base that fits the driver trains
+    driver-local (:func:`_wp_greedy_driver`, identical artifact), a
+    real-corpus vocabulary takes the distributed per-round path."""
     from pyspark.sql import functions as SF
 
     wf = word_freq_table(df, text_col) if word_freq is None else word_freq
@@ -1637,6 +1741,16 @@ def wordpiece_learn_merges(
         )
         .transform(stage_checkpoint, label="wp:vocab", strategy=checkpoint)
     )
+    spark = df.sparkSession
+    if driver_train_threshold and vocab.count() <= driver_train_threshold:
+        words = [
+            (list(r["syms"]), int(r["freq"])) for r in vocab.collect()
+        ]
+        return spark.createDataFrame(
+            _wp_greedy_driver(words, n_merges),
+            "merge_rank bigint, a string, b string, pair_count bigint, "
+            "score_q bigint",
+        )
 
     pair_expr = F.explode(
         F.expr(

@@ -2466,3 +2466,80 @@ class TestWordPiece:
         for name, (tot, cpt) in out.items():
             assert 0 < tot <= chars, name
             assert cpt >= 1000, name
+
+
+class TestAdaptiveTrainerExecution:
+    """driver_train_threshold — the broadcast-join decision applied to
+    iterative training: a model base that fits the driver trains
+    driver-local, and the artifact must be IDENTICAL to the distributed
+    per-round path's (same counts, same integer likelihood keys, same
+    tie-breaks) on corpora with overlap traps and tie pressure."""
+
+    TEXTS = [
+        "aaa aaab baaa aaa",
+        "low low low lower lowest newest newest",
+        "ab ab ba ba",
+        "hugs hug hugger hugging",
+        "  padded   with \t whitespace \n runs  ",
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            list(enumerate(self.TEXTS)), "doc_id long, text string"
+        )
+
+    def test_bpe_driver_path_equals_distributed(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as c
+
+        df = self._df(spark)
+        fast = [
+            tuple(r)
+            for r in c.bpe_learn_merges(df, n_merges=6)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        slow = [
+            tuple(r)
+            for r in c.bpe_learn_merges(
+                df, n_merges=6, driver_train_threshold=0
+            )
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert fast == slow
+        assert len(fast) == 6
+
+    def test_wordpiece_driver_path_equals_distributed(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as c
+
+        df = self._df(spark)
+        fast = [
+            tuple(r)
+            for r in c.wordpiece_learn_merges(df, n_merges=6)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        slow = [
+            tuple(r)
+            for r in c.wordpiece_learn_merges(
+                df, n_merges=6, driver_train_threshold=0
+            )
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert fast == slow
+        assert len(fast) == 6
+        # score_q present and positive on every merge row
+        assert all(row[4] > 0 for row in fast)
+
+    def test_empty_corpus_yields_empty_artifact_on_both_paths(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as c
+
+        df = spark.createDataFrame([], "doc_id long, text string")
+        assert c.bpe_learn_merges(df, n_merges=2).count() == 0
+        assert (
+            c.bpe_learn_merges(df, n_merges=2, driver_train_threshold=0)
+            .count()
+            == 0
+        )
+        assert c.wordpiece_learn_merges(df, n_merges=2).count() == 0
