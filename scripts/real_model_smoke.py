@@ -92,8 +92,14 @@ def main() -> int:
     blocked_stages = [
         k for k, v in steps.items() if v != "ok" and not v.startswith("skipped")
     ]
+    import datetime
+
     report = {
         "model": TINY_MODEL,
+        # UTC run stamp so each round's re-probe is evidenced even when
+        # the blocked-state payload is byte-identical to the last one
+        "probed_at": datetime.datetime.now(datetime.timezone.utc)
+        .isoformat(timespec="seconds"),
         "steps": steps,
         "blocked": bool(blocked_stages),
         "block_stage": blocked_stages[0] if blocked_stages else None,
