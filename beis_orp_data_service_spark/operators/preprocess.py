@@ -392,7 +392,10 @@ def wordninja_split(
     Defaults to the bundled pinned dictionary."""
     if costs is None:
         costs, maxword = bundled_word_costs()
-    assert maxword is not None
+    if maxword is None:
+        # Custom costs without an explicit bound: derive it the same way
+        # wordninja does (self._maxword = max(len(x) for x in words)).
+        maxword = max(map(len, costs)) if costs else 1
     return [
         tok
         for chunk in _WN_CHUNK_RE.findall(s or "")

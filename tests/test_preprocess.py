@@ -130,7 +130,7 @@ class TestReferenceEquality:
             ". . a b c d e",
             "\xa0a b c d e rest",
             "\x85\x1c\x1fa b c d e rest",
-            " a b c d e rest",
+            "\u2028a b c d e rest",
             "　 a b c d e tail",
             "\xa0 a b c d e",  # nbsp + space: strip eats both
         ]
@@ -531,6 +531,10 @@ class TestBundledDictionary:
         ]
         port = RefWordninja(["ab", "a", "b"])
         assert pp.wordninja_split("abzab", costs, 2) == port.split("abzab")
+        # maxword omitted with custom costs: derived from the dict
+        # (max key length), matching wordninja's self._maxword
+        assert pp.wordninja_split("abzab", costs) == port.split("abzab")
+        assert pp.wordninja_split("x", {}) == ["x"]
 
     def test_reattach_rules(self):
         # digit runs resplit by the DP re-merge into one token
