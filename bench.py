@@ -35,6 +35,20 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def read_loadavg() -> list[float] | None:
+    """Host load average [1m, 5m, 15m] — recorded into the bench record
+    so a consumer (driver, judge, bench_compare) can adjudicate
+    loaded-host contamination mechanically. Three consecutive rounds of
+    bench artifacts needed manual contention adjudication before this
+    field existed; a record that carries its own load evidence can
+    defend itself."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError, IndexError):
+        return None  # non-Linux host: field stays null, policy skips it
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
@@ -53,6 +67,8 @@ def main() -> None:
 
     spark = get_spark("bench")
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    load_start = read_loadavg()
 
     # warm the JVM + parquet footers once so per-query numbers are steady
     materialize(declared.q_search_flagship(spark, sf_dir))
@@ -71,6 +87,10 @@ def main() -> None:
             samples.append(time.time() - t0)
         med = statistics.median(samples)
         timings[name] = round(med, 3)
+        # rep spread [min, median, max]: a flag whose rep MIN clears the
+        # bench_compare policy line is in-run contention (the plan itself
+        # ran fast at least once), adjudicable without a re-measure
+        spread[name] = [round(min(samples), 3), round(med, 3), round(max(samples), 3)]
         total += med
 
     record = {
@@ -78,6 +98,9 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "load_start": load_start,
+        "load_end": read_loadavg(),
         "sf": sf,
         "reps": reps,
         "stat": "median",
@@ -96,6 +119,11 @@ def main() -> None:
         "sf": sf,
         "reps": reps,
         "stat": "median",
+        # host-load evidence rides in the summary too: the DRIVER's
+        # BENCH_rN.json keeps only this line, and r11-r13 all needed
+        # manual contention adjudication of exactly that artifact
+        "load_start": load_start,
+        "load_end": record["load_end"],
         "slowest10": slowest10,
         # no-silent-caps: queries whose declared form samples their input
         # to bound bench cost (the OPERATORS are unsampled)

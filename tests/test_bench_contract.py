@@ -58,3 +58,15 @@ def test_bench_summary_is_last_stdout_line(tmp_path):
     assert len(full["queries"]) == summary["n_queries"]
     disk = json.loads((tmp_path / "BENCH_LOCAL.json").read_text())
     assert disk["queries"] == full["queries"]
+    # self-adjudication evidence (r13 verdict #1): host load at start
+    # and end, and per-query rep spread [min, median, max], present in
+    # the full record; load evidence ALSO rides the driver summary line
+    for rec in (full, disk):
+        assert len(rec["load_start"]) == 3
+        assert len(rec["load_end"]) == 3
+        assert set(rec["spread"]) == set(rec["queries"])
+        for q, (lo, med, hi) in rec["spread"].items():
+            assert lo <= med <= hi
+            assert med == rec["queries"][q]
+    assert len(summary["load_start"]) == 3
+    assert len(summary["load_end"]) == 3
