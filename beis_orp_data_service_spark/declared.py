@@ -4270,6 +4270,74 @@ def _bpe_encode(spark, sf_dir):
     return corpus_ops.bpe_tokenize(docs, ranked)
 
 
+# the base corpus is pure ASCII at every SF, so the byte-level family's
+# distinctive path (multi-byte UTF-8, merges crossing the byte boundary
+# inside a character) would be vacuous without seeding: every training
+# doc gets a twin whose first 120 chars have EVERY lowercase letter
+# mapped to a Latin-1 accented char (a 2-byte C3-xx UTF-8 sequence) —
+# dense enough that multi-byte pairs reach the top-4 merges, so the
+# TRAINED artifact itself crosses character byte boundaries (pinned in
+# tests/test_corpus.py), not just the encode denominator
+_BPE_BYTES_ASCII = "abcdefghijklmnopqrstuvwxyz"
+_BPE_BYTES_ACCENT = "àáâãäåæçèéêëìíîïðñòóôõö÷øù"
+_BPE_BYTES_SRC_SQL = f"""
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id + 40000000 AS doc_id,
+             translate(substring(text, 1, 120),
+                       '{_BPE_BYTES_ASCII}', '{_BPE_BYTES_ACCENT}') AS text
+      FROM documents WHERE doc_id < 200
+"""
+
+
+def _bpe_bytes_corpus(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    twins = docs.select(
+        (F.col("doc_id") + F.lit(40_000_000)).alias("doc_id"),
+        F.translate(
+            F.substring("text", 1, 120), _BPE_BYTES_ASCII, _BPE_BYTES_ACCENT
+        ).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(twins)
+
+
+@declared(
+    "bpe_bytes_merges",
+    corpus_ops.bpe_bytes_merges_oracle_sql(4, src_sql=_BPE_BYTES_SRC_SQL),
+)
+def _bpe_bytes_merges(spark, sf_dir):
+    # The FOURTH tokenizer family: byte-level BPE (GPT-2 / tiktoken,
+    # Radford et al. 2019) — the merge loop over the 256-byte UTF-8
+    # alphabet, removing the unsegmentable-word class entirely (byte
+    # fallback). HASH-GRADE like char BPE: symbols are uppercase hex
+    # byte strings whose lexicographic order is isomorphic to bytewise
+    # order in BOTH engines, and the oracle reuses the unrolled round
+    # chain verbatim (it folds tab-delimited tokens, alphabet-blind).
+    # The 'é'-twin corpus makes multi-byte sequences frequent enough to
+    # reach the top-4 merges — training genuinely crosses character
+    # byte boundaries (pinned in tests/test_corpus.py).
+    return corpus_ops.bpe_bytes_learn_merges(
+        _bpe_bytes_corpus(spark, sf_dir), n_merges=4
+    )
+
+
+@declared(
+    "bpe_bytes_encode",
+    corpus_ops.bpe_bytes_encode_oracle_sql(4, src_sql=_BPE_BYTES_SRC_SQL),
+)
+def _bpe_bytes_encode(spark, sf_dir):
+    # Byte-level encode half: learn the merge table (the bounded
+    # model), one Arrow pass for per-doc token budgets against the
+    # BYTE denominator (n_bytes = octet_length, > n_chars exactly on
+    # the multi-byte twins — the non-vacuity signal). No unknown
+    # branch exists by construction; what char-BPE cannot segment,
+    # byte-BPE spells in raw bytes.
+    docs = _bpe_bytes_corpus(spark, sf_dir)
+    merges_df = corpus_ops.bpe_bytes_learn_merges(docs, n_merges=4)
+    ranked = [(r.a, r.b) for r in merges_df.orderBy("merge_rank").collect()]
+    return corpus_ops.bpe_bytes_tokenize(docs, ranked)
+
+
 def _tokenizer_compare_oracle_sql() -> str:
     """Three full tokenizer lifecycles as independent subqueries (each
     generator's WITH chain nests inside a FROM — DuckDB scopes the CTE
@@ -4371,24 +4439,32 @@ _SWEEP_BUDGETS = (2, 4, 8)
 
 
 def _tokenizer_sweep_oracle_sql() -> str:
-    """Nine full tokenizer lifecycles (3 families × 3 vocab budgets) as
-    independent subqueries — the tokenizer_compare nesting move, one
-    arm per (family, budget). BPE/WordPiece budgets are merge counts;
-    the unigram budget is the prune width (kept multi-char pieces
-    beyond the alphabet floor) — each family's own 'extra vocabulary'
-    knob, so the surface answers 'which family AND what vocab size'."""
+    """Twelve full tokenizer lifecycles (4 families × 3 vocab budgets)
+    as independent subqueries — the tokenizer_compare nesting move, one
+    arm per (family, budget). BPE/byte-BPE/WordPiece budgets are merge
+    counts; the unigram budget is the prune width (kept multi-char
+    pieces beyond the alphabet floor) — each family's own 'extra
+    vocabulary' knob, so the surface answers 'which family AND what
+    vocab size'. On this pure-ASCII sweep corpus the byte family's
+    totals EQUAL char BPE's per budget (hex-of-byte order is isomorphic
+    to char order on ASCII, so the greedy trainers pick isomorphic
+    merges) — a real cross-family invariant, pinned as such in
+    tests/test_corpus.py; the families diverge exactly when multi-byte
+    text appears (the bpe_bytes_merges/encode queries' é-twin corpus)."""
     pred = "doc_id < 200"
     chars = ("(SELECT CAST(sum(length(text)) AS BIGINT) "
              f"FROM documents WHERE {pred})")
     arms = []
     for b in _SWEEP_BUDGETS:
         bpe = corpus_ops.bpe_encode_oracle_sql(b, doc_pred=pred)
+        bpeb = corpus_ops.bpe_bytes_encode_oracle_sql(b, doc_pred=pred)
         uni = corpus_ops.unigram_train_segment_oracle_sql(
             1, 4, 2000, prune_to=b, doc_pred=pred
         )
         wp = corpus_ops.wordpiece_encode_oracle_sql(b, doc_pred=pred)
         for name, sql, tok in (
             ("bpe", bpe, "n_tokens"),
+            ("bpe_bytes", bpeb, "n_tokens"),
             ("unigram", uni, "n_pieces"),
             ("wordpiece", wp, "n_tokens"),
         ):
@@ -4404,20 +4480,21 @@ def _tokenizer_sweep_oracle_sql() -> str:
 
 @declared("tokenizer_sweep", _tokenizer_sweep_oracle_sql())
 def _tokenizer_sweep(spark, sf_dir):
-    # The tokenizer-SELECTION surface: race all three families at three
-    # vocab budgets on one corpus — (tokenizer, budget, total_tokens,
+    # The tokenizer-SELECTION surface: race all FOUR families (char
+    # BPE, byte-level BPE, unigram, WordPiece) at three vocab budgets
+    # on one corpus — (tokenizer, budget, total_tokens,
     # chars_per_token_milli), the actual decision table a token-budget
     # owner reads ('which family AND what vocab size'). HASH-GRADE: the
-    # oracle nests nine independent training lifecycles. Scale shape:
+    # oracle nests twelve independent training lifecycles. Scale shape:
     # ONE shared word-frequency base (stage_checkpoint) feeds
-    # everything; BPE and WordPiece train ONCE at the largest budget
-    # (smaller budgets are merge-list PREFIXES — the greedy loops are
-    # deterministic); the unigram seed + EM pass are budget-independent
-    # so they run once and only the vocab-scale prune/re-score repeats
-    # per budget; ALL NINE encode cells then collapse into one fused
-    # Arrow pass over the distinct-word table (tokenizer_sweep_totals —
-    # Σ freq·tokens(w) equals the per-doc sum exactly, so no doc
-    # join-back and no per-cell corpus pass).
+    # everything; both BPE families and WordPiece train ONCE at the
+    # largest budget (smaller budgets are merge-list PREFIXES — the
+    # greedy loops are deterministic); the unigram seed + EM pass are
+    # budget-independent so they run once and only the vocab-scale
+    # prune/re-score repeats per budget; ALL TWELVE encode cells then
+    # collapse into one fused Arrow pass over the distinct-word table
+    # (tokenizer_sweep_totals — Σ freq·tokens(w) equals the per-doc sum
+    # exactly, so no doc join-back and no per-cell corpus pass).
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     chars = docs.agg(
         F.sum(F.length("text")).cast("bigint").alias("_chars")
@@ -4431,6 +4508,13 @@ def _tokenizer_sweep(spark, sf_dir):
         docs, "doc_id", "text", n_merges=bmax, word_freq=wf
     )
     ranked = [(r.a, r.b) for r in bpe_m.orderBy("merge_rank").collect()]
+
+    bpeb_m = corpus_ops.bpe_bytes_learn_merges(
+        docs, "doc_id", "text", n_merges=bmax, word_freq=wf
+    )
+    ranked_bytes = [
+        (r.a, r.b) for r in bpeb_m.orderBy("merge_rank").collect()
+    ]
 
     # the unigram seed scores and the EM pass are budget-INDEPENDENT
     # (only the prune width differs per budget) — run them once, apply
@@ -4470,7 +4554,8 @@ def _tokenizer_sweep(spark, sf_dir):
     }
 
     totals = corpus_ops.tokenizer_sweep_totals(
-        wf, ranked, wp_vocabs, uni_scores, _SWEEP_BUDGETS
+        wf, ranked, wp_vocabs, uni_scores, _SWEEP_BUDGETS,
+        bpe_bytes_merges=ranked_bytes,
     )
     return totals.join(F.broadcast(chars)).select(
         "tokenizer",
@@ -8684,6 +8769,46 @@ def _dup_spans(spark, sf_dir):
     # with their occurrence counts — explode feeds the partial agg
     # map-side, the shuffle carries only distinct spans.
     return dd.repeated_spans(_t(spark, sf_dir, "documents"))
+
+
+# planted-overlap corpus for the maximal-span surface: every 25th doc
+# gets a twin whose text is a 16-char prefix (exactly ONE stride, so
+# the copied region keeps grid alignment mod stride — the detection
+# guarantee's precondition) + the source's first 100 chars. Each plant
+# creates a run of ≥5 consecutive shared windows in BOTH copies, so
+# multi-window islands with known bounds exist by construction.
+_DUP_SPANS_MAX_SRC_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 50000000 AS doc_id,
+             'PLANTED_OVERLAP:' || substring(text, 1, 100) AS text
+      FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+@declared(
+    "dup_spans_maximal",
+    dd.repeated_span_islands_oracle_sql(f"({_DUP_SPANS_MAX_SRC_SQL})"),
+)
+def _dup_spans_maximal(spark, sf_dir):
+    # Maximal-span upgrade of dup_spans: consecutive repeated windows
+    # chain into per-doc islands (offset-minus-rank key), emitting
+    # (doc_id, span_start, span_len, n_windows) — the exact region
+    # bound at grid resolution that the Lee-et-al. removal decision
+    # needs (dup_spans says only "a 32-char span repeats somewhere").
+    # HASH-GRADE; the planted twins guarantee multi-window islands with
+    # known bounds (span_len 96 at the plant sites, pinned in
+    # tests/test_dedup.py).
+    docs = _t(spark, sf_dir, "documents")
+    twins = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + F.lit(50_000_000)).alias("doc_id"),
+        F.concat(
+            F.lit("PLANTED_OVERLAP:"), F.substring("text", 1, 100)
+        ).alias("text"),
+    )
+    return dd.repeated_span_islands(
+        docs.select("doc_id", "text").unionByName(twins)
+    )
 
 
 @declared(

@@ -1410,14 +1410,31 @@ def bpe_learn_merges(
     the distributed path). Above the threshold — any real corpus; a
     100 TB dedup'd word table is 10⁷-10⁸ rows — the distributed
     per-round path below runs unchanged. 0 disables the fast path."""
-    from pyspark.sql import functions as SF
-
     wf = word_freq_table(df, text_col) if word_freq is None else word_freq
     vocab = (
         wf.select(F.split("w", "").alias("syms"), F.col("freq").cast("bigint"))
         .transform(stage_checkpoint, label="bpe:vocab", strategy=checkpoint)
     )
-    spark = df.sparkSession
+    return _bpe_train_loop(
+        vocab, n_merges, checkpoint, driver_train_threshold
+    )
+
+
+def _bpe_train_loop(
+    vocab: DataFrame,
+    n_merges: int,
+    checkpoint: str,
+    driver_train_threshold: int,
+) -> DataFrame:
+    """The greedy merge loop shared by the char-level and byte-level
+    BPE trainers — symbol-alphabet-agnostic: ``vocab`` is any
+    checkpointed ``(syms array<string>, freq bigint)`` table and the
+    loop counts / argmaxes / merges over whatever symbols it carries
+    (characters for :func:`bpe_learn_merges`, hex byte pairs for
+    :func:`bpe_bytes_learn_merges`)."""
+    from pyspark.sql import functions as SF
+
+    spark = vocab.sparkSession
     if driver_train_threshold and vocab.count() <= driver_train_threshold:
         words = [
             (list(r["syms"]), int(r["freq"])) for r in vocab.collect()
@@ -1472,7 +1489,6 @@ def bpe_learn_merges(
         ).transform(stage_checkpoint, label="bpe:merge", strategy=checkpoint)
         merges.append((rank, a, b, int(cnt)))
 
-    spark = df.sparkSession
     return spark.createDataFrame(
         merges, "merge_rank bigint, a string, b string, pair_count bigint"
     )
@@ -1633,6 +1649,203 @@ def bpe_encode_oracle_sql(
            CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
            CAST(length(d.text) AS BIGINT) AS n_chars
     FROM {table} d LEFT JOIN agg a USING (doc_id){pred}
+    """
+    return "".join(parts) + tail
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE — the GPT-2 / tiktoken family (Radford et al. 2019)
+# ---------------------------------------------------------------------------
+#
+# Char-level BPE has an unsegmentable-word class: any word containing a
+# character outside the training alphabet cannot be encoded. Byte-level
+# BPE removes it entirely — the base alphabet is the 256 byte values of
+# the word's UTF-8 encoding, so EVERY string is segmentable and merges
+# can cross the byte boundaries inside multi-byte characters. Symbols
+# are spelled as UPPERCASE HEX byte pairs ("61", "C3", merged "C3A9"):
+# fixed-width, printable, and — decisive for the cross-engine oracle —
+# lexicographic comparison of hex strings is ORDER-ISOMORPHIC to
+# bytewise comparison of the underlying byte sequences (both engines
+# compare ASCII hex identically, and a prefix sorts before its
+# extensions in both), so the (pair_count DESC, a, b) argmax tie-break
+# picks the same merge everywhere. GPT-2's unicode remapping
+# (bytes_to_unicode) is exactly such a printable-alias table; hex is
+# the SQL-friendly spelling of the same idea.
+
+
+# hex-pair symbol array of a word's UTF-8 bytes, JVM-side (no Python in
+# the vocab build): Spark hex(binary) is uppercase like DuckDB's
+_BYTE_SYMS_EXPR = (
+    "transform(sequence(1, octet_length(w)), "
+    "i -> substring(hex(encode(w, 'UTF-8')), 2*i - 1, 2))"
+)
+
+
+def bpe_bytes_learn_merges(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 8,
+    checkpoint: str = "local",
+    word_freq: DataFrame | None = None,
+    driver_train_threshold: int = 100_000,
+) -> DataFrame:
+    """Byte-level BPE merge learning — :func:`bpe_learn_merges` with
+    the 256-byte base alphabet instead of characters. Identical scale
+    shape (one corpus scan into the shared word-frequency base, then
+    per-round work on the vocab table) and the identical greedy loop
+    (:func:`_bpe_train_loop` is shared verbatim, including the adaptive
+    driver-local path); only the symbol seeding differs. Output
+    ``(merge_rank, a, b, pair_count)`` with a/b as uppercase hex byte
+    strings — the artifact a GPT-2-family tokenizer persists."""
+    wf = word_freq_table(df, text_col) if word_freq is None else word_freq
+    vocab = (
+        wf.select(
+            F.expr(_BYTE_SYMS_EXPR).alias("syms"),
+            F.col("freq").cast("bigint"),
+        )
+        .transform(stage_checkpoint, label="bpe_bytes:vocab", strategy=checkpoint)
+    )
+    return _bpe_train_loop(
+        vocab, n_merges, checkpoint, driver_train_threshold
+    )
+
+
+def bpe_bytes_tokenize(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode half of byte-level BPE: each word starts as the hex-pair
+    spelling of its UTF-8 bytes and the learned merges apply greedily
+    in rank order (same full left-to-right passes as the trainer, so
+    trained state == encoding for in-corpus words). No unknown branch
+    exists by construction — the byte-fallback property. Output per
+    document: ``(id, n_tokens, n_bytes)``; ``n_bytes`` (not chars) is
+    the byte-level budget denominator. One Arrow pass; the merge list
+    is the model and rides the closure."""
+    ranked = list(merges)
+
+    @F.pandas_udf("bigint")
+    def _count(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            total = 0
+            for w in (t or "").split():
+                seq = ["%02X" % byt for byt in w.encode("utf-8")]
+                for a, b in ranked:
+                    i, res = 0, []
+                    n = len(seq)
+                    while i < n:
+                        if i + 1 < n and seq[i] == a and seq[i + 1] == b:
+                            res.append(a + b)
+                            i += 2
+                        else:
+                            res.append(seq[i])
+                            i += 1
+                    seq = res
+                total += len(seq)
+            out.append(total)
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col),
+        _count(F.col(text_col)).alias("n_tokens"),
+        F.expr(f"octet_length({text_col})").cast("bigint").alias("n_bytes"),
+    )
+
+
+# words CTE for the byte alphabet: same whitespace split / freq table
+# as _BPE_WORDS_CTE, but s0 seeds each word as tab-joined hex byte
+# pairs (DuckDB hex(encode(w)) is uppercase like Spark's). {src} is a
+# row source producing (doc_id, text) — a bare table name or a
+# parenthesized UNION (the multi-byte-twin pattern).
+_BPE_BYTES_WORDS_CTE = """
+    w0 AS (
+      SELECT unnest(string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) AS w
+      FROM {src}
+    ), wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM w0 WHERE length(w) >= 1 GROUP BY w
+    ), s0 AS (
+      SELECT w,
+             array_to_string(
+               [h[2*i - 1:2*i]
+                for i in range(1, octet_length(encode(w)) + 1)],
+               chr(9)) AS ts,
+             freq
+      FROM (SELECT w, hex(encode(w)) AS h, freq FROM wf)
+    )"""
+
+
+def _bpe_bytes_src(
+    table: str, doc_pred: str | None, src_sql: str | None
+) -> str:
+    if src_sql is not None:
+        return f"({src_sql})"
+    return f"{table} WHERE {doc_pred}" if doc_pred else table
+
+
+def bpe_bytes_merges_oracle_sql(
+    n_merges: int,
+    table: str = "documents",
+    doc_pred: str | None = None,
+    src_sql: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`bpe_bytes_learn_merges`: the byte-seeded
+    words CTE, then the SAME unrolled round chain as the char-level
+    oracle — ``_BPE_ROUND_CTE`` is symbol-agnostic (it folds
+    tab-delimited tokens; hex tokens contain no tabs), so the byte
+    family reuses it verbatim. ``src_sql`` overrides the row source
+    (the multi-byte-twin corpus)."""
+    src = _bpe_bytes_src(table, doc_pred, src_sql)
+    parts = ["WITH " + _BPE_BYTES_WORDS_CTE.format(src=src)]
+    for r in range(1, n_merges + 1):
+        parts.append(_BPE_ROUND_CTE.format(r=r, prev=r - 1))
+    unions = "\n      UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a, b, pair_count "
+        f"FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n    " + unions
+
+
+def bpe_bytes_encode_oracle_sql(
+    n_merges: int,
+    table: str = "documents",
+    doc_pred: str | None = None,
+    src_sql: str | None = None,
+) -> str:
+    """DuckDB twin of the byte-level learn→encode chain: replays
+    training, reads each word's token count off the FINAL merge state
+    (valid as in :func:`bpe_encode_oracle_sql` — full rank-order
+    passes both sides), joins back per document. ``n_bytes`` is
+    ``octet_length(encode(text))`` — the byte-level denominator."""
+    src = _bpe_bytes_src(table, doc_pred, src_sql)
+    parts = ["WITH " + _BPE_BYTES_WORDS_CTE.format(src=src)]
+    for r in range(1, n_merges + 1):
+        parts.append(_BPE_ROUND_CTE.format(r=r, prev=r - 1))
+    tail = f"""
+    , wtok AS (
+      SELECT w, CAST(len(string_split(ts, chr(9))) AS BIGINT) AS n_tok
+      FROM s{n_merges}
+    ), src_docs AS (
+      SELECT doc_id, text FROM {src}
+    ), docw AS (
+      SELECT doc_id,
+             unnest(string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) AS w
+      FROM src_docs
+    ), agg AS (
+      SELECT dw.doc_id, CAST(sum(v.n_tok) AS BIGINT) AS n_tokens
+      FROM (SELECT doc_id, w FROM docw WHERE length(w) >= 1) dw
+      JOIN wtok v USING (w)
+      GROUP BY dw.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes
+    FROM src_docs d LEFT JOIN agg a USING (doc_id)
     """
     return "".join(parts) + tail
 
@@ -2615,6 +2828,7 @@ def tokenizer_sweep_totals(
     uni_scores: dict[int, dict[str, int]],
     budgets: tuple[int, ...],
     max_piece_len: int = 4,
+    bpe_bytes_merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Corpus-side half of the tokenizer vocab-size sweep, fused: total
     token counts for every (family, budget) cell in ONE Arrow pass over
@@ -2631,10 +2845,14 @@ def tokenizer_sweep_totals(
     ``wp_vocabs`` / ``uni_scores``: per-budget vocab sets / score
     tables (WordPiece matching and Viterbi DP have no prefix structure
     across budgets, but both are per-word window-bounded — the pass is
-    still one). Output ``(tokenizer, budget, total_tokens)``."""
+    still one). ``bpe_bytes_merges``: the byte-level family's ranked
+    merge list at the largest budget (same prefix structure as char
+    BPE) — when given, ('bpe_bytes', b) cells join the same fused
+    pass. Output ``(tokenizer, budget, total_tokens)``."""
     blist = sorted(budgets)
     bset = set(blist)
     merges = list(bpe_merges)
+    merges_bytes = list(bpe_bytes_merges) if bpe_bytes_merges else None
     vsets = {b: set(v) for b, v in wp_vocabs.items()}
     wmax = {
         b: max(
@@ -2646,11 +2864,11 @@ def tokenizer_sweep_totals(
     sc_tables = {b: dict(s) for b, s in uni_scores.items()}
     L = max_piece_len
     bc = wf.sparkSession.sparkContext.broadcast(
-        (merges, vsets, wmax, sc_tables)
+        (merges, vsets, wmax, sc_tables, merges_bytes)
     )
 
     def _totals(batches):
-        mg, vs_all, wm_all, sc_all = bc.value
+        mg, vs_all, wm_all, sc_all, mg_bytes = bc.value
         for pdf in batches:
             acc: dict[tuple[str, int], int] = {}
             for w, f in zip(pdf["w"], pdf["freq"]):
@@ -2676,6 +2894,25 @@ def tokenizer_sweep_totals(
                     if b > len(mg):
                         k = ("bpe", b)
                         acc[k] = acc.get(k, 0) + f * len(seq)
+                if mg_bytes is not None:
+                    seq = ["%02X" % byt for byt in w.encode("utf-8")]
+                    for rank, (a, b) in enumerate(mg_bytes, 1):
+                        res, i, n = [], 0, len(seq)
+                        while i < n:
+                            if i + 1 < n and seq[i] == a and seq[i + 1] == b:
+                                res.append(a + b)
+                                i += 2
+                            else:
+                                res.append(seq[i])
+                                i += 1
+                        seq = res
+                        if rank in bset:
+                            k = ("bpe_bytes", rank)
+                            acc[k] = acc.get(k, 0) + f * len(seq)
+                    for b in blist:
+                        if b > len(mg_bytes):
+                            k = ("bpe_bytes", b)
+                            acc[k] = acc.get(k, 0) + f * len(seq)
                 for b in blist:
                     vs, mc = vs_all[b], wm_all[b]
                     pos, n = 0, 0

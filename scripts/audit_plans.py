@@ -72,7 +72,11 @@ ALLOW_ARROW = {"ann_ivf_cells": 2, "ann_ivf_topk": 2, "ann_topk": 2, "ann_index_
                # tokenizer capstone: THREE encode kernels (BPE count,
                # unigram Viterbi, WordPiece longest-match) — disjoint
                # branches of the union, every row crosses exactly one
-               "tokenizer_compare": 3}
+               "tokenizer_compare": 3,
+               # encode corpus = union(base docs, accented twins): the
+               # count projection pushes through the Union, one Arrow
+               # node per branch — every row still encoded exactly once
+               "bpe_bytes_encode": 2}
 
 # Per-FRAGMENT Arrow allowances for checkpoint-hidden lineage (each
 # fragment runs once; >1 Arrow node inside one fragment means the same
@@ -158,6 +162,91 @@ ALLOW_BNLJ = {
 }
 
 
+# Queries whose PLAN legitimately contains a Window with NO partition
+# spec (single-partition execution — fine only when the frame feeding
+# it is provably bounded). Every entry names its bound; a NEW query
+# acquiring a global window fails the audit until justified here. This
+# closes the gap between the AST gate (tests/test_window_scale.py,
+# which inspects package SOURCE) and the plan gate: a plan-level global
+# window reaching a declared query is now caught mechanically.
+ALLOW_GLOBAL_WINDOW: dict[str, str] = {
+    # pagination spelling: row_number over an orderBy().limit(offset+
+    # page) result — ≤ offset+page rows reach the window (search.py
+    # paged_sort, 'Window scale' marker there)
+    "q_search_flagship": "row_number over limit(offset+page) rows",
+    "q_sort_page": "row_number over limit(offset+page) rows",
+    "search_rerank": "row_number over limit(offset+page) candidate page",
+    # planted-violation fixture: window over an orderBy().limit(3)
+    # result (declared.py dq_report_q inline marker)
+    "dq_report": "row_number over a 3-row limit() fixture",
+    # rank window on the limit(k+1) threshold probe, ≤ k+1 rows
+    # (corpus.py priority_sample 'Window scale' marker)
+    "priority_sample": "rank over limit(k+1) threshold rows",
+    # quantile read-off over a bottom-k sketch, ≤ k rows total
+    # (corpus.py sketch_quantiles 'Window scale' marker)
+    "quantile_sketch": "rank over a k-row bottom-k sketch",
+    # one-pass CDF spellings over the DISTINCT-VALUE table (value-
+    # domain-bounded, not corpus-bounded); the corpus-scale route is
+    # the two_pass twin (ks_two_pass / mw_two_pass, prefix_sums)
+    "ks_drift": "cum-sum over distinct metric values; twin: ks_two_pass",
+    "mannwhitney_ab": "rank-sum over distinct values; twin: mw_two_pass",
+    # one-pass ntile over the per-user frame — the documented small-
+    # frame/oracle-parity spelling; scale route: rfm_two_pass
+    "rfm_scores": "one-pass ntile spelling; twin: rfm_two_pass",
+}
+
+
+def _top_level_bracket_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` group contents of a plan line. A Spark
+    Window node prints ``Window [exprs], [partition], [ordering]``;
+    either trailing group is OMITTED when empty, so a partition-only
+    window prints 2 groups and so does a global ordered window — the
+    two are told apart by the last group's content (an ordering group
+    carries ``ASC``/``DESC`` sort directions, a partition group is
+    bare exprs)."""
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            else:
+                buf.append(ch)
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+            if depth == 0:
+                groups.append("".join(buf))
+            else:
+                buf.append(ch)
+        elif depth > 0:
+            buf.append(ch)
+    return groups
+
+
+def global_window_lines(plan: str) -> list[str]:
+    """Plan lines executing a Window over the WHOLE dataset as one
+    partition — the collapse-to-one-task shape that dies at scale."""
+    out = []
+    for line in plan.splitlines():
+        head = line.strip().lstrip("*(0123456789)+-: ")
+        # only the Window node itself: its print contract is stable;
+        # WindowGroupLimit prints partition first and never executes
+        # the frame
+        if not head.startswith("Window "):
+            continue
+        groups = _top_level_bracket_groups(head)
+        if len(groups) >= 3:
+            continue  # exprs + partition + ordering: partitioned
+        if len(groups) == 2 and not re.search(
+            r"\b(ASC|DESC)\b", groups[1]
+        ):
+            continue  # exprs + partition (no ordering): partitioned
+        out.append(head.split("windowspecdefinition")[0][:90])
+    return out
+
+
 # wrapper/pass-through nodes to skip when finding the plan's first real
 # operator (AQE wraps everything in AdaptiveSparkPlan; writes and
 # projections don't change result cardinality/ordering semantics)
@@ -220,6 +309,9 @@ def main() -> int:
         ]
         if top_level_global_sort(plan):
             flags.append("unbounded global Sort at plan top")
+        gw = global_window_lines(plan)
+        if gw and name not in ALLOW_GLOBAL_WINDOW:
+            flags.append(f"global Window (no partition spec): {gw[0]}")
         # ---- full-lineage pass: every pre-checkpoint fragment ----
         frag_kernels = 0
         frag_allow = FRAGMENT_ALLOW.get(name, 1)
@@ -236,6 +328,12 @@ def main() -> int:
                     f == "BroadcastNestedLoopJoin" and name in ALLOW_BNLJ
                 ):
                     flags.append(f"fragment {label or '?'}: {f}")
+            fgw = global_window_lines(fplan)
+            if fgw and name not in ALLOW_GLOBAL_WINDOW:
+                flags.append(
+                    f"fragment {label or '?'}: global Window "
+                    f"(no partition spec): {fgw[0]}"
+                )
         if frags:
             print(
                 f"LINEAGE {name}: fragments={len(frags)} "

@@ -92,7 +92,9 @@ CATEGORICAL_EXPECT: dict[tuple[str, str], set] = {
     ("dup_classify", "dup_class"): None,  # >1 distinct value (open set)
     # the sweep's selection surface must cover every (family, budget)
     # cell on both datasets
-    ("tokenizer_sweep", "tokenizer"): {"bpe", "unigram", "wordpiece"},
+    ("tokenizer_sweep", "tokenizer"): {
+        "bpe", "bpe_bytes", "unigram", "wordpiece",
+    },
     ("tokenizer_sweep", "budget"): {2, 4, 8},
     # the dictionary-resplit branch must fire on both datasets (the
     # per-character-spaced twins exist exactly for this)

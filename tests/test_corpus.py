@@ -801,6 +801,182 @@ class TestBpeLearnMerges:
         assert 0 < agg.t < nonspace <= agg.c
 
 
+class TestBpeBytes:
+    """Byte-level BPE (GPT-2/tiktoken family): the merge loop over the
+    word's UTF-8 bytes spelled as uppercase hex pairs."""
+
+    # café/naïve force multi-byte UTF-8; aaa runs force overlap traps
+    TEXTS = [
+        "the café costs three euros",
+        "café naïve café the the",
+        "Ø the naïve cost aaa aaab",
+        "aa bb aa the café",
+    ]
+
+    @staticmethod
+    def _reference_bpe_bytes(texts, n_merges):
+        """Pure-Python byte-level reference: hex-pair symbols, same
+        greedy loop and (count DESC, a, b) tie-break."""
+        from collections import Counter
+
+        vocab = Counter()
+        for t in texts:
+            for w in t.split():
+                if w:
+                    vocab[tuple("%02X" % x for x in w.encode("utf-8"))] += 1
+        merges = []
+        for rank in range(1, n_merges + 1):
+            pairs = Counter()
+            for syms, freq in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += freq
+            if not pairs:
+                break
+            (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((rank, a, b, cnt))
+            nxt = Counter()
+            for syms, freq in vocab.items():
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                nxt[tuple(res)] += freq
+            vocab = nxt
+        return merges
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            list(enumerate(self.TEXTS)), "doc_id long, text string"
+        )
+
+    def test_matches_reference_and_oracle(self, spark):
+        """Triangle: Spark trainer == pure-Python reference == DuckDB
+        unrolled-CTE oracle, on a corpus where merges genuinely cross
+        the byte boundary inside multi-byte characters."""
+        import duckdb
+
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        expect = self._reference_bpe_bytes(self.TEXTS, 4)
+        got = [
+            tuple(r)
+            for r in co.bpe_bytes_learn_merges(self._df(spark), n_merges=4)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert got == expect
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany(
+            "INSERT INTO documents VALUES (?, ?)",
+            list(enumerate(self.TEXTS)),
+        )
+        oracle = sorted(con.sql(co.bpe_bytes_merges_oracle_sql(4)).fetchall())
+        assert oracle == sorted(expect)
+
+    def test_driver_path_equals_distributed(self, spark):
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        df = self._df(spark)
+        fast = [
+            tuple(r)
+            for r in co.bpe_bytes_learn_merges(df, n_merges=4)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        slow = [
+            tuple(r)
+            for r in co.bpe_bytes_learn_merges(
+                df, n_merges=4, driver_train_threshold=0
+            )
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert fast == slow and len(fast) == 4
+
+    def test_tokenize_byte_denominator_and_fallback(self, spark):
+        """n_bytes > n_chars exactly on multi-byte docs, and the empty
+        merge list still encodes EVERYTHING (byte fallback: one token
+        per byte, no unknown branch exists)."""
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        df = self._df(spark)
+        enc = {
+            r["doc_id"]: r
+            for r in co.bpe_bytes_tokenize(df, []).collect()
+        }
+        for i, t in enumerate(self.TEXTS):
+            raw = sum(len(w.encode("utf-8")) for w in t.split())
+            assert enc[i]["n_tokens"] == raw  # one token per byte
+            assert enc[i]["n_bytes"] == len(t.encode("utf-8"))
+            if len(t.encode("utf-8")) > len(t):
+                assert enc[i]["n_bytes"] > len(t)
+
+    def test_ascii_totals_equal_char_bpe(self, spark):
+        """On a pure-ASCII corpus the hex-of-byte alphabet is order-
+        isomorphic to the char alphabet, so the greedy trainers pick
+        isomorphic merges and per-budget token totals are EQUAL — the
+        invariant the 4-family tokenizer_sweep relies on; the families
+        diverge only when multi-byte text appears."""
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        texts = ["low low low lower lowest", "newest newest widest ab ba"]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        mc = [
+            (r.a, r.b)
+            for r in co.bpe_learn_merges(df, n_merges=4)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        mb = [
+            (r.a, r.b)
+            for r in co.bpe_bytes_learn_merges(df, n_merges=4)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        # merge lists are hex-images of each other
+        assert [
+            (a.encode().hex().upper(), b.encode().hex().upper())
+            for a, b in mc
+        ] == mb
+        tc = co.bpe_tokenize(df, mc).agg(F.sum("n_tokens")).first()[0]
+        tb = co.bpe_bytes_tokenize(df, mb).agg(F.sum("n_tokens")).first()[0]
+        assert tc == tb
+
+    def test_declared_twin_corpus_diverges_from_char_family(self, spark):
+        """The declared bpe_bytes corpus (é-twins) must genuinely
+        exercise the byte-level path: at least one learned merge is a
+        PARTIAL multi-byte sequence (odd hex length or a non-ASCII
+        byte), and n_bytes > n_chars on every twin row."""
+        from beis_orp_data_service_spark import declared
+        from tests.conftest import SF_SMOKE
+
+        merges = declared.REGISTRY["bpe_bytes_merges"].fn(
+            spark, SF_SMOKE
+        ).collect()
+        assert len(merges) == 4
+        multi = [
+            r
+            for r in merges
+            if any(int(h, 16) >= 0x80 for h in (r.a[:2], r.b[:2]))
+        ]
+        assert multi, "no merge touched a multi-byte UTF-8 sequence"
+        enc = declared.REGISTRY["bpe_bytes_encode"].fn(spark, SF_SMOKE)
+        twins = enc.filter(F.col("doc_id") >= 40_000_000).collect()
+        assert twins
+        assert all(r.n_tokens > 0 for r in twins)
+        # twin text is ≤120 CHARS; n_bytes exceeds that exactly when
+        # the letter→accent translation fired, which it must on any
+        # text-bearing doc
+        assert any(r.n_bytes > 120 for r in twins)
+
+
 class TestHllSketch:
     def test_estimate_within_standard_error(self, spark):
         """p=10 → relative error ≈ 1.04/√1024 ≈ 3.3%; assert within 3σ

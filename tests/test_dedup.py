@@ -659,3 +659,70 @@ class TestRepeatedSpans:
             hashlib.md5(shared[0:32].encode()).hexdigest(): (2, 2),
             hashlib.md5(shared[16:48].encode()).hexdigest(): (2, 2),
         }
+
+    def test_islands_exact_bounds(self, spark):
+        """Maximal-span islands on a constructed overlap: docs 1 and 2
+        share a 96-char region (grid-aligned), doc 1 also shares a
+        SEPARATE single window with doc 3 further in — two islands for
+        doc 1 with exact (start, len, n_windows), one each for 2/3."""
+        from beis_orp_data_service_spark.operators import dedup as dd
+
+        rep = "".join(chr(ord("a") + i % 23) for i in range(96))
+        tailw = "W" * 32  # the second, disjoint shared window
+        # doc1: [rep][16 filler][tailw] ; doc2: [rep] ; doc3:
+        # [48 filler][tailw] — tailw grid-aligned in both (112 ≡ 0,
+        # 48 ≡ 0 mod 16)
+        docs = spark.createDataFrame(
+            [
+                (1, rep + "-" * 16 + tailw),
+                (2, rep),
+                (3, "/" * 48 + tailw),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            (r.doc_id, r.span_start): (r.span_len, r.n_windows)
+            for r in dd.repeated_span_islands(docs).collect()
+        }
+        # rep covers offsets 0..4 (windows at 1,17,33,49,65): len 96.
+        # tailw in doc1 at char 113 = offset 7; in doc3 at 49 = off 3.
+        assert rows == {
+            (1, 1): (96, 5),
+            (2, 1): (96, 5),
+            (1, 113): (32, 1),
+            (3, 49): (32, 1),
+        }
+
+    def test_declared_plant_sites_pin(self, spark):
+        """The declared dup_spans_maximal plants guarantee span_len-96
+        islands at every twin: twin doc_ids carry an island starting at
+        char 17 (after the 16-char plant prefix) of length ≥ 96 — and
+        the matching source doc has the mirror island at char 1."""
+        from beis_orp_data_service_spark import declared
+        from tests.conftest import SF_SMOKE
+
+        rows = declared.REGISTRY["dup_spans_maximal"].fn(
+            spark, SF_SMOKE
+        ).collect()
+        twins = [r for r in rows if r.doc_id >= 50_000_000]
+        assert twins
+        # every planted twin surfaces its copied region
+        per_twin = {}
+        for r in twins:
+            per_twin.setdefault(r.doc_id, []).append(r)
+        for did, islands in per_twin.items():
+            # the copied region spans twin chars 17..116; its island
+            # must cover it (it may START at 1: all twins share the
+            # 16-char plant prefix, so prefix windows repeat too and
+            # fuse with the copied region)
+            best = max(islands, key=lambda r: r.span_len)
+            assert best.span_start <= 17, (did, islands)
+            assert best.span_start + best.span_len - 1 >= 112, (
+                did,
+                islands,
+            )
+            assert best.n_windows >= 5, (did, islands)
+            src = [r for r in rows if r.doc_id == did - 50_000_000]
+            assert any(
+                r.span_start == 1 and r.span_len >= 96 for r in src
+            ), did

@@ -299,3 +299,45 @@ def test_containment_prefix_never_cartesian(spark):
     plan = plan_of("containment_join", spark)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_global_window_detector_print_contract():
+    """Pin the audit's Window print-format parsing (audit_plans.
+    global_window_lines): Spark omits EMPTY partition/ordering groups,
+    so group count alone is ambiguous — a partition-only window and a
+    global ordered window both print 2 groups, told apart by ASC/DESC
+    in the last group. A regression here either re-floods the audit
+    with false positives (r14's first cut flagged 18 partition-only
+    windows) or blinds it to real global windows."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "audit_plans", "/root/repo/scripts/audit_plans.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    partitioned = (
+        "Window [sum(x#1L) windowspecdefinition(k#2, o#3 ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))"
+        " AS s#4L], [k#2], [o#3 ASC NULLS FIRST]"
+    )
+    partition_only = (
+        "Window [min(sent_idx#488) windowspecdefinition(doc_id#5L, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "unboundedfollowing$())) AS _first#6], [doc_id#5L]"
+    )
+    global_ordered = (
+        "Window [row_number() windowspecdefinition(d#7 ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))"
+        " AS rn#8], [d#7 ASC NULLS FIRST]"
+    )
+    bare = "Window [count(1) windowspecdefinition(...) AS n#9L]"
+
+    assert mod.global_window_lines(partitioned) == []
+    assert mod.global_window_lines(partition_only) == []
+    assert len(mod.global_window_lines(global_ordered)) == 1
+    assert len(mod.global_window_lines(bare)) == 1
+    # multi-line plan: only the Window lines are inspected
+    plan = "\n".join(["*(3) Project [x#1]", "+- " + partitioned, "+- " + global_ordered])
+    assert len(mod.global_window_lines(plan)) == 1
