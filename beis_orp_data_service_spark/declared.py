@@ -1699,6 +1699,25 @@ def _ann_index_probe(spark, sf_dir):
 REGISTRY["ann_index_probe"] = QueryDef(_ann_index_probe, None, min_rows=20)
 
 
+def _ann_recall_report(spark, sf_dir):
+    # The ANN operating-point evidence (r13 verdict ask #8): recall@10
+    # of every approximate method vs its exact ground truth — sign-LSH
+    # single/multiprobe, trained-kmeans IVF at nprobe 1/2/4, PQ-ADC —
+    # in one unioned join + one small groupBy. Rows-grade by nature
+    # (kmeans fit; recall is the MEASUREMENT, each method's values are
+    # hash-checked by its own declared query); floors pinned in
+    # tests/test_similarity.py and the sf0.1 table committed as
+    # RECALL.md.
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ann_recall_table(
+        emb, n_queries=20, k=10,
+        n_centroids=8 if "0.001" in sf_dir else 16,
+    )
+
+
+REGISTRY["ann_recall_report"] = QueryDef(_ann_recall_report, None, min_rows=6)
+
+
 @declared(
     "emb_dup_pairs",
     """

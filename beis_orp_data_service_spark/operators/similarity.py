@@ -2529,3 +2529,179 @@ def mean_pool_chunks_oracle_sql(
                 ORDER BY dim) AS pooled_q
     FROM per_dim GROUP BY doc_id
     """
+
+
+def l2_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force QUANTIZED-L2 top-k — the ground truth the PQ/ADC
+    family is measured against (ADC approximates squared L2 in the same
+    ×1000 integer space, so this is the like-for-like exact baseline;
+    :func:`cosine_topk` is the dot-product twin for the IVF family).
+    Same shape: queries broadcast, scoring is a projection, per-query
+    window keeps k."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    t = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("tvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            _quantize(F.col("qvec")),
+            _quantize(F.col("tvec")),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = t.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn("d2", d2)
+    # Window scale: partition key query_id; rows per task = one query's
+    # candidates, k retained.
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "d2", "rank")
+    )
+
+
+def ann_recall_table(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """The ANN operating-point evidence table: recall@k of every
+    approximate method against its exact ground truth, per
+    configuration — (method, op, k, n_queries, n_returned, hits,
+    recall_milli). This is the number an index owner reads to pick
+    (nprobe, bits, PQ budget); correctness of each method is hash-
+    checked elsewhere (ann_ivf_topk, pq_adc_topk), this surface
+    measures the recall TRADEOFF those checks can't express.
+
+    Ground truths: quantized dot (cosine_topk) for the IVF/LSH family,
+    quantized squared-L2 (:func:`l2_topk`) for ADC — each approximate
+    method is scored in its own metric space. Methods:
+
+    - sign-LSH IVF at bits=4, single-probe and Hamming-1 multiprobe;
+    - trained-kmeans IVF (one shared quantizer fit) at nprobe 1/2/4;
+    - PQ/ADC at m=4, k=16 (deterministic codebook).
+
+    Scale shape: every method is the production operator itself (same
+    bucketed plans); candidates from all methods union into ONE inner
+    join against the union of ground truths (keyed by metric space) and
+    one small groupBy — no per-method driver round-trips. Driver pulls
+    are the quantizer (kmeans fit) and the LUT build, both
+    model-sized. The report is O(methods) rows."""
+    emb = embeddings
+    queries = emb.filter(F.col(id_col) < n_queries)
+    nq = queries.count()  # bounded driver scalar (≤ n_queries)
+    n_rows = emb.count()
+
+    exact_dot = cosine_topk(emb, queries, id_col, vec_col, k=k).select(
+        F.lit("dot").alias("space"), "query_id", "neighbor_id"
+    )
+    exact_l2 = l2_topk(emb, queries, id_col, vec_col, k=k).select(
+        F.lit("l2").alias("space"), "query_id", "neighbor_id"
+    )
+    truth = exact_dot.unionByName(exact_l2)
+
+    cents = kmeans_centroids(
+        emb, vec_col, n_centroids=n_centroids, seed=seed, n_rows=n_rows
+    )
+
+    def tag(df, method, op, space):
+        return df.select(
+            F.lit(method).alias("method"),
+            F.lit(op).alias("op"),
+            F.lit(space).alias("space"),
+            "query_id",
+            "neighbor_id",
+        )
+
+    cand = None
+    arms = [
+        (
+            "ivf_lsh",
+            "bits=4,single",
+            "dot",
+            lambda: ivf_topk(
+                emb, queries, id_col, vec_col, k=k, bits=4,
+                multiprobe=False, n_rows=n_rows,
+            ),
+        ),
+        (
+            "ivf_lsh",
+            "bits=4,multiprobe",
+            "dot",
+            lambda: ivf_topk(
+                emb, queries, id_col, vec_col, k=k, bits=4,
+                multiprobe=True, n_rows=n_rows,
+            ),
+        ),
+    ]
+    for nprobe in (1, 2, 4):
+        arms.append(
+            (
+                "ivf_kmeans",
+                f"nprobe={nprobe}",
+                "dot",
+                lambda nprobe=nprobe: ivf_kmeans_topk(
+                    emb, queries, id_col, vec_col, k=k,
+                    centroids=cents, nprobe=nprobe,
+                ),
+            )
+        )
+    arms.append(
+        (
+            "pq_adc",
+            "m=4,k=16",
+            "l2",
+            lambda: pq_adc_topk(
+                emb, id_col, vec_col,
+                query_ids=list(range(n_queries)), k_neighbors=k,
+            ),
+        )
+    )
+    for method, op, space, build in arms:
+        t = tag(build(), method, op, space)
+        cand = t if cand is None else cand.unionByName(t)
+
+    # TWO consumers below (spine + hits join) — without a stage
+    # boundary every arm's bucketed search would execute twice
+    cand = cand.transform(stage_checkpoint, label="ann_recall:cand")
+
+    spine = cand.groupBy("method", "op").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_returned")
+    )
+    hits = (
+        cand.join(truth, ["space", "query_id", "neighbor_id"])
+        .groupBy("method", "op")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    return (
+        spine.join(hits, ["method", "op"], "left")
+        .select(
+            "method",
+            "op",
+            F.lit(k).cast("bigint").alias("k"),
+            F.lit(nq).cast("bigint").alias("n_queries"),
+            "n_returned",
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+            F.expr(f"coalesce(hits, 0) * 1000 div ({nq} * {k})")
+            .cast("bigint")
+            .alias("recall_milli"),
+        )
+    )

@@ -76,7 +76,8 @@ ALLOW_ARROW = {"ann_ivf_cells": 2, "ann_ivf_topk": 2, "ann_topk": 2, "ann_index_
                # encode corpus = union(base docs, accented twins): the
                # count projection pushes through the Union, one Arrow
                # node per branch — every row still encoded exactly once
-               "bpe_bytes_encode": 2}
+               "bpe_bytes_encode": 2,
+               }
 
 # Per-FRAGMENT Arrow allowances for checkpoint-hidden lineage (each
 # fragment runs once; >1 Arrow node inside one fragment means the same
@@ -93,6 +94,12 @@ FRAGMENT_ALLOW = {
     # Each row crosses each kernel exactly once; a 6th stage would
     # mean a genuine re-execution.
     "ingest_e2e": 5,
+    # the recall table's candidate union materializes ONCE (the
+    # ann_recall:cand boundary — two consumers above it): its one
+    # fragment carries all the arms' kernels — 3 kmeans-IVF arms x
+    # (table-assign + query-probe) + the fused PQ/ADC kernel — each an
+    # independent operating point crossed exactly once per vector
+    "ann_recall_report": 8,
 }
 
 RED_FLAGS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
@@ -107,6 +114,7 @@ ALLOW_BNLJ = {
     "cos_sim",       # broadcast signature pairs, != self predicate
     "dup_classify",  # broadcast candidate set, theta dup-rule predicate
     "ann_topk",      # broadcast query vectors (10), != self predicate
+    "ann_recall_report",  # same: broadcast 20 query vectors, != self (both exact ground truths)
     "hard_negatives",  # broadcast query vectors (10), label-mismatch predicate
     "lo_join",       # broadcast legislation dim, theta title-match
     "q_tpch11",      # 1-row scalar-aggregate subquery (HAVING threshold)

@@ -1144,3 +1144,61 @@ class TestMeanPoolChunks:
         a = sorted(map(tuple, sim.mean_pool_chunks(emb.repartition(1)).collect()))
         b = sorted(map(tuple, sim.mean_pool_chunks(emb.repartition(13)).collect()))
         assert a == b
+
+
+class TestAnnRecallReport:
+    def test_l2_topk_exact_on_known_vectors(self, spark):
+        """Quantized-L2 ground truth: hand-checkable 2-d vectors."""
+        emb = spark.createDataFrame(
+            [
+                (0, [0.0, 0.0]),
+                (1, [0.001, 0.0]),   # d2 = 1
+                (2, [0.0, 0.002]),   # d2 = 4
+                (3, [0.003, 0.004]), # d2 = 25
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        got = {
+            (r.query_id, r.rank): (r.neighbor_id, r.d2)
+            for r in sim.l2_topk(
+                emb, emb.filter("vec_id = 0"), k=2
+            ).collect()
+        }
+        assert got == {(0, 1): (1, 1), (0, 2): (2, 4)}
+
+    def test_recall_report_floors_and_tradeoffs(self, spark):
+        """The ANN operating-point surface (r13 ask #8): every arm
+        present and non-vacuous, recall monotone along each method's
+        knob, and conservative floors under the measured sf0.001
+        values (770/515/275 milli) so a silent recall collapse — a
+        broken bucket join, a wrong LUT — fails loudly."""
+        from beis_orp_data_service_spark import declared
+
+        rows = {
+            (r.method, r.op): r
+            for r in declared.REGISTRY["ann_recall_report"]
+            .fn(spark, SF_SMOKE)
+            .collect()
+        }
+        assert set(rows) == {
+            ("ivf_lsh", "bits=4,single"),
+            ("ivf_lsh", "bits=4,multiprobe"),
+            ("ivf_kmeans", "nprobe=1"),
+            ("ivf_kmeans", "nprobe=2"),
+            ("ivf_kmeans", "nprobe=4"),
+            ("pq_adc", "m=4,k=16"),
+        }
+        for r in rows.values():
+            assert r.n_queries == 20 and r.k == 10
+            assert 0 < r.n_returned <= 200
+            assert 0 < r.hits <= r.n_returned
+        km = {n: rows[("ivf_kmeans", f"nprobe={n}")].recall_milli
+              for n in (1, 2, 4)}
+        assert km[4] >= km[2] >= km[1]
+        assert (
+            rows[("ivf_lsh", "bits=4,multiprobe")].recall_milli
+            >= rows[("ivf_lsh", "bits=4,single")].recall_milli
+        )
+        assert km[4] >= 500
+        assert rows[("ivf_lsh", "bits=4,multiprobe")].recall_milli >= 300
+        assert rows[("pq_adc", "m=4,k=16")].recall_milli >= 100
