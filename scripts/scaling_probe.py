@@ -79,26 +79,75 @@ QUADRATIC_BY_DESIGN = {"cos_sim"}
 MAX_CARRY_AGE = 3
 ROTATE_CAP = 15  # bound per-run re-probe cost
 
+# Growth attribution (r13 verdict ask #6): the probe records each
+# fresh row's OUTPUT-rows ratio next to its wall ratio, separating
+# engine behavior from result growth mechanically. A row whose wall
+# ratio exceeds 2× its rows ratio (and isn't just fixed-overhead
+# noise, wall ratio > 2) carries a NAMED cause from this dict — or
+# renders UNATTRIBUTED, which the probe reports loudly. Causes are
+# claims about the ENGINE-side work that grows with input while the
+# output doesn't; name them from the plan, don't guess.
+GROWTH_CAUSES = {
+    "jaccard_prefix_join": "prefix-bucket candidate pairs grow with "
+    "corpus (verify step output-filtered; candidates are the work)",
+    "pretrain_corpus": "full pipeline rescans the inflated corpus at "
+    "each stage; output is the fixed token-budget selection",
+    "nb_lang_score": "vocabulary × class score matrix grows with "
+    "distinct tokens while the output stays per-class",
+    "er_clusters": "pointer-doubling rounds touch every edge per "
+    "round; cluster OUTPUT is block-bounded",
+    "emb_clusters_cells": "per-cell Gram work grows with vectors per "
+    "cell; cluster assignments output one row per vector",
+    "decontaminate_fuzzy": "LSH bucket explode + verify grows with "
+    "corpus featurization; matches output stays probe-bounded",
+    "minhash_lsh_pairs": "OR-amplified bucket join candidates grow "
+    "with corpus; emitted pairs are threshold-filtered",
+    "ngram_diversity": "distinct n-gram state grows near-linearly "
+    "with fresh text while the report is one row",
+    "tokenizer_sweep": "trainer rounds rescan the grown distinct-word "
+    "vocab; the report is 12 rows at any scale",
+    "containment_join": "prefix-filter candidates grow with corpus; "
+    "containment survivors are data-dependent",
+    "stream_dedup_ttl_e2e": "fixture-built stream; state and batch "
+    "count are sf-independent by design",
+    "dup_clusters": "pointer-doubling rounds touch every candidate "
+    "edge per round; cluster rows are dup-bounded",
+    "canonical_docs": "same pointer-doubling lineage as dup_clusters "
+    "feeding the per-cluster argmax",
+    "decontaminate": "n-gram overlap screen scans the grown corpus; "
+    "flagged output is probe-bounded",
+    "dedup_savings": "cluster closure work grows with corpus; the "
+    "savings report is one row",
+    "wordpiece_encode": "encode pass scans the grown corpus; the "
+    "longest-match trie work is per-token",
+    "seq_pack": "packing scans all grown documents; emitted sequences "
+    "grow with token mass, rows≈docs/pack_len",
+}
+
 
 def parse_measured_rows(
     path: str,
-) -> dict[str, tuple[float, float, float, int]]:
-    """Query name -> (base_s, big_s, ratio, age), for every measured
-    row of the committed SCALING.md main table (rows whose 2nd..4th
-    cells parse as floats). ``age`` counts probe runs since the row was
-    last measured (0 = fresh this run; rows from files predating the
-    age column read as 1). Used to derive the never-probed set, to
-    carry prior measurements into the regenerated file (verdicts are
-    RE-derived from the numbers under the current grading rules, so a
-    grading change never fossilizes a stale verdict string), and to
-    rotate over-age carried rows back into the fresh set."""
-    rows: dict[str, tuple[float, float, float, int]] = {}
+) -> dict[str, tuple[float, float, float, "float | None", int]]:
+    """Query name -> (base_s, big_s, ratio, rows_ratio, age), for every
+    measured row of the committed SCALING.md main table (rows whose
+    2nd..4th cells parse as floats). ``rows_ratio`` is the output-rows
+    growth column (None for rows measured before it existed — rendered
+    as '—' and re-measured on rotation). ``age`` counts probe runs
+    since the row was last measured (0 = fresh this run; rows from
+    files predating the age column read as 1). Used to derive the
+    never-probed set, to carry prior measurements into the regenerated
+    file (verdicts are RE-derived from the numbers under the current
+    grading rules, so a grading change never fossilizes a stale
+    verdict string), and to rotate over-age carried rows back into the
+    fresh set."""
+    rows: dict[str, tuple[float, float, float, float | None, int]] = {}
     if not os.path.exists(path):
         return rows
     with open(path) as f:
         for line in f:
             cells = [c.strip() for c in line.rstrip("\n").split("|")]
-            # '| name | b | g | r | age | verdict |' -> 8 cells
+            # new: '| name | b | g | r | rows | age | verdict |' -> 9
+            # old: '| name | b | g | r | age | verdict |'        -> 8
             if len(cells) < 6 or cells[1] in ("query", "---", ""):
                 continue
             try:
@@ -110,11 +159,19 @@ def parse_measured_rows(
             # names count as measured coverage
             if cells[1] not in declared.REGISTRY:
                 continue
+            rows_ratio: float | None = None
+            age_cell = 5
+            if len(cells) >= 9:  # has the rows× column
+                age_cell = 6
+                try:
+                    rows_ratio = float(cells[5])
+                except ValueError:
+                    rows_ratio = None
             try:
-                age = int(cells[5])
+                age = int(cells[age_cell])
             except (ValueError, IndexError):
                 age = 1  # pre-age-column file: measured one run ago
-            rows[cells[1]] = (*vals, age)
+            rows[cells[1]] = (*vals, rows_ratio, age)
     return rows
 
 
@@ -332,9 +389,9 @@ def main() -> int:
         (
             k
             for k in prior_rows
-            if k not in slowest and prior_rows[k][3] + 1 > MAX_CARRY_AGE
+            if k not in slowest and prior_rows[k][4] + 1 > MAX_CARRY_AGE
         ),
-        key=lambda k: (-prior_rows[k][3], k),
+        key=lambda k: (-prior_rows[k][4], k),
     )[:ROTATE_CAP]
     if stale:
         print(f"over-age carried rows (re-probed): {stale}")
@@ -351,6 +408,7 @@ def main() -> int:
     for name in slowest:
         fn = declared.REGISTRY[name].fn
         t = {}
+        n = {}
         for label, d in (("base", base), ("big", dst)):
             best = float("inf")
             for _ in range(reps):
@@ -358,9 +416,18 @@ def main() -> int:
                 materialize(fn(spark, d))
                 best = min(best, time.time() - t0)
             t[label] = best
+            # growth attribution: OUTPUT rows at each size, so wall
+            # growth separates mechanically into engine work vs result
+            # growth (one extra execution per size; probe is offline)
+            n[label] = fn(spark, d).count()
         ratio = t["big"] / t["base"] if t["base"] > 0 else float("inf")
-        rows.append((name, t["base"], t["big"], ratio))
-        print(f"{name}: {t['base']:.2f}s -> {t['big']:.2f}s  ratio {ratio:.2f}")
+        rows_ratio = n["big"] / max(1, n["base"])
+        rows.append((name, t["base"], t["big"], ratio, rows_ratio))
+        print(
+            f"{name}: {t['base']:.2f}s -> {t['big']:.2f}s  ratio "
+            f"{ratio:.2f}  rows {n['base']} -> {n['big']} "
+            f"({rows_ratio:.2f}x)"
+        )
 
     lines = [
         "# SCALING — empirical wall-ratio probe",
@@ -385,10 +452,18 @@ def main() -> int:
         f"rotate back into the fresh set ({ROTATE_CAP}/run, oldest "
         "first), so no measurement fossilizes.",
         "",
-        "| query | base s | {f}× s | ratio | age | verdict |".format(
+        "The `rows×` column is the OUTPUT-rows growth at the same "
+        "inflation — the mechanical separation of engine behavior "
+        "from result growth. A fresh row whose wall ratio is > 2 and "
+        "> 2× its rows ratio must carry a named engine-side cause "
+        "(GROWTH_CAUSES in the script); an UNATTRIBUTED such row "
+        "counts as an outlier. '—' = measured before this column "
+        "existed (re-measured on rotation).",
+        "",
+        "| query | base s | {f}× s | ratio | rows× | age | verdict |".format(
             f=factor
         ),
-        "|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|",
     ]
     n_bad = 0
 
@@ -407,22 +482,38 @@ def main() -> int:
         return "**OUTLIER** — diagnose plan", True
 
     fresh_names = set()
-    for name, tb, tg, ratio in rows:
+    for name, tb, tg, ratio, rows_ratio in rows:
         fresh_names.add(name)
         verdict, bad = grade(name, ratio)
+        # growth attribution: engine-side wall growth beyond output
+        # growth needs a name (fixed-overhead rows, wall ratio ≤ 2,
+        # are exempt — at probe scale they measure JVM floor, not
+        # engine scaling)
+        if (
+            ratio > 2
+            and ratio > 2 * rows_ratio
+            and name not in SF_INDEPENDENT
+        ):
+            cause = GROWTH_CAUSES.get(name)
+            if cause:
+                verdict += f" — wall>2×rows: {cause}"
+            else:
+                verdict += " — **UNATTRIBUTED engine-side growth**"
+                n_bad += 1
         n_bad += bad
         lines.append(
-            f"| {name} | {tb:.2f} | {tg:.2f} | {ratio:.2f} | 0 | "
-            f"{verdict} |"
+            f"| {name} | {tb:.2f} | {tg:.2f} | {ratio:.2f} | "
+            f"{rows_ratio:.2f} | 0 | {verdict} |"
         )
     for name in sorted(prior_rows):
         if name not in fresh_names:
-            tb, tg, ratio, age = prior_rows[name]
+            tb, tg, ratio, rows_ratio, age = prior_rows[name]
             verdict, bad = grade(name, ratio)
             n_bad += bad
+            rr = f"{rows_ratio:.2f}" if rows_ratio is not None else "—"
             lines.append(
                 f"| {name} | {tb:.2f} | {tg:.2f} | {ratio:.2f} | "
-                f"{age + 1} | {verdict} (carried) |"
+                f"{rr} | {age + 1} | {verdict} (carried) |"
             )
     # ---- simhash_pairs diagnosis (round-6 ask #4) ----
     sh_base = simhash_bucket_stats(spark, base)
