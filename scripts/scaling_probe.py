@@ -122,6 +122,9 @@ GROWTH_CAUSES = {
     "longest-match trie work is per-token",
     "seq_pack": "packing scans all grown documents; emitted sequences "
     "grow with token mass, rows≈docs/pack_len",
+    "psi_drift": "one full scan + reference min/max pass over the "
+    "grown events table; the PSI report stays n_bins rows per group "
+    "(sub-second wall both sizes — scan growth, not plan growth)",
 }
 
 
@@ -510,6 +513,20 @@ def main() -> int:
             tb, tg, ratio, rows_ratio, age = prior_rows[name]
             verdict, bad = grade(name, ratio)
             n_bad += bad
+            # carried rows keep their attribution requirement: the
+            # measured rows ratio travels with them
+            if (
+                rows_ratio is not None
+                and ratio > 2
+                and ratio > 2 * rows_ratio
+                and name not in SF_INDEPENDENT
+            ):
+                cause = GROWTH_CAUSES.get(name)
+                if cause:
+                    verdict += f" — wall>2×rows: {cause}"
+                else:
+                    verdict += " — **UNATTRIBUTED engine-side growth**"
+                    n_bad += 1
             rr = f"{rows_ratio:.2f}" if rows_ratio is not None else "—"
             lines.append(
                 f"| {name} | {tb:.2f} | {tg:.2f} | {ratio:.2f} | "
