@@ -657,6 +657,12 @@ class TestBpeLearnMerges:
         wf = co.word_freq_table(df)
         bpe_m = co.bpe_learn_merges(df, n_merges=max(budgets), word_freq=wf)
         ranked = [(r.a, r.b) for r in bpe_m.orderBy("merge_rank").collect()]
+        bpeb_m = co.bpe_bytes_learn_merges(
+            df, n_merges=max(budgets), word_freq=wf
+        )
+        ranked_bytes = [
+            (r.a, r.b) for r in bpeb_m.orderBy("merge_rank").collect()
+        ]
         seed = {
             r["piece"]: r["score_micro"]
             for r in co.unigram_scores(df, word_freq=wf).collect()
@@ -683,12 +689,13 @@ class TestBpeLearnMerges:
         fused = {
             (r["tokenizer"], r["budget"]): r["total_tokens"]
             for r in co.tokenizer_sweep_totals(
-                wf, ranked, wp_vocabs, uni_scores, budgets
+                wf, ranked, wp_vocabs, uni_scores, budgets,
+                bpe_bytes_merges=ranked_bytes,
             ).collect()
         }
         assert set(fused) == {
             (t, b)
-            for t in ("bpe", "unigram", "wordpiece")
+            for t in ("bpe", "bpe_bytes", "unigram", "wordpiece")
             for b in budgets
         }
         for b in budgets:
@@ -696,6 +703,10 @@ class TestBpeLearnMerges:
                 F.sum("n_tokens")
             ).first()[0]
             assert fused[("bpe", b)] == bpe, ("bpe", b)
+            bpeb = co.bpe_bytes_tokenize(df, ranked_bytes[:b]).agg(
+                F.sum("n_tokens")
+            ).first()[0]
+            assert fused[("bpe_bytes", b)] == bpeb, ("bpe_bytes", b)
             uni = co.unigram_segment(df, uni_scores[b]).agg(
                 F.sum("n_pieces")
             ).first()[0]
