@@ -4358,9 +4358,9 @@ def _bpe_bytes_encode(spark, sf_dir):
 
 
 def _tokenizer_compare_oracle_sql() -> str:
-    """Three full tokenizer lifecycles as independent subqueries (each
+    """Four full tokenizer lifecycles as independent subqueries (each
     generator's WITH chain nests inside a FROM — DuckDB scopes the CTE
-    names per subquery, so the three chains' identical CTE names never
+    names per subquery, so the chains' identical CTE names never
     collide), reduced to one comparison row each. chars_per_token_milli
     is bigint floor division on the shared corpus char total — exact in
     both engines."""
@@ -4368,6 +4368,7 @@ def _tokenizer_compare_oracle_sql() -> str:
     chars = ("(SELECT CAST(sum(length(text)) AS BIGINT) "
              f"FROM documents WHERE {pred})")
     bpe = corpus_ops.bpe_encode_oracle_sql(4, doc_pred=pred)
+    bpeb = corpus_ops.bpe_bytes_encode_oracle_sql(4, doc_pred=pred)
     uni = corpus_ops.unigram_segment_oracle_sql(4, 2000, doc_pred=pred)
     wp = corpus_ops.wordpiece_encode_oracle_sql(4, doc_pred=pred)
     return f"""
@@ -4376,6 +4377,12 @@ def _tokenizer_compare_oracle_sql() -> str:
            {chars} * 1000 // CAST(sum(n_tokens) AS BIGINT)
              AS chars_per_token_milli
     FROM ({bpe})
+    UNION ALL
+    SELECT 'bpe_bytes' AS tokenizer,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           {chars} * 1000 // CAST(sum(n_tokens) AS BIGINT)
+             AS chars_per_token_milli
+    FROM ({bpeb})
     UNION ALL
     SELECT 'unigram' AS tokenizer,
            CAST(sum(n_pieces) AS BIGINT) AS total_tokens,
@@ -4393,19 +4400,19 @@ def _tokenizer_compare_oracle_sql() -> str:
 
 @declared("tokenizer_compare", _tokenizer_compare_oracle_sql())
 def _tokenizer_compare(spark, sf_dir):
-    # The tokenizer-selection capstone: train all THREE families (BPE,
-    # unigram/SentencePiece, WordPiece) on the same corpus and race
-    # their compression — (tokenizer, total_tokens,
-    # chars_per_token_milli), the number a training-data pipeline uses
-    # to pick its tokenizer and size its token budget. HASH-GRADE end
-    # to end: the oracle nests all three full lifecycles (two unrolled
-    # merge loops + the Viterbi fold) as independent subqueries.
-    # Training pulls are the bounded models; the corpus subset is
-    # fixed-size (doc_id < 200), so the query measures the trainers,
-    # not the scan. The three trainers share one word-frequency base
-    # (word_freq_table, checkpointed once) — the identical
-    # distinct-word/freq table each would otherwise rederive; at scale
-    # that is one corpus scan instead of three.
+    # The tokenizer-selection capstone: train all FOUR families (char
+    # BPE, byte-level BPE, unigram/SentencePiece, WordPiece) on the
+    # same corpus and race their compression — (tokenizer,
+    # total_tokens, chars_per_token_milli), the number a training-data
+    # pipeline uses to pick its tokenizer and size its token budget.
+    # HASH-GRADE end to end: the oracle nests all four full lifecycles
+    # (three unrolled merge loops + the Viterbi fold) as independent
+    # subqueries. Training pulls are the bounded models; the corpus
+    # subset is fixed-size (doc_id < 200), so the query measures the
+    # trainers, not the scan. The four trainers share one
+    # word-frequency base (word_freq_table, checkpointed once) — the
+    # identical distinct-word/freq table each would otherwise
+    # rederive; at scale that is one corpus scan instead of four.
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     chars = docs.agg(
         F.sum(F.length("text")).cast("bigint").alias("_chars")
@@ -4419,6 +4426,16 @@ def _tokenizer_compare(spark, sf_dir):
     )
     ranked = [(r.a, r.b) for r in bpe_m.orderBy("merge_rank").collect()]
     bpe = corpus_ops.bpe_tokenize(docs, ranked).agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens")
+    )
+
+    bpeb_m = corpus_ops.bpe_bytes_learn_merges(
+        docs, "doc_id", "text", n_merges=4, word_freq=wf
+    )
+    ranked_b = [
+        (r.a, r.b) for r in bpeb_m.orderBy("merge_rank").collect()
+    ]
+    bpeb = corpus_ops.bpe_bytes_tokenize(docs, ranked_b).agg(
         F.sum("n_tokens").cast("bigint").alias("total_tokens")
     )
 
@@ -4438,6 +4455,7 @@ def _tokenizer_compare(spark, sf_dir):
 
     rows = [
         ("bpe", bpe),
+        ("bpe_bytes", bpeb),
         ("unigram", uni),
         ("wordpiece", wp),
     ]

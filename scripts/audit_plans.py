@@ -69,10 +69,11 @@ ALLOW_ARROW = {"ann_ivf_cells": 2, "ann_ivf_topk": 2, "ann_topk": 2, "ann_index_
                # OPQ chain: ONE rotation pass into ONE PQ encode pass —
                # every row visits each kernel exactly once.
                "pq_opq_cells": 2,
-               # tokenizer capstone: THREE encode kernels (BPE count,
-               # unigram Viterbi, WordPiece longest-match) — disjoint
-               # branches of the union, every row crosses exactly one
-               "tokenizer_compare": 3,
+               # tokenizer capstone: FOUR encode kernels (char-BPE
+               # count, byte-BPE count, unigram Viterbi, WordPiece
+               # longest-match) — disjoint branches of the union,
+               # every row crosses exactly one
+               "tokenizer_compare": 4,
                # encode corpus = union(base docs, accented twins): the
                # count projection pushes through the Union, one Arrow
                # node per branch — every row still encoded exactly once
