@@ -4357,6 +4357,47 @@ def _bpe_bytes_encode(spark, sf_dir):
     return corpus_ops.bpe_bytes_tokenize(docs, ranked)
 
 
+@declared(
+    "bpe_bytes_pretok_merges",
+    corpus_ops.bpe_bytes_pretok_merges_oracle_sql(
+        4, src_sql=_BPE_BYTES_SRC_SQL
+    ),
+)
+def _bpe_bytes_pretok_merges(spark, sf_dir):
+    # Byte-level BPE under the GPT-2 PRE-TOKENIZER (lookahead-free
+    # spelling of the reference regex; Java and RE2 agree on every
+    # alternative incl. \p{L}/\p{N} — parity-pinned): contractions
+    # split off, leading spaces attach to words (the Ġword class that
+    # carries GPT-2's vocabulary structure), digit/punct/whitespace
+    # runs separate. Training runs on the piece-frequency base through
+    # the SAME shared greedy loop. HASH-GRADE; the é-twin corpus keeps
+    # the multi-byte path populated.
+    docs = _bpe_bytes_corpus(spark, sf_dir)
+    pf = corpus_ops.piece_freq_table(docs)
+    return corpus_ops.bpe_bytes_learn_merges(docs, word_freq=pf, n_merges=4)
+
+
+@declared(
+    "bpe_bytes_pretok_encode",
+    corpus_ops.bpe_bytes_pretok_encode_oracle_sql(
+        4, src_sql=_BPE_BYTES_SRC_SQL
+    ),
+)
+def _bpe_bytes_pretok_encode(spark, sf_dir):
+    # Pre-tokenized encode with the VOCAB-SIZED kernel shape: the
+    # engine regex explodes pieces, merges apply over the distinct-
+    # piece table only (Arrow work = O(distinct pieces), not
+    # O(tokens)), counts join back per occurrence. HASH-GRADE against
+    # the replayed training chain.
+    docs = _bpe_bytes_corpus(spark, sf_dir)
+    pf = corpus_ops.piece_freq_table(docs)
+    merges_df = corpus_ops.bpe_bytes_learn_merges(
+        docs, word_freq=pf, n_merges=4
+    )
+    ranked = [(r.a, r.b) for r in merges_df.orderBy("merge_rank").collect()]
+    return corpus_ops.bpe_bytes_pretok_encode(docs, ranked)
+
+
 def _tokenizer_compare_oracle_sql() -> str:
     """Four full tokenizer lifecycles as independent subqueries (each
     generator's WITH chain nests inside a FROM — DuckDB scopes the CTE

@@ -1756,6 +1756,198 @@ def bpe_bytes_tokenize(
     )
 
 
+# GPT-2's pre-tokenizer regex, lookahead-free: the reference pattern's
+# trailing `\s+(?!\S)` alternative exists only to keep the LAST space
+# of a whitespace run attached to the following word; RE2 (DuckDB) has
+# no lookahead, so this spelling folds whole whitespace runs into one
+# piece instead — single spaces before words still attach (the ` ?`
+# alternatives fire first), so the Ġword pieces that carry GPT-2's
+# vocabulary structure are preserved, and the divergence is confined
+# to runs of ≥2 whitespace. Java regex (Spark) and RE2 (DuckDB) agree
+# on every alternative including the Unicode \p{L}/\p{N} classes —
+# pinned by tests/test_corpus.py::TestBpeBytesPretok.
+GPT2_PRETOK_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def gpt2_pieces(col: "Column | str"):
+    """GPT-2 pre-tokenization as an engine-side expression: the array
+    of regex pieces covering the text exactly (pieces re-concatenate
+    to the input — leading spaces stay attached to words, contractions
+    split off, digit/punct runs separate). No Python in the split."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(GPT2_PRETOK_RE), F.lit(0))
+
+
+def piece_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``word_freq_table``'s twin over GPT-2 pre-tokenizer pieces —
+    the ``(w, freq)`` base a pre-tokenized byte-BPE trainer starts
+    from. Same one-corpus-scan shape; pieces may contain spaces (the
+    Ġ-prefix class) and BE whitespace, which the hex byte symbols
+    carry without escaping."""
+    return (
+        df.select(F.explode(gpt2_pieces(text_col)).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+
+
+def bpe_bytes_pretok_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode under the GPT-2 pre-tokenizer — with a better scale
+    shape than the per-document kernel: the engine regex explodes
+    pieces, the Arrow kernel applies merges over the DISTINCT-piece
+    table only (vocabulary-sized work, like the trainer), and a join
+    carries each piece's token count back to its occurrences. At
+    100 TB the kernel cost is O(distinct pieces), not O(tokens); the
+    join's build side is vocabulary-sized (AQE broadcasts it when
+    small). Output ``(id, n_tokens, n_bytes)``."""
+    ranked = list(merges)
+
+    @F.pandas_udf("bigint")
+    def _piece_tok(pieces: pd.Series) -> pd.Series:
+        out = []
+        for w in pieces:
+            seq = ["%02X" % byt for byt in w.encode("utf-8")]
+            for a, b in ranked:
+                i, res = 0, []
+                n = len(seq)
+                while i < n:
+                    if i + 1 < n and seq[i] == a and seq[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(seq[i])
+                        i += 1
+                seq = res
+            out.append(len(seq))
+        return pd.Series(out)
+
+    occ = df.select(
+        F.col(id_col), F.explode(gpt2_pieces(text_col)).alias("w")
+    ).filter(F.length("w") >= 1)
+    ptok = (
+        occ.select("w")
+        .distinct()
+        .select("w", _piece_tok(F.col("w")).alias("_n_tok"))
+    )
+    agg = (
+        occ.join(ptok, "w")
+        .groupBy(id_col)
+        .agg(F.sum("_n_tok").cast("bigint").alias("n_tokens"))
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.expr(f"octet_length({text_col})")
+            .cast("bigint")
+            .alias("n_bytes"),
+        )
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+            "n_bytes",
+        )
+    )
+
+
+def _gpt2_pat_sql() -> str:
+    return GPT2_PRETOK_RE.replace("'", "''")
+
+
+# piece-split words CTE: the byte words CTE with regexp pieces instead
+# of the whitespace split
+_BPE_BYTES_PRETOK_WORDS_CTE = """
+    w0 AS (
+      SELECT unnest(regexp_extract_all(text, '{pat}')) AS w
+      FROM {src}
+    ), wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM w0 WHERE length(w) >= 1 GROUP BY w
+    ), s0 AS (
+      SELECT w,
+             array_to_string(
+               [h[2*i - 1:2*i]
+                for i in range(1, octet_length(encode(w)) + 1)],
+               chr(9)) AS ts,
+             freq
+      FROM (SELECT w, hex(encode(w)) AS h, freq FROM wf)
+    )"""
+
+
+def bpe_bytes_pretok_merges_oracle_sql(
+    n_merges: int,
+    table: str = "documents",
+    doc_pred: str | None = None,
+    src_sql: str | None = None,
+) -> str:
+    """DuckDB twin of the pre-tokenized trainer: regexp pieces feed
+    the byte-seeded words CTE; the round chain is reused verbatim."""
+    src = _bpe_bytes_src(table, doc_pred, src_sql)
+    parts = [
+        "WITH "
+        + _BPE_BYTES_PRETOK_WORDS_CTE.format(src=src, pat=_gpt2_pat_sql())
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(_BPE_ROUND_CTE.format(r=r, prev=r - 1))
+    unions = "\n      UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a, b, pair_count "
+        f"FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n    " + unions
+
+
+def bpe_bytes_pretok_encode_oracle_sql(
+    n_merges: int,
+    table: str = "documents",
+    doc_pred: str | None = None,
+    src_sql: str | None = None,
+) -> str:
+    """DuckDB twin of the pre-tokenized learn→encode chain: training
+    replayed over pieces, per-piece token counts read off the final
+    state, occurrences joined back per document."""
+    src = _bpe_bytes_src(table, doc_pred, src_sql)
+    parts = [
+        "WITH "
+        + _BPE_BYTES_PRETOK_WORDS_CTE.format(src=src, pat=_gpt2_pat_sql())
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(_BPE_ROUND_CTE.format(r=r, prev=r - 1))
+    tail = f"""
+    , wtok AS (
+      SELECT w, CAST(len(string_split(ts, chr(9))) AS BIGINT) AS n_tok
+      FROM s{n_merges}
+    ), src_docs AS (
+      SELECT doc_id, text FROM {src}
+    ), docw AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(text, '{_gpt2_pat_sql()}')) AS w
+      FROM src_docs
+    ), agg AS (
+      SELECT dw.doc_id, CAST(sum(v.n_tok) AS BIGINT) AS n_tokens
+      FROM (SELECT doc_id, w FROM docw WHERE length(w) >= 1) dw
+      JOIN wtok v USING (w)
+      GROUP BY dw.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes
+    FROM src_docs d LEFT JOIN agg a USING (doc_id)
+    """
+    return "".join(parts) + tail
+
+
 # words CTE for the byte alphabet: same whitespace split / freq table
 # as _BPE_WORDS_CTE, but s0 seeds each word as tab-joined hex byte
 # pairs (DuckDB hex(encode(w)) is uppercase like Spark's). {src} is a

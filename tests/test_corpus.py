@@ -988,6 +988,137 @@ class TestBpeBytes:
         assert any(r.n_bytes > 120 for r in twins)
 
 
+class TestBpeBytesPretok:
+    """GPT-2 pre-tokenizer (lookahead-free) + byte-BPE over pieces."""
+
+    SAMPLES = [
+        "Hello world",
+        "don't stop, can't you've it's we'll I'm they'd",
+        "  double  spaces   here",
+        "café costs 3.50 euros!!",
+        "mixed123abc 456 ...---",
+        "tab\there\nnewline end ",
+        "'quoted' 'start",
+    ]
+
+    def test_engine_regex_parity_and_coverage(self, spark):
+        """Java (Spark) and RE2 (DuckDB) must produce IDENTICAL piece
+        lists for the pattern — the whole hash-grade story rests on
+        it — and pieces must re-concatenate to the input exactly
+        (total coverage, nothing dropped or doubled)."""
+        import duckdb
+
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        con = duckdb.connect()
+        duck = {
+            s: con.execute(
+                "select regexp_extract_all(?, ?)", [s, co.GPT2_PRETOK_RE]
+            ).fetchone()[0]
+            for s in self.SAMPLES
+        }
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(self.SAMPLES)],
+            "i long, s string",
+        )
+        for r in df.select(
+            "s", co.gpt2_pieces("s").alias("p")
+        ).collect():
+            assert list(r.p) == duck[r.s], r.s
+            assert "".join(r.p) == r.s, r.s
+        # pinned behaviors: contraction split, leading-space attach,
+        # run-fold divergence from reference GPT-2 (documented)
+        assert duck["Hello world"] == ["Hello", " world"]
+        assert duck["don't stop, can't you've it's we'll I'm they'd"][:4] == [
+            "don", "'t", " stop", ",",
+        ]
+        assert duck["  double  spaces   here"] == [
+            "  ", "double", "  ", "spaces", "   ", "here",
+        ]
+
+    def test_trainer_learns_space_prefixed_merges(self, spark):
+        """The point of pre-tokenization: space+letter pieces (Ġword)
+        dominate running text, so '20'+letter merges must appear in
+        the artifact — whitespace-split training can never learn
+        them (its alphabet has no 0x20)."""
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        texts = ["the cat the cat the cat sat", "the cat sat on the mat"]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        pf = co.piece_freq_table(df)
+        m = [
+            tuple(r)
+            for r in co.bpe_bytes_learn_merges(
+                df, word_freq=pf, n_merges=6
+            ).orderBy("merge_rank").collect()
+        ]
+        assert any(
+            a.startswith("20") or b.startswith("20") for _, a, b, _ in m
+        ), m
+        # and the whitespace-split trainer's alphabet never sees 0x20
+        m_ws = [
+            tuple(r)
+            for r in co.bpe_bytes_learn_merges(df, n_merges=6)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert all(
+            "20" not in (a, b) and not a.startswith("20")
+            for _, a, b, _ in m_ws
+        )
+
+    def test_pretok_encode_matches_kernel_recount(self, spark):
+        """The vocab-sized encode (distinct-piece kernel + join-back)
+        must equal a direct per-doc recount with the same merges and
+        the same piece split."""
+        from beis_orp_data_service_spark.operators import corpus as co
+
+        df = spark.createDataFrame(
+            list(enumerate(self.SAMPLES)), "doc_id long, text string"
+        )
+        pf = co.piece_freq_table(df)
+        merges = [
+            (r.a, r.b)
+            for r in co.bpe_bytes_learn_merges(df, word_freq=pf, n_merges=4)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        got = {
+            r.doc_id: (r.n_tokens, r.n_bytes)
+            for r in co.bpe_bytes_pretok_encode(df, merges).collect()
+        }
+
+        def count_piece(w):
+            seq = ["%02X" % x for x in w.encode("utf-8")]
+            for a, b in merges:
+                res, i = [], 0
+                while i < len(seq):
+                    if (
+                        i + 1 < len(seq)
+                        and seq[i] == a
+                        and seq[i + 1] == b
+                    ):
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(seq[i])
+                        i += 1
+                seq = res
+            return len(seq)
+
+        import duckdb
+
+        con = duckdb.connect()
+        for i, s in enumerate(self.SAMPLES):
+            pieces = con.execute(
+                "select regexp_extract_all(?, ?)", [s, co.GPT2_PRETOK_RE]
+            ).fetchone()[0]
+            want = sum(count_piece(w) for w in pieces if w)
+            assert got[i] == (want, len(s.encode("utf-8"))), (i, s)
+
+
 class TestHllSketch:
     def test_estimate_within_standard_error(self, spark):
         """p=10 → relative error ≈ 1.04/√1024 ≈ 3.3%; assert within 3σ
