@@ -2762,7 +2762,7 @@ class TestWordPiece:
         assert unk[99] == 1  # the out-of-alphabet word really is UNK
 
     def test_tokenizer_compare_capstone_sanity(self, spark):
-        """The three-family comparison emits one row per tokenizer with
+        """The four-family comparison emits one row per tokenizer with
         totals strictly between 0 and the corpus char count (every
         family compresses characters, none inflates past chars), and
         chars_per_token_milli >= 1000 (a token is at least a char)."""
@@ -2774,7 +2774,7 @@ class TestWordPiece:
             .fn(spark, "/root/testdata/sf0.001")
             .collect()
         }
-        assert set(out) == {"bpe", "unigram", "wordpiece"}
+        assert set(out) == {"bpe", "bpe_bytes", "unigram", "wordpiece"}
         chars = (
             declared._t(spark, "/root/testdata/sf0.001", "documents")
             .filter(F.col("doc_id") < 200)
