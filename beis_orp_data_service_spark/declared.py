@@ -6917,18 +6917,30 @@ def _stream_ingest_e2e(spark, sf_dir):
         with open(p, "w") as f:
             f.write("\n".join(lines) + "\n")
         os.utime(p, (mtime, mtime))  # deterministic batch order
-    q = stp.run_ingest_stream(
-        spark,
-        src,
-        os.path.join(root, "chk"),
-        os.path.join(root, "idx"),
-        os.path.join(root, "store"),
-        os.path.join(root, "flags"),
-    )
+    # 60 messages over 2 micro-batches don't need the session's 32
+    # shuffle partitions: 4 partitions cut per-stage task overhead ~8×
+    # across the ~dozen jobs each foreachBatch body runs (convert /
+    # enrich / LSH probe / SCD merge) — the same fixture-cost override
+    # stream_dedup_ttl_e2e documents. Verdicts are partition-count
+    # independent (deterministic banding + keyed merges); restored in
+    # finally.
+    _sp = spark.conf.get("spark.sql.shuffle.partitions")
+    q = None
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        q = stp.run_ingest_stream(
+            spark,
+            src,
+            os.path.join(root, "chk"),
+            os.path.join(root, "idx"),
+            os.path.join(root, "store"),
+            os.path.join(root, "flags"),
+        )
         q.processAllAvailable()
     finally:
-        q.stop()
+        if q is not None:
+            q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", _sp)
     flags = spark.read.parquet(os.path.join(root, "flags")).select(
         "media_id", "is_near_dup"
     )

@@ -1898,6 +1898,19 @@ def knn_edges(
     t = embeddings.select(id_col, vec_col).mapInPandas(_side(1), schema)
     q = embeddings.select(id_col, vec_col).mapInPandas(_side(nprobe), schema)
 
+    def _topk_per_row(r: np.ndarray, s: np.ndarray, i: np.ndarray) -> np.ndarray:
+        """Index selector keeping each row's k best candidates by
+        (-sim, id) — the vectorized spelling of the old per-row
+        ``lexsort[:k]`` loop (same ordering keys, same tie-break):
+        one lexsort groups rows and orders candidates, a running
+        row-start maximum turns position-within-row into a rank."""
+        order = np.lexsort((i, -s, r))
+        r_s = r[order]
+        idx = np.arange(len(r_s))
+        new_row = np.r_[True, r_s[1:] != r_s[:-1]] if len(r_s) else np.array([], dtype=bool)
+        start = np.maximum.accumulate(np.where(new_row, idx, 0))
+        return order[(idx - start) < k]
+
     def _score(members: pd.DataFrame, probers: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
@@ -1917,8 +1930,13 @@ def knn_edges(
             px = np.stack([_quantize_np(v, 100) for v in pp["_vec"]])
             pids = pp["_id"].to_numpy()
             pn2 = (px * px).sum(axis=1)
-            # per-prober best-k accumulated across member tiles
-            best: list[list[tuple[int, int, int]]] = [[] for _ in range(len(pp))]
+            # per-prober best-k accumulated across member tiles — fully
+            # vectorized (r14: the old per-row python loop over every
+            # tile row dominated the kernel's profile; same candidate
+            # mask, same per-tile top-k bound, same (-sim, id) order)
+            rs: list[np.ndarray] = []
+            ss: list[np.ndarray] = []
+            bs: list[np.ndarray] = []
             for m0 in range(0, len(mids), block_size):
                 g = px @ mx[m0 : m0 + block_size].T
                 denom = pn2[:, None] * mn2[None, m0 : m0 + block_size]
@@ -1926,33 +1944,35 @@ def knn_edges(
                 sim2 = np.zeros_like(g)
                 sim2[ok] = (g[ok] * g[ok] * 1000) // denom[ok]
                 tile_ids = mids[m0 : m0 + block_size]
-                for r in range(sim2.shape[0]):
-                    row = sim2[r]
-                    keep = (row >= sim2_milli_threshold) & (tile_ids != pids[r])
-                    if not keep.any():
-                        continue
-                    cand_ids = tile_ids[keep]
-                    cand_sims = row[keep]
-                    order = np.lexsort((cand_ids, -cand_sims))[:k]
-                    best[r].extend(
-                        (int(cand_sims[o]), int(cand_ids[o]), 0) for o in order
-                    )
-            for r, cands in enumerate(best):
-                if not cands:
-                    continue
-                cands.sort(key=lambda t3: (-t3[0], t3[1]))
-                top = cands[:k]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "a_id": np.full(len(top), pids[r], dtype=np.int64),
-                            "b_id": np.array([c[1] for c in top], dtype=np.int64),
-                            "sim2_milli": np.array(
-                                [c[0] for c in top], dtype=np.int64
-                            ),
-                        }
-                    )
+                keep = (sim2 >= sim2_milli_threshold) & (
+                    tile_ids[None, :] != pids[:, None]
                 )
+                if not keep.any():
+                    continue
+                r_t, c_t = np.nonzero(keep)
+                s_t = sim2[r_t, c_t]
+                i_t = tile_ids[c_t]
+                # per-tile top-k keeps the accumulation k-bounded per
+                # row exactly like the old loop
+                sel = _topk_per_row(r_t, s_t, i_t)
+                rs.append(r_t[sel])
+                ss.append(s_t[sel])
+                bs.append(i_t[sel])
+            if not rs:
+                continue
+            r_all = np.concatenate(rs)
+            s_all = np.concatenate(ss)
+            b_all = np.concatenate(bs)
+            sel = _topk_per_row(r_all, s_all, b_all)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "a_id": pids[r_all[sel]].astype(np.int64),
+                        "b_id": b_all[sel].astype(np.int64),
+                        "sim2_milli": s_all[sel].astype(np.int64),
+                    }
+                )
+            )
         return pd.concat(outs, ignore_index=True) if outs else empty
 
     scored = (

@@ -529,6 +529,73 @@ class TestMinhashLshJoin:
         for p, c in hits:
             assert p >= 1_000_000 and c < 1_000_000  # bipartite orientation
 
+    def test_manual_join_matches_mllib_approx_join(self, spark):
+        # r14 optimization: the manual approxSimilarityJoin spelling
+        # (skinny (id, table, minhash) bucket entries + ID-pair dedupe
+        # + array_intersect verify) must be BIT-EQUAL to MLlib's
+        # approxSimilarityJoin — same candidate set, same strict
+        # `< threshold` filter, same double jaccard distance — on both
+        # the self-join and the bipartite shapes.
+        from pyspark.ml.feature import MinHashLSH
+
+        from beis_orp_data_service_spark.catalog import load_table
+        from beis_orp_data_service_spark.operators import dedup as dd
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+            "doc_id", "text"
+        )
+        corpus = docs.filter(F.col("doc_id") % 5 == 0)
+        probes = corpus.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" probe suffix")).alias("text"),
+        )
+
+        def mllib_reference(feats_a, feats_b, model, thr, a_name, b_name):
+            joined = model.approxSimilarityJoin(
+                model.transform(feats_a),
+                model.transform(feats_b),
+                thr,
+                distCol="jaccard_distance",
+            )
+            return sorted(
+                (r[0], r[1], r[2])
+                for r in joined.select(
+                    F.col("datasetA.doc_id"),
+                    F.col("datasetB.doc_id"),
+                    "jaccard_distance",
+                ).collect()
+            )
+
+        lsh = MinHashLSH(
+            inputCol="features", outputCol="hashes", numHashTables=8, seed=1
+        )
+
+        # self-join shape (minhash_lsh_pairs_mllib): MLlib keeps both
+        # orientations + self-pairs; restrict to a<b like the operator
+        feats = dd._minhash_featurize(corpus, "doc_id", "text", 1 << 18)
+        model = lsh.fit(feats)
+        want = [
+            t
+            for t in mllib_reference(feats, feats, model, 0.6, "a", "b")
+            if t[0] < t[1]
+        ]
+        got = sorted(
+            (r["a_id"], r["b_id"], r["jaccard_distance"])
+            for r in dd.minhash_lsh_pairs_mllib(corpus, "doc_id", "text").collect()
+        )
+        assert got == want and len(got) > 0
+
+        # bipartite shape (minhash_lsh_join_mllib / decontaminate)
+        pfeats = dd._minhash_featurize(probes, "doc_id", "text", 1 << 18)
+        want2 = mllib_reference(pfeats, feats, model, 0.5, "p", "c")
+        got2 = sorted(
+            (r["probe_id"], r["corpus_id"], r["jaccard_distance"])
+            for r in dd.minhash_lsh_join_mllib(
+                corpus, probes, "doc_id", "text", jaccard_distance_threshold=0.5
+            ).collect()
+        )
+        assert got2 == want2 and len(got2) > 0
+
     def test_disjoint_probe_finds_nothing(self, spark):
         from beis_orp_data_service_spark.catalog import load_table
         from beis_orp_data_service_spark.operators import dedup as dd
