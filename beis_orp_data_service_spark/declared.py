@@ -4462,44 +4462,59 @@ def _tokenizer_compare(spark, sf_dir):
         _ck.stage_checkpoint, label="tokenizer_compare:word_freq"
     )
 
-    bpe_m = corpus_ops.bpe_learn_merges(
-        docs, "doc_id", "text", n_merges=4, word_freq=wf
-    )
-    ranked = [(r.a, r.b) for r in bpe_m.orderBy("merge_rank").collect()]
-    bpe = corpus_ops.bpe_tokenize(docs, ranked).agg(
-        F.sum("n_tokens").cast("bigint").alias("total_tokens")
-    )
+    # The four trainers are INDEPENDENT given the shared word-frequency
+    # base — their driver-side collects (merge lists, score tables) are
+    # the query's serial cost, each a small Spark job. Submit them from
+    # a driver thread pool (guide §2.6: overlap independent jobs) so
+    # the four training pipelines' job latencies overlap instead of
+    # chaining; each family's artifact is deterministic, so the result
+    # is unchanged.
+    def _train_bpe():
+        m = corpus_ops.bpe_learn_merges(
+            docs, "doc_id", "text", n_merges=4, word_freq=wf
+        )
+        ranked = [(r.a, r.b) for r in m.orderBy("merge_rank").collect()]
+        return corpus_ops.bpe_tokenize(docs, ranked).agg(
+            F.sum("n_tokens").cast("bigint").alias("total_tokens")
+        )
 
-    bpeb_m = corpus_ops.bpe_bytes_learn_merges(
-        docs, "doc_id", "text", n_merges=4, word_freq=wf
-    )
-    ranked_b = [
-        (r.a, r.b) for r in bpeb_m.orderBy("merge_rank").collect()
-    ]
-    bpeb = corpus_ops.bpe_bytes_tokenize(docs, ranked_b).agg(
-        F.sum("n_tokens").cast("bigint").alias("total_tokens")
-    )
+    def _train_bpeb():
+        m = corpus_ops.bpe_bytes_learn_merges(
+            docs, "doc_id", "text", n_merges=4, word_freq=wf
+        )
+        ranked_b = [(r.a, r.b) for r in m.orderBy("merge_rank").collect()]
+        return corpus_ops.bpe_bytes_tokenize(docs, ranked_b).agg(
+            F.sum("n_tokens").cast("bigint").alias("total_tokens")
+        )
 
-    uscores = {
-        r["piece"]: r["score_micro"]
-        for r in corpus_ops.unigram_scores(docs, word_freq=wf).collect()
-    }
-    uni = corpus_ops.unigram_segment(docs, uscores).agg(
-        F.sum("n_pieces").cast("bigint").alias("total_tokens")
-    )
+    def _train_uni():
+        uscores = {
+            r["piece"]: r["score_micro"]
+            for r in corpus_ops.unigram_scores(docs, word_freq=wf).collect()
+        }
+        return corpus_ops.unigram_segment(docs, uscores).agg(
+            F.sum("n_pieces").cast("bigint").alias("total_tokens")
+        )
 
-    wp_m = corpus_ops.wordpiece_learn_merges(docs, n_merges=4, word_freq=wf)
-    wp_vocab = corpus_ops.wordpiece_vocab(docs, wp_m, word_freq=wf)
-    wp = corpus_ops.wordpiece_tokenize(docs, wp_vocab).agg(
-        F.sum("n_tokens").cast("bigint").alias("total_tokens")
-    )
+    def _train_wp():
+        wp_m = corpus_ops.wordpiece_learn_merges(
+            docs, n_merges=4, word_freq=wf
+        )
+        wp_vocab = corpus_ops.wordpiece_vocab(docs, wp_m, word_freq=wf)
+        return corpus_ops.wordpiece_tokenize(docs, wp_vocab).agg(
+            F.sum("n_tokens").cast("bigint").alias("total_tokens")
+        )
 
-    rows = [
-        ("bpe", bpe),
-        ("bpe_bytes", bpeb),
-        ("unigram", uni),
-        ("wordpiece", wp),
-    ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [
+            ("bpe", pool.submit(_train_bpe)),
+            ("bpe_bytes", pool.submit(_train_bpeb)),
+            ("unigram", pool.submit(_train_uni)),
+            ("wordpiece", pool.submit(_train_wp)),
+        ]
+        rows = [(name, fut.result()) for name, fut in futs]
     out = None
     for name, agg in rows:
         one = agg.join(F.broadcast(chars)).select(
@@ -4582,54 +4597,75 @@ def _tokenizer_sweep(spark, sf_dir):
     )
     bmax = max(_SWEEP_BUDGETS)
 
-    bpe_m = corpus_ops.bpe_learn_merges(
-        docs, "doc_id", "text", n_merges=bmax, word_freq=wf
-    )
-    ranked = [(r.a, r.b) for r in bpe_m.orderBy("merge_rank").collect()]
-
-    bpeb_m = corpus_ops.bpe_bytes_learn_merges(
-        docs, "doc_id", "text", n_merges=bmax, word_freq=wf
-    )
-    ranked_bytes = [
-        (r.a, r.b) for r in bpeb_m.orderBy("merge_rank").collect()
-    ]
-
-    # the unigram seed scores and the EM pass are budget-INDEPENDENT
-    # (only the prune width differs per budget) — run them once, apply
-    # each prune to the same counts
-    seed = {
-        r["piece"]: r["score_micro"]
-        for r in corpus_ops.unigram_scores(docs, word_freq=wf).collect()
-    }
-    em = corpus_ops.unigram_em_round(docs, seed, word_freq=wf).transform(
-        _ck.stage_checkpoint, label="tokenizer_sweep:em"
-    )
-    alpha = wf.select(
-        F.explode(F.split("w", "")).alias("piece")
-    ).distinct().transform(
-        _ck.stage_checkpoint, label="tokenizer_sweep:alphabet"
-    )
-    uni_scores = {
-        b: {
-            r["piece"]: r["score_micro"]
-            for r in corpus_ops.unigram_prune_rescore(
-                em, alpha, prune_to=b
-            ).collect()
-        }
-        for b in _SWEEP_BUDGETS
-    }
-
-    # wp_m is the trained artifact itself (a driver-local bmax-row
-    # DataFrame) — prefix-filter it per budget, no checkpoint needed
-    wp_m = corpus_ops.wordpiece_learn_merges(
-        docs, n_merges=bmax, word_freq=wf
-    )
-    wp_vocabs = {
-        b: corpus_ops.wordpiece_vocab(
-            docs, wp_m.filter(F.col("merge_rank") <= b), word_freq=wf
+    # The four family trainers are INDEPENDENT given the shared
+    # word-frequency base; so are the three unigram prunes given the EM
+    # counts and the three WordPiece vocab builds given the merge list.
+    # Submit each family from a driver thread pool (guide §2.6: overlap
+    # independent jobs) so their small driver-side collect jobs overlap
+    # instead of chaining — every artifact is deterministic, so the
+    # result is unchanged.
+    def _train_bpe():
+        m = corpus_ops.bpe_learn_merges(
+            docs, "doc_id", "text", n_merges=bmax, word_freq=wf
         )
-        for b in _SWEEP_BUDGETS
-    }
+        return [(r.a, r.b) for r in m.orderBy("merge_rank").collect()]
+
+    def _train_bpeb():
+        m = corpus_ops.bpe_bytes_learn_merges(
+            docs, "doc_id", "text", n_merges=bmax, word_freq=wf
+        )
+        return [(r.a, r.b) for r in m.orderBy("merge_rank").collect()]
+
+    def _train_uni():
+        # the unigram seed scores and the EM pass are budget-
+        # INDEPENDENT (only the prune width differs per budget) — run
+        # them once, apply each prune to the same counts
+        seed = {
+            r["piece"]: r["score_micro"]
+            for r in corpus_ops.unigram_scores(docs, word_freq=wf).collect()
+        }
+        em = corpus_ops.unigram_em_round(docs, seed, word_freq=wf).transform(
+            _ck.stage_checkpoint, label="tokenizer_sweep:em"
+        )
+        alpha = wf.select(
+            F.explode(F.split("w", "")).alias("piece")
+        ).distinct().transform(
+            _ck.stage_checkpoint, label="tokenizer_sweep:alphabet"
+        )
+        return {
+            b: {
+                r["piece"]: r["score_micro"]
+                for r in corpus_ops.unigram_prune_rescore(
+                    em, alpha, prune_to=b
+                ).collect()
+            }
+            for b in _SWEEP_BUDGETS
+        }
+
+    def _train_wp():
+        # wp_m is the trained artifact itself (a driver-local bmax-row
+        # DataFrame) — prefix-filter it per budget, no checkpoint needed
+        wp_m = corpus_ops.wordpiece_learn_merges(
+            docs, n_merges=bmax, word_freq=wf
+        )
+        return {
+            b: corpus_ops.wordpiece_vocab(
+                docs, wp_m.filter(F.col("merge_rank") <= b), word_freq=wf
+            )
+            for b in _SWEEP_BUDGETS
+        }
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_bpe = pool.submit(_train_bpe)
+        f_bpeb = pool.submit(_train_bpeb)
+        f_uni = pool.submit(_train_uni)
+        f_wp = pool.submit(_train_wp)
+        ranked = f_bpe.result()
+        ranked_bytes = f_bpeb.result()
+        uni_scores = f_uni.result()
+        wp_vocabs = f_wp.result()
 
     totals = corpus_ops.tokenizer_sweep_totals(
         wf, ranked, wp_vocabs, uni_scores, _SWEEP_BUDGETS,

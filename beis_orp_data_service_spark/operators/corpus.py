@@ -1411,13 +1411,29 @@ def bpe_learn_merges(
     100 TB dedup'd word table is 10⁷-10⁸ rows — the distributed
     per-round path below runs unchanged. 0 disables the fast path."""
     wf = word_freq_table(df, text_col) if word_freq is None else word_freq
-    vocab = (
-        wf.select(F.split("w", "").alias("syms"), F.col("freq").cast("bigint"))
-        .transform(stage_checkpoint, label="bpe:vocab", strategy=checkpoint)
+    vocab = wf.select(
+        F.split("w", "").alias("syms"), F.col("freq").cast("bigint")
     )
     return _bpe_train_loop(
-        vocab, n_merges, checkpoint, driver_train_threshold
+        vocab, n_merges, checkpoint, driver_train_threshold, "bpe:vocab"
     )
+
+
+def _driver_vocab_probe(
+    vocab: DataFrame, threshold: int
+) -> list | None:
+    """ONE-job spelling of the adaptive-execution decision ``count() <=
+    threshold`` + ``collect()``: pull at most ``threshold + 1`` rows —
+    if everything fit, those ARE all the rows (return them for the
+    driver-local trainer); if the cap was hit, return None (distributed
+    path). The driver pull stays bounded by the threshold either way,
+    and the greedy trainers are row-order independent (counting sums +
+    a total-order argmax), so ``limit``'s arbitrary row order changes
+    nothing."""
+    if not threshold:
+        return None
+    rows = vocab.limit(threshold + 1).collect()
+    return rows if len(rows) <= threshold else None
 
 
 def _bpe_train_loop(
@@ -1425,24 +1441,29 @@ def _bpe_train_loop(
     n_merges: int,
     checkpoint: str,
     driver_train_threshold: int,
+    ckpt_label: str,
 ) -> DataFrame:
     """The greedy merge loop shared by the char-level and byte-level
     BPE trainers — symbol-alphabet-agnostic: ``vocab`` is any
-    checkpointed ``(syms array<string>, freq bigint)`` table and the
-    loop counts / argmaxes / merges over whatever symbols it carries
-    (characters for :func:`bpe_learn_merges`, hex byte pairs for
-    :func:`bpe_bytes_learn_merges`)."""
+    ``(syms array<string>, freq bigint)`` table and the loop counts /
+    argmaxes / merges over whatever symbols it carries (characters for
+    :func:`bpe_learn_merges`, hex byte pairs for
+    :func:`bpe_bytes_learn_merges`). The vocab is checkpointed here
+    ONLY on the distributed path — the driver path's single probe job
+    reads it once and never revisits it."""
     from pyspark.sql import functions as SF
 
     spark = vocab.sparkSession
-    if driver_train_threshold and vocab.count() <= driver_train_threshold:
-        words = [
-            (list(r["syms"]), int(r["freq"])) for r in vocab.collect()
-        ]
+    probe = _driver_vocab_probe(vocab, driver_train_threshold)
+    if probe is not None:
+        words = [(list(r["syms"]), int(r["freq"])) for r in probe]
         return spark.createDataFrame(
             _bpe_greedy_driver(words, n_merges),
             "merge_rank bigint, a string, b string, pair_count bigint",
         )
+    vocab = vocab.transform(
+        stage_checkpoint, label=ckpt_label, strategy=checkpoint
+    )
 
     pair_expr = F.explode(
         F.expr(
@@ -1699,15 +1720,13 @@ def bpe_bytes_learn_merges(
     ``(merge_rank, a, b, pair_count)`` with a/b as uppercase hex byte
     strings — the artifact a GPT-2-family tokenizer persists."""
     wf = word_freq_table(df, text_col) if word_freq is None else word_freq
-    vocab = (
-        wf.select(
-            F.expr(_BYTE_SYMS_EXPR).alias("syms"),
-            F.col("freq").cast("bigint"),
-        )
-        .transform(stage_checkpoint, label="bpe_bytes:vocab", strategy=checkpoint)
+    vocab = wf.select(
+        F.expr(_BYTE_SYMS_EXPR).alias("syms"),
+        F.col("freq").cast("bigint"),
     )
     return _bpe_train_loop(
-        vocab, n_merges, checkpoint, driver_train_threshold
+        vocab, n_merges, checkpoint, driver_train_threshold,
+        "bpe_bytes:vocab",
     )
 
 
@@ -2136,26 +2155,25 @@ def wordpiece_learn_merges(
     from pyspark.sql import functions as SF
 
     wf = word_freq_table(df, text_col) if word_freq is None else word_freq
-    vocab = (
-        wf.select(
-            F.expr(
-                "transform(split(w, ''), (c, i) -> "
-                "CASE WHEN i = 0 THEN c ELSE concat('##', c) END)"
-            ).alias("syms"),
-            F.col("freq").cast("bigint"),
-        )
-        .transform(stage_checkpoint, label="wp:vocab", strategy=checkpoint)
+    vocab = wf.select(
+        F.expr(
+            "transform(split(w, ''), (c, i) -> "
+            "CASE WHEN i = 0 THEN c ELSE concat('##', c) END)"
+        ).alias("syms"),
+        F.col("freq").cast("bigint"),
     )
     spark = df.sparkSession
-    if driver_train_threshold and vocab.count() <= driver_train_threshold:
-        words = [
-            (list(r["syms"]), int(r["freq"])) for r in vocab.collect()
-        ]
+    probe = _driver_vocab_probe(vocab, driver_train_threshold)
+    if probe is not None:
+        words = [(list(r["syms"]), int(r["freq"])) for r in probe]
         return spark.createDataFrame(
             _wp_greedy_driver(words, n_merges),
             "merge_rank bigint, a string, b string, pair_count bigint, "
             "score_q bigint",
         )
+    vocab = vocab.transform(
+        stage_checkpoint, label="wp:vocab", strategy=checkpoint
+    )
 
     pair_expr = F.explode(
         F.expr(
