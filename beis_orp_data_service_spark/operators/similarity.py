@@ -2627,8 +2627,15 @@ def ann_recall_table(
     model-sized. The report is O(methods) rows."""
     emb = embeddings
     queries = emb.filter(F.col(id_col) < n_queries)
-    nq = queries.count()  # bounded driver scalar (≤ n_queries)
-    n_rows = emb.count()
+    # one sizing job for both driver scalars (was two separate counts)
+    sizes = emb.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            F.when(F.col(id_col) < n_queries, 1).otherwise(0)
+        ).alias("_nq"),
+    ).collect()[0]
+    n_rows = int(sizes["_n"])
+    nq = int(sizes["_nq"] or 0)  # bounded driver scalar (≤ n_queries)
 
     exact_dot = cosine_topk(emb, queries, id_col, vec_col, k=k).select(
         F.lit("dot").alias("space"), "query_id", "neighbor_id"
@@ -2637,10 +2644,6 @@ def ann_recall_table(
         F.lit("l2").alias("space"), "query_id", "neighbor_id"
     )
     truth = exact_dot.unionByName(exact_l2)
-
-    cents = kmeans_centroids(
-        emb, vec_col, n_centroids=n_centroids, seed=seed, n_rows=n_rows
-    )
 
     def tag(df, method, op, space):
         return df.select(
@@ -2651,57 +2654,66 @@ def ann_recall_table(
             "neighbor_id",
         )
 
-    cand = None
-    arms = [
-        (
-            "ivf_lsh",
-            "bits=4,single",
-            "dot",
-            lambda: ivf_topk(
-                emb, queries, id_col, vec_col, k=k, bits=4,
-                multiprobe=False, n_rows=n_rows,
-            ),
-        ),
-        (
-            "ivf_lsh",
-            "bits=4,multiprobe",
-            "dot",
-            lambda: ivf_topk(
-                emb, queries, id_col, vec_col, k=k, bits=4,
-                multiprobe=True, n_rows=n_rows,
-            ),
-        ),
-    ]
-    for nprobe in (1, 2, 4):
-        arms.append(
+    # The kmeans quantizer fit is a serial driver phase (MLlib
+    # iterations) the LSH/PQ arms do not depend on — overlap it with
+    # materializing those arms (guide §2.6: overlap independent jobs).
+    # Each half lands in its own stage checkpoint; the spine/hits
+    # consumers below then read the two materialized halves, so no arm
+    # executes twice and no result changes (every arm is still the
+    # production operator with identical parameters).
+    def _nonk_half():
+        nonk = [
             (
-                "ivf_kmeans",
-                f"nprobe={nprobe}",
-                "dot",
-                lambda nprobe=nprobe: ivf_kmeans_topk(
-                    emb, queries, id_col, vec_col, k=k,
-                    centroids=cents, nprobe=nprobe,
+                "ivf_lsh", "bits=4,single", "dot",
+                ivf_topk(
+                    emb, queries, id_col, vec_col, k=k, bits=4,
+                    multiprobe=False, n_rows=n_rows,
                 ),
-            )
-        )
-    arms.append(
-        (
-            "pq_adc",
-            "m=4,k=16",
-            "l2",
-            lambda: pq_adc_topk(
-                emb, id_col, vec_col,
-                query_ids=list(range(n_queries)), k_neighbors=k,
             ),
-        )
-    )
-    for method, op, space, build in arms:
-        t = tag(build(), method, op, space)
-        cand = t if cand is None else cand.unionByName(t)
+            (
+                "ivf_lsh", "bits=4,multiprobe", "dot",
+                ivf_topk(
+                    emb, queries, id_col, vec_col, k=k, bits=4,
+                    multiprobe=True, n_rows=n_rows,
+                ),
+            ),
+            (
+                "pq_adc", "m=4,k=16", "l2",
+                pq_adc_topk(
+                    emb, id_col, vec_col,
+                    query_ids=list(range(n_queries)), k_neighbors=k,
+                ),
+            ),
+        ]
+        u = None
+        for method, op, space, df in nonk:
+            t = tag(df, method, op, space)
+            u = t if u is None else u.unionByName(t)
+        return u.transform(stage_checkpoint, label="ann_recall:cand_nonk")
 
-    # TWO consumers below (spine + hits join) — without a stage
-    # boundary every arm's bucketed search would execute twice
-    cand = cand.transform(stage_checkpoint, label="ann_recall:cand")
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_nonk = pool.submit(_nonk_half)
+        cents = kmeans_centroids(
+            emb, vec_col, n_centroids=n_centroids, seed=seed, n_rows=n_rows
+        )
+        nonk_cand = f_nonk.result()
+
+    kcand = None
+    for nprobe in (1, 2, 4):
+        t = tag(
+            ivf_kmeans_topk(
+                emb, queries, id_col, vec_col, k=k,
+                centroids=cents, nprobe=nprobe,
+            ),
+            "ivf_kmeans", f"nprobe={nprobe}", "dot",
+        )
+        kcand = t if kcand is None else kcand.unionByName(t)
+    # TWO consumers below (spine + hits join) — each half sits behind
+    # its own stage boundary so no arm's bucketed search executes twice
+    kcand = kcand.transform(stage_checkpoint, label="ann_recall:cand_kmeans")
+    cand = nonk_cand.unionByName(kcand)
 
     spine = cand.groupBy("method", "op").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_returned")
