@@ -105,6 +105,21 @@ def dup_clusters(
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).transform(stage_checkpoint, label="dup_clusters:labels", strategy=checkpoint)
+
+    # Convergence detection (r14, guide §1.2): labels are pointwise
+    # non-increasing round over round (each round takes a min over a
+    # self-loop-bearing edge set, then jumps to the label's own — also
+    # non-increased — label), so "no label changed" is EXACTLY "the
+    # label sum is unchanged". One scan-agg over the just-checkpointed
+    # round output replaces the old per-round shuffle join of new
+    # labels against old + count. DECIMAL(38,0) keeps the sum exact at
+    # any scale (1e12 nodes × 2^63-bounded ids fits in 38 digits).
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("_s")
+        ).collect()[0]["_s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         l1 = (
             edges.join(labels, edges.dst == labels.node)
@@ -123,15 +138,11 @@ def dup_clusters(
                 stage_checkpoint, label="dup_clusters:round", strategy=checkpoint
             )
         )
-        changed = (
-            new_labels.toDF("node", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") < F.col("label"))
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(
         F.col("node").alias(id_col).cast("bigint"),
         F.col("label").alias("cluster_id").cast("bigint"),
@@ -3579,7 +3590,8 @@ def hll_estimate_oracle_sql(values_cte: str, p: int, prefix: str = "") -> str:
 
 
 def hll_estimate_by_group(
-    registers: DataFrame, group_col: str, p: int = 10, prefix: str = ""
+    registers: DataFrame, group_col: str, p: int = 10, prefix: str = "",
+    sum_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-group scalar HLL estimates from
     :func:`hll_registers_by_group` output — one row
@@ -3587,7 +3599,12 @@ def hll_estimate_by_group(
     group, with :func:`hll_estimate_df`'s hash-stability trick (the
     indicator sum is the EXACT int64 ``s_total``; the only float ops
     are one division — IEEE-identical across engines — and the
-    linear-counting ``ln`` with its documented 1-ulp assumption)."""
+    linear-counting ``ln`` with its documented 1-ulp assumption).
+
+    ``sum_cols``: extra register-table columns (e.g. the per-bucket
+    exact counts from ``hll_registers_by_group(count_col=...)``) summed
+    in the SAME per-group aggregate and passed through on the output —
+    exact int64 sums of exact int64 partials."""
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16]: {p}")
     m = 1 << p
@@ -3599,6 +3616,7 @@ def hll_estimate_by_group(
             F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rho_max} - max_rho)")),
             F.lit(0).cast("bigint"),
         ).alias("_s"),
+        *[F.sum(col).cast("bigint").alias(col) for col in sum_cols],
     )
     zeros = F.lit(m) - F.col("_n")
     s_total = (F.col("_s") + zeros * F.lit(1 << rho_max).cast("bigint")).cast(
@@ -3614,6 +3632,7 @@ def hll_estimate_by_group(
         est.alias(f"{prefix}est"),
         F.col("_n").cast("bigint").alias(f"{prefix}n_present"),
         s_total.alias(f"{prefix}s_total"),
+        *sum_cols,
     )
 
 
@@ -4240,7 +4259,8 @@ def priority_sample_by_group_oracle_sql(
 
 
 def hll_registers_by_group(
-    df: DataFrame, group_col: str, value_col: str, p: int = 10
+    df: DataFrame, group_col: str, value_col: str, p: int = 10,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Per-group HLL registers — :func:`hll_registers` keyed by a slice
     column: ``(group, bucket, max_rho)``, at most |groups|·2^p rows.
@@ -4248,7 +4268,13 @@ def hll_registers_by_group(
     (the profiler's exact COUNT DISTINCT is a full shuffle per column;
     this is one map-side-combined aggregate producing bounded mergeable
     state — per-slice estimates come from :func:`hll_estimate` over
-    each group's registers, merges stay per-(group, bucket) max)."""
+    each group's registers, merges stay per-(group, bucket) max).
+
+    ``count_col``: also emit the EXACT number of non-null values landing
+    in each (group, bucket) — both max and count are map-side-combined
+    in the SAME aggregate, so a consumer that needs the exact total next
+    to the NDV estimate (e.g. distinct-n diversity) gets it from ONE
+    pass over the values instead of a second scan + join."""
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16]: {p}")
     m = 1 << p
@@ -4269,7 +4295,10 @@ def hll_registers_by_group(
         .cast("bigint")
         .alias("_rho"),
     )
-    return out.groupBy(group_col, "bucket").agg(F.max("_rho").alias("max_rho"))
+    aggs = [F.max("_rho").alias("max_rho")]
+    if count_col is not None:
+        aggs.append(F.count(F.lit(1)).cast("bigint").alias(count_col))
+    return out.groupBy(group_col, "bucket").agg(*aggs)
 
 
 def equi_depth_bins(

@@ -807,11 +807,18 @@ def ngram_diversity_approx(
         F.col(group_col).alias("grp"),
         F.explode(token_ngrams_expr(text_col, n)).alias("gram"),
     )
-    tot = g.groupBy("grp").agg(F.count(F.lit(1)).cast("bigint").alias("n_ngrams"))
+    # ONE pass over the exploded grams (r14, guide §1.2/§2.3): the
+    # registers aggregate also counts each bucket's exact occurrences
+    # (both map-side-combined), and the per-group estimate sums them
+    # back to the exact n_ngrams — the old spelling exploded the corpus
+    # TWICE (once for the total, once for the registers) and paid a
+    # join to glue the halves. Grams are never null (concat_ws over
+    # token windows), so the register count IS the occurrence total.
     est = hll_estimate_by_group(
-        hll_registers_by_group(g, "grp", "gram", p=p), "grp", p=p
-    ).select("grp", F.col("est").alias("n_distinct_est"))
-    return tot.join(est, "grp").select(
+        hll_registers_by_group(g, "grp", "gram", p=p, count_col="n_ngrams"),
+        "grp", p=p, sum_cols=("n_ngrams",),
+    ).select("grp", "n_ngrams", F.col("est").alias("n_distinct_est"))
+    return est.select(
         F.col("grp").alias(group_col),
         "n_ngrams",
         "n_distinct_est",

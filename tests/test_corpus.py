@@ -45,6 +45,42 @@ class TestDupClusters:
         got = {r.doc_id: r.cluster_id for r in out.collect()}
         assert got == {2: 2, 7: 2, 9: 2}
 
+    def test_label_sum_convergence_round_count(self, spark, monkeypatch):
+        """The r14 sum-based convergence check must stop after the SAME
+        number of rounds as the old join+count spelling: an
+        already-converged graph (no cross-node edges) exits after round
+        1, a 5-node path needs exactly 2 doubling rounds (chain length
+        halves per round: 4 -> converged in 2, detected on round 3)."""
+        rounds = {"n": 0}
+        orig = corpus.stage_checkpoint
+
+        def counting(df, **kw):
+            if kw.get("label") == "dup_clusters:round":
+                rounds["n"] += 1
+            return orig(df, **kw)
+
+        monkeypatch.setattr(corpus, "stage_checkpoint", counting)
+
+        rounds["n"] = 0
+        out = corpus.dup_clusters(
+            _pairs(spark, (1, 1)), _nodes(spark, 1, 2, 3), max_iter=10
+        )
+        assert {r.doc_id: r.cluster_id for r in out.collect()} == {
+            1: 1, 2: 2, 3: 3,
+        }
+        assert rounds["n"] == 1  # converged input: one round, then stop
+
+        rounds["n"] = 0
+        out = corpus.dup_clusters(
+            _pairs(spark, (1, 2), (2, 3), (3, 4), (4, 5)),
+            _nodes(spark, 1, 2, 3, 4, 5),
+            max_iter=10,
+        )
+        assert {r.doc_id: r.cluster_id for r in out.collect()} == {
+            i: 1 for i in range(1, 6)
+        }
+        assert rounds["n"] == 3  # 2 working rounds + the no-change round
+
 
 class TestGopherQuality:
     def test_exact_signals(self, spark):
@@ -2230,6 +2266,40 @@ class TestHllEstimateByGroup:
             assert abs(est - n_exact) / max(1, n_exact) < 0.10, (
                 src, n_exact, est,
             )
+
+    def test_ngram_diversity_approx_fused_matches_two_pass(self, spark):
+        """The r14 single-pass spelling (registers aggregate carries the
+        exact per-bucket occurrence count; the estimate stage sums it
+        back) must be BIT-EQUAL to the old two-pass join spelling —
+        exact n_ngrams, double-identical estimate, same floor ratio."""
+        from beis_orp_data_service_spark.catalog import load_table
+        from beis_orp_data_service_spark.operators import corpus as co
+        from beis_orp_data_service_spark.operators import textstats as ts
+        from beis_orp_data_service_spark.operators.textstats import (
+            token_ngrams_expr,
+        )
+        from tests.conftest import SF_SMOKE
+
+        docs = load_table(spark, SF_SMOKE, "documents")
+        g = docs.select(
+            F.col("source").alias("grp"),
+            F.explode(token_ngrams_expr("text", 3)).alias("gram"),
+        )
+        tot = g.groupBy("grp").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams")
+        )
+        est = co.hll_estimate_by_group(
+            co.hll_registers_by_group(g, "grp", "gram", p=12), "grp", p=12
+        ).select("grp", F.col("est").alias("n_distinct_est"))
+        two_pass = {
+            (r.grp, r.n_ngrams, r.n_distinct_est)
+            for r in tot.join(est, "grp").collect()
+        }
+        fused = {
+            (r.source, r.n_ngrams, r.n_distinct_est)
+            for r in ts.ngram_diversity_approx(docs).collect()
+        }
+        assert fused == two_pass and len(fused) > 0
 
 
 class TestPretrainCorpusCapstone:
