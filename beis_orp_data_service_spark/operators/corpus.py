@@ -59,12 +59,60 @@ def sample_hash(id_col) -> F.Column:
 # ---------------------------------------------------------------------------
 
 
+def _driver_closure(edge_rows, nodes: DataFrame, id_col: str) -> DataFrame:
+    """Driver-local exact min-label closure over a bounded edge list:
+    union-find with path compression, min id tracked per root, shipped
+    back as one broadcast left join (unmatched nodes are singletons and
+    keep themselves — exactly what the propagation rounds conclude)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        a, b = r[0], r[1]
+        if a is None or b is None:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id so the root IS the component's label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    ids = set()
+    for r in edge_rows:
+        if r[0] is not None and r[1] is not None:
+            ids.add(r[0])
+            ids.add(r[1])
+    out_nodes = nodes.select(F.col(id_col).cast("bigint").alias("_n")).distinct()
+    if not ids:
+        return out_nodes.select(
+            F.col("_n").alias(id_col), F.col("_n").alias("cluster_id")
+        )
+    spark = nodes.sparkSession
+    mapping = spark.createDataFrame(
+        [(int(x), int(find(x))) for x in sorted(ids)],
+        schema="node bigint, label bigint",
+    )
+    return out_nodes.join(
+        F.broadcast(mapping), out_nodes._n == mapping.node, "left"
+    ).select(
+        F.col("_n").alias(id_col),
+        F.coalesce("label", F.col("_n")).alias("cluster_id"),
+    )
+
+
 def dup_clusters(
     pairs: DataFrame,
     nodes: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 15,
     checkpoint: str = "local",
+    driver_closure_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Transitive closure of duplicate pairs → (doc_id, cluster_id).
 
@@ -72,20 +120,54 @@ def dup_clusters(
     the canonical representative a dedup pipeline keeps. Iterative
     min-label propagation: each round every node takes the min of its
     own label and its neighbours' labels; converged when no label
-    drops. Singletons (nodes in no pair) keep themselves.
+    drops. Singletons (nodes in no pair) keep themselves. Pair
+    endpoints are assumed to be nodes (every caller passes the
+    endpoint-closed node set).
 
-    Scale: per round one edge-propagation shuffle join + a combining
-    groupBy + a pointer-doubling self-join, all keyed on node. The
-    doubling step (take your label's label) halves remaining chain
-    length each round, so rounds = O(log diameter) — the same
-    convergence class as large-star/small-star (Kiveris et al.,
-    "Connected Components in MapReduce") with simpler primitives.
+    Adaptive execution (r14 — the tokenizer trainers'
+    ``driver_train_threshold`` pattern, guide §1.2): cluster_id is a
+    pure graph property (min id reachable over undirected pairs), so
+    when the PAIR table fits the driver — one bounded
+    ``limit(threshold+1).collect()`` probe — an exact union-find
+    computes the same labels in microseconds and ships them back as
+    ONE broadcast join against the node set, replacing O(log diameter)
+    rounds of shuffle-join jobs whose per-round scheduling overhead
+    dominates sparse graphs. Near-dup graphs are sparse by
+    construction (banded candidates, thresholded verifies), so even a
+    100 TB corpus commonly has a driver-sized edge set; the
+    distributed loop below is unchanged and takes over past the
+    threshold (``driver_closure_threshold=0`` disables the probe).
+
+    Scale (distributed path): per round one edge-propagation shuffle
+    join + a combining groupBy + a pointer-doubling self-join, all
+    keyed on node. The doubling step (take your label's label) halves
+    remaining chain length each round, so rounds = O(log diameter) —
+    the same convergence class as large-star/small-star (Kiveris et
+    al., "Connected Components in MapReduce") with simpler primitives.
     The per-round boundary truncates lineage so the plan stays flat
     however many rounds run. ``checkpoint``: "local" (default) is
     unreplicated executor state — a lost executor mid-closure kills
     the job at cluster scale; "reliable" recovers from the
     distributed checkpoint dir (see ``checkpointing``).
     """
+    if driver_closure_threshold:
+        # Materialize the (possibly expensive) pair pipeline ONCE at
+        # full parallelism before probing: a bare limit().collect()
+        # would run it through CollectLimit's incremental partition
+        # escalation — partial serial executions + re-runs — which is
+        # slower than one parallel pass whenever pairs is non-trivial.
+        # Both paths consume the materialized table (the probe reads
+        # checkpointed partitions; the distributed loop builds its edge
+        # list from it), so nothing executes twice.
+        pairs = pairs.select(
+            F.col("a_id").cast("bigint"), F.col("b_id").cast("bigint")
+        ).transform(
+            stage_checkpoint, label="dup_clusters:pairs", strategy=checkpoint
+        )
+        probe = pairs.limit(driver_closure_threshold + 1).collect()
+        if len(probe) <= driver_closure_threshold:
+            return _driver_closure(probe, nodes, id_col)
+    # --- distributed path ---
     # Undirected edge list + a self-loop per node, built ONCE outside
     # the loop: with self-loops, "min of self and neighbours" is a
     # single join+groupBy per round — no per-round Union (which also

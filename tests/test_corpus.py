@@ -63,7 +63,8 @@ class TestDupClusters:
 
         rounds["n"] = 0
         out = corpus.dup_clusters(
-            _pairs(spark, (1, 1)), _nodes(spark, 1, 2, 3), max_iter=10
+            _pairs(spark, (1, 1)), _nodes(spark, 1, 2, 3), max_iter=10,
+            driver_closure_threshold=0,
         )
         assert {r.doc_id: r.cluster_id for r in out.collect()} == {
             1: 1, 2: 2, 3: 3,
@@ -75,11 +76,44 @@ class TestDupClusters:
             _pairs(spark, (1, 2), (2, 3), (3, 4), (4, 5)),
             _nodes(spark, 1, 2, 3, 4, 5),
             max_iter=10,
+            driver_closure_threshold=0,
         )
         assert {r.doc_id: r.cluster_id for r in out.collect()} == {
             i: 1 for i in range(1, 6)
         }
         assert rounds["n"] == 3  # 2 working rounds + the no-change round
+
+    def test_driver_closure_matches_distributed(self, spark):
+        """The adaptive driver-local union-find path must emit the SAME
+        (node, cluster_id) set as the distributed propagation loop —
+        chains, merged stars, isolated singletons, and an
+        above-threshold fallback exercising the loop."""
+        cases = [
+            [(1, 2), (2, 3), (4, 5)],
+            [(9, 2), (2, 7), (10, 11), (11, 2)],
+            [(i, i + 1) for i in range(1, 12)],
+            [],
+        ]
+        node_ids = list(range(1, 13))
+        for pairs in cases:
+            pdf = (
+                _pairs(spark, *pairs)
+                if pairs
+                else spark.createDataFrame([], "a_id long, b_id long")
+            )
+            ndf = _nodes(spark, *node_ids)
+            via_driver = {
+                (r.doc_id, r.cluster_id)
+                for r in corpus.dup_clusters(pdf, ndf).collect()
+            }
+            via_loop = {
+                (r.doc_id, r.cluster_id)
+                for r in corpus.dup_clusters(
+                    pdf, ndf, driver_closure_threshold=0
+                ).collect()
+            }
+            assert via_driver == via_loop, pairs
+            assert {n for n, _ in via_driver} == set(node_ids)
 
 
 class TestGopherQuality:
