@@ -2637,13 +2637,16 @@ def ann_recall_table(
     n_rows = int(sizes["_n"])
     nq = int(sizes["_nq"] or 0)  # bounded driver scalar (≤ n_queries)
 
-    exact_dot = cosine_topk(emb, queries, id_col, vec_col, k=k).select(
-        F.lit("dot").alias("space"), "query_id", "neighbor_id"
-    )
-    exact_l2 = l2_topk(emb, queries, id_col, vec_col, k=k).select(
-        F.lit("l2").alias("space"), "query_id", "neighbor_id"
-    )
-    truth = exact_dot.unionByName(exact_l2)
+    def _truth_half():
+        exact_dot = cosine_topk(emb, queries, id_col, vec_col, k=k).select(
+            F.lit("dot").alias("space"), "query_id", "neighbor_id"
+        )
+        exact_l2 = l2_topk(emb, queries, id_col, vec_col, k=k).select(
+            F.lit("l2").alias("space"), "query_id", "neighbor_id"
+        )
+        return exact_dot.unionByName(exact_l2).transform(
+            stage_checkpoint, label="ann_recall:truth"
+        )
 
     def tag(df, method, op, space):
         return df.select(
@@ -2655,10 +2658,12 @@ def ann_recall_table(
         )
 
     # The kmeans quantizer fit is a serial driver phase (MLlib
-    # iterations) the LSH/PQ arms do not depend on — overlap it with
-    # materializing those arms (guide §2.6: overlap independent jobs).
-    # Each half lands in its own stage checkpoint; the spine/hits
-    # consumers below then read the two materialized halves, so no arm
+    # iterations) that neither the LSH/PQ arms NOR the exact ground
+    # truths depend on — overlap the fit with materializing both
+    # (guide §2.6: overlap independent jobs; the truth topk scans
+    # back-fill executors idled by the fit's small serial jobs). Each
+    # piece lands in its own stage checkpoint; the spine/hits
+    # consumers below then read the materialized pieces, so no arm
     # executes twice and no result changes (every arm is still the
     # production operator with identical parameters).
     def _nonk_half():
@@ -2693,12 +2698,14 @@ def ann_recall_table(
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=1) as pool:
+    with ThreadPoolExecutor(max_workers=2) as pool:
         f_nonk = pool.submit(_nonk_half)
+        f_truth = pool.submit(_truth_half)
         cents = kmeans_centroids(
             emb, vec_col, n_centroids=n_centroids, seed=seed, n_rows=n_rows
         )
         nonk_cand = f_nonk.result()
+        truth = f_truth.result()
 
     kcand = None
     for nprobe in (1, 2, 4):

@@ -705,6 +705,34 @@ def token_ngrams_expr(text_col: str, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def exploded_token_ngrams(docs, group_col: str, text_col: str, n: int):
+    """(grp, gram) rows — the EXPLODED twin of
+    :func:`token_ngrams_expr` (same stripped-lowered whitespace
+    tokens, same space-joined windows, no partial grams, same per-doc
+    order), spelled with codegen-only primitives: ``slice`` ×n +
+    ``arrays_zip`` + ``explode`` + ``concat_ws``. The array form's
+    ``transform()`` lambda (slice+concat per window) is INTERPRETED
+    per element and measured ~12× slower at corpus scale (r14, guide
+    §1.2 — this repo's documented HOF footgun); docs shorter than
+    ``n`` tokens produce zero-length slices, so they contribute no
+    rows exactly like the array form's empty-array guard."""
+    from pyspark.sql import functions as F
+
+    toks = F.split(
+        F.regexp_replace(F.lower(F.col(text_col)), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+"
+    )
+    win = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    z = F.arrays_zip(
+        *[F.slice(toks, j + 1, win).alias(f"t{j}") for j in range(n)]
+    )
+    return docs.select(
+        F.col(group_col).alias("grp"), F.explode(z).alias("_z")
+    ).select(
+        "grp",
+        F.concat_ws(" ", *[F.col(f"_z.t{j}") for j in range(n)]).alias("gram"),
+    )
+
+
 def ngram_diversity(
     docs,
     n: int = 3,
@@ -724,10 +752,7 @@ def ngram_diversity(
     """
     from pyspark.sql import functions as F
 
-    g = docs.select(
-        F.col(group_col).alias("grp"),
-        F.explode(token_ngrams_expr(text_col, n)).alias("gram"),
-    )
+    g = exploded_token_ngrams(docs, group_col, text_col, n)
     return (
         g.groupBy("grp")
         .agg(
@@ -803,10 +828,7 @@ def ngram_diversity_approx(
         hll_registers_by_group,
     )
 
-    g = docs.select(
-        F.col(group_col).alias("grp"),
-        F.explode(token_ngrams_expr(text_col, n)).alias("gram"),
-    )
+    g = exploded_token_ngrams(docs, group_col, text_col, n)
     # ONE pass over the exploded grams (r14, guide §1.2/§2.3): the
     # registers aggregate also counts each bucket's exact occurrences
     # (both map-side-combined), and the per-group estimate sums them

@@ -2301,6 +2301,44 @@ class TestHllEstimateByGroup:
                 src, n_exact, est,
             )
 
+    def test_exploded_token_ngrams_matches_array_form(self, spark):
+        """The codegen exploded spelling (slice×n + arrays_zip +
+        concat_ws) must produce the SAME (group, gram) multiset as
+        exploding token_ngrams_expr's array — real docs plus the edge
+        cases the array form's guards encode (short/empty/null text,
+        interior whitespace runs)."""
+        from beis_orp_data_service_spark.catalog import load_table
+        from beis_orp_data_service_spark.operators import textstats as ts
+        from tests.conftest import SF_SMOKE
+
+        docs = load_table(spark, SF_SMOKE, "documents")
+        edge = spark.createDataFrame(
+            [
+                (1, "x", "a b c d"),
+                (2, "x", "a b"),
+                (3, "x", ""),
+                (4, "x", None),
+                (5, "x", "  lots   of   space  "),
+                (6, "x", "one"),
+            ],
+            "doc_id long, source string, text string",
+        )
+        for d in (docs, edge):
+            old = sorted(
+                tuple(r)
+                for r in d.select(
+                    F.col("source").alias("grp"),
+                    F.explode(ts.token_ngrams_expr("text", 3)).alias("gram"),
+                ).collect()
+            )
+            new = sorted(
+                tuple(r)
+                for r in ts.exploded_token_ngrams(
+                    d, "source", "text", 3
+                ).collect()
+            )
+            assert old == new
+
     def test_ngram_diversity_approx_fused_matches_two_pass(self, spark):
         """The r14 single-pass spelling (registers aggregate carries the
         exact per-bucket occurrence count; the estimate stage sums it
