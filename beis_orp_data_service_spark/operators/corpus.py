@@ -910,28 +910,31 @@ def chunk_dedup(
     the full occurrence table, then one reassembly groupBy on the doc
     key. Three shuffles total, none skew-prone.
     """
+    # chunk construction stays in whole-stage codegen (r14): explode
+    # the chunk INDEX, then slice+concat as plain expressions over the
+    # pre-split token array — the previous array-building transform()
+    # lambda was interpreted per chunk and re-ran the split per element
+    toks = F.split(
+        F.regexp_replace(
+            F.col(text_col), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""
+        ),
+        r"[ \t\n\x0B\f\r]+",
+    )
     chunks = df.select(
         F.col(id_col),
+        toks.alias("_toks"),
         F.posexplode(
-            F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.ceil(
-                        F.size(F.split(F.regexp_replace(F.col(text_col), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+"))
-                        / F.lit(width)
-                    ).cast("int")
-                    - 1,
-                ),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.slice(
-                        F.split(F.regexp_replace(F.col(text_col), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+"),
-                        i * width + 1,
-                        width,
-                    ),
-                ),
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(toks) / F.lit(width)).cast("int") - 1,
             )
-        ).alias("pos", "chunk"),
+        ).alias("pos", "_i"),
+    ).select(
+        F.col(id_col),
+        "pos",
+        F.concat_ws(
+            " ", F.slice(F.col("_toks"), F.col("_i") * width + 1, width)
+        ).alias("chunk"),
     )
     # the keeper key is re-aliased so the join compares DISTINCT
     # attributes — groupBy keeps the input's attribute id, and a

@@ -501,17 +501,59 @@ def logreg_cv(
 
     ``feats`` must carry a deterministic integer ``fold_col`` (hash-
     assigned, e.g. ``corpus.md5_int60(id) % folds`` — NEVER a random
-    split, which is neither replayable nor oracle-checkable). Cost is
-    ``folds × iters`` map-side-combined aggregates plus ``folds``
-    report aggregates; the feature table is persisted by the caller
-    and scanned per pass.
+    split, which is neither replayable nor oracle-checkable).
+
+    Execution (r14, guide §1.2): all folds advance TOGETHER — one
+    grouped count supplies every fold's training size, and each GD
+    iteration is ONE aggregate computing every fold's gradient sums as
+    conditional (``fold != i``) nano-quantized bigint sums — exact
+    integer sums over exactly the rows the per-fold spelling scans, so
+    every fold's weight trajectory is bit-identical (the hash-grade
+    oracle unrolls the per-fold trajectories) while ``folds × iters``
+    serial driver jobs collapse to ``iters + 1``.
     """
+    k = len(feature_cols)
+    counts = {
+        int(r[fold_col]): r["_c"]
+        for r in feats.groupBy(fold_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+        # NULL fold rows fail every `fold != i` / `fold == i` predicate
+        # in the per-fold spelling — keep them out of every count here
+        if r[fold_col] is not None
+    }
+    n_total = sum(counts.values())
+    n_train = {i: n_total - counts.get(i, 0) for i in range(folds)}
+    for i in range(folds):
+        if n_train[i] == 0:
+            raise ValueError("logreg_fit: empty input")
+    W = {i: [0.0] * k for i in range(folds)}
+    for _ in range(iters):
+        aggs = []
+        for i in range(folds):
+            z = F.lit(0.0)
+            for j, c in enumerate(feature_cols):
+                z = z + F.lit(W[i][j]) * F.col(c)
+            err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col(label_col)
+            for j, c in enumerate(feature_cols):
+                aggs.append(
+                    F.sum(
+                        F.when(
+                            F.col(fold_col) != i,
+                            F.round(err * F.col(c) * SCALE).cast("bigint"),
+                        )
+                    ).alias(f"_g_{i}_{j}")
+                )
+        row = feats.agg(*aggs).collect()[0]
+        for i in range(folds):
+            W[i] = [
+                W[i][j] - lr * (row[f"_g_{i}_{j}"] / SCALE) / n_train[i]
+                for j in range(k)
+            ]
     out = None
     for i in range(folds):
-        train = feats.where(F.col(fold_col) != i)
-        w = logreg_fit(train, feature_cols, label_col, iters=iters, lr=lr)
         rep = logreg_report(
-            feats.where(F.col(fold_col) == i), feature_cols, label_col, w
+            feats.where(F.col(fold_col) == i), feature_cols, label_col, W[i]
         ).select(F.lit(i).cast("bigint").alias("fold"), "*")
         out = rep if out is None else out.unionByName(rep)
     return out
