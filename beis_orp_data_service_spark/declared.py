@@ -6083,12 +6083,18 @@ def _pretrain_corpus(spark, sf_dir):
     # stage is a no-op on the base fixture (it holds no exact dups)
     # and fires on the .alt planted cross-source duplicates.
     docs = _t(spark, sf_dir, "documents")
-    canon = docs.join(
+    canon = docs.select("doc_id", "text", "lang").join(
         dd.exact_dup_groups(docs, "doc_id", "text")
         .where(F.col("is_canonical"))
         .select("doc_id"),
         "doc_id",
     )
+    # r14 (guide §1.2/§5): five consumers derive from canon (train
+    # bigrams, doc bigrams, train vocab, the lang label join, the
+    # token-count join) — without a stage boundary each one re-runs
+    # the exact-dup md5 groupBy + join. Materialize the deduped slice
+    # ONCE (projected to the three columns the capstone uses).
+    canon = _ck.stage_checkpoint(canon, label="pretrain:canon")
     train = canon.where(F.col("doc_id") % 2 == 0)
     buckets = lm_ops.ccnet_buckets(
         canon, train, "doc_id", "text", "lang", method="two_pass", n_parts=8

@@ -34,23 +34,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from beis_orp_data_service_spark.functions.text import lc_tokens
+from beis_orp_data_service_spark.functions.text import LC_TOKEN_SPLIT
+
+
+def _lc_token_array(text_col: str):
+    """Codegen twin of :func:`lc_tokens`: strip outer whitespace, then
+    split on runs — no interior empties can survive a runs-split, so
+    the result equals lc_tokens' filtered array for every non-empty
+    text, and empty/blank text leaves one ``""`` element that callers
+    drop (zero-length zip windows in :func:`_doc_bigrams`; an explicit
+    ``w != ''`` filter in the vocab aggregate). lc_tokens' ``F.filter``
+    lambda is a
+    higher-order function Spark evaluates INTERPRETED per element
+    (the repo's documented ~12× HOF footgun, r14 guide §4.1);
+    this spelling stays inside WholeStageCodegen."""
+    return F.split(
+        F.regexp_replace(
+            F.lower(F.col(text_col)),
+            r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$",
+            "",
+        ),
+        LC_TOKEN_SPLIT,
+    )
 
 
 def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, w1, w2) — consecutive lowercased whitespace tokens; docs
-    with < 2 tokens contribute nothing. Map-only (split + transform +
-    explode)."""
-    toks = df.select(
-        F.col(id_col), lc_tokens(text_col).alias("_toks")
-    ).where(F.size("_toks") >= 2)
-    # Spark SQL array indexing is 0-based: bigram i covers _toks[i] and
-    # _toks[i+1] for i in 0 .. size-2.
-    pairs = F.expr(
-        "transform(sequence(0, size(_toks) - 2),"
-        " i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2))"
+    with < 2 tokens contribute nothing (the zip window is empty).
+    Map-only, all codegen: the previous ``transform(sequence(...))``
+    struct builder was an interpreted HOF lambda — the dominant
+    per-row cost of every lm_score consumer (equality-tested against
+    this spelling in tests/test_lm.py)."""
+    toks = _lc_token_array(text_col)
+    win = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    z = F.arrays_zip(
+        F.slice(toks, 1, win).alias("w1"), F.slice(toks, 2, win).alias("w2")
     )
-    return toks.select(id_col, F.explode(pairs).alias("_p")).select(
+    return df.select(F.col(id_col), F.explode(z).alias("_p")).select(
         id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
     )
 
@@ -67,7 +87,8 @@ def bigram_lm_counts(
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = (
-        df.select(F.explode(lc_tokens(text_col)).alias("w"))
+        df.select(F.explode(_lc_token_array(text_col)).alias("w"))
+        .where(F.col("w") != "")  # blank text leaves one "" element
         .agg(F.countDistinct("w").alias("v"))
     )
     return c2, c1, vocab

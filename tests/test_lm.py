@@ -64,6 +64,44 @@ def test_lm_matches_pure_python(spark):
     assert got == _py_lm(TRAIN, SCORE)
 
 
+def test_codegen_bigrams_match_hof_spelling(spark):
+    """r14: _doc_bigrams' slice+arrays_zip spelling (codegen) must emit
+    EXACTLY the rows of the previous lc_tokens + transform(sequence)
+    HOF spelling on real text and every edge case — empty / blank /
+    null text, one token, interior whitespace runs, \\x0B/\\f
+    separators, leading+trailing whitespace."""
+    from pyspark.sql import functions as F
+
+    from beis_orp_data_service_spark.functions.text import lc_tokens
+
+    rows = [
+        (1, "The cat  sat\t on\nthe mat "),
+        (2, ""),
+        (3, "   \t \n "),
+        (4, None),
+        (5, "single"),
+        (6, "a\x0bb\fc d"),
+        (7, "  leading and trailing  "),
+        (8, "UPPER lower MiXeD"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    toks = docs.select(
+        F.col("doc_id"), lc_tokens("text").alias("_toks")
+    ).where(F.size("_toks") >= 2)
+    pairs = F.expr(
+        "transform(sequence(0, size(_toks) - 2),"
+        " i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2))"
+    )
+    old = (
+        toks.select("doc_id", F.explode(pairs).alias("_p"))
+        .select("doc_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+    new = lm._doc_bigrams(docs, "doc_id", "text")
+    key = lambda r: (r.doc_id, r.w1, r.w2)  # noqa: E731
+    assert sorted(new.collect(), key=key) == sorted(old.collect(), key=key)
+
+
 def test_in_distribution_scores_higher(spark):
     docs = spark.createDataFrame(
         [(i, t) for i, t in SCORE.items()], "doc_id bigint, text string"
