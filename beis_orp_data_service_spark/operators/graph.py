@@ -344,7 +344,42 @@ def sequential_edges(
     ).distinct()
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def _triangles_driver(spark, edge_rows) -> DataFrame:
+    """Driver-local twin of :func:`triangle_counts` — same
+    degree-ordered orientation, each triangle counted once at its
+    smallest-(deg, id) apex; equality-tested against the distributed
+    spelling in tests/test_graph_skew.py. Python cost is
+    O(Σ out-deg²) ≤ O(m^1.5), bounded by the caller's probe
+    threshold."""
+    pairs = [(r["a"], r["b"]) for r in edge_rows]
+    deg: dict = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    out: dict = {}
+    for a, b in pairs:
+        u, v = (a, b) if (deg[a], a) < (deg[b], b) else (b, a)
+        out.setdefault(u, set()).add(v)
+    tri: dict = {}
+    for u, nb in out.items():
+        ordered = sorted(nb, key=lambda n: (deg[n], n))
+        for i, x in enumerate(ordered):
+            ox = out.get(x)
+            if not ox:
+                continue
+            for y in ordered[i + 1 :]:
+                if y in ox:
+                    for n in (u, x, y):
+                        tri[n] = tri.get(n, 0) + 1
+    return spark.createDataFrame(
+        sorted((int(n), int(c)) for n, c in tri.items()),
+        "node bigint, n_triangles bigint",
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, driver_threshold: int = 50_000
+) -> DataFrame:
     """Per-node triangle counts via degree-ordered edge orientation
     (Ortmann & Brandes 2014; the compact-forward / Latapy 2008 family —
     the MapReduce formulation is Suri & Vassilvitskii 2011, WWW).
@@ -362,8 +397,26 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     Three equi-join shuffles: degree groupBy, wedge self-join on the
     apex, closure semi-join on the wedge's (x, y) pair; then one
     explode + map-side-combined count. Returns (node, n_triangles) for
-    nodes in >= 1 triangle.
+    nodes in >= 1 triangle; node ids must be NUMERIC (bigint — the
+    graph kernels' documented precondition; the adaptive driver twin
+    emits bigint).
+
+    Adaptive execution (r14, the dup_clusters convention): the edge
+    table is materialized once and probed with a bounded
+    limit+collect; below ``driver_threshold`` edges the orientation +
+    wedge scan runs driver-local (equality-tested), else the
+    distributed joins below run unchanged. The triangle threshold is
+    LOWER than the closure kernels' (50k vs 1M): the driver wedge scan
+    is O(m^1.5), not O(m).
     """
+    if driver_threshold:
+        e = edges.select("a", "b").transform(
+            stage_checkpoint, label="triangles:edges"
+        )
+        probe = e.limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold:
+            return _triangles_driver(e.sparkSession, probe)
+        edges = e
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionByName(edges.select(F.col("b").alias("node")))
@@ -437,8 +490,58 @@ def triangle_counts_oracle_sql(edges_cte: str) -> str:
     """
 
 
+def _lpa_driver(
+    spark,
+    edge_rows,
+    node_rows,
+    iterations: int,
+    node_type,
+) -> DataFrame:
+    """Driver-local twin of :func:`label_propagation`'s loop — EXACT
+    same synchronous rounds (neighbor mode label, ties to the smallest
+    label, isolated nodes reset to their own id), equality-tested
+    against the distributed spelling in tests/test_graph.py. Runs when
+    the edge set fits the driver (probed, threshold-bounded): the
+    distributed loop is ``iterations`` × (join + 2 aggregates +
+    checkpoint) driver-orchestrated jobs whose scheduling overhead
+    dominates the small graphs it converges on."""
+    from pyspark.sql import types as T
+
+    nbrs: dict = {}
+    for r in edge_rows:
+        a, b = r["a"], r["b"]
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    nodes_l = [r["node"] for r in node_rows]
+    labels = {n: n for n in nodes_l}
+    for _ in range(iterations):
+        new = {}
+        for n in nodes_l:
+            cnt: dict = {}
+            for m in nbrs.get(n, ()):
+                if m in labels:
+                    lm = labels[m]
+                    cnt[lm] = cnt.get(lm, 0) + 1
+            if cnt:
+                # mode, ties to the SMALLEST label — the distributed
+                # argmax is max(struct(cnt, -label))
+                new[n] = min(cnt, key=lambda l: (-cnt[l], l))
+            else:
+                new[n] = n  # coalesce(_mode, node): isolated keeps own id
+        labels = new
+    schema = T.StructType(
+        [T.StructField("node", node_type), T.StructField("label", node_type)]
+    )
+    return spark.createDataFrame(
+        sorted(labels.items()), schema
+    )
+
+
 def label_propagation(
-    edges: DataFrame, nodes: DataFrame, iterations: int = 3
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 3,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007), made deterministic and hash-oracle-checkable: every
@@ -464,6 +567,30 @@ def label_propagation(
     ids should be dictionary-encoded first (the usual move before any
     iterative graph kernel: ints shuffle and compare cheaper anyway).
     """
+    if driver_threshold:
+        # Materialize the edge pipeline ONCE at full parallelism, then
+        # probe with a bounded limit+collect (the dup_clusters
+        # adaptive-closure convention — a bare limit() would run the
+        # pipeline through CollectLimit's incremental escalation).
+        # Both paths consume the checkpointed tables; nothing runs
+        # twice. The distributed loop is unchanged above the threshold.
+        edges = edges.select("a", "b").transform(
+            stage_checkpoint, label="lpa:probe_edges"
+        )
+        e_probe = edges.limit(driver_threshold + 1).collect()
+        if len(e_probe) <= driver_threshold:
+            nodes = nodes.select("node").transform(
+                stage_checkpoint, label="lpa:probe_nodes"
+            )
+            n_probe = nodes.limit(driver_threshold + 1).collect()
+            if len(n_probe) <= driver_threshold:
+                return _lpa_driver(
+                    edges.sparkSession,
+                    e_probe,
+                    n_probe,
+                    iterations,
+                    nodes.schema["node"].dataType,
+                )
     both = edges.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -534,8 +661,34 @@ def label_propagation_oracle_sql(edges_cte: str, iterations: int = 3) -> str:
     """
 
 
+def _kcore_driver(spark, edge_rows, k: int, rounds: int) -> DataFrame:
+    """Driver-local twin of :func:`kcore`'s peel loop — identical fixed
+    synchronous rounds (degree < k drop + edge refilter), equality-
+    tested against the distributed spelling in tests/test_graph.py."""
+    edges = [(r["a"], r["b"]) for r in edge_rows]
+
+    def _deg(es):
+        d: dict = {}
+        for a, b in es:
+            d[a] = d.get(a, 0) + 1
+            d[b] = d.get(b, 0) + 1
+        return d
+
+    for _ in range(rounds):
+        keep = {n for n, d in _deg(edges).items() if d >= k}
+        edges = [(a, b) for a, b in edges if a in keep and b in keep]
+    return spark.createDataFrame(
+        sorted((int(n), int(d)) for n, d in _deg(edges).items()),
+        "node bigint, degree bigint",
+    )
+
+
 def kcore(
-    edges: DataFrame, k: int, rounds: int = 4, checkpoint: str = "local"
+    edges: DataFrame,
+    k: int,
+    rounds: int = 4,
+    checkpoint: str = "local",
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """k-core peeling (Seidman 1983; the standard cohesion filter for
     interaction graphs — spam rings and scrape farms survive high-k
@@ -576,6 +729,17 @@ def kcore(
         )
 
     e = edges.transform(stage_checkpoint, label="kcore:init", strategy=checkpoint)
+    if driver_threshold:
+        # adaptive driver-local peel (the dup_clusters convention):
+        # probe the ALREADY-materialized canonical edge table with one
+        # bounded limit+collect; below the threshold the fixed peel
+        # rounds run as plain Python set arithmetic — identical output
+        # (equality-tested) without rounds × (aggregate + 2 semi-joins
+        # + checkpoint) of driver-orchestrated job latency. The
+        # distributed loop below is unchanged at scale.
+        probe = e.select("a", "b").limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold:
+            return _kcore_driver(e.sparkSession, probe, k, rounds)
     for _ in range(rounds):
         keep = _degrees(e).where(F.col("degree") >= k).select("node")
         e = (

@@ -382,6 +382,12 @@ def token_pmi(
         .where(F.col("_rn") <= max_tokens_per_doc)
         .drop("_rn")
     )
+    # r14 (guide §1.2): four consumers (N count, token df, both pair
+    # sides) re-ran the explode + distinct + cap-window pipeline —
+    # materialize the capped presence table once.
+    from beis_orp_data_service_spark.checkpointing import stage_checkpoint
+
+    pres = stage_checkpoint(pres, label="token_pmi:presence")
     n = pres.select(id_col).distinct().count()
     df = pres.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
     a = pres.select(F.col(id_col), F.col("token").alias("token_a"))

@@ -298,13 +298,35 @@ class TestTriangles:
         events = load_table(spark, SF_SMOKE, "events")
         edges = sequential_edges(events, "event_type", ["event_id"], "user_id")
         plan = (
-            triangle_counts(edges)
+            # driver_threshold=0 pins the DISTRIBUTED wedge-join plan —
+            # the adaptive driver path is a LocalTableScan and would
+            # pass vacuously
+            triangle_counts(edges, driver_threshold=0)
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_driver_path_matches_distributed(self, spark):
+        """r14 adaptive twin: the driver-local orientation+wedge scan
+        must emit EXACTLY the distributed plan's rows."""
+        import itertools
+
+        from beis_orp_data_service_spark.operators.graph import triangle_counts
+
+        pairs = [
+            (a, b)
+            for a, b in itertools.combinations(range(30), 2)
+            if (a * 48271 + b * 11) % 7 < 2
+        ]
+        edges = spark.createDataFrame(pairs, "a bigint, b bigint").distinct()
+        drv = sorted(map(tuple, triangle_counts(edges).collect()))
+        dist = sorted(
+            map(tuple, triangle_counts(edges, driver_threshold=0).collect())
+        )
+        assert drv == dist
 
 
 class TestLabelPropagation:
@@ -371,6 +393,36 @@ class TestLabelPropagation:
         }
         assert got[99] == 99
 
+    def test_driver_path_matches_distributed(self, spark):
+        """r14 adaptive twin: the driver-local LPA (default threshold)
+        must emit EXACTLY the distributed loop's rows
+        (driver_threshold=0 forces the old path) — same graph, every
+        iteration count, isolated node included."""
+        from beis_orp_data_service_spark.operators.graph import label_propagation
+
+        pairs = [
+            (a, b)
+            for a in range(30)
+            for b in range(a + 1, 30)
+            if (a * 13 + b * 17) % 7 == 0
+        ]
+        edges = spark.createDataFrame(pairs, "a bigint, b bigint").distinct()
+        nodes = spark.createDataFrame(
+            [(n,) for n in {x for p in pairs for x in p} | {999}],
+            "node bigint",
+        )
+        for iters in (1, 2, 3):
+            drv = label_propagation(edges, nodes, iterations=iters)
+            dist = label_propagation(
+                edges, nodes, iterations=iters, driver_threshold=0
+            )
+            assert sorted(map(tuple, drv.collect())) == sorted(
+                map(tuple, dist.collect())
+            )
+            assert [f.dataType for f in drv.schema.fields] == [
+                f.dataType for f in dist.schema.fields
+            ]
+
 
 class TestKCore:
     def test_clique_survives_chain_dies(self, spark):
@@ -415,3 +467,31 @@ class TestKCore:
             g.kcore(df, k=0)
         with pytest.raises(ValueError, match="rounds"):
             g.kcore(df, k=2, rounds=0)
+
+    def test_driver_path_matches_distributed(self, spark):
+        """r14 adaptive twin: driver-local peel (default threshold)
+        must emit EXACTLY the distributed loop's rows
+        (driver_threshold=0) — clique+chain and deep-peel path shapes,
+        several (k, rounds) points including the empty-core case."""
+        from beis_orp_data_service_spark.operators import graph as g
+
+        shapes = [
+            [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (6, 7)],
+            [(i, i + 1) for i in range(1, 9)],
+        ]
+        for pairs in shapes:
+            df = spark.createDataFrame(pairs, "a long, b long")
+            for k, rounds in ((2, 1), (2, 6), (3, 4)):
+                drv = sorted(
+                    map(tuple, g.kcore(df, k=k, rounds=rounds).collect())
+                )
+                dist = sorted(
+                    map(
+                        tuple,
+                        g.kcore(
+                            df, k=k, rounds=rounds, driver_threshold=0
+                        ).collect(),
+                    )
+                )
+                assert drv == dist
