@@ -242,10 +242,42 @@ def strip_regulator_names(
     first, as ORDERED literal replaces — expressed as one
     ``F.aggregate`` fold over the broadcast-literal name array (a
     constant-size expression; a nested-replace chain of 300+ calls
-    would exceed the codegen method limit and go interpreted anyway)."""
+    would exceed the codegen method limit and go interpreted anyway).
+
+    This is the EXPRESSION spelling — the oracle twin and the
+    equality pin for :func:`strip_regulator_names_arrow`, which the
+    engine path uses (r14, guide §4.2: the 304-replace HOF fold is
+    interpreted per element; the Arrow kernel's C-level
+    ``str.replace`` loop measured ~2× faster warm on real documents
+    and is bit-equal — ASCII literal replaces are
+    encoding-independent)."""
     c = F.col(col) if isinstance(col, str) else col
     reps = F.array(*[F.lit(n) for n in regulator_replace_list(names)])
     return F.aggregate(reps, c, lambda acc, x: F.replace(acc, x, F.lit("")))
+
+
+def strip_regulator_names_arrow(
+    col: Column | str, names: list[str] | None = None
+) -> Column:
+    """Arrow twin of :func:`strip_regulator_names` — the same ORDERED
+    literal replaces per row, run as Python ``str.replace`` (C loop)
+    over Arrow batches instead of an interpreted JVM HOF fold.
+    Equality-tested against the expression spelling (real docs + seam/
+    empty/null edge cases, tests/test_preprocess.py)."""
+    reps = regulator_replace_list(names)
+
+    @F.pandas_udf("string")
+    def _strip(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            if t:
+                for n in reps:
+                    t = t.replace(n, "")
+            out.append(t)
+        return pd.Series(out, dtype=object)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _strip(c)
 
 
 def strip_regulator_names_sql(
@@ -522,7 +554,7 @@ def title_preprocess(
     base = stage_checkpoint(
         df.select(
             F.col(id_col),
-            strip_regulator_names(
+            strip_regulator_names_arrow(
                 F.coalesce(F.col(text_col), F.lit("")), names
             ).alias("_t"),
         ).withColumn("_mal", malformed_singles(F.col("_t"))),

@@ -121,6 +121,42 @@ class TestReferenceEquality:
             "Logo of the Environment Agency report", pp.REGULATOR_NAMES
         )
 
+    def test_strip_arrow_twin_matches_expression(self, spark):
+        """r14: the Arrow strip kernel (the engine path inside
+        title_preprocess) must emit EXACTLY the expression fold's
+        output — real fixtures plus seam / empty / null / repeated-name
+        / logo-variant edge cases — and evaluate its UDF ONCE in the
+        plan even though a second projection derives from it."""
+        from pyspark.sql import functions as F
+
+        cases = list(FIXTURES) + [
+            "",
+            None,
+            "Logo of the Environment Agency report",
+            "OfgemOfgem doubled seam",
+            "prefix Environment Agency suffix Environment Agency",
+            "no names at all",
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(cases)), "doc_id long, text string"
+        )
+        expr = df.select(
+            "doc_id", pp.strip_regulator_names("text").alias("t")
+        )
+        arrow = df.select(
+            "doc_id", pp.strip_regulator_names_arrow("text").alias("t")
+        )
+        assert sorted(map(tuple, arrow.collect())) == sorted(
+            map(tuple, expr.collect())
+        )
+        # one ArrowEvalPython even with a dependent derived column
+        dependent = df.select(
+            "doc_id",
+            pp.strip_regulator_names_arrow("text").alias("_t"),
+        ).withColumn("_mal", pp.malformed_singles(F.col("_t")))
+        plan = dependent._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1
+
     def test_detector_matches_reference_rowwise(self, spark):
         # includes Unicode-whitespace edges (nbsp / NEL / file-sep
         # controls / LINE SEPARATOR / ideographic space) — Python
