@@ -493,6 +493,76 @@ class TestContainmentJoin:
                 exact[(a, b)] = c
         assert got == exact
 
+    def test_codegen_shingles_match_array_spelling(self, spark):
+        """r14: the codegen exploded shingle builder (slice×n +
+        arrays_zip + explode + concat_ws + distinct) must emit EXACTLY
+        the rows of the previous array spelling
+        (lc_tokens + _word_ngram_set_expr, exploded) — real docs plus
+        blank / null / sub-n / repeated-gram / \\x0B edge cases, for
+        n in (1, 2, 3)."""
+        from pyspark.sql import functions as F
+
+        from beis_orp_data_service_spark.functions.text import (
+            LC_TOKEN_SPLIT,
+            lc_tokens,
+        )
+        from beis_orp_data_service_spark.operators import dedup as dd
+
+        rows = [
+            (1, "a b c d e"),
+            (2, "a b"),
+            (3, "x"),
+            (4, ""),
+            (5, "  \t "),
+            (6, None),
+            (7, "a a a b"),
+            (8, "one two three two one two three"),
+            (9, "A\x0bB\fC d"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        for n in (1, 2, 3):
+            old = (
+                docs.select(
+                    F.col("doc_id").alias("_id"),
+                    lc_tokens("text").alias("_toks"),
+                )
+                .where(F.size("_toks") > 0)
+                .select(
+                    "_id",
+                    F.expr(dd._word_ngram_set_expr("_toks", n)).alias("_set"),
+                )
+                .where(F.size("_set") > 0)
+                .select("_id", F.explode("_set").alias("tok"))
+            )
+            stripped = F.regexp_replace(
+                F.lower(F.col("text")),
+                r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$",
+                "",
+            )
+            tk = F.split(stripped, LC_TOKEN_SPLIT)
+            if n == 1:
+                new = docs.where(stripped != "").select(
+                    F.col("doc_id").alias("_id"), F.explode(tk).alias("tok")
+                )
+            else:
+                win = F.greatest(F.size(tk) - F.lit(n - 1), F.lit(1))
+                z = F.arrays_zip(
+                    *[F.slice(tk, j + 1, win).alias(f"t{j}") for j in range(n)]
+                )
+                new = (
+                    docs.where(stripped != "")
+                    .select(F.col("doc_id").alias("_id"), F.explode(z).alias("_z"))
+                    .select(
+                        "_id",
+                        F.concat_ws(
+                            " ", *[F.col(f"_z.t{j}") for j in range(n)]
+                        ).alias("tok"),
+                    )
+                )
+            assert sorted(map(tuple, new.distinct().collect())) == sorted(
+                map(tuple, old.collect())
+            ), f"ngram={n}"
+
     def test_bad_ngram(self, spark):
         import pytest
 
