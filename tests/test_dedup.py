@@ -493,6 +493,50 @@ class TestContainmentJoin:
                 exact[(a, b)] = c
         assert got == exact
 
+    def test_binary_tf_features_identical_without_distinct(self, spark):
+        """r14: _minhash_featurize dropped its per-row array_distinct —
+        with binary=True HashingTF, repeated grams map to the same
+        index with value 1.0, so features (and sidx) are bit-identical.
+        Pin that equality on repetition-heavy and tiny docs."""
+        from pyspark.ml.feature import HashingTF, NGram
+        from pyspark.sql import functions as F
+
+        from beis_orp_data_service_spark.operators import dedup as dd
+
+        rows = [
+            (1, "abcabcabcabcabc"),
+            (2, "aaaaaaaaaaaaaa"),
+            (3, "abcde"),
+            (4, "xy"),  # sub-SHINGLE_K: dropped by both spellings
+            (5, "the cat sat on the mat the cat sat on the mat"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        chars = docs.select(
+            "doc_id", F.split(F.col("text"), "").alias("_chars")
+        )
+        ng = NGram(
+            n=dd.SHINGLE_K, inputCol="_chars", outputCol="_grams"
+        ).transform(chars)
+        tf = lambda d: (  # noqa: E731
+            HashingTF(
+                inputCol="shingles",
+                outputCol="features",
+                numFeatures=1 << 18,
+                binary=True,
+            )
+            .transform(d)
+            .select("doc_id", F.col("features").cast("string").alias("f"))
+        )
+        withd = ng.select(
+            "doc_id", F.array_distinct("_grams").alias("shingles")
+        ).where(F.size("shingles") > 0)
+        nod = ng.select(
+            "doc_id", F.col("_grams").alias("shingles")
+        ).where(F.size("shingles") > 0)
+        assert sorted(map(tuple, tf(nod).collect())) == sorted(
+            map(tuple, tf(withd).collect())
+        )
+
     def test_codegen_shingles_match_array_spelling(self, spark):
         """r14: the codegen exploded shingle builder (slice×n +
         arrays_zip + explode + concat_ws + distinct) must emit EXACTLY
