@@ -127,7 +127,10 @@ def test_audit_mode_records_pre_checkpoint_fragments(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_AUDIT", "1")
     ck.drain_audit_fragments()
     edges = spark.createDataFrame([(1, 2), (2, 3)], "a bigint, b bigint")
-    g.kcore(edges, k=1, rounds=2).collect()
+    # driver_threshold=0 forces the DISTRIBUTED peel: the audit-fragment
+    # contract is about the distributed lineage (the driver-local path
+    # runs no stage boundaries to record).
+    g.kcore(edges, k=1, rounds=2, driver_threshold=0).collect()
     frags = ck.drain_audit_fragments()
     labels = [l for l, _ in frags]
     assert "kcore:init" in labels and labels.count("kcore:round") == 2
