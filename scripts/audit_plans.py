@@ -101,6 +101,18 @@ FRAGMENT_ALLOW = {
     # (table-assign + query-probe) + the fused PQ/ADC kernel — each an
     # independent operating point crossed exactly once per vector
     "ann_recall_report": 8,
+    # UNION-branch shapes (disjoint row sets, one Arrow crossing per
+    # row per branch — verified by reading the fragment plans): the
+    # "stripped" boundary unions the real docs (full-text _strip)
+    # with the planted malformed-title twins (doc_id%20 prefix-40
+    # _strip, ids offset +10M); the bundled variant adds a third tiny
+    # ExistingRDD fixture branch, also stripped once.
+    "title_preprocess": 2,
+    "title_preprocess_bundled": 3,
+    # featurize boundary = corpus sample UNION 3 planted near-dup
+    # probes; each branch runs the split+NGram+TF+_sparse_indices
+    # chain over its OWN rows exactly once.
+    "minhash_lsh_pairs": 2,
 }
 
 RED_FLAGS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
