@@ -125,6 +125,10 @@ GROWTH_CAUSES = {
     "psi_drift": "one full scan + reference min/max pass over the "
     "grown events table; the PSI report stays n_bins rows per group "
     "(sub-second wall both sizes — scan growth, not plan growth)",
+    "ann_recall_report": "the exact ground-truth top-k arms "
+    "brute-force the grown vector table and the kmeans/IVF/PQ arms "
+    "re-fit and re-assign over 10x vectors; the recall report is 6 "
+    "rows at any scale",
 }
 
 
@@ -360,6 +364,16 @@ def main() -> int:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    # optional trailing query names (the check_oracle convention):
+    # force those rows into the FRESH set this run. An optimization
+    # round rewrites an operator's scale shape without making it slow
+    # enough to auto-select — without a force list its carried
+    # pre-rewrite row would keep answering for code that no longer
+    # exists (it aged into rotation only 3 probes later).
+    forced = sys.argv[4:]
+    unknown = [q for q in forced if q not in declared.REGISTRY]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
     dst = f"/root/repo/.scale/x{factor}"
 
     with open("/root/repo/BENCH_LOCAL.json") as f:
@@ -374,6 +388,7 @@ def main() -> int:
     slowest = by_cost[:10] + [
         k for k in by_cost[10:] if k not in SF_INDEPENDENT
     ][:10]
+    slowest += [q for q in forced if q not in slowest]
     # registry-diff coverage: anything never
     # measured in the committed SCALING.md runs this round, no hand list
     prior_rows = parse_measured_rows("/root/repo/SCALING.md")
