@@ -128,6 +128,12 @@ def main() -> None:
         # no-silent-caps: queries whose declared form samples their input
         # to bound bench cost (the OPERATORS are unsampled)
         "sampled": {"dup_clusters": "doc_id % 10", "canonical_docs": "doc_id % 10"},
+        # the PER-QUERY MEDIAN MAP rides the summary line itself (r14
+        # verdict #1): the driver keeps only the tail of stdout and
+        # parses the LAST line, so per-query medians anywhere else are
+        # lost to tail truncation (PERF_r14.per_query came back empty).
+        # ~7 KB for 290 queries — one line, parseable.
+        "queries": timings,
     }
     if subset:
         record["subset"] = True
@@ -142,9 +148,14 @@ def main() -> None:
                 json.dump(record, f, indent=1)
     except OSError:
         pass  # read-only checkout: stdout still carries the record
-    print(json.dumps(record), flush=True)
-    # SHORT summary must be the FINAL line: the driver captures only the tail
-    # of stdout, and the full record above is ~3KB.
+    # the rep-spread map stays FILE-ONLY (r14 verdict #1): printing it
+    # roughly doubled the record line and scrolled the per-query map out
+    # of the driver's tail capture in r14. BENCH_LOCAL.json keeps it.
+    stdout_record = {k: v for k, v in record.items() if k != "spread"}
+    print(json.dumps(stdout_record), flush=True)
+    # summary must be the FINAL line: the driver captures only the tail
+    # of stdout and parses the last line — it now carries the per-query
+    # median map so PERF per_query/scaling can be adjudicated.
     print(json.dumps(summary), flush=True)
 
 
