@@ -102,14 +102,24 @@ def cosine_topk(
 def sign_bucket(vec_col: Column | str, bits: int = 4) -> Column:
     """Data-independent coarse bucket: sign pattern of the first
     ``bits`` components, packed into an int. An LSH family for cosine
-    similarity (random-hyperplane with axis-aligned planes)."""
+    similarity (random-hyperplane with axis-aligned planes).
+
+    Spelled as an UNROLLED sum of power-of-two terms (``bits`` is a
+    plan-time constant ≤ 16) instead of an ``F.aggregate`` fold: Spark
+    evaluates higher-order-function lambdas interpreted per element,
+    while the unrolled arithmetic stays inside WholeStageCodegen. The
+    fold computed ``((0·2+b₀)·2+b₁)·2+…`` = ``Σ bⱼ·2^(bits-1-j)`` over
+    exact bigints — identical values (equality-pinned in
+    tests/test_similarity.py)."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0).cast("bigint"),
-        lambda acc, i: acc * 2
-        + F.when(F.element_at(c, i + 1) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
-    )
+    out = F.lit(0).cast("bigint")
+    for j in range(bits):
+        out = out + (
+            F.when(F.element_at(c, j + 1) >= 0, F.lit(1 << (bits - 1 - j)))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
+    return out
 
 
 def auto_bits(
@@ -132,6 +142,39 @@ def auto_bits(
     return max(lo, min(hi, math.ceil(math.log2(n_rows / target_bucket_rows))))
 
 
+def ivf_sign_table(
+    embeddings: DataFrame, id_col: str, vec_col: str, bits: int
+) -> DataFrame:
+    """The sign-LSH-bucketed corpus table ``(neighbor_id, tvec,
+    bucket)`` that :func:`ivf_topk` scores against — exposed so callers
+    running SEVERAL probe configurations over one corpus (a recall
+    report's single-probe and multiprobe arms) can materialize it once
+    and pass it back via ``corpus_buckets``."""
+    return embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("tvec"),
+        sign_bucket(vec_col, bits).alias("bucket"),
+    )
+
+
+def ivf_assign_table(
+    embeddings: DataFrame, id_col: str, vec_col: str, centroids: "np.ndarray"
+) -> DataFrame:
+    """The kmeans-IVF-assigned corpus table ``(neighbor_id, tvec,
+    bucket)`` that :func:`ivf_kmeans_topk` scores against — exposed so
+    callers running several ``nprobe`` operating points over one corpus
+    can materialize the (full-table Arrow) assignment pass once and
+    pass it back via ``assigned``."""
+    assign1 = _nearest_centroids_udf(
+        np.asarray(centroids, dtype=np.float64), 1
+    )
+    return embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("tvec"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("bucket"),
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -141,6 +184,7 @@ def ivf_topk(
     bits: int | str = 4,
     multiprobe: bool = True,
     n_rows: int | None = None,
+    corpus_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """IVF/LSH-bucketed top-k: score only vectors in the query's bucket(s).
 
@@ -158,7 +202,13 @@ def ivf_topk(
 
     Pass ``n_rows`` when the table size is known (catalog statistics, a
     prior count) — otherwise ``bits="auto"`` costs one extra sizing
-    scan before the real job."""
+    scan before the real job.
+
+    ``corpus_buckets``: a pre-signed corpus table
+    ``(neighbor_id, tvec, bucket)`` exactly as this function builds it
+    (same ``bits``) — pass when several probe configurations share one
+    corpus (e.g. single-probe and multiprobe arms of a recall report)
+    so the corpus signing scan runs once, not per configuration."""
     if bits == "auto":
         bits = auto_bits(n_rows if n_rows is not None else embeddings.count())
     probe = sign_bucket(vec_col, bits)
@@ -171,10 +221,10 @@ def ivf_topk(
         F.col(vec_col).alias("qvec"),
         F.explode(probes).alias("bucket"),
     )
-    t = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("tvec"),
-        sign_bucket(vec_col, bits).alias("bucket"),
+    t = (
+        corpus_buckets
+        if corpus_buckets is not None
+        else ivf_sign_table(embeddings, id_col, vec_col, bits)
     )
     scored = (
         t.join(F.broadcast(q), "bucket")
@@ -259,9 +309,17 @@ def ivf_kmeans_topk(
     seed: int = 7,
     n_rows: int | None = None,
     centroids: "np.ndarray | None" = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """True IVF top-k: a TRAINED k-means coarse quantizer instead of
     the data-independent sign-LSH of ``ivf_topk``.
+
+    ``assigned``: a pre-assigned corpus table
+    ``(neighbor_id, tvec, bucket)`` exactly as this function builds it
+    (same centroids) — pass when several ``nprobe`` operating points
+    share one corpus so the full-table Arrow assignment pass runs
+    once, not per operating point. Requires ``centroids`` (the query
+    probe must use the same quantizer the table was assigned with).
 
     ``centroids`` injects a precomputed (n_cells, dim) quantizer matrix
     and skips the fit — the oracle-replay hook: with integer-valued
@@ -293,12 +351,13 @@ def ivf_kmeans_topk(
         cents = kmeans_centroids(
             embeddings, vec_col, n_centroids, seed=seed, n_rows=n
         )
-    assign1 = _nearest_centroids_udf(cents, 1)
+    if assigned is not None and centroids is None:
+        raise ValueError("assigned requires centroids (same quantizer)")
     probe_n = _nearest_centroids_udf(cents, nprobe)
-    t = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("tvec"),
-        F.element_at(assign1(F.col(vec_col)), 1).alias("bucket"),
+    t = (
+        assigned
+        if assigned is not None
+        else ivf_assign_table(embeddings, id_col, vec_col, cents)
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -2667,19 +2726,25 @@ def ann_recall_table(
     # executes twice and no result changes (every arm is still the
     # production operator with identical parameters).
     def _nonk_half():
+        # the two sign-LSH arms differ only in the QUERY probe set —
+        # the signed corpus table is identical, so it materializes once
+        # and both arms read it (one corpus signing scan, not two)
+        signed = ivf_sign_table(emb, id_col, vec_col, bits=4).transform(
+            stage_checkpoint, label="ann_recall:lsh_signed"
+        )
         nonk = [
             (
                 "ivf_lsh", "bits=4,single", "dot",
                 ivf_topk(
                     emb, queries, id_col, vec_col, k=k, bits=4,
-                    multiprobe=False, n_rows=n_rows,
+                    multiprobe=False, n_rows=n_rows, corpus_buckets=signed,
                 ),
             ),
             (
                 "ivf_lsh", "bits=4,multiprobe", "dot",
                 ivf_topk(
                     emb, queries, id_col, vec_col, k=k, bits=4,
-                    multiprobe=True, n_rows=n_rows,
+                    multiprobe=True, n_rows=n_rows, corpus_buckets=signed,
                 ),
             ),
             (
@@ -2707,12 +2772,19 @@ def ann_recall_table(
         nonk_cand = f_nonk.result()
         truth = f_truth.result()
 
+    # the three nprobe operating points share one corpus assignment —
+    # materialize the (full-table Arrow) assignment pass once and let
+    # every arm read it (was: each union branch re-ran its own
+    # assignment pass over the whole table)
+    kassigned = ivf_assign_table(emb, id_col, vec_col, cents).transform(
+        stage_checkpoint, label="ann_recall:kmeans_assigned"
+    )
     kcand = None
     for nprobe in (1, 2, 4):
         t = tag(
             ivf_kmeans_topk(
                 emb, queries, id_col, vec_col, k=k,
-                centroids=cents, nprobe=nprobe,
+                centroids=cents, nprobe=nprobe, assigned=kassigned,
             ),
             "ivf_kmeans", f"nprobe={nprobe}", "dot",
         )

@@ -25,7 +25,7 @@ from beis_orp_data_service_spark import declared  # noqa: E402
 from beis_orp_data_service_spark.session import get_spark  # noqa: E402
 
 ROUND_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
 )
 
 

@@ -66,6 +66,59 @@ def test_sign_bucket_range(spark, emb):
     assert all(0 <= r.b < 16 for r in out)
 
 
+def test_sign_bucket_unrolled_equals_aggregate_fold(spark, emb):
+    # the codegen unrolled spelling (r15) must equal the original
+    # interpreted F.aggregate fold bit-for-bit, at several widths
+    for bits in (2, 4, 8):
+        fold = F.aggregate(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, i: acc * 2
+            + F.when(F.element_at(F.col("embedding"), i + 1) >= 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+        diff = (
+            emb.select(
+                sim.sign_bucket("embedding", bits).alias("new"),
+                fold.alias("old"),
+            )
+            .where(F.col("new") != F.col("old"))
+            .count()
+        )
+        assert diff == 0, f"sign_bucket mismatch at bits={bits}"
+
+
+def test_ivf_topk_prebuilt_corpus_buckets_identical(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    base = sim.ivf_topk(emb, queries, k=5, bits=4, multiprobe=True)
+    signed = sim.ivf_sign_table(emb, "vec_id", "embedding", bits=4)
+    pre = sim.ivf_topk(
+        emb, queries, k=5, bits=4, multiprobe=True, corpus_buckets=signed
+    )
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, pre.collect()))
+
+
+def test_ivf_kmeans_topk_prebuilt_assignment_identical(spark, emb):
+    import numpy as np
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    # three real vectors as the quantizer (dim-correct, deterministic)
+    cents = np.array(
+        [r.embedding for r in emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    base = sim.ivf_kmeans_topk(
+        emb, queries, k=5, centroids=cents, nprobe=2
+    )
+    pre = sim.ivf_kmeans_topk(
+        emb, queries, k=5, centroids=cents, nprobe=2,
+        assigned=sim.ivf_assign_table(emb, "vec_id", "embedding", cents),
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, pre.collect()))
+
+
 def test_embedding_dup_pairs_symmetric_threshold(spark, emb):
     pairs = sim.embedding_dup_pairs(emb, sim2_milli_threshold=0, bits=4)
     row = pairs.orderBy(F.desc("sim2_milli")).first()
